@@ -1,0 +1,130 @@
+"""Hybrid (multi-vector) search fusion + rerankers.
+
+Reference parity (file:line into /root/reference):
+  - Hybrid search fan-out: internal/proxy/task_search.go:489
+    (initAdvancedSearchRequest) — N sub-searches fused on pk.
+  - RRF / weighted merge: internal/util/function/chain/operator_merge.go
+    (default rrf k = 60, rerank_builder.go:388-395).
+  - Score normalization (norm_score=true): operator_merge.go:586-607 —
+    COSINE → (1+s)/2, IP/MAX_SIM → 0.5 + atan(s)/π, BM25 → 2·atan(s)/π,
+    distance metrics → 1 − 2·atan(d)/π.
+  - Decay rerank: internal/util/function/chain/expr/decay_expr.go:81-100
+    (gauss / exp / linear, Elasticsearch-style).
+  - Boost (filter-conditional weight): internal/core/src/rescores/ +
+    exec/operator/RescoresNode.cpp.
+
+All fusion is pure column arithmetic over the per-sub-search top-k result
+DataFrames (qid, pk, score, rank) — tiny inputs (nq·k rows each), so the
+fusion join is broadcast-sized no matter the corpus scale.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import reduce
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+DEFAULT_RRF_K = 60
+
+
+def normalize_score(score: Column, metric: str) -> Column:
+    """Milvus norm_score mapping to [0,1] (operator_merge.go:586-607)."""
+    m = metric.upper()
+    if m == "COSINE":
+        return (F.lit(1.0) + score) * 0.5
+    if m == "BM25":
+        return F.lit(2.0) * F.atan(score) / math.pi
+    if m in ("IP", "MHJACCARD", "MAX_SIM", "MAX_SIM_IP", "MAX_SIM_COSINE"):
+        return F.lit(0.5) + F.atan(score) / math.pi
+    # distance metrics (smaller = better) → inverted to larger = better
+    return F.lit(1.0) - F.lit(2.0) * F.atan(score) / math.pi
+
+
+def rrf_fusion(
+    results: Sequence[DataFrame],
+    pk_col: str,
+    k: int = DEFAULT_RRF_K,
+    limit: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Reciprocal-rank fusion: score(pk) = Σ_i 1/(k + rank_i(pk))."""
+    parts = [
+        r.select("qid", pk_col, (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("rrf"))
+        for r in results
+    ]
+    allhits = reduce(DataFrame.unionByName, parts)
+    fused = allhits.groupBy("qid", pk_col).agg(F.round(F.sum("rrf"), round_to).alias("score"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+        .select("qid", pk_col, "score", "rank")
+    )
+
+
+def weighted_fusion(
+    results: Sequence[DataFrame],
+    metrics: Sequence[str],
+    weights: Sequence[float],
+    pk_col: str,
+    limit: int = 10,
+    norm_score: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """Weighted fusion: score(pk) = Σ_i w_i · norm_i(s_i(pk)); a pk missing
+    from sub-search i contributes 0 for that term (outer union semantics)."""
+    parts = []
+    for r, m, wgt in zip(results, metrics, weights):
+        s = normalize_score(F.col("score"), m) if norm_score else F.col("score")
+        parts.append(r.select("qid", pk_col, (F.lit(float(wgt)) * s).alias("ws")))
+    allhits = reduce(DataFrame.unionByName, parts)
+    fused = allhits.groupBy("qid", pk_col).agg(F.round(F.sum("ws"), round_to).alias("score"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+        .select("qid", pk_col, "score", "rank")
+    )
+
+
+def decay_factor(
+    x: Column,
+    function: str = "gauss",
+    origin: float = 0.0,
+    scale: float = 1.0,
+    offset: float = 0.0,
+    decay: float = 0.5,
+) -> Column:
+    """Decay factor in [0,1] of a numeric column (decay_expr.go:81-100)."""
+    adjusted = F.greatest(F.lit(0.0), F.abs(x - F.lit(float(origin))) - F.lit(float(offset)))
+    if function == "gauss":
+        sigma_sq = (scale**2) / math.log(decay)  # negative
+        return F.exp(F.pow(adjusted, F.lit(2.0)) / F.lit(sigma_sq))
+    if function == "exp":
+        lam = math.log(decay) / scale
+        return F.exp(F.lit(lam) * adjusted)
+    if function == "linear":
+        slope = (1 - decay) / scale
+        return F.greatest(F.lit(float(decay)), F.lit(1.0) - F.lit(slope) * adjusted)
+    raise ValueError(f"unknown decay function {function}")
+
+
+def boost_score(score: Column, cond: Column, weight: float) -> Column:
+    """Filter-conditional boost: score × (weight if cond else 1)."""
+    return score * F.when(cond, F.lit(float(weight))).otherwise(F.lit(1.0))
+
+
+def requery_output_fields(
+    topk: DataFrame, source: DataFrame, pk_col: str, output_cols: Sequence[str]
+) -> DataFrame:
+    """Fetch wide output fields for top-k hits by pk (task_search.go:53-63).
+
+    The top-k side is broadcast — the big table is semi-joined, never shuffled.
+    """
+    return F.broadcast(topk).join(
+        source.select(pk_col, *output_cols), pk_col, "inner"
+    )

@@ -1,0 +1,234 @@
+"""Brute-force vector search: the reference semantic for all ANN paths.
+
+Reference parity (file:line into /root/reference):
+  - VectorANNS plan node: pkg/proto/plan.proto:339-345
+  - Brute-force scoring: internal/core/src/query/SearchBruteForce.cpp
+  - Metrics: pkg/util/metric/metric_type.go:19-53 (L2 is *squared* euclidean,
+    the knowhere convention; COSINE/IP are similarities ranked descending)
+  - Range search: internal/core/src/query/CachedSearchIterator.h:133-147
+  - Grouping search: exec/operator/SearchGroupByNode.cpp +
+    search-groupby/SearchGroupByOperator.cpp (top groups by best hit,
+    group_size hits per group)
+  - Pre-filter mode (FilterBits → VectorSearch): query/PlanProto.cpp:622-780
+
+Scale design (100 TB posture):
+  - Queries are tiny (nq ≤ thousands) → carried to executors as a plain
+    closure ndarray (Spark broadcasts the serialized task); the corpus is
+    never cross-joined row-by-row.
+  - Scoring runs in mapInPandas: one numpy matmul per Arrow batch
+    (vectorized, zero Python per-row cost), emitting only the per-batch
+    top-k per query → shuffle volume is O(num_batches · nq · k), not
+    O(rows · nq).
+  - Final exact top-k is a Window over that small intermediate — the same
+    partial-heap → reduce-tree shape as the reference's per-segment heaps
+    merged at querynode/proxy (internal/querynodev2/segments/result.go:50).
+  - Ordering is made deterministic by ranking on (rounded score, pk) so
+    results are reproducible across partitionings and match the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# metric -> (higher_is_better)
+SIMILARITY_METRICS = {"IP", "COSINE", "BM25", "MAX_SIM_IP", "MAX_SIM_COSINE"}
+DISTANCE_METRICS = {"L2", "HAMMING", "JACCARD", "MAX_SIM_L2"}
+
+
+def metric_ascending(metric: str) -> bool:
+    m = metric.upper()
+    if m in SIMILARITY_METRICS:
+        return False
+    if m in DISTANCE_METRICS:
+        return True
+    raise ValueError(f"unknown metric {metric}")
+
+
+def _score_block(V: np.ndarray, Q: np.ndarray, metric: str) -> np.ndarray:
+    """Score all corpus rows in V (n×d) against all queries Q (nq×d).
+
+    Returns (nq, n) float64. One BLAS matmul per call — this is the hot path.
+    """
+    m = metric.upper()
+    if m == "IP":
+        return Q @ V.T
+    if m == "COSINE":
+        qn = np.linalg.norm(Q, axis=1, keepdims=True)
+        vn = np.linalg.norm(V, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        vn[vn == 0] = 1.0
+        return (Q / qn) @ (V / vn).T
+    if m == "L2":
+        # squared euclidean via ||q||² + ||v||² - 2q·v (knowhere convention)
+        q2 = (Q * Q).sum(axis=1)[:, None]
+        v2 = (V * V).sum(axis=1)[None, :]
+        d = q2 + v2 - 2.0 * (Q @ V.T)
+        np.maximum(d, 0.0, out=d)
+        return d
+    raise ValueError(f"unsupported dense metric {metric}")
+
+
+def brute_force_search(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str,
+    pk_col: str,
+    metric: str = "COSINE",
+    k: int = 10,
+    filter_cond: Optional[Column] = None,
+    round_to: int = 4,
+    radius: Optional[float] = None,
+    range_filter: Optional[float] = None,
+) -> DataFrame:
+    """ANN top-k (exact): returns (qid, pk, score, rank), rank 1..k per qid.
+
+    ``radius``/``range_filter`` implement range search: keep hits with
+    score better than ``radius`` and not better than ``range_filter``
+    (Milvus semantics: radius is the outer bound, range_filter the inner).
+    """
+    asc = metric_ascending(metric)
+    if filter_cond is not None:
+        df = df.filter(filter_cond)  # pre-filter mode: FilterBits → VectorSearch
+
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    sign = 1.0 if asc else -1.0
+    kk = int(k)
+    met = metric
+    pk, vc, rt = pk_col, vec_col, round_to
+    rad, rng = radius, range_filter
+
+    def score_batches(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[pk].to_numpy()
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+            S = np.round(_score_block(V, Q, met), rt)  # (nq, n), rounded
+            # Partial top-k per query under the SAME total order as the final
+            # window — (rounded score, pk) — so merging per-batch top-k is an
+            # exact global top-k. Range bounds are applied BEFORE selection
+            # (an inner range_filter excludes the best hits; survivors must
+            # still be eligible).
+            frames = []
+            for qi, qid in enumerate(qids):
+                row = S[qi]
+                mask = np.ones(len(row), dtype=bool)
+                if rad is not None:
+                    mask &= (row < rad) if asc else (row > rad)
+                if rng is not None:
+                    mask &= (row >= rng) if asc else (row <= rng)
+                if not mask.any():
+                    continue
+                mids, mrow = ids[mask], row[mask]
+                idx = np.lexsort((mids, sign * mrow))[: min(kk, len(mids))]
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "qid": qid,
+                            pk: mids[idx].astype(np.int64),
+                            "score": mrow[idx],
+                        }
+                    )
+                )
+            if frames:
+                yield pd.concat(frames)
+
+    partial = df.select(pk_col, vec_col).mapInPandas(
+        score_batches, schema=f"qid long, {pk_col} long, score double"
+    )
+
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(pk_col).asc()]
+    w = W.partitionBy("qid").orderBy(*order)
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", pk_col, "score", "rank")
+    )
+
+
+def grouping_search(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str,
+    pk_col: str,
+    group_col: str,
+    metric: str = "COSINE",
+    limit: int = 3,
+    group_size: int = 2,
+    round_to: int = 4,
+) -> DataFrame:
+    """Top-``limit`` groups per query, ``group_size`` hits per group.
+
+    Groups are ranked by their best hit's score (SearchGroupByOperator.cpp);
+    deterministic tie-breaks on (score, pk) within groups and
+    (best_score, group) across groups.
+    """
+    asc = metric_ascending(metric)
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    met, pk, vc, gc, rt = metric, pk_col, vec_col, group_col, round_to
+    gsize = int(group_size)
+
+    def score_batches(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[pk].to_numpy()
+            grp = pdf[gc].to_numpy()
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+            S = np.round(_score_block(V, Q, met), rt)
+            frames = []
+            for qi, qid in enumerate(qids):
+                f = pd.DataFrame({pk: ids, gc: grp, "score": S[qi]})
+                f["qid"] = qid
+                # per-batch partial: keep top group_size per group
+                f = f.sort_values(
+                    ["score", pk], ascending=[asc, True], kind="mergesort"
+                ).groupby(gc, sort=False).head(gsize)
+                frames.append(f)
+            yield pd.concat(frames)[["qid", pk, gc, "score"]]
+
+    gtype = dict(df.dtypes)[group_col]
+    partial = df.select(pk_col, vec_col, group_col).mapInPandas(
+        score_batches, schema=f"qid long, {pk_col} long, {group_col} {gtype}, score double"
+    )
+
+    sc = F.col("score").asc() if asc else F.col("score").desc()
+    w_in = W.partitionBy("qid", group_col).orderBy(sc, F.col(pk_col).asc())
+    kept = (
+        partial.withColumn("rn", F.row_number().over(w_in))
+        .filter(F.col("rn") <= group_size)
+        .drop("rn")
+    )
+    best = kept.groupBy("qid", group_col).agg(
+        (F.min("score") if asc else F.max("score")).alias("best_score")
+    )
+    w_g = W.partitionBy("qid").orderBy(
+        F.col("best_score").asc() if asc else F.col("best_score").desc(),
+        F.col(group_col).asc(),
+    )
+    top_groups = (
+        best.withColumn("grank", F.row_number().over(w_g).cast("long"))
+        .filter(F.col("grank") <= limit)
+    )
+    return kept.join(
+        F.broadcast(top_groups.select("qid", group_col, "grank")),
+        ["qid", group_col],
+    ).select("qid", group_col, pk_col, "score", "grank")
+
+
+def queries_from_table(
+    df: DataFrame, pk_col: str, vec_col: str, pred: Column
+) -> list[tuple[int, list[float]]]:
+    """Search-by-pk helper: use stored vectors of matching rows as queries
+    (test_milvus_client_search_by_pk.py). Collects only the tiny query set.
+    """
+    rows = df.filter(pred).select(pk_col, vec_col).orderBy(pk_col).collect()
+    return [(int(r[0]), list(map(float, r[1]))) for r in rows]

@@ -1,0 +1,38 @@
+"""Registry wiring SURVEY.md §2 operators to the driver contract.
+
+Every implemented operator registers a ``queries()`` callable and (when
+SQL-expressible) a DuckDB ``oracle_sql()`` string. The driver hash-compares
+Spark result vs oracle at sf=0.01; column names/types are aligned on both
+sides and floating aggregates are rounded to 4 decimals on both sides so the
+comparison is numerically stable (fp summation order differs between engines
+by ~1 ulp; ranking always tie-breaks on a key column for determinism).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: Optional[str] = None):
+    """Register a driver-facing query; ``oracle`` is equivalent DuckDB SQL."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_suites() -> None:
+    """Import all suite modules (side effect: they register queries)."""
+    from milvus_spark import suites  # noqa: F401
+
+    suites.load_all()

@@ -1,0 +1,8 @@
+"""Driver-facing query suites. Each module registers into milvus_spark.registry."""
+
+from __future__ import annotations
+
+
+def load_all() -> None:
+    # Import order is stable; each module registers its queries on import.
+    from milvus_spark.suites import relational, vector  # noqa: F401

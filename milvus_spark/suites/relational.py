@@ -1,0 +1,394 @@
+"""Milvus ``query()`` surface on the TPC-H-ish tables.
+
+Covers SURVEY.md §2.2 (filter expression variants), §2.4 (group-by
+aggregation sum/count/avg/min/max), §2.5 (order-by with null placement,
+limit/offset, query-iterator cursor) — each query demonstrates one operator
+family and has an exact DuckDB oracle.
+
+Reference parity notes (file:line into /root/reference):
+  - UnaryRangeExpr / TermExpr / BinaryRangeExpr: pkg/proto/plan.proto:132,140,161
+  - CompareExpr (column vs column): internal/core/src/exec/expression/CompareExpr.cpp
+  - BinaryArithOpEvalRangeExpr: .../BinaryArithOpEvalRangeExpr.cpp
+  - NullExpr 3VL: .../NullExpr.cpp; JSON path: ColumnInfo.nested_path plan.proto:110
+  - Aggregation partial/final: internal/agg/aggregate.go:59, AggregationNode.cpp
+  - OrderByNode nulls first/last: internal/core/src/exec/operator/QueryOrderByNode.cpp
+  - Query iterator cursor: plan.proto:377-381 (QueryIteratorCursor)
+  - RandomSampleExpr: exec/operator/RandomSampleNode.cpp (made deterministic here
+    via md5(pk) so the result is reproducible and oracle-checkable at any scale)
+  - Requery-by-pk after top-k: internal/proxy/task_search.go:53-63,262
+
+Scale notes: every filter here is a plain Column predicate → parquet
+pushdown; aggregations are partial+final hash agg (map-side combine) by
+Catalyst; the requery join broadcasts the small side explicitly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+
+# --- scan + filter: UnaryRangeExpr (>) AND TermExpr (IN) --------------------
+@register(
+    "rel_filter_range_in",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+    FROM lineitem
+    WHERE l_quantity > 45 AND l_returnflag IN ('A', 'R')
+    """,
+)
+def rel_filter_range_in(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter((F.col("l_quantity") > 45) & F.col("l_returnflag").isin("A", "R")).select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+
+
+# --- BinaryRangeExpr: 10 <= x < 20 ------------------------------------------
+@register(
+    "rel_between",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_quantity >= 10 AND l_quantity < 20 AND l_discount >= 0.05
+    """,
+)
+def rel_between(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_quantity") >= 10) & (F.col("l_quantity") < 20) & (F.col("l_discount") >= 0.05)
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+# --- CompareExpr: column vs column ------------------------------------------
+@register(
+    "rel_compare_columns",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, round(l_discount - l_tax, 4) AS disc_minus_tax
+    FROM lineitem WHERE l_discount > l_tax
+    """,
+)
+def rel_compare_columns(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(F.col("l_discount") > F.col("l_tax")).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_discount") - F.col("l_tax"), 4).alias("disc_minus_tax"),
+    )
+
+
+# --- BinaryArithOpEvalRangeExpr: (a + 5) % 2 == 0, a * b > c -----------------
+@register(
+    "rel_arith_filter",
+    oracle="""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE (CAST(l_quantity AS BIGINT) + 5) % 7 = 0
+      AND l_extendedprice * (1 - l_discount) > 30000
+    """,
+)
+def rel_arith_filter(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        ((F.col("l_quantity").cast("long") + 5) % 7 == 0)
+        & (F.col("l_extendedprice") * (1 - F.col("l_discount")) > 30000)
+    ).select("l_orderkey", "l_linenumber")
+
+
+# --- LIKE prefix/inner match (pattern_match.go rewrites; Catalyst native) ----
+@register(
+    "rel_like_match",
+    oracle="""
+    SELECT p_partkey, p_name, p_brand
+    FROM part
+    WHERE p_name LIKE 'small%' OR p_name LIKE '%bolt%'
+    """,
+)
+def rel_like_match(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.filter(F.col("p_name").like("small%") | F.col("p_name").like("%bolt%")).select(
+        "p_partkey", "p_name", "p_brand"
+    )
+
+
+# --- regex match (=~ operator, OpType RegexMatch plan.proto:16) --------------
+@register(
+    "rel_regex_match",
+    oracle="""
+    SELECT p_partkey, p_name, p_type
+    FROM part
+    WHERE regexp_matches(p_name, '^(red|blue|hot).*(bolt|gear|widget)$')
+    """,
+)
+def rel_regex_match(spark: SparkSession, sf: str) -> DataFrame:
+    part = load_table(spark, sf, "part")
+    return part.filter(F.col("p_name").rlike("^(red|blue|hot).*(bolt|gear|widget)$")).select(
+        "p_partkey", "p_name", "p_type"
+    )
+
+
+# --- NullExpr + three-valued logic -------------------------------------------
+# The TPC-H tables are null-free, so nulls are introduced by nullif() —
+# identically on both sides — then filtered with IS NULL / IS NOT NULL under
+# NOT, exercising UNKNOWN propagation (coverage_matrix.md FILTER-NULL rows).
+@register(
+    "rel_null_3vl",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderkey,
+             nullif(o_orderstatus, 'O') AS st,
+             nullif(o_totalprice, 0.0) AS tp
+      FROM orders
+    )
+    SELECT o_orderkey, st
+    FROM t
+    WHERE st IS NULL OR NOT (st = 'F' AND tp > 100000)
+    """,
+)
+def rel_null_3vl(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    t = o.select(
+        "o_orderkey",
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias("st"),
+        F.nullif(F.col("o_totalprice"), F.lit(0.0)).alias("tp"),
+    )
+    return t.filter(F.col("st").isNull() | ~((F.col("st") == "F") & (F.col("tp") > 100000))).select(
+        "o_orderkey", "st"
+    )
+
+
+# --- group-by aggregation: count/sum/avg/min/max (TPC-H Q1 shape) ------------
+@register(
+    "rel_agg_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(l_quantity), 4) AS sum_qty,
+           round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(min(l_discount), 4) AS min_disc,
+           round(max(l_tax), 4) AS max_tax
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def rel_agg_group(spark: SparkSession, sf: str) -> DataFrame:
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.min("l_discount"), 4).alias("min_disc"),
+            F.round(F.max("l_tax"), 4).alias("max_tax"),
+        )
+    )
+
+
+# --- count(*) fast path (QueryPlanNode.is_count plan.proto:369) ---------------
+@register(
+    "rel_count_star",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_orderstatus = 'F' AND o_totalprice > 50000
+    """,
+)
+def rel_count_star(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.filter((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 50000))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# --- order by (multi-field, nulls last) + limit ------------------------------
+@register(
+    "rel_orderby_nulls",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_name, nullif(c_acctbal, 0.0) AS bal, c_mktsegment
+      FROM customer
+    )
+    SELECT c_custkey, c_name, bal
+    FROM t
+    ORDER BY bal DESC NULLS LAST, c_custkey ASC
+    LIMIT 50
+    """,
+)
+def rel_orderby_nulls(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer")
+    t = c.select(
+        "c_custkey", "c_name", F.nullif(F.col("c_acctbal"), F.lit(0.0)).alias("bal")
+    )
+    return t.orderBy(F.col("bal").desc_nulls_last(), F.col("c_custkey").asc()).limit(50)
+
+
+# --- limit/offset pagination --------------------------------------------------
+@register(
+    "rel_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20 OFFSET 40
+    """,
+)
+def rel_limit_offset(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    # offset via deterministic order + offset(); Spark 4 has DataFrame.offset.
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .offset(40)
+        .limit(20)
+    )
+
+
+# --- query iterator: pk-ordered cursor page (plan.proto:377-381) --------------
+@register(
+    "rel_query_iterator_page",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_orderkey > 500 AND o_orderstatus = 'O'
+    ORDER BY o_orderkey
+    LIMIT 100
+    """,
+)
+def rel_query_iterator_page(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return (
+        o.filter((F.col("o_orderkey") > 500) & (F.col("o_orderstatus") == "O"))
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(100)
+    )
+
+
+# --- deterministic random_sample (RandomSampleNode.cpp, made reproducible) ----
+# Hash-based Bernoulli sample: keep row iff md5(pk) (hex) sorts below the
+# fraction threshold. Deterministic, partition-independent, oracle-exact, and
+# at 100 TB it's a pure map-side filter (no RNG state, no shuffle).
+@register(
+    "rel_random_sample",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1000'
+    """,
+)
+def rel_random_sample(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    return o.filter(
+        F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 4) < "1000"
+    ).select("o_orderkey", "o_totalprice")
+
+
+# --- JSON path access + typed compare (dynamic field $meta semantics) ---------
+@register(
+    "rel_json_path",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      AND event_type IN ('click', 'view')
+    """,
+)
+def rel_json_path(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return e.filter((k > 50) & F.col("event_type").isin("click", "view")).select(
+        "event_id", "user_id", k.alias("k_val")
+    )
+
+
+# --- JSON key existence (ExistsExpr plan.proto:123) ---------------------------
+@register(
+    "rel_json_exists",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS n_with_k,
+           CAST(sum(CASE WHEN json_extract_string(props, '$.missing') IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_with_missing
+    FROM events
+    """,
+)
+def rel_json_exists(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    has_k = F.get_json_object(F.col("props"), "$.k").isNotNull()
+    has_m = F.get_json_object(F.col("props"), "$.missing").isNotNull()
+    return e.agg(
+        F.sum(F.when(has_k, 1).otherwise(0)).alias("n_with_k"),
+        F.sum(F.when(has_m, 1).otherwise(0)).alias("n_with_missing"),
+    )
+
+
+# --- requery-by-pk after top-k (task_search.go:53-63) -------------------------
+# Top 30 orders by price, then wide output fields fetched via a second join
+# on the pk — the small top-k side is broadcast (no shuffle of customer).
+@register(
+    "rel_requery_join",
+    oracle="""
+    WITH topk AS (
+      SELECT o_orderkey, o_custkey, o_totalprice
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 30
+    )
+    SELECT t.o_orderkey, t.o_totalprice, c.c_name, c.c_mktsegment
+    FROM topk t JOIN customer c ON t.o_custkey = c.c_custkey
+    """,
+)
+def rel_requery_join(spark: SparkSession, sf: str) -> DataFrame:
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    topk = o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey")).limit(30)
+    return (
+        F.broadcast(topk)
+        .join(c, topk.o_custkey == c.c_custkey)
+        .select("o_orderkey", "o_totalprice", "c_name", "c_mktsegment")
+    )
+
+
+# --- registered scalar fns: empty(varchar), starts_with (CallExpr) ------------
+@register(
+    "rel_call_fns",
+    oracle="""
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE NOT (s_name = '') AND starts_with(s_name, 'Supplier')
+    """,
+)
+def rel_call_fns(spark: SparkSession, sf: str) -> DataFrame:
+    s = load_table(spark, sf, "supplier")
+    return s.filter(
+        ~(F.col("s_name") == "") & F.col("s_name").startswith("Supplier")
+    ).select("s_suppkey", "s_name")
+
+
+# --- timestamptz interval arithmetic compare (plan.proto:298) ------------------
+@register(
+    "rel_ts_interval",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) + INTERVAL 10 DAY > TIMESTAMP '2024-01-25'
+      AND CAST(ts AS TIMESTAMP) <= TIMESTAMP '2024-01-20'
+    """,
+)
+def rel_ts_interval(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.filter(
+        (F.col("ts") + F.expr("INTERVAL 10 DAY") > F.lit("2024-01-25").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-20").cast("timestamp"))
+    ).select("event_id", "ts")

@@ -1,0 +1,345 @@
+"""Vector-search operator suite on the ``embeddings`` table (dim 64).
+
+Covers SURVEY.md §2.3: ANN top-k per metric (COSINE / squared-L2 / IP),
+scalar-filtered search (pre-filter mode), range search, grouping search,
+search-by-pk, hybrid search with RRF / weighted fusion, decay and boost
+rerank. Query vectors are the stored vectors of the lowest pks (search-by-pk
+semantics) so every query is self-contained and oracle-expressible.
+
+Scores are computed in float64 on both sides and rounded to 4 decimals;
+ranking tie-breaks on (rounded score, pk) in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from milvus_spark.operators.knn import brute_force_search, grouping_search, queries_from_table
+from milvus_spark.operators.hybrid import (
+    boost_score,
+    decay_factor,
+    rrf_fusion,
+    weighted_fusion,
+)
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+NQ = 4
+
+# Shared oracle fragments -----------------------------------------------------
+_Q = f"""
+  q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        FROM embeddings WHERE vec_id < {NQ})
+"""
+
+_SCORE = {
+    "COSINE": "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)",
+    "L2": "round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv)^2, 4)",
+    "IP": "round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 4)",
+}
+_DIR = {"COSINE": "DESC", "L2": "ASC", "IP": "DESC"}
+
+
+def _ranked_cte(metric: str, where: str = "TRUE") -> str:
+    return f"""
+  scored AS (
+    SELECT q.qid, e.vec_id, {_SCORE[metric]} AS score
+    FROM embeddings e, q WHERE {where}
+  ),
+  ranked AS (
+    SELECT qid, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY qid ORDER BY score {_DIR[metric]}, vec_id) AS BIGINT) AS rank
+    FROM scored
+  )"""
+
+
+def _load_queries(spark: SparkSession, sf: str):
+    emb = load_table(spark, sf, "embeddings")
+    return emb, queries_from_table(emb, "vec_id", "embedding", F.col("vec_id") < NQ)
+
+
+# --- flagship: scalar-filtered ANN top-k (pre-filter mode) --------------------
+@register(
+    "vec_knn_cosine_filtered",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE", where="e.label >= 2")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_knn_cosine_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    return brute_force_search(
+        emb, qs, "embedding", "vec_id", metric="COSINE", k=10,
+        filter_cond=F.col("label") >= 2,
+    )
+
+
+@register(
+    "vec_knn_l2",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("L2")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_knn_l2(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    return brute_force_search(emb, qs, "embedding", "vec_id", metric="L2", k=10)
+
+
+@register(
+    "vec_knn_ip",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("IP")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_knn_ip(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    return brute_force_search(emb, qs, "embedding", "vec_id", metric="IP", k=10)
+
+
+# --- range search: radius < score <= range_filter -----------------------------
+@register(
+    "vec_range_search",
+    oracle=f"""
+    WITH {_Q},
+    scored AS (
+      SELECT q.qid, e.vec_id, {_SCORE["COSINE"]} AS score
+      FROM embeddings e, q
+    ),
+    bounded AS (SELECT * FROM scored WHERE score > 0.3 AND score <= 0.95),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM bounded
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def vec_range_search(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    return brute_force_search(
+        emb, qs, "embedding", "vec_id", metric="COSINE", k=20,
+        radius=0.3, range_filter=0.95,
+    )
+
+
+# --- grouping search: top-3 groups (by best hit), 2 hits per group ------------
+@register(
+    "vec_grouping_search",
+    oracle=f"""
+    WITH {_Q},
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label, {_SCORE["COSINE"]} AS score
+      FROM embeddings e, q
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, label, score,
+               row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2
+    ),
+    best AS (SELECT qid, label, max(score) AS best_score FROM kept GROUP BY qid, label),
+    topg AS (
+      SELECT * FROM (
+        SELECT qid, label,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY best_score DESC, label) AS BIGINT) AS grank
+        FROM best
+      ) WHERE grank <= 3
+    )
+    SELECT k.qid, k.label, k.vec_id, k.score, g.grank
+    FROM kept k JOIN topg g ON k.qid = g.qid AND k.label = g.label
+    """,
+)
+def vec_grouping_search(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    return grouping_search(
+        emb, qs, "embedding", "vec_id", "label", metric="COSINE", limit=3, group_size=2
+    )
+
+
+# --- search-by-pk: stored vectors of pks 10/20/30 as queries ------------------
+@register(
+    "vec_search_by_pk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id IN (10, 20, 30)),
+    {_ranked_cte("COSINE")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def vec_search_by_pk(spark: SparkSession, sf: str) -> DataFrame:
+    emb = load_table(spark, sf, "embeddings")
+    qs = queries_from_table(emb, "vec_id", "embedding", F.col("vec_id").isin(10, 20, 30))
+    return brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=5)
+
+
+# --- hybrid search + RRF fusion (k=60) ----------------------------------------
+_HYBRID_SUBS = f"""
+    WITH {_Q},
+    s1 AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM (SELECT q.qid, e.vec_id, {_SCORE["COSINE"]} AS score FROM embeddings e, q)
+    ),
+    s2 AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS rank
+      FROM (SELECT q.qid, e.vec_id, {_SCORE["L2"]} AS score FROM embeddings e, q)
+    ),
+    t1 AS (SELECT * FROM s1 WHERE rank <= 20),
+    t2 AS (SELECT * FROM s2 WHERE rank <= 20)
+"""
+
+
+def _hybrid_results(spark: SparkSession, sf: str):
+    emb, qs = _load_queries(spark, sf)
+    r1 = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=20)
+    r2 = brute_force_search(emb, qs, "embedding", "vec_id", metric="L2", k=20)
+    return r1, r2
+
+
+@register(
+    "vec_hybrid_rrf",
+    oracle=_HYBRID_SUBS
+    + """
+    , fused AS (
+      SELECT qid, vec_id, round(sum(1.0 / (60 + rank)), 4) AS score
+      FROM (SELECT qid, vec_id, rank FROM t1 UNION ALL SELECT qid, vec_id, rank FROM t2)
+      GROUP BY qid, vec_id
+    )
+    SELECT qid, vec_id, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def vec_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    r1, r2 = _hybrid_results(spark, sf)
+    return rrf_fusion([r1, r2], "vec_id", k=60, limit=10)
+
+
+@register(
+    "vec_hybrid_weighted",
+    oracle=_HYBRID_SUBS
+    + """
+    , fused AS (
+      SELECT qid, vec_id, round(sum(ws), 4) AS score
+      FROM (
+        SELECT qid, vec_id, 0.7 * (1 + score) * 0.5 AS ws FROM t1
+        UNION ALL
+        SELECT qid, vec_id, 0.3 * (1 - 2 * atan(score) / pi()) AS ws FROM t2
+      )
+      GROUP BY qid, vec_id
+    )
+    SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM fused
+    ) WHERE rank <= 10
+    """,
+)
+def vec_hybrid_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    r1, r2 = _hybrid_results(spark, sf)
+    return weighted_fusion(
+        [r1, r2], ["COSINE", "L2"], [0.7, 0.3], "vec_id", limit=10, norm_score=True
+    )
+
+
+# --- decay rerank: gauss decay on vec_id distance from origin -----------------
+@register(
+    "vec_decay_rerank",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE")},
+    topk AS (SELECT * FROM ranked WHERE rank <= 50),
+    decayed AS (
+      SELECT qid, vec_id,
+             round(score * exp(pow(greatest(0.0, abs(CAST(vec_id AS DOUBLE) - 0.0) - 10.0), 2)
+                               / (pow(200.0, 2) / ln(0.5))), 4) AS score
+      FROM topk
+    )
+    SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM decayed
+    ) WHERE rank <= 10
+    """,
+)
+def vec_decay_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    topk = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=50)
+    decayed = topk.select(
+        "qid",
+        "vec_id",
+        F.round(
+            F.col("score")
+            * decay_factor(
+                F.col("vec_id").cast("double"),
+                function="gauss", origin=0.0, scale=200.0, offset=10.0, decay=0.5,
+            ),
+            4,
+        ).alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        decayed.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# --- boost rerank: ×2 where label == 3 ---------------------------------------
+@register(
+    "vec_boost_rerank",
+    oracle=f"""
+    WITH {_Q},
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label, {_SCORE["COSINE"]} AS score
+      FROM embeddings e, q
+    ),
+    boosted AS (
+      SELECT qid, vec_id,
+             round(score * (CASE WHEN label = 3 THEN 2.0 ELSE 1.0 END), 4) AS score
+      FROM scored
+    )
+    SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank
+    FROM (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+      FROM boosted
+    ) WHERE rank <= 10
+    """,
+)
+def vec_boost_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    emb, qs = _load_queries(spark, sf)
+    # boost applies to the full scored set (RescoresNode sits before top-k),
+    # so score all rows (k = corpus size upper bound via large k) — here we
+    # push the boost into the scoring pipeline by scoring with k large enough
+    # to cover all candidates whose boosted score could reach top-10: boosting
+    # only label==3 by 2× means any candidate could flip, so score everything.
+    n = emb.count()
+    scored = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=n)
+    lab = emb.select("vec_id", "label")
+    boosted = (
+        scored.join(F.broadcast(lab), "vec_id")
+        .select(
+            "qid",
+            "vec_id",
+            F.round(boost_score(F.col("score"), F.col("label") == 3, 2.0), 4).alias("score"),
+        )
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        boosted.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id", "score", "rank")
+    )

@@ -1,0 +1,103 @@
+"""Vector search unit tests: numpy brute-force ground truth (the reference
+methodology — SearchBruteForce.cpp is the semantic all Milvus paths reduce to)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.knn import brute_force_search, grouping_search
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb_np(emb):
+    rows = emb.select("vec_id", "embedding", "label").orderBy("vec_id").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.array([r.embedding for r in rows], dtype=np.float64)
+    labels = np.array([r.label for r in rows])
+    return ids, V, labels
+
+
+def _ground_truth_topk(ids, V, q, metric, k):
+    if metric == "COSINE":
+        s = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
+        s = np.round(s, 4)
+        order = np.lexsort((ids, -s))
+    elif metric == "IP":
+        s = np.round(V @ q, 4)
+        order = np.lexsort((ids, -s))
+    elif metric == "L2":
+        s = np.round(((V - q) ** 2).sum(axis=1), 4)
+        order = np.lexsort((ids, s))
+    return ids[order[:k]].tolist()
+
+
+@pytest.mark.parametrize("metric", ["COSINE", "IP", "L2"])
+def test_brute_force_matches_numpy(emb, emb_np, metric):
+    ids, V, _ = emb_np
+    queries = [(int(ids[i]), V[i].tolist()) for i in range(3)]
+    res = brute_force_search(emb, queries, "embedding", "vec_id", metric=metric, k=8)
+    got = {
+        qid: [r.vec_id for r in rows]
+        for qid, rows in _group_rows(res.collect())
+    }
+    for qid, qv in queries:
+        expect = _ground_truth_topk(ids, V, np.asarray(qv), metric, 8)
+        assert got[qid] == expect, f"{metric} qid={qid}"
+
+
+def _group_rows(rows):
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        yield qid, rs
+
+
+def test_filtered_search_respects_filter(emb, emb_np):
+    ids, V, labels = emb_np
+    queries = [(int(ids[0]), V[0].tolist())]
+    res = brute_force_search(
+        emb, queries, "embedding", "vec_id", metric="COSINE", k=10,
+        filter_cond=F.col("label") == 3,
+    ).collect()
+    allowed = set(ids[labels == 3].tolist())
+    assert res and all(r.vec_id in allowed for r in res)
+
+
+def test_range_search_bounds(emb, emb_np):
+    ids, V, _ = emb_np
+    queries = [(int(ids[0]), V[0].tolist())]
+    res = brute_force_search(
+        emb, queries, "embedding", "vec_id", metric="COSINE", k=50,
+        radius=0.3, range_filter=0.95,
+    ).collect()
+    assert res
+    for r in res:
+        assert 0.3 < r.score <= 0.95
+
+
+def test_grouping_search_shape(emb):
+    qrows = emb.filter(F.col("vec_id") < 2).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    res = grouping_search(
+        emb, queries, "embedding", "vec_id", "label", metric="COSINE",
+        limit=3, group_size=2,
+    ).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.qid, set()).add(r.label)
+    for qid, groups in per_q.items():
+        assert len(groups) == 3
+    # group_size respected
+    cnt = {}
+    for r in res:
+        cnt[(r.qid, r.label)] = cnt.get((r.qid, r.label), 0) + 1
+    assert all(v <= 2 for v in cnt.values())
