@@ -1,0 +1,203 @@
+"""Full-text search suite over ``documents``: BM25, text/phrase/fuzzy match,
+highlighting — the Milvus lexical-search surface.
+
+Reference parity (file:line into /root/reference):
+  - BM25 function + metric: internal/util/function/bm25_function.go:103,135,204
+    (ingest term-freq sparse vectors), internal/querynodev2/delegator/
+    idf_oracle.go:81 (global IDF/avgdl stats), QueryInfo.bm25_avgdl
+    pkg/proto/plan.proto:94. Formula: idf = ln(1 + (N - df + .5)/(df + .5)),
+    tf_norm = tf·(k1+1)/(tf + k1·(1 - b + b·dl/avgdl)), k1=1.2, b=0.75.
+  - TextMatch / minimum_should_match: OpType 13/17 Plan.g4:24-25,
+    internal/core/src/index/TextMatchIndex.cpp.
+  - PhraseMatch (slop): OpType 14, position windows in TextMatchIndex.
+  - Fuzzy match (max edit distance): TextMatchFuzzy, levenshtein.
+  - Highlighter: internal/proxy/highlighter.go:41,61.
+
+Scale notes: corpus stats (df per term, avgdl) are a tiny aggregate table —
+broadcast to the scoring scan (the same shape as the reference's IDF oracle
+sync). Scoring is a map-side expression over the posting explode; top-k is a
+window over the small per-term candidate set, never a full corpus sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.text import TOKENS_SQL, tokens
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+_TOKS = TOKENS_SQL.format(col="text")
+
+QUERY_TERMS = ["spark", "merge", "vector"]
+_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in QUERY_TERMS) + "]"
+K1, B = 1.2, 0.75
+
+
+def _docs_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    return d.withColumn("toks", tokens(F.col("text")))
+
+
+# --- text match with minimum_should_match ------------------------------------
+@register(
+    "fts_text_match",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_intersect(list_distinct(toks), {_TERMS_SQL})) AS BIGINT) AS n_matched
+    FROM t
+    WHERE len(list_intersect(list_distinct(toks), {_TERMS_SQL})) >= 2
+    """,
+)
+def fts_text_match(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    n_matched = F.size(F.array_intersect(F.array_distinct("toks"), F.array(*[F.lit(x) for x in QUERY_TERMS])))
+    return t.select("doc_id", n_matched.cast("long").alias("n_matched")).filter(
+        F.col("n_matched") >= 2
+    )
+
+
+# --- phrase match with slop ---------------------------------------------------
+# phrase "merge batch", slop 1: exists i<j with toks[i]='merge', toks[j]='batch',
+# j - i ∈ [1, slop+1]. Position-list intersection — the same computation the
+# tantivy positions index runs, expressed with higher-order functions.
+_PHRASE_A, _PHRASE_B, _SLOP = "merge", "batch", 1
+
+
+@register(
+    "fts_phrase_match",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id,
+             list_filter(range(1, len(toks) + 1), i -> toks[i] = '{_PHRASE_A}') AS pa,
+             list_filter(range(1, len(toks) + 1), i -> toks[i] = '{_PHRASE_B}') AS pb
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(pa, i -> len(list_filter(pb, j -> j - i >= 1 AND j - i <= {_SLOP + 1})) > 0)) AS BIGINT)
+             AS n_starts
+    FROM pos
+    WHERE len(list_filter(pa, i -> len(list_filter(pb, j -> j - i >= 1 AND j - i <= {_SLOP + 1})) > 0)) > 0
+    """,
+)
+def fts_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    idx = F.sequence(F.lit(1), F.size("toks"))
+    pa = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PHRASE_A)
+    pb = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PHRASE_B)
+    t = t.withColumn("pa", pa).withColumn("pb", pb)
+    starts = F.filter(
+        F.col("pa"),
+        lambda i: F.size(F.filter(F.col("pb"), lambda j: (j - i >= 1) & (j - i <= _SLOP + 1))) > 0,
+    )
+    return (
+        t.withColumn("n_starts", F.size(starts).cast("long"))
+        .filter(F.col("n_starts") > 0)
+        .select("doc_id", "n_starts")
+    )
+
+
+# --- fuzzy match (max edit distance 1) ---------------------------------------
+@register(
+    "fts_fuzzy_match",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(list_distinct(toks), x -> levenshtein(x, 'sprk') <= 1)) AS BIGINT)
+             AS n_fuzzy
+    FROM t
+    WHERE len(list_filter(list_distinct(toks), x -> levenshtein(x, 'sprk') <= 1)) > 0
+    """,
+)
+def fts_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    fuzz = F.filter(F.array_distinct("toks"), lambda x: F.levenshtein(x, F.lit("sprk")) <= 1)
+    return (
+        t.withColumn("n_fuzzy", F.size(fuzz).cast("long"))
+        .filter(F.col("n_fuzzy") > 0)
+        .select("doc_id", "n_fuzzy")
+    )
+
+
+# --- BM25 top-k ---------------------------------------------------------------
+@register(
+    "fts_bm25_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE list_contains({_TERMS_SQL}, tok)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+    scored AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * p.tf * ({K1} + 1)
+                 / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS bm25
+      FROM posting p
+      JOIN df ON p.tok = df.tok
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(bm25, 4) AS score,
+           CAST(row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 15
+    """,
+)
+def fts_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
+    t = _docs_tokens(spark, sf)
+    dl = t.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    posting = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .filter(F.col("tok").isin(QUERY_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (K1 + 1)) / (
+        F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))
+    )
+    scored = (
+        posting.join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.sum(idf * tf_norm).alias("bm25"))
+    )
+    w = W.orderBy(F.round("bm25", 4).desc(), F.col("doc_id").asc())
+    return (
+        scored.select("doc_id", F.round("bm25", 4).alias("score"))
+        .withColumn("rank", F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc())).cast("long"))
+        .filter(F.col("rank") <= 15)
+    )
+
+
+# --- highlighter --------------------------------------------------------------
+@register(
+    "fts_highlight",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(text, '\b(spark|merge)\b', '<em>\1</em>', 'g') AS highlighted
+    FROM documents
+    WHERE regexp_matches(text, '\b(spark|merge)\b')
+    """,
+)
+def fts_highlight(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    pat = r"\b(spark|merge)\b"
+    return (
+        d.filter(F.col("text").rlike(pat))
+        .select("doc_id", F.regexp_replace("text", pat, "<em>$1</em>").alias("highlighted"))
+    )
