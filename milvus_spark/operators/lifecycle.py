@@ -1,0 +1,112 @@
+"""Collection storage lifecycle: append / upsert / delete / MVCC read / compact.
+
+Reference parity (file:line into /root/reference):
+  - Insert (WAL append, ts assignment): internal/proxy/task_insert.go,
+    task_insert_streaming.go — here: parquet segment append stamped with a
+    monotonically increasing batch timestamp ``_ts``.
+  - Upsert = delete-by-pk + insert, atomic per batch: internal/proxy/
+    task_upsert.go — here: tombstone the incoming pks at ts, append new rows.
+  - Delete (simple pk list / complex filter → pks): internal/proxy/
+    task_delete.go:426-716 — here: tombstone table append (pk, _del_ts).
+  - MVCC snapshot read: internal/core/src/exec/operator/MvccNode.cpp:56 and
+    DeletedRecord.h:69 — here: ``_ts <= as_of`` filter + anti-join of
+    tombstones with ``_del_ts <= as_of``.
+  - Compaction (mix + L0): internal/datanode/compactor/mix_compactor.go,
+    l0_compactor.go — here: read segments, anti-join tombstones, rewrite
+    sorted-by-pk segments, drop tombstones.
+  - Sort compaction: sort_compaction.go — ``sortWithinPartitions(pk)``.
+
+Scale notes: every read is ``segments LEFT ANTI JOIN tombstones`` on the pk.
+Tombstones are small (delete deltas) → broadcast anti-join, no shuffle of the
+data side. Compaction repartitions by pk range and sorts within partitions —
+the same layout clustering compaction produces, which gives parquet min/max
+pruning on pk for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TS_COL = "_ts"
+DEL_TS_COL = "_del_ts"
+
+
+class Collection:
+    """A parquet-backed collection with MVCC timestamps and delete tombstones."""
+
+    def __init__(self, spark: SparkSession, path: str, pk: str):
+        self.spark = spark
+        self.path = path
+        self.pk = pk
+        self.seg_dir = os.path.join(path, "segments")
+        self.tomb_dir = os.path.join(path, "tombstones")
+
+    # -- DML ------------------------------------------------------------------
+    def append(self, df: DataFrame, ts: int) -> None:
+        """Insert a row batch stamped with write timestamp ``ts``."""
+        df.withColumn(TS_COL, F.lit(int(ts)).cast("long")).write.mode("append").parquet(
+            self.seg_dir
+        )
+
+    def delete_pks(self, pks_df: DataFrame, ts: int) -> None:
+        """Simple delete: tombstone an explicit pk set (fast path)."""
+        pks_df.select(F.col(self.pk)).withColumn(
+            DEL_TS_COL, F.lit(int(ts)).cast("long")
+        ).write.mode("append").parquet(self.tomb_dir)
+
+    def delete_where(self, cond, ts: int) -> None:
+        """Complex delete: filter resolves pks (internal query), then tombstone."""
+        self.delete_pks(self.read(as_of=ts).filter(cond).select(self.pk), ts)
+
+    def upsert(self, df: DataFrame, ts: int) -> None:
+        """Delete-by-pk + insert, atomic per batch (MERGE semantics)."""
+        self.delete_pks(df.select(self.pk), ts)
+        self.append(df, ts)
+
+    # -- read -----------------------------------------------------------------
+    def _tombstones(self) -> DataFrame | None:
+        if not os.path.isdir(self.tomb_dir):
+            return None
+        return self.spark.read.parquet(self.tomb_dir)
+
+    def read(self, as_of: int | None = None) -> DataFrame:
+        """Snapshot read at MVCC timestamp ``as_of`` (None = latest).
+
+        A row is visible iff its insert ts ≤ as_of and no tombstone for its pk
+        exists in (insert_ts, as_of]. Tombstones only kill rows written at or
+        before the delete — an upsert re-inserting the same pk at the delete
+        ts stays visible (delete-then-insert batch ordering, task_upsert.go).
+        """
+        df = self.spark.read.parquet(self.seg_dir)
+        if as_of is not None:
+            df = df.filter(F.col(TS_COL) <= int(as_of))
+        tombs = self._tombstones()
+        if tombs is None:
+            return df
+        if as_of is not None:
+            tombs = tombs.filter(F.col(DEL_TS_COL) <= int(as_of))
+        cond = (df[self.pk] == tombs[self.pk]) & (df[TS_COL] < tombs[DEL_TS_COL])
+        return df.join(F.broadcast(tombs), cond, "left_anti")
+
+    # -- maintenance ----------------------------------------------------------
+    def compact(self, num_partitions: int = 4) -> None:
+        """Mix+L0 compaction: fold tombstones into data, rewrite sorted by pk."""
+        live = self.read()
+        compacted = (
+            live.repartitionByRange(num_partitions, F.col(self.pk))
+            .sortWithinPartitions(self.pk)
+        )
+        tmp = self.seg_dir + ".compacting"
+        compacted.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(self.seg_dir)
+        os.rename(tmp, self.seg_dir)
+        if os.path.isdir(self.tomb_dir):
+            shutil.rmtree(self.tomb_dir)
+
+    def count(self) -> int:
+        return self.read().count()

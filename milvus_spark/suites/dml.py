@@ -1,0 +1,129 @@
+"""DML / data-lifecycle suite: insert → upsert → delete → MVCC snapshot →
+compaction, run against a real parquet-backed Collection (operators/lifecycle.py)
+built in a scratch dir, with the equivalent final state expressed as pure SQL
+over the source ``orders`` table for the oracle.
+
+Timeline (deterministic, same in every run):
+  ts=1  append all of ``orders``
+  ts=2  upsert rows with o_orderkey % 100 == 0, o_totalprice += 100000
+  ts=3  complex delete: o_orderstatus = 'F' AND (effective) o_totalprice < 50000
+  ts=4  simple pk delete: o_orderkey % 997 == 0
+
+Reference parity: task_insert.go / task_upsert.go / task_delete.go:426-716 /
+MvccNode.cpp:56 / mix_compactor.go (see operators/lifecycle.py docstrings).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.lifecycle import Collection
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+_SCRATCH = "/root/repo/_scratch"
+
+# effective price / ts after the ts=2 upsert, as SQL fragments
+_EFF_PRICE = "CASE WHEN o_orderkey % 100 = 0 THEN o_totalprice + 100000 ELSE o_totalprice END"
+_EFF_TS = "CASE WHEN o_orderkey % 100 = 0 THEN 2 ELSE 1 END"
+_DELETED_T3 = f"(o_orderstatus = 'F' AND ({_EFF_PRICE}) < 50000)"
+_DELETED_T4 = "(o_orderkey % 997 = 0)"
+
+
+def _build_collection(spark: SparkSession, sf: str, upto_ts: int = 4) -> Collection:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="coll_", dir=_SCRATCH)
+    shutil.rmtree(path)
+    coll = Collection(spark, path, pk="o_orderkey")
+    o = load_table(spark, sf, "orders")
+    coll.append(o, ts=1)
+    if upto_ts >= 2:
+        up = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+            "o_totalprice", F.col("o_totalprice") + 100000
+        )
+        coll.upsert(up, ts=2)
+    if upto_ts >= 3:
+        coll.delete_where(
+            (F.col("o_orderstatus") == "F") & (F.col("o_totalprice") < 50000), ts=3
+        )
+    if upto_ts >= 4:
+        o2 = load_table(spark, sf, "orders")
+        coll.delete_pks(o2.filter(F.col("o_orderkey") % 997 == 0), ts=4)
+    return coll
+
+
+# --- upsert: snapshot at ts=2 shows merged rows -------------------------------
+@register(
+    "dml_upsert_read",
+    oracle=f"""
+    SELECT o_orderkey,
+           round({_EFF_PRICE}, 2) AS o_totalprice,
+           CAST({_EFF_TS} AS BIGINT) AS _ts
+    FROM orders
+    """,
+)
+def dml_upsert_read(spark: SparkSession, sf: str) -> DataFrame:
+    coll = _build_collection(spark, sf, upto_ts=2)
+    return coll.read(as_of=2).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "_ts"
+    )
+
+
+# --- MVCC: snapshot at ts=3 (complex delete applied, pk delete not yet) -------
+@register(
+    "dml_mvcc_snapshot",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum({_EFF_PRICE}), 2) AS total
+    FROM orders
+    WHERE NOT {_DELETED_T3}
+    GROUP BY o_orderstatus
+    """,
+)
+def dml_mvcc_snapshot(spark: SparkSession, sf: str) -> DataFrame:
+    coll = _build_collection(spark, sf, upto_ts=4)
+    # reading as-of ts=3 must NOT see the ts=4 pk deletes (time travel)
+    return (
+        coll.read(as_of=3)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# --- final state after all deletes --------------------------------------------
+_FINAL_ORACLE = f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum({_EFF_PRICE}), 2) AS total
+    FROM orders
+    WHERE NOT {_DELETED_T3} AND NOT {_DELETED_T4}
+    GROUP BY o_orderstatus
+"""
+
+
+@register("dml_delete_final", oracle=_FINAL_ORACLE)
+def dml_delete_final(spark: SparkSession, sf: str) -> DataFrame:
+    coll = _build_collection(spark, sf, upto_ts=4)
+    return (
+        coll.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# --- compaction preserves content (tombstones folded, segments rewritten) -----
+@register("dml_compact_equiv", oracle=_FINAL_ORACLE)
+def dml_compact_equiv(spark: SparkSession, sf: str) -> DataFrame:
+    coll = _build_collection(spark, sf, upto_ts=4)
+    coll.compact(num_partitions=4)
+    return (
+        coll.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
