@@ -1,0 +1,301 @@
+"""Extended vector types & search modes: binary vectors (HAMMING/JACCARD),
+sparse vectors (inverted-index dot product), emb-list MAX_SIM late
+interaction, and search-iterator pagination.
+
+Reference parity (file:line into /root/reference):
+  - BINARY_VECTOR + HAMMING/JACCARD metrics: Types.h:92-99,
+    pkg/util/metric/metric_type.go:19-53. Binary vectors here are packed
+    sign bits of the float embedding (2×32-bit words per 64-dim vector) —
+    the real storage win at scale (8 bytes vs 256 per row).
+  - SPARSE_FLOAT_VECTOR (u32→f32 pairs) + IP: Types.h, sparse dot product.
+    The Spark plan is the inverted-index shape: explode non-zeros, join on
+    dimension index, partial-sum — exactly how sparse ANN engines and the
+    BM25 path compute scores, and the only shape that scales (never
+    materializes dense vectors).
+  - EmbList MAX_SIM (late interaction): plan.proto:50-55, metrics
+    MAX_SIM_* metric_type.go:49-53 — score(Q, D) = Σ_q max_d sim(q, d).
+  - Search iterator v2 (last_bound paging): plan.proto:78-82,
+    query/CachedSearchIterator.cpp — page N = hits strictly worse than the
+    previous page's worst score, top batch_size.
+
+All queries are pure pyspark.sql.functions (whole-stage codegen, no Python).
+Query sets are tiny and broadcast; corpus-side work is map-side except the
+final small top-k window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+NQ = 4
+
+
+# ---------- binary vectors: packed sign bits (two 32-bit words) ---------------
+def _pack_word(v: Column, lo_bit: int) -> Column:
+    """Pack sign bits [lo_bit, lo_bit+32) of a float array into a BIGINT."""
+    idx = F.sequence(F.lit(0), F.lit(31))
+    return (
+        F.aggregate(
+            idx,
+            F.lit(0.0),
+            lambda acc, i: acc
+            + F.when(F.element_at(v, i + F.lit(lo_bit + 1)) > 0, F.pow(F.lit(2.0), i)).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    ).cast("long")
+
+
+_PACK_SQL = (
+    "list_sum(list_transform(range(0, 32), i -> CASE WHEN embedding[i + {off} + 1] > 0 "
+    "THEN (1::BIGINT << i) ELSE 0 END))::BIGINT"
+)
+
+
+def _binary_vectors(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id", _pack_word(v, 0).alias("w0"), _pack_word(v, 32).alias("w1")
+    ).repartition(8, "vec_id")
+
+
+_BIN_CTE = f"""
+    bv AS (
+      SELECT vec_id,
+             {_PACK_SQL.format(off=0)} AS w0,
+             {_PACK_SQL.format(off=32)} AS w1
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM bv WHERE vec_id < {NQ})
+"""
+
+
+@register(
+    "vec_binary_hamming",
+    oracle=f"""
+    WITH {_BIN_CTE},
+    scored AS (
+      SELECT q.qid, bv.vec_id,
+             CAST(bit_count(xor(bv.w0, q.qw0)) + bit_count(xor(bv.w1, q.qw1)) AS BIGINT) AS dist
+      FROM bv, q
+    )
+    SELECT qid, vec_id, dist, rank FROM (
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vec_binary_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    bv = _binary_vectors(spark, sf)
+    q = bv.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("w0").alias("qw0"), F.col("w1").alias("qw1")
+    )
+    dist = (
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).cast("long")
+    scored = bv.crossJoin(F.broadcast(q)).select("qid", "vec_id", dist.alias("dist"))
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+@register(
+    "vec_binary_jaccard",
+    oracle=f"""
+    WITH {_BIN_CTE},
+    scored AS (
+      SELECT q.qid, bv.vec_id,
+             round(1.0 - (bit_count(bv.w0 & q.qw0) + bit_count(bv.w1 & q.qw1)) * 1.0
+                   / nullif(bit_count(bv.w0 | q.qw0) + bit_count(bv.w1 | q.qw1), 0), 4) AS dist
+      FROM bv, q
+    )
+    SELECT qid, vec_id, dist, rank FROM (
+      SELECT qid, vec_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vec_binary_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    bv = _binary_vectors(spark, sf)
+    q = bv.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("w0").alias("qw0"), F.col("w1").alias("qw1")
+    )
+    inter = F.bit_count(F.col("w0").bitwiseAND(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseAND(F.col("qw1"))
+    )
+    union = F.bit_count(F.col("w0").bitwiseOR(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseOR(F.col("qw1"))
+    )
+    dist = F.round(1.0 - inter / F.nullif(union, F.lit(0)), 4)
+    scored = bv.crossJoin(F.broadcast(q)).select("qid", "vec_id", dist.alias("dist"))
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------- sparse vectors: inverted-index dot product ------------------------
+_SPARSE_THRESHOLD = 0.15
+
+
+@register(
+    "vec_sparse_ip",
+    oracle=f"""
+    WITH nz AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      WHERE embedding[i] > {_SPARSE_THRESHOLD}
+    ),
+    qnz AS (SELECT vec_id AS qid, dim, val AS qval FROM nz WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, nz.vec_id, round(sum(nz.val * q.qval), 4) AS score
+      FROM nz JOIN qnz q ON nz.dim = q.dim
+      GROUP BY q.qid, nz.vec_id
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vec_sparse_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse top-k via posting-list join: explode non-zeros once, join on the
+    dimension index, partial-sum per (query, doc). Never densifies — the
+    shuffle is keyed on dim (bounded by vocabulary), the same plan BM25 uses."""
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    nz = (
+        e.select("vec_id", F.posexplode(v).alias("dim0", "val"))
+        .filter(F.col("val") > _SPARSE_THRESHOLD)
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+    qnz = nz.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), "dim", F.col("val").alias("qval")
+    )
+    scored = (
+        nz.join(F.broadcast(qnz), "dim")
+        .groupBy("qid", "vec_id")
+        .agg(F.round(F.sum(F.col("val") * F.col("qval")), 4).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
+
+
+# ---------- emb-list MAX_SIM (late interaction) -------------------------------
+_GROUP = 4  # vectors per "document" emb-list
+
+
+@register(
+    "vec_maxsim_ip",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qvec, doc AS qdoc, emb AS qemb FROM v WHERE vec_id < {2 * _GROUP}),
+    pairs AS (
+      SELECT q.qdoc, v.doc, q.qvec,
+             max(list_inner_product(v.emb, q.qemb)) AS best
+      FROM v, q
+      GROUP BY q.qdoc, v.doc, q.qvec
+    ),
+    scored AS (
+      SELECT qdoc, doc, round(sum(best), 4) AS score
+      FROM pairs GROUP BY qdoc, doc
+    )
+    SELECT qdoc, doc, score, rank FROM (
+      SELECT qdoc, doc, score,
+             CAST(row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_maxsim_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """MAX_SIM(Q, D) = Σ_{q∈Q} max_{d∈D} ⟨q, d⟩ over emb-lists (vec_id/4 = doc).
+
+    Plan: corpus × query-vector broadcast cross join, dot product JVM-side,
+    two-level aggregation (max per query-vector, sum per query-doc) — both
+    partial-aggregated map-side before the shuffle on (qdoc, doc)."""
+    e = load_table(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id",
+        (F.col("vec_id") / _GROUP).cast("long").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    q = v.filter(F.col("vec_id") < 2 * _GROUP).select(
+        F.col("vec_id").alias("qvec"), F.col("doc").alias("qdoc"), F.col("emb").alias("qemb")
+    )
+    dot = F.aggregate(F.zip_with("emb", "qemb", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x)
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .groupBy("qdoc", "doc", "qvec")
+        .agg(F.max(dot).alias("best"))
+    )
+    scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
+    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------- search iterator: last_bound pagination ----------------------------
+@register(
+    "vec_iterator_page2",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn
+      FROM scored
+    ),
+    bound AS (SELECT qid, min(score) AS last_bound FROM ranked WHERE rn <= 5 GROUP BY qid),
+    page2 AS (
+      SELECT s.qid, s.vec_id, s.score,
+             CAST(row_number() OVER (PARTITION BY s.qid ORDER BY s.score DESC, s.vec_id) AS BIGINT) AS rank
+      FROM scored s JOIN bound b ON s.qid = b.qid
+      WHERE s.score < b.last_bound
+    )
+    SELECT qid, vec_id, score, rank FROM page2 WHERE rank <= 5
+    """,
+)
+def vec_iterator_page2(spark: SparkSession, sf: str) -> DataFrame:
+    """Iterator v2: page 1 = top-5; last_bound = page-1 worst score; page 2 =
+    top-5 of hits strictly below last_bound (CachedSearchIterator batching)."""
+    from milvus_spark.operators.knn import brute_force_search, queries_from_table
+
+    e = load_table(spark, sf, "embeddings")
+    qs = queries_from_table(e, "vec_id", "embedding", F.col("vec_id") < NQ)
+    scored = brute_force_search(e, qs, "embedding", "vec_id", metric="COSINE", k=e.count())
+    bound = scored.filter(F.col("rank") <= 5).groupBy("qid").agg(
+        F.min("score").alias("last_bound")
+    )
+    page2 = scored.join(F.broadcast(bound), "qid").filter(F.col("score") < F.col("last_bound"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        page2.select("qid", "vec_id", "score")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
