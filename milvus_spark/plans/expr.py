@@ -1,0 +1,559 @@
+"""Compiler for the Milvus boolean filter-expression language → pyspark Column.
+
+The surface grammar is re-implemented from the reference's published ANTLR
+grammar (internal/parser/planparserv2/Plan.g4:1-208) and its protobuf IR
+(pkg/proto/plan.proto:312-337, 21 Expr variants); execution semantics follow
+the C++ expression kernels (internal/core/src/exec/expression/*.cpp).
+This file contains no reference code — it is a fresh recursive-descent /
+Pratt parser emitting Catalyst Column expressions, so every filter enjoys
+predicate pushdown, constant folding, and whole-stage codegen for free
+(the reference hand-rolls SIMD kernels for the same ops).
+
+Supported surface (→ Spark mapping):
+  - comparisons  a > 5, a == "x", a != b   → Column comparison (CompareExpr
+    covers column-vs-column: plan.proto:155)
+  - range        1 < a <= 10               → fused between-style conjunction
+  - term         a in [1,2], a not in [..] → isin (plan.proto:161)
+  - arithmetic   (a + 5) % 2 == 0, a ** 2  → native arithmetic
+    (BinaryArithOpEvalRangeExpr plan.proto:249)
+  - bitwise      a & 3, a | b, a ^ 2, a << 1, ~a (ArithOpType 7-11)
+  - logic        &&, ||, and, or, not, !   → & | ~ with SQL 3VL
+  - null         a is null / is not null   → isNull/isNotNull (plan.proto:186)
+  - like         a like "pref%"            → like (pattern_match.go rewrites
+    are unnecessary — Catalyst's LikeSimplification does the same)
+  - regex        a =~ "^x.*"  /  a !~ p    → rlike (OpType RegexMatch)
+  - text         text_match(f, "w"), phrase_match(f, "a b", slop),
+                 starts_with(a, b), empty(a) (CallExpr FunctionFactory.cpp:63-65)
+  - json path    meta["a"]["b"] > 1, meta['k'] == "s", exists meta['k']
+    → get_json_object with type-directed cast (ColumnInfo.nested_path
+    plan.proto:110; missing key is NULL per coverage_matrix.md)
+  - json/array   json_contains(c, v), json_contains_all/any(c, [..]),
+                 array_contains*(c, v), array_length(c) == n
+    (JSONContainsExpr plan.proto:168)
+  - sampling     random_sample(0.1)        → deterministic hash sample
+  - templates    {param} placeholders filled from a params dict
+    (plan.proto:341 is_template, fill_expression_value.go)
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class ExprError(ValueError):
+    pass
+
+
+# ------------------------------------------------------------------ tokenizer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
+  | (?P<int>\d+)
+  | (?P<str>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
+  | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
+  | (?P<tmpl>\{[A-Za-z_][A-Za-z0-9_]*\})
+  | (?P<op>\*\*|<<|>>|<=|>=|==|!=|=~|!~|&&|\|\||[-+*/%()\[\],<>~!&|^])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {"and", "or", "not", "in", "like", "is", "null", "true", "false", "exists"}
+
+
+@dataclass
+class Tok:
+    kind: str  # 'float','int','str','name','tmpl','op','kw','end'
+    text: str
+    pos: int
+
+
+def _tokenize(s: str) -> list[Tok]:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            raise ExprError(f"unexpected character {s[i]!r} at {i} in {s!r}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "name" and text.lower() in _KEYWORDS:
+            out.append(Tok("kw", text.lower(), m.start()))
+        else:
+            out.append(Tok(kind, text, m.start()))
+    out.append(Tok("end", "", len(s)))
+    return out
+
+
+# ------------------------------------------------------------------ AST nodes
+@dataclass
+class Lit:
+    value: Any  # python int/float/str/bool/None/list
+
+
+@dataclass
+class Field:
+    name: str
+
+
+@dataclass
+class JsonPath:
+    base: str
+    path: list[Any]  # str keys / int indexes
+
+
+@dataclass
+class Un:
+    op: str
+    x: Any
+
+
+@dataclass
+class Bin:
+    op: str
+    a: Any
+    b: Any
+
+
+@dataclass
+class Call:
+    fn: str
+    args: list[Any]
+
+
+@dataclass
+class IsNull:
+    x: Any
+    negated: bool
+
+
+@dataclass
+class InList:
+    x: Any
+    items: Any
+    negated: bool
+
+
+# ------------------------------------------------------------------ parser
+# precedence (binding power), loosest → tightest; mirrors Plan.g4 ordering
+_BIN_PREC = {
+    "or": 1, "||": 1,
+    "and": 2, "&&": 2,
+    "|": 3, "^": 4, "&": 5,
+    "==": 6, "!=": 6, "=~": 6, "!~": 6, "like": 6, "in": 6, "is": 6,
+    "<": 7, "<=": 7, ">": 7, ">=": 7,
+    "<<": 8, ">>": 8,
+    "+": 9, "-": 9,
+    "*": 10, "/": 10, "%": 10,
+    "**": 12,
+}
+_COMPARE = {"<", "<=", ">", ">="}
+
+
+class _Parser:
+    def __init__(self, toks: list[Tok], params: dict[str, Any]):
+        self.toks = toks
+        self.i = 0
+        self.params = params
+
+    def peek(self) -> Tok:
+        return self.toks[self.i]
+
+    def next(self) -> Tok:
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, text: str) -> Tok:
+        t = self.next()
+        if t.text != text:
+            raise ExprError(f"expected {text!r}, got {t.text!r} at {t.pos}")
+        return t
+
+    # Pratt loop
+    def parse(self, min_bp: int = 0) -> Any:
+        lhs = self.parse_prefix()
+        while True:
+            t = self.peek()
+            op = t.text.lower() if t.kind in ("op", "kw") else None
+            if op == "not" and self.toks[self.i + 1].text.lower() == "in":
+                bp = _BIN_PREC["in"]
+                if bp < min_bp:
+                    break
+                self.next()
+                self.next()
+                items = self.parse(bp + 1)
+                lhs = InList(lhs, items, negated=True)
+                continue
+            if op not in _BIN_PREC:
+                break
+            bp = _BIN_PREC[op]
+            if bp < min_bp:
+                break
+            self.next()
+            if op == "in":
+                items = self.parse(bp + 1)
+                lhs = InList(lhs, items, negated=False)
+            elif op == "is":
+                neg = False
+                if self.peek().text.lower() == "not":
+                    self.next()
+                    neg = True
+                nxt = self.next()
+                if nxt.text.lower() != "null":
+                    raise ExprError(f"expected null after is at {nxt.pos}")
+                lhs = IsNull(lhs, negated=neg)
+            elif op in _COMPARE:
+                rhs = self.parse(bp + 1)
+                node = Bin(op, lhs, rhs)
+                # chained range: a < b < c  →  (a < b) and (b < c)
+                while self.peek().text in _COMPARE:
+                    op2 = self.next().text
+                    rhs2 = self.parse(bp + 1)
+                    node = Bin("and", node, Bin(op2, rhs, rhs2))
+                    rhs = rhs2
+                lhs = node
+            elif op == "**":  # right associative
+                rhs = self.parse(bp)
+                lhs = Bin(op, lhs, rhs)
+            else:
+                rhs = self.parse(bp + 1)
+                lhs = Bin(op, lhs, rhs)
+        return lhs
+
+    def parse_prefix(self) -> Any:
+        t = self.next()
+        txt = t.text
+        low = txt.lower()
+        if t.kind == "op":
+            if txt == "(":
+                e = self.parse(0)
+                self.expect(")")
+                return e
+            if txt == "[":
+                items = []
+                if self.peek().text != "]":
+                    items.append(self.parse(3))
+                    while self.peek().text == ",":
+                        self.next()
+                        items.append(self.parse(3))
+                self.expect("]")
+                vals = []
+                for it in items:
+                    if not isinstance(it, Lit):
+                        raise ExprError("list literals must contain constants")
+                    vals.append(it.value)
+                return Lit(vals)
+            if txt in ("-", "+", "~", "!"):
+                return Un(txt, self.parse(11))
+        if t.kind == "kw":
+            if low == "not":
+                return Un("not", self.parse(3))
+            if low == "exists":
+                return Call("exists", [self.parse(11)])
+            if low in ("true", "false"):
+                return Lit(low == "true")
+            if low == "null":
+                return Lit(None)
+        if t.kind == "int":
+            return Lit(int(txt))
+        if t.kind == "float":
+            return Lit(float(txt))
+        if t.kind == "str":
+            return Lit(_unquote(txt))
+        if t.kind == "tmpl":
+            key = txt[1:-1]
+            if key not in self.params:
+                raise ExprError(f"missing template param {key!r}")
+            return Lit(self.params[key])
+        if t.kind == "name":
+            # function call?
+            if self.peek().text == "(":
+                self.next()
+                args = []
+                if self.peek().text != ")":
+                    args.append(self.parse(3))
+                    while self.peek().text == ",":
+                        self.next()
+                        args.append(self.parse(3))
+                self.expect(")")
+                return Call(txt.lower(), args)
+            # subscripts → json path / array index
+            if self.peek().text == "[":
+                path = []
+                while self.peek().text == "[":
+                    self.next()
+                    sub = self.next()
+                    if sub.kind == "str":
+                        path.append(_unquote(sub.text))
+                    elif sub.kind == "int":
+                        path.append(int(sub.text))
+                    else:
+                        raise ExprError(f"bad subscript {sub.text!r} at {sub.pos}")
+                    self.expect("]")
+                return JsonPath(txt, path)
+            return Field(txt)
+        raise ExprError(f"unexpected token {txt!r} at {t.pos}")
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: m.group(1), body)
+
+
+# ------------------------------------------------------------------ compiler
+class Compiler:
+    """AST → pyspark Column, schema-aware (JSON vs ARRAY vs MAP subscripts)."""
+
+    def __init__(self, schema: Optional[T.StructType] = None):
+        self.schema = schema
+        self.fields = {f.name: f.dataType for f in schema.fields} if schema else {}
+
+    def col_type(self, name: str):
+        return self.fields.get(name)
+
+    def compile(self, node: Any) -> Column:
+        if isinstance(node, Lit):
+            return F.lit(node.value)
+        if isinstance(node, Field):
+            return F.col(node.name)
+        if isinstance(node, JsonPath):
+            return self._subscript(node)
+        if isinstance(node, Un):
+            x = self.compile(node.x)
+            if node.op == "-":
+                return -x
+            if node.op == "+":
+                return x
+            if node.op in ("~",):
+                return F.bitwise_not(x)
+            if node.op in ("not", "!"):
+                return ~x
+        if isinstance(node, IsNull):
+            x = self.compile(node.x)
+            return x.isNotNull() if node.negated else x.isNull()
+        if isinstance(node, InList):
+            return self._in_list(node)
+        if isinstance(node, Bin):
+            return self._binary(node)
+        if isinstance(node, Call):
+            return self._call(node)
+        raise ExprError(f"cannot compile {node!r}")
+
+    # -- pieces ---------------------------------------------------------------
+    def _subscript(self, node: JsonPath) -> Column:
+        dt = self.col_type(node.base)
+        if isinstance(dt, T.ArrayType):
+            c: Column = F.col(node.base)
+            for p in node.path:
+                if not isinstance(p, int):
+                    raise ExprError(f"array field {node.base} needs integer subscript")
+                c = F.element_at(c, p + 1)  # Milvus arrays are 0-indexed
+            return c
+        if isinstance(dt, T.MapType):
+            c = F.col(node.base)
+            for p in node.path:
+                c = c.getItem(p)
+            return c
+        # JSON string column (dynamic $meta or explicit JSON field)
+        path = "$" + "".join(f"[{p}]" if isinstance(p, int) else f".{p}" for p in node.path)
+        return F.get_json_object(F.col(node.base), path)
+
+    def _is_json(self, node: Any) -> bool:
+        return isinstance(node, JsonPath) and not isinstance(
+            self.col_type(node.base), (T.ArrayType, T.MapType)
+        )
+
+    def _typed(self, node: Any, other: Any) -> Column:
+        """JSON values arrive as strings; cast by the comparand's type
+        (typed-compare semantics: numeric vs string vs bool buckets,
+        coverage_matrix.md mixed-type rows)."""
+        c = self.compile(node)
+        if self._is_json(node):
+            if isinstance(other, Lit):
+                v = other.value
+                if isinstance(v, bool):
+                    return c.cast("boolean")
+                if isinstance(v, (int, float)):
+                    return c.cast("double")
+                if isinstance(v, list) and v and isinstance(v[0], (int, float)) and not isinstance(v[0], bool):
+                    return c.cast("double")
+            return c
+        return c
+
+    def _binary(self, node: Bin) -> Column:
+        op = node.op
+        if op in ("and", "&&"):
+            return self.compile(node.a) & self.compile(node.b)
+        if op in ("or", "||"):
+            return self.compile(node.a) | self.compile(node.b)
+        a = self._typed(node.a, node.b)
+        b = self._typed(node.b, node.a)
+        if op == "==":
+            return a == b
+        if op == "!=":
+            return a != b
+        if op == "<":
+            return a < b
+        if op == "<=":
+            return a <= b
+        if op == ">":
+            return a > b
+        if op == ">=":
+            return a >= b
+        if op == "+":
+            return a + b
+        if op == "-":
+            return a - b
+        if op == "*":
+            return a * b
+        if op == "/":
+            return a / b
+        if op == "%":
+            return a % b
+        if op == "**":
+            return F.pow(a, b)
+        if op == "&":
+            return a.bitwiseAND(b)
+        if op == "|":
+            return a.bitwiseOR(b)
+        if op == "^":
+            return a.bitwiseXOR(b)
+        if op == "<<":
+            return self._shift(a, b, left=True)
+        if op == ">>":
+            return self._shift(a, b, left=False)
+        if op == "like":
+            if not isinstance(node.b, Lit) or not isinstance(node.b.value, str):
+                raise ExprError("LIKE pattern must be a string literal")
+            return a.like(node.b.value)
+        if op == "=~":
+            return a.rlike(node.b.value if isinstance(node.b, Lit) else "")
+        if op == "!~":
+            return ~a.rlike(node.b.value if isinstance(node.b, Lit) else "")
+        raise ExprError(f"unsupported operator {op}")
+
+    @staticmethod
+    def _shift(a: Column, b: Column, left: bool) -> Column:
+        return F.call_function("shiftleft" if left else "shiftright", a, b)
+
+    def _in_list(self, node: InList) -> Column:
+        items = node.items
+        if not isinstance(items, Lit) or not isinstance(items.value, list):
+            raise ExprError("IN requires a list literal")
+        c = self._typed(node.x, items)
+        res = c.isin(*items.value) if items.value else F.lit(False)
+        return ~res if node.negated else res
+
+    def _call(self, node: Call) -> Column:
+        fn = node.fn
+        args = node.args
+        if fn == "starts_with":
+            return self.compile(args[0]).startswith(self.compile(args[1]))
+        if fn == "empty":
+            return self.compile(args[0]) == ""
+        if fn == "exists":
+            x = args[0]
+            if not isinstance(x, JsonPath):
+                raise ExprError("exists requires a JSON path")
+            return self.compile(x).isNotNull()
+        if fn == "array_length":
+            return F.size(self.compile(args[0]))
+        if fn in ("array_contains", "json_contains"):
+            return F.array_contains(self._as_array(args[0]), self._lit_value(args[1]))
+        if fn in ("array_contains_any", "json_contains_any"):
+            return F.arrays_overlap(self._as_array(args[0]), self._lit_array(args[1]))
+        if fn in ("array_contains_all", "json_contains_all"):
+            return F.size(F.array_except(self._lit_array(args[1]), self._as_array(args[0]))) == 0
+        if fn == "text_match":
+            col = self.compile(args[0])
+            terms = self._lit_value(args[1])
+            msm = self._lit_value(args[2]) if len(args) > 2 else 1
+            toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+            qs = [t for t in re.split(r"[^a-z0-9]+", str(terms).lower()) if t]
+            return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(q) for q in qs]))) >= int(msm)
+        if fn == "phrase_match":
+            col = self.compile(args[0])
+            phrase = str(self._lit_value(args[1]))
+            slop = int(self._lit_value(args[2])) if len(args) > 2 else 0
+            return _phrase_match(col, phrase, slop)
+        if fn == "random_sample":
+            frac = float(self._lit_value(args[0]))
+            # deterministic hash-based Bernoulli sample on the row's pk-ish
+            # hash — reproducible across runs/partitions (RandomSampleNode)
+            return F.abs(F.hash(F.struct(*[F.col(c) for c in ([] if not self.schema else [self.schema.fields[0].name])]))) % 10000 < int(frac * 10000)
+        raise ExprError(f"unknown function {fn}")
+
+    def _as_array(self, node: Any) -> Column:
+        if self._is_json(node):
+            c = self.compile(node)
+            return F.from_json(c, "array<string>")
+        return self.compile(node)
+
+    def _lit_value(self, node: Any):
+        if isinstance(node, Lit):
+            return node.value
+        raise ExprError("expected literal argument")
+
+    def _lit_array(self, node: Any) -> Column:
+        v = self._lit_value(node)
+        if not isinstance(v, list):
+            raise ExprError("expected list literal")
+        return F.array(*[F.lit(x) for x in v])
+
+
+def _phrase_match(col: Column, phrase: str, slop: int) -> Column:
+    words = [w for w in re.split(r"[^a-z0-9]+", phrase.lower()) if w]
+    toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+    if not words:
+        return F.lit(True)
+    if len(words) == 1:
+        return F.array_contains(toks, words[0])
+    if len(words) != 2:
+        # n-word phrases: check consecutive n-gram presence (slop 0 only)
+        n = len(words)
+        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
+        win = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
+        return F.array_contains(F.when(F.size(toks) >= n, win).otherwise(F.array().cast("array<string>")), " ".join(words))
+    a, b = words
+    idx = F.sequence(F.lit(1), F.size(toks))
+    pa = F.filter(idx, lambda i: F.element_at(toks, i) == a)
+    pb = F.filter(idx, lambda i: F.element_at(toks, i) == b)
+    return (
+        F.size(
+            F.filter(pa, lambda i: F.size(F.filter(pb, lambda j: (j - i >= 1) & (j - i <= slop + 1))) > 0)
+        )
+        > 0
+    )
+
+
+def compile_expr(
+    expr: str,
+    schema: Optional[T.StructType] = None,
+    params: Optional[dict[str, Any]] = None,
+) -> Column:
+    """Compile a Milvus filter expression string to a pyspark Column."""
+    toks = _tokenize(expr)
+    p = _Parser(toks, params or {})
+    ast = p.parse(0)
+    if p.peek().kind != "end":
+        t = p.peek()
+        raise ExprError(f"trailing input at {t.pos}: {t.text!r}")
+    return Compiler(schema).compile(ast)
+
+
+def apply_filter(
+    df: DataFrame, expr: Optional[str], params: Optional[dict[str, Any]] = None
+) -> DataFrame:
+    """Filter a DataFrame with a Milvus expression string (None = no filter)."""
+    if not expr:
+        return df
+    return df.filter(compile_expr(expr, df.schema, params))
