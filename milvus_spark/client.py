@@ -1,0 +1,255 @@
+"""MilvusClient-compatible facade over the Spark engine.
+
+Mirrors the reference's Python client surface (gRPC/REST entry points
+internal/proxy/impl.go:2429,2660,2817,3739; REST routes
+internal/distributed/proxy/httpserver/handler_v2.go:113-120) so a user of the
+reference can switch: create_collection / insert / upsert / delete / query /
+search / hybrid_search / get / count, with Milvus filter-expression strings
+compiled by plans/expr.py and vector search executed by operators/knn.py.
+
+Collections are parquet-backed MVCC collections (operators/lifecycle.py) under
+a root directory; a JSON catalog records schema + pk + vector fields
+(the proxy's meta_cache / CollectionSchema analog,
+docs/developer_guides/chap02_schema.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.knn import brute_force_search
+from milvus_spark.operators.lifecycle import TS_COL, Collection
+from milvus_spark.plans.expr import apply_filter, compile_expr
+
+
+class MilvusSparkClient:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._catalog_path = os.path.join(root, "_catalog.json")
+        self._catalog: dict[str, dict] = {}
+        if os.path.exists(self._catalog_path):
+            with open(self._catalog_path) as f:
+                self._catalog = json.load(f)
+        self._ts: dict[str, int] = {}
+
+    # ------------------------------------------------------------- catalog
+    def _save_catalog(self) -> None:
+        with open(self._catalog_path, "w") as f:
+            json.dump(self._catalog, f, indent=2)
+
+    def create_collection(
+        self,
+        name: str,
+        pk_field: str,
+        vector_field: Optional[str] = None,
+        metric_type: str = "COSINE",
+        partition_key_field: Optional[str] = None,
+    ) -> None:
+        if name in self._catalog:
+            raise ValueError(f"collection {name} exists")
+        self._catalog[name] = {
+            "pk": pk_field,
+            "vector": vector_field,
+            "metric": metric_type,
+            "partition_key": partition_key_field,
+        }
+        self._save_catalog()
+
+    def drop_collection(self, name: str) -> None:
+        import shutil
+
+        self._catalog.pop(name, None)
+        self._save_catalog()
+        p = os.path.join(self.root, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+    def list_collections(self) -> list[str]:
+        return sorted(self._catalog)
+
+    def describe_collection(self, name: str) -> dict:
+        return dict(self._meta(name))
+
+    def _meta(self, name: str) -> dict:
+        if name not in self._catalog:
+            raise KeyError(f"no such collection {name}")
+        return self._catalog[name]
+
+    def _coll(self, name: str) -> Collection:
+        meta = self._meta(name)
+        return Collection(self.spark, os.path.join(self.root, name), pk=meta["pk"])
+
+    def _next_ts(self, name: str) -> int:
+        self._ts[name] = self._ts.get(name, 0) + 1
+        return self._ts[name]
+
+    # ----------------------------------------------------------------- DML
+    def insert(self, name: str, df: DataFrame) -> int:
+        self._coll(name).append(df, ts=self._next_ts(name))
+        return df.count()
+
+    def upsert(self, name: str, df: DataFrame) -> int:
+        self._coll(name).upsert(df, ts=self._next_ts(name))
+        return df.count()
+
+    def delete(
+        self,
+        name: str,
+        ids: Optional[Sequence[Any]] = None,
+        filter: Optional[str] = None,
+        params: Optional[dict] = None,
+    ) -> None:
+        coll = self._coll(name)
+        ts = self._next_ts(name)
+        if ids is not None:  # simple pk fast path (task_delete.go:669)
+            pks = self.spark.createDataFrame([(i,) for i in ids], [coll.pk])
+            coll.delete_pks(pks, ts)
+        elif filter:  # complex path: filter → pks → tombstones (task_delete.go:426)
+            cond = compile_expr(filter, coll.read().schema, params)
+            coll.delete_where(cond, ts)
+        else:
+            raise ValueError("delete needs ids or filter")
+
+    def truncate(self, name: str) -> None:
+        import shutil
+
+        p = os.path.join(self.root, name)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+        self._ts.pop(name, None)
+
+    def compact(self, name: str, num_partitions: int = 4) -> None:
+        self._coll(name).compact(num_partitions)
+
+    # --------------------------------------------------------------- query
+    def _read(self, name: str, as_of: Optional[int] = None) -> DataFrame:
+        return self._coll(name).read(as_of=as_of).drop(TS_COL)
+
+    def query(
+        self,
+        name: str,
+        filter: Optional[str] = None,
+        output_fields: Optional[Sequence[str]] = None,
+        limit: Optional[int] = None,
+        offset: int = 0,
+        order_by: Optional[Sequence[tuple[str, bool]]] = None,
+        params: Optional[dict] = None,
+        as_of: Optional[int] = None,
+    ) -> DataFrame:
+        """Filtered retrieval with optional aggregation output fields.
+
+        ``output_fields`` may contain ``count(c)`` / ``sum(c)`` / ``avg(c)`` /
+        ``min(c)`` / ``max(c)`` (aggregation surface, internal/agg/
+        aggregate.go:25-37) alongside plain columns → those become group-by
+        keys, matching query()'s group_by_fields semantics.
+        """
+        df = apply_filter(self._read(name, as_of), filter, params)
+        if output_fields:
+            aggs, plain = [], []
+            import re
+
+            for fspec in output_fields:
+                m = re.fullmatch(r"(count|sum|avg|min|max)\((\*|\w+)\)", fspec.strip(), re.I)
+                if m:
+                    op, col = m.group(1).lower(), m.group(2)
+                    alias = f"{op}_{col}" if col != "*" else "count_all"
+                    fn = {
+                        "count": (lambda c: F.count(F.lit(1)) if c == "*" else F.count(c)),
+                        "sum": F.sum,
+                        "avg": F.avg,
+                        "min": F.min,
+                        "max": F.max,
+                    }[op]
+                    aggs.append(fn(col).alias(alias))
+                else:
+                    plain.append(fspec)
+            if aggs:
+                df = df.groupBy(*plain).agg(*aggs) if plain else df.agg(*aggs)
+            else:
+                df = df.select(*plain)
+        if order_by:
+            df = df.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by])
+        if offset:
+            df = df.offset(offset)
+        if limit is not None:
+            df = df.limit(limit)
+        return df
+
+    def get(self, name: str, ids: Sequence[Any], output_fields: Optional[Sequence[str]] = None) -> DataFrame:
+        meta = self._meta(name)
+        df = self._read(name).filter(F.col(meta["pk"]).isin(*list(ids)))
+        return df.select(*output_fields) if output_fields else df
+
+    def count(self, name: str, filter: Optional[str] = None) -> int:
+        return apply_filter(self._read(name), filter).count()
+
+    # -------------------------------------------------------------- search
+    def search(
+        self,
+        name: str,
+        data: Sequence[Sequence[float]],
+        limit: int = 10,
+        filter: Optional[str] = None,
+        metric_type: Optional[str] = None,
+        params: Optional[dict] = None,
+        radius: Optional[float] = None,
+        range_filter: Optional[float] = None,
+        as_of: Optional[int] = None,
+    ) -> DataFrame:
+        """ANN top-k over the collection's vector field (pre-filter mode)."""
+        meta = self._meta(name)
+        if not meta.get("vector"):
+            raise ValueError(f"collection {name} has no vector field")
+        df = self._read(name, as_of)
+        cond = compile_expr(filter, df.schema, params) if filter else None
+        queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
+        return brute_force_search(
+            df,
+            queries,
+            vec_col=meta["vector"],
+            pk_col=meta["pk"],
+            metric=metric_type or meta["metric"],
+            k=limit,
+            filter_cond=cond,
+            radius=radius,
+            range_filter=range_filter,
+        )
+
+    def hybrid_search(
+        self,
+        name: str,
+        reqs: Sequence[dict],
+        rerank: str = "rrf",
+        limit: int = 10,
+        weights: Optional[Sequence[float]] = None,
+    ) -> DataFrame:
+        """Multi-vector search + fusion (initAdvancedSearchRequest analog).
+
+        Each req: {"data": [...], "limit": k, "filter": ..., "metric_type": ...}.
+        """
+        from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
+
+        meta = self._meta(name)
+        results = [
+            self.search(
+                name,
+                data=r["data"],
+                limit=r.get("limit", limit),
+                filter=r.get("filter"),
+                metric_type=r.get("metric_type"),
+            )
+            for r in reqs
+        ]
+        if rerank == "rrf":
+            return rrf_fusion(results, meta["pk"], limit=limit)
+        if rerank == "weighted":
+            metrics = [r.get("metric_type") or meta["metric"] for r in reqs]
+            return weighted_fusion(results, metrics, weights or [1.0] * len(reqs), meta["pk"], limit=limit)
+        raise ValueError(f"unknown rerank {rerank}")

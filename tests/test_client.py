@@ -1,0 +1,83 @@
+"""End-to-end client scenario mirroring the reference's
+tests/python_client/milvus_client/test_milvus_client_e2e.py flow:
+create → insert → search(filter) → query(agg) → upsert → delete → count."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.client import MilvusSparkClient
+
+
+@pytest.fixture()
+def client(spark):
+    root = tempfile.mkdtemp(prefix="msc_", dir="/root/repo/_scratch")
+    yield MilvusSparkClient(spark, root)
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_e2e(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("vecs", pk_field="vec_id", vector_field="embedding")
+    assert client.list_collections() == ["vecs"]
+
+    n = client.insert("vecs", emb)
+    assert n == emb.count()
+    assert client.count("vecs") == n
+
+    # filtered search: results respect filter, are ranked, k bounded
+    q = [r.embedding for r in emb.filter(F.col("vec_id") == 0).collect()]
+    hits = client.search("vecs", data=q, limit=5, filter="label >= 2").collect()
+    assert 0 < len(hits) <= 5
+    labels = {r.label for r in spark.createDataFrame([(h.vec_id,) for h in hits], ["vec_id"]).join(emb, "vec_id").select("label").collect()}
+    assert all(lb >= 2 for lb in labels)
+    assert [h.rank for h in hits] == list(range(1, len(hits) + 1))
+
+    # query with aggregation output fields
+    agg = client.query("vecs", filter="label == 3", output_fields=["count(*)"]).collect()
+    assert agg[0].count_all == emb.filter("label = 3").count()
+
+    grouped = client.query("vecs", output_fields=["label", "count(*)"]).collect()
+    assert {r.label: r.count_all for r in grouped} == {
+        r.label: r.cnt for r in emb.groupBy("label").agg(F.count("*").alias("cnt")).collect()
+    }
+
+    # upsert: change label of vec_id 0, visible after
+    row0 = emb.filter("vec_id = 0").withColumn("label", F.lit(99))
+    client.upsert("vecs", row0)
+    assert client.query("vecs", filter="vec_id == 0").collect()[0].label == 99
+    assert client.count("vecs") == n  # no duplicate pk
+
+    # simple + complex delete
+    client.delete("vecs", ids=[0, 1])
+    assert client.count("vecs") == n - 2
+    before = client.count("vecs", filter="label == 4")
+    client.delete("vecs", filter="label == 4")
+    assert client.count("vecs", filter="label == 4") == 0
+    assert client.count("vecs") == n - 2 - before
+
+    # compaction preserves content
+    pre = sorted(r.vec_id for r in client.query("vecs").select("vec_id").collect())
+    client.compact("vecs")
+    post = sorted(r.vec_id for r in client.query("vecs").select("vec_id").collect())
+    assert pre == post
+
+    # hybrid search fuses two sub-searches
+    q2 = [r.embedding for r in emb.filter(F.col("vec_id") == 5).collect()]
+    fused = client.hybrid_search(
+        "vecs",
+        reqs=[
+            {"data": q2, "limit": 10, "metric_type": "COSINE"},
+            {"data": q2, "limit": 10, "metric_type": "L2"},
+        ],
+        rerank="rrf",
+        limit=5,
+    ).collect()
+    assert 0 < len(fused) <= 5 and fused[0].rank == 1
+
+    client.drop_collection("vecs")
+    assert client.list_collections() == []
