@@ -1,0 +1,160 @@
+"""IVF-style approximate nearest-neighbor: the 100 TB scale path.
+
+Reference parity (file:line into /root/reference):
+  - Clustering compaction (k-means on vector clustering key, per-cluster
+    segments + PartitionStatsSnapshot): internal/datanode/compactor/
+    clustering_compactor.go:64,249; internal/core/src/clustering/
+    KmeansClustering.cpp.
+  - Segment pruning by centroid distance: internal/querynodev2/delegator/
+    segment_pruner.go:36,207,297.
+  - IVF index search (nprobe clusters, exact within): knowhere IVF via
+    query/SearchOnSealed.cpp — correctness contract is recall vs brute force
+    (brute force = SearchBruteForce.cpp, our operators/knn.py).
+
+Spark design:
+  - "Index build" = a KMeans job producing (a) a tiny centroid table and
+    (b) a corpus rewrite partitioned by cluster_id — exactly clustering
+    compaction. Centroids live driver-side/broadcast (k ≤ a few thousand).
+  - "Index search" = rank centroids per query (driver numpy, nq×k tiny),
+    build a (qid, cluster_id) probe list, broadcast-join it against the
+    cluster-partitioned corpus — Spark prunes non-probed partitions from the
+    parquet scan (the segment-pruner analog, but free) — then exact scoring
+    within, same kernel as brute force.
+  - Shuffle volume: only per-batch top-k rows (O(batches · nq · k)); the
+    corpus is read once, filtered at the source by partition pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.knn import _score_block, metric_ascending
+
+
+def l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
+    """Unit-normalize a vector column (JVM-side). For COSINE collections the
+    IVF pipeline clusters/stores normalized vectors: cosine is scale-invariant
+    so scores are unchanged, and L2 cells on the unit sphere = cosine cells."""
+    v = F.col(vec_col).cast("array<double>")
+    n = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    safe = F.when(n == 0, F.lit(1.0)).otherwise(n)
+    return df.withColumn(vec_col, F.transform(v, lambda x: x / safe))
+
+
+def build_centroids(
+    df: DataFrame, vec_col: str, k: int, seed: int = 42, max_iter: int = 20
+) -> np.ndarray:
+    """K-means centroids (k × d) over the corpus vector column (MLlib)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = df.select(array_to_vector(F.col(vec_col).cast("array<double>")).alias("features"))
+    model = KMeans(k=k, seed=seed, maxIter=max_iter).fit(feat)
+    return np.asarray(model.clusterCenters(), dtype=np.float64)
+
+
+def assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Add cluster_id = argmin L2 distance to centroid (map-side, Arrow batch)."""
+    C = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            out = pdf.drop(columns=[vec_col])
+            out["cluster_id"] = d.argmin(axis=1).astype(np.int32)
+            out[vec_col] = pdf[vec_col]
+            yield out
+
+    fields = [f"{name} {dt}" for name, dt in df.dtypes if name != vec_col]
+    vec_dt = dict(df.dtypes)[vec_col]
+    schema = ", ".join(fields + ["cluster_id int", f"{vec_col} {vec_dt}"])
+    return df.mapInPandas(assign, schema=schema)
+
+
+def write_clustered(
+    df: DataFrame, vec_col: str, centroids: np.ndarray, path: str
+) -> None:
+    """Clustering compaction: rewrite the corpus partitioned by cluster_id."""
+    assign_clusters(df, vec_col, centroids).write.mode("overwrite").partitionBy(
+        "cluster_id"
+    ).parquet(path)
+
+
+def ivf_search(
+    spark: SparkSession,
+    clustered_path: str,
+    centroids: np.ndarray,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str,
+    pk_col: str,
+    metric: str = "COSINE",
+    k: int = 10,
+    nprobe: int = 8,
+    round_to: int = 4,
+) -> DataFrame:
+    """ANN top-k probing ``nprobe`` clusters per query; exact scoring within.
+
+    The probe-list filter lands on the partition column → parquet partition
+    pruning skips all non-probed cluster directories at the scan.
+    """
+    asc = metric_ascending(metric)
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+
+    # Rank centroids per query driver-side (nq × k_centroids — tiny).
+    # Probes use L2 against the centroids — the ASSIGNMENT geometry — not the
+    # search metric: rows were placed in cells by L2, so cells must be probed
+    # by L2 or recall craters. For COSINE, cluster normalized vectors
+    # (spherical k-means — l2_normalize below) so L2 cells ≡ cosine cells.
+    D = _score_block(centroids, Q, "L2")
+    order = np.argsort(D, axis=1)
+    probes = order[:, :nprobe]  # (nq, nprobe)
+
+    probe_rows = [(int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]]
+    probe_df = spark.createDataFrame(probe_rows, "qid long, cluster_id int")
+
+    corpus = spark.read.parquet(clustered_path)
+    # prune scan to the union of probed clusters (partition filter), then
+    # narrow to per-query clusters with the broadcast probe join
+    probed_ids = sorted({c for _, c in probe_rows})
+    cand = corpus.filter(F.col("cluster_id").isin(probed_ids)).join(
+        F.broadcast(probe_df), "cluster_id"
+    )
+
+    sign = 1.0 if asc else -1.0
+    kk, met, rt = int(k), metric, round_to
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            frames = []
+            for qid, grp in pdf.groupby("qid"):
+                qi = int(np.where(qids == qid)[0][0])
+                V = np.asarray([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
+                s = np.round(_score_block(V, Q[qi : qi + 1], met)[0], rt)
+                ids = grp[pk_col].to_numpy()
+                idx = np.lexsort((ids, sign * s))[: min(kk, len(ids))]
+                frames.append(pd.DataFrame({"qid": qid, pk_col: ids[idx], "score": s[idx]}))
+            if frames:
+                yield pd.concat(frames)
+
+    partial = cand.select("qid", pk_col, vec_col).mapInPandas(
+        score, schema=f"qid long, {pk_col} long, score double"
+    )
+    orderby = [F.col("score").asc() if asc else F.col("score").desc(), F.col(pk_col).asc()]
+    w = W.partitionBy("qid").orderBy(*orderby)
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", pk_col, "score", "rank")
+    )

@@ -299,3 +299,36 @@ def vec_iterator_page2(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------- IVF ANN (approximate — rows-only check; recall gate in tests) -----
+@register("vec_ivf_cosine")
+def vec_ivf_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-pruned ANN top-10 (spherical k-means, nprobe 12/16; recall ≥ 0.95
+    vs brute force enforced by tests/test_ivf.py). No SQL oracle — the op is
+    approximate by design; the driver records the rows-only check."""
+    import shutil
+    import tempfile
+
+    from milvus_spark.operators.ivf import (
+        build_centroids,
+        ivf_search,
+        l2_normalize,
+        write_clustered,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    norm = l2_normalize(emb, "embedding")
+    cents = build_centroids(norm, "embedding", k=16, seed=42)
+    import os
+
+    os.makedirs("/root/repo/_scratch", exist_ok=True)
+    path = tempfile.mkdtemp(prefix="ivfq_", dir="/root/repo/_scratch")
+    shutil.rmtree(path)
+    write_clustered(norm, "embedding", cents, path)
+    qrows = norm.filter(F.col("vec_id") < NQ).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return ivf_search(
+        spark, path, cents, queries, "embedding", "vec_id",
+        metric="COSINE", k=10, nprobe=12,
+    )
