@@ -1,0 +1,81 @@
+"""Structured-Streaming ingest into a Collection: the WAL / growing-segment
+lifecycle re-expressed on Spark.
+
+Reference parity (file:line into /root/reference):
+  - Per-shard WAL with timetick ordering: internal/streamingnode/server/wal/,
+    docs/developer_guides/chap04_message_stream.md → here the stream source
+    (file drop-dir, or Kafka in production) is the WAL; micro-batch id is the
+    timetick.
+  - Growing segments appended by the querynode pipeline
+    (internal/querynodev2/pipeline/{filter_node,insert_node}.go) → each
+    micro-batch appends a parquet segment stamped ``_ts = batch_id + base``.
+  - GuaranteeTs / consistency levels (docs/developer_guides/
+    how-guarantee-ts-works.md:48-71): Strong = read after the stream has
+    consumed up to the write's ts → here ``collection.read(as_of=ts)`` after
+    ``awaitTermination``/``processAllAvailable``; Bounded/Eventually = read
+    whatever segments exist (no wait).
+  - Flush/seal by size (component_param.go:5605-5630) → compaction job
+    (Collection.compact) folds small micro-batch segments, the same
+    growing → sealed transition.
+
+Windowed/watermarked aggregation over the ingest stream (late-data handling)
+is exposed via ``windowed_counts`` — Milvus itself has no windowed compute
+(SURVEY §2.6); this is the Spark-native extension point.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.lifecycle import TS_COL, Collection
+
+
+def stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    schema: str,
+    collection: Collection,
+    base_ts: int = 0,
+    checkpoint: Optional[str] = None,
+    fmt: str = "parquet",
+):
+    """Tail a drop-directory into the collection; one segment per micro-batch.
+
+    Returns the StreamingQuery; callers stop it or use Trigger.availableNow
+    semantics via ``run_available_now``.
+    """
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        collection.append(batch_df, ts=base_ts + int(batch_id) + 1)
+
+    reader = spark.readStream.format(fmt).schema(schema)
+    src = reader.load(source_dir)
+    writer = src.writeStream.foreachBatch(sink)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.trigger(availableNow=True).start()
+
+
+def run_available_now(query) -> None:
+    """Drain everything currently in the source, then stop (Strong-consistency
+    barrier: after this returns, reads see all pre-existing writes)."""
+    query.awaitTermination()
+
+
+def windowed_counts(
+    stream_df: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    keys: Optional[list[str]] = None,
+) -> DataFrame:
+    """Tumbling-window counts with a late-data watermark over an event stream."""
+    keys = keys or []
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
