@@ -16,13 +16,18 @@ sys.path.insert(0, _REPO)
 
 # Queries that exercise each subsystem at bench scale.
 BENCH_QUERIES = [
-    "rel_agg_group",
-    "rel_filter_range_in",
-    "rel_requery_join",
-    "rel_json_path",
-    "vec_knn_cosine_filtered",
-    "vec_grouping_search",
-    "vec_hybrid_rrf",
+    "rel_agg_group",          # groupBy partial/final agg
+    "rel_filter_range_in",    # pushdown scan filter
+    "rel_requery_join",       # top-k + broadcast requery join
+    "rel_json_path",          # JSON path extraction
+    "vec_knn_cosine_filtered",  # filtered brute-force ANN (mapInPandas kernel)
+    "vec_grouping_search",    # two-level grouped top-k
+    "vec_hybrid_rrf",         # multi-search fusion
+    "vec_binary_hamming",     # packed binary vectors, popcount metric
+    "vec_sparse_ip",          # sparse inverted-index dot product
+    "vec_maxsim_ip",          # emb-list late interaction
+    "fts_bm25_topk",          # BM25 full-text with corpus stats
+    "dedup_minhash_lsh",      # MinHash+LSH near-dup
 ]
 
 
