@@ -1,0 +1,84 @@
+"""Physical-plan audits: the 100 TB posture checks.
+
+Each assertion pins a plan property that matters at scale: filters reaching
+the parquet scan (PushedFilters), column pruning (ReadSchema), broadcast
+joins for small sides, and no Python in pure-relational pipelines."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def test_filter_pushdown_and_pruning(lineitem):
+    df = lineitem.filter((F.col("l_quantity") > 45) & (F.col("l_returnflag") == "A")).select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "l_quantity" in plan.split("PushedFilters")[1][:200]
+    # column pruning: scan schema must not include unprojected columns
+    read_schema = plan.split("ReadSchema")[1][:400]
+    assert "l_extendedprice" not in read_schema
+    assert "l_comment" not in read_schema
+
+
+def test_compiled_expr_pushes_down(lineitem):
+    from milvus_spark.plans.expr import compile_expr
+
+    df = lineitem.filter(compile_expr("l_quantity > 45 && l_linenumber in [1, 2]", lineitem.schema))
+    plan = plan_of(df.select("l_orderkey"))
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "l_quantity" in pushed and "l_linenumber" in pushed
+
+
+def test_requery_join_is_broadcast(spark, sf_dir):
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    df = QUERIES["rel_requery_join"](spark, sf_dir)
+    assert "BroadcastHashJoin" in plan_of(df) or "BroadcastExchange" in plan_of(df)
+
+
+def test_agg_is_partial_final(spark, sf_dir, lineitem):
+    df = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    plan = plan_of(df)
+    # two HashAggregate stages (partial + final) around the exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_relational_suite_has_no_python_udfs(spark, sf_dir):
+    """Everything except the vector-scoring kernel stays JVM-side."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    for name in ["rel_agg_group", "rel_json_path", "fts_bm25_topk", "txt_token_count",
+                 "dedup_exact", "arr_match_quantifiers", "vec_binary_hamming",
+                 "vec_sparse_ip", "vec_maxsim_ip"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "FlatMapGroupsInPandas" not in plan and "MapInPandas" not in plan, name
+
+
+def test_vector_scan_prunes_columns(spark, sf_dir):
+    """The brute-force kernel reads only (pk, vector) — not the whole row."""
+    from milvus_spark.operators.knn import brute_force_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [(0, [0.1] * 64)]
+    df = brute_force_search(emb, q, "embedding", "vec_id", metric="COSINE", k=5)
+    plan = plan_of(df)
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "label" not in read_schema
