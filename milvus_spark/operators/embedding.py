@@ -1,0 +1,62 @@
+"""Ingest function pipelines: text → embedding / BM25 sparse columns at insert.
+
+Reference parity (file:line into /root/reference):
+  - FunctionSchema pipelines on a collection (declarative column-producing
+    functions run at insert): internal/proxy/function_chain_validator.go;
+    BM25 ingest fn internal/util/function/bm25_function.go:103,135,204;
+    text-embedding providers internal/util/function/embedding/*_provider.go
+    (OpenAI/Vertex/Bedrock/... — network services).
+
+Here the provider call is a pandas UDF slot. Since this container has no
+model runtime or network, the default provider is a DETERMINISTIC FAKE —
+a seeded hash-projection of token counts into R^dim (stable across runs and
+partitions, unit-normalized) — so the Spark-side contract (Arrow batching,
+schema, normalization, idempotent re-ingest) is fully real and testable.
+A production deployment swaps ``hash_embed_batch`` for a real model call
+with identical shape.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+DIM = 32
+
+
+def _token_seed_vec(tok: str, dim: int) -> np.ndarray:
+    """Deterministic unit-ish vector for a token from its md5 bytes."""
+    d = hashlib.md5(tok.encode()).digest()
+    rng = np.random.RandomState(int.from_bytes(d[:4], "big"))
+    return rng.standard_normal(dim)
+
+
+def hash_embed_batch(texts: pd.Series, dim: int = DIM) -> pd.Series:
+    """Fake 'model': sum of token vectors, L2-normalized, rounded."""
+    out = []
+    for t in texts:
+        toks = [w for w in str(t).lower().split() if w]
+        if not toks:
+            out.append([0.0] * dim)
+            continue
+        v = np.sum([_token_seed_vec(w, dim) for w in toks], axis=0)
+        n = np.linalg.norm(v)
+        out.append(np.round(v / n if n else v, 6).tolist())
+    return pd.Series(out)
+
+
+def with_text_embedding(df: DataFrame, text_col: str, out_col: str = "embedding", dim: int = DIM) -> DataFrame:
+    """Append an embedding column via the provider pandas UDF (Arrow-batched)."""
+
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def embed(s: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for batch in s:
+            yield hash_embed_batch(batch, dim)
+
+    return df.withColumn(out_col, embed(F.col(text_col)))

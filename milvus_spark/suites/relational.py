@@ -392,3 +392,51 @@ def rel_ts_interval(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("ts") + F.expr("INTERVAL 10 DAY") > F.lit("2024-01-25").cast("timestamp"))
         & (F.col("ts") <= F.lit("2024-01-20").cast("timestamp"))
     ).select("event_id", "ts")
+
+
+# --- TTL filter injection (MvccNode TTL, PlanProto.cpp:747-756) ----------------
+# Rows expire ttl seconds after their insert timestamp; reads filter
+# now < ts + ttl. "now" is pinned for reproducibility.
+@register(
+    "rel_ttl_filter",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) + INTERVAL 5 DAY > TIMESTAMP '2024-01-31'
+    """,
+)
+def rel_ttl_filter(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    now = F.lit("2024-01-31").cast("timestamp")
+    return e.filter(F.col("ts") + F.expr("INTERVAL 5 DAY") > now).select("event_id", "ts")
+
+
+# --- analyzer with stopword filter (multi-filter pipeline) ---------------------
+# standard tokenizer → lowercase → stopword removal (internal/util/analyzer/,
+# filters stop/lowercase; tests test_milvus_client_analyzer.py)
+@register(
+    "rel_analyzer_stop",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                         x -> x <> '' AND NOT list_contains(['the', 'a', 'of', 'and', 'to', 'in', 'is'], x)) AS toks
+      FROM documents
+    )
+    SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, toks[1] AS first_tok
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def rel_analyzer_stop(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    stop = ["the", "a", "of", "and", "to", "in", "is"]
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda x: (x != "") & ~x.isin(stop),
+    )
+    t = d.select("doc_id", toks.alias("toks"))
+    return t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.element_at("toks", 1).alias("first_tok"),
+    )
