@@ -93,20 +93,58 @@ class Collection:
 
     # -- maintenance ----------------------------------------------------------
     def compact(self, num_partitions: int = 4) -> None:
-        """Mix+L0 compaction: fold tombstones into data, rewrite sorted by pk."""
+        """Mix+L0 compaction: fold tombstones into data, rewrite sorted by pk.
+
+        Output files are range-partitioned and sorted on the pk with a parquet
+        bloom filter on the pk column — so post-compaction point lookups get
+        both min/max row-group pruning (SkipIndex.h analog) and bloom pruning
+        (pkoracle/bloom_filter_set.go analog) for free at the scan.
+        """
         live = self.read()
         compacted = (
             live.repartitionByRange(num_partitions, F.col(self.pk))
             .sortWithinPartitions(self.pk)
         )
         tmp = self.seg_dir + ".compacting"
-        compacted.write.mode("overwrite").parquet(tmp)
+        (
+            compacted.write.mode("overwrite")
+            .option(f"parquet.bloom.filter.enabled#{self.pk}", "true")
+            .parquet(tmp)
+        )
         import shutil
 
         shutil.rmtree(self.seg_dir)
         os.rename(tmp, self.seg_dir)
         if os.path.isdir(self.tomb_dir):
             shutil.rmtree(self.tomb_dir)
+
+    # -- snapshot / restore ----------------------------------------------------
+    def snapshot(self, name: str) -> str:
+        """Point-in-time snapshot: copy segment + tombstone state under
+        snapshots/<name> (task_snapshot.go / internal/snapshotio analog —
+        directory manifest pin; cheap because segments are immutable)."""
+        import shutil
+
+        dst = os.path.join(self.path, "snapshots", name)
+        if os.path.isdir(dst):
+            raise ValueError(f"snapshot {name} exists")
+        os.makedirs(dst)
+        shutil.copytree(self.seg_dir, os.path.join(dst, "segments"))
+        if os.path.isdir(self.tomb_dir):
+            shutil.copytree(self.tomb_dir, os.path.join(dst, "tombstones"))
+        return dst
+
+    def restore(self, name: str) -> None:
+        import shutil
+
+        src = os.path.join(self.path, "snapshots", name)
+        if not os.path.isdir(src):
+            raise ValueError(f"no snapshot {name}")
+        shutil.rmtree(self.seg_dir, ignore_errors=True)
+        shutil.rmtree(self.tomb_dir, ignore_errors=True)
+        shutil.copytree(os.path.join(src, "segments"), self.seg_dir)
+        if os.path.isdir(os.path.join(src, "tombstones")):
+            shutil.copytree(os.path.join(src, "tombstones"), self.tomb_dir)
 
     def count(self) -> int:
         return self.read().count()

@@ -485,6 +485,15 @@ class Compiler:
             phrase = str(self._lit_value(args[1]))
             slop = int(self._lit_value(args[2])) if len(args) > 2 else 0
             return _phrase_match(col, phrase, slop)
+        if fn == "bloom_match":
+            # Client-supplied bloom membership (BloomFilterExpr plan.proto:306,
+            # bloom_match.go). Semantically a big-set membership test; the
+            # literal set compiles to isin (small) — a production path joins
+            # against a broadcast key table / relies on parquet bloom filters.
+            vals = self._lit_value(args[1])
+            if not isinstance(vals, list):
+                raise ExprError("bloom_match needs a list literal")
+            return self.compile(args[0]).isin(*vals)
         if fn == "random_sample":
             frac = float(self._lit_value(args[0]))
             # deterministic hash-based Bernoulli sample on the row's pk-ish

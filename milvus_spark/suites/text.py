@@ -388,3 +388,54 @@ def dedup_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "ia", "ib", "cos", "rank"
     )
+
+
+# --- dedup clustering: connected components over the near-dup graph -----------
+@register(
+    "dedup_components",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    edges AS (
+      SELECT a, b FROM jac WHERE jaccard >= 0.5
+      UNION SELECT b, a FROM jac WHERE jaccard >= 0.5
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+      )
+      SELECT src, dst FROM r
+    )
+    SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS canonical_id
+    FROM reach GROUP BY src
+    """,
+)
+def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup clusters: connected components of the jaccard ≥ 0.5 pair
+    graph via min-label propagation (iterative joins, the standard Spark
+    connected-components shape — converges in O(cluster diameter) rounds;
+    each round is one shuffle keyed on doc_id)."""
+    pairs = dedup_ngram_jaccard(spark, sf).select("a", "b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).cache()
+    labels = edges.select(F.col("a").alias("n")).distinct().withColumn("comp", F.col("n"))
+    for _ in range(20):
+        neigh = labels.join(edges, labels.n == edges.a).select(
+            F.col("b").alias("n"), F.col("comp")
+        )
+        new_labels = (
+            labels.unionByName(neigh).groupBy("n").agg(F.min("comp").alias("comp")).cache()
+        )
+        changed = (
+            new_labels.alias("x")
+            .join(labels.alias("y"), "n")
+            .filter(F.col("x.comp") != F.col("y.comp"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("n").alias("doc_id"), F.col("comp").cast("long").alias("canonical_id"))

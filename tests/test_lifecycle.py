@@ -1,0 +1,65 @@
+"""Collection lifecycle unit tests: snapshot/restore, bloom-filtered compaction,
+MVCC edge cases (upsert-at-delete-ts visibility)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.lifecycle import Collection
+
+
+@pytest.fixture()
+def coll(spark, sf_dir):
+    d = tempfile.mkdtemp(prefix="lc_", dir="/root/repo/_scratch")
+    shutil.rmtree(d)
+    c = Collection(spark, d, pk="o_orderkey")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c.append(orders, ts=1)
+    yield c, orders
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_snapshot_restore(coll):
+    c, orders = coll
+    n0 = c.count()
+    c.snapshot("before")
+    c.delete_pks(orders.filter("o_orderkey % 3 = 0"), ts=2)
+    assert c.count() < n0
+    c.restore("before")
+    assert c.count() == n0
+    with pytest.raises(ValueError):
+        c.restore("nope")
+    with pytest.raises(ValueError):
+        c.snapshot("before")
+
+
+def test_upsert_at_delete_ts_stays_visible(coll):
+    c, orders = coll
+    batch = orders.filter("o_orderkey = 7").withColumn("o_totalprice", F.lit(1.0))
+    c.upsert(batch, ts=2)  # tombstone(7, 2) + insert(_ts=2)
+    rows = c.read().filter("o_orderkey = 7").collect()
+    assert len(rows) == 1 and rows[0].o_totalprice == 1.0
+    # snapshot before the upsert still sees the original
+    old = c.read(as_of=1).filter("o_orderkey = 7").collect()
+    assert len(old) == 1 and old[0].o_totalprice != 1.0
+
+
+def test_compaction_layout(coll):
+    c, orders = coll
+    c.delete_pks(orders.filter("o_orderkey % 5 = 0"), ts=2)
+    want = c.count()
+    c.compact(num_partitions=3)
+    assert c.count() == want
+    # tombstones folded away
+    assert not os.path.isdir(c.tomb_dir)
+    # sorted-by-pk within files: read one file, check monotonic pk
+    files = [f for f in os.listdir(c.seg_dir) if f.endswith(".parquet")]
+    assert files
+    one = c.spark.read.parquet(os.path.join(c.seg_dir, files[0]))
+    pks = [r.o_orderkey for r in one.select("o_orderkey").collect()]
+    assert pks == sorted(pks)
