@@ -84,7 +84,12 @@ class MilvusSparkClient:
 
     def _coll(self, name: str) -> Collection:
         meta = self._meta(name)
-        return Collection(self.spark, os.path.join(self.root, name), pk=meta["pk"])
+        return Collection(
+            self.spark,
+            os.path.join(self.root, name),
+            pk=meta["pk"],
+            partition_key=meta.get("partition_key"),
+        )
 
     def _next_ts(self, name: str) -> int:
         self._ts[name] = self._ts.get(name, 0) + 1
@@ -221,6 +226,52 @@ class MilvusSparkClient:
             radius=radius,
             range_filter=range_filter,
         )
+
+    def search_iterator(
+        self,
+        name: str,
+        data: Sequence[Sequence[float]],
+        batch_size: int = 10,
+        filter: Optional[str] = None,
+        metric_type: Optional[str] = None,
+        max_pages: int = 100,
+    ):
+        """Paged ANN scan (search iterator v2, plan.proto:78-82): yields result
+        batches, each page bounded by the previous page's worst score
+        (CachedSearchIterator widening-bound semantics)."""
+        meta = self._meta(name)
+        metric = metric_type or meta["metric"]
+        pk = meta["pk"]
+        seen: set = set()
+        for page_no in range(max_pages):
+            # widening top-k, then slice past already-emitted hits — avoids
+            # bound-tie duplicates that a naive score<last_bound filter has
+            k = batch_size * (page_no + 1)
+            rows = self.search(
+                name, data, limit=k, filter=filter, metric_type=metric
+            ).collect()
+            fresh = [r for r in rows if (r.qid, r[pk]) not in seen]
+            if not fresh:
+                return
+            yield fresh
+            seen.update((r.qid, r[pk]) for r in rows)
+
+    def query_iterator(
+        self, name: str, batch_size: int = 1000, filter: Optional[str] = None
+    ):
+        """pk-ordered pagination cursor (QueryIteratorCursor plan.proto:377)."""
+        meta = self._meta(name)
+        pk = meta["pk"]
+        last = None
+        while True:
+            df = apply_filter(self._read(name), filter)
+            if last is not None:
+                df = df.filter(F.col(pk) > last)
+            rows = df.orderBy(pk).limit(batch_size).collect()
+            if not rows:
+                return
+            yield rows
+            last = rows[-1][pk]
 
     def hybrid_search(
         self,

@@ -37,19 +37,26 @@ DEL_TS_COL = "_del_ts"
 class Collection:
     """A parquet-backed collection with MVCC timestamps and delete tombstones."""
 
-    def __init__(self, spark: SparkSession, path: str, pk: str):
+    def __init__(
+        self, spark: SparkSession, path: str, pk: str, partition_key: str | None = None
+    ):
         self.spark = spark
         self.path = path
         self.pk = pk
+        # partition-key mode: a designated field routes rows to physical
+        # partitions (is_partition_key, plan.proto:112; resolution
+        # task_search.go:196-225) → partitionBy layout, pruning at the scan
+        self.partition_key = partition_key
         self.seg_dir = os.path.join(path, "segments")
         self.tomb_dir = os.path.join(path, "tombstones")
 
     # -- DML ------------------------------------------------------------------
     def append(self, df: DataFrame, ts: int) -> None:
         """Insert a row batch stamped with write timestamp ``ts``."""
-        df.withColumn(TS_COL, F.lit(int(ts)).cast("long")).write.mode("append").parquet(
-            self.seg_dir
-        )
+        w = df.withColumn(TS_COL, F.lit(int(ts)).cast("long")).write.mode("append")
+        if self.partition_key:
+            w = w.partitionBy(self.partition_key)
+        w.parquet(self.seg_dir)
 
     def delete_pks(self, pks_df: DataFrame, ts: int) -> None:
         """Simple delete: tombstone an explicit pk set (fast path)."""

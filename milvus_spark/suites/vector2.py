@@ -319,7 +319,7 @@ def vec_ivf_cosine(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = load_table(spark, sf, "embeddings")
     norm = l2_normalize(emb, "embedding")
-    cents = build_centroids(norm, "embedding", k=16, seed=42)
+    cents = build_centroids(norm, "embedding", k=16, seed=42, max_iter=8)
     import os
 
     os.makedirs("/root/repo/_scratch", exist_ok=True)

@@ -1,0 +1,140 @@
+"""Event-time windowed aggregation over the ``events`` stream table.
+
+Milvus itself has no windowed computation (SURVEY §2.6 — its "streaming" is
+ingest ordering/consistency, internal/streamingnode/server/wal/). These are
+the Spark-native extensions a training-data/event pipeline needs; the same
+expressions run under Structured Streaming with ``withWatermark`` for late
+data (streaming/ingest.py exposes that path).
+
+Scale notes: tumbling windows are a plain groupBy on a derived bucket —
+map-side partial agg; session windows shuffle once on the key then run a
+gaps-and-islands scan within partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+
+# --- tumbling window ----------------------------------------------------------
+@register(
+    "win_tumbling_daily",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def win_tumbling_daily(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "total_value")
+    )
+
+
+# --- sliding window -----------------------------------------------------------
+@register(
+    "win_sliding_2d_1d",
+    oracle="""
+    WITH buckets AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day, value
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM buckets),
+    slid AS (
+      SELECT d.day AS win_start, CAST(count(b.value) AS BIGINT) AS n
+      FROM days d JOIN buckets b
+        ON b.day >= d.day AND b.day < d.day + INTERVAL 2 DAY
+      GROUP BY d.day
+    )
+    SELECT win_start, n FROM slid
+    """,
+)
+def win_sliding_2d_1d(spark: SparkSession, sf: str) -> DataFrame:
+    """2-day windows sliding by 1 day. Spark's window() emits one row per
+    covering window; the oracle enumerates day starts — both count each event
+    in the ≤2 windows covering it. Windows with zero events don't appear.
+    Spark also emits the window starting the day BEFORE the first event; the
+    oracle join is restricted to starts that are observed days, so align by
+    filtering Spark to the same starts."""
+    e = load_table(spark, sf, "events")
+    slid = (
+        e.groupBy(F.window("ts", "2 days", "1 day").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "n")
+    )
+    days = e.select(F.date_trunc("day", "ts").alias("win_start")).distinct()
+    return slid.join(F.broadcast(days), "win_start")
+
+
+# --- session window (30-minute gap) per user ----------------------------------
+@register(
+    "win_session_gap",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id, CAST(sess_id AS BIGINT) AS sess_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(min(ts) AS TIMESTAMP) AS sess_start
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def win_session_gap(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows via gaps-and-islands (deterministic, oracle-exact;
+    Spark's native session_window() merges identically but labels sessions
+    by start time — the island id here keeps both engines aligned)."""
+    e = load_table(spark, sf, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    # microsecond precision on both sides (a plain cast("long") truncates to
+    # seconds and can disagree with the oracle on fractional-second gaps)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    new_sess = F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess = e.withColumn("new_sess", new_sess).withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"), F.min("ts").alias("sess_start")
+    )
+
+
+# --- distinct aggregation (Spark-native extra; exact, SQL-expressible) --------
+@register(
+    "win_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def win_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
+    )

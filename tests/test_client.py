@@ -81,3 +81,44 @@ def test_e2e(client, spark, sf_dir):
 
     client.drop_collection("vecs")
     assert client.list_collections() == []
+
+
+def test_search_and_query_iterators(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("it", pk_field="vec_id", vector_field="embedding")
+    client.insert("it", emb)
+    q = [emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+    pages = []
+    for page in client.search_iterator("it", q, batch_size=5, max_pages=3):
+        pages.append(page)
+    assert len(pages) == 3
+    all_ids = [r.vec_id for p in pages for r in p]
+    assert len(all_ids) == len(set(all_ids)) == 15  # no dups across pages
+    # pages are score-ordered: page1 worst >= page2 best (COSINE desc)
+    assert min(r.score for r in pages[0]) >= max(r.score for r in pages[1]) - 1e-9
+
+    total = emb.count()
+    seen = 0
+    last_pk = -1
+    for rows in client.query_iterator("it", batch_size=64):
+        assert rows[0].vec_id > last_pk
+        last_pk = rows[-1].vec_id
+        seen += len(rows)
+    assert seen == total
+    client.drop_collection("it")
+
+
+def test_partition_key_collection(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection(
+        "pkc", pk_field="vec_id", vector_field="embedding", partition_key_field="label"
+    )
+    client.insert("pkc", emb)
+    assert client.count("pkc") == emb.count()
+    # partition-key filter prunes the scan
+    df = client.query("pkc", filter="label == 3")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:200]
+    assert df.count() == emb.filter("label = 3").count()
+    client.drop_collection("pkc")
