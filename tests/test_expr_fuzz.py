@@ -1,0 +1,121 @@
+"""Differential fuzzing of the filter-expression compiler: random predicate
+ASTs rendered both as Milvus expr strings (compiled by plans/expr.py on Spark)
+and as SQL (run by DuckDB) must select identical row sets — the
+filtering_case_matrix.py methodology, generated instead of enumerated."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+
+from milvus_spark.plans.expr import compile_expr
+
+COLS = {
+    "l_orderkey": "int",
+    "l_linenumber": "int",
+    "l_quantity": "num",
+    "l_discount": "num",
+    "l_tax": "num",
+    "l_returnflag": "str",
+    "l_linestatus": "str",
+}
+STR_VALS = ["A", "N", "R", "O", "F"]
+NUM_CONST = [0, 1, 5, 10, 25, 45, 0.02, 0.05, 0.08, 2.5]
+INT_CONST = [0, 1, 2, 3, 7, 100, 1000]
+
+
+def gen_pred(rng: random.Random, depth: int = 0) -> tuple[str, str]:
+    """Returns (milvus_expr, duckdb_sql)."""
+    if depth < 2 and rng.random() < 0.45:
+        op = rng.choice(["and", "or", "not"])
+        a_m, a_s = gen_pred(rng, depth + 1)
+        if op == "not":
+            return f"not ({a_m})", f"NOT ({a_s})"
+        b_m, b_s = gen_pred(rng, depth + 1)
+        mop = rng.choice(["&&", "and"]) if op == "and" else rng.choice(["||", "or"])
+        return f"({a_m}) {mop} ({b_m})", f"({a_s}) {'AND' if op == 'and' else 'OR'} ({b_s})"
+
+    kind = rng.random()
+    col = rng.choice(list(COLS))
+    typ = COLS[col]
+    if typ == "str":
+        if kind < 0.4:
+            v = rng.choice(STR_VALS)
+            op = rng.choice(["==", "!="])
+            return f'{col} {op} "{v}"', f"{col} {'=' if op == '==' else '<>'} '{v}'"
+        if kind < 0.7:
+            vs = rng.sample(STR_VALS, k=rng.randint(1, 3))
+            neg = rng.random() < 0.3
+            lst_m = "[" + ", ".join(f'"{v}"' for v in vs) + "]"
+            lst_s = "(" + ", ".join(f"'{v}'" for v in vs) + ")"
+            return (
+                f"{col} {'not in' if neg else 'in'} {lst_m}",
+                f"{col} {'NOT IN' if neg else 'IN'} {lst_s}",
+            )
+        v = rng.choice(STR_VALS)
+        return f'starts_with({col}, "{v}")', f"starts_with({col}, '{v}')"
+    # numeric
+    if kind < 0.35:
+        c = rng.choice(NUM_CONST if typ == "num" else INT_CONST)
+        op = rng.choice(["<", "<=", ">", ">=", "==", "!="])
+        sop = "=" if op == "==" else ("<>" if op == "!=" else op)
+        return f"{col} {op} {c}", f"{col} {sop} {c}"
+    if kind < 0.55 and typ == "int":
+        m = rng.choice([2, 3, 7])
+        r = rng.randint(0, m - 1)
+        off = rng.choice([0, 1, 5])
+        return (
+            f"({col} + {off}) % {m} == {r}",
+            f"({col} + {off}) % {m} = {r}",
+        )
+    if kind < 0.75:
+        lo = rng.choice([1, 5, 10])
+        hi = lo + rng.choice([5, 20, 40])
+        return f"{lo} <= {col} <= {hi}", f"{col} >= {lo} AND {col} <= {hi}"
+    if typ == "int":
+        vs = rng.sample(INT_CONST, k=3)
+        return (
+            f"{col} in [{', '.join(map(str, vs))}]",
+            f"{col} IN ({', '.join(map(str, vs))})",
+        )
+    c2 = rng.choice([c for c, t in COLS.items() if t == "num" and c != col])
+    op = rng.choice(["<", ">", "<=", ">="])
+    return f"{col} {op} {c2}", f"{col} {op} {c2}"
+
+
+@pytest.fixture(scope="module")
+def engines(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.cache()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')")
+    return li, con
+
+
+def test_fuzz_100_predicates(engines):
+    li, con = engines
+    rng = random.Random(20260813)
+    failures = []
+    for i in range(100):
+        m, s = gen_pred(rng)
+        try:
+            got = sorted(
+                (r[0], r[1])
+                for r in li.filter(compile_expr(m, li.schema))
+                .select("l_orderkey", "l_linenumber")
+                .collect()
+            )
+        except Exception as exc:  # compile or execution error is a failure
+            failures.append((m, s, f"spark error: {exc}"))
+            continue
+        want = sorted(
+            (int(a), int(b))
+            for a, b in con.execute(
+                f"SELECT l_orderkey, l_linenumber FROM lineitem WHERE {s}"
+            ).fetchall()
+        )
+        if got != want:
+            failures.append((m, s, f"rows spark={len(got)} duckdb={len(want)}"))
+    assert not failures, failures[:5]
