@@ -440,3 +440,41 @@ def rel_analyzer_stop(spark: SparkSession, sf: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         F.element_at("toks", 1).alias("first_tok"),
     )
+
+
+# --- join pipeline (Spark-native extension; Milvus is single-table) -----------
+# TPC-H Q3 shape: dimension filters → fact join → grouped agg → top-k.
+# Scale posture: customer filter prunes before the join; both joins shuffle on
+# the fact keys with AQE; the final top-k is TakeOrdered, not a full sort.
+@register(
+    "rel_join_topk_revenue",
+    oracle="""
+    SELECT l.l_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           CAST(o.o_custkey AS BIGINT) AS o_custkey
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND o.o_orderstatus <> 'F'
+    GROUP BY l.l_orderkey, o.o_custkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 20
+    """,
+)
+def rel_join_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") != "F")
+    li = load_table(spark, sf, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_custkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(20)
+        .select("l_orderkey", "revenue", "o_custkey")
+    )

@@ -439,3 +439,58 @@ def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select(F.col("n").alias("doc_id"), F.col("comp").cast("long").alias("canonical_id"))
+
+
+# --- MHJACCARD metric: minhash-signature similarity search --------------------
+_MH_SIG_COLS = ", ".join(
+    f"list_min(list_transform(sh, g -> {seeded_hash_sql('g', i)})) AS s{i}" for i in range(_H)
+)
+_MH_EQ = " + ".join(f"(CASE WHEN q.s{i} = c.s{i} THEN 1 ELSE 0 END)" for i in range(_H))
+
+
+@register(
+    "vec_mhjaccard_topk",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    sig AS (SELECT doc_id, {_MH_SIG_COLS} FROM s),
+    q AS (SELECT * FROM sig WHERE doc_id < 2),
+    scored AS (
+      SELECT q.doc_id AS qid, c.doc_id,
+             round(1.0 - ({_MH_EQ}) * 1.0 / {_H}, 4) AS dist
+      FROM sig c, q
+    )
+    SELECT qid, doc_id, dist, rank FROM (
+      SELECT qid, doc_id, dist,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vec_mhjaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """MHJACCARD metric (metric_type.go:49-53; minhash index search,
+    MinHashComputer.cpp): estimated Jaccard distance = 1 − matching signature
+    slots / H. Signatures are the derived index table (cached); the query set
+    is broadcast; scoring is a pure JVM column expression."""
+    from pyspark.sql import Window as W
+
+    t = _docs_tokens(spark, sf)
+    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh"))
+    sig = s.select(
+        "doc_id", *[c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _H))]
+    ).cache()
+    q = sig.filter(F.col("doc_id") < 2).select(
+        F.col("doc_id").alias("qid"), *[F.col(f"s{i}").alias(f"q{i}") for i in range(_H)]
+    )
+    eq = sum(
+        (F.when(F.col(f"s{i}") == F.col(f"q{i}"), 1).otherwise(0) for i in range(_H)),
+        start=F.lit(0),
+    )
+    scored = sig.crossJoin(F.broadcast(q)).select(
+        "qid", "doc_id", F.round(1.0 - eq / _H, 4).alias("dist")
+    )
+    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )

@@ -50,7 +50,9 @@ def _cell(v) -> str:
         f = float(v)
         if f != f:
             return "NULL"
-        return format(f, ".6g") if f == f else "NULL"
+        # 12 significant digits: stricter than any reasonable driver compare,
+        # still tolerant of final-ulp summation-order noise
+        return format(f, ".12g")
     if isinstance(v, (np.integer, int)) and not isinstance(v, bool):
         return str(int(v))
     if isinstance(v, (pd.Timestamp, datetime.datetime)):
