@@ -118,6 +118,46 @@ def boost_score(score: Column, cond: Column, weight: float) -> Column:
     return score * F.when(cond, F.lit(float(weight))).otherwise(F.lit(1.0))
 
 
+def model_rerank(
+    topk: DataFrame,
+    docs: DataFrame,
+    pk_col: str,
+    text_col: str,
+    query_text: str,
+    limit: int = 10,
+) -> DataFrame:
+    """Model-based rerank slot (rerank providers internal/util/function/
+    rerank/*_provider.go — external cross-encoder services in the reference).
+
+    No model runtime exists in this container, so the scorer is a
+    DETERMINISTIC STAND-IN: token-overlap ratio between query and document
+    (a real deployment swaps ``_relevance`` for a cross-encoder pandas UDF
+    with the same (query, text) → score contract). The plan shape is the real
+    one: rerank only touches the top-k candidate set (broadcast), re-fetches
+    text by pk, and re-sorts — the corpus is never rescanned.
+    """
+    from pyspark.sql import Window as W
+
+    qt = [w for w in query_text.lower().split() if w]
+    toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
+    overlap = F.size(
+        F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in qt]))
+    ) / F.lit(float(len(qt) or 1))
+    cand = F.broadcast(topk.select("qid", pk_col, F.col("score").alias("orig_score"))).join(
+        docs.select(pk_col, text_col), pk_col
+    )
+    rescored = cand.select(
+        "qid", pk_col, "orig_score", F.round(overlap, 4).alias("rerank_score")
+    )
+    w = W.partitionBy("qid").orderBy(
+        F.col("rerank_score").desc(), F.col("orig_score").desc(), F.col(pk_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+    )
+
+
 def requery_output_fields(
     topk: DataFrame, source: DataFrame, pk_col: str, output_cols: Sequence[str]
 ) -> DataFrame:
