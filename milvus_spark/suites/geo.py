@@ -113,3 +113,141 @@ def geo_st_equals_count(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_valid"),
         F.sum(F.when(F.col("geom") == "POINT (50.0 50)", 1).otherwise(0)).alias("n_eq"),
     )
+
+# --- st_contains / st_intersects: concave polygon, ray casting -----------------
+# Concave pentagon (notch at (250, 40)). Stored as an edge array literal; the
+# crossing-number test runs entirely JVM-side via F.aggregate over the edges —
+# no UDF, no shuffle, and the polygon bbox pre-filter is a plain range
+# predicate that parquet min/max pruning can use (the RTree analog,
+# internal/core/src/index/RTreeIndex.cpp).
+_POLY = [(100.0, 10.0), (400.0, 10.0), (400.0, 80.0), (250.0, 40.0), (100.0, 80.0)]
+_EDGES = [(_POLY[i], _POLY[(i + 1) % len(_POLY)]) for i in range(len(_POLY))]
+
+
+def _poly_edges_col() -> Column:
+    return F.array(
+        *[
+            F.struct(
+                F.lit(ax).alias("ax"),
+                F.lit(ay).alias("ay"),
+                F.lit(bx).alias("bx"),
+                F.lit(by).alias("by"),
+            )
+            for (ax, ay), (bx, by) in _EDGES
+        ]
+    )
+
+
+def st_contains_point(poly_edges: Column, x: Column, y: Column) -> Column:
+    """Crossing-number point-in-polygon (GISFunctionFilterExpr.cpp st_contains
+    semantics for POINT arguments), as a pure Catalyst expression."""
+    crossings = F.aggregate(
+        poly_edges,
+        F.lit(0),
+        lambda acc, e: acc
+        + F.when(
+            ((e["ay"] > y) != (e["by"] > y))
+            & (x < (e["bx"] - e["ax"]) * (y - e["ay"]) / (e["by"] - e["ay"]) + e["ax"]),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+_SQL_EDGES = """
+    edges AS (
+      SELECT * FROM (VALUES
+        (100.0, 10.0, 400.0, 10.0),
+        (400.0, 10.0, 400.0, 80.0),
+        (400.0, 80.0, 250.0, 40.0),
+        (250.0, 40.0, 100.0, 80.0),
+        (100.0, 80.0, 100.0, 10.0)
+      ) AS t(ax, ay, bx, by)
+    )
+"""
+
+
+@register(
+    "geo_st_contains_poly",
+    oracle=f"""
+    WITH {_SQL_PT}, {_SQL_EDGES}
+    SELECT p.event_id, p.geom
+    FROM pts p
+    WHERE (SELECT count(*) FROM edges e
+           WHERE ((e.ay > p.y) != (e.by > p.y))
+             AND p.x < (e.bx - e.ax) * (p.y - e.ay) / (e.by - e.ay) + e.ax) % 2 = 1
+    """,
+)
+def geo_st_contains_poly(spark: SparkSession, sf: str) -> DataFrame:
+    """st_contains('POLYGON((100 10,400 10,400 80,250 40,100 80,100 10))', geom)
+    over a concave polygon — crossing-number test, fully JVM-side."""
+    p = _points(spark, sf)
+    x, y = wkt_x(F.col("geom")), wkt_y(F.col("geom"))
+    # bbox pre-filter: cheap range predicate Catalyst pushes to the scan;
+    # the exact ray-cast runs only on bbox survivors.
+    bbox = (x >= 100) & (x <= 400) & (y >= 10) & (y <= 80)
+    return (
+        p.filter(bbox & st_contains_point(_poly_edges_col(), x, y))
+        .select("event_id", "geom")
+    )
+
+
+# --- st_crosses: segment vs line -----------------------------------------------
+@register(
+    "geo_st_crosses_line",
+    oracle=f"""
+    WITH {_SQL_PT}
+    SELECT event_id, x AS x1, x + 20 AS x2
+    FROM pts
+    WHERE (x - 100) * (x + 20 - 100) < 0
+    """,
+)
+def geo_st_crosses_line(spark: SparkSession, sf: str) -> DataFrame:
+    """st_crosses(LINESTRING(x y, x+20 y-10), LINESTRING(100 -1e3, 100 1e3)):
+    a segment crosses a vertical line iff its endpoints' signed offsets to the
+    line have opposite signs (interiors intersect in a point, DE-9IM 0*T)."""
+    p = _points(spark, sf)
+    x = wkt_x(F.col("geom"))
+    x2 = x + 20
+    return (
+        p.filter((x - 100) * (x2 - 100) < 0)
+        .select("event_id", x.alias("x1"), x2.alias("x2"))
+    )
+
+
+# --- st_overlaps + st_touches: bbox vs fixed rectangle -------------------------
+@register(
+    "geo_st_overlaps_touches",
+    oracle=f"""
+    WITH {_SQL_PT},
+    boxes AS (
+      SELECT event_id, CAST(floor(x) AS BIGINT) AS xi, CAST(y AS BIGINT) AS yi FROM pts
+    )
+    SELECT
+      CAST(sum(CASE WHEN xi < 280 AND xi + 10 > 260 AND yi < 45 AND yi + 10 > 20
+                     AND NOT (xi >= 260 AND xi + 10 <= 280 AND yi >= 20 AND yi + 10 <= 45)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+      CAST(sum(CASE WHEN ((xi + 10 = 260 OR xi = 280) AND yi <= 45 AND yi + 10 >= 20)
+                      OR ((yi + 10 = 20 OR yi = 45) AND xi <= 280 AND xi + 10 >= 260)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_touches
+    FROM boxes
+    """,
+)
+def geo_st_overlaps_touches(spark: SparkSession, sf: str) -> DataFrame:
+    """st_overlaps / st_touches between a per-event integer bbox
+    [floor(x), floor(x)+10] x [y, y+10] and the fixed rect [260,280]x[20,45].
+    DE-9IM: overlaps = interiors intersect, neither contains the other;
+    touches = boundaries meet, interiors disjoint. Pure interval arithmetic."""
+    p = _points(spark, sf)
+    xi = F.floor(wkt_x(F.col("geom"))).cast("long")
+    yi = wkt_y(F.col("geom")).cast("long")
+    interiors = (xi < 280) & (xi + 10 > 260) & (yi < 45) & (yi + 10 > 20)
+    a_in_b = (xi >= 260) & (xi + 10 <= 280) & (yi >= 20) & (yi + 10 <= 45)
+    overlaps = interiors & ~a_in_b
+    touches = (((xi + 10 == 260) | (xi == 280)) & (yi <= 45) & (yi + 10 >= 20)) | (
+        ((yi + 10 == 20) | (yi == 45)) & (xi <= 280) & (xi + 10 >= 260)
+    )
+    return p.agg(
+        F.sum(F.when(overlaps, 1).otherwise(0)).alias("n_overlaps"),
+        F.sum(F.when(touches, 1).otherwise(0)).alias("n_touches"),
+    )
