@@ -62,6 +62,51 @@ class MilvusSparkClient:
         }
         self._save_catalog()
 
+    def create_external_collection(
+        self,
+        name: str,
+        path: str,
+        pk_field: str,
+        vector_field: Optional[str] = None,
+        metric_type: str = "COSINE",
+    ) -> None:
+        """External table: query parquet data in place, no import
+        (internal/storagev2/packed/exttable_test.go, manifest_commit.go;
+        tests/python_client/milvus_client/test_milvus_client_external_table.py).
+        Read-only: query/search/count work, DML raises."""
+        if name in self._catalog:
+            raise ValueError(f"collection {name} exists")
+        self._catalog[name] = {
+            "pk": pk_field,
+            "vector": vector_field,
+            "metric": metric_type,
+            "partition_key": None,
+            "external_path": path,
+        }
+        self._save_catalog()
+
+    def add_field(self, name: str, field: str, default: Any = None) -> None:
+        """Schema evolution: add a nullable field with an optional default,
+        visible on all rows without rewriting data (add_field feature,
+        tests/python_client/milvus_client/test_add_field_feature.py).
+        Old segments lack the column → mergeSchema read + default fill."""
+        meta = self._meta(name)
+        added = meta.setdefault("added_fields", {})
+        if field in added or field in meta.get("dropped_fields", []):
+            raise ValueError(f"field {field} already evolved")
+        added[field] = default
+        self._save_catalog()
+
+    def drop_field(self, name: str, field: str) -> None:
+        """Schema evolution: hide a field from all reads without rewriting
+        (test_drop_field_feature.py). Data is dropped lazily at compaction."""
+        meta = self._meta(name)
+        if meta["pk"] == field or meta.get("vector") == field:
+            raise ValueError(f"cannot drop pk/vector field {field}")
+        meta.setdefault("dropped_fields", []).append(field)
+        meta.get("added_fields", {}).pop(field, None)
+        self._save_catalog()
+
     def drop_collection(self, name: str) -> None:
         import shutil
 
@@ -84,6 +129,8 @@ class MilvusSparkClient:
 
     def _coll(self, name: str) -> Collection:
         meta = self._meta(name)
+        if meta.get("external_path"):
+            raise ValueError(f"collection {name} is external (read-only)")
         return Collection(
             self.spark,
             os.path.join(self.root, name),
@@ -134,8 +181,45 @@ class MilvusSparkClient:
         self._coll(name).compact(num_partitions)
 
     # --------------------------------------------------------------- query
+    def _resolve_as_of(
+        self, name: str, as_of: Optional[int], consistency_level: Optional[str]
+    ) -> Optional[int]:
+        """Consistency level → MVCC snapshot ts (GuaranteeTs analog,
+        docs/developer_guides/how-guarantee-ts-works.md:48-71). In a batch
+        engine "waiting for ServiceTime" collapses to picking the snapshot:
+        Strong/Eventually read everything committed; Bounded tolerates one
+        write-batch of staleness; Session pins the client's own last write."""
+        if as_of is not None:
+            return as_of
+        level = (consistency_level or "Strong").lower()
+        latest = self._ts.get(name)
+        if level in ("strong", "eventually") or latest is None:
+            return None
+        if level == "bounded":
+            return max(latest - 1, 0)
+        if level == "session":
+            return latest
+        raise ValueError(f"unknown consistency level {consistency_level}")
+
     def _read(self, name: str, as_of: Optional[int] = None) -> DataFrame:
-        return self._coll(name).read(as_of=as_of).drop(TS_COL)
+        meta = self._meta(name)
+        if meta.get("external_path"):
+            df = self.spark.read.parquet(meta["external_path"])
+        else:
+            df = self._coll(name).read(as_of=as_of).drop(TS_COL)
+        # schema evolution view: added fields materialize as default-filled
+        # columns (missing in pre-evolution segments → mergeSchema leaves
+        # nulls, coalesced to the default); dropped fields are hidden.
+        for field, default in meta.get("added_fields", {}).items():
+            if field in df.columns:
+                if default is not None:
+                    df = df.withColumn(field, F.coalesce(F.col(field), F.lit(default)))
+            else:
+                df = df.withColumn(field, F.lit(default))
+        for field in meta.get("dropped_fields", []):
+            if field in df.columns:
+                df = df.drop(field)
+        return df
 
     def query(
         self,
@@ -147,6 +231,7 @@ class MilvusSparkClient:
         order_by: Optional[Sequence[tuple[str, bool]]] = None,
         params: Optional[dict] = None,
         as_of: Optional[int] = None,
+        consistency_level: Optional[str] = None,
     ) -> DataFrame:
         """Filtered retrieval with optional aggregation output fields.
 
@@ -155,7 +240,11 @@ class MilvusSparkClient:
         aggregate.go:25-37) alongside plain columns → those become group-by
         keys, matching query()'s group_by_fields semantics.
         """
-        df = apply_filter(self._read(name, as_of), filter, params)
+        df = apply_filter(
+            self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+            filter,
+            params,
+        )
         if output_fields:
             aggs, plain = [], []
             import re
@@ -207,12 +296,13 @@ class MilvusSparkClient:
         radius: Optional[float] = None,
         range_filter: Optional[float] = None,
         as_of: Optional[int] = None,
+        consistency_level: Optional[str] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode)."""
         meta = self._meta(name)
         if not meta.get("vector"):
             raise ValueError(f"collection {name} has no vector field")
-        df = self._read(name, as_of)
+        df = self._read(name, self._resolve_as_of(name, as_of, consistency_level))
         cond = compile_expr(filter, df.schema, params) if filter else None
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
         return brute_force_search(

@@ -87,7 +87,10 @@ class Collection:
         before the delete — an upsert re-inserting the same pk at the delete
         ts stays visible (delete-then-insert batch ordering, task_upsert.go).
         """
-        df = self.spark.read.parquet(self.seg_dir)
+        # mergeSchema: segments written before an add_field lack the new
+        # column; the merged schema surfaces it as null there (StructType +
+        # mergeSchema, the add_field/drop_field evolution analog)
+        df = self.spark.read.option("mergeSchema", "true").parquet(self.seg_dir)
         if as_of is not None:
             df = df.filter(F.col(TS_COL) <= int(as_of))
         tombs = self._tombstones()
@@ -124,6 +127,75 @@ class Collection:
         os.rename(tmp, self.seg_dir)
         if os.path.isdir(self.tomb_dir):
             shutil.rmtree(self.tomb_dir)
+
+    def compact_clustering(self, key: str, num_partitions: int = 8) -> dict:
+        """Clustering compaction by a scalar clustering key
+        (internal/datanode/compactor/clustering_compactor.go:64,249 — range
+        mode; the vector/k-means mode is operators/ivf.py's centroid layout).
+
+        Rewrites all live rows range-partitioned + sorted by ``key`` and
+        records a per-file [min, max] manifest — the PartitionStatsSnapshot
+        analog — so range predicates on the clustering key can skip whole
+        files before Spark even lists them (delegator/segment_pruner.go:36).
+        Parquet row-group min/max still prunes inside each file; the manifest
+        saves the file-open round trips, which is what matters when a 100 TB
+        collection has tens of thousands of files on object storage.
+        """
+        live = self.read()
+        clustered = live.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
+        tmp = self.seg_dir + ".clustering"
+        (
+            clustered.write.mode("overwrite")
+            .option(f"parquet.bloom.filter.enabled#{self.pk}", "true")
+            .parquet(tmp)
+        )
+        import glob
+        import json
+        import shutil
+
+        shutil.rmtree(self.seg_dir)
+        os.rename(tmp, self.seg_dir)
+        if os.path.isdir(self.tomb_dir):
+            shutil.rmtree(self.tomb_dir)
+        # per-file stats from parquet footers only — no data scan
+        import pyarrow.parquet as pq
+
+        stats: dict[str, list] = {}
+        for f in sorted(glob.glob(os.path.join(self.seg_dir, "*.parquet"))):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key]
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                if st is not None and st.has_min_max:
+                    mins.append(st.min)
+                    maxs.append(st.max)
+            if mins:
+                stats[os.path.basename(f)] = [min(mins), max(maxs)]
+        manifest = {"key": key, "files": stats}
+        with open(os.path.join(self.path, "partition_stats.json"), "w") as f:
+            json.dump(manifest, f, indent=2, default=str)
+        return manifest
+
+    def read_pruned(self, lo, hi) -> DataFrame:
+        """Range read on the clustering key using the partition-stats manifest
+        to skip non-overlapping files (segment_pruner.go range pruning), then
+        the exact ``key BETWEEN lo AND hi`` filter on the survivors."""
+        import json
+
+        mpath = os.path.join(self.path, "partition_stats.json")
+        with open(mpath) as f:
+            manifest = json.load(f)
+        key = manifest["key"]
+        keep = [
+            os.path.join(self.seg_dir, fname)
+            for fname, (fmin, fmax) in manifest["files"].items()
+            if not (fmax < lo or fmin > hi)
+        ]
+        if not keep:
+            return self.read().filter(F.lit(False))
+        df = self.spark.read.parquet(*keep)
+        return df.filter(F.col(key).between(lo, hi))
 
     # -- snapshot / restore ----------------------------------------------------
     def snapshot(self, name: str) -> str:

@@ -127,3 +127,32 @@ def dml_compact_equiv(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+# --- clustering compaction: range layout + partition-stats pruned read --------
+@register(
+    "dml_clustering_prune",
+    oracle=f"""
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum({_EFF_PRICE}), 2) AS total
+    FROM orders
+    WHERE o_custkey BETWEEN 200 AND 500
+      AND NOT {_DELETED_T3} AND NOT {_DELETED_T4}
+    GROUP BY o_custkey
+    """,
+)
+def dml_clustering_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Clustering compaction by o_custkey (clustering_compactor.go range mode)
+    then a range read through the PartitionStatsSnapshot manifest — files whose
+    [min,max] miss the range are never opened (segment_pruner.go:36)."""
+    coll = _build_collection(spark, sf, upto_ts=4)
+    coll.compact_clustering("o_custkey", num_partitions=8)
+    return (
+        coll.read_pruned(200, 500)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

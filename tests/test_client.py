@@ -122,3 +122,45 @@ def test_partition_key_collection(client, spark, sf_dir):
     assert "PartitionFilters" in plan and "label" in plan.split("PartitionFilters")[1][:200]
     assert df.count() == emb.filter("label = 3").count()
     client.drop_collection("pkc")
+
+
+def test_schema_evolution_add_drop_field(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("nat", pk_field="n_nationkey")
+    client.insert("nat", nation.limit(10))
+    client.add_field("nat", "tier", default="bronze")
+    # pre-evolution rows surface the default
+    rows = client.query("nat", output_fields=["n_nationkey", "tier"]).collect()
+    assert rows and all(r.tier == "bronze" for r in rows)
+    # post-evolution insert carries real values, old rows keep the default
+    batch = nation.limit(12).filter("n_nationkey >= 10").withColumn("tier", F.lit("gold"))
+    client.insert("nat", batch)
+    tiers = {r.n_nationkey: r.tier for r in client.query("nat", output_fields=["n_nationkey", "tier"]).collect()}
+    assert "gold" in set(tiers.values()) and "bronze" in set(tiers.values())
+    client.drop_field("nat", "tier")
+    assert "tier" not in client.query("nat").columns
+    with pytest.raises(ValueError):
+        client.drop_field("nat", "n_nationkey")
+
+
+def test_external_collection_read_only(client, spark, sf_dir):
+    client.create_external_collection("ext", f"{sf_dir}/nation.parquet", pk_field="n_nationkey")
+    assert client.count("ext", filter="n_regionkey == 1") > 0
+    got = client.query("ext", filter="n_nationkey < 5", output_fields=["n_name"]).count()
+    assert got == 5
+    with pytest.raises(ValueError):
+        client.insert("ext", spark.read.parquet(f"{sf_dir}/nation.parquet"))
+
+
+def test_consistency_levels(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("cl", pk_field="n_nationkey")
+    client.insert("cl", nation.limit(5))          # ts=1
+    client.insert("cl", nation.filter("n_nationkey >= 5").limit(5))  # ts=2
+    strong = client.query("cl", consistency_level="Strong").count()
+    bounded = client.query("cl", consistency_level="Bounded").count()
+    session = client.query("cl", consistency_level="Session").count()
+    assert strong == 10 and session == 10
+    assert bounded == 5  # one write-batch of tolerated staleness
+    with pytest.raises(ValueError):
+        client.query("cl", consistency_level="quantum")

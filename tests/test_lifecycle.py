@@ -63,3 +63,21 @@ def test_compaction_layout(coll):
     one = c.spark.read.parquet(os.path.join(c.seg_dir, files[0]))
     pks = [r.o_orderkey for r in one.select("o_orderkey").collect()]
     assert pks == sorted(pks)
+
+
+def test_clustering_compaction_prunes_files(coll):
+    c, orders = coll
+    full = c.count()
+    manifest = c.compact_clustering("o_custkey", num_partitions=6)
+    assert manifest["key"] == "o_custkey"
+    assert len(manifest["files"]) >= 2
+    lo, hi = 100, 200
+    pruned = c.read_pruned(lo, hi)
+    expect = c.read().filter(F.col("o_custkey").between(lo, hi))
+    assert pruned.count() == expect.count()
+    assert c.count() == full
+    # range layout → a narrow range overlaps a strict subset of files
+    overlapping = [
+        f for f, (fmin, fmax) in manifest["files"].items() if not (fmax < lo or fmin > hi)
+    ]
+    assert 0 < len(overlapping) < len(manifest["files"])
