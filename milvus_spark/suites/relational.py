@@ -478,3 +478,27 @@ def rel_join_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
         .limit(20)
         .select("l_orderkey", "revenue", "o_custkey")
     )
+
+
+# --- beyond-reference aggregates (SURVEY §2.4: Milvus lacks these; Spark-native)
+@register(
+    "rel_agg_distinct_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+           round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def rel_agg_distinct_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """count(DISTINCT) + exact interpolated percentiles — not in the reference
+    (no distinct-agg / median / percentile, internal/agg/aggregate.go:59);
+    Spark supplies them natively (partial+final with distinct rewrite)."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
+    )

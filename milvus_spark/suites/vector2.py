@@ -332,3 +332,113 @@ def vec_ivf_cosine(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, cents, queries, "embedding", "vec_id",
         metric="COSINE", k=10, nprobe=12,
     )
+
+
+# ---------- emb-list MAX_SIM_COSINE -------------------------------------------
+@register(
+    "vec_maxsim_cosine",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qvec, doc AS qdoc, emb AS qemb FROM v WHERE vec_id < {2 * _GROUP}),
+    pairs AS (
+      SELECT q.qdoc, v.doc, q.qvec,
+             max(list_inner_product(v.emb, q.qemb)
+                 / (sqrt(list_inner_product(v.emb, v.emb))
+                    * sqrt(list_inner_product(q.qemb, q.qemb)))) AS best
+      FROM v, q
+      GROUP BY q.qdoc, v.doc, q.qvec
+    ),
+    scored AS (
+      SELECT qdoc, doc, round(sum(best), 4) AS score
+      FROM pairs GROUP BY qdoc, doc
+    )
+    SELECT qdoc, doc, score, rank FROM (
+      SELECT qdoc, doc, score,
+             CAST(row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_maxsim_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """MAX_SIM_COSINE (pkg/util/metric/metric_type.go:49-53): late-interaction
+    Σ_q max_d cos(q, d) — same broadcast + two-level partial-agg plan as
+    vec_maxsim_ip, cosine normalized inside the JVM expression."""
+    e = load_table(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id",
+        (F.col("vec_id") / _GROUP).cast("long").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    q = v.filter(F.col("vec_id") < 2 * _GROUP).select(
+        F.col("vec_id").alias("qvec"), F.col("doc").alias("qdoc"), F.col("emb").alias("qemb")
+    )
+
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    cos = _dot("emb", "qemb") / (F.sqrt(_dot("emb", "emb")) * F.sqrt(_dot("qemb", "qemb")))
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .groupBy("qdoc", "doc", "qvec")
+        .agg(F.max(cos).alias("best"))
+    )
+    scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
+    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+# ---------- INT8_VECTOR: quantized IP search ----------------------------------
+@register(
+    "vec_int8_ip",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             [CAST(floor(x * 127) AS TINYINT) FOR x IN CAST(embedding AS DOUBLE[])] AS q8
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, q8 AS qv FROM v WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, v.vec_id,
+             CAST(list_inner_product(CAST(v.q8 AS INTEGER[]), CAST(q.qv AS INTEGER[])) AS BIGINT) AS score
+      FROM v, q
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vec_int8_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """INT8_VECTOR IP top-k (Types.h:92-99 Int8Vector; plan.proto:44-56).
+    Vectors quantized to tinyint (floor(x*127)); the dot product accumulates
+    in integer space — exact, so the DuckDB comparison is bit-precise, no
+    float rounding involved."""
+    e = load_table(spark, sf, "embeddings")
+    q8 = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.floor(x * 127).cast("byte"),
+    )
+    v = e.select("vec_id", q8.alias("q8"))
+    q = v.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("q8").alias("qv")
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("q8").cast("array<long>"), F.col("qv").cast("array<long>"), lambda x, y: x * y
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    scored = v.crossJoin(F.broadcast(q)).select("qid", "vec_id", dot.alias("score"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+    )
