@@ -197,6 +197,31 @@ class Collection:
         df = self.spark.read.parquet(*keep)
         return df.filter(F.col(key).between(lo, hi))
 
+    # -- CDC -------------------------------------------------------------------
+    def changes(self, since: int, until: int) -> DataFrame:
+        """Change-data-capture stream for the window (since, until]
+        (internal/cdc/ replication; Delta CDF analog). Emits the pk-level
+        change log: op ∈ {insert, delete} with the change timestamp. An upsert
+        appears as delete+insert at the same ts (task_upsert.go batch order).
+        Pure metadata-partition reads — segments/tombstones are append-only,
+        so a replicator tails this incrementally without touching old files.
+        """
+        segs = self.spark.read.option("mergeSchema", "true").parquet(self.seg_dir)
+        ins = segs.filter(
+            (F.col(TS_COL) > int(since)) & (F.col(TS_COL) <= int(until))
+        ).select(
+            F.lit("insert").alias("op"), F.col(self.pk), F.col(TS_COL).alias("change_ts")
+        )
+        tombs = self._tombstones()
+        if tombs is None:
+            return ins
+        dels = tombs.filter(
+            (F.col(DEL_TS_COL) > int(since)) & (F.col(DEL_TS_COL) <= int(until))
+        ).select(
+            F.lit("delete").alias("op"), F.col(self.pk), F.col(DEL_TS_COL).alias("change_ts")
+        )
+        return ins.unionByName(dels)
+
     # -- snapshot / restore ----------------------------------------------------
     def snapshot(self, name: str) -> str:
         """Point-in-time snapshot: copy segment + tombstone state under

@@ -156,3 +156,30 @@ def dml_clustering_prune(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# --- CDC changefeed over the deterministic timeline ---------------------------
+@register(
+    "dml_changefeed",
+    oracle=f"""
+    WITH changes AS (
+      -- ts=2 upsert: delete + insert for pk % 100 = 0
+      SELECT 'delete' AS op, o_orderkey, CAST(2 AS BIGINT) AS change_ts
+      FROM orders WHERE o_orderkey % 100 = 0
+      UNION ALL
+      SELECT 'insert', o_orderkey, 2 FROM orders WHERE o_orderkey % 100 = 0
+      -- ts=3 complex delete resolves pks on the post-upsert effective price
+      UNION ALL
+      SELECT 'delete', o_orderkey, 3 FROM orders WHERE {_DELETED_T3}
+      -- ts=4 simple pk delete tombstones the given pk list unconditionally
+      UNION ALL
+      SELECT 'delete', o_orderkey, 4 FROM orders WHERE {_DELETED_T4}
+    )
+    SELECT op, o_orderkey, change_ts FROM changes
+    """,
+)
+def dml_changefeed(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC window (1, 4]: upsert at ts=2 → delete+insert pair; filtered delete
+    at ts=3; pk delete at ts=4 (internal/cdc/ analog, Delta CDF shape)."""
+    coll = _build_collection(spark, sf, upto_ts=4)
+    return coll.changes(since=1, until=4)
