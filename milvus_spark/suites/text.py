@@ -286,18 +286,29 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh")).cache()
+    # eager materialization (the "index build"): the expensive md5 signature
+    # trees run exactly once here, and every downstream join plans against a
+    # cached relation with known stats — otherwise AQE's strategy choice for
+    # the self-join is made blind and is unstable run-to-run.
+    s.count()
+    bands.count()
     b2 = bands.select(F.col("doc_id").alias("b_id"), F.col("band").alias("band2"), F.col("bh").alias("bh2"))
+    # band self-join: shuffle hash on (band, bh) — the scale shape; banding
+    # bounds bucket sizes so no sort is needed on either side
     cand = (
-        bands.join(b2, (bands.band == b2.band2) & (bands.bh == b2.bh2) & (bands.doc_id < b2.b_id))
+        bands.hint("shuffle_hash")
+        .join(b2, (bands.band == b2.band2) & (bands.bh == b2.bh2) & (bands.doc_id < b2.b_id))
         .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
         .distinct()
     )
     sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     sb = s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
+    # LSH's whole point is that the surviving candidate set is small — so it
+    # broadcasts, and the (huge at scale) shingle table is probed in place
     verified = (
-        cand.join(sa, "a")
-        .join(sb, "b")
+        sa.join(F.broadcast(cand), "a")
+        .join(sb.hint("shuffle_hash"), "b")
         .select(
             "a",
             "b",
