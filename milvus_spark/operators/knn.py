@@ -163,12 +163,15 @@ def grouping_search(
     limit: int = 3,
     group_size: int = 2,
     round_to: int = 4,
+    strict_group_size: bool = False,
 ) -> DataFrame:
     """Top-``limit`` groups per query, ``group_size`` hits per group.
 
     Groups are ranked by their best hit's score (SearchGroupByOperator.cpp);
     deterministic tie-breaks on (score, pk) within groups and
-    (best_score, group) across groups.
+    (best_score, group) across groups. ``strict_group_size``
+    (QueryInfo.strict_group_size, plan.proto:91-104): only groups that can
+    fill all ``group_size`` slots are eligible.
     """
     asc = metric_ascending(metric)
     qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
@@ -208,8 +211,12 @@ def grouping_search(
         .drop("rn")
     )
     best = kept.groupBy("qid", group_col).agg(
-        (F.min("score") if asc else F.max("score")).alias("best_score")
+        (F.min("score") if asc else F.max("score")).alias("best_score"),
+        F.count(F.lit(1)).alias("n_hits"),
     )
+    if strict_group_size:
+        best = best.filter(F.col("n_hits") >= group_size)
+    best = best.drop("n_hits")
     w_g = W.partitionBy("qid").orderBy(
         F.col("best_score").asc() if asc else F.col("best_score").desc(),
         F.col(group_col).asc(),

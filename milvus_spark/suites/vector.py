@@ -343,3 +343,53 @@ def vec_boost_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "vec_id", "score", "rank")
     )
+
+
+# --- grouping search, strict_group_size over a thinned candidate set ----------
+@register(
+    "vec_grouping_strict",
+    oracle=f"""
+    WITH {_Q},
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label, {_SCORE["COSINE"]} AS score
+      FROM embeddings e, q
+      WHERE e.vec_id % 37 = 0
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, label, score,
+               row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2
+    ),
+    best AS (
+      SELECT qid, label, max(score) AS best_score, count(*) AS n_hits
+      FROM kept GROUP BY qid, label
+    ),
+    topg AS (
+      SELECT * FROM (
+        SELECT qid, label,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY best_score DESC, label) AS BIGINT) AS grank
+        FROM best WHERE n_hits >= 2
+      ) WHERE grank <= 3
+    )
+    SELECT k.qid, k.label, k.vec_id, k.score, g.grank
+    FROM kept k JOIN topg g ON k.qid = g.qid AND k.label = g.label
+    """,
+)
+def vec_grouping_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """strict_group_size=True (QueryInfo plan.proto:91-104): singleton label
+    groups in the thinned candidate set cannot fill group_size=2 slots and
+    are excluded from group ranking (SearchGroupByNode.cpp strict mode)."""
+    emb, qs = _load_queries(spark, sf)
+    return grouping_search(
+        emb.filter(F.col("vec_id") % 37 == 0),
+        qs,
+        "embedding",
+        "vec_id",
+        "label",
+        metric="COSINE",
+        limit=3,
+        group_size=2,
+        strict_group_size=True,
+    )

@@ -442,3 +442,63 @@ def vec_int8_ip(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+# ---------- emb-list MAX_SIM_L2 -----------------------------------------------
+@register(
+    "vec_maxsim_l2",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qvec, doc AS qdoc, emb AS qemb FROM v WHERE vec_id < {2 * _GROUP}),
+    pairs AS (
+      SELECT q.qdoc, v.doc, q.qvec,
+             max(-(list_inner_product(v.emb, v.emb)
+                   - 2 * list_inner_product(v.emb, q.qemb)
+                   + list_inner_product(q.qemb, q.qemb))) AS best
+      FROM v, q
+      GROUP BY q.qdoc, v.doc, q.qvec
+    ),
+    scored AS (
+      SELECT qdoc, doc, round(sum(best), 4) AS score
+      FROM pairs GROUP BY qdoc, doc
+    )
+    SELECT qdoc, doc, score, rank FROM (
+      SELECT qdoc, doc, score,
+             CAST(row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_maxsim_l2(spark: SparkSession, sf: str) -> DataFrame:
+    """MAX_SIM_L2 (metric_type.go:49-53): Σ_q max_d (−‖q−d‖²) — similarity is
+    negated squared L2 (knowhere's L2 is squared), so "max sim" = closest
+    sub-vector; same broadcast + two-level partial-agg plan."""
+    e = load_table(spark, sf, "embeddings")
+    v = e.select(
+        "vec_id",
+        (F.col("vec_id") / _GROUP).cast("long").alias("doc"),
+        F.col("embedding").cast("array<double>").alias("emb"),
+    )
+    q = v.filter(F.col("vec_id") < 2 * _GROUP).select(
+        F.col("vec_id").alias("qvec"), F.col("doc").alias("qdoc"), F.col("emb").alias("qemb")
+    )
+    def _dot(a, b):
+        return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+    # ‖a‖² − 2⟨a,b⟩ + ‖b‖², written identically in the oracle so both engines
+    # evaluate the same float expression tree (bit-stable before round(4))
+    neg_sq = -(_dot("emb", "emb") - 2 * _dot("emb", "qemb") + _dot("qemb", "qemb"))
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .groupBy("qdoc", "doc", "qvec")
+        .agg(F.max(neg_sq).alias("best"))
+    )
+    scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
+    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
