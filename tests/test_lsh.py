@@ -1,0 +1,90 @@
+"""LSH ANN + near-dup: planted-ground-truth recall tests (the reference's ANN
+test methodology — approximate paths are judged by recall vs brute force /
+known truth, tests/python_client search-test style)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.lsh import (
+    embedding_near_dup,
+    hyperplane_tables,
+    hyperplanes,
+    lsh_index,
+    lsh_search,
+    write_bucketed,
+)
+
+DIM = 16
+N_BASE = 200
+N_DUP = 40
+
+
+@pytest.fixture(scope="module")
+def planted(spark):
+    """Corpus with planted near-duplicates: row i and row N_BASE+i (i < N_DUP)
+    are the same vector + 1% noise → cosine ≈ 0.9999; unrelated rows are
+    near-orthogonal random Gaussians."""
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((N_BASE, DIM))
+    dup = base[:N_DUP] + 0.01 * rng.standard_normal((N_DUP, DIM))
+    V = np.vstack([base, dup])
+    rows = [(i, [float(x) for x in V[i]]) for i in range(len(V))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df, V
+
+
+def test_near_dup_finds_all_planted_pairs(spark, planted):
+    df, V = planted
+    HT = hyperplane_tables(DIM, nbits=8, n_tables=10)
+    got = embedding_near_dup(df, "embedding", "vec_id", HT, threshold=0.98)
+    pairs = {(r.ia, r.ib) for r in got.collect()}
+    expected = {(i, N_BASE + i) for i in range(N_DUP)}
+    assert expected <= pairs
+    # only the planted pairs clear the 0.98 threshold
+    assert pairs == expected
+
+
+def test_candidate_set_is_subquadratic(spark, planted):
+    df, V = planted
+    HT = hyperplane_tables(DIM, nbits=8, n_tables=10)
+    idx = lsh_index(df, "embedding", "vec_id", HT)
+    i2 = idx.select(
+        F.col("vec_id").alias("pk2"), F.col("table").alias("t2"), F.col("bucket").alias("b2")
+    )
+    n_cand = (
+        idx.join(i2, (idx.table == i2.t2) & (idx.bucket == i2.b2) & (idx.vec_id < i2.pk2))
+        .select("vec_id", "pk2")
+        .distinct()
+        .count()
+    )
+    n = len(V)
+    assert n_cand < 0.2 * n * (n - 1) / 2, f"{n_cand} candidates ≈ quadratic"
+
+
+def test_lsh_topk_search_finds_planted_neighbor(spark, planted):
+    df, V = planted
+    H = hyperplanes(DIM, nbits=6)
+    path = tempfile.mkdtemp(prefix="lshb_", dir="/root/repo/_scratch")
+    shutil.rmtree(path)
+    try:
+        write_bucketed(df, "embedding", H, path)
+        # query with the duplicate vectors: their planted partner must be
+        # the top non-self hit (cosine ≈ 1, same bucket in nearly all bits)
+        qs = [(N_BASE + i, [float(x) for x in V[N_BASE + i]]) for i in range(10)]
+        got = lsh_search(
+            spark, path, H, qs, "embedding", "vec_id", k=2, probe_radius=1
+        ).collect()
+        top = {}
+        for r in got:
+            if r.vec_id != r.qid:  # skip self-match
+                top.setdefault(r.qid, r.vec_id)
+        for i in range(10):
+            assert top[N_BASE + i] == i, (i, top)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
