@@ -147,8 +147,15 @@ class MilvusSparkClient:
         self._coll(name).append(df, ts=self._next_ts(name))
         return df.count()
 
-    def upsert(self, name: str, df: DataFrame) -> int:
-        self._coll(name).upsert(df, ts=self._next_ts(name))
+    def upsert(self, name: str, df: DataFrame, partial_update: bool = False) -> int:
+        """``partial_update=True``: df holds pk + a subset of fields; the rest
+        keep their stored values (task_upsert_partial_op.go). Only existing
+        pks are touched in partial mode."""
+        coll = self._coll(name)
+        if partial_update:
+            coll.upsert_partial(df, ts=self._next_ts(name))
+        else:
+            coll.upsert(df, ts=self._next_ts(name))
         return df.count()
 
     def delete(

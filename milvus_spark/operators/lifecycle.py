@@ -73,6 +73,27 @@ class Collection:
         self.delete_pks(df.select(self.pk), ts)
         self.append(df, ts)
 
+    def upsert_partial(self, df: DataFrame, ts: int) -> None:
+        """Partial-field update (task_upsert_partial_op.go): ``df`` carries the
+        pk plus a subset of columns; unspecified columns keep their current
+        values. Read-modify-write per batch: fetch the touched rows' visible
+        state, overlay the new values, then normal upsert. The fetch is a
+        broadcast semi-join on the (small) update batch — the corpus is never
+        shuffled."""
+        current = self.read().drop(TS_COL)
+        touched = current.join(F.broadcast(df.select(self.pk)), self.pk, "left_semi")
+        updated_cols = [c for c in df.columns if c != self.pk]
+        overlay = touched.alias("old").join(df.alias("new"), self.pk)
+        merged = overlay.select(
+            self.pk,
+            *[
+                (F.col(f"new.{c}") if c in updated_cols else F.col(f"old.{c}")).alias(c)
+                for c in current.columns
+                if c != self.pk
+            ],
+        )
+        self.upsert(merged, ts)
+
     # -- read -----------------------------------------------------------------
     def _tombstones(self) -> DataFrame | None:
         if not os.path.isdir(self.tomb_dir):

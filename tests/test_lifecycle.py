@@ -81,3 +81,21 @@ def test_clustering_compaction_prunes_files(coll):
         f for f, (fmin, fmax) in manifest["files"].items() if not (fmax < lo or fmin > hi)
     ]
     assert 0 < len(overlapping) < len(manifest["files"])
+
+
+def test_partial_upsert_keeps_unspecified_columns(coll, spark):
+    c, orders = coll
+    before = {r.o_orderkey: r for r in c.read().filter("o_orderkey IN (1, 2, 3)").collect()}
+    patch = spark.createDataFrame(
+        [(1, 111.0), (2, 222.0)], "o_orderkey long, o_totalprice double"
+    )
+    c.upsert_partial(patch, ts=2)
+    after = {r.o_orderkey: r for r in c.read().filter("o_orderkey IN (1, 2, 3)").collect()}
+    assert after[1].o_totalprice == 111.0 and after[2].o_totalprice == 222.0
+    # unspecified columns retained
+    assert after[1].o_orderstatus == before[1].o_orderstatus
+    assert after[1].o_custkey == before[1].o_custkey
+    # untouched row unchanged, old snapshot still sees original price
+    assert after[3].o_totalprice == before[3].o_totalprice
+    old = c.read(as_of=1).filter("o_orderkey = 1").collect()[0]
+    assert old.o_totalprice == before[1].o_totalprice
