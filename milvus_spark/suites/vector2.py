@@ -502,3 +502,121 @@ def vec_maxsim_l2(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# ---------- emb-list MAX_SIM_HAMMING / MAX_SIM_JACCARD (binary) ---------------
+_BIN_DOC_CTE = f"""
+    bvd AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc,
+             {_PACK_SQL.format(off=0)} AS w0,
+             {_PACK_SQL.format(off=32)} AS w1
+      FROM embeddings
+    ),
+    qd AS (SELECT vec_id AS qvec, doc AS qdoc, w0 AS qw0, w1 AS qw1
+           FROM bvd WHERE vec_id < {2 * _GROUP})
+"""
+
+
+@register(
+    "vec_maxsim_hamming",
+    oracle=f"""
+    WITH {_BIN_DOC_CTE},
+    pairs AS (
+      SELECT q.qdoc, v.doc, q.qvec,
+             max(-(bit_count(xor(v.w0, q.qw0)) + bit_count(xor(v.w1, q.qw1)))) AS best
+      FROM bvd v, qd q
+      GROUP BY q.qdoc, v.doc, q.qvec
+    ),
+    scored AS (
+      SELECT qdoc, doc, CAST(sum(best) AS BIGINT) AS score
+      FROM pairs GROUP BY qdoc, doc
+    )
+    SELECT qdoc, doc, score, rank FROM (
+      SELECT qdoc, doc, score,
+             CAST(row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_maxsim_hamming(spark: SparkSession, sf: str) -> DataFrame:
+    """MAX_SIM_HAMMING (metric_type.go:49-53): Σ_q max_d (−hamming(q,d)) over
+    binary emb-lists — pure integer popcount math, bit-exact vs the oracle."""
+    v = _binary_vectors(spark, sf).withColumn(
+        "doc", (F.col("vec_id") / _GROUP).cast("long")
+    )
+    q = v.filter(F.col("vec_id") < 2 * _GROUP).select(
+        F.col("vec_id").alias("qvec"),
+        F.col("doc").alias("qdoc"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    neg_dist = -(
+        F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
+        + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
+    ).cast("long")
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .groupBy("qdoc", "doc", "qvec")
+        .agg(F.max(neg_dist).alias("best"))
+    )
+    scored = pairs.groupBy("qdoc", "doc").agg(F.sum("best").cast("long").alias("score"))
+    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
+
+
+@register(
+    "vec_maxsim_jaccard",
+    oracle=f"""
+    WITH {_BIN_DOC_CTE},
+    pairs AS (
+      SELECT q.qdoc, v.doc, q.qvec,
+             max((bit_count(v.w0 & q.qw0) + bit_count(v.w1 & q.qw1)) * 1.0
+                 / (bit_count(v.w0 | q.qw0) + bit_count(v.w1 | q.qw1))) AS best
+      FROM bvd v, qd q
+      GROUP BY q.qdoc, v.doc, q.qvec
+    ),
+    scored AS (
+      SELECT qdoc, doc, round(sum(best), 4) AS score
+      FROM pairs GROUP BY qdoc, doc
+    )
+    SELECT qdoc, doc, score, rank FROM (
+      SELECT qdoc, doc, score,
+             CAST(row_number() OVER (PARTITION BY qdoc ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_maxsim_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """MAX_SIM_JACCARD: Σ_q max_d |q∧d|/|q∨d| over binary emb-lists — the
+    per-pair ratio is exact integer/integer, so only the final 4-term sum is
+    float (rounded to 4 on both sides)."""
+    v = _binary_vectors(spark, sf).withColumn(
+        "doc", (F.col("vec_id") / _GROUP).cast("long")
+    )
+    q = v.filter(F.col("vec_id") < 2 * _GROUP).select(
+        F.col("vec_id").alias("qvec"),
+        F.col("doc").alias("qdoc"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    inter = F.bit_count(F.col("w0").bitwiseAND(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseAND(F.col("qw1"))
+    )
+    union = F.bit_count(F.col("w0").bitwiseOR(F.col("qw0"))) + F.bit_count(
+        F.col("w1").bitwiseOR(F.col("qw1"))
+    )
+    sim = inter * F.lit(1.0) / union
+    pairs = (
+        v.crossJoin(F.broadcast(q))
+        .groupBy("qdoc", "doc", "qvec")
+        .agg(F.max(sim).alias("best"))
+    )
+    scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
+    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+    )
