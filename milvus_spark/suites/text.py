@@ -505,3 +505,23 @@ def vec_mhjaccard_topk(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
     )
+
+
+@register(
+    "txt_ngram_inner_match",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents WHERE contains(text, 'hash join')
+    """,
+)
+def txt_ngram_inner_match(spark: SparkSession, sf: str) -> DataFrame:
+    """InnerMatch (%substring%) answered through the n-gram inverted index
+    (NgramInvertedIndex.cpp analog, operators/ngram.py): posting-list
+    intersection prunes to candidates, exact contains() verifies. The oracle
+    is the direct scan — index path must be result-identical."""
+    from milvus_spark.operators.ngram import build_ngram_index, inner_match
+
+    d = load_table(spark, sf, "documents")
+    idx = build_ngram_index(d, "text", "doc_id")
+    return inner_match(d, idx, "text", "doc_id", "hash join").select(
+        "doc_id", "n_chars"
+    )
