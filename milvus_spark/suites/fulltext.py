@@ -201,3 +201,56 @@ def fts_highlight(spark: SparkSession, sf: str) -> DataFrame:
         d.filter(F.col("text").rlike(pat))
         .select("doc_id", F.regexp_replace("text", pat, "<em>$1</em>").alias("highlighted"))
     )
+
+
+# --- multi-analyzer: per-language analyzer dispatch ---------------------------
+_MULTI_STOP = {
+    "en": ["the", "a", "of"],
+    "es": ["table", "row"],
+    "de": ["join", "merge"],
+    "fr": ["fast", "slow"],
+    # zh: no stop filter (dispatch must pass tokens through untouched)
+}
+
+
+def _stop_sql() -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {'[' + ', '.join(repr(w) for w in ws) + ']'}"
+        for lang, ws in _MULTI_STOP.items()
+    )
+    return f"(CASE lang {cases} ELSE CAST([] AS VARCHAR[]) END)"
+
+
+@register(
+    "fts_multi_analyzer",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks, {_stop_sql()} AS stop
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(list_filter(toks, x -> NOT list_contains(stop, x))) AS BIGINT) AS n_tok
+    FROM t WHERE doc_id % 7 = 0
+    """,
+)
+def fts_multi_analyzer(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language analyzer dispatch (multi-analyzer: internal/util/analyzer/,
+    canalyzer/c_analyzer_test.go:71-225, test_milvus_client_analyzer.py): the
+    analyzer config maps each document's ``lang`` to its own filter pipeline;
+    languages without a configured filter pass through. The stop list is
+    resolved to a column JVM-side (CASE chain), so the whole pipeline stays in
+    whole-stage codegen — no per-language branching in Python."""
+    t = _docs_tokens(spark, sf).filter(F.col("doc_id") % 7 == 0)
+    expr = None
+    for lang, ws in _MULTI_STOP.items():
+        arr = F.array(*[F.lit(w) for w in ws])
+        expr = F.when(F.col("lang") == lang, arr) if expr is None else expr.when(
+            F.col("lang") == lang, arr
+        )
+    stop = expr.otherwise(F.array().cast("array<string>"))
+    out = t.withColumn("stop", stop).withColumn(
+        "clean", F.expr("filter(toks, x -> NOT array_contains(stop, x))")
+    )
+    return out.select(
+        "doc_id", "lang", F.size("clean").cast("long").alias("n_tok")
+    )

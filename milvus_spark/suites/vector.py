@@ -393,3 +393,58 @@ def vec_grouping_strict(spark: SparkSession, sf: str) -> DataFrame:
         group_size=2,
         strict_group_size=True,
     )
+
+
+# --- search over a mutated collection (MVCC-visible ANN) ----------------------
+@register(
+    "vec_search_after_dml",
+    oracle=f"""
+    WITH {_Q},
+    eff AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 50 = 0 THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      FROM embeddings WHERE vec_id % 37 <> 0
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(e.emb, q.qv), 4) AS score
+      FROM eff e, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_search_after_dml(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN search over MVCC-visible collection state — the serving-path
+    composition Milvus tests as search-after-upsert/delete: queries must see
+    ts=2 upserted vectors (reversed) and must not see pks deleted at ts=3
+    (task_upsert.go, task_delete.go, MvccNode.cpp:56 + VectorSearchNode.cpp).
+    The corpus is the Collection's snapshot read (tombstone anti-join), not
+    the base table; query vectors come from the base table."""
+    import os
+    import shutil
+    import tempfile
+
+    from milvus_spark.operators.lifecycle import Collection
+
+    os.makedirs("/root/repo/_scratch", exist_ok=True)
+    path = tempfile.mkdtemp(prefix="searchdml_", dir="/root/repo/_scratch")
+    shutil.rmtree(path)
+    emb = load_table(spark, sf, "embeddings")
+    coll = Collection(spark, path, pk="vec_id")
+    coll.append(emb, ts=1)
+    coll.upsert(
+        emb.filter(F.col("vec_id") % 50 == 0).withColumn(
+            "embedding", F.reverse(F.col("embedding"))
+        ),
+        ts=2,
+    )
+    coll.delete_pks(emb.filter(F.col("vec_id") % 37 == 0), ts=3)
+    state = coll.read().drop("_ts")
+    _, qs = _load_queries(spark, sf)
+    return brute_force_search(state, qs, "embedding", "vec_id", metric="COSINE", k=10)
