@@ -502,3 +502,43 @@ def rel_agg_distinct_percentile(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("median_qty"),
         F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90_price"),
     )
+
+
+# --- JSON flat ("shredded") index: typed path column with parquet pushdown ----
+@register(
+    "rel_json_flat_index",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
+      AND event_type = 'click'
+    """,
+)
+def rel_json_flat_index(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON path index analog (JsonFlatIndex.cpp; json-stats shredding,
+    index zoo index_type.go:30-40): the JSON path is parsed ONCE at index
+    build into a typed parquet column, so the query-time predicate is a
+    plain pushed scan filter (min/max row-group pruning + PushedFilters)
+    instead of a per-row JSON parse. The flat table carries (pk, typed path
+    value); hits semi-join back to the base table — broadcast, candidates
+    are small. Result must equal the direct json_extract scan (the oracle).
+    """
+    import os
+    import shutil
+    import tempfile
+
+    os.makedirs("/root/repo/_scratch", exist_ok=True)
+    root = tempfile.mkdtemp(prefix="jsonflat_", dir="/root/repo/_scratch")
+    shutil.rmtree(root)
+    e = load_table(spark, sf, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    # index build: shred $.k to a typed column (sorted by k → row-group stats)
+    e.select("event_id", k.alias("k_val")).sort("k_val").write.parquet(root)
+    flat = spark.read.parquet(root)
+    cands = flat.filter(F.col("k_val") > 90)
+    return (
+        e.join(F.broadcast(cands), "event_id")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "k_val")
+    )

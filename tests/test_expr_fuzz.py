@@ -119,3 +119,99 @@ def test_fuzz_100_predicates(engines):
         if got != want:
             failures.append((m, s, f"rows spark={len(got)} duckdb={len(want)}"))
     assert not failures, failures[:5]
+
+
+# --- fuzz corpus 2: events — JSON paths, LIKE/regex, exists, 3VL --------------
+def gen_event_pred(rng: random.Random, depth: int = 0) -> tuple[str, str]:
+    if depth < 2 and rng.random() < 0.4:
+        op = rng.choice(["and", "or", "not"])
+        a_m, a_s = gen_event_pred(rng, depth + 1)
+        if op == "not":
+            return f"not ({a_m})", f"NOT ({a_s})"
+        b_m, b_s = gen_event_pred(rng, depth + 1)
+        return (
+            f"({a_m}) {'&&' if op == 'and' else '||'} ({b_m})",
+            f"({a_s}) {'AND' if op == 'and' else 'OR'} ({b_s})",
+        )
+    kind = rng.random()
+    if kind < 0.25:  # JSON path compare (missing key → NULL, 3VL both sides)
+        key = rng.choice(["k", "k", "k", "missing"])
+        c = rng.choice([10, 50, 69, 90])
+        op = rng.choice(["<", "<=", ">", ">=", "==", "!="])
+        sop = "=" if op == "==" else ("<>" if op == "!=" else op)
+        return (
+            f'props["{key}"] {op} {c}',
+            f"CAST(json_extract_string(props, '$.{key}') AS BIGINT) {sop} {c}",
+        )
+    if kind < 0.35:  # JSON key existence
+        key = rng.choice(["k", "missing"])
+        return (
+            f'exists props["{key}"]',
+            f"json_extract_string(props, '$.{key}') IS NOT NULL",
+        )
+    if kind < 0.55:  # LIKE: prefix / postfix / inner match
+        pat = rng.choice(["c%", "%k", "%ie%", "err%", "%ror", "%lic%", "view"])
+        neg = rng.random() < 0.3
+        return (
+            f'{"not " if neg else ""}event_type like "{pat}"',
+            f"event_type {'NOT LIKE' if neg else 'LIKE'} '{pat}'",
+        )
+    if kind < 0.65:  # regex partial match
+        pat = rng.choice(["^c", "k$", "e.r", "o+"])
+        op = rng.random() < 0.7
+        return (
+            f'event_type {"=~" if op else "!~"} "{pat}"',
+            f"{'' if op else 'NOT '}regexp_matches(event_type, '{pat}')",
+        )
+    if kind < 0.8:
+        c = rng.choice([1.0, 5.5, 12.31, 50.0, 99.9])
+        op = rng.choice(["<", "<=", ">", ">=" ])
+        return f"value {op} {c}", f"value {op} {c}"
+    if kind < 0.9:
+        vs = rng.sample(["click", "view", "error", "purchase", "scroll"], k=rng.randint(1, 3))
+        neg = rng.random() < 0.3
+        lst_m = "[" + ", ".join(f'"{v}"' for v in vs) + "]"
+        lst_s = "(" + ", ".join(f"'{v}'" for v in vs) + ")"
+        return (
+            f"event_type {'not in' if neg else 'in'} {lst_m}",
+            f"event_type {'NOT IN' if neg else 'IN'} {lst_s}",
+        )
+    m = rng.choice([3, 7, 11])
+    r = rng.randint(0, m - 1)
+    return f"user_id % {m} == {r}", f"user_id % {m} = {r}"
+
+
+@pytest.fixture(scope="module")
+def event_engines(spark, sf_dir):
+    from milvus_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events").cache()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM read_parquet('{sf_dir}/events.parquet')"
+    )
+    return e, con
+
+
+def test_fuzz_100_event_predicates(event_engines):
+    e, con = event_engines
+    rng = random.Random(20260814)
+    failures = []
+    for _ in range(100):
+        m, s = gen_event_pred(rng)
+        try:
+            got = sorted(
+                r[0]
+                for r in e.filter(compile_expr(m, e.schema)).select("event_id").collect()
+            )
+        except Exception as exc:
+            failures.append((m, s, f"spark error: {exc}"))
+            continue
+        want = sorted(
+            int(a) for (a,) in con.execute(
+                f"SELECT event_id FROM events WHERE {s}"
+            ).fetchall()
+        )
+        if got != want:
+            failures.append((m, s, f"rows spark={len(got)} duckdb={len(want)}"))
+    assert not failures, failures[:5]

@@ -82,3 +82,30 @@ def test_vector_scan_prunes_columns(spark, sf_dir):
     plan = plan_of(df)
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "label" not in read_schema
+
+
+def test_json_flat_index_pushes_typed_filter(spark, sf_dir):
+    """The shredded-path scan must push k_val > 90 to parquet (the whole
+    point of the JSON flat index: no per-row JSON parse at query time)."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    df = QUERIES["rel_json_flat_index"](spark, sf_dir)
+    plan = plan_of(df)
+    scans = [s for s in plan.split("PushedFilters") if "k_val" in s[:200]]
+    assert any("GreaterThan(k_val,90" in s[:200] for s in scans), plan[:2000]
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+
+
+def test_ngram_inner_match_verifies_via_broadcast_semi(spark, sf_dir):
+    """Posting-list intersection result (small) must broadcast into a
+    left-semi join against the corpus — shuffle volume O(candidates)."""
+    from milvus_spark.operators.ngram import build_ngram_index, inner_match
+    from milvus_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    idx = build_ngram_index(d, "text", "doc_id")
+    df = inner_match(d, idx, "text", "doc_id", "hash join")
+    plan = plan_of(df)
+    assert "LeftSemi" in plan
+    assert "BroadcastExchange" in plan
