@@ -448,3 +448,108 @@ def vec_search_after_dml(spark: SparkSession, sf: str) -> DataFrame:
     state = coll.read().drop("_ts")
     _, qs = _load_queries(spark, sf)
     return brute_force_search(state, qs, "embedding", "vec_id", metric="COSINE", k=10)
+
+
+# --- sealed + growing union search with pk-dedup reduce -----------------------
+@register(
+    "vec_sealed_growing_merge",
+    oracle=f"""
+    WITH {_Q},
+    eff AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 10 = 0 THEN list_reverse(CAST(embedding AS DOUBLE[]))
+                  ELSE CAST(embedding AS DOUBLE[]) END AS emb
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(e.emb, q.qv), 4) AS score
+      FROM eff e, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_sealed_growing_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """Sealed + growing segment search, merged at reduce — the delegator
+    shape (organizeSubTask delegator.go:990; ReduceSearchResults
+    result.go:50): the growing segment holds vectors upserted at ts=2
+    (vec_id % 10 == 0, reversed). Upsert = delete + insert, so the sealed
+    copies of those pks are tombstoned and the delete bitset is applied
+    BEFORE scoring (DeletedRecord.h:69, FilterBits → VectorSearch) — the
+    sealed scan anti-joins the growing pk set. Each segment class is then
+    searched independently and the reduce merges per-class top-k, deduping
+    any pk seen in both classes by freshest seg_ts (the ReduceSearchResults
+    pk-dedup; a no-op here by construction, load-bearing during compaction
+    windows when a pk exists in two sealed generations)."""
+    emb, qs = _load_queries(spark, sf)
+    growing = emb.filter(F.col("vec_id") % 10 == 0).withColumn(
+        "embedding", F.reverse(F.col("embedding"))
+    )
+    k = 10
+    tombstoned = growing.select("vec_id")
+    sealed = emb.join(F.broadcast(tombstoned), "vec_id", "left_anti")
+    sealed_hits = brute_force_search(
+        sealed, qs, "embedding", "vec_id", metric="COSINE", k=k
+    ).withColumn("seg_ts", F.lit(1))
+    growing_hits = brute_force_search(
+        growing, qs, "embedding", "vec_id", metric="COSINE", k=k
+    ).withColumn("seg_ts", F.lit(2))
+    merged = sealed_hits.unionByName(growing_hits)
+    dedup = W.partitionBy("qid", "vec_id").orderBy(F.col("seg_ts").desc())
+    fresh = (
+        merged.withColumn("_dup", F.row_number().over(dedup))
+        .filter(F.col("_dup") == 1)
+        .drop("_dup", "rank", "seg_ts")
+    )
+    rerank = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        fresh.withColumn("rank", F.row_number().over(rerank).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+# --- iterative post-filter mode (hints="iterative_filter") --------------------
+@register(
+    "vec_iterative_postfilter",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE", where="e.label >= 2")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_iterative_postfilter(spark: SparkSession, sf: str) -> DataFrame:
+    """Post-filter execution order (PlanProto.cpp:667-698, hint
+    "iterative_filter": Mvcc → VectorSearch → IterativeFilter): score first,
+    apply the scalar filter to the candidates, and widen the fetch until
+    every query has k survivors — the reference's iterative batches. Must be
+    result-identical to pre-filter mode (same oracle as the flagship), the
+    equivalence Milvus's own tests assert between the two orderings."""
+    emb, qs = _load_queries(spark, sf)
+    k, cond = 10, (F.col("label") >= 2)
+    total = emb.count()
+    kf = 4 * k
+    while True:
+        hits = brute_force_search(
+            emb, qs, "embedding", "vec_id", metric="COSINE", k=min(kf, total)
+        )
+        kept = hits.join(
+            emb.filter(cond).select("vec_id"), "vec_id", "left_semi"
+        )
+        short = (
+            kept.groupBy("qid").agg(F.count("*").alias("n"))
+            .filter(F.col("n") < k).count()
+        )
+        if short == 0 or kf >= total:
+            break
+        kf *= 4
+    rerank = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        kept.drop("rank")
+        .withColumn("rank", F.row_number().over(rerank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "vec_id", "score", "rank")
+    )
