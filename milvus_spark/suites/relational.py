@@ -542,3 +542,22 @@ def rel_json_flat_index(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("event_type") == "click")
         .select("event_id", "user_id", "k_val")
     )
+
+
+# --- skew-safe exact distinct count (salted two-stage) ------------------------
+@register(
+    "rel_skew_salted_distinct",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+)
+def rel_skew_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact count(DISTINCT) per key via salted two-stage aggregation
+    (operators/skew.py): per-task dedup state for a hot key is bounded by
+    1/buckets of its distinct set. Result must equal the plain distinct
+    count (the oracle)."""
+    from milvus_spark.operators.skew import salted_distinct_count
+
+    e = load_table(spark, sf, "events")
+    return salted_distinct_count(e, "event_type", "user_id", buckets=16)

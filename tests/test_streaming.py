@@ -55,3 +55,58 @@ def test_windowed_counts_batch_equiv(spark, sf_dir):
     )
     total = win.agg(F.sum("n")).collect()[0][0]
     assert total == e.count()
+
+
+def test_watermark_drops_late_rows_append_mode(spark, scratch):
+    """True streaming windowed agg: a row arriving after the watermark has
+    passed its window is dropped (GuaranteeTs/late-data analog, SURVEY §2.6).
+    Two micro-batches (maxFilesPerTrigger=1): batch 1 advances the watermark
+    beyond window [0,60s); batch 2's late event for that window is ignored.
+    Append mode emits only finalized windows."""
+    import os
+
+    from pyspark.sql import Row, functions as F
+
+    src = os.path.join(scratch, "src")
+    schema = "k string, ev timestamp"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(
+            [Row(k=k, ev=ev) for k, ev in rows], schema
+        ).write.parquet(os.path.join(src, name))
+
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    # batch 1: window [0,60) gets 2 rows; a row at 10:00 pushes the
+    # watermark (10:00 - 30s) far past 60s
+    write_batch("b1.parquet", [("a", t(5)), ("a", t(20)), ("a", dt.datetime(2024, 1, 1, 10, 0, 0))])
+    # batch 2: late row for the already-finalized [0,60) window
+    write_batch("b2.parquet", [("a", t(30))])
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ev", "30 seconds")
+        .groupBy(F.window("ev", "1 minute"), "k")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = os.path.join(scratch, "out")
+    q = (
+        agg.writeStream.outputMode("append")
+        .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
+        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["window"]["start"].second, r["n"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # [0,60) finalized with the 2 on-time rows; the late t(30) row is absent
+    assert (0, 2) in rows
+    assert (0, 3) not in rows
