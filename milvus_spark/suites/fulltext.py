@@ -155,7 +155,13 @@ def fts_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fts_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    t = _docs_tokens(spark, sf)
+    return _bm25_topk(_docs_tokens(spark, sf))
+
+
+def _bm25_topk(t: DataFrame, k: int = 15) -> DataFrame:
+    """BM25 top-k over (doc_id, toks): corpus stats (N, avgdl, df) are
+    recomputed from the given corpus — the global-stats table the reference
+    keeps in sync at the delegator (idf_oracle.go:81)."""
     dl = t.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     posting = (
@@ -180,7 +186,7 @@ def fts_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return (
         scored.select("doc_id", F.round("bm25", 4).alias("score"))
         .withColumn("rank", F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc())).cast("long"))
-        .filter(F.col("rank") <= 15)
+        .filter(F.col("rank") <= k)
     )
 
 
@@ -254,3 +260,55 @@ def fts_multi_analyzer(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", F.size("clean").cast("long").alias("n_tok")
     )
+
+
+# --- BM25 after incremental ingest: stats recomputed over old ∪ new -----------
+@register(
+    "fts_bm25_incremental",
+    oracle=f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM corpus),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE list_contains({_TERMS_SQL}, tok)
+      GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+    scored AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+                 * p.tf * ({K1} + 1)
+                 / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS bm25
+      FROM posting p
+      JOIN df ON p.tok = df.tok
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(bm25, 4) AS score,
+           CAST(row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 15
+    """,
+)
+def fts_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 consistency under incremental ingest (idf_oracle.go sync: stats
+    must reflect newly consumed segments before serving): a fresh batch
+    (re-tagged copies of doc_id % 5 == 0) lands, N/avgdl/df are rebuilt over
+    old ∪ new, and ranking uses the refreshed stats. Duplicated docs shift
+    every df and avgdl, so serving with stale stats would mis-rank — the
+    oracle recomputes from scratch, pinning the refresh semantics."""
+    base = load_table(spark, sf, "documents")
+    fresh = base.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1000000
+    )
+    corpus = base.select("doc_id", "text").unionByName(fresh.select("doc_id", "text"))
+    t = corpus.withColumn("toks", tokens(F.col("text")))
+    return _bm25_topk(t)

@@ -78,31 +78,34 @@ def test_watermark_drops_late_rows_append_mode(spark, scratch):
     import datetime as dt
 
     t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
-    # batch 1: window [0,60) gets 2 rows; a row at 10:00 pushes the
+    out = os.path.join(scratch, "out")
+
+    def drain():
+        # one availableNow run over the shared checkpoint = one ingest epoch;
+        # two sequential drains make the batch order deterministic (a single
+        # run's micro-batch order follows file mtimes, which can tie)
+        stream = spark.readStream.schema(schema).parquet(src + "/*")
+        agg = (
+            stream.withWatermark("ev", "30 seconds")
+            .groupBy(F.window("ev", "1 minute"), "k")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        q = (
+            agg.writeStream.outputMode("append")
+            .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
+            .option("checkpointLocation", os.path.join(scratch, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # epoch 1: window [0,60) gets 2 rows; a row at 10:00 pushes the
     # watermark (10:00 - 30s) far past 60s
     write_batch("b1.parquet", [("a", t(5)), ("a", t(20)), ("a", dt.datetime(2024, 1, 1, 10, 0, 0))])
-    # batch 2: late row for the already-finalized [0,60) window
+    drain()
+    # epoch 2: late row for the already-finalized [0,60) window
     write_batch("b2.parquet", [("a", t(30))])
-
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src + "/*")
-    )
-    agg = (
-        stream.withWatermark("ev", "30 seconds")
-        .groupBy(F.window("ev", "1 minute"), "k")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    out = os.path.join(scratch, "out")
-    q = (
-        agg.writeStream.outputMode("append")
-        .foreachBatch(lambda b, _i: b.write.mode("append").parquet(out))
-        .option("checkpointLocation", os.path.join(scratch, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    drain()
     rows = {
         (r["window"]["start"].second, r["n"])
         for r in spark.read.parquet(out).collect()
