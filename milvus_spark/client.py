@@ -187,6 +187,96 @@ class MilvusSparkClient:
     def compact(self, name: str, num_partitions: int = 4) -> None:
         self._coll(name).compact(num_partitions)
 
+    # -------------------------------------------------------------- indexes
+    def create_index(
+        self, name: str, field: str, index_type: str = "IVF_FLAT",
+        params: Optional[dict] = None,
+    ) -> dict:
+        """Build an index on ``field`` (create_index API; index zoo
+        internal/util/indexparamcheck/index_type.go:30-40).
+
+        Materialized types: IVF_FLAT (vector field → centroid table +
+        cluster-partitioned corpus rewrite, operators/ivf.py) and NGRAM
+        (varchar field → posting table, operators/ngram.py). Scalar types
+        (INVERTED / BITMAP / SORT / TRIE / AUTOINDEX) are recorded
+        metadata-only: parquet stats + Catalyst pushdown already serve their
+        role (SURVEY §4.1 — index selection is an optimization, not a
+        correctness requirement). Artifacts carry the collection ts at build
+        time; DML after the build makes the index stale and search falls
+        back to exact scan (the sealed-index vs growing split)."""
+        params = dict(params or {})
+        meta = self._meta(name)
+        itype = index_type.upper()
+        idx_dir = os.path.join(self.root, name, "_indexes", f"{field}__{itype}")
+        entry: dict = {
+            "field": field, "index_type": itype, "params": params,
+            "built_ts": self._ts.get(name, 0), "path": idx_dir,
+            "materialized": True,
+        }
+        if itype == "IVF_FLAT":
+            if field != meta.get("vector"):
+                raise ValueError(f"IVF_FLAT requires the vector field, got {field!r}")
+            from milvus_spark.operators.ivf import (
+                build_centroids, l2_normalize, write_clustered,
+            )
+
+            nlist = int(params.get("nlist", 16))
+            df = self._read(name)
+            corpus = (
+                l2_normalize(df, field)
+                if meta.get("metric", "COSINE") == "COSINE"
+                else df.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            cents = build_centroids(
+                corpus, field, k=nlist,
+                seed=int(params.get("seed", 42)),
+                max_iter=int(params.get("max_iter", 8)),
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            write_clustered(corpus, field, cents, os.path.join(idx_dir, "clustered"))
+            with open(os.path.join(idx_dir, "centroids.json"), "w") as f:
+                json.dump(cents.tolist(), f)
+            entry["nlist"] = nlist
+        elif itype == "NGRAM":
+            from milvus_spark.operators.ngram import build_ngram_index
+
+            n = int(params.get("n", 3))
+            build_ngram_index(self._read(name), field, meta["pk"], n).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(idx_dir, "posting"))
+            entry["n"] = n
+        elif itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "AUTOINDEX"):
+            entry["materialized"] = False
+        else:
+            raise ValueError(f"unsupported index type {index_type!r}")
+        meta.setdefault("indexes", {})[f"{field}__{itype}"] = entry
+        self._save_catalog()
+        return entry
+
+    def list_indexes(self, name: str) -> list[str]:
+        return sorted(self._meta(name).get("indexes", {}))
+
+    def describe_index(self, name: str, field: str, index_type: str) -> dict:
+        key = f"{field}__{index_type.upper()}"
+        idx = self._meta(name).get("indexes", {})
+        if key not in idx:
+            raise KeyError(f"no index {key} on {name}")
+        return idx[key]
+
+    def drop_index(self, name: str, field: str, index_type: str) -> None:
+        import shutil
+
+        entry = self.describe_index(name, field, index_type)
+        self._meta(name)["indexes"].pop(f"{field}__{index_type.upper()}")
+        shutil.rmtree(entry["path"], ignore_errors=True)
+        self._save_catalog()
+
+    def _fresh_index(self, name: str, field: str, itype: str) -> Optional[dict]:
+        entry = self._meta(name).get("indexes", {}).get(f"{field}__{itype}")
+        if entry and entry["built_ts"] == self._ts.get(name, 0):
+            return entry
+        return None
+
     # --------------------------------------------------------------- query
     def _resolve_as_of(
         self, name: str, as_of: Optional[int], consistency_level: Optional[str]
@@ -304,11 +394,40 @@ class MilvusSparkClient:
         range_filter: Optional[float] = None,
         as_of: Optional[int] = None,
         consistency_level: Optional[str] = None,
+        search_params: Optional[dict] = None,
     ) -> DataFrame:
-        """ANN top-k over the collection's vector field (pre-filter mode)."""
+        """ANN top-k over the collection's vector field (pre-filter mode).
+
+        Uses a fresh IVF_FLAT index when one exists and the query is
+        unfiltered/unbounded (``search_params={"nprobe": n}``); any filter,
+        range bound, snapshot read, or post-build DML falls back to the
+        exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         meta = self._meta(name)
         if not meta.get("vector"):
             raise ValueError(f"collection {name} has no vector field")
+        idx = self._fresh_index(name, meta["vector"], "IVF_FLAT")
+        if (
+            idx is not None
+            and filter is None and radius is None and range_filter is None
+            and as_of is None and not meta.get("external_path")
+        ):
+            import numpy as np
+
+            from milvus_spark.operators.ivf import ivf_search
+
+            with open(os.path.join(idx["path"], "centroids.json")) as f:
+                cents = np.asarray(json.load(f), dtype=np.float64)
+            return ivf_search(
+                self.spark,
+                os.path.join(idx["path"], "clustered"),
+                cents,
+                [(i, list(map(float, v))) for i, v in enumerate(data)],
+                vec_col=meta["vector"],
+                pk_col=meta["pk"],
+                metric=metric_type or meta["metric"],
+                k=limit,
+                nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
+            )
         df = self._read(name, self._resolve_as_of(name, as_of, consistency_level))
         cond = compile_expr(filter, df.schema, params) if filter else None
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]

@@ -164,3 +164,44 @@ def test_consistency_levels(client, spark, sf_dir):
     assert bounded == 5  # one write-batch of tolerated staleness
     with pytest.raises(ValueError):
         client.query("cl", consistency_level="quantum")
+
+
+def test_index_lifecycle(client, spark, sf_dir):
+    """create_index / list / describe / drop; IVF-backed search recall;
+    staleness fallback to exact scan after DML."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("vx", pk_field="vec_id", vector_field="embedding")
+    client.insert("vx", emb)
+
+    entry = client.create_index("vx", "embedding", "IVF_FLAT", {"nlist": 8})
+    assert entry["materialized"] and entry["nlist"] == 8
+    client.create_index("vx", "vec_id", "INVERTED")
+    assert client.list_indexes("vx") == ["embedding__IVF_FLAT", "vec_id__INVERTED"]
+    assert client.describe_index("vx", "vec_id", "INVERTED")["materialized"] is False
+
+    q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
+    exact = client.search("vx", data=q, limit=10, filter="vec_id >= 0")  # filtered → brute force
+    approx = client.search("vx", data=q, limit=10, search_params={"nprobe": 6})
+    exact_ids = {(r.qid, r.vec_id) for r in exact.collect()}
+    approx_ids = {(r.qid, r.vec_id) for r in approx.collect()}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.9, recall
+
+    # DML after build → index stale → search falls back to the exact scan
+    client.delete("vx", ids=[int(next(iter(exact_ids))[1])])
+    post = client.search("vx", data=q, limit=10)
+    deleted = next(iter(exact_ids))[1]
+    assert all(r.vec_id != deleted for r in post.collect())
+
+    client.drop_index("vx", "embedding", "IVF_FLAT")
+    assert client.list_indexes("vx") == ["vec_id__INVERTED"]
+
+
+def test_ngram_index_build(client, spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    client.create_collection("dx", pk_field="doc_id")
+    client.insert("dx", docs)
+    entry = client.create_index("dx", "text", "NGRAM", {"n": 3})
+    posting = spark.read.parquet(entry["path"] + "/posting")
+    assert set(posting.columns) == {"id", "gram"}
+    assert posting.count() > 0
