@@ -561,3 +561,27 @@ def rel_skew_salted_distinct(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "events")
     return salted_distinct_count(e, "event_type", "user_id", buckets=16)
+
+
+# --- template variables (server-side placeholder fill) ------------------------
+@register(
+    "rel_template_params",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 250000 AND o_orderkey % 3 = 1
+    """,
+)
+def rel_template_params(spark: SparkSession, sf: str) -> DataFrame:
+    """Template-variable expressions ({placeholder} filled server-side:
+    plan.proto:341 is_template, planparserv2/fill_expression_value.go): the
+    filter string is compiled once with placeholders and bound with a params
+    dict at execution — no string interpolation of user values."""
+    from milvus_spark.plans.expr import compile_expr
+
+    o = load_table(spark, sf, "orders")
+    cond = compile_expr(
+        'o_orderstatus == {status} && o_totalprice > {floor} && o_orderkey % 3 == {m}',
+        o.schema,
+        params={"status": "O", "floor": 250000, "m": 1},
+    )
+    return o.filter(cond).select("o_orderkey", "o_totalprice")

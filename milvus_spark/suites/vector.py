@@ -553,3 +553,37 @@ def vec_iterative_postfilter(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= k)
         .select("qid", "vec_id", "score", "rank")
     )
+
+
+# --- large top-k mode (relaxed limit path) ------------------------------------
+@register(
+    "vec_large_topk",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 1000
+    """,
+)
+def vec_large_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Large top-k mode (LargeTopKLimit quota_param.go:126, queryMode=
+    LargeTopK task_search.go:193; hard cap topk ≤ 16384 quota_param.go:
+    1445-1450): same plan as standard search with a relaxed k — the per-batch
+    partial top-k keeps shuffle volume O(batches · nq · k) even at k=1000."""
+    emb, qs = _load_queries(spark, sf)
+    return brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=1000)
+
+
+# --- search pagination offset -------------------------------------------------
+@register(
+    "vec_search_offset",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE")}
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank > 10 AND rank <= 20
+    """,
+)
+def vec_search_offset(spark: SparkSession, sf: str) -> DataFrame:
+    """Search pagination (offset in QueryInfo, SURVEY §2.5): fetch
+    offset+limit candidates, emit ranks (offset, offset+limit] — the page-2
+    slice. Oracle pins that rank numbering continues across pages."""
+    emb, qs = _load_queries(spark, sf)
+    hits = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=20)
+    return hits.filter(F.col("rank") > 10)
