@@ -405,6 +405,10 @@ class MilvusSparkClient:
         meta = self._meta(name)
         if not meta.get("vector"):
             raise ValueError(f"collection {name} has no vector field")
+        if not 0 < limit <= 16384:
+            # topk quota (quota_param.go:1445-1450); LargeTopK collections
+            # relax this server-side — pass the relaxed cap explicitly
+            raise ValueError(f"limit must be in (0, 16384], got {limit}")
         idx = self._fresh_index(name, meta["vector"], "IVF_FLAT")
         if (
             idx is not None

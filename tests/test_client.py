@@ -205,3 +205,14 @@ def test_ngram_index_build(client, spark, sf_dir):
     posting = spark.read.parquet(entry["path"] + "/posting")
     assert set(posting.columns) == {"id", "gram"}
     assert posting.count() > 0
+
+
+def test_search_topk_quota(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("vq", pk_field="vec_id", vector_field="embedding")
+    client.insert("vq", emb)
+    q = [[0.0] * 64]
+    with pytest.raises(ValueError, match="16384"):
+        client.search("vq", data=q, limit=16385)
+    with pytest.raises(ValueError, match="16384"):
+        client.search("vq", data=q, limit=0)
