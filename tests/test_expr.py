@@ -124,3 +124,30 @@ def test_errors():
     for bad in ["a >", "a in 5", "a like 5", "{missing}", "a ==", "foo(a)"]:
         with pytest.raises(ExprError):
             compile_expr(bad, sch)
+
+
+def test_nested_json_path_and_array_subscript(spark):
+    """JSONIdentifier chains (Plan.g4:158; ColumnInfo.nested_path
+    plan.proto:110): nested object paths and array subscripts (0-indexed,
+    Milvus convention) compile to get_json_object $.a.b[i] paths."""
+    from pyspark.sql import Row
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, props='{"a": {"b": 2}, "arr": [5, 6]}'),
+            Row(id=2, props='{"a": {"b": 0}}'),
+        ]
+    )
+    cases = [
+        ('props["a"]["b"] > 1', {1}),
+        ('props["arr"][0] == 5', {1}),
+        ('props["arr"][1] == 6', {1}),
+        ('props["arr"][2] is null', {1, 2}),  # out of range / missing → null
+        ('exists props["a"]["b"]', {1, 2}),
+        ('not (props["a"]["b"] > 1)', {2}),  # 3VL: missing arr row excluded
+    ]
+    from milvus_spark.plans.expr import compile_expr
+
+    for expr_s, want in cases:
+        got = {r["id"] for r in df.filter(compile_expr(expr_s, df.schema)).collect()}
+        assert got == want, expr_s
