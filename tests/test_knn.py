@@ -101,3 +101,40 @@ def test_grouping_search_shape(emb):
     for r in res:
         cnt[(r.qid, r.label)] = cnt.get((r.qid, r.label), 0) + 1
     assert all(v <= 2 for v in cnt.values())
+
+
+def test_brute_force_scales_by_partition(spark, sf_dir):
+    """Kernel shape check at 50x the corpus (100k vectors): per-batch
+    partial top-k means shuffle volume stays O(batches * nq * k) regardless
+    of corpus size; results on the replicated corpus must put the exact
+    duplicates of each query first (score 1.0 for COSINE)."""
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.knn import brute_force_search, queries_from_table
+    from milvus_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    expanded = emb
+    for i in range(1, 50):
+        expanded = expanded.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + i * n)
+        )
+    expanded = expanded.repartition(32).cache()
+    assert expanded.count() == 50 * n
+
+    qs = queries_from_table(emb, "vec_id", "embedding", F.col("vec_id") < 2)
+    hits = brute_force_search(expanded, qs, "embedding", "vec_id", metric="COSINE", k=60)
+    rows = hits.collect()
+    assert len(rows) == 2 * 60
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append(r)
+    for qid, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        # 50 exact replicas of the query vector rank first at score 1.0
+        assert all(r["score"] == 1.0 for r in rs[:50]), qid
+        assert {r["vec_id"] % n for r in rs[:50]} == {qid}
+        # scores non-increasing with rank
+        assert all(rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1))
+    expanded.unpersist()
