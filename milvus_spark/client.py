@@ -395,6 +395,7 @@ class MilvusSparkClient:
         as_of: Optional[int] = None,
         consistency_level: Optional[str] = None,
         search_params: Optional[dict] = None,
+        output_fields: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
 
@@ -421,7 +422,7 @@ class MilvusSparkClient:
 
             with open(os.path.join(idx["path"], "centroids.json")) as f:
                 cents = np.asarray(json.load(f), dtype=np.float64)
-            return ivf_search(
+            hits = ivf_search(
                 self.spark,
                 os.path.join(idx["path"], "clustered"),
                 cents,
@@ -432,10 +433,11 @@ class MilvusSparkClient:
                 k=limit,
                 nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
             )
+            return self._requery(name, hits, meta, output_fields)
         df = self._read(name, self._resolve_as_of(name, as_of, consistency_level))
         cond = compile_expr(filter, df.schema, params) if filter else None
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
-        return brute_force_search(
+        hits = brute_force_search(
             df,
             queries,
             vec_col=meta["vector"],
@@ -445,6 +447,24 @@ class MilvusSparkClient:
             filter_cond=cond,
             radius=radius,
             range_filter=range_filter,
+        )
+        return self._requery(name, hits, meta, output_fields)
+
+    def _requery(
+        self, name: str, hits: DataFrame, meta: dict,
+        output_fields: Optional[Sequence[str]],
+    ) -> DataFrame:
+        """Fetch output fields for top-k hits by pk after the search —
+        the requery path (task_search.go:53-63,262): wide columns are never
+        carried through scoring/shuffle; the small hit set broadcasts into
+        a join against the collection."""
+        if not output_fields:
+            return hits
+        pk = meta["pk"]
+        fields = [f for f in output_fields if f != pk]
+        side = self._read(name).select(pk, *fields)
+        return side.join(F.broadcast(hits), pk).select(
+            "qid", pk, "score", "rank", *fields
         )
 
     def search_iterator(

@@ -216,3 +216,15 @@ def test_search_topk_quota(client, spark, sf_dir):
         client.search("vq", data=q, limit=16385)
     with pytest.raises(ValueError, match="16384"):
         client.search("vq", data=q, limit=0)
+
+
+def test_search_output_fields_requery(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("vr", pk_field="vec_id", vector_field="embedding")
+    client.insert("vr", emb)
+    q = [r.embedding for r in emb.filter(F.col("vec_id") == 3).collect()]
+    hits = client.search("vr", data=q, limit=5, output_fields=["label"]).collect()
+    assert len(hits) == 5
+    want = {r.vec_id: r.label for r in emb.collect()}
+    assert all(h.label == want[h.vec_id] for h in hits)
+    assert sorted(h.rank for h in hits) == [1, 2, 3, 4, 5]
