@@ -528,16 +528,33 @@ class MilvusSparkClient:
         from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
         meta = self._meta(name)
-        results = [
-            self.search(
-                name,
-                data=r["data"],
-                limit=r.get("limit", limit),
-                filter=r.get("filter"),
-                metric_type=r.get("metric_type"),
+        # identical sub-request dedup (planparserv2/check_identical.go:11-55):
+        # equal (data, limit, filter, metric) sub-searches share one scored
+        # plan instead of scanning/scoring twice
+        def req_key(r: dict) -> str:
+            return json.dumps(
+                [
+                    [[float(x) for x in v] for v in r["data"]],
+                    r.get("limit", limit), r.get("filter"), r.get("metric_type"),
+                ],
+                sort_keys=True,
             )
-            for r in reqs
-        ]
+
+        keys = [req_key(r) for r in reqs]
+        dup = {k for k in keys if keys.count(k) > 1}
+        cache: dict[str, DataFrame] = {}
+        results = []
+        for r, key in zip(reqs, keys):
+            if key not in cache:
+                hits = self.search(
+                    name,
+                    data=r["data"],
+                    limit=r.get("limit", limit),
+                    filter=r.get("filter"),
+                    metric_type=r.get("metric_type"),
+                )
+                cache[key] = hits.cache() if key in dup else hits
+            results.append(cache[key])
         if rerank == "rrf":
             return rrf_fusion(results, meta["pk"], limit=limit)
         if rerank == "weighted":

@@ -228,3 +228,19 @@ def test_search_output_fields_requery(client, spark, sf_dir):
     want = {r.vec_id: r.label for r in emb.collect()}
     assert all(h.label == want[h.vec_id] for h in hits)
     assert sorted(h.rank for h in hits) == [1, 2, 3, 4, 5]
+
+
+def test_hybrid_identical_subrequest_dedup(client, spark, sf_dir):
+    """check_identical.go analog: equal sub-requests share one scored plan;
+    fusion result equals running them naively (RRF sums both ranks)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("vh", pk_field="vec_id", vector_field="embedding")
+    client.insert("vh", emb)
+    q = [r.embedding for r in emb.filter(F.col("vec_id") == 1).collect()]
+    req = {"data": q, "limit": 10, "metric_type": "COSINE"}
+    fused = client.hybrid_search("vh", [req, dict(req)], rerank="rrf", limit=5)
+    rows = fused.collect()
+    assert len(rows) == 5
+    # both sub-searches identical → fused rrf score = 2/(60+rank)
+    top = max(rows, key=lambda r: r.score)
+    assert top.score == round(2 * (1.0 / 61), 4)
