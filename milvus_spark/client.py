@@ -48,15 +48,25 @@ class MilvusSparkClient:
         self,
         name: str,
         pk_field: str,
-        vector_field: Optional[str] = None,
+        vector_field: Optional[str | Sequence[str]] = None,
         metric_type: str = "COSINE",
         partition_key_field: Optional[str] = None,
     ) -> None:
+        """``vector_field`` may be a list: Milvus collections support
+        multiple vector fields (one ANN sub-search per field in hybrid
+        search, initAdvancedSearchRequest task_search.go:489). The first
+        is the default ``anns_field``."""
         if name in self._catalog:
             raise ValueError(f"collection {name} exists")
+        vfs = (
+            list(vector_field)
+            if isinstance(vector_field, (list, tuple))
+            else ([vector_field] if vector_field else [])
+        )
         self._catalog[name] = {
             "pk": pk_field,
-            "vector": vector_field,
+            "vector": vfs[0] if vfs else None,
+            "vector_fields": vfs,
             "metric": metric_type,
             "partition_key": partition_key_field,
         }
@@ -101,7 +111,8 @@ class MilvusSparkClient:
         """Schema evolution: hide a field from all reads without rewriting
         (test_drop_field_feature.py). Data is dropped lazily at compaction."""
         meta = self._meta(name)
-        if meta["pk"] == field or meta.get("vector") == field:
+        vfs = meta.get("vector_fields") or [meta.get("vector")]
+        if meta["pk"] == field or field in vfs:
             raise ValueError(f"cannot drop pk/vector field {field}")
         meta.setdefault("dropped_fields", []).append(field)
         meta.get("added_fields", {}).pop(field, None)
@@ -214,8 +225,9 @@ class MilvusSparkClient:
             "materialized": True,
         }
         if itype == "IVF_FLAT":
-            if field != meta.get("vector"):
-                raise ValueError(f"IVF_FLAT requires the vector field, got {field!r}")
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"IVF_FLAT requires a vector field, got {field!r}")
             from milvus_spark.operators.ivf import (
                 build_centroids, l2_normalize, write_clustered,
             )
@@ -396,6 +408,7 @@ class MilvusSparkClient:
         consistency_level: Optional[str] = None,
         search_params: Optional[dict] = None,
         output_fields: Optional[Sequence[str]] = None,
+        anns_field: Optional[str] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
 
@@ -404,13 +417,17 @@ class MilvusSparkClient:
         range bound, snapshot read, or post-build DML falls back to the
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         meta = self._meta(name)
-        if not meta.get("vector"):
+        vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
+        if not vfields:
             raise ValueError(f"collection {name} has no vector field")
+        vfield = anns_field or vfields[0]
+        if vfield not in vfields:
+            raise ValueError(f"unknown anns_field {vfield!r}; have {vfields}")
         if not 0 < limit <= 16384:
             # topk quota (quota_param.go:1445-1450); LargeTopK collections
             # relax this server-side — pass the relaxed cap explicitly
             raise ValueError(f"limit must be in (0, 16384], got {limit}")
-        idx = self._fresh_index(name, meta["vector"], "IVF_FLAT")
+        idx = self._fresh_index(name, vfield, "IVF_FLAT")
         if (
             idx is not None
             and filter is None and radius is None and range_filter is None
@@ -427,7 +444,7 @@ class MilvusSparkClient:
                 os.path.join(idx["path"], "clustered"),
                 cents,
                 [(i, list(map(float, v))) for i, v in enumerate(data)],
-                vec_col=meta["vector"],
+                vec_col=vfield,
                 pk_col=meta["pk"],
                 metric=metric_type or meta["metric"],
                 k=limit,
@@ -440,7 +457,7 @@ class MilvusSparkClient:
         hits = brute_force_search(
             df,
             queries,
-            vec_col=meta["vector"],
+            vec_col=vfield,
             pk_col=meta["pk"],
             metric=metric_type or meta["metric"],
             k=limit,
@@ -536,6 +553,7 @@ class MilvusSparkClient:
                 [
                     [[float(x) for x in v] for v in r["data"]],
                     r.get("limit", limit), r.get("filter"), r.get("metric_type"),
+                    r.get("anns_field"),
                 ],
                 sort_keys=True,
             )
@@ -552,6 +570,7 @@ class MilvusSparkClient:
                     limit=r.get("limit", limit),
                     filter=r.get("filter"),
                     metric_type=r.get("metric_type"),
+                    anns_field=r.get("anns_field"),
                 )
                 cache[key] = hits.cache() if key in dup else hits
             results.append(cache[key])

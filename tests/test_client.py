@@ -244,3 +244,38 @@ def test_hybrid_identical_subrequest_dedup(client, spark, sf_dir):
     # both sub-searches identical → fused rrf score = 2/(60+rank)
     top = max(rows, key=lambda r: r.score)
     assert top.score == round(2 * (1.0 / 61), 4)
+
+
+def test_multi_vector_fields(client, spark, sf_dir):
+    """Multiple vector fields per collection: per-field anns_field search and
+    hybrid fusion across two fields of the same collection."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    two = emb.withColumn("emb2", F.reverse(F.col("embedding")))
+    client.create_collection(
+        "mv", pk_field="vec_id", vector_field=["embedding", "emb2"]
+    )
+    client.insert("mv", two)
+    q = [r.embedding for r in emb.filter(F.col("vec_id") == 2).collect()]
+
+    h1 = client.search("mv", data=q, limit=3).collect()  # default field
+    h2 = client.search("mv", data=q, limit=3, anns_field="emb2").collect()
+    assert h1[0].vec_id == 2 and h1[0].score == 1.0
+    # reversed field: query (unreversed) need not match itself first
+    assert [r.rank for r in h2] == [1, 2, 3]
+
+    fused = client.hybrid_search(
+        "mv",
+        [
+            {"data": q, "limit": 10},
+            {"data": [list(reversed(q[0]))], "limit": 10, "anns_field": "emb2"},
+        ],
+        rerank="rrf",
+        limit=5,
+    ).collect()
+    assert len(fused) == 5
+    # vec 2 ranks #1 in both sub-searches -> top fused score 2/(60+1)
+    top = max(fused, key=lambda r: r.score)
+    assert top.vec_id == 2 and top.score == round(2 / 61, 4)
+
+    with pytest.raises(ValueError, match="anns_field"):
+        client.search("mv", data=q, limit=3, anns_field="nope")
