@@ -348,12 +348,38 @@ class MilvusSparkClient:
         ``min(c)`` / ``max(c)`` (aggregation surface, internal/agg/
         aggregate.go:25-37) alongside plain columns → those become group-by
         keys, matching query()'s group_by_fields semantics.
+
+        Index selection (UnaryExpr.h:1117-1121 ForIndex-vs-ForData dispatch):
+        a filter of exactly ``field like "%pat%"`` with a fresh NGRAM index
+        on ``field`` routes through the posting-list intersection
+        (operators/ngram.py) instead of scanning every row's text; any other
+        filter, or a stale index, takes the scan path. Results are
+        identical either way — the index is an access path, not a semantic.
         """
-        df = apply_filter(
-            self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
-            filter,
-            params,
-        )
+        resolved = self._resolve_as_of(name, as_of, consistency_level)
+        base = self._read(name, resolved)
+        df = None
+        if filter and resolved is None:
+            import re as _re
+
+            m = _re.fullmatch(
+                r'\s*(\w+)\s+like\s+"%([^%_\\"]+)%"\s*', filter
+            )
+            if m:
+                fld, pat = m.group(1), m.group(2)
+                entry = self._fresh_index(name, fld, "NGRAM")
+                if entry is not None:
+                    from milvus_spark.operators.ngram import inner_match
+
+                    posting = self.spark.read.parquet(
+                        os.path.join(entry["path"], "posting")
+                    )
+                    df = inner_match(
+                        base, posting, fld, self._meta(name)["pk"], pat,
+                        n=int(entry.get("n", 3)),
+                    )
+        if df is None:
+            df = apply_filter(base, filter, params)
         if output_fields:
             aggs, plain = [], []
             import re

@@ -279,3 +279,32 @@ def test_multi_vector_fields(client, spark, sf_dir):
 
     with pytest.raises(ValueError, match="anns_field"):
         client.search("mv", data=q, limit=3, anns_field="nope")
+
+
+def test_query_inner_match_uses_ngram_index(client, spark, sf_dir):
+    """Index selection: like "%pat%" with a fresh NGRAM index routes through
+    the posting table; results identical to the scan path; DML staleness
+    falls back to the scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    client.create_collection("di", pk_field="doc_id")
+    client.insert("di", docs)
+    want = sorted(r.doc_id for r in docs.filter(F.col("text").contains("merge")).collect())
+
+    # scan path (no index yet)
+    scan = client.query("di", filter='text like "%merge%"')
+    assert sorted(r.doc_id for r in scan.collect()) == want
+
+    client.create_index("di", "text", "NGRAM")
+    idx_df = client.query("di", filter='text like "%merge%"')
+    assert sorted(r.doc_id for r in idx_df.collect()) == want
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "posting" in plan  # posting parquet participates in the plan
+
+    # other filters keep the normal path
+    other = client.query("di", filter='n_chars > 100 && text like "%merge%"')
+    assert other.count() == docs.filter("n_chars > 100 AND contains(text, 'merge')").count()
+
+    # staleness: DML after build -> scan path, fresh results
+    client.delete("di", ids=[int(want[0])])
+    post = sorted(r.doc_id for r in client.query("di", filter='text like "%merge%"').collect())
+    assert post == want[1:]
