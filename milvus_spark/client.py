@@ -257,6 +257,20 @@ class MilvusSparkClient:
                 "overwrite"
             ).parquet(os.path.join(idx_dir, "posting"))
             entry["n"] = n
+        elif itype == "JSON_FLAT":
+            # shredded JSON path index (JsonFlatIndex.cpp / json-stats):
+            # parse the path once into a typed, sorted parquet column so a
+            # query-time predicate is a pushed scan filter with row-group
+            # stats, not a per-row parse. Values cast to double to mirror
+            # the filter language's numeric JSON compare semantics.
+            jpath = params.get("json_path")
+            if not jpath:
+                raise ValueError("JSON_FLAT needs params={'json_path': '$.key'}")
+            self._read(name).select(
+                meta["pk"],
+                F.get_json_object(F.col(field), jpath).cast("double").alias("v"),
+            ).sort("v").write.mode("overwrite").parquet(os.path.join(idx_dir, "flat"))
+            entry["json_path"] = jpath
         elif itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "AUTOINDEX"):
             entry["materialized"] = False
         else:
@@ -378,6 +392,19 @@ class MilvusSparkClient:
                         base, posting, fld, self._meta(name)["pk"], pat,
                         n=int(entry.get("n", 3)),
                     )
+            mj = _re.fullmatch(
+                r'\s*(\w+)\["(\w+)"\]\s*(==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*',
+                filter,
+            )
+            if df is None and mj:
+                fld, key, op, num = mj.groups()
+                entry = self._fresh_index(name, fld, "JSON_FLAT")
+                if entry is not None and entry.get("json_path") == f"$.{key}":
+                    pk = self._meta(name)["pk"]
+                    flat = self.spark.read.parquet(os.path.join(entry["path"], "flat"))
+                    ops = {"==": "=", "<=": "<=", ">=": ">=", "<": "<", ">": ">"}
+                    cands = flat.filter(F.expr(f"v {ops[op]} {num}")).select(pk)
+                    df = base.join(F.broadcast(cands), pk, "left_semi")
         if df is None:
             df = apply_filter(base, filter, params)
         if output_fields:

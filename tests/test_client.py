@@ -308,3 +308,30 @@ def test_query_inner_match_uses_ngram_index(client, spark, sf_dir):
     client.delete("di", ids=[int(want[0])])
     post = sorted(r.doc_id for r in client.query("di", filter='text like "%merge%"').collect())
     assert post == want[1:]
+
+
+def test_query_json_compare_uses_flat_index(client, spark, sf_dir):
+    """JSON_FLAT index selection: props["k"] > N routes through the shredded
+    parquet column; results identical to the json-parse scan path."""
+    from milvus_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events").drop("ts")
+    client.create_collection("ej", pk_field="event_id")
+    client.insert("ej", events)
+    want = sorted(
+        r.event_id
+        for r in events.filter(
+            F.get_json_object("props", "$.k").cast("double") > 60
+        ).collect()
+    )
+    scan = sorted(r.event_id for r in client.query("ej", filter='props["k"] > 60').collect())
+    assert scan == want
+
+    client.create_index("ej", "props", "JSON_FLAT", {"json_path": "$.k"})
+    idx_df = client.query("ej", filter='props["k"] > 60')
+    assert sorted(r.event_id for r in idx_df.collect()) == want
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "flat" in plan and "LeftSemi" in plan
+
+    with pytest.raises(ValueError, match="json_path"):
+        client.create_index("ej", "props", "JSON_FLAT")
