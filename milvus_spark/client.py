@@ -438,6 +438,21 @@ class MilvusSparkClient:
             df = df.limit(limit)
         return df
 
+    def text_search(
+        self, name: str, field: str, query: str, limit: int = 10
+    ) -> DataFrame:
+        """Full-text (BM25) search over a varchar field: standard analyzer
+        tokenization, corpus stats recomputed from current state (the IDF
+        oracle sync), top-k by BM25 — the bm25_function.go + metric BM25
+        surface as a client call. Returns (pk, score, rank)."""
+        from milvus_spark.operators.text import tokens
+        from milvus_spark.suites.fulltext import _bm25_topk
+
+        meta = self._meta(name)
+        terms = [w for w in query.lower().split() if w]
+        t = self._read(name).withColumn("toks", tokens(F.col(field)))
+        return _bm25_topk(t, k=limit, pk_col=meta["pk"], terms=terms)
+
     def get(self, name: str, ids: Sequence[Any], output_fields: Optional[Sequence[str]] = None) -> DataFrame:
         meta = self._meta(name)
         df = self._read(name).filter(F.col(meta["pk"]).isin(*list(ids)))

@@ -21,6 +21,8 @@ window over the small per-term candidate set, never a full corpus sort.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -158,15 +160,20 @@ def fts_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
     return _bm25_topk(_docs_tokens(spark, sf))
 
 
-def _bm25_topk(t: DataFrame, k: int = 15) -> DataFrame:
-    """BM25 top-k over (doc_id, toks): corpus stats (N, avgdl, df) are
+def _bm25_topk(
+    t: DataFrame, k: int = 15, pk_col: str = "doc_id",
+    terms: Sequence[str] | None = None,
+) -> DataFrame:
+    """BM25 top-k over (pk, toks): corpus stats (N, avgdl, df) are
     recomputed from the given corpus — the global-stats table the reference
     keeps in sync at the delegator (idf_oracle.go:81)."""
+    terms = list(terms) if terms is not None else QUERY_TERMS
+    t = t.withColumnRenamed(pk_col, "doc_id") if pk_col != "doc_id" else t
     dl = t.select("doc_id", F.size("toks").alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     posting = (
         t.select("doc_id", F.explode("toks").alias("tok"))
-        .filter(F.col("tok").isin(QUERY_TERMS))
+        .filter(F.col("tok").isin(terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
@@ -183,11 +190,12 @@ def _bm25_topk(t: DataFrame, k: int = 15) -> DataFrame:
         .agg(F.sum(idf * tf_norm).alias("bm25"))
     )
     w = W.orderBy(F.round("bm25", 4).desc(), F.col("doc_id").asc())
-    return (
+    out = (
         scored.select("doc_id", F.round("bm25", 4).alias("score"))
         .withColumn("rank", F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc())).cast("long"))
         .filter(F.col("rank") <= k)
     )
+    return out.withColumnRenamed("doc_id", pk_col) if pk_col != "doc_id" else out
 
 
 # --- highlighter --------------------------------------------------------------

@@ -335,3 +335,16 @@ def test_query_json_compare_uses_flat_index(client, spark, sf_dir):
 
     with pytest.raises(ValueError, match="json_path"):
         client.create_index("ej", "props", "JSON_FLAT")
+
+
+def test_text_search_bm25(client, spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    client.create_collection("ft", pk_field="doc_id")
+    client.insert("ft", docs)
+    hits = client.text_search("ft", "text", "spark merge vector", limit=10).collect()
+    assert len(hits) == 10
+    assert [h.rank for h in hits] == list(range(1, 11))
+    assert all(hits[i].score >= hits[i + 1].score for i in range(9))
+    # top hit must actually contain at least one query term
+    top_text = docs.filter(F.col("doc_id") == hits[0].doc_id).collect()[0].text
+    assert any(w in top_text for w in ("spark", "merge", "vector"))
