@@ -127,6 +127,38 @@ class MilvusSparkClient:
         if os.path.isdir(p):
             shutil.rmtree(p)
 
+    def rename_collection(self, old: str, new: str) -> None:
+        """Rename (RenameCollection API): catalog move + directory move."""
+        import shutil
+
+        if new in self._catalog:
+            raise ValueError(f"collection {new} exists")
+        meta = self._meta(old)
+        self._catalog[new] = meta
+        del self._catalog[old]
+        po, pn = os.path.join(self.root, old), os.path.join(self.root, new)
+        if os.path.isdir(po):
+            shutil.move(po, pn)
+        if old in self._ts:
+            self._ts[new] = self._ts.pop(old)
+        self._save_catalog()
+
+    def load_collection(self, name: str) -> None:
+        """Load into memory for serving (QueryCoord load analog): pin the
+        current visible state in Spark's block-manager cache. Reads between
+        load and the next DML hit cached blocks instead of parquet."""
+        self._loaded = getattr(self, "_loaded", {})
+        df = self._read(name).cache()
+        df.count()  # eager: load completes before the call returns
+        self._loaded[name] = df
+
+    def release_collection(self, name: str) -> None:
+        """Release cached state (ReleaseCollection analog)."""
+        loaded = getattr(self, "_loaded", {})
+        df = loaded.pop(name, None)
+        if df is not None:
+            df.unpersist()
+
     def list_collections(self) -> list[str]:
         return sorted(self._catalog)
 

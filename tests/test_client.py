@@ -348,3 +348,19 @@ def test_text_search_bm25(client, spark, sf_dir):
     # top hit must actually contain at least one query term
     top_text = docs.filter(F.col("doc_id") == hits[0].doc_id).collect()[0].text
     assert any(w in top_text for w in ("spark", "merge", "vector"))
+
+
+def test_rename_load_release(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("rn", pk_field="n_nationkey")
+    client.insert("rn", nation)
+    client.rename_collection("rn", "rn2")
+    assert client.list_collections() == ["rn2"]
+    assert client.count("rn2") == nation.count()
+    with pytest.raises(KeyError):
+        client.count("rn")
+
+    client.load_collection("rn2")
+    assert client._loaded["rn2"].storageLevel.useMemory
+    client.release_collection("rn2")
+    assert "rn2" not in client._loaded
