@@ -143,6 +143,42 @@ class MilvusSparkClient:
             self._ts[new] = self._ts.pop(old)
         self._save_catalog()
 
+    # ------------------------------------------------------------ partitions
+    PARTITION_COL = "_partition"
+
+    def create_partition(self, name: str, partition: str) -> None:
+        """Named partitions (CreatePartition API; partition resolution
+        task_search.go:196-225). Rows carry a hidden partition column;
+        partition-scoped reads filter on it (pushed to the scan). Composes
+        with partition-key mode, which governs the physical layout."""
+        parts = self._meta(name).setdefault("partitions", ["_default"])
+        if partition in parts:
+            raise ValueError(f"partition {partition} exists")
+        parts.append(partition)
+        self._save_catalog()
+
+    def list_partitions(self, name: str) -> list[str]:
+        return list(self._meta(name).get("partitions", ["_default"]))
+
+    def drop_partition(self, name: str, partition: str) -> None:
+        """Drop a named partition: its rows are tombstoned (delete path)."""
+        if partition == "_default":
+            raise ValueError("cannot drop _default")
+        parts = self._meta(name).get("partitions", ["_default"])
+        if partition not in parts:
+            raise ValueError(f"no partition {partition}")
+        coll = self._coll(name)
+        coll.delete_where(F.col(self.PARTITION_COL) == partition, self._next_ts(name))
+        parts.remove(partition)
+        self._save_catalog()
+
+    def _partition_filter(self, df: DataFrame, partition_names) -> DataFrame:
+        if not partition_names:
+            return df
+        if self.PARTITION_COL not in df.columns:
+            raise ValueError("collection has no named partitions")
+        return df.filter(F.col(self.PARTITION_COL).isin(list(partition_names)))
+
     def load_collection(self, name: str) -> None:
         """Load into memory for serving (QueryCoord load analog): pin the
         current visible state in Spark's block-manager cache. Reads between
@@ -186,7 +222,13 @@ class MilvusSparkClient:
         return self._ts[name]
 
     # ----------------------------------------------------------------- DML
-    def insert(self, name: str, df: DataFrame) -> int:
+    def insert(self, name: str, df: DataFrame, partition_name: Optional[str] = None) -> int:
+        if partition_name is not None:
+            if partition_name not in self._meta(name).get("partitions", ["_default"]):
+                raise ValueError(f"no partition {partition_name}")
+            df = df.withColumn(self.PARTITION_COL, F.lit(partition_name))
+        elif "partitions" in self._meta(name):
+            df = df.withColumn(self.PARTITION_COL, F.lit("_default"))
         self._coll(name).append(df, ts=self._next_ts(name))
         return df.count()
 
@@ -387,6 +429,7 @@ class MilvusSparkClient:
         params: Optional[dict] = None,
         as_of: Optional[int] = None,
         consistency_level: Optional[str] = None,
+        partition_names: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """Filtered retrieval with optional aggregation output fields.
 
@@ -403,7 +446,7 @@ class MilvusSparkClient:
         identical either way — the index is an access path, not a semantic.
         """
         resolved = self._resolve_as_of(name, as_of, consistency_level)
-        base = self._read(name, resolved)
+        base = self._partition_filter(self._read(name, resolved), partition_names)
         df = None
         if filter and resolved is None:
             import re as _re
@@ -468,6 +511,12 @@ class MilvusSparkClient:
             df = df.offset(offset)
         if limit is not None:
             df = df.limit(limit)
+        # the partition tag is routing metadata, not user data (Milvus
+        # partitions are not columns) — hide unless explicitly requested
+        if self.PARTITION_COL in df.columns and (
+            not output_fields or self.PARTITION_COL not in output_fields
+        ):
+            df = df.drop(self.PARTITION_COL)
         return df
 
     def text_search(
@@ -509,6 +558,7 @@ class MilvusSparkClient:
         search_params: Optional[dict] = None,
         output_fields: Optional[Sequence[str]] = None,
         anns_field: Optional[str] = None,
+        partition_names: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
 
@@ -532,6 +582,7 @@ class MilvusSparkClient:
             idx is not None
             and filter is None and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
+            and not partition_names
         ):
             import numpy as np
 
@@ -551,7 +602,10 @@ class MilvusSparkClient:
                 nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
             )
             return self._requery(name, hits, meta, output_fields)
-        df = self._read(name, self._resolve_as_of(name, as_of, consistency_level))
+        df = self._partition_filter(
+            self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+            partition_names,
+        )
         cond = compile_expr(filter, df.schema, params) if filter else None
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
         hits = brute_force_search(

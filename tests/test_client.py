@@ -364,3 +364,32 @@ def test_rename_load_release(client, spark, sf_dir):
     assert client._loaded["rn2"].storageLevel.useMemory
     client.release_collection("rn2")
     assert "rn2" not in client._loaded
+
+
+def test_named_partitions(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("np", pk_field="vec_id", vector_field="embedding")
+    client.create_partition("np", "hot")
+    client.create_partition("np", "cold")
+    assert client.list_partitions("np") == ["_default", "hot", "cold"]
+
+    a, b = emb.filter("vec_id % 2 = 0"), emb.filter("vec_id % 2 = 1")
+    client.insert("np", a, partition_name="hot")
+    client.insert("np", b, partition_name="cold")
+    assert client.count("np") == emb.count()
+
+    hot = client.query("np", partition_names=["hot"])
+    assert hot.count() == a.count()
+    assert all(r.vec_id % 2 == 0 for r in hot.select("vec_id").collect())
+
+    # partition-scoped search only returns hits from that partition
+    q = [emb.filter("vec_id = 1").collect()[0].embedding]
+    hits = client.search("np", data=q, limit=5, partition_names=["cold"]).collect()
+    ids = [h.vec_id for h in hits]
+    assert all(i % 2 == 1 for i in ids) and 1 in ids
+
+    client.drop_partition("np", "hot")
+    assert client.count("np") == b.count()
+    assert client.list_partitions("np") == ["_default", "cold"]
+    with pytest.raises(ValueError):
+        client.insert("np", a, partition_name="nope")
