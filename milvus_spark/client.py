@@ -196,17 +196,70 @@ class MilvusSparkClient:
             df.unpersist()
 
     def list_collections(self) -> list[str]:
-        return sorted(self._catalog)
+        return sorted(k for k in self._catalog if k != "_aliases")
 
     def describe_collection(self, name: str) -> dict:
         return dict(self._meta(name))
 
     def _meta(self, name: str) -> dict:
+        name = self._resolve_alias(name)
         if name not in self._catalog:
             raise KeyError(f"no such collection {name}")
         return self._catalog[name]
 
+    # --------------------------------------------------------------- aliases
+    def _aliases(self) -> dict:
+        return self._catalog.setdefault("_aliases", {})
+
+    def _resolve_alias(self, name: str) -> str:
+        return self._aliases().get(name, name)
+
+    def create_alias(self, collection: str, alias: str) -> None:
+        """Aliases (CreateAlias/AlterAlias/DropAlias API): every client call
+        accepts an alias wherever it accepts a collection name. The standard
+        zero-downtime pattern — build a new collection, alter_alias to it,
+        drop the old — works unchanged."""
+        if alias in self._catalog:
+            raise ValueError(f"{alias} is a collection name")
+        if alias in self._aliases():
+            raise ValueError(f"alias {alias} exists")
+        self._meta(collection)  # must exist
+        self._aliases()[alias] = collection
+        self._save_catalog()
+
+    def alter_alias(self, collection: str, alias: str) -> None:
+        if alias not in self._aliases():
+            raise ValueError(f"no alias {alias}")
+        self._meta(collection)
+        self._aliases()[alias] = collection
+        self._save_catalog()
+
+    def drop_alias(self, alias: str) -> None:
+        self._aliases().pop(alias, None)
+        self._save_catalog()
+
+    def get_collection_stats(self, name: str) -> dict:
+        """GetCollectionStatistics: row count + partition row counts."""
+        stats = {"row_count": self.count(name)}
+        meta = self._meta(name)
+        if "partitions" in meta:
+            df = self._read(name)
+            stats["partitions"] = {
+                r[self.PARTITION_COL]: r["n"]
+                for r in df.groupBy(self.PARTITION_COL)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        return stats
+
+    def flush(self, name: str) -> None:
+        """Flush is a consistency barrier in the reference (growing →
+        sealed, WAL durable). Here every insert writes durable parquet
+        before returning, so flush is a no-op kept for API compatibility."""
+        self._meta(name)
+
     def _coll(self, name: str) -> Collection:
+        name = self._resolve_alias(name)
         meta = self._meta(name)
         if meta.get("external_path"):
             raise ValueError(f"collection {name} is external (read-only)")
@@ -218,6 +271,7 @@ class MilvusSparkClient:
         )
 
     def _next_ts(self, name: str) -> int:
+        name = self._resolve_alias(name)
         self._ts[name] = self._ts.get(name, 0) + 1
         return self._ts[name]
 
@@ -389,7 +443,7 @@ class MilvusSparkClient:
         if as_of is not None:
             return as_of
         level = (consistency_level or "Strong").lower()
-        latest = self._ts.get(name)
+        latest = self._ts.get(self._resolve_alias(name))
         if level in ("strong", "eventually") or latest is None:
             return None
         if level == "bounded":
@@ -399,6 +453,7 @@ class MilvusSparkClient:
         raise ValueError(f"unknown consistency level {consistency_level}")
 
     def _read(self, name: str, as_of: Optional[int] = None) -> DataFrame:
+        name = self._resolve_alias(name)
         meta = self._meta(name)
         if meta.get("external_path"):
             df = self.spark.read.parquet(meta["external_path"])

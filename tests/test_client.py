@@ -393,3 +393,32 @@ def test_named_partitions(client, spark, sf_dir):
     assert client.list_partitions("np") == ["_default", "cold"]
     with pytest.raises(ValueError):
         client.insert("np", a, partition_name="nope")
+
+
+def test_alias_swap_and_stats(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("v1", pk_field="n_nationkey")
+    client.insert("v1", nation.limit(10))
+    client.create_collection("v2", pk_field="n_nationkey")
+    client.insert("v2", nation)
+
+    client.create_alias("v1", "prod")
+    assert client.count("prod") == 10
+    # zero-downtime swap: repoint prod at v2
+    client.alter_alias("v2", "prod")
+    assert client.count("prod") == nation.count()
+    # DML through the alias lands on the target
+    client.delete("prod", ids=[0])
+    assert client.count("v2") == nation.count() - 1
+    client.drop_alias("prod")
+    with pytest.raises(KeyError):
+        client.count("prod")
+    with pytest.raises(ValueError):
+        client.create_alias("v1", "v2")  # alias may not shadow a collection
+
+    client.flush("v1")  # no-op barrier
+    client.create_partition("v1", "px")
+    client.insert("v1", nation.filter("n_nationkey >= 20"), partition_name="px")
+    stats = client.get_collection_stats("v1")
+    assert stats["row_count"] == client.count("v1")
+    assert stats["partitions"]["px"] == nation.filter("n_nationkey >= 20").count()
