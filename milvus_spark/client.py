@@ -272,8 +272,14 @@ class MilvusSparkClient:
 
     def _next_ts(self, name: str) -> int:
         name = self._resolve_alias(name)
-        self._ts[name] = self._ts.get(name, 0) + 1
-        return self._ts[name]
+        # persisted so a new client on the same root continues the MVCC
+        # timeline instead of reissuing ts=1 over existing segments
+        meta = self._catalog[name]
+        ts = max(self._ts.get(name, 0), int(meta.get("max_ts", 0))) + 1
+        self._ts[name] = ts
+        meta["max_ts"] = ts
+        self._save_catalog()
+        return ts
 
     # ----------------------------------------------------------------- DML
     def insert(self, name: str, df: DataFrame, partition_name: Optional[str] = None) -> int:
@@ -443,7 +449,8 @@ class MilvusSparkClient:
         if as_of is not None:
             return as_of
         level = (consistency_level or "Strong").lower()
-        latest = self._ts.get(self._resolve_alias(name))
+        rn = self._resolve_alias(name)
+        latest = self._ts.get(rn) or self._catalog.get(rn, {}).get("max_ts")
         if level in ("strong", "eventually") or latest is None:
             return None
         if level == "bounded":

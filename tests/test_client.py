@@ -422,3 +422,22 @@ def test_alias_swap_and_stats(client, spark, sf_dir):
     stats = client.get_collection_stats("v1")
     assert stats["row_count"] == client.count("v1")
     assert stats["partitions"]["px"] == nation.filter("n_nationkey >= 20").count()
+
+
+def test_mvcc_ts_survives_client_restart(client, spark, sf_dir):
+    """A new client on the same root must continue the MVCC timeline, not
+    reissue ts=1 over existing segments."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("rt", pk_field="n_nationkey")
+    client.insert("rt", nation.limit(5))  # ts=1
+
+    reopened = MilvusSparkClient(spark, client.root)
+    reopened.insert("rt", nation.filter("n_nationkey >= 5").limit(5))  # must be ts=2
+    ts_vals = sorted(
+        r["_ts"]
+        for r in reopened._coll("rt").read().select("_ts").distinct().collect()
+    )
+    assert ts_vals == [1, 2]
+    # delete through the reopened client kills rows from BOTH epochs
+    reopened.delete("rt", ids=[0, 5])
+    assert reopened.count("rt") == 8
