@@ -355,7 +355,7 @@ class MilvusSparkClient:
         idx_dir = os.path.join(self.root, name, "_indexes", f"{field}__{itype}")
         entry: dict = {
             "field": field, "index_type": itype, "params": params,
-            "built_ts": self._ts.get(name, 0), "path": idx_dir,
+            "built_ts": self._current_ts(name), "path": idx_dir,
             "materialized": True,
         }
         if itype == "IVF_FLAT":
@@ -431,9 +431,13 @@ class MilvusSparkClient:
         shutil.rmtree(entry["path"], ignore_errors=True)
         self._save_catalog()
 
+    def _current_ts(self, name: str) -> int:
+        rn = self._resolve_alias(name)
+        return self._ts.get(rn) or int(self._catalog.get(rn, {}).get("max_ts", 0))
+
     def _fresh_index(self, name: str, field: str, itype: str) -> Optional[dict]:
         entry = self._meta(name).get("indexes", {}).get(f"{field}__{itype}")
-        if entry and entry["built_ts"] == self._ts.get(name, 0):
+        if entry and entry["built_ts"] == self._current_ts(name):
             return entry
         return None
 

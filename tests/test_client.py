@@ -441,3 +441,14 @@ def test_mvcc_ts_survives_client_restart(client, spark, sf_dir):
     # delete through the reopened client kills rows from BOTH epochs
     reopened.delete("rt", ids=[0, 5])
     assert reopened.count("rt") == 8
+
+
+def test_index_freshness_survives_restart(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("ir", pk_field="vec_id", vector_field="embedding")
+    client.insert("ir", emb)
+    client.create_index("ir", "embedding", "IVF_FLAT", {"nlist": 8})
+    reopened = MilvusSparkClient(spark, client.root)
+    assert reopened._fresh_index("ir", "embedding", "IVF_FLAT") is not None
+    reopened.delete("ir", ids=[0])
+    assert reopened._fresh_index("ir", "embedding", "IVF_FLAT") is None
