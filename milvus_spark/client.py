@@ -177,7 +177,10 @@ class MilvusSparkClient:
             return df
         if self.PARTITION_COL not in df.columns:
             raise ValueError("collection has no named partitions")
-        return df.filter(F.col(self.PARTITION_COL).isin(list(partition_names)))
+        # rows written before the first create_partition carry no tag —
+        # they belong to _default (mergeSchema surfaces them as null)
+        tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
+        return df.filter(tag.isin(list(partition_names)))
 
     def load_collection(self, name: str) -> None:
         """Load into memory for serving (QueryCoord load analog): pin the
@@ -244,9 +247,10 @@ class MilvusSparkClient:
         meta = self._meta(name)
         if "partitions" in meta:
             df = self._read(name)
+            tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
             stats["partitions"] = {
-                r[self.PARTITION_COL]: r["n"]
-                for r in df.groupBy(self.PARTITION_COL)
+                r["p"]: r["n"]
+                for r in df.groupBy(tag.alias("p"))
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             }

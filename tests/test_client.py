@@ -452,3 +452,15 @@ def test_index_freshness_survives_restart(client, spark, sf_dir):
     assert reopened._fresh_index("ir", "embedding", "IVF_FLAT") is not None
     reopened.delete("ir", ids=[0])
     assert reopened._fresh_index("ir", "embedding", "IVF_FLAT") is None
+
+
+def test_pre_partition_rows_belong_to_default(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("pd", pk_field="n_nationkey")
+    client.insert("pd", nation.limit(5))          # before partitions existed
+    client.create_partition("pd", "extra")
+    client.insert("pd", nation.filter("n_nationkey >= 20"), partition_name="extra")
+    dflt = client.query("pd", partition_names=["_default"])
+    assert dflt.count() == 5
+    stats = client.get_collection_stats("pd")
+    assert stats["partitions"]["_default"] == 5
