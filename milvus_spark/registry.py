@@ -10,6 +10,7 @@ by ~1 ulp; ranking always tie-breaks on a key column for determinism).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Optional
 
@@ -35,4 +36,25 @@ def load_suites() -> None:
     """Import all suite modules (side effect: they register queries)."""
     from milvus_spark import suites  # noqa: F401
 
+    _gc_scratch()
     suites.load_all()
+
+
+def _gc_scratch(max_age_hours: float = 24.0) -> None:
+    """Bound _scratch growth: suite queries mkdtemp work dirs per run;
+    anything older than a day is from a previous driver round and dead.
+    Concurrent sessions are safe — fresh dirs are never touched."""
+    import shutil
+    import time
+
+    root = "/root/repo/_scratch"
+    if not os.path.isdir(root):
+        return
+    cutoff = time.time() - max_age_hours * 3600
+    for entry in os.listdir(root):
+        path = os.path.join(root, entry)
+        try:
+            if os.path.getmtime(path) < cutoff:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
