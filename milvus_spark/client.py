@@ -761,6 +761,8 @@ class MilvusSparkClient:
         rerank: str = "rrf",
         limit: int = 10,
         weights: Optional[Sequence[float]] = None,
+        partition_names: Optional[Sequence[str]] = None,
+        output_fields: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """Multi-vector search + fusion (initAdvancedSearchRequest analog).
 
@@ -777,7 +779,7 @@ class MilvusSparkClient:
                 [
                     [[float(x) for x in v] for v in r["data"]],
                     r.get("limit", limit), r.get("filter"), r.get("metric_type"),
-                    r.get("anns_field"),
+                    r.get("anns_field"), list(partition_names or []),
                 ],
                 sort_keys=True,
             )
@@ -795,12 +797,15 @@ class MilvusSparkClient:
                     filter=r.get("filter"),
                     metric_type=r.get("metric_type"),
                     anns_field=r.get("anns_field"),
+                    partition_names=partition_names,
                 )
                 cache[key] = hits.cache() if key in dup else hits
             results.append(cache[key])
         if rerank == "rrf":
-            return rrf_fusion(results, meta["pk"], limit=limit)
-        if rerank == "weighted":
+            fused = rrf_fusion(results, meta["pk"], limit=limit)
+        elif rerank == "weighted":
             metrics = [r.get("metric_type") or meta["metric"] for r in reqs]
-            return weighted_fusion(results, metrics, weights or [1.0] * len(reqs), meta["pk"], limit=limit)
-        raise ValueError(f"unknown rerank {rerank}")
+            fused = weighted_fusion(results, metrics, weights or [1.0] * len(reqs), meta["pk"], limit=limit)
+        else:
+            raise ValueError(f"unknown rerank {rerank}")
+        return self._requery(name, fused, meta, output_fields)

@@ -464,3 +464,22 @@ def test_pre_partition_rows_belong_to_default(client, spark, sf_dir):
     assert dflt.count() == 5
     stats = client.get_collection_stats("pd")
     assert stats["partitions"]["_default"] == 5
+
+
+def test_hybrid_partition_scope_and_output_fields(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("hp", pk_field="vec_id", vector_field="embedding")
+    client.create_partition("hp", "odd")
+    client.insert("hp", emb.filter("vec_id % 2 = 0"))
+    client.insert("hp", emb.filter("vec_id % 2 = 1"), partition_name="odd")
+    q = [emb.filter("vec_id = 1").collect()[0].embedding]
+    fused = client.hybrid_search(
+        "hp",
+        [{"data": q, "limit": 10}, {"data": q, "limit": 10, "metric_type": "L2"}],
+        limit=5,
+        partition_names=["odd"],
+        output_fields=["label"],
+    ).collect()
+    assert fused and all(h.vec_id % 2 == 1 for h in fused)
+    want = {r.vec_id: r.label for r in emb.collect()}
+    assert all(h.label == want[h.vec_id] for h in fused)
