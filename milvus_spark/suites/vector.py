@@ -587,3 +587,55 @@ def vec_search_offset(spark: SparkSession, sf: str) -> DataFrame:
     emb, qs = _load_queries(spark, sf)
     hits = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=20)
     return hits.filter(F.col("rank") > 10)
+
+
+# --- decay rerank variants: linear and exp (decay_expr.go:81-100) -------------
+def _decay_query(function: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        emb, qs = _load_queries(spark, sf)
+        topk = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=50)
+        decayed = topk.select(
+            "qid",
+            "vec_id",
+            F.round(
+                F.col("score")
+                * decay_factor(
+                    F.col("vec_id").cast("double"),
+                    function=function, origin=0.0, scale=400.0, offset=10.0, decay=0.5,
+                ),
+                4,
+            ).alias("score"),
+        )
+        w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        return (
+            decayed.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+        )
+
+    return q
+
+
+_DECAY_SQL = {
+    # adjusted = greatest(0, |vec_id - 0| - 10); same trees as decay_factor
+    "linear": "greatest(0.5, 1.0 - ((1.0 - 0.5) / 400.0) * greatest(0.0, abs(CAST(vec_id AS DOUBLE)) - 10.0))",
+    "exp": "exp((ln(0.5) / 400.0) * greatest(0.0, abs(CAST(vec_id AS DOUBLE)) - 10.0))",
+}
+
+for _fn in ("linear", "exp"):
+    register(
+        f"vec_decay_{_fn}",
+        oracle=f"""
+        WITH {_Q}, {_ranked_cte("COSINE")},
+        topk AS (SELECT * FROM ranked WHERE rank <= 50),
+        decayed AS (
+          SELECT qid, vec_id, round(score * {_DECAY_SQL[_fn]}, 4) AS score
+          FROM topk
+        )
+        SELECT qid, vec_id, score, CAST(rank AS BIGINT) AS rank
+        FROM (
+          SELECT qid, vec_id, score,
+                 row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rank
+          FROM decayed
+        ) WHERE rank <= 10
+        """,
+    )(_decay_query(_fn))
