@@ -620,3 +620,59 @@ def vec_maxsim_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 5)
     )
+
+
+# --- SUBSTRUCTURE / SUPERSTRUCTURE binary metrics -----------------------------
+# metric_type.go:37-41; not positively related (UtilsTest.cpp:54) → ascending.
+# substructure(q, x) = 1 − |q∧x|/|x|  (0 iff stored x ⊆ query q)
+# superstructure(q, x) = 1 − |q∧x|/|q| (0 iff query q ⊆ stored x)
+def _structure_query(denom: str):
+    def q(spark: SparkSession, sf: str) -> DataFrame:
+        bv = _binary_vectors(spark, sf)
+        qs = bv.filter(F.col("vec_id") < NQ).select(
+            F.col("vec_id").alias("qid"),
+            F.col("w0").alias("qw0"), F.col("w1").alias("qw1"),
+        )
+        inter = F.bit_count(F.col("w0").bitwiseAND(F.col("qw0"))) + F.bit_count(
+            F.col("w1").bitwiseAND(F.col("qw1"))
+        )
+        if denom == "stored":
+            d = F.bit_count(F.col("w0")) + F.bit_count(F.col("w1"))
+        else:
+            d = F.bit_count(F.col("qw0")) + F.bit_count(F.col("qw1"))
+        dist = F.round(1.0 - inter / F.nullif(d.cast("double"), F.lit(0.0)), 4)
+        scored = bv.crossJoin(F.broadcast(qs)).select(
+            "qid", "vec_id", dist.alias("dist")
+        )
+        w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= 10)
+        )
+
+    return q
+
+
+_STRUCT_DENOM_SQL = {
+    "stored": "bit_count(bv.w0) + bit_count(bv.w1)",
+    "query": "bit_count(q.qw0) + bit_count(q.qw1)",
+}
+
+for _name, _denom in (("vec_binary_substructure", "stored"), ("vec_binary_superstructure", "query")):
+    register(
+        _name,
+        oracle=f"""
+        WITH {_BIN_CTE},
+        scored AS (
+          SELECT q.qid, bv.vec_id,
+                 round(1.0 - (bit_count(bv.w0 & q.qw0) + bit_count(bv.w1 & q.qw1)) * 1.0
+                       / nullif({_STRUCT_DENOM_SQL[_denom]}, 0), 4) AS dist
+          FROM bv, q
+        )
+        SELECT qid, vec_id, dist, rank FROM (
+          SELECT qid, vec_id, dist,
+                 CAST(row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS BIGINT) AS rank
+          FROM scored
+        ) WHERE rank <= 10
+        """,
+    )(_structure_query(_denom))
