@@ -320,3 +320,47 @@ def fts_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
     corpus = base.select("doc_id", "text").unionByName(fresh.select("doc_id", "text"))
     t = corpus.withColumn("toks", tokens(F.col("text")))
     return _bm25_topk(t)
+
+
+# --- model-based rerank slot (rerank/*_provider.go) ----------------------------
+@register(
+    "fts_model_rerank",
+    oracle="""
+    WITH cand AS (
+      SELECT CAST(0 AS BIGINT) AS qid, doc_id,
+             CAST(n_chars AS DOUBLE) AS orig_score
+      FROM documents
+      QUALIFY row_number() OVER (ORDER BY n_chars DESC, doc_id) <= 40
+    ),
+    rescored AS (
+      SELECT c.qid, c.doc_id, c.orig_score,
+             round(len(list_intersect(
+                 list_distinct(list_filter(
+                   string_split_regex(lower(d.text), '[^a-z0-9]+'), x -> x <> '')),
+                 ['spark', 'join', 'agg'])) / 3.0, 4) AS rerank_score
+      FROM cand c JOIN documents d ON c.doc_id = d.doc_id
+    )
+    SELECT qid, doc_id, orig_score, rerank_score,
+           CAST(row_number() OVER (
+             PARTITION BY qid
+             ORDER BY rerank_score DESC, orig_score DESC, doc_id) AS BIGINT) AS rank
+    FROM rescored QUALIFY rank <= 10
+    """,
+)
+def fts_model_rerank(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-rerank stage over a candidate top-k (rerank providers
+    internal/util/function/rerank/*_provider.go; RescoresNode). The scorer is
+    the deterministic token-overlap stand-in from operators/hybrid.py —
+    the plan shape (rerank only the broadcast candidate set, re-fetch text by
+    pk, re-sort; never rescan the corpus) is the graded part."""
+    from milvus_spark.operators.hybrid import model_rerank
+
+    d = load_table(spark, sf, "documents")
+    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    cand = (
+        d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 40)
+        .select(F.lit(0).cast("long").alias("qid"), "doc_id", "score")
+    )
+    return model_rerank(cand, d, "doc_id", "text", "spark join agg", limit=10)

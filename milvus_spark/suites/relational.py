@@ -585,3 +585,27 @@ def rel_template_params(spark: SparkSession, sf: str) -> DataFrame:
         params={"status": "O", "floor": 250000, "m": 1},
     )
     return o.filter(cond).select("o_orderkey", "o_totalprice")
+
+
+# --- bloom_match: client-supplied bloom membership (plan.proto:306) ------------
+@register(
+    "rel_bloom_match",
+    oracle="""
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (7, 14, 21, 28, 35, 42, 49, 56, 63, 70, 77, 84, 91, 98, 105, 112, 119, 126, 133, 140, 147, 154, 161, 168, 175, 182, 189, 196, 203, 210, 217, 224, 231, 238, 245, 252, 259, 266, 273, 280, 287, 294, 301, 308, 315, 322, 329, 336, 343, 350, 357, 364, 371, 378, 385, 392, 399, 406, 413, 420, 427, 434, 441, 448, 455, 462, 469, 476, 483, 490, 497, 504, 511, 518, 525, 532, 539, 546, 553, 560, 567, 574, 581, 588, 595, 602, 609, 616, 623, 630, 637, 644, 651, 658, 665, 672, 679, 686, 693) AND o_orderstatus = 'O'
+    """,
+)
+def rel_bloom_match(spark: SparkSession, sf: str) -> DataFrame:
+    """bloom_match(field, blob) filter (BloomFilterExpr plan.proto:306;
+    planparserv2/bloom_match.go; exec BloomFilterExpr.cpp). Semantically a
+    big-set membership test; the expr compiler lowers the key set to isin —
+    at cluster scale the same predicate lands on parquet pk bloom filters
+    (written by compaction) so row groups without any key are skipped."""
+    from milvus_spark.plans.expr import compile_expr
+
+    o = load_table(spark, sf, "orders")
+    keys = list(range(7, 700, 7))
+    cond = compile_expr(
+        f'bloom_match(o_custkey, {keys}) && o_orderstatus == "O"', o.schema
+    )
+    return o.filter(cond).select("o_orderkey", "o_custkey")
