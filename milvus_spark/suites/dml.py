@@ -183,3 +183,30 @@ def dml_changefeed(spark: SparkSession, sf: str) -> DataFrame:
     at ts=3; pk delete at ts=4 (internal/cdc/ analog, Delta CDF shape)."""
     coll = _build_collection(spark, sf, upto_ts=4)
     return coll.changes(since=1, until=4)
+
+
+# --- snapshot / restore (task_snapshot.go, internal/snapshotio) ---------------
+@register(
+    "dml_snapshot_restore",
+    oracle=f"""
+    SELECT o_orderkey,
+           round({_EFF_PRICE}, 2) AS o_totalprice,
+           CAST({_EFF_TS} AS BIGINT) AS _ts
+    FROM orders
+    """,
+)
+def dml_snapshot_restore(spark: SparkSession, sf: str) -> DataFrame:
+    """Point-in-time snapshot + restore (task_snapshot.go / internal/
+    snapshotio/): snapshot the ts=2 state, destroy it with two delete
+    generations, restore, and read — the result must equal the pre-damage
+    upsert state exactly. Snapshots are directory manifest pins over
+    immutable segments, so both operations are O(metadata), not O(data)."""
+    coll = _build_collection(spark, sf, upto_ts=2)
+    coll.snapshot("s1")
+    coll.delete_where(F.col("o_orderstatus") == "O", ts=3)
+    o = load_table(spark, sf, "orders")
+    coll.delete_pks(o.filter(F.col("o_orderkey") % 5 == 0), ts=4)
+    coll.restore("s1")
+    return coll.read(as_of=2).select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "_ts"
+    )
