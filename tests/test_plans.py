@@ -109,3 +109,26 @@ def test_ngram_inner_match_verifies_via_broadcast_semi(spark, sf_dir):
     plan = plan_of(df)
     assert "LeftSemi" in plan
     assert "BroadcastExchange" in plan
+
+
+def test_model_rerank_candidates_are_broadcast(spark, sf_dir):
+    """Model rerank must only touch the candidate set: the top-k side is
+    broadcast into the text-fetch join; the corpus is never shuffled."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    df = QUERIES["fts_model_rerank"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bulk_import_stays_distributed(spark, sf_dir):
+    """Imports are plain distributed reads — no driver-side row collection
+    (scan nodes present for both file formats after the union)."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    df = QUERIES["src_bulk_import"](spark, sf_dir)
+    plan = plan_of(df)
+    assert "Scan json" in plan and "Scan csv" in plan
