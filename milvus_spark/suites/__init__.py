@@ -5,4 +5,4 @@ from __future__ import annotations
 
 def load_all() -> None:
     # Import order is stable; each module registers its queries on import.
-    from milvus_spark.suites import arrays, dml, fulltext, geo, pipeline, relational, sources_io, streaming_state, text, vector, vector2, windows  # noqa: F401
+    from milvus_spark.suites import arrays, curation, dml, fulltext, geo, pipeline, relational, sources_io, streaming_state, text, vector, vector2, windows  # noqa: F401

@@ -1,0 +1,152 @@
+"""Training-data curation suite over the TPC-H-ish tables.
+
+Beyond the reference's own operator surface (SURVEY.md §2), these are the
+row-level curation passes a 100 TB pre-training pipeline runs between ingest
+and dedup: chunking documents into model-window pieces, masking PII-shaped
+fields, deterministic stratified downsampling, and repetition-based quality
+filtering (the Gopher/C4-style rules). Every query is pure built-in-function
+DataFrame code with a bit-identical DuckDB oracle.
+
+Scale notes (100 TB posture):
+  - Chunking and redaction are per-row map-side transforms inside
+    whole-stage codegen — no shuffle at all; chunk explode multiplies rows
+    by ~len/stride, so the output is written partitioned by source shard.
+  - Stratified sampling uses the portable seeded-md5 hash on the pk — a
+    deterministic Bernoulli per stratum. No shuffle, no RNG state, and the
+    same rows are kept on any cluster size or retry (idempotent re-runs).
+  - The repetition filter is a per-row aggregate over the token array —
+    map-side only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.text import TOKENS_SQL, seeded_hash, seeded_hash_sql, tokens
+from milvus_spark.registry import register
+from milvus_spark.session import load_table
+
+_WIN, _STRIDE = 32, 24
+
+
+@register(
+    "cur_chunk_sliding",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, greatest(len(toks) - 1, 0), {_STRIDE})) AS start
+      FROM t
+    ),
+    chunks AS (
+      SELECT doc_id, CAST(start AS BIGINT) AS chunk_start,
+             list_slice(toks, start + 1, start + {_WIN}) AS chunk
+      FROM starts
+    )
+    SELECT doc_id, chunk_start,
+           array_to_string(chunk, ' ') AS chunk_text,
+           CAST(len(chunk) AS BIGINT) AS n_tokens
+    FROM chunks WHERE len(chunk) > 0
+    """,
+)
+def cur_chunk_sliding(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window chunking: 32-token windows at stride 24 (8-token
+    overlap), the standard shape for packing documents into model context
+    windows. Pure map-side: sequence + transform + explode, no shuffle."""
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunks = starts.select(
+        "doc_id",
+        F.col("start").cast("long").alias("chunk_start"),
+        F.slice("toks", F.col("start") + 1, _WIN).alias("chunk"),
+    )
+    return chunks.filter(F.size("chunk") > 0).select(
+        "doc_id",
+        "chunk_start",
+        F.array_join("chunk", " ").alias("chunk_text"),
+        F.size("chunk").cast("long").alias("n_tokens"),
+    )
+
+
+@register(
+    "cur_redact_pii",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS name_masked,
+           CAST(floor(c_acctbal / 1000) * 1000 AS DOUBLE) AS acctbal_bucket,
+           c_mktsegment
+    FROM customer WHERE c_custkey <= 500
+    """,
+)
+def cur_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII-shaped masking before a corpus leaves the trust boundary: digit
+    runs in identifying strings masked, and the numeric quasi-identifier
+    generalized to a 1000-wide bucket (k-anonymity-style coarsening). Per-row
+    regex/arithmetic — map-side, codegen'd, no Python."""
+    c = load_table(spark, sf, "customer")
+    return c.filter(F.col("c_custkey") <= 500).select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "#").alias("name_masked"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000).cast("double").alias("acctbal_bucket"),
+        "c_mktsegment",
+    )
+
+
+@register(
+    "cur_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 42)} % 100
+          < (CASE WHEN lang = 'en' THEN 50 ELSE 10 END)
+    """,
+)
+def cur_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified downsample: per-language keep rates (en 50%,
+    others 10%) decided by the portable seeded-md5 hash of the pk — the same
+    rows survive on any partitioning, cluster size, or retry, unlike
+    rand()-based sampling. This is how a 100 TB corpus is rebalanced without
+    a shuffle or a stateful sampler."""
+    d = load_table(spark, sf, "documents")
+    bucket = F.pmod(seeded_hash(F.col("doc_id").cast("string"), 42), F.lit(100))
+    rate = F.when(F.col("lang") == "en", F.lit(50)).otherwise(F.lit(10))
+    return d.filter(bucket < rate).select("doc_id", "lang")
+
+
+@register(
+    "cur_repetition_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    )
+    SELECT doc_id,
+           round(1.0 - len(list_distinct(toks)) / len(toks), 4) AS dup_ratio
+    FROM t
+    WHERE len(toks) >= 20
+      AND round(1.0 - len(list_distinct(toks)) / len(toks), 4) > 0.5
+    """,
+)
+def cur_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality rule: flag documents whose
+    duplicate-token ratio (1 − distinct/total) exceeds 0.5 — boilerplate and
+    looped generations. Per-row array aggregate, map-side only."""
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks"))
+    ratio = F.round(
+        F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks"), 4
+    )
+    return (
+        t.filter(F.size("toks") >= 20)
+        .select("doc_id", ratio.alias("dup_ratio"))
+        .filter(F.col("dup_ratio") > 0.5)
+    )
