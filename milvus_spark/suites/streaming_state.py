@@ -92,3 +92,56 @@ def run_wal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
 )
 def stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
     return run_wal_pipeline(spark, sf)
+
+
+# --- streaming tumbling-window aggregation over events ------------------------
+@register(
+    "stream_window_agg",
+    oracle="""
+    SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation computed BY THE STREAMING ENGINE: the
+    events table is staged as three WAL files, tailed with a file-source
+    stream (maxFilesPerTrigger=1 → three real micro-batches), watermarked,
+    windowed, and drained with Trigger.availableNow into a memory sink. The
+    final emission must hash-match the batch SQL oracle — the streaming and
+    batch planners agree on the same answer (Structured Streaming's
+    batch-equivalence contract). Complete output mode keeps the finite-input
+    result independent of file arrival order."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="streamwin_", dir=_SCRATCH)
+    src = os.path.join(root, "src")
+    e = load_table(spark, sf, "events").select("ts", "event_type", "value")
+    for i in range(3):
+        e.filter(F.abs(F.hash("ts", "event_type")) % 3 == i).write.parquet(
+            os.path.join(src, f"chunk{i}.parquet")
+        )
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(F.col("w.start").alias("day"), "event_type", "n", "total_value")
+    )
+    name = "swa_" + os.path.basename(root).split("_")[-1]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
