@@ -251,3 +251,65 @@ def geo_st_overlaps_touches(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.when(overlaps, 1).otherwise(0)).alias("n_overlaps"),
         F.sum(F.when(touches, 1).otherwise(0)).alias("n_touches"),
     )
+
+
+# --- pairwise st_dwithin self-join with grid pruning (RTree-at-scale analog) --
+_R = 2.0
+
+
+@register(
+    "geo_grid_join_dwithin",
+    oracle=f"""
+    WITH {_SQL_PT}
+    SELECT a.event_id AS a_id, b.event_id AS b_id,
+           round(sqrt((a.x - b.x)^2 + (a.y - b.y)^2), 4) AS dist
+    FROM pts a JOIN pts b
+      ON b.x BETWEEN a.x - {_R} AND a.x + {_R}
+     AND b.y BETWEEN a.y - {_R} AND a.y + {_R}
+     AND a.event_id < b.event_id
+    WHERE sqrt((a.x - b.x)^2 + (a.y - b.y)^2) < {_R}
+    """,
+)
+def geo_grid_join_dwithin(spark: SparkSession, sf: str) -> DataFrame:
+    """All point pairs within distance r — the pairwise spatial join that an
+    RTree index serves in the reference (index/RTreeIndex.cpp; GISFunction
+    st_dwithin). Scale shape: each point gets a home grid cell of side r;
+    one side is replicated to its 3x3 neighbor cells (bounded 9x fan-out)
+    and equi-joined on the cell key, so the O(n^2) cross join becomes a
+    shuffle on cell ids with per-cell-density work — the data-parallel
+    equivalent of an RTree range probe. Exact distance then filters
+    candidates, so the result is EXACT (the oracle is a brute-force band
+    join). At 100 TB the corpus would be written partitionBy(cell) so the
+    equi-join co-locates without a shuffle."""
+    p = _points(spark, sf)
+    x, y = wkt_x(F.col("geom")), wkt_y(F.col("geom"))
+    base = p.select(
+        "event_id", x.alias("x"), y.alias("y"),
+        F.floor(x / _R).cast("long").alias("cx"),
+        F.floor(y / _R).cast("long").alias("cy"),
+    )
+    nbr = base.select(
+        F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (F.col("cx") + dx).alias("jx"), (F.col("cy") + dy).alias("jy")
+                )
+                for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+            ])
+        ).alias("cell"),
+    ).select("a_id", "ax", "ay", F.col("cell.jx").alias("jx"), F.col("cell.jy").alias("jy"))
+    pairs = nbr.join(
+        base.select(
+            F.col("event_id").alias("b_id"), F.col("x").alias("bx"),
+            F.col("y").alias("by"), "cx", "cy",
+        ),
+        (F.col("jx") == F.col("cx")) & (F.col("jy") == F.col("cy"))
+        & (F.col("a_id") < F.col("b_id")),
+    )
+    dist = F.sqrt(
+        F.pow(F.col("ax") - F.col("bx"), F.lit(2)) + F.pow(F.col("ay") - F.col("by"), F.lit(2))
+    )
+    return pairs.filter(dist < _R).select(
+        "a_id", "b_id", F.round(dist, 4).alias("dist")
+    )
