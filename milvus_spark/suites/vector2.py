@@ -676,3 +676,24 @@ for _name, _denom in (("vec_binary_substructure", "stored"), ("vec_binary_supers
         ) WHERE rank <= 10
         """,
     )(_structure_query(_denom))
+
+
+# ---------- PQ ADC + refine (approximate — rows-only; recall gate in tests) ---
+@register("vec_pq_refine")
+def vec_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantized ANN: ADC over the m-byte code table (32x smaller
+    scan than fp32 vectors), exact refine of the shortlist via broadcast
+    requery (knowhere PQ/SQ compressed-index family; recall ≥ 0.9 vs brute
+    force enforced by tests/test_pq.py). No SQL oracle — approximate by
+    design; the driver records the rows-only check."""
+    from milvus_spark.operators.pq import encode_pq, pq_search, train_codebooks
+
+    emb = load_table(spark, sf, "embeddings")
+    books = train_codebooks(emb, "embedding", m=16, k=16, sample_n=2048, seed=42)
+    encoded = encode_pq(emb, "embedding", "vec_id", books)
+    qrows = emb.filter(F.col("vec_id") < NQ).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    return pq_search(
+        encoded, emb, books, queries, "embedding", "vec_id",
+        metric="L2", k=10, shortlist=200,
+    )

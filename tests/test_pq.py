@@ -1,0 +1,52 @@
+"""Product quantization: ADC shortlist + exact refine must hit the brute-force
+recall gate (the reference's ANN correctness contract), and the ADC scan must
+touch only the code column (the compression win)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.knn import brute_force_search
+from milvus_spark.operators.pq import encode_pq, pq_search, train_codebooks
+
+
+@pytest.fixture(scope="module")
+def pq_index(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_codebooks(emb, "embedding", m=16, k=16, sample_n=2048, seed=42)
+    encoded = encode_pq(emb, "embedding", "vec_id", books).cache()
+    encoded.count()
+    yield emb, books, encoded
+    encoded.unpersist()
+
+
+def test_pq_recall_with_refine(spark, pq_index):
+    emb, books, encoded = pq_index
+    qrows = emb.filter(F.col("vec_id") < 8).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+
+    exact = brute_force_search(emb, queries, "embedding", "vec_id", metric="L2", k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.qid, set()).add(r.vec_id)
+
+    approx = pq_search(
+        encoded, emb, books, queries, "embedding", "vec_id",
+        metric="L2", k=10, shortlist=200,
+    )
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r.qid, set()).add(r.vec_id)
+
+    recalls = [len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in truth]
+    assert np.mean(recalls) >= 0.9, f"recall {np.mean(recalls):.3f} ({recalls})"
+
+
+def test_pq_code_size(pq_index):
+    _, books, encoded = pq_index
+    m, k, dsub = books.shape
+    assert (m, k, dsub) == (16, 16, 4)
+    row = encoded.first()
+    assert len(row.code) == 16 and all(0 <= c < 16 for c in row.code)
