@@ -345,8 +345,9 @@ class MilvusSparkClient:
         internal/util/indexparamcheck/index_type.go:30-40).
 
         Materialized types: IVF_FLAT (vector field → centroid table +
-        cluster-partitioned corpus rewrite, operators/ivf.py) and NGRAM
-        (varchar field → posting table, operators/ngram.py). Scalar types
+        cluster-partitioned corpus rewrite, operators/ivf.py), IVF_PQ
+        (vector field → codebooks + compressed code table, operators/pq.py)
+        and NGRAM (varchar field → posting table, operators/ngram.py). Scalar types
         (INVERTED / BITMAP / SORT / TRIE / AUTOINDEX) are recorded
         metadata-only: parquet stats + Catalyst pushdown already serve their
         role (SURVEY §4.1 — index selection is an optimization, not a
@@ -387,6 +388,38 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "centroids.json"), "w") as f:
                 json.dump(cents.tolist(), f)
             entry["nlist"] = nlist
+        elif itype == "IVF_PQ":
+            # Compressed index (knowhere PQ/SQ family): per-subspace
+            # codebooks + an encoded code table ~m bytes/row. Search scans
+            # ONLY the code table (ADC) and refines the shortlist exactly —
+            # operators/pq.py. COSINE collections encode normalized vectors
+            # so ascending ADC-L2 order equals descending cosine order.
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"IVF_PQ requires a vector field, got {field!r}")
+            from milvus_spark.operators.ivf import l2_normalize
+            from milvus_spark.operators.pq import encode_pq, train_codebooks
+
+            m = int(params.get("m", 16))
+            df = self._read(name)
+            corpus = (
+                l2_normalize(df, field)
+                if meta.get("metric", "COSINE") == "COSINE"
+                else df.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            books = train_codebooks(
+                corpus, field, m=m,
+                k=int(params.get("nbits_k", 16)),
+                sample_n=int(params.get("sample_n", 2048)),
+                seed=int(params.get("seed", 42)),
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            encode_pq(corpus, field, meta["pk"], books).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(idx_dir, "codes"))
+            with open(os.path.join(idx_dir, "codebooks.json"), "w") as f:
+                json.dump(books.tolist(), f)
+            entry["m"] = m
         elif itype == "NGRAM":
             from milvus_spark.operators.ngram import build_ngram_index
 
@@ -670,6 +703,32 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
+            )
+            return self._requery(name, hits, meta, output_fields)
+        pq_idx = self._fresh_index(name, vfield, "IVF_PQ")
+        if (
+            pq_idx is not None
+            and filter is None and radius is None and range_filter is None
+            and as_of is None and not meta.get("external_path")
+            and not partition_names
+        ):
+            import numpy as np
+
+            from milvus_spark.operators.pq import pq_search
+
+            with open(os.path.join(pq_idx["path"], "codebooks.json")) as f:
+                books = np.asarray(json.load(f), dtype=np.float64)
+            encoded = self.spark.read.parquet(os.path.join(pq_idx["path"], "codes"))
+            hits = pq_search(
+                encoded,
+                self._read(name),
+                books,
+                [(i, list(map(float, v))) for i, v in enumerate(data)],
+                vec_col=vfield,
+                pk_col=meta["pk"],
+                metric=metric_type or meta["metric"],
+                k=limit,
+                shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
             )
             return self._requery(name, hits, meta, output_fields)
         df = self._partition_filter(

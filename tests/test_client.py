@@ -483,3 +483,27 @@ def test_hybrid_partition_scope_and_output_fields(client, spark, sf_dir):
     assert fused and all(h.vec_id % 2 == 1 for h in fused)
     want = {r.vec_id: r.label for r in emb.collect()}
     assert all(h.label == want[h.vec_id] for h in fused)
+
+
+def test_pq_index_backed_search(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("pqx", pk_field="vec_id", vector_field="embedding")
+    client.insert("pqx", emb)
+    entry = client.create_index("pqx", "embedding", "IVF_PQ", {"m": 16})
+    assert entry["materialized"] and entry["m"] == 16
+
+    q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
+    exact = client.search("pqx", data=q, limit=10, filter="vec_id >= 0")  # filtered → brute force
+    approx = client.search("pqx", data=q, limit=10)
+    exact_ids = {(r.qid, r.vec_id) for r in exact.collect()}
+    approx_ids = {(r.qid, r.vec_id) for r in approx.collect()}
+    recall = len(exact_ids & approx_ids) / len(exact_ids)
+    assert recall >= 0.9, recall
+
+    # DML after build → stale → exact fallback still correct
+    client.delete("pqx", ids=[int(next(iter(exact_ids))[1])])
+    deleted = next(iter(exact_ids))[1]
+    post = client.search("pqx", data=q, limit=10)
+    assert all(r.vec_id != deleted for r in post.collect())
+    client.drop_index("pqx", "embedding", "IVF_PQ")
+    client.drop_collection("pqx")
