@@ -507,3 +507,48 @@ def test_pq_index_backed_search(client, spark, sf_dir):
     assert all(r.vec_id != deleted for r in post.collect())
     client.drop_index("pqx", "embedding", "IVF_PQ")
     client.drop_collection("pqx")
+
+
+def test_sparse_inverted_search(client, spark, sf_dir):
+    import numpy as np
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    # derive a sparse map column: dims with weight > 0.15 (like a SPLADE head)
+    sparse = emb.select(
+        "vec_id",
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, i: F.struct(i.alias("dim"), x.alias("val")),
+                ),
+                lambda s: s.val > 0.15,
+            )
+        ).alias("sv"),
+    )
+    client.create_collection("spx", pk_field="vec_id")
+    client.insert("spx", sparse)
+    client.create_index("spx", "sv", "SPARSE_INVERTED")
+
+    rows = sparse.collect()
+    by_id = {r.vec_id: dict(r.sv) for r in rows}
+    queries = [by_id[0], by_id[1]]
+    got = client.sparse_search("spx", queries, field="sv", limit=5)
+    got_rows = {(r.qid, r.vec_id) for r in got.collect()}
+
+    # numpy ground truth: exact IP over the sparse dicts
+    for qid, qv in enumerate(queries):
+        scores = []
+        for vid, sv in by_id.items():
+            s = sum(qv.get(d, 0.0) * v for d, v in sv.items())
+            if s != 0.0:
+                scores.append((round(s, 4), vid))
+        top = sorted(scores, key=lambda t: (-t[0], t[1]))[:5]
+        for s, vid in top:
+            assert (qid, vid) in got_rows, (qid, vid, s)
+
+    # index freshness: post-DML falls back to inline explode, same answer
+    client.delete("spx", ids=[int(max(by_id))])
+    again = client.sparse_search("spx", queries, field="sv", limit=5)
+    assert again.count() > 0
+    client.drop_collection("spx")
