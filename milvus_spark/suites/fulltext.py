@@ -364,3 +364,54 @@ def fts_model_rerank(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.lit(0).cast("long").alias("qid"), "doc_id", "score")
     )
     return model_rerank(cand, d, "doc_id", "text", "spark join agg", limit=10)
+
+
+# --- analyzer filter chain: length + stemmer + stop (tantivy filter zoo) ------
+_STEM_STOPS = ["the", "and", "for", "with"]
+
+
+@register(
+    "fts_analyzer_chain",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(
+               list_transform(
+                 list_filter({TOKENS_SQL.format(col="text")},
+                             x -> len(x) BETWEEN 3 AND 12),
+                 x -> CASE WHEN len(regexp_replace(x, '(ing|ed|es|s)$', '')) >= 3
+                           THEN regexp_replace(x, '(ing|ed|es|s)$', '')
+                           ELSE x END),
+               x -> NOT list_contains({_STEM_STOPS!r}, x)) AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct
+    FROM t WHERE len(toks) > 0
+    """,
+)
+def fts_analyzer_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Analyzer filter pipeline beyond lowercase+stop: token-length filter
+    (3..12), suffix stemmer (-ing/-ed/-es/-s with min-stem-3 guard), then a
+    stop filter — the tantivy filter chain (internal/util/analyzer/,
+    canalyzer/c_analyzer_test.go:71-225: length / stemmer / stop filters).
+    Entirely JVM-side higher-order functions — per-row map work, no shuffle,
+    no Python."""
+    d = load_table(spark, sf, "documents")
+    toks = tokens(F.col("text"))
+    lenf = F.filter(toks, lambda x: (F.length(x) >= 3) & (F.length(x) <= 12))
+    stemmed = F.transform(
+        lenf,
+        lambda x: F.when(
+            F.length(F.regexp_replace(x, "(ing|ed|es|s)$", "")) >= 3,
+            F.regexp_replace(x, "(ing|ed|es|s)$", ""),
+        ).otherwise(x),
+    )
+    stopped = F.filter(stemmed, lambda x: ~x.isin(_STEM_STOPS))
+    t = d.select("doc_id", stopped.alias("toks"))
+    return t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
+    )
