@@ -415,3 +415,44 @@ def fts_analyzer_chain(spark: SparkSession, sf: str) -> DataFrame:
         F.size("toks").cast("long").alias("n_tokens"),
         F.size(F.array_distinct("toks")).cast("long").alias("n_distinct"),
     )
+
+
+# --- n-term exact phrase match (slop 0, 3 tokens) ------------------------------
+_P3 = ["stream", "table", "hash"]
+
+
+@register(
+    "fts_phrase_match3",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(list_filter(range(1, len(toks) - 1),
+                i -> toks[i] = '{_P3[0]}' AND toks[i+1] = '{_P3[1]}'
+                     AND toks[i+2] = '{_P3[2]}')) AS BIGINT) AS n_starts
+    FROM t
+    WHERE len(list_filter(range(1, len(toks) - 1),
+          i -> toks[i] = '{_P3[0]}' AND toks[i+1] = '{_P3[1]}'
+               AND toks[i+2] = '{_P3[2]}')) > 0
+    """,
+)
+def fts_phrase_match3(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact n-term phrase (slop 0, n=3): consecutive-position check over the
+    token array — the positions-index computation for phrases longer than a
+    bigram (PhraseMatch OpType 14; TextMatchIndex positions). Same
+    higher-order-function shape as the slop variant; per-row map work."""
+    t = _docs_tokens(spark, sf)
+    # guard: sequence(1, n) with n < 1 would DEScend ([1, 0]) and index 0
+    idx = F.when(
+        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = F.filter(
+        idx,
+        lambda i: (F.element_at(F.col("toks"), i) == _P3[0])
+        & (F.element_at(F.col("toks"), i + 1) == _P3[1])
+        & (F.element_at(F.col("toks"), i + 2) == _P3[2]),
+    )
+    return (
+        t.withColumn("n_starts", F.size(starts).cast("long"))
+        .filter(F.col("n_starts") > 0)
+        .select("doc_id", "n_starts")
+    )

@@ -697,3 +697,122 @@ def vec_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
         encoded, emb, books, queries, "embedding", "vec_id",
         metric="L2", k=10, shortlist=200,
     )
+
+
+# ---------- tri-modal hybrid: dense + sparse + BM25, RRF-fused ----------------
+def _tri_oracle() -> str:
+    from milvus_spark.suites.fulltext import _TERMS_SQL, _TOKS, B, K1
+
+    return f"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS s
+      FROM embeddings e, q
+    ),
+    dr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+      FROM dense QUALIFY rank <= 50
+    ),
+    nz AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      WHERE embedding[i] > {_SPARSE_THRESHOLD}
+    ),
+    qnz AS (SELECT dim, val AS qval FROM nz WHERE vec_id = 0),
+    sp AS (
+      SELECT nz.vec_id, round(sum(nz.val * qnz.qval), 4) AS s
+      FROM nz JOIN qnz ON nz.dim = qnz.dim GROUP BY nz.vec_id
+    ),
+    spr AS (
+      SELECT vec_id, row_number() OVER (ORDER BY s DESC, vec_id) AS rank
+      FROM sp QUALIFY rank <= 50
+    ),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE list_contains({_TERMS_SQL}, tok)
+      GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+    bscored AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * p.tf * ({K1} + 1)
+                 / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS bm25
+      FROM posting p
+      JOIN dfq ON p.tok = dfq.tok
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    ),
+    br AS (
+      SELECT doc_id AS vec_id,
+             row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS rank
+      FROM bscored QUALIFY rank <= 50
+    ),
+    allh AS (
+      SELECT vec_id, 1.0 / (60 + rank) AS rrf FROM dr
+      UNION ALL SELECT vec_id, 1.0 / (60 + rank) FROM spr
+      UNION ALL SELECT vec_id, 1.0 / (60 + rank) FROM br
+    ),
+    fused AS (
+      SELECT vec_id, round(sum(rrf), 4) AS score FROM allh GROUP BY vec_id
+    )
+    SELECT CAST(0 AS BIGINT) AS qid, vec_id, score,
+           CAST(row_number() OVER (ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+    FROM fused QUALIFY rank <= 10
+    """
+
+
+@register("vec_hybrid_trimodal", oracle=_tri_oracle())
+def vec_hybrid_trimodal(spark: SparkSession, sf: str) -> DataFrame:
+    """Tri-modal hybrid search: dense COSINE ANN + sparse-IP posting join +
+    BM25 lexical, RRF-fused (k=60) — the canonical Milvus retrieval stack
+    (initAdvancedSearchRequest task_search.go:489 with three SubReqs;
+    operator_merge.go RRF). The document corpus and the embedding corpus are
+    zipped by id (doc_id ≡ vec_id). Each sub-search emits only its top-50
+    (qid, pk, rank) — the fusion join is over ≤150 rows regardless of corpus
+    size."""
+    from milvus_spark.operators.hybrid import rrf_fusion
+    from milvus_spark.operators.knn import brute_force_search
+    from milvus_spark.suites.fulltext import _bm25_topk
+    from milvus_spark.suites.fulltext import _docs_tokens
+
+    emb = load_table(spark, sf, "embeddings")
+    q0 = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+    dense = brute_force_search(
+        emb, [(0, list(q0))], "embedding", "vec_id", metric="COSINE", k=50
+    ).select("qid", "vec_id", "rank")
+
+    v = F.col("embedding").cast("array<double>")
+    nz = (
+        emb.select("vec_id", F.posexplode(v).alias("dim0", "val"))
+        .filter(F.col("val") > _SPARSE_THRESHOLD)
+        .select("vec_id", (F.col("dim0") + 1).alias("dim"), "val")
+    )
+    qnz = nz.filter(F.col("vec_id") == 0).select("dim", F.col("val").alias("qval"))
+    sp = (
+        nz.join(F.broadcast(qnz), "dim")
+        .groupBy("vec_id")
+        .agg(F.round(F.sum(F.col("val") * F.col("qval")), 4).alias("s"))
+    )
+    wsp = W.orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    sparse = (
+        sp.withColumn("rank", F.row_number().over(wsp).cast("long"))
+        .filter(F.col("rank") <= 50)
+        .select(F.lit(0).cast("long").alias("qid"), "vec_id", "rank")
+    )
+
+    bm25 = (
+        _bm25_topk(_docs_tokens(spark, sf), k=50)
+        .select(
+            F.lit(0).cast("long").alias("qid"),
+            F.col("doc_id").alias("vec_id"),
+            "rank",
+        )
+    )
+    return rrf_fusion([dense, sparse, bm25], "vec_id", k=60, limit=10)
