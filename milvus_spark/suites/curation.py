@@ -150,3 +150,75 @@ def cur_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", ratio.alias("dup_ratio"))
         .filter(F.col("dup_ratio") > 0.5)
     )
+
+
+@register(
+    "cur_pipeline_e2e",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, {TOKENS_SQL.format(col="text")} AS toks
+      FROM documents
+    ),
+    quality AS (
+      SELECT doc_id, source, toks FROM toks
+      WHERE len(toks) >= 20
+        AND 1.0 - len(list_distinct(toks)) / len(toks) <= 0.5
+    ),
+    chunks AS (
+      SELECT doc_id, source, CAST(start AS BIGINT) AS chunk_start,
+             array_to_string(list_slice(toks, start + 1, start + {_WIN}), ' ') AS chunk_text,
+             len(list_slice(toks, start + 1, start + {_WIN})) AS n_tokens
+      FROM (
+        SELECT doc_id, source, toks,
+               unnest(generate_series(0, greatest(len(toks) - 1, 0), {_STRIDE})) AS start
+        FROM quality
+      )
+      WHERE len(list_slice(toks, start + 1, start + {_WIN})) > 0
+    ),
+    deduped AS (
+      SELECT chunk_text, min(doc_id) AS keeper, count(*) AS n_copies,
+             min(source) AS source, min(n_tokens) AS n_tokens
+      FROM chunks GROUP BY chunk_text
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(n_copies - 1) AS BIGINT) AS dropped_dups
+    FROM deduped GROUP BY source
+    """,
+)
+def cur_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end curation pipeline in ONE declarative plan: repetition
+    quality gate → sliding-window chunking → exact chunk dedup (keep lowest
+    doc_id) → per-source corpus stats. This is the shape a 100 TB
+    pre-training pass takes: the gate and chunker are map-side (codegen, no
+    shuffle), the dedup is one hash shuffle on chunk_text (map-side partial
+    agg first), and the stats agg reuses the same shuffled partitioning.
+    Catalyst pipelines all four stages — nothing materializes between them."""
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("toks"))
+    dup_ratio = F.lit(1.0) - F.size(F.array_distinct("toks")) / F.size("toks")
+    quality = t.filter((F.size("toks") >= 20) & (dup_ratio <= 0.5))
+    starts = quality.select(
+        "doc_id", "source", "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.size("toks") - 1, F.lit(0)), F.lit(_STRIDE))
+        ).alias("start"),
+    )
+    chunks = starts.select(
+        "doc_id", "source",
+        F.col("start").cast("long").alias("chunk_start"),
+        F.array_join(F.slice("toks", F.col("start") + 1, _WIN), " ").alias("chunk_text"),
+        F.size(F.slice("toks", F.col("start") + 1, _WIN)).alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+    deduped = chunks.groupBy("chunk_text").agg(
+        F.min("doc_id").alias("keeper"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("source").alias("source"),
+        F.min("n_tokens").alias("n_tokens"),
+    )
+    return deduped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        (F.sum(F.col("n_copies") - 1)).cast("long").alias("dropped_dups"),
+    )
