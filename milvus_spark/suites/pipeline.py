@@ -49,3 +49,20 @@ def embed_ingest(spark: SparkSession, sf: str) -> DataFrame:
         F.round(norm, 4).alias("norm"),
         F.round(F.element_at(v, 1), 4).alias("c0"),
     )
+
+
+@register("mm_frame_sample")
+def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame sampling over binary media columns (every-2nd-frame
+    stride): the row-EXPANDING mapInPandas shape a real container demuxer
+    uses — codec stubbed deterministic, plumbing (schema, per-frame rows,
+    Arrow batching) real. Exact per-frame assertions live in
+    tests/test_sources_multimodal.py."""
+    from milvus_spark.operators.multimodal import frame_sample, make_media_table
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = make_media_table(docs, "doc_id", "text")
+    frames = frame_sample(media, "media", "doc_id", every_n=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.size("frame_vec").cast("long").alias("vec_dim")
+    )

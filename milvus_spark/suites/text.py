@@ -525,3 +525,39 @@ def txt_ngram_inner_match(spark: SparkSession, sf: str) -> DataFrame:
     return inner_match(d, idx, "text", "doc_id", "hash join").select(
         "doc_id", "n_chars"
     )
+
+
+# --- BPE-ish subword token counting -------------------------------------------
+_BPE_RE = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+"
+
+
+@register(
+    "txt_bpe_token_count",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '{_BPE_RE}')) AS n_bpe,
+             len({TOKENS_SQL.format(col="text")}) AS n_words
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_bpe AS BIGINT) AS n_bpe,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(n_bpe * 1.0 / greatest(n_words, 1), 4) AS bpe_per_word
+    FROM t
+    """,
+)
+def txt_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-2-style pretokenizer regex (letter runs
+    / digit runs / punctuation runs, each with optional leading space) —
+    the budget estimator a training pipeline runs before packing. Pure
+    regexp_extract_all, map-side codegen; the word-token ratio sanity-checks
+    the tokenizer against the whitespace count."""
+    d = load_table(spark, sf, "documents")
+    n_bpe = F.size(F.regexp_extract_all(F.lower("text"), F.lit(_BPE_RE), 0))
+    n_words = F.size(tokens(F.col("text")))
+    return d.select(
+        "doc_id",
+        n_bpe.cast("long").alias("n_bpe"),
+        n_words.cast("long").alias("n_words"),
+        F.round(n_bpe / F.greatest(n_words, F.lit(1)), 4).alias("bpe_per_word"),
+    )
