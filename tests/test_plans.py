@@ -132,3 +132,36 @@ def test_bulk_import_stays_distributed(spark, sf_dir):
     df = QUERIES["src_bulk_import"](spark, sf_dir)
     plan = plan_of(df)
     assert "Scan json" in plan and "Scan csv" in plan
+
+
+def test_grid_spatial_join_is_equi_join(spark, sf_dir):
+    """The pairwise dwithin must be a cell-key equi-join — never a cartesian
+    or a band nested-loop (the whole point of the grid index)."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["geo_grid_join_dwithin"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_trimodal_hybrid_no_cartesian(spark, sf_dir):
+    """Tri-modal fusion: the only nested-loop join allowed is the 1-row
+    corpus-stats broadcast inside BM25; everything else is hash/broadcast."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["vec_hybrid_trimodal"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_curation_pipeline_shuffle_budget(spark, sf_dir):
+    """Gate → chunk → dedup → stats must cost exactly two shuffles (dedup
+    groupBy + stats groupBy); the map-side stages fuse into the scan."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["cur_pipeline_e2e"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2 and "Join" not in plan
