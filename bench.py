@@ -28,6 +28,7 @@ BENCH_QUERIES = [
     "vec_maxsim_ip",          # emb-list late interaction
     "fts_bm25_topk",          # BM25 full-text with corpus stats
     "dedup_minhash_lsh",      # MinHash+LSH near-dup
+    "cur_pipeline_e2e",       # curation: gate → chunk → dedup → stats
 ]
 
 
