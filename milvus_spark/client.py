@@ -51,11 +51,14 @@ class MilvusSparkClient:
         vector_field: Optional[str | Sequence[str]] = None,
         metric_type: str = "COSINE",
         partition_key_field: Optional[str] = None,
+        auto_id: bool = False,
     ) -> None:
         """``vector_field`` may be a list: Milvus collections support
         multiple vector fields (one ANN sub-search per field in hybrid
         search, initAdvancedSearchRequest task_search.go:489). The first
-        is the default ``anns_field``."""
+        is the default ``anns_field``. ``auto_id=True``: the pk is assigned
+        at insert (task_insert.go pk/auto-id fill) — inserted frames must
+        NOT carry the pk column."""
         if name in self._catalog:
             raise ValueError(f"collection {name} exists")
         vfs = (
@@ -69,6 +72,7 @@ class MilvusSparkClient:
             "vector_fields": vfs,
             "metric": metric_type,
             "partition_key": partition_key_field,
+            "auto_id": bool(auto_id),
         }
         self._save_catalog()
 
@@ -287,6 +291,21 @@ class MilvusSparkClient:
 
     # ----------------------------------------------------------------- DML
     def insert(self, name: str, df: DataFrame, partition_name: Optional[str] = None) -> int:
+        meta = self._meta(name)
+        if meta.get("auto_id"):
+            # auto-id assignment (task_insert.go): snowflake-style ids,
+            # (write_ts << 40) | partition-local monotonic id — unique across
+            # batches (ts strictly increases) and across executors
+            # (monotonically_increasing_id encodes the partition), assigned
+            # fully distributed with no driver round-trip or global sort.
+            pk = meta["pk"]
+            if pk in df.columns:
+                raise ValueError(f"auto_id collection: drop the {pk!r} column")
+            ts_base = self._current_ts(name) + 1
+            df = df.withColumn(
+                pk,
+                (F.lit(int(ts_base) << 40) + F.monotonically_increasing_id()).cast("long"),
+            )
         if partition_name is not None:
             if partition_name not in self._meta(name).get("partitions", ["_default"]):
                 raise ValueError(f"no partition {partition_name}")

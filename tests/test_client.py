@@ -552,3 +552,19 @@ def test_sparse_inverted_search(client, spark, sf_dir):
     again = client.sparse_search("spx", queries, field="sv", limit=5)
     assert again.count() > 0
     client.drop_collection("spx")
+
+
+def test_auto_id_insert(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").drop("n_nationkey")
+    client.create_collection("aid", pk_field="row_id", auto_id=True)
+    n1 = client.insert("aid", nation)
+    n2 = client.insert("aid", nation)
+    rows = client.query("aid", output_fields=["row_id"]).collect()
+    ids = [r.row_id for r in rows]
+    assert len(ids) == n1 + n2 and len(set(ids)) == len(ids)  # unique across batches
+    # carrying the pk column is an error on auto_id collections
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        client.insert("aid", nation.withColumn("row_id", F.lit(1)))
+    client.drop_collection("aid")
