@@ -28,16 +28,67 @@ from milvus_spark.plans.expr import apply_filter, compile_expr
 
 
 class MilvusSparkClient:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(self, spark: SparkSession, root: str, db_name: str = "default"):
         self.spark = spark
-        self.root = root
+        self._base_root = root
         os.makedirs(root, exist_ok=True)
-        self._catalog_path = os.path.join(root, "_catalog.json")
+        self._use(db_name)
+
+    # ----------------------------------------------------------- databases
+    # Milvus database namespaces (create_database/use_database — proxy
+    # database APIs, tests/python_client/testcases/test_database.py): each
+    # db is an isolated catalog + collection tree under the shared root.
+    def _db_dir(self, db_name: str) -> str:
+        return (
+            self._base_root
+            if db_name == "default"
+            else os.path.join(self._base_root, "_dbs", db_name)
+        )
+
+    def _use(self, db_name: str) -> None:
+        self.db_name = db_name
+        self.root = self._db_dir(db_name)
+        os.makedirs(self.root, exist_ok=True)
+        self._catalog_path = os.path.join(self.root, "_catalog.json")
         self._catalog: dict[str, dict] = {}
         if os.path.exists(self._catalog_path):
             with open(self._catalog_path) as f:
                 self._catalog = json.load(f)
         self._ts: dict[str, int] = {}
+
+    def create_database(self, db_name: str) -> None:
+        if db_name == "default" or os.path.isdir(self._db_dir(db_name)):
+            raise ValueError(f"database {db_name} exists")
+        os.makedirs(self._db_dir(db_name))
+
+    def list_databases(self) -> list[str]:
+        dbs_dir = os.path.join(self._base_root, "_dbs")
+        extra = sorted(os.listdir(dbs_dir)) if os.path.isdir(dbs_dir) else []
+        return ["default"] + extra
+
+    def use_database(self, db_name: str) -> None:
+        if db_name != "default" and not os.path.isdir(self._db_dir(db_name)):
+            raise ValueError(f"no database {db_name}")
+        self._use(db_name)
+
+    def drop_database(self, db_name: str) -> None:
+        """Only empty, non-current, non-default databases (Milvus rule)."""
+        import shutil
+
+        if db_name == "default":
+            raise ValueError("cannot drop the default database")
+        if db_name == self.db_name:
+            raise ValueError("cannot drop the current database")
+        d = self._db_dir(db_name)
+        if not os.path.isdir(d):
+            raise ValueError(f"no database {db_name}")
+        cat = os.path.join(d, "_catalog.json")
+        if os.path.exists(cat):
+            with open(cat) as f:
+                # housekeeping keys (_aliases, ...) don't block the drop
+                if any(not k.startswith("_") for k in json.load(f)):
+                    raise ValueError(f"database {db_name} is not empty")
+        shutil.rmtree(d)
 
     # ------------------------------------------------------------- catalog
     def _save_catalog(self) -> None:

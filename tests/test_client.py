@@ -568,3 +568,29 @@ def test_auto_id_insert(client, spark, sf_dir):
     with _pytest.raises(ValueError):
         client.insert("aid", nation.withColumn("row_id", F.lit(1)))
     client.drop_collection("aid")
+
+
+def test_database_namespaces(client, spark, sf_dir):
+    import pytest as _pytest
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_database("staging")
+    assert "staging" in client.list_databases()
+    client.use_database("staging")
+    client.create_collection("nat_db", pk_field="n_nationkey")
+    client.insert("nat_db", nation)
+    assert client.count("nat_db") == nation.count()
+    # same name is free in the default db — namespaces are isolated
+    client.use_database("default")
+    with _pytest.raises(KeyError):
+        client.count("nat_db")
+    # drop rules: non-empty and current dbs refuse
+    with _pytest.raises(ValueError):
+        client.drop_database("staging")  # not empty
+    client.use_database("staging")
+    client.drop_collection("nat_db")
+    with _pytest.raises(ValueError):
+        client.drop_database("staging")  # current
+    client.use_database("default")
+    client.drop_database("staging")
+    assert client.list_databases() == ["default"]
