@@ -755,8 +755,11 @@ class MilvusSparkClient:
         output_fields: Optional[Sequence[str]] = None,
         anns_field: Optional[str] = None,
         partition_names: Optional[Sequence[str]] = None,
+        round_decimal: int = 4,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
+        ``round_decimal`` rounds returned distances (search param validated
+        at the proxy, internal/proxy/util.go; -1 = no rounding → 12 here).
 
         Uses a fresh IVF_FLAT index when one exists and the query is
         unfiltered/unbounded (``search_params={"nprobe": n}``); any filter,
@@ -840,6 +843,7 @@ class MilvusSparkClient:
             filter_cond=cond,
             radius=radius,
             range_filter=range_filter,
+            round_to=12 if round_decimal == -1 else int(round_decimal),
         )
         return self._requery(name, hits, meta, output_fields)
 

@@ -594,3 +594,17 @@ def test_database_namespaces(client, spark, sf_dir):
     client.use_database("default")
     client.drop_database("staging")
     assert client.list_databases() == ["default"]
+
+
+def test_round_decimal_search_param(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("rdx", pk_field="vec_id", vector_field="embedding")
+    client.insert("rdx", emb)
+    q = [emb.first().embedding]
+    coarse = client.search("rdx", data=q, limit=5, filter="vec_id >= 0", round_decimal=1)
+    fine = client.search("rdx", data=q, limit=5, filter="vec_id >= 0", round_decimal=6)
+    cs = [r.score for r in coarse.collect()]
+    fs = [r.score for r in fine.collect()]
+    assert all(round(s, 1) == s for s in cs)
+    assert any(round(s, 1) != s for s in fs)  # finer scores carry more digits
+    client.drop_collection("rdx")
