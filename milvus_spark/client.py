@@ -756,10 +756,16 @@ class MilvusSparkClient:
         anns_field: Optional[str] = None,
         partition_names: Optional[Sequence[str]] = None,
         round_decimal: int = 4,
+        group_by_field: Optional[str] = None,
+        group_size: int = 2,
+        strict_group_size: bool = False,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
         ``round_decimal`` rounds returned distances (search param validated
         at the proxy, internal/proxy/util.go; -1 = no rounding → 12 here).
+        ``group_by_field``: grouping search — top-``limit`` GROUPS per query
+        with ``group_size`` hits each (QueryInfo.group_by_field_id,
+        plan.proto:91-104; SearchGroupByNode.cpp) — always the exact path.
 
         Uses a fresh IVF_FLAT index when one exists and the query is
         unfiltered/unbounded (``search_params={"nprobe": n}``); any filter,
@@ -776,6 +782,28 @@ class MilvusSparkClient:
             # topk quota (quota_param.go:1445-1450); LargeTopK collections
             # relax this server-side — pass the relaxed cap explicitly
             raise ValueError(f"limit must be in (0, 16384], got {limit}")
+        if group_by_field is not None:
+            from milvus_spark.operators.knn import grouping_search
+
+            gdf = self._partition_filter(
+                self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+                partition_names,
+            )
+            if filter:
+                gdf = gdf.filter(compile_expr(filter, gdf.schema, params))
+            hits = grouping_search(
+                gdf,
+                [(i, list(map(float, v))) for i, v in enumerate(data)],
+                vec_col=vfield,
+                pk_col=meta["pk"],
+                group_col=group_by_field,
+                metric=metric_type or meta["metric"],
+                limit=limit,
+                group_size=int(group_size),
+                round_to=12 if round_decimal == -1 else int(round_decimal),
+                strict_group_size=bool(strict_group_size),
+            )
+            return hits
         idx = self._fresh_index(name, vfield, "IVF_FLAT")
         if (
             idx is not None

@@ -608,3 +608,18 @@ def test_round_decimal_search_param(client, spark, sf_dir):
     assert all(round(s, 1) == s for s in cs)
     assert any(round(s, 1) != s for s in fs)  # finer scores carry more digits
     client.drop_collection("rdx")
+
+
+def test_group_by_search(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("gbx", pk_field="vec_id", vector_field="embedding")
+    client.insert("gbx", emb)
+    q = [emb.first().embedding]
+    got = client.search("gbx", data=q, limit=3, group_by_field="label", group_size=2)
+    rows = got.collect()
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.label, []).append(r)
+    assert len(by_group) <= 3 and all(len(v) <= 2 for v in by_group.values())
+    assert len(by_group) == 3  # enough labels exist to fill the group quota
+    client.drop_collection("gbx")
