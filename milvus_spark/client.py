@@ -1000,6 +1000,10 @@ class MilvusSparkClient:
         """Multi-vector search + fusion (initAdvancedSearchRequest analog).
 
         Each req: {"data": [...], "limit": k, "filter": ..., "metric_type": ...}.
+        A req with ``"sparse_field": f`` searches a SPARSE_FLOAT_VECTOR map
+        column instead (``data`` = list of {dim: weight} dicts) — dense and
+        sparse sub-searches fuse on the shared pk, the Milvus dense+sparse
+        hybrid stack.
         """
         from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
@@ -1008,11 +1012,16 @@ class MilvusSparkClient:
         # equal (data, limit, filter, metric) sub-searches share one scored
         # plan instead of scanning/scoring twice
         def req_key(r: dict) -> str:
+            if r.get("sparse_field"):
+                payload = [sorted((int(k), float(v)) for k, v in qv.items()) for qv in r["data"]]
+            else:
+                payload = [[float(x) for x in v] for v in r["data"]]
             return json.dumps(
                 [
-                    [[float(x) for x in v] for v in r["data"]],
+                    payload,
                     r.get("limit", limit), r.get("filter"), r.get("metric_type"),
-                    r.get("anns_field"), list(partition_names or []),
+                    r.get("anns_field"), r.get("sparse_field"),
+                    list(partition_names or []),
                 ],
                 sort_keys=True,
             )
@@ -1023,15 +1032,21 @@ class MilvusSparkClient:
         results = []
         for r, key in zip(reqs, keys):
             if key not in cache:
-                hits = self.search(
-                    name,
-                    data=r["data"],
-                    limit=r.get("limit", limit),
-                    filter=r.get("filter"),
-                    metric_type=r.get("metric_type"),
-                    anns_field=r.get("anns_field"),
-                    partition_names=partition_names,
-                )
+                if r.get("sparse_field"):
+                    hits = self.sparse_search(
+                        name, r["data"], field=r["sparse_field"],
+                        limit=r.get("limit", limit),
+                    )
+                else:
+                    hits = self.search(
+                        name,
+                        data=r["data"],
+                        limit=r.get("limit", limit),
+                        filter=r.get("filter"),
+                        metric_type=r.get("metric_type"),
+                        anns_field=r.get("anns_field"),
+                        partition_names=partition_names,
+                    )
                 cache[key] = hits.cache() if key in dup else hits
             results.append(cache[key])
         if rerank == "rrf":

@@ -623,3 +623,33 @@ def test_group_by_search(client, spark, sf_dir):
     assert len(by_group) <= 3 and all(len(v) <= 2 for v in by_group.values())
     assert len(by_group) == 3  # enough labels exist to fill the group quota
     client.drop_collection("gbx")
+
+
+def test_hybrid_dense_plus_sparse(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = emb.select(
+        "vec_id",
+        "embedding",
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, i: F.struct(i.alias("dim"), x.alias("val")),
+                ),
+                lambda s: s.val > 0.15,
+            )
+        ).alias("sv"),
+    )
+    client.create_collection("hds", pk_field="vec_id", vector_field="embedding")
+    client.insert("hds", both)
+    r0 = both.first()
+    reqs = [
+        {"data": [list(r0.embedding)], "limit": 20},
+        {"data": [dict(r0.sv)], "sparse_field": "sv", "limit": 20},
+    ]
+    fused = client.hybrid_search("hds", reqs, rerank="rrf", limit=5)
+    rows = fused.collect()
+    assert len(rows) == 5 and rows[0].vec_id == r0.vec_id  # self is rank 1 in both
+    again = {(r.vec_id, r.score) for r in client.hybrid_search("hds", reqs, limit=5).collect()}
+    assert {(r.vec_id, r.score) for r in rows} == again  # deterministic
+    client.drop_collection("hds")
