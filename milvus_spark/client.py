@@ -259,6 +259,13 @@ class MilvusSparkClient:
     def describe_collection(self, name: str) -> dict:
         return dict(self._meta(name))
 
+    def has_collection(self, name: str) -> bool:
+        try:
+            self._meta(name)
+            return True
+        except KeyError:
+            return False
+
     def _meta(self, name: str) -> dict:
         name = self._resolve_alias(name)
         if name not in self._catalog:

@@ -653,3 +653,10 @@ def test_hybrid_dense_plus_sparse(client, spark, sf_dir):
     again = {(r.vec_id, r.score) for r in client.hybrid_search("hds", reqs, limit=5).collect()}
     assert {(r.vec_id, r.score) for r in rows} == again  # deterministic
     client.drop_collection("hds")
+
+
+def test_has_collection(client):
+    client.create_collection("hcx", pk_field="a")
+    assert client.has_collection("hcx") and not client.has_collection("nope")
+    client.drop_collection("hcx")
+    assert not client.has_collection("hcx")
