@@ -215,6 +215,9 @@ class MilvusSparkClient:
     def list_partitions(self, name: str) -> list[str]:
         return list(self._meta(name).get("partitions", ["_default"]))
 
+    def has_partition(self, name: str, partition: str) -> bool:
+        return partition in self.list_partitions(name)
+
     def drop_partition(self, name: str, partition: str) -> None:
         """Drop a named partition: its rows are tombstoned (delete path)."""
         if partition == "_default":
@@ -302,6 +305,15 @@ class MilvusSparkClient:
     def drop_alias(self, alias: str) -> None:
         self._aliases().pop(alias, None)
         self._save_catalog()
+
+    def list_aliases(self, collection: Optional[str] = None) -> list[str]:
+        a = self._aliases()
+        return sorted(k for k, v in a.items() if collection is None or v == collection)
+
+    def describe_alias(self, alias: str) -> dict:
+        if alias not in self._aliases():
+            raise KeyError(f"no alias {alias}")
+        return {"alias": alias, "collection": self._aliases()[alias], "db_name": self.db_name}
 
     def get_collection_stats(self, name: str) -> dict:
         """GetCollectionStatistics: row count + partition row counts."""

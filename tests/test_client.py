@@ -660,3 +660,18 @@ def test_has_collection(client):
     assert client.has_collection("hcx") and not client.has_collection("nope")
     client.drop_collection("hcx")
     assert not client.has_collection("hcx")
+
+
+def test_partition_alias_introspection(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("pai", pk_field="n_nationkey")
+    client.insert("pai", nation)
+    client.create_partition("pai", "hot")
+    assert client.has_partition("pai", "hot") and not client.has_partition("pai", "cold")
+    client.create_alias("pai", "pai_live")
+    assert client.list_aliases("pai") == ["pai_live"]
+    d = client.describe_alias("pai_live")
+    assert d["collection"] == "pai" and d["db_name"] == "default"
+    client.drop_alias("pai_live")
+    assert client.list_aliases() == []
+    client.drop_collection("pai")
