@@ -256,6 +256,33 @@ class MilvusSparkClient:
         if df is not None:
             df.unpersist()
 
+    def load_partitions(self, name: str, partitions: Sequence[str]) -> None:
+        """Partition-level load (LoadPartitions analog): pin only the named
+        partitions' rows in cache — the serving set at cluster scale is the
+        hot partitions, not the whole collection."""
+        for p in partitions:
+            if not self.has_partition(name, p):
+                raise ValueError(f"no partition {p}")
+        self._loaded = getattr(self, "_loaded", {})
+        df = self._partition_filter(self._read(name), list(partitions)).cache()
+        df.count()
+        self._loaded[(name, tuple(sorted(partitions)))] = df
+
+    def release_partitions(self, name: str, partitions: Sequence[str]) -> None:
+        loaded = getattr(self, "_loaded", {})
+        df = loaded.pop((name, tuple(sorted(partitions))), None)
+        if df is not None:
+            df.unpersist()
+
+    def get_load_state(self, name: str) -> dict:
+        loaded = getattr(self, "_loaded", {})
+        full = name in loaded
+        parts = sorted(
+            p for k in loaded if isinstance(k, tuple) and k[0] == name for p in k[1]
+        )
+        state = "Loaded" if full else ("PartiallyLoaded" if parts else "NotLoad")
+        return {"state": state, "partitions": parts}
+
     def list_collections(self) -> list[str]:
         return sorted(k for k in self._catalog if k != "_aliases")
 

@@ -675,3 +675,21 @@ def test_partition_alias_introspection(client, spark, sf_dir):
     client.drop_alias("pai_live")
     assert client.list_aliases() == []
     client.drop_collection("pai")
+
+
+def test_partition_load_state(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("pls", pk_field="n_nationkey")
+    client.create_partition("pls", "hot")
+    client.insert("pls", nation.limit(10), partition_name="hot")
+    client.insert("pls", nation.filter("n_nationkey >= 10"))
+    assert client.get_load_state("pls")["state"] == "NotLoad"
+    client.load_partitions("pls", ["hot"])
+    st = client.get_load_state("pls")
+    assert st["state"] == "PartiallyLoaded" and st["partitions"] == ["hot"]
+    client.release_partitions("pls", ["hot"])
+    client.load_collection("pls")
+    assert client.get_load_state("pls")["state"] == "Loaded"
+    client.release_collection("pls")
+    assert client.get_load_state("pls")["state"] == "NotLoad"
+    client.drop_collection("pls")
