@@ -58,6 +58,9 @@ def load_table(spark: SparkSession, sf: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    # Self-sufficient on ANY session (e.g. a harness-created one): the flag is
+    # runtime-settable, so set it here rather than relying on builder config.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
