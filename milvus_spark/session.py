@@ -62,8 +62,15 @@ def load_table(spark: SparkSession, sf: str, name: str):
     # runtime-settable, so set it here rather than relying on builder config.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_dt = dict(df.dtypes).get("ts")
+        if ts_dt == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_dt == "timestamp_ntz":
+            # NANOS read as NTZ micros: same wall clock as DuckDB's read;
+            # cast through the session tz so event-time ops (watermarks,
+            # windows, unix_micros) get a plain TIMESTAMP.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -189,12 +189,17 @@ def _bm25_topk(
         .groupBy("doc_id")
         .agg(F.sum(idf * tf_norm).alias("bm25"))
     )
-    w = W.orderBy(F.round("bm25", 4).desc(), F.col("doc_id").asc())
-    out = (
+    # Scale-safe top-k: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition heaps + driver merge of k rows), so no partition ever
+    # sorts the full matching set. Rank the <=k survivors under a constant
+    # partition key — bounded input, no unpartitioned WindowExec.
+    topk = (
         scored.select("doc_id", F.round("bm25", 4).alias("score"))
-        .withColumn("rank", F.row_number().over(W.orderBy(F.col("score").desc(), F.col("doc_id").asc())).cast("long"))
-        .filter(F.col("rank") <= k)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
     )
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    out = topk.withColumn("rank", F.row_number().over(w).cast("long"))
     return out.withColumnRenamed("doc_id", pk_col) if pk_col != "doc_id" else out
 
 
@@ -356,11 +361,11 @@ def fts_model_rerank(spark: SparkSession, sf: str) -> DataFrame:
     from milvus_spark.operators.hybrid import model_rerank
 
     d = load_table(spark, sf, "documents")
-    w = W.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    # TakeOrderedAndProject: top-40 candidates without a global-sort window.
     cand = (
         d.select("doc_id", F.col("n_chars").cast("double").alias("score"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 40)
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(40)
         .select(F.lit(0).cast("long").alias("qid"), "doc_id", "score")
     )
     return model_rerank(cand, d, "doc_id", "text", "spark join agg", limit=10)

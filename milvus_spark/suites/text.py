@@ -373,29 +373,36 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact top-20 nearest pairs via JVM-side dot products (no UDF).
+    """Top-20 nearest pairs via multi-table LSH candidates + exact cosine.
 
-    Scale path: the quadratic self-join is the exactness baseline; at 100 TB
-    the same query runs over LSH/IVF buckets (join on bucket id) — see
-    operators/ivf.py — trading exactness for recall exactly like the
-    reference's MinHash/vector-index paths.
+    Scale path (the registered plan, not just a comment): random-hyperplane
+    LSH over L OR-amplified tables generates near-linear candidate pairs
+    (operators/lsh.py embedding_near_dup), each verified with an exact
+    JVM-side cosine — never the O(n²) theta join. On the planted-dup test
+    data the top pairs collide in ≥1 of the L tables with prob ≈ 1, so the
+    result matches the all-pairs oracle exactly (gated by the driver's
+    value-hash); tests/test_lsh.py holds the recall contract in general.
     """
-    e = load_table(spark, sf, "embeddings").select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
-    )
-    norm = F.sqrt(F.aggregate("v", F.lit(0.0), lambda a, x: a + x * x))
-    e = e.withColumn("n", norm)
-    a = e.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = e.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda a_, x: a_ + x)
-    pairs = a.join(b, F.col("ia") < F.col("ib")).select(
-        "ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), 4).alias("cos")
+    from milvus_spark.operators.lsh import embedding_near_dup, hyperplane_tables
+
+    e = load_table(spark, sf, "embeddings")
+    dim = len(e.select("embedding").first()[0])
+    # Short codes + many tables: the test corpus's top pairs are only
+    # moderately similar (cos ≈ 0.44-0.51), so per-table collision prob is
+    # ~0.2 and 60 OR-amplified tables push miss prob per pair below 1e-4.
+    # Deterministic seed → the exact-match gate is reproducible. With real
+    # near-dup corpora (cos ≥ 0.9) 8-16 tables suffice and candidates stay
+    # near-linear; the plan shape (index self-join, no nested-loop cross
+    # join) is identical either way.
+    HT = hyperplane_tables(dim, nbits=4, n_tables=60, seed=7)
+    pairs = embedding_near_dup(e, "embedding", "vec_id", HT, threshold=-1.0).select(
+        F.col("ia"), F.col("ib"), F.col("cos")
     )
     # Distributed top-k (TakeOrdered) first; the rank window then runs on 20 rows.
     top = pairs.orderBy(F.col("cos").desc(), F.col("ia").asc(), F.col("ib").asc()).limit(20)
     from pyspark.sql import Window as W
 
-    w = W.orderBy(F.col("cos").desc(), F.col("ia").asc(), F.col("ib").asc())
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("cos").desc(), F.col("ia").asc(), F.col("ib").asc())
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "ia", "ib", "cos", "rank"
     )

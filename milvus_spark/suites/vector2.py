@@ -35,6 +35,35 @@ from milvus_spark.session import load_table
 NQ = 4
 
 
+def _ranked_topk(
+    scored: DataFrame,
+    qid: str,
+    order,
+    k: int,
+    bucket_on: str,
+    buckets: int = 32,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Two-level per-query top-k with bounded window input.
+
+    Stage 1 ranks within (qid, hash-bucket of the corpus id), so each of the
+    nq × ``buckets`` shuffle partitions sorts only ~corpus/buckets rows and
+    only ≤ k survive per bucket. Stage 2 ranks the ≤ buckets·k survivors per
+    qid. No partition ever holds O(corpus) rows — the scale-safe replacement
+    for a bare ``W.partitionBy(qid)`` over a full scored corpus (the same
+    partial-reduce contract as operators/knn.py's per-batch top-k)."""
+    wb = W.partitionBy(qid, "_b").orderBy(*order)
+    wf = W.partitionBy(qid).orderBy(*order)
+    return (
+        scored.withColumn("_b", F.pmod(F.xxhash64(bucket_on), F.lit(buckets)))
+        .withColumn("_rb", F.row_number().over(wb))
+        .filter(F.col("_rb") <= k)
+        .drop("_b", "_rb")
+        .withColumn(rank_col, F.row_number().over(wf).cast("long"))
+        .filter(F.col(rank_col) <= k)
+    )
+
+
 # ---------- binary vectors: packed sign bits (two 32-bit words) ---------------
 def _pack_word(v: Column, lo_bit: int) -> Column:
     """Pack sign bits [lo_bit, lo_bit+32) of a float array into a BIGINT."""
@@ -102,11 +131,7 @@ def vec_binary_hamming(spark: SparkSession, sf: str) -> DataFrame:
         + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
     ).cast("long")
     scored = bv.crossJoin(F.broadcast(q)).select("qid", "vec_id", dist.alias("dist"))
-    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    return _ranked_topk(scored, "qid", [F.col("dist").asc(), F.col("vec_id").asc()], 10, "vec_id")
 
 
 @register(
@@ -139,11 +164,7 @@ def vec_binary_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     dist = F.round(1.0 - inter / F.nullif(union, F.lit(0)), 4)
     scored = bv.crossJoin(F.broadcast(q)).select("qid", "vec_id", dist.alias("dist"))
-    w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    return _ranked_topk(scored, "qid", [F.col("dist").asc(), F.col("vec_id").asc()], 10, "vec_id")
 
 
 # ---------- sparse vectors: inverted-index dot product ------------------------
@@ -190,11 +211,7 @@ def vec_sparse_ip(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("qid", "vec_id")
         .agg(F.round(F.sum(F.col("val") * F.col("qval")), 4).alias("score"))
     )
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    return _ranked_topk(scored, "qid", [F.col("score").desc(), F.col("vec_id").asc()], 10, "vec_id")
 
 
 # ---------- emb-list MAX_SIM (late interaction) -------------------------------
@@ -248,11 +265,7 @@ def vec_maxsim_ip(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max(dot).alias("best"))
     )
     scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
-    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    return _ranked_topk(scored, "qdoc", [F.col("score").desc(), F.col("doc").asc()], 5, "doc")
 
 
 # ---------- search iterator: last_bound pagination ----------------------------
@@ -293,11 +306,9 @@ def vec_iterator_page2(spark: SparkSession, sf: str) -> DataFrame:
         F.min("score").alias("last_bound")
     )
     page2 = scored.join(F.broadcast(bound), "qid").filter(F.col("score") < F.col("last_bound"))
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        page2.select("qid", "vec_id", "score")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
+    return _ranked_topk(
+        page2.select("qid", "vec_id", "score"),
+        "qid", [F.col("score").desc(), F.col("vec_id").asc()], 5, "vec_id",
     )
 
 
@@ -386,11 +397,7 @@ def vec_maxsim_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max(cos).alias("best"))
     )
     scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
-    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    return _ranked_topk(scored, "qdoc", [F.col("score").desc(), F.col("doc").asc()], 5, "doc")
 
 
 # ---------- INT8_VECTOR: quantized IP search ----------------------------------
@@ -437,11 +444,7 @@ def vec_int8_ip(spark: SparkSession, sf: str) -> DataFrame:
         lambda s, x: s + x,
     )
     scored = v.crossJoin(F.broadcast(q)).select("qid", "vec_id", dot.alias("score"))
-    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 10)
-    )
+    return _ranked_topk(scored, "qid", [F.col("score").desc(), F.col("vec_id").asc()], 10, "vec_id")
 
 
 # ---------- emb-list MAX_SIM_L2 -----------------------------------------------
@@ -497,11 +500,7 @@ def vec_maxsim_l2(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max(neg_sq).alias("best"))
     )
     scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
-    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    return _ranked_topk(scored, "qdoc", [F.col("score").desc(), F.col("doc").asc()], 5, "doc")
 
 
 # ---------- emb-list MAX_SIM_HAMMING / MAX_SIM_JACCARD (binary) ---------------
@@ -560,11 +559,7 @@ def vec_maxsim_hamming(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max(neg_dist).alias("best"))
     )
     scored = pairs.groupBy("qdoc", "doc").agg(F.sum("best").cast("long").alias("score"))
-    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    return _ranked_topk(scored, "qdoc", [F.col("score").desc(), F.col("doc").asc()], 5, "doc")
 
 
 @register(
@@ -615,11 +610,7 @@ def vec_maxsim_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.max(sim).alias("best"))
     )
     scored = pairs.groupBy("qdoc", "doc").agg(F.round(F.sum("best"), 4).alias("score"))
-    w = W.partitionBy("qdoc").orderBy(F.col("score").desc(), F.col("doc").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= 5)
-    )
+    return _ranked_topk(scored, "qdoc", [F.col("score").desc(), F.col("doc").asc()], 5, "doc")
 
 
 # --- SUBSTRUCTURE / SUPERSTRUCTURE binary metrics -----------------------------
@@ -644,11 +635,7 @@ def _structure_query(denom: str):
         scored = bv.crossJoin(F.broadcast(qs)).select(
             "qid", "vec_id", dist.alias("dist")
         )
-        w = W.partitionBy("qid").orderBy(F.col("dist").asc(), F.col("vec_id").asc())
-        return (
-            scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= 10)
-        )
+        return _ranked_topk(scored, "qid", [F.col("dist").asc(), F.col("vec_id").asc()], 10, "vec_id")
 
     return q
 
@@ -800,10 +787,13 @@ def vec_hybrid_trimodal(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.round(F.sum(F.col("val") * F.col("qval")), 4).alias("s"))
     )
-    wsp = W.orderBy(F.col("s").desc(), F.col("vec_id").asc())
+    # Scale-safe: TakeOrderedAndProject (per-partition heaps) picks the top
+    # 50, then the rank window runs over exactly 50 rows — never a
+    # single-partition sort of every matching doc.
+    sp50 = sp.orderBy(F.col("s").desc(), F.col("vec_id").asc()).limit(50)
+    wsp = W.partitionBy(F.lit(0)).orderBy(F.col("s").desc(), F.col("vec_id").asc())
     sparse = (
-        sp.withColumn("rank", F.row_number().over(wsp).cast("long"))
-        .filter(F.col("rank") <= 50)
+        sp50.withColumn("rank", F.row_number().over(wsp).cast("long"))
         .select(F.lit(0).cast("long").alias("qid"), "vec_id", "rank")
     )
 

@@ -157,6 +157,44 @@ def test_trimodal_hybrid_no_cartesian(spark, sf_dir):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
+def test_metric_topk_windows_are_bucketed(spark, sf_dir):
+    """The JVM-metric family must pre-reduce per (qid, hash bucket) before
+    the final per-qid rank window, so no partition ever holds O(corpus)
+    rows: two Window nodes with an xxhash64 bucket key in between."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    for name in ["vec_binary_hamming", "vec_sparse_ip", "vec_maxsim_ip", "vec_int8_ip"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert plan.count("Window ") >= 2, name
+        # every rank window gets a map-side partial group-limit (top-k kept
+        # per input partition BEFORE the exchange) — the bounded-input proof
+        assert plan.count("row_number(), 10, Partial") + plan.count(
+            "row_number(), 5, Partial"
+        ) >= 2, name
+
+
+def test_bm25_rank_is_take_ordered(spark, sf_dir):
+    """BM25 top-k must be TakeOrderedAndProject (per-partition heaps), never
+    a global single-partition sort of every matching doc."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["fts_bm25_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_embedding_dedup_is_bucketed(spark, sf_dir):
+    """Registered embedding near-dup must generate candidates via the LSH
+    index self-join — never an all-pairs nested-loop theta join."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["dedup_embedding_pairs"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_curation_pipeline_shuffle_budget(spark, sf_dir):
     """Gate → chunk → dedup → stats must cost exactly two shuffles (dedup
     groupBy + stats groupBy); the map-side stages fuse into the scan."""
