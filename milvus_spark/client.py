@@ -174,8 +174,16 @@ class MilvusSparkClient:
         self._save_catalog()
 
     def drop_collection(self, name: str) -> None:
+        """Drop by real name only (drop_collection_task.go:43,63): alias
+        arguments are rejected, and a collection with live aliases refuses
+        to drop — never leaves dangling aliases."""
         import shutil
 
+        if name in self._aliases():
+            raise ValueError(f"{name!r} is an alias; drop_alias it or pass the collection name")
+        held = self.list_aliases(name)
+        if held:
+            raise ValueError(f"collection {name} has aliases {held}; drop them first")
         self._catalog.pop(name, None)
         self._save_catalog()
         p = os.path.join(self.root, name)
@@ -183,11 +191,19 @@ class MilvusSparkClient:
             shutil.rmtree(p)
 
     def rename_collection(self, old: str, new: str) -> None:
-        """Rename (RenameCollection API): catalog move + directory move."""
+        """Rename (RenameCollection API): catalog move + directory move.
+        Alias arguments and names shadowed by aliases are rejected, and a
+        collection with live aliases refuses to rename (meta_table.go:1217,
+        1245) — alias targets stay valid."""
         import shutil
 
-        if new in self._catalog:
-            raise ValueError(f"collection {new} exists")
+        if old in self._aliases():
+            raise ValueError(f"{old!r} is an alias; rename the underlying collection")
+        if new in self._catalog or new in self._aliases():
+            raise ValueError(f"collection or alias {new} exists")
+        held = self.list_aliases(old)
+        if held:
+            raise ValueError(f"collection {old} has aliases {held}; drop them first")
         meta = self._meta(old)
         self._catalog[new] = meta
         del self._catalog[old]
@@ -390,18 +406,34 @@ class MilvusSparkClient:
     def insert(self, name: str, df: DataFrame, partition_name: Optional[str] = None) -> int:
         meta = self._meta(name)
         if meta.get("auto_id"):
-            # auto-id assignment (task_insert.go): snowflake-style ids,
-            # (write_ts << 40) | partition-local monotonic id — unique across
-            # batches (ts strictly increases) and across executors
-            # (monotonically_increasing_id encodes the partition), assigned
-            # fully distributed with no driver round-trip or global sort.
+            # auto-id assignment (task_insert.go): snowflake-style ids with
+            # explicit bit fields — (write_ts << 40) | (partition << 24) |
+            # row-in-partition — unique across batches (ts strictly
+            # increases) and across executors, assigned fully distributed
+            # with no driver round-trip or global sort. Caps (65536
+            # partitions, 16M rows/partition) are enforced per row via
+            # raise_error so an overflow fails loudly instead of silently
+            # colliding into the ts field.
             pk = meta["pk"]
             if pk in df.columns:
                 raise ValueError(f"auto_id collection: drop the {pk!r} column")
             ts_base = self._current_ts(name) + 1
+            mid = F.monotonically_increasing_id()
+            pid = F.shiftrightunsigned(mid, 33)
+            row = mid.bitwiseAND(F.lit((1 << 33) - 1))
+            pk_expr = (
+                F.lit(int(ts_base) << 40)
+                .bitwiseOR(F.shiftleft(pid, 24))
+                .bitwiseOR(row)
+                .cast("long")
+            )
             df = df.withColumn(
                 pk,
-                (F.lit(int(ts_base) << 40) + F.monotonically_increasing_id()).cast("long"),
+                F.when((pid < (1 << 16)) & (row < (1 << 24)), pk_expr).otherwise(
+                    F.raise_error(
+                        F.lit("auto_id overflow: >65536 partitions or >16M rows per partition in one insert batch")
+                    ).cast("long")
+                ),
             )
         if partition_name is not None:
             if partition_name not in self._meta(name).get("partitions", ["_default"]):
@@ -849,7 +881,7 @@ class MilvusSparkClient:
                 round_to=12 if round_decimal == -1 else int(round_decimal),
                 strict_group_size=bool(strict_group_size),
             )
-            return hits
+            return self._requery(name, hits, meta, output_fields)
         idx = self._fresh_index(name, vfield, "IVF_FLAT")
         if (
             idx is not None
@@ -928,6 +960,8 @@ class MilvusSparkClient:
         field: str,
         limit: int = 10,
         output_fields: Optional[Sequence[str]] = None,
+        filter: Optional[str] = None,
+        partition_names: Optional[Sequence[str]] = None,
     ) -> DataFrame:
         """Sparse-vector top-k (SPARSE_FLOAT_VECTOR, metric IP — sparse wire
         type plan.proto:44-56; SPARSE_INVERTED_INDEX/WAND index family).
@@ -937,7 +971,9 @@ class MilvusSparkClient:
         SPARSE_INVERTED index the posting table is read pre-exploded and
         dim-sorted (row-group pruning on the query's dims); otherwise the
         map column is exploded inline — identical results either way, the
-        sealed-index vs brute-force dispatch."""
+        sealed-index vs brute-force dispatch. ``filter``/``partition_names``
+        pre-filter in search (same contract as dense search): qualifying pks
+        left-semi join the posting scan before scoring."""
         meta = self._meta(name)
         pk = meta["pk"]
         idx = self._fresh_index(name, field, "SPARSE_INVERTED")
@@ -947,6 +983,12 @@ class MilvusSparkClient:
             posting = self._read(name).select(
                 F.col(pk).alias("id"), F.explode(F.col(field)).alias("dim", "val")
             )
+        if filter or partition_names:
+            base = self._partition_filter(self._read(name), partition_names)
+            if filter:
+                base = base.filter(compile_expr(filter, base.schema))
+            keep = base.select(F.col(pk).alias("id"))
+            posting = posting.join(keep, "id", "left_semi")
         qrows = [
             (int(qid), int(d), float(v))
             for qid, qv in enumerate(data)
@@ -981,11 +1023,9 @@ class MilvusSparkClient:
         if not output_fields:
             return hits
         pk = meta["pk"]
-        fields = [f for f in output_fields if f != pk]
+        fields = [f for f in output_fields if f != pk and f not in hits.columns]
         side = self._read(name).select(pk, *fields)
-        return side.join(F.broadcast(hits), pk).select(
-            "qid", pk, "score", "rank", *fields
-        )
+        return side.join(F.broadcast(hits), pk).select(*hits.columns, *fields)
 
     def search_iterator(
         self,
@@ -1082,6 +1122,8 @@ class MilvusSparkClient:
                     hits = self.sparse_search(
                         name, r["data"], field=r["sparse_field"],
                         limit=r.get("limit", limit),
+                        filter=r.get("filter"),
+                        partition_names=partition_names,
                     )
                 else:
                     hits = self.search(
@@ -1098,7 +1140,12 @@ class MilvusSparkClient:
         if rerank == "rrf":
             fused = rrf_fusion(results, meta["pk"], limit=limit)
         elif rerank == "weighted":
-            metrics = [r.get("metric_type") or meta["metric"] for r in reqs]
+            # sparse sub-requests score with IP regardless of the dense
+            # metric — their normalization must be IP's 0.5+atan(s)/π map
+            metrics = [
+                "IP" if r.get("sparse_field") else (r.get("metric_type") or meta["metric"])
+                for r in reqs
+            ]
             fused = weighted_fusion(results, metrics, weights or [1.0] * len(reqs), meta["pk"], limit=limit)
         else:
             raise ValueError(f"unknown rerank {rerank}")

@@ -693,3 +693,120 @@ def test_partition_load_state(client, spark, sf_dir):
     client.release_collection("pls")
     assert client.get_load_state("pls")["state"] == "NotLoad"
     client.drop_collection("pls")
+
+
+def test_auto_id_unique_across_many_partitions(client, spark, sf_dir):
+    """>=128 input partitions used to overflow monotonically_increasing_id's
+    partition bits into the ts field and silently collide pks across
+    batches; explicit bit fields keep them unique."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet").drop("n_nationkey")
+    wide = nation.repartition(130)
+    client.create_collection("aidp", pk_field="row_id", auto_id=True)
+    n1 = client.insert("aidp", wide)
+    n2 = client.insert("aidp", wide)
+    ids = [r.row_id for r in client.query("aidp", output_fields=["row_id"]).collect()]
+    assert len(ids) == n1 + n2 and len(set(ids)) == len(ids)
+    client.drop_collection("aidp")
+
+
+def _sparse_collection(client, spark, sf_dir, name):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sv = emb.select(
+        "vec_id",
+        "label",
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, i: F.struct(i.alias("dim"), x.alias("val")),
+                ),
+                lambda s: s.val > 0.15,
+            )
+        ).alias("sv"),
+    )
+    client.create_collection(name, pk_field="vec_id")
+    client.insert(name, sv)
+    return sv
+
+
+def test_sparse_search_honors_filter_and_partitions(client, spark, sf_dir):
+    sv = _sparse_collection(client, spark, sf_dir, "spf")
+    q = [dict(sv.first().sv)]
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ok_labels = {r.vec_id for r in emb.filter("label >= 2").collect()}
+
+    unfiltered = client.sparse_search("spf", q, field="sv", limit=50).collect()
+    filtered = client.sparse_search("spf", q, field="sv", limit=50, filter="label >= 2").collect()
+    assert all(r.vec_id in ok_labels for r in filtered)
+    assert {r.vec_id for r in filtered} != {r.vec_id for r in unfiltered}
+
+    # hybrid: two sparse reqs differing ONLY by filter must not be deduped
+    # into the same (wrong) result
+    reqs = [
+        {"data": q, "sparse_field": "sv", "limit": 20},
+        {"data": q, "sparse_field": "sv", "limit": 20, "filter": "label >= 2"},
+    ]
+    fused = client.hybrid_search("spf", reqs, rerank="rrf", limit=10)
+    assert fused.count() > 0
+    client.drop_collection("spf")
+
+
+def test_sparse_search_partition_scope(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    sv = emb.select(
+        "vec_id",
+        F.map_from_entries(
+            F.filter(
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x, i: F.struct(i.alias("dim"), x.alias("val")),
+                ),
+                lambda s: s.val > 0.15,
+            )
+        ).alias("sv"),
+    )
+    client.create_collection("spp", pk_field="vec_id")
+    client.create_partition("spp", "hot")
+    client.insert("spp", sv.filter("vec_id < 50"), partition_name="hot")
+    client.insert("spp", sv.filter("vec_id >= 50"))
+    q = [dict(sv.first().sv)]
+    scoped = client.sparse_search("spp", q, field="sv", limit=100, partition_names=["hot"]).collect()
+    assert scoped and all(r.vec_id < 50 for r in scoped)
+    client.drop_collection("spp")
+
+
+def test_alias_lifecycle_rules(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("alr", pk_field="n_nationkey")
+    client.insert("alr", nation)
+    client.create_alias("alr", "alr_live")
+
+    with pytest.raises(ValueError):
+        client.drop_collection("alr_live")  # alias arg rejected
+    with pytest.raises(ValueError):
+        client.drop_collection("alr")  # has live aliases
+    with pytest.raises(ValueError):
+        client.rename_collection("alr_live", "other")  # alias arg rejected
+    with pytest.raises(ValueError):
+        client.rename_collection("alr", "other")  # has live aliases
+    assert client.has_collection("alr") and client.list_aliases("alr") == ["alr_live"]
+
+    client.drop_alias("alr_live")
+    client.rename_collection("alr", "alr2")
+    assert client.count("alr2") == nation.count()
+    client.drop_collection("alr2")
+
+
+def test_grouping_search_output_fields(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("gbo", pk_field="vec_id", vector_field="embedding")
+    client.insert("gbo", emb)
+    q = [emb.first().embedding]
+    got = client.search(
+        "gbo", data=q, limit=3, group_by_field="label", group_size=2,
+        output_fields=["embedding"],
+    )
+    rows = got.collect()
+    assert rows and "embedding" in got.columns
+    assert all(r.embedding is not None for r in rows)
+    client.drop_collection("gbo")
