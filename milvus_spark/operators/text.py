@@ -79,8 +79,51 @@ def simhash16(items: Column) -> Column:
     return out
 
 
+# CJK character class: CJK Unified Ideographs + Hiragana/Katakana + Hangul
+# syllables — the ranges the reference's jieba/lindera analyzers cover
+# (internal/util/analyzer/, canalyzer/c_analyzer_test.go:71-225).
+CJK_CLASS = "[一-鿿぀-ヿ가-힯]"
+
+
+def cjk_bigram_tokens(col: Column) -> Column:
+    """``cjk_bigram`` analyzer: CJK runs → overlapping character bigrams
+    (Lucene CJKAnalyzer semantics — the package-free fallback for corpora
+    the jieba/lindera dictionaries would segment); non-CJK runs → the
+    standard analyzer. Pure JVM expressions, no Python row path.
+
+    A single-character run emits itself as a unigram so no text is lost."""
+    latin = tokens(F.regexp_replace(col, CJK_CLASS + "+", " "))
+    runs = F.regexp_extract_all(col, F.lit("(" + CJK_CLASS + "+)"), 1)
+    big = F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+    return F.concat(latin, big)
+
+
 # --------------------------------------------------------------- DuckDB side
 TOKENS_SQL = "list_filter(regexp_split_to_array(lower({col}), '[^a-z0-9]+'), x -> x <> '')"
+
+_CJK_BIGRAMS_SQL = (
+    "flatten(list_transform(regexp_extract_all({col}, '(" + CJK_CLASS + "+)', 1), "
+    "r -> CASE WHEN length(r) = 1 THEN [r] "
+    "ELSE list_transform(range(1, length(r)), i -> substr(r, i, 2)) END))"
+)
+
+CJK_TOKENS_SQL = (
+    "list_concat("
+    + TOKENS_SQL.format(col="regexp_replace({col}, '" + CJK_CLASS + "+', ' ', 'g')")
+    + ", "
+    + _CJK_BIGRAMS_SQL
+    + ")"
+)
 HASH_SQL = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
 SHINGLES_SQL = (
     "list_transform(range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"

@@ -461,3 +461,68 @@ def fts_phrase_match3(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_starts") > 0)
         .select("doc_id", "n_starts")
     )
+
+
+# --- CJK bigram analyzer (jieba/lindera fallback) ------------------------------
+# The container has no CJK segmentation dictionaries (jieba/lindera —
+# internal/util/analyzer/, canalyzer/c_analyzer_test.go:71-225), so the
+# cjk_bigram analyzer covers CJK corpora with Lucene-CJKAnalyzer semantics:
+# character bigrams over CJK runs, standard tokens elsewhere. The test corpus
+# has no CJK text, so the query derives a deterministic CJK column by mapping
+# each token to a codepoint via the shared md5 hash — both engines build the
+# identical mixed Latin+CJK string, then analyze it.
+import hashlib as _hl
+
+_CJK_ALPHABET = "".join(chr(0x4E00 + i) for i in range(512))
+
+
+def _cjk_char_of(token: str) -> str:
+    return _CJK_ALPHABET[int(_hl.md5(token.encode()).hexdigest()[:8], 16) % 512]
+
+
+# query bigram = the mapped chars of consecutive tokens "merge","batch" —
+# present in a doc's derived CJK run iff the tokens are adjacent in the text
+_CJK_QB = _cjk_char_of("merge") + _cjk_char_of("batch")
+
+
+def _fts_cjk_oracle() -> str:
+    from milvus_spark.operators.text import CJK_TOKENS_SQL, HASH_SQL
+
+    h = HASH_SQL.format(s="t")
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT t.doc_id,
+             d.text || ' ' ||
+             array_to_string(list_transform(t.toks, t -> chr(CAST(19968 + ({h} % 512) AS INTEGER))), '') AS mixed
+      FROM t JOIN documents d ON t.doc_id = d.doc_id
+    ),
+    a AS (SELECT doc_id, {CJK_TOKENS_SQL.format(col="mixed")} AS ctoks FROM m)
+    SELECT doc_id,
+           CAST(len(list_filter(ctoks, x -> x = '{_CJK_QB}')) AS BIGINT) AS n_bigram,
+           CAST(len(list_filter(ctoks, x -> x = 'vector')) AS BIGINT) AS n_latin
+    FROM a
+    WHERE len(list_filter(ctoks, x -> x = '{_CJK_QB}')) > 0
+    """
+
+
+@register("fts_cjk_match", oracle=_fts_cjk_oracle())
+def fts_cjk_match(spark: SparkSession, sf: str) -> DataFrame:
+    """TextMatch through the ``cjk_bigram`` analyzer over a mixed Latin+CJK
+    column: bigram hits count phrase-adjacent CJK pairs, latin hits flow
+    through the standard-tokenizer leg of the same analyzer — one pass,
+    pure JVM expressions (scale: map-side tokenize, no corpus shuffle)."""
+    from milvus_spark.operators.text import cjk_bigram_tokens, token_hash
+
+    t = _docs_tokens(spark, sf)
+    cjk_char = lambda x: F.lit(_CJK_ALPHABET).substr(
+        (token_hash(x) % 512 + 1).cast("int"), F.lit(1)
+    )
+    mixed = F.concat_ws(" ", F.col("text"), F.concat_ws("", F.transform(F.col("toks"), cjk_char)))
+    a = t.withColumn("ctoks", cjk_bigram_tokens(mixed))
+    n_bigram = F.size(F.filter("ctoks", lambda x: x == F.lit(_CJK_QB))).cast("long")
+    n_latin = F.size(F.filter("ctoks", lambda x: x == F.lit("vector"))).cast("long")
+    return (
+        a.select("doc_id", n_bigram.alias("n_bigram"), n_latin.alias("n_latin"))
+        .filter(F.col("n_bigram") > 0)
+    )
