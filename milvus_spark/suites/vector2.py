@@ -806,3 +806,56 @@ def vec_hybrid_trimodal(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return rrf_fusion([dense, sparse, bm25], "vec_id", k=60, limit=10)
+
+
+# ---------- FLOAT16 vector storage: half-bits store, fp32 compute -------------
+_FP16_DIR = "/root/repo/_scratch/fp16_store"
+
+
+def _fp16_oracle() -> str:
+    from milvus_spark.operators.fp16 import fp16_decode_sql
+
+    dec = fp16_decode_sql("emb16", 64)
+    # the driver's oracle gate always runs at sf0.01 — the registered query
+    # (re)writes this store from the same table before the oracle reads it
+    store = f"read_parquet('{_FP16_DIR}/sf0.01/*.parquet')"
+    return f"""
+    WITH v AS (SELECT vec_id, {dec} AS emb FROM {store}),
+    q AS (SELECT vec_id AS qid, emb AS qemb FROM v WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, v.vec_id, round(list_inner_product(v.emb, q.qemb), 4) AS score
+      FROM v, q
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+@register("vec_fp16_ip", oracle=_fp16_oracle())
+def vec_fp16_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """FLOAT16 vector search (Types.h:92-99 Float16Vector): vectors stored as
+    packed half bits (2 bytes/element — half the fp32 scan I/O), widened to
+    fp32 by JVM bit arithmetic at scan time, IP top-k in fp32 — the same
+    store-narrow/compute-wide contract knowhere applies to half inputs.
+    The oracle decodes the identical bytes with the identical formula."""
+    import os
+
+    from milvus_spark.operators.fp16 import encode_fp16, fp16_to_f32
+
+    e = load_table(spark, sf, "embeddings")
+    path = os.path.join(_FP16_DIR, os.path.basename(sf.rstrip("/")))
+    encode_fp16(e, "embedding", "vec_id").write.mode("overwrite").parquet(path)
+
+    store = spark.read.parquet(path)
+    v = store.select("vec_id", fp16_to_f32(F.col("emb16"), 64).alias("emb"))
+    q = v.filter(F.col("vec_id") < NQ).select(
+        F.col("vec_id").alias("qid"), F.col("emb").alias("qemb")
+    )
+    dot = F.aggregate(F.zip_with("emb", "qemb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    scored = v.crossJoin(F.broadcast(q)).select(
+        "qid", "vec_id", F.round(dot, 4).alias("score")
+    )
+    return _ranked_topk(scored, "qid", [F.col("score").desc(), F.col("vec_id").asc()], 10, "vec_id")
