@@ -40,9 +40,10 @@ def load_suites() -> None:
     suites.load_all()
 
 
-def _gc_scratch(max_age_hours: float = 24.0) -> None:
+def _gc_scratch(max_age_hours: float = 2.0) -> None:
     """Bound _scratch growth: suite queries mkdtemp work dirs per run;
-    anything older than a day is from a previous driver round and dead.
+    anything past the age cutoff is from a finished run and dead (a full
+    suite pass takes minutes, so 2h leaves a wide safety margin).
     Concurrent sessions are safe — fresh dirs are never touched."""
     import shutil
     import time
