@@ -95,6 +95,8 @@ class MilvusSparkClient:
         with open(self._catalog_path, "w") as f:
             json.dump(self._catalog, f, indent=2)
 
+    DYNAMIC_COL = "$meta"
+
     def create_collection(
         self,
         name: str,
@@ -103,15 +105,25 @@ class MilvusSparkClient:
         metric_type: str = "COSINE",
         partition_key_field: Optional[str] = None,
         auto_id: bool = False,
+        enable_dynamic_field: bool = False,
+        fields: Optional[Sequence[str]] = None,
     ) -> None:
         """``vector_field`` may be a list: Milvus collections support
         multiple vector fields (one ANN sub-search per field in hybrid
         search, initAdvancedSearchRequest task_search.go:489). The first
         is the default ``anns_field``. ``auto_id=True``: the pk is assigned
         at insert (task_insert.go pk/auto-id fill) — inserted frames must
-        NOT carry the pk column."""
+        NOT carry the pk column.
+
+        ``enable_dynamic_field=True`` (chap02_schema.md dynamic field):
+        ``fields`` declares the fixed schema; insert packs undeclared
+        columns into the hidden ``$meta`` JSON column, and filters /
+        output_fields referencing undeclared names resolve into it with
+        typed-compare semantics."""
         if name in self._catalog:
             raise ValueError(f"collection {name} exists")
+        if enable_dynamic_field and not fields:
+            raise ValueError("enable_dynamic_field requires an explicit fields list")
         vfs = (
             list(vector_field)
             if isinstance(vector_field, (list, tuple))
@@ -124,8 +136,28 @@ class MilvusSparkClient:
             "metric": metric_type,
             "partition_key": partition_key_field,
             "auto_id": bool(auto_id),
+            "dynamic": bool(enable_dynamic_field),
+            "fields": list(fields) if fields else None,
         }
         self._save_catalog()
+
+    def _dyn(self, meta: dict) -> Optional[str]:
+        """The dynamic column name if this collection has one, else None."""
+        return self.DYNAMIC_COL if meta.get("dynamic") else None
+
+    def _pack_dynamic(self, meta: dict, df: DataFrame) -> DataFrame:
+        """Pack columns outside the declared schema into $meta JSON
+        (proxy-side dynamic-field fill; chap02_schema.md)."""
+        if not meta.get("dynamic"):
+            return df
+        declared = set(meta["fields"]) | {meta["pk"], self.PARTITION_COL, self.DYNAMIC_COL}
+        extras = [c for c in df.columns if c not in declared]
+        if not extras:
+            return df
+        if self.DYNAMIC_COL in df.columns:
+            raise ValueError(f"frame carries both {self.DYNAMIC_COL} and undeclared columns {extras}")
+        keep = [c for c in df.columns if c not in extras]
+        return df.select(*keep, F.to_json(F.struct(*extras)).alias(self.DYNAMIC_COL))
 
     def create_external_collection(
         self,
@@ -435,6 +467,7 @@ class MilvusSparkClient:
                     ).cast("long")
                 ),
             )
+        df = self._pack_dynamic(meta, df)
         if partition_name is not None:
             if partition_name not in self._meta(name).get("partitions", ["_default"]):
                 raise ValueError(f"no partition {partition_name}")
@@ -449,6 +482,7 @@ class MilvusSparkClient:
         keep their stored values (task_upsert_partial_op.go). Only existing
         pks are touched in partial mode."""
         coll = self._coll(name)
+        df = self._pack_dynamic(self._meta(name), df)
         if partial_update:
             coll.upsert_partial(df, ts=self._next_ts(name))
         else:
@@ -468,7 +502,9 @@ class MilvusSparkClient:
             pks = self.spark.createDataFrame([(i,) for i in ids], [coll.pk])
             coll.delete_pks(pks, ts)
         elif filter:  # complex path: filter → pks → tombstones (task_delete.go:426)
-            cond = compile_expr(filter, coll.read().schema, params)
+            cond = compile_expr(
+                filter, coll.read().schema, params, dynamic_field=self._dyn(self._meta(name))
+            )
             coll.delete_where(cond, ts)
         else:
             raise ValueError("delete needs ids or filter")
@@ -755,8 +791,17 @@ class MilvusSparkClient:
                     cands = flat.filter(F.expr(f"v {ops[op]} {num}")).select(pk)
                     df = base.join(F.broadcast(cands), pk, "left_semi")
         if df is None:
-            df = apply_filter(base, filter, params)
+            df = apply_filter(base, filter, params, dynamic_field=self._dyn(self._meta(name)))
         if output_fields:
+            # dynamic keys in output_fields surface from $meta (typed as
+            # string — the JSON wire type; filters cast by comparand)
+            dyn = self._dyn(self._meta(name))
+            if dyn and dyn in df.columns:
+                for fspec in output_fields:
+                    if fspec not in df.columns and fspec.isidentifier():
+                        df = df.withColumn(
+                            fspec, F.get_json_object(F.col(dyn), f"$.{fspec}")
+                        )
             aggs, plain = [], []
             import re
 
@@ -786,11 +831,11 @@ class MilvusSparkClient:
         if limit is not None:
             df = df.limit(limit)
         # the partition tag is routing metadata, not user data (Milvus
-        # partitions are not columns) — hide unless explicitly requested
-        if self.PARTITION_COL in df.columns and (
-            not output_fields or self.PARTITION_COL not in output_fields
-        ):
-            df = df.drop(self.PARTITION_COL)
+        # partitions are not columns) — hide unless explicitly requested;
+        # same for the $meta blob (dynamic KEYS are what users select)
+        for hidden in (self.PARTITION_COL, self.DYNAMIC_COL):
+            if hidden in df.columns and (not output_fields or hidden not in output_fields):
+                df = df.drop(hidden)
         return df
 
     def text_search(
@@ -814,7 +859,9 @@ class MilvusSparkClient:
         return df.select(*output_fields) if output_fields else df
 
     def count(self, name: str, filter: Optional[str] = None) -> int:
-        return apply_filter(self._read(name), filter).count()
+        return apply_filter(
+            self._read(name), filter, dynamic_field=self._dyn(self._meta(name))
+        ).count()
 
     # -------------------------------------------------------------- search
     def search(
@@ -868,7 +915,9 @@ class MilvusSparkClient:
                 partition_names,
             )
             if filter:
-                gdf = gdf.filter(compile_expr(filter, gdf.schema, params))
+                gdf = gdf.filter(
+                    compile_expr(filter, gdf.schema, params, dynamic_field=self._dyn(meta))
+                )
             hits = grouping_search(
                 gdf,
                 [(i, list(map(float, v))) for i, v in enumerate(data)],
@@ -937,7 +986,11 @@ class MilvusSparkClient:
             self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
             partition_names,
         )
-        cond = compile_expr(filter, df.schema, params) if filter else None
+        cond = (
+            compile_expr(filter, df.schema, params, dynamic_field=self._dyn(meta))
+            if filter
+            else None
+        )
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
         hits = brute_force_search(
             df,
@@ -986,7 +1039,9 @@ class MilvusSparkClient:
         if filter or partition_names:
             base = self._partition_filter(self._read(name), partition_names)
             if filter:
-                base = base.filter(compile_expr(filter, base.schema))
+                base = base.filter(
+                    compile_expr(filter, base.schema, dynamic_field=self._dyn(meta))
+                )
             keep = base.select(F.col(pk).alias("id"))
             posting = posting.join(keep, "id", "left_semi")
         qrows = [
@@ -1064,7 +1119,7 @@ class MilvusSparkClient:
         pk = meta["pk"]
         last = None
         while True:
-            df = apply_filter(self._read(name), filter)
+            df = apply_filter(self._read(name), filter, dynamic_field=self._dyn(meta))
             if last is not None:
                 df = df.filter(F.col(pk) > last)
             rows = df.orderBy(pk).limit(batch_size).collect()

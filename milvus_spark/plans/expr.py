@@ -544,25 +544,60 @@ def _phrase_match(col: Column, phrase: str, slop: int) -> Column:
     )
 
 
+def _rewrite_dynamic(node: Any, fields: set, dynamic: str) -> Any:
+    """Resolve identifiers absent from the schema into the dynamic ``$meta``
+    JSON column (enable_dynamic_field semantics: unknown field ``color``
+    compiles as ``$meta['color']`` with typed-compare casts; unknown JSON
+    bases nest one level deeper). Schema-present names are untouched."""
+
+    def rw(n: Any) -> Any:
+        if isinstance(n, Field):
+            return JsonPath(dynamic, [n.name]) if n.name not in fields else n
+        if isinstance(n, JsonPath):
+            return JsonPath(dynamic, [n.base, *n.path]) if n.base not in fields else n
+        if isinstance(n, Un):
+            return Un(n.op, rw(n.x))
+        if isinstance(n, Bin):
+            return Bin(n.op, rw(n.a), rw(n.b))
+        if isinstance(n, Call):
+            return Call(n.fn, [rw(a) for a in n.args])
+        if isinstance(n, IsNull):
+            return IsNull(rw(n.x), n.negated)
+        if isinstance(n, InList):
+            return InList(rw(n.x), n.items, n.negated)
+        return n
+
+    return rw(node)
+
+
 def compile_expr(
     expr: str,
     schema: Optional[T.StructType] = None,
     params: Optional[dict[str, Any]] = None,
+    dynamic_field: Optional[str] = None,
 ) -> Column:
-    """Compile a Milvus filter expression string to a pyspark Column."""
+    """Compile a Milvus filter expression string to a pyspark Column.
+
+    ``dynamic_field``: name of the dynamic JSON column (``$meta``) —
+    identifiers not in ``schema`` resolve into it (requires ``schema``)."""
     toks = _tokenize(expr)
     p = _Parser(toks, params or {})
     ast = p.parse(0)
     if p.peek().kind != "end":
         t = p.peek()
         raise ExprError(f"trailing input at {t.pos}: {t.text!r}")
+    if dynamic_field and schema is not None:
+        ast = _rewrite_dynamic(ast, {f.name for f in schema.fields}, dynamic_field)
     return Compiler(schema).compile(ast)
 
 
 def apply_filter(
-    df: DataFrame, expr: Optional[str], params: Optional[dict[str, Any]] = None
+    df: DataFrame,
+    expr: Optional[str],
+    params: Optional[dict[str, Any]] = None,
+    dynamic_field: Optional[str] = None,
 ) -> DataFrame:
     """Filter a DataFrame with a Milvus expression string (None = no filter)."""
     if not expr:
         return df
-    return df.filter(compile_expr(expr, df.schema, params))
+    return df.filter(compile_expr(expr, df.schema, params, dynamic_field))

@@ -609,3 +609,48 @@ def rel_bloom_match(spark: SparkSession, sf: str) -> DataFrame:
         f'bloom_match(o_custkey, {keys}) && o_orderstatus == "O"', o.schema
     )
     return o.filter(cond).select("o_orderkey", "o_custkey")
+
+
+# --- dynamic field ($meta): undeclared identifiers resolve into JSON -----------
+@register(
+    "rel_dynamic_field",
+    oracle="""
+    WITH packed AS (
+      SELECT doc_id, text,
+             to_json(struct_pack(lang := lang, source := source, n_chars := n_chars)) AS meta
+      FROM documents
+    )
+    SELECT doc_id,
+           json_extract_string(meta, '$.lang') AS lang,
+           CAST(CAST(json_extract_string(meta, '$.n_chars') AS DOUBLE) AS BIGINT) AS n_chars
+    FROM packed
+    WHERE CAST(json_extract_string(meta, '$.n_chars') AS DOUBLE) > 500
+      AND json_extract_string(meta, '$.lang') = 'en'
+      AND json_extract_string(meta, '$.source') != 'web'
+    """,
+)
+def rel_dynamic_field(spark: SparkSession, sf: str) -> DataFrame:
+    """enable_dynamic_field semantics (chap02_schema.md; proxy meta_cache
+    dynamic-field fill): lang/source/n_chars are packed into the hidden
+    $meta JSON column, the declared schema is (doc_id, text), and the filter
+    references the undeclared names directly — the expr compiler resolves
+    them to typed get_json_object probes on $meta. Both engines filter the
+    packed JSON, not the raw columns, so the dynamic path itself is what's
+    hash-checked."""
+    from milvus_spark.plans.expr import compile_expr
+
+    d = load_table(spark, sf, "documents")
+    packed = d.select(
+        "doc_id", "text",
+        F.to_json(F.struct("lang", "source", "n_chars")).alias("$meta"),
+    )
+    cond = compile_expr(
+        'n_chars > 500 and lang == "en" and source != "web"',
+        packed.schema,
+        dynamic_field="$meta",
+    )
+    return packed.filter(cond).select(
+        "doc_id",
+        F.get_json_object(F.col("$meta"), "$.lang").alias("lang"),
+        F.get_json_object(F.col("$meta"), "$.n_chars").cast("double").cast("long").alias("n_chars"),
+    )

@@ -810,3 +810,57 @@ def test_grouping_search_output_fields(client, spark, sf_dir):
     assert rows and "embedding" in got.columns
     assert all(r.embedding is not None for r in rows)
     client.drop_collection("gbo")
+
+
+def test_dynamic_field_roundtrip(client, spark, sf_dir):
+    """enable_dynamic_field: undeclared insert columns pack into $meta;
+    filters and output_fields referencing them resolve with typed-compare
+    semantics (chap02_schema.md dynamic field; JSON typed buckets)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection(
+        "dyn", pk_field="n_nationkey", enable_dynamic_field=True,
+        fields=["n_nationkey", "n_name"],
+    )
+    n = client.insert("dyn", nation)  # n_regionkey, n_comment are undeclared
+    assert n == nation.count()
+
+    # numeric typed compare on a dynamic key
+    got = client.query("dyn", filter="n_regionkey >= 2", output_fields=["n_nationkey"])
+    want = nation.filter("n_regionkey >= 2").count()
+    assert got.count() == want
+
+    # dynamic key in output_fields surfaces from $meta
+    rows = client.query(
+        "dyn", filter="n_nationkey == 3", output_fields=["n_name", "n_regionkey"]
+    ).collect()
+    orig = nation.filter("n_nationkey = 3").collect()[0]
+    assert rows[0].n_name == orig.n_name
+    assert int(rows[0].n_regionkey) == orig.n_regionkey
+
+    # $meta itself stays hidden unless requested
+    assert "$meta" not in client.query("dyn", limit=1).columns
+
+    # delete through a dynamic filter
+    client.delete("dyn", filter='n_regionkey == 0')
+    assert client.count("dyn") == nation.filter("n_regionkey <> 0").count()
+    client.drop_collection("dyn")
+
+
+def test_dynamic_field_search_filter(client, spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection(
+        "dynv", pk_field="vec_id", vector_field="embedding",
+        enable_dynamic_field=True, fields=["vec_id", "embedding"],
+    )
+    client.insert("dynv", emb)  # label is undeclared -> $meta
+    q = [emb.first().embedding]
+    hits = client.search("dynv", data=q, limit=5, filter="label >= 2").collect()
+    assert 0 < len(hits) <= 5
+    ok = {r.vec_id for r in emb.filter("label >= 2").collect()}
+    assert all(h.vec_id in ok for h in hits)
+    client.drop_collection("dynv")
+
+
+def test_dynamic_field_requires_schema(client):
+    with pytest.raises(ValueError):
+        client.create_collection("dynx", pk_field="a", enable_dynamic_field=True)

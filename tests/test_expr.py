@@ -151,3 +151,29 @@ def test_nested_json_path_and_array_subscript(spark):
     for expr_s, want in cases:
         got = {r["id"] for r in df.filter(compile_expr(expr_s, df.schema)).collect()}
         assert got == want, expr_s
+
+
+def test_dynamic_field_rewrite(spark):
+    """Identifiers absent from the schema resolve into the dynamic $meta
+    JSON column with typed-compare casts; schema names stay direct."""
+    from pyspark.sql import functions as F
+
+    from milvus_spark.plans.expr import compile_expr
+
+    df = spark.createDataFrame(
+        [(1, '{"color": "red", "weight": 12}'), (2, '{"color": "blue", "weight": 3}'),
+         (3, '{"weight": 7}')],
+        ["pk", "$meta"],
+    )
+    # string compare on dynamic key
+    got = df.filter(compile_expr('color == "red"', df.schema, dynamic_field="$meta"))
+    assert [r.pk for r in got.collect()] == [1]
+    # numeric typed compare on dynamic key, mixed with schema field
+    got = df.filter(compile_expr("weight >= 7 and pk >= 1", df.schema, dynamic_field="$meta"))
+    assert sorted(r.pk for r in got.collect()) == [1, 3]
+    # missing dynamic key is NULL -> filtered out under 3VL
+    got = df.filter(compile_expr('color != "red"', df.schema, dynamic_field="$meta"))
+    assert [r.pk for r in got.collect()] == [2]
+    # exists() on a dynamic key
+    got = df.filter(compile_expr('exists color', df.schema, dynamic_field="$meta"))
+    assert sorted(r.pk for r in got.collect()) == [1, 2]
