@@ -494,12 +494,74 @@ class Compiler:
             if not isinstance(vals, list):
                 raise ExprError("bloom_match needs a list literal")
             return self.compile(args[0]).isin(*vals)
+        if fn.lower() in (
+            "st_within", "st_contains", "st_intersects", "st_dwithin",
+            "st_equals", "st_isvalid", "st_touches", "st_crosses", "st_overlaps",
+        ):
+            return self._gis(fn.lower(), args)
         if fn == "random_sample":
             frac = float(self._lit_value(args[0]))
             # deterministic hash-based Bernoulli sample on the row's pk-ish
             # hash — reproducible across runs/partitions (RandomSampleNode)
             return F.abs(F.hash(F.struct(*[F.col(c) for c in ([] if not self.schema else [self.schema.fields[0].name])]))) % 10000 < int(frac * 10000)
         raise ExprError(f"unknown function {fn}")
+
+    def _gis(self, fn: str, args: list[Any]) -> Column:
+        """GIS filter functions over POINT WKT columns (Plan.g4:124-132,
+        GISFunctionFilterExpr.cpp). Geometry literals parse at compile time;
+        per-row math is pure Catalyst (regexp extract + crossing number).
+        DE-9IM degenerate cases for POINT operands: crosses/overlaps are
+        identically false (wrong dimensions), touches needs a boundary."""
+        from milvus_spark.operators.geo import (
+            WKT_POINT_VALID_RE,
+            parse_wkt,
+            point_on_boundary,
+            poly_edges_col,
+            st_contains_point,
+            wkt_x,
+            wkt_y,
+        )
+
+        geom = self.compile(args[0])
+        x, y = wkt_x(geom), wkt_y(geom)
+        if fn == "st_isvalid":
+            return geom.rlike(WKT_POINT_VALID_RE)
+        if fn in ("st_crosses", "st_overlaps"):
+            return F.lit(False)
+        kind, val = parse_wkt(str(self._lit_value(args[1])))
+        if fn == "st_dwithin":
+            if kind != "POINT":
+                raise ExprError("st_dwithin literal must be a POINT")
+            r = float(self._lit_value(args[2]))
+            lx, ly = val
+            return F.sqrt(F.pow(x - lx, F.lit(2)) + F.pow(y - ly, F.lit(2))) < r
+        if kind == "POINT":
+            lx, ly = val
+            eq = (x == lx) & (y == ly)
+            if fn in ("st_equals", "st_intersects", "st_contains"):
+                return eq
+            if fn in ("st_within",):
+                return eq
+            return F.lit(False)  # st_touches: equal points share interiors
+        edges = poly_edges_col(val)
+        # bbox pre-filter: plain range predicates Catalyst can push down /
+        # prune row groups with (the RTree analog); exact test on survivors.
+        # DE-9IM for POINT vs POLYGON: boundary points are not within
+        # (no interior intersection) but do intersect/touch — the crossing
+        # number alone is boundary-ambiguous, so test the boundary explicitly.
+        xs, ys = [p[0] for p in val], [p[1] for p in val]
+        bbox = (x >= min(xs)) & (x <= max(xs)) & (y >= min(ys)) & (y <= max(ys))
+        odd = bbox & st_contains_point(edges, x, y)
+        boundary = bbox & point_on_boundary(edges, x, y)
+        if fn == "st_within":
+            return odd & ~boundary
+        if fn == "st_intersects":
+            return odd | boundary
+        if fn == "st_touches":
+            return boundary
+        if fn == "st_equals":
+            return F.lit(False)  # a point never equals a polygon
+        raise ExprError("a POINT column cannot st_contains a POLYGON literal")
 
     def _as_array(self, node: Any) -> Column:
         if self._is_json(node):

@@ -21,11 +21,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from milvus_spark.operators.geo import st_contains_point, wkt_x, wkt_y
 from milvus_spark.registry import register
 from milvus_spark.session import load_table
-
-_X_RE = r"POINT \(([-0-9.]+) [-0-9.]+\)"
-_Y_RE = r"POINT \([-0-9.]+ ([-0-9.]+)\)"
 
 
 def _points(spark: SparkSession, sf: str) -> DataFrame:
@@ -38,14 +36,6 @@ def _points(spark: SparkSession, sf: str) -> DataFrame:
         F.lit(")"),
     )
     return e.select("event_id", wkt.alias("geom"))
-
-
-def wkt_x(geom: Column) -> Column:
-    return F.regexp_extract(geom, _X_RE, 1).cast("double")
-
-
-def wkt_y(geom: Column) -> Column:
-    return F.regexp_extract(geom, _Y_RE, 1).cast("double")
 
 
 _SQL_PT = """
@@ -121,37 +111,12 @@ def geo_st_equals_count(spark: SparkSession, sf: str) -> DataFrame:
 # predicate that parquet min/max pruning can use (the RTree analog,
 # internal/core/src/index/RTreeIndex.cpp).
 _POLY = [(100.0, 10.0), (400.0, 10.0), (400.0, 80.0), (250.0, 40.0), (100.0, 80.0)]
-_EDGES = [(_POLY[i], _POLY[(i + 1) % len(_POLY)]) for i in range(len(_POLY))]
 
 
 def _poly_edges_col() -> Column:
-    return F.array(
-        *[
-            F.struct(
-                F.lit(ax).alias("ax"),
-                F.lit(ay).alias("ay"),
-                F.lit(bx).alias("bx"),
-                F.lit(by).alias("by"),
-            )
-            for (ax, ay), (bx, by) in _EDGES
-        ]
-    )
+    from milvus_spark.operators.geo import poly_edges_col
 
-
-def st_contains_point(poly_edges: Column, x: Column, y: Column) -> Column:
-    """Crossing-number point-in-polygon (GISFunctionFilterExpr.cpp st_contains
-    semantics for POINT arguments), as a pure Catalyst expression."""
-    crossings = F.aggregate(
-        poly_edges,
-        F.lit(0),
-        lambda acc, e: acc
-        + F.when(
-            ((e["ay"] > y) != (e["by"] > y))
-            & (x < (e["bx"] - e["ax"]) * (y - e["ay"]) / (e["by"] - e["ay"]) + e["ax"]),
-            F.lit(1),
-        ).otherwise(F.lit(0)),
-    )
-    return crossings % 2 == 1
+    return poly_edges_col(_POLY)
 
 
 _SQL_EDGES = """
@@ -313,3 +278,52 @@ def geo_grid_join_dwithin(spark: SparkSession, sf: str) -> DataFrame:
     return pairs.filter(dist < _R).select(
         "a_id", "b_id", F.round(dist, 4).alias("dist")
     )
+
+
+# --- GIS functions through the FILTER LANGUAGE ---------------------------------
+@register(
+    "geo_expr_language",
+    oracle=f"""
+    WITH {_SQL_PT}
+    SELECT event_id, geom
+    FROM pts
+    WHERE regexp_matches(geom, '^POINT \\([-0-9.]+ [-0-9.]+\\)$')
+      AND (SELECT count(*) FROM (VALUES
+            (100.0, 10.0, 400.0, 10.0),
+            (400.0, 10.0, 400.0, 80.0),
+            (400.0, 80.0, 250.0, 40.0),
+            (250.0, 40.0, 100.0, 80.0),
+            (100.0, 80.0, 100.0, 10.0)
+          ) AS e(ax, ay, bx, by)
+          WHERE ((e.ay > y) != (e.by > y))
+            AND x < (e.bx - e.ax) * (y - e.ay) / (e.by - e.ay) + e.ax) % 2 = 1
+      AND NOT EXISTS (SELECT 1 FROM (VALUES
+            (100.0, 10.0, 400.0, 10.0),
+            (400.0, 10.0, 400.0, 80.0),
+            (400.0, 80.0, 250.0, 40.0),
+            (250.0, 40.0, 100.0, 80.0),
+            (100.0, 80.0, 100.0, 10.0)
+          ) AS b(ax, ay, bx, by)
+          WHERE abs((b.bx - b.ax) * (y - b.ay) - (b.by - b.ay) * (x - b.ax)) <= 1e-9
+            AND x >= least(b.ax, b.bx) AND x <= greatest(b.ax, b.bx)
+            AND y >= least(b.ay, b.by) AND y <= greatest(b.ay, b.by))
+      AND NOT sqrt((x - 250)^2 + (y - 30)^2) < 5
+    """,
+)
+def geo_expr_language(spark: SparkSession, sf: str) -> DataFrame:
+    """The same GIS predicates, but compiled FROM THE FILTER STRING — the
+    user-facing surface (Plan.g4:124-132 st_* inside boolean exprs, AND/NOT
+    composition via GISConjunctExpr.cpp). The expression compiler parses the
+    WKT literals once, emits bbox range predicates plus the crossing-number
+    test as Catalyst columns — identical plan to the hand-built suite
+    queries, so the language adds zero execution cost."""
+    from milvus_spark.plans.expr import compile_expr
+
+    p = _points(spark, sf)
+    cond = compile_expr(
+        "st_isvalid(geom) and "
+        'st_within(geom, "POLYGON((100 10, 400 10, 400 80, 250 40, 100 80, 100 10))") '
+        'and not st_dwithin(geom, "POINT (250 30)", 5)',
+        p.schema,
+    )
+    return p.filter(cond).select("event_id", "geom")

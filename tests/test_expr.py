@@ -177,3 +177,40 @@ def test_dynamic_field_rewrite(spark):
     # exists() on a dynamic key
     got = df.filter(compile_expr('exists color', df.schema, dynamic_field="$meta"))
     assert sorted(r.pk for r in got.collect()) == [1, 2]
+
+
+def test_gis_functions_in_filter_language(spark):
+    """st_* calls compile from filter strings over POINT WKT columns
+    (Plan.g4:124-132; GISFunctionFilterExpr.cpp POINT semantics)."""
+    from milvus_spark.plans.expr import ExprError, compile_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "POINT (5 5)"),      # inside the square
+            (2, "POINT (10 5)"),     # on the right edge
+            (3, "POINT (20 20)"),    # outside
+            (4, "POINT (0 0)"),      # corner (boundary)
+            (5, "not-a-geom"),
+        ],
+        ["pk", "geom"],
+    )
+    sq = '"POLYGON((0 0, 10 0, 10 10, 0 10, 0 0))"'
+
+    def run(expr):
+        return sorted(r.pk for r in df.filter(compile_expr(expr, df.schema)).collect())
+
+    assert run(f"st_within(geom, {sq})") == [1]
+    assert run(f"st_intersects(geom, {sq})") == [1, 2, 4]
+    assert run(f"st_touches(geom, {sq})") == [2, 4]
+    assert run("st_isvalid(geom)") == [1, 2, 3, 4]
+    assert run('st_equals(geom, "POINT (20 20)")') == [3]
+    assert run('st_dwithin(geom, "POINT (5 6)", 1.5)') == [1]
+    assert run(f"st_crosses(geom, {sq})") == []
+    assert run(f"st_overlaps(geom, {sq})") == []
+    # uppercase grammar variant + boolean composition
+    assert run(f"ST_WITHIN(geom, {sq}) or st_equals(geom, \"POINT (20 20)\")") == [1, 3]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ExprError):
+        compile_expr(f"st_contains(geom, {sq})", df.schema)

@@ -5,11 +5,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from milvus_spark.suites.geo import (
-    _EDGES,
-    _poly_edges_col,
-    st_contains_point,
-)
+from milvus_spark.suites.geo import _POLY, _poly_edges_col, st_contains_point
+
+_EDGES = [(_POLY[i], _POLY[(i + 1) % len(_POLY)]) for i in range(len(_POLY))]
 from tests.test_plans import plan_of
 
 
