@@ -582,28 +582,34 @@ class Compiler:
 
 
 def _phrase_match(col: Column, phrase: str, slop: int) -> Column:
+    """n-term sloppy phrase: ordered positions p1<…<pn per term with window
+    pn−p1 ≤ n−1+slop (tantivy positions-index semantics, TextMatchIndex
+    PhraseMatch) — nested exists over per-term position lists, pure JVM."""
     words = [w for w in re.split(r"[^a-z0-9]+", phrase.lower()) if w]
     toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
     if not words:
         return F.lit(True)
     if len(words) == 1:
         return F.array_contains(toks, words[0])
-    if len(words) != 2:
-        # n-word phrases: check consecutive n-gram presence (slop 0 only)
-        n = len(words)
-        idx = F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1))
-        win = F.transform(idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]))
-        return F.array_contains(F.when(F.size(toks) >= n, win).otherwise(F.array().cast("array<string>")), " ".join(words))
-    a, b = words
+    n = len(words)
     idx = F.sequence(F.lit(1), F.size(toks))
-    pa = F.filter(idx, lambda i: F.element_at(toks, i) == a)
-    pb = F.filter(idx, lambda i: F.element_at(toks, i) == b)
-    return (
-        F.size(
-            F.filter(pa, lambda i: F.size(F.filter(pb, lambda j: (j - i >= 1) & (j - i <= slop + 1))) > 0)
+
+    def pos_of(w: str) -> Column:
+        # NB: a plain 1-arg lambda — a 2-arg lambda would be interpreted by
+        # F.filter as (element, index) and silently shadow the closure
+        return F.filter(idx, lambda i: F.element_at(toks, i) == w)
+
+    pos = [pos_of(w) for w in words]
+    win = n - 1 + slop
+
+    def rec(k: int, start: Column, prev: Column) -> Column:
+        return F.exists(
+            pos[k],
+            lambda q: (q > prev)
+            & ((q - start <= win) if k == n - 1 else ((q - start <= win) & rec(k + 1, start, q))),
         )
-        > 0
-    )
+
+    return F.exists(pos[0], lambda s: rec(1, s, s))
 
 
 def _rewrite_dynamic(node: Any, fields: set, dynamic: str) -> Any:

@@ -526,3 +526,59 @@ def fts_cjk_match(spark: SparkSession, sf: str) -> DataFrame:
         a.select("doc_id", n_bigram.alias("n_bigram"), n_latin.alias("n_latin"))
         .filter(F.col("n_bigram") > 0)
     )
+
+
+# --- n-term phrase with slop: ordered window over the positions index ----------
+_PS3 = ("stream", "table", "hash")
+_PS3_SLOP = 2
+
+
+@register(
+    "fts_phrase_match3_slop",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    pos AS (
+      SELECT doc_id,
+             list_filter(range(1, len(toks) + 1), i -> toks[i] = '{_PS3[0]}') AS pa,
+             list_filter(range(1, len(toks) + 1), i -> toks[i] = '{_PS3[1]}') AS pb,
+             list_filter(range(1, len(toks) + 1), i -> toks[i] = '{_PS3[2]}') AS pc
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(pa, s ->
+             len(list_filter(pb, j -> j > s AND j - s <= {2 + _PS3_SLOP}
+               AND len(list_filter(pc, k2 -> k2 > j AND k2 - s <= {2 + _PS3_SLOP})) > 0)) > 0
+           )) AS BIGINT) AS n_starts
+    FROM pos
+    WHERE len(list_filter(pa, s ->
+            len(list_filter(pb, j -> j > s AND j - s <= {2 + _PS3_SLOP}
+              AND len(list_filter(pc, k2 -> k2 > j AND k2 - s <= {2 + _PS3_SLOP})) > 0)) > 0
+          )) > 0
+    """,
+)
+def fts_phrase_match3_slop(spark: SparkSession, sf: str) -> DataFrame:
+    """3-term phrase with slop 2 (PhraseMatch OpType 14, tantivy positions):
+    ordered positions p1<p2<p3 with p3−p1 ≤ 2+slop — the ordered-window
+    semantics the 2-term path already implements, generalized. Counts valid
+    start positions per doc; the expr-language phrase_match() compiles the
+    identical nested-exists tree."""
+    t = _docs_tokens(spark, sf)
+    idx = F.sequence(F.lit(1), F.size("toks"))
+    pa = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PS3[0])
+    pb = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PS3[1])
+    pc = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PS3[2])
+    win = 2 + _PS3_SLOP
+    t = t.withColumn("pa", pa).withColumn("pb", pb).withColumn("pc", pc)
+    starts = F.filter(
+        F.col("pa"),
+        lambda s: F.exists(
+            F.col("pb"),
+            lambda j: (j > s) & (j - s <= win)
+            & F.exists(F.col("pc"), lambda k2: (k2 > j) & (k2 - s <= win)),
+        ),
+    )
+    return (
+        t.withColumn("n_starts", F.size(starts).cast("long"))
+        .filter(F.col("n_starts") > 0)
+        .select("doc_id", "n_starts")
+    )

@@ -214,3 +214,28 @@ def test_gis_functions_in_filter_language(spark):
 
     with _pytest.raises(ExprError):
         compile_expr(f"st_contains(geom, {sq})", df.schema)
+
+
+def test_phrase_match_nterm_slop(spark):
+    """phrase_match generalizes to n terms with slop: ordered window
+    pn - p1 <= n-1+slop (2-term semantics preserved)."""
+    from milvus_spark.plans.expr import compile_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, "shuffle hash join"),            # consecutive
+            (2, "shuffle the hash based join"),  # window 4 <= 2+2
+            (3, "shuffle a b c hash join"),      # window 5 > 4
+            (4, "join hash shuffle"),            # wrong order
+            (5, "shuffle hash"),                 # missing term
+        ],
+        ["pk", "t"],
+    )
+
+    def run(expr):
+        return sorted(r.pk for r in df.filter(compile_expr(expr, df.schema)).collect())
+
+    assert run('phrase_match(t, "shuffle hash join", 0)') == [1]
+    assert run('phrase_match(t, "shuffle hash join", 2)') == [1, 2]
+    assert run('phrase_match(t, "shuffle hash join", 3)') == [1, 2, 3]
+    assert run('phrase_match(t, "shuffle join", 1)') == [1]  # 2-term unchanged
