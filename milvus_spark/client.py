@@ -107,6 +107,8 @@ class MilvusSparkClient:
         auto_id: bool = False,
         enable_dynamic_field: bool = False,
         fields: Optional[Sequence[str]] = None,
+        properties: Optional[dict] = None,
+        field_defaults: Optional[dict] = None,
     ) -> None:
         """``vector_field`` may be a list: Milvus collections support
         multiple vector fields (one ANN sub-search per field in hybrid
@@ -138,7 +140,26 @@ class MilvusSparkClient:
             "auto_id": bool(auto_id),
             "dynamic": bool(enable_dynamic_field),
             "fields": list(fields) if fields else None,
+            "properties": dict(properties) if properties else {},
+            # FieldSchema default_value (schema.proto ValueField): fills
+            # missing columns and null cells at insert/upsert time
+            "field_defaults": dict(field_defaults) if field_defaults else {},
         }
+        self._save_catalog()
+
+    def _apply_defaults(self, meta: dict, df: DataFrame) -> DataFrame:
+        for fld, v in (meta.get("field_defaults") or {}).items():
+            if fld in df.columns:
+                df = df.withColumn(fld, F.coalesce(F.col(fld), F.lit(v)))
+            else:
+                df = df.withColumn(fld, F.lit(v))
+        return df
+
+    def alter_collection_properties(self, name: str, properties: dict) -> None:
+        """Merge collection properties (AlterCollection API;
+        common.collection.ttl.seconds is honored by reads/compaction)."""
+        meta = self._meta(name)
+        meta.setdefault("properties", {}).update(properties)
         self._save_catalog()
 
     def _dyn(self, meta: dict) -> Optional[str]:
@@ -431,8 +452,25 @@ class MilvusSparkClient:
         ts = max(self._ts.get(name, 0), int(meta.get("max_ts", 0))) + 1
         self._ts[name] = ts
         meta["max_ts"] = ts
+        # wall-clock per write ts: the collection-TTL clock (Milvus TTL
+        # expires rows by their write time; common.collection.ttl.seconds)
+        import time as _time
+
+        meta.setdefault("ts_wall", {})[str(ts)] = _time.time()
         self._save_catalog()
         return ts
+
+    def _expired_ts(self, meta: dict) -> list[int]:
+        """Write timestamps whose rows have outlived the collection TTL
+        (rootcoord properties collection.ttl.seconds; expired rows are
+        invisible to reads and reclaimed by compaction)."""
+        ttl = (meta.get("properties") or {}).get("collection.ttl.seconds")
+        if not ttl:
+            return []
+        import time as _time
+
+        cutoff = _time.time() - float(ttl)
+        return [int(t) for t, w in meta.get("ts_wall", {}).items() if w <= cutoff]
 
     # ----------------------------------------------------------------- DML
     def insert(self, name: str, df: DataFrame, partition_name: Optional[str] = None) -> int:
@@ -467,6 +505,7 @@ class MilvusSparkClient:
                     ).cast("long")
                 ),
             )
+        df = self._apply_defaults(meta, df)
         df = self._pack_dynamic(meta, df)
         if partition_name is not None:
             if partition_name not in self._meta(name).get("partitions", ["_default"]):
@@ -482,10 +521,16 @@ class MilvusSparkClient:
         keep their stored values (task_upsert_partial_op.go). Only existing
         pks are touched in partial mode."""
         coll = self._coll(name)
-        df = self._pack_dynamic(self._meta(name), df)
+        meta = self._meta(name)
         if partial_update:
-            coll.upsert_partial(df, ts=self._next_ts(name))
+            # absent fields mean "keep stored value" — only null cells of
+            # PRESENT columns take the default, never add columns
+            for fld, v in (meta.get("field_defaults") or {}).items():
+                if fld in df.columns:
+                    df = df.withColumn(fld, F.coalesce(F.col(fld), F.lit(v)))
+            coll.upsert_partial(self._pack_dynamic(meta, df), ts=self._next_ts(name))
         else:
+            df = self._pack_dynamic(meta, self._apply_defaults(meta, df))
             coll.upsert(df, ts=self._next_ts(name))
         return df.count()
 
@@ -518,7 +563,12 @@ class MilvusSparkClient:
         self._ts.pop(name, None)
 
     def compact(self, name: str, num_partitions: int = 4) -> None:
-        self._coll(name).compact(num_partitions)
+        meta = self._meta(name)
+        expired = self._expired_ts(meta)
+        self._coll(name).compact(num_partitions, exclude_ts=expired)
+        for t in expired:  # rows physically reclaimed — stop tracking
+            meta.get("ts_wall", {}).pop(str(t), None)
+        self._save_catalog()
 
     # -------------------------------------------------------------- indexes
     def create_index(
@@ -713,7 +763,11 @@ class MilvusSparkClient:
         if meta.get("external_path"):
             df = self.spark.read.parquet(meta["external_path"])
         else:
-            df = self._coll(name).read(as_of=as_of).drop(TS_COL)
+            df = self._coll(name).read(as_of=as_of)
+            expired = self._expired_ts(meta)
+            if expired:
+                df = df.filter(~F.col(TS_COL).isin(expired))
+            df = df.drop(TS_COL)
         # schema evolution view: added fields materialize as default-filled
         # columns (missing in pre-evolution segments → mergeSchema leaves
         # nulls, coalesced to the default); dropped fields are hidden.

@@ -123,8 +123,11 @@ class Collection:
         return df.join(F.broadcast(tombs), cond, "left_anti")
 
     # -- maintenance ----------------------------------------------------------
-    def compact(self, num_partitions: int = 4) -> None:
+    def compact(self, num_partitions: int = 4, exclude_ts: list[int] | None = None) -> None:
         """Mix+L0 compaction: fold tombstones into data, rewrite sorted by pk.
+
+        ``exclude_ts``: write timestamps to reclaim permanently (TTL-expired
+        batches — compaction is where Milvus physically drops expired rows).
 
         Output files are range-partitioned and sorted on the pk with a parquet
         bloom filter on the pk column — so post-compaction point lookups get
@@ -132,6 +135,8 @@ class Collection:
         (pkoracle/bloom_filter_set.go analog) for free at the scan.
         """
         live = self.read()
+        if exclude_ts:
+            live = live.filter(~F.col(TS_COL).isin([int(t) for t in exclude_ts]))
         compacted = (
             live.repartitionByRange(num_partitions, F.col(self.pk))
             .sortWithinPartitions(self.pk)

@@ -864,3 +864,67 @@ def test_dynamic_field_search_filter(client, spark, sf_dir):
 def test_dynamic_field_requires_schema(client):
     with pytest.raises(ValueError):
         client.create_collection("dynx", pk_field="a", enable_dynamic_field=True)
+
+
+def test_collection_ttl_expiry_and_compaction(client, spark, sf_dir):
+    """collection.ttl.seconds: rows expire by write-time wall clock —
+    invisible to reads once past TTL, physically reclaimed at compaction."""
+    import time
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection(
+        "ttlc", pk_field="n_nationkey",
+        properties={"collection.ttl.seconds": 3600},
+    )
+    client.insert("ttlc", nation.filter("n_nationkey < 10"))
+    assert client.count("ttlc") == 10
+
+    # age the first batch artificially past the TTL
+    meta = client.describe_collection("ttlc")
+    old_ts = list(meta["ts_wall"])[0]
+    client._catalog["ttlc"]["ts_wall"][old_ts] = time.time() - 7200
+    client._save_catalog()
+    assert client.count("ttlc") == 0  # expired -> invisible
+
+    client.insert("ttlc", nation.filter("n_nationkey >= 10"))
+    assert client.count("ttlc") == 15  # fresh batch visible
+
+    client.compact("ttlc")  # reclaims the expired batch permanently
+    assert client.count("ttlc") == 15
+    assert old_ts not in client.describe_collection("ttlc")["ts_wall"]
+
+    # TTL can be set later via alter
+    client.alter_collection_properties("ttlc", {"collection.ttl.seconds": 0.0001})
+    time.sleep(0.2)
+    assert client.count("ttlc") == 0
+    client.drop_collection("ttlc")
+
+
+def test_field_defaults_fill_missing_and_null(client, spark, sf_dir):
+    """FieldSchema default_value: fills absent columns and null cells at
+    insert; partial upsert never default-fills absent columns."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection(
+        "defc", pk_field="n_nationkey", field_defaults={"tier": "bronze"},
+    )
+    client.insert("defc", nation.limit(5))  # no 'tier' column at all
+    assert {r.tier for r in client.query("defc", output_fields=["tier"]).collect()} == {"bronze"}
+
+    withcol = nation.filter("n_nationkey >= 5 and n_nationkey < 10").withColumn(
+        "tier", F.when(F.col("n_nationkey") == 5, "gold")
+    )  # null for 6..9
+    client.insert("defc", withcol)
+    rows = {r.n_nationkey: r.tier for r in client.query(
+        "defc", filter="n_nationkey >= 5", output_fields=["n_nationkey", "tier"]
+    ).collect()}
+    assert rows[5] == "gold" and all(rows[k] == "bronze" for k in (6, 7, 8, 9))
+
+    # partial upsert of an unrelated field must keep tier as-is
+    client.upsert(
+        "defc",
+        nation.filter("n_nationkey == 5").select("n_nationkey", F.lit("zz").alias("n_name")),
+        partial_update=True,
+    )
+    got = client.query("defc", filter="n_nationkey == 5", output_fields=["n_name", "tier"]).collect()[0]
+    assert got.n_name == "zz" and got.tier == "gold"
+    client.drop_collection("defc")
