@@ -222,3 +222,111 @@ def cur_pipeline_e2e(spark: SparkSession, sf: str) -> DataFrame:
         F.sum("n_tokens").cast("long").alias("total_tokens"),
         (F.sum(F.col("n_copies") - 1)).cast("long").alias("dropped_dups"),
     )
+
+
+# --- temperature-weighted source mixing ----------------------------------------
+_MIX_ALPHA = 0.5  # temperature: w_s ∝ count_s^alpha / count_s = count_s^(alpha-1)
+
+
+@register(
+    "cur_source_mix",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) AS n FROM documents GROUP BY source
+    ),
+    rates AS (
+      -- temperature sampling: target share p_s ∝ n_s^alpha, so the keep
+      -- rate from raw data is r_s ∝ n_s^(alpha-1), normalized so the
+      -- smallest source keeps everything and larger ones downsample
+      SELECT source,
+             pow(n, {_MIX_ALPHA} - 1) / (SELECT max(pow(n, {_MIX_ALPHA} - 1)) FROM counts) AS rate
+      FROM counts
+    )
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE {seeded_hash_sql("CAST(d.doc_id AS VARCHAR)", 99)} % 10000 < CAST(r.rate * 10000 AS BIGINT)
+    """,
+)
+def cur_source_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing (the multinomial alpha-sampling used
+    to rebalance pre-training corpora): per-source keep rate proportional to
+    count^alpha normalized by the largest source, applied as the
+    deterministic seeded-hash Bernoulli — idempotent on retries, identical
+    on any cluster size. Plan: one tiny per-source aggregate broadcast back
+    into a map-side filter; the corpus is never shuffled."""
+    d = load_table(spark, sf, "documents")
+    counts = d.groupBy("source").agg(F.sum("n_chars").cast("double").alias("n"))
+    maxw = counts.agg(F.max(F.pow("n", F.lit(_MIX_ALPHA - 1))).alias("m"))
+    rates = counts.crossJoin(F.broadcast(maxw)).select(
+        "source", (F.pow("n", F.lit(_MIX_ALPHA - 1)) / F.col("m")).alias("rate")
+    )
+    keep = seeded_hash(F.col("doc_id").cast("string"), 99) % 10000 < (
+        F.col("rate") * 10000
+    ).cast("long")
+    return d.join(F.broadcast(rates), "source").filter(keep).select("doc_id", "source")
+
+
+# --- benchmark contamination: 8-gram overlap against an eval set ---------------
+_CONTAM_N = 8
+
+
+@register(
+    "cur_contamination",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {TOKENS_SQL.format(col="text")} AS toks FROM documents
+    ),
+    bench AS (
+      -- stand-in benchmark set: every {_CONTAM_N}-gram of the 10 longest docs
+      SELECT DISTINCT array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ') AS gram
+      FROM (
+        SELECT toks FROM t JOIN documents USING (doc_id)
+        ORDER BY n_chars DESC, doc_id LIMIT 10
+      ), unnest(range(1, greatest(len(toks) - {_CONTAM_N - 2}, 1))) AS u(i)
+      WHERE len(toks) >= {_CONTAM_N}
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(list_slice(toks, i, i + {_CONTAM_N - 1}), ' ') AS gram
+      FROM t, unnest(range(1, greatest(len(toks) - {_CONTAM_N - 2}, 1))) AS u(i)
+      WHERE len(toks) >= {_CONTAM_N}
+    )
+    SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_hits
+    FROM grams g JOIN bench b ON g.gram = b.gram
+    GROUP BY g.doc_id
+    HAVING count(DISTINCT g.gram) > 0
+    """,
+)
+def cur_contamination(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark contamination check: flag documents sharing any
+    {n}-gram with an eval set (the n-gram-overlap decontamination step every
+    serious pre-training pipeline runs; n=8 is the common choice). The
+    benchmark here is a deterministic stand-in (8-grams of the 10 longest
+    docs) so the oracle is exact. Plan: benchmark grams are a small DISTINCT
+    set broadcast into a hash join against the corpus's exploded grams —
+    map-side explode, one broadcast join, per-doc count; at 100 TB the
+    bench-gram set stays driver-small (eval sets are tiny) so the corpus is
+    never shuffled.""".format(n=_CONTAM_N)
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", "n_chars", tokens(F.col("text")).alias("toks"))
+
+    def grams_of(df):
+        idx = F.sequence(F.lit(1), F.size("toks") - F.lit(_CONTAM_N - 1))
+        g = F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(_CONTAM_N)]
+            ),
+        )
+        return (
+            df.filter(F.size("toks") >= _CONTAM_N)
+            .select("doc_id", F.explode(g).alias("gram"))
+        )
+
+    bench_docs = t.orderBy(F.col("n_chars").desc(), F.col("doc_id")).limit(10)
+    bench = grams_of(bench_docs).select("gram").distinct()
+    corpus_grams = grams_of(t)
+    return (
+        corpus_grams.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
+    )
