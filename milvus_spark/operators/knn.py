@@ -71,6 +71,18 @@ def _score_block(V: np.ndarray, Q: np.ndarray, metric: str) -> np.ndarray:
         d = q2 + v2 - 2.0 * (Q @ V.T)
         np.maximum(d, 0.0, out=d)
         return d
+    if m in ("HAMMING", "JACCARD"):
+        # BINARY_VECTOR rows: packed uint8 bytes (Milvus binary wire format).
+        # Unpack once, then both metrics are BLAS matmuls over bit matrices.
+        Vb = np.unpackbits(V.astype(np.uint8), axis=1).astype(np.float64)
+        Qb = np.unpackbits(Q.astype(np.uint8), axis=1).astype(np.float64)
+        inter = Qb @ Vb.T
+        if m == "HAMMING":
+            return Qb @ (1.0 - Vb).T + (1.0 - Qb) @ Vb.T
+        union = Qb.sum(axis=1)[:, None] + Vb.sum(axis=1)[None, :] - inter
+        with np.errstate(invalid="ignore", divide="ignore"):
+            d = 1.0 - inter / union
+        return np.where(union > 0, d, 0.0)
     raise ValueError(f"unsupported dense metric {metric}")
 
 

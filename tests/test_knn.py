@@ -138,3 +138,54 @@ def test_brute_force_scales_by_partition(spark, sf_dir):
         # scores non-increasing with rank
         assert all(rs[i]["score"] >= rs[i + 1]["score"] for i in range(len(rs) - 1))
     expanded.unpersist()
+
+
+def test_binary_vector_client_search(spark, sf_dir):
+    """BINARY_VECTOR end to end through the client: packed-byte vectors,
+    HAMMING/JACCARD brute force vs numpy ground truth (binary wire format,
+    Types.h BinaryVector; knowhere binary metric family)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from milvus_spark.client import MilvusSparkClient
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
+    rows = emb.collect()
+    packed = {
+        r.vec_id: np.packbits((np.asarray(r.embedding) > 0).astype(np.uint8))
+        for r in rows
+    }
+    df = spark.createDataFrame(
+        [(int(i), [int(b) for b in v]) for i, v in packed.items()],
+        "vec_id long, bvec array<smallint>",
+    )
+    root = tempfile.mkdtemp(prefix="bvc_", dir="/root/repo/_scratch")
+    try:
+        client = MilvusSparkClient(spark, root)
+        client.create_collection("bv", pk_field="vec_id", vector_field="bvec", metric_type="HAMMING")
+        client.insert("bv", df)
+        qids = [0, 1]
+        qs = [[int(b) for b in packed[q]] for q in qids]
+        for metric in ("HAMMING", "JACCARD"):
+            hits = client.search("bv", data=qs, limit=5, metric_type=metric).collect()
+            got = {(h.qid, h.rank): h.vec_id for h in hits}
+            for qi, qid in enumerate(qids):
+                qb = np.unpackbits(packed[qid])
+                scored = []
+                for vid, v in packed.items():
+                    vb = np.unpackbits(v)
+                    if metric == "HAMMING":
+                        s = float((qb != vb).sum())
+                    else:
+                        inter = float((qb & vb).sum())
+                        union = float((qb | vb).sum())
+                        s = 1.0 - inter / union if union else 0.0
+                    scored.append((round(s, 4), vid))
+                want = [vid for _, vid in sorted(scored, key=lambda t: (t[0], t[1]))[:5]]
+                for rank, vid in enumerate(want, start=1):
+                    assert got[(qi, rank)] == vid, (metric, qid, rank)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
