@@ -699,6 +699,32 @@ class MilvusSparkClient:
                 .write.mode("overwrite")
                 .parquet(os.path.join(idx_dir, "posting"))
             )
+        elif itype == "LSH":
+            # random-hyperplane LSH (the MinHash-LSH / binary-hash index
+            # family, index_type.go; operators/lsh.py): sign-bucket the
+            # corpus once, partitionBy(bucket) so a query's probe list
+            # prunes whole bucket directories at the scan.
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"LSH requires a vector field, got {field!r}")
+            from milvus_spark.operators.ivf import l2_normalize
+            from milvus_spark.operators.lsh import hyperplanes, write_bucketed
+
+            nbits = int(params.get("nbits", 10))
+            seed = int(params.get("seed", 7))
+            df = self._read(name)
+            corpus = (
+                l2_normalize(df, field)
+                if meta.get("metric", "COSINE") == "COSINE"
+                else df.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            dim = len(corpus.select(field).first()[0])
+            H = hyperplanes(dim, nbits, seed)
+            os.makedirs(idx_dir, exist_ok=True)
+            write_bucketed(corpus, field, H, os.path.join(idx_dir, "bucketed"))
+            with open(os.path.join(idx_dir, "hyperplanes.json"), "w") as f:
+                json.dump(H.tolist(), f)
+            entry["nbits"] = nbits
         elif itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "AUTOINDEX"):
             entry["materialized"] = False
         else:
@@ -1034,6 +1060,31 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
+            )
+            return self._requery(name, hits, meta, output_fields)
+        lsh_idx = self._fresh_index(name, vfield, "LSH")
+        if (
+            lsh_idx is not None
+            and filter is None and radius is None and range_filter is None
+            and as_of is None and not meta.get("external_path")
+            and not partition_names
+        ):
+            import numpy as np
+
+            from milvus_spark.operators.lsh import lsh_search
+
+            with open(os.path.join(lsh_idx["path"], "hyperplanes.json")) as f:
+                H = np.asarray(json.load(f), dtype=np.float64)
+            hits = lsh_search(
+                self.spark,
+                os.path.join(lsh_idx["path"], "bucketed"),
+                H,
+                [(i, list(map(float, v))) for i, v in enumerate(data)],
+                vec_col=vfield,
+                pk_col=meta["pk"],
+                metric=metric_type or meta["metric"],
+                k=limit,
+                probe_radius=int((search_params or {}).get("probe_radius", 1)),
             )
             return self._requery(name, hits, meta, output_fields)
         df = self._partition_filter(

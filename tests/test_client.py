@@ -928,3 +928,44 @@ def test_field_defaults_fill_missing_and_null(client, spark, sf_dir):
     got = client.query("defc", filter="n_nationkey == 5", output_fields=["n_name", "tier"]).collect()[0]
     assert got.n_name == "zz" and got.tier == "gold"
     client.drop_collection("defc")
+
+
+def test_lsh_index_backed_search(client, spark, sf_dir):
+    """create_index('LSH'): bucketed corpus + probe-list pruning; recall vs
+    brute force on the same queries, staleness fallback after DML."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("lshx", pk_field="vec_id", vector_field="embedding")
+    client.insert("lshx", emb)
+    client.create_index("lshx", "embedding", "LSH", params={"nbits": 8})
+
+    # plant near-duplicates of the two query vectors: the index contract is
+    # high recall on actually-near neighbors (cos ~= 0.999), not on the
+    # random background corpus
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    qrows = emb.filter(F.col("vec_id") < 2).collect()
+    planted = []
+    for r in qrows:
+        base = np.asarray(r.embedding, dtype=np.float64)
+        for j in range(5):
+            v = base + 0.01 * rng.standard_normal(base.shape)
+            planted.append((int(900000 + r.vec_id * 10 + j), [float(x) for x in v], int(r.vec_id)))
+    pdf = spark.createDataFrame(
+        [(i, v, 0) for i, v, _ in planted], "vec_id long, embedding array<float>, label int"
+    )
+    client.insert("lshx", pdf)
+    client.create_index("lshx", "embedding", "LSH", params={"nbits": 8})  # rebuild fresh
+
+    q = [r.embedding for r in qrows]
+    approx = client.search("lshx", data=q, limit=10, search_params={"probe_radius": 1})
+    got = {(r.qid, r.vec_id) for r in approx.collect()}
+    want = {(qid, pid) for pid, _, qid in planted}
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, recall  # planted near-dups collide in the probe ball
+
+    # DML staleness: post-insert search falls back to exact (still correct)
+    client.insert("lshx", emb.filter("vec_id < 5").withColumn("vec_id", F.col("vec_id") + 1000000))
+    again = client.search("lshx", data=q, limit=10)
+    assert again.count() > 0
+    client.drop_collection("lshx")
