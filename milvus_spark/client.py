@@ -964,6 +964,7 @@ class MilvusSparkClient:
         group_by_field: Optional[str] = None,
         group_size: int = 2,
         strict_group_size: bool = False,
+        ranker: Optional[dict] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
         ``round_decimal`` rounds returned distances (search param validated
@@ -1109,7 +1110,71 @@ class MilvusSparkClient:
             range_filter=range_filter,
             round_to=12 if round_decimal == -1 else int(round_decimal),
         )
+        if ranker:
+            hits = self._apply_ranker(name, hits, meta, ranker, limit)
         return self._requery(name, hits, meta, output_fields)
+
+    def _apply_ranker(
+        self, name: str, hits: DataFrame, meta: dict, ranker: dict, limit: int
+    ) -> DataFrame:
+        """Function-based rerankers over a hit set (rerank providers
+        internal/util/function/rerank/: decay_expr.go, model/boost rankers).
+        ``ranker``: {"type": "decay"|"boost"|"model", ...}. Rerank only
+        touches the broadcast top-k — the corpus is never rescanned."""
+        from pyspark.sql import Window as W
+
+        from milvus_spark.operators.hybrid import boost_score, decay_factor, model_rerank
+
+        pk = meta["pk"]
+        rtype = ranker.get("type")
+        if rtype == "model":
+            return model_rerank(
+                hits,
+                self._read(name),
+                pk,
+                ranker.get("field", "text"),
+                ranker["query"],
+                limit=limit,
+            )
+        w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk).asc())
+        if rtype == "decay":
+            fld = ranker["input_field"]
+            side = self._read(name).select(pk, F.col(fld).cast("double").alias("_dv"))
+            scored = side.join(F.broadcast(hits.drop("rank")), pk).select(
+                "qid",
+                pk,
+                F.round(
+                    decay_factor(
+                        F.col("_dv"),
+                        ranker.get("function", "gauss"),
+                        origin=float(ranker.get("origin", 0.0)),
+                        scale=float(ranker.get("scale", 1.0)),
+                        offset=float(ranker.get("offset", 0.0)),
+                        decay=float(ranker.get("decay", 0.5)),
+                    ),
+                    4,
+                ).alias("score"),
+            )
+        elif rtype == "boost":
+            base = self._read(name)
+            cond = compile_expr(
+                ranker["filter"], base.schema, dynamic_field=self._dyn(meta)
+            )
+            side = base.select(pk, cond.alias("_boost"))
+            scored = side.join(F.broadcast(hits.drop("rank")), pk).select(
+                "qid",
+                pk,
+                F.round(
+                    boost_score(F.col("score"), F.col("_boost"), float(ranker.get("weight", 2.0))),
+                    4,
+                ).alias("score"),
+            )
+        else:
+            raise ValueError(f"unknown ranker type {rtype!r}")
+        return (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= limit)
+        )
 
     def sparse_search(
         self,
@@ -1242,6 +1307,7 @@ class MilvusSparkClient:
         weights: Optional[Sequence[float]] = None,
         partition_names: Optional[Sequence[str]] = None,
         output_fields: Optional[Sequence[str]] = None,
+        ranker: Optional[dict] = None,
     ) -> DataFrame:
         """Multi-vector search + fusion (initAdvancedSearchRequest analog).
 
@@ -1309,4 +1375,6 @@ class MilvusSparkClient:
             fused = weighted_fusion(results, metrics, weights or [1.0] * len(reqs), meta["pk"], limit=limit)
         else:
             raise ValueError(f"unknown rerank {rerank}")
+        if ranker:
+            fused = self._apply_ranker(name, fused, meta, ranker, limit)
         return self._requery(name, fused, meta, output_fields)

@@ -969,3 +969,62 @@ def test_lsh_index_backed_search(client, spark, sf_dir):
     again = client.search("lshx", data=q, limit=10)
     assert again.count() > 0
     client.drop_collection("lshx")
+
+
+def test_function_rankers_on_search(client, spark, sf_dir):
+    """Function-based rerankers (decay/boost/model ranker param): rescore
+    only the broadcast top-k, matching the operator-level semantics."""
+    import math
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("rkr", pk_field="vec_id", vector_field="embedding")
+    client.insert("rkr", emb)
+    q = [emb.first().embedding]
+
+    base = client.search("rkr", data=q, limit=20)
+    base_rows = base.collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+
+    # decay: score becomes gauss(label; origin=2, scale=2) — verify values
+    dec = client.search(
+        "rkr", data=q, limit=10,
+        ranker={"type": "decay", "input_field": "label", "function": "gauss",
+                "origin": 2, "scale": 2, "decay": 0.5},
+    ).collect()
+    for r in dec:
+        want = math.exp((abs(labels[r.vec_id] - 2) ** 2) / ((2 ** 2) / math.log(0.5)))
+        assert abs(r.score - round(want, 4)) < 1e-9
+    scores = [r.score for r in dec]
+    assert scores == sorted(scores, reverse=True)
+
+    # boost: matching rows double their fused score; order respects boosts
+    boosted = client.search(
+        "rkr", data=q, limit=10,
+        ranker={"type": "boost", "filter": "label >= 3", "weight": 2.0},
+    ).collect()
+    base_score = {r.vec_id: r.score for r in base_rows}
+    for r in boosted:
+        mult = 2.0 if labels[r.vec_id] >= 3 else 1.0
+        assert abs(r.score - round(base_score[r.vec_id] * mult, 4)) < 1e-9
+    client.drop_collection("rkr")
+
+
+def test_model_ranker_on_hybrid(client, spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    both = docs.join(emb, docs.doc_id == emb.vec_id).select(
+        "doc_id", "text", "embedding"
+    )
+    client.create_collection("mrk", pk_field="doc_id", vector_field="embedding")
+    client.insert("mrk", both)
+    q = [emb.first().embedding]
+    out = client.hybrid_search(
+        "mrk",
+        reqs=[{"data": q, "limit": 30}, {"data": q, "limit": 30, "metric_type": "L2"}],
+        limit=10,
+        ranker={"type": "model", "query": "spark join agg", "field": "text"},
+    ).collect()
+    assert out and len(out) <= 10
+    rs = [r.rerank_score for r in out]
+    assert rs == sorted(rs, reverse=True) and rs[0] > 0
+    client.drop_collection("mrk")
