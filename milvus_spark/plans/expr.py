@@ -592,7 +592,10 @@ def _phrase_match(col: Column, phrase: str, slop: int) -> Column:
     if len(words) == 1:
         return F.array_contains(toks, words[0])
     n = len(words)
-    idx = F.sequence(F.lit(1), F.size(toks))
+    # guard: sequence(1, 0) DESCENDS on an empty token array → bad index
+    idx = F.when(F.size(toks) > 0, F.sequence(F.lit(1), F.size(toks))).otherwise(
+        F.array().cast("array<int>")
+    )
 
     def pos_of(w: str) -> Column:
         # NB: a plain 1-arg lambda — a 2-arg lambda would be interpreted by

@@ -215,3 +215,87 @@ def test_fuzz_100_event_predicates(event_engines):
         if got != want:
             failures.append((m, s, f"rows spark={len(got)} duckdb={len(want)}"))
     assert not failures, failures[:5]
+
+
+# --- differential fuzz: sloppy phrase match vs a pure-Python oracle ------------
+def _py_phrase(tokens: list[str], words: list[str], slop: int) -> bool:
+    """Reference: ordered positions p1<...<pn with pn - p1 <= n-1+slop."""
+    n = len(words)
+    pos = [[i for i, t in enumerate(tokens) if t == w] for w in words]
+
+    def rec(k: int, start: int, prev: int) -> bool:
+        if k == n:
+            return True
+        return any(
+            q > prev and q - start <= n - 1 + slop and rec(k + 1, start, q)
+            for q in pos[k]
+        )
+
+    return any(rec(1, s, s) for s in pos[0])
+
+
+def test_phrase_match_fuzz_vs_python(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from milvus_spark.plans.expr import compile_expr
+
+    rng = random.Random(17)
+    vocab = ["a", "b", "c", "d", "e"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 14))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, ["pk", "t"]).cache()
+    toks = {pk: [w for w in t.split() if w] for pk, t in rows}
+    for trial in range(12):
+        n = rng.randint(1, 4)
+        words = [rng.choice(vocab) for _ in range(n)]
+        slop = rng.randint(0, 3)
+        expr = f'phrase_match(t, "{" ".join(words)}", {slop})'
+        got = {r.pk for r in df.filter(compile_expr(expr, df.schema)).collect()}
+        want = {pk for pk, _ in rows if _py_phrase(toks[pk], words, slop)}
+        assert got == want, (words, slop, got ^ want)
+
+
+def test_cjk_analyzer_fuzz_vs_python(spark):
+    """cjk_bigram vs a pure-Python reference over random mixed-script text."""
+    import random
+    import re as _re
+
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.text import CJK_CLASS, cjk_bigram_tokens
+
+    def py_cjk(text: str) -> list[str]:
+        latin = [w for w in _re.split(r"[^a-z0-9]+", _re.sub(CJK_CLASS + "+", " ", text).lower()) if w]
+        runs = _re.findall("(" + CJK_CLASS + "+)", text)
+        big = []
+        for r in runs:
+            if len(r) == 1:
+                big.append(r)
+            else:
+                big.extend(r[i : i + 2] for i in range(len(r) - 1))
+        return latin + big
+
+    rng = random.Random(23)
+    cjk_chars = [chr(0x4E00 + i) for i in range(40)] + [chr(0x30A2 + i) for i in range(10)]
+    latin_words = ["spark", "Join", "agg42", "x"]
+    rows = []
+    for i in range(200):
+        parts = []
+        for _ in range(rng.randint(0, 6)):
+            if rng.random() < 0.5:
+                parts.append("".join(rng.choice(cjk_chars) for _ in range(rng.randint(1, 5))))
+            else:
+                parts.append(rng.choice(latin_words))
+        sep = rng.choice([" ", ", ", ""])
+        rows.append((i, sep.join(parts)))
+    df = spark.createDataFrame(rows, ["pk", "t"])
+    got = {
+        r.pk: sorted(r.toks)
+        for r in df.select("pk", cjk_bigram_tokens(F.col("t")).alias("toks")).collect()
+    }
+    for pk, t in rows:
+        assert got[pk] == sorted(py_cjk(t)), (pk, t, got[pk], sorted(py_cjk(t)))
