@@ -301,7 +301,10 @@ def vec_iterator_page2(spark: SparkSession, sf: str) -> DataFrame:
 
     e = load_table(spark, sf, "embeddings")
     qs = queries_from_table(e, "vec_id", "embedding", F.col("vec_id") < NQ)
-    scored = brute_force_search(e, qs, "embedding", "vec_id", metric="COSINE", k=e.count())
+    # k bounds the scan to pages-worth of hits (page-2 top-5 lies within the
+    # overall top-10 plus bound ties; 256 leaves two orders of margin) — at
+    # scale this is a partial top-k, never a full-corpus ranking
+    scored = brute_force_search(e, qs, "embedding", "vec_id", metric="COSINE", k=256)
     bound = scored.filter(F.col("rank") <= 5).groupBy("qid").agg(
         F.min("score").alias("last_bound")
     )
