@@ -309,12 +309,23 @@ class MilvusSparkClient:
         tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
         return df.filter(tag.isin(list(partition_names)))
 
-    def load_collection(self, name: str) -> None:
+    def load_collection(self, name: str, mmap_enabled: bool = False) -> None:
         """Load into memory for serving (QueryCoord load analog): pin the
         current visible state in Spark's block-manager cache. Reads between
-        load and the next DML hit cached blocks instead of parquet."""
+        load and the next DML hit cached blocks instead of parquet.
+
+        ``mmap_enabled`` mirrors the reference's mmap tiered loading
+        (cachinglayer/ + mmap/; collection property mmap.enabled): blocks
+        persist MEMORY_AND_DISK so a collection larger than executor memory
+        serves from local disk instead of failing the load — the same
+        capacity/latency trade mmap buys Milvus."""
+        from pyspark import StorageLevel
+
         self._loaded = getattr(self, "_loaded", {})
-        df = self._read(name).cache()
+        df = self._read(name)
+        df = df.persist(
+            StorageLevel.MEMORY_AND_DISK_DESER if mmap_enabled else StorageLevel.MEMORY_ONLY
+        )
         df.count()  # eager: load completes before the call returns
         self._loaded[name] = df
 

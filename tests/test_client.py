@@ -1028,3 +1028,22 @@ def test_model_ranker_on_hybrid(client, spark, sf_dir):
     rs = [r.rerank_score for r in out]
     assert rs == sorted(rs, reverse=True) and rs[0] > 0
     client.drop_collection("mrk")
+
+
+def test_load_collection_mmap_storage_level(client, spark, sf_dir):
+    """mmap_enabled load maps to MEMORY_AND_DISK persistence (the tiered
+    cachinglayer/mmap analog); default load is memory-only."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("mml", pk_field="n_nationkey")
+    client.insert("mml", nation)
+
+    client.load_collection("mml")
+    lvl = client._loaded["mml"].storageLevel
+    assert lvl.useMemory and not lvl.useDisk
+    client.release_collection("mml")
+
+    client.load_collection("mml", mmap_enabled=True)
+    lvl = client._loaded["mml"].storageLevel
+    assert lvl.useMemory and lvl.useDisk
+    client.release_collection("mml")
+    client.drop_collection("mml")
