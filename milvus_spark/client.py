@@ -437,6 +437,43 @@ class MilvusSparkClient:
             }
         return stats
 
+    def get_partition_stats(self, name: str, partition: str) -> dict:
+        """GetPartitionStatistics: row count of one named partition."""
+        if not self.has_partition(name, partition):
+            raise ValueError(f"no partition {partition}")
+        df = self._partition_filter(self._read(name), [partition])
+        return {"row_count": df.count()}
+
+    def drop_collection_properties(self, name: str, property_keys: Sequence[str]) -> None:
+        """Remove collection properties (AlterCollection delete_keys path)."""
+        props = self._meta(name).setdefault("properties", {})
+        for k in property_keys:
+            props.pop(k, None)
+        self._save_catalog()
+
+    def get_compaction_state(self, name: str) -> dict:
+        """Compaction runs synchronously here (a blocking Spark job), so the
+        state is always terminal once compact() returns."""
+        self._meta(name)  # existence check
+        return {"state": "Completed"}
+
+    def refresh_load(self, name: str) -> None:
+        """Re-pin the CURRENT visible state in cache (RefreshLoad: reload
+        after DML so serving reads include the newest segments)."""
+        loaded = getattr(self, "_loaded", {})
+        if name not in loaded:
+            raise ValueError(f"collection {name} is not loaded")
+        was_mmap = loaded[name].storageLevel.useDisk
+        self.release_collection(name)
+        self.load_collection(name, mmap_enabled=was_mmap)
+
+    @staticmethod
+    def get_server_version() -> str:
+        """Engine version string (GetVersion API analog)."""
+        import pyspark
+
+        return f"milvus-spark 2.0 (pyspark {pyspark.__version__})"
+
     def flush(self, name: str) -> None:
         """Flush is a consistency barrier in the reference (growing →
         sealed, WAL durable). Here every insert writes durable parquet

@@ -1047,3 +1047,37 @@ def test_load_collection_mmap_storage_level(client, spark, sf_dir):
     assert lvl.useMemory and lvl.useDisk
     client.release_collection("mml")
     client.drop_collection("mml")
+
+
+def test_misc_introspection_api(client, spark, sf_dir):
+    """get_partition_stats / drop_collection_properties / compaction state /
+    refresh_load / server version — the remaining MilvusClient surface."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("misc", pk_field="n_nationkey",
+                             properties={"collection.ttl.seconds": 3600, "x": 1})
+    client.create_partition("misc", "hot")
+    client.insert("misc", nation.limit(10), partition_name="hot")
+    client.insert("misc", nation.filter("n_nationkey >= 10"))
+
+    assert client.get_partition_stats("misc", "hot") == {"row_count": 10}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        client.get_partition_stats("misc", "cold")
+
+    client.drop_collection_properties("misc", ["x", "nope"])
+    assert "x" not in client.describe_collection("misc")["properties"]
+    assert client.describe_collection("misc")["properties"]["collection.ttl.seconds"] == 3600
+
+    client.compact("misc")
+    assert client.get_compaction_state("misc") == {"state": "Completed"}
+
+    client.load_collection("misc")
+    n0 = client._loaded["misc"].count()
+    client.insert("misc", nation.limit(3).withColumn("n_nationkey", F.col("n_nationkey") + 500))
+    client.refresh_load("misc")
+    assert client._loaded["misc"].count() == n0 + 3  # newest segments visible
+    client.release_collection("misc")
+
+    assert "milvus-spark" in client.get_server_version()
+    client.drop_collection("misc")
