@@ -171,7 +171,11 @@ class MilvusSparkClient:
         (proxy-side dynamic-field fill; chap02_schema.md)."""
         if not meta.get("dynamic"):
             return df
-        declared = set(meta["fields"]) | {meta["pk"], self.PARTITION_COL, self.DYNAMIC_COL}
+        declared = (
+            set(meta["fields"])
+            | set(meta.get("vector_fields") or [])
+            | {meta["pk"], self.PARTITION_COL, self.DYNAMIC_COL}
+        )
         extras = [c for c in df.columns if c not in declared]
         if not extras:
             return df
@@ -501,19 +505,24 @@ class MilvusSparkClient:
         self._ts[name] = ts
         meta["max_ts"] = ts
         # wall-clock per write ts: the collection-TTL clock (Milvus TTL
-        # expires rows by their write time; common.collection.ttl.seconds)
-        import time as _time
+        # expires rows by their write time). Recorded only while a TTL
+        # property is set, so ordinary collections don't grow an unbounded
+        # per-batch map in the catalog.
+        if "collection.ttl.seconds" in (meta.get("properties") or {}):
+            import time as _time
 
-        meta.setdefault("ts_wall", {})[str(ts)] = _time.time()
+            meta.setdefault("ts_wall", {})[str(ts)] = _time.time()
         self._save_catalog()
         return ts
 
     def _expired_ts(self, meta: dict) -> list[int]:
         """Write timestamps whose rows have outlived the collection TTL
         (rootcoord properties collection.ttl.seconds; expired rows are
-        invisible to reads and reclaimed by compaction)."""
+        invisible to reads and reclaimed by compaction). TTL ≤ 0 — including
+        the reference's string "0" — means never expire; batches with no
+        recorded wall time (written before the TTL was set) never expire."""
         ttl = (meta.get("properties") or {}).get("collection.ttl.seconds")
-        if not ttl:
+        if ttl is None or float(ttl) <= 0:
             return []
         import time as _time
 
@@ -576,7 +585,27 @@ class MilvusSparkClient:
             for fld, v in (meta.get("field_defaults") or {}).items():
                 if fld in df.columns:
                     df = df.withColumn(fld, F.coalesce(F.col(fld), F.lit(v)))
-            coll.upsert_partial(self._pack_dynamic(meta, df), ts=self._next_ts(name))
+            packed = self._pack_dynamic(meta, df)
+            dyn = self._dyn(meta)
+            if dyn and dyn in packed.columns and dyn not in df.columns:
+                # merge the batch's dynamic keys over the stored $meta so
+                # keys absent from the batch keep their stored values
+                # (map_filter keeps keys distinct — no dedup-policy reliance)
+                old = self._read(name).select(
+                    F.col(meta["pk"]),
+                    F.from_json(F.col(dyn), "map<string,string>").alias("_old_m"),
+                )
+                new_m = F.from_json(F.col(dyn), "map<string,string>")
+                kept_old = F.map_filter(
+                    F.coalesce(F.col("_old_m"), F.map_from_arrays(F.array(), F.array())),
+                    lambda k, v: ~F.map_contains_key(new_m, k),
+                )
+                packed = (
+                    packed.join(old, meta["pk"], "left")
+                    .withColumn(dyn, F.to_json(F.map_concat(kept_old, new_m)))
+                    .drop("_old_m")
+                )
+            coll.upsert_partial(packed, ts=self._next_ts(name))
         else:
             df = self._pack_dynamic(meta, self._apply_defaults(meta, df))
             coll.upsert(df, ts=self._next_ts(name))
@@ -616,6 +645,8 @@ class MilvusSparkClient:
         self._coll(name).compact(num_partitions, exclude_ts=expired)
         for t in expired:  # rows physically reclaimed — stop tracking
             meta.get("ts_wall", {}).pop(str(t), None)
+        if "collection.ttl.seconds" not in (meta.get("properties") or {}):
+            meta.pop("ts_wall", None)  # TTL removed → drop the clock map
         self._save_catalog()
 
     # -------------------------------------------------------------- indexes
@@ -1059,6 +1090,9 @@ class MilvusSparkClient:
                 round_to=12 if round_decimal == -1 else int(round_decimal),
                 strict_group_size=bool(strict_group_size),
             )
+            if ranker:
+                # a flat rerank would break the per-group quota structure
+                raise ValueError("ranker cannot be combined with group_by_field")
             return self._requery(name, hits, meta, output_fields)
         idx = self._fresh_index(name, vfield, "IVF_FLAT")
         if (
@@ -1066,6 +1100,7 @@ class MilvusSparkClient:
             and filter is None and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
+            and not self._expired_ts(meta)
         ):
             import numpy as np
 
@@ -1084,6 +1119,8 @@ class MilvusSparkClient:
                 k=limit,
                 nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
             )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit)
             return self._requery(name, hits, meta, output_fields)
         pq_idx = self._fresh_index(name, vfield, "IVF_PQ")
         if (
@@ -1091,6 +1128,7 @@ class MilvusSparkClient:
             and filter is None and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
+            and not self._expired_ts(meta)
         ):
             import numpy as np
 
@@ -1110,6 +1148,8 @@ class MilvusSparkClient:
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
             )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit)
             return self._requery(name, hits, meta, output_fields)
         lsh_idx = self._fresh_index(name, vfield, "LSH")
         if (
@@ -1117,6 +1157,7 @@ class MilvusSparkClient:
             and filter is None and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
+            and not self._expired_ts(meta)
         ):
             import numpy as np
 
@@ -1135,6 +1176,8 @@ class MilvusSparkClient:
                 k=limit,
                 probe_radius=int((search_params or {}).get("probe_radius", 1)),
             )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit)
             return self._requery(name, hits, meta, output_fields)
         df = self._partition_filter(
             self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
@@ -1248,7 +1291,7 @@ class MilvusSparkClient:
         meta = self._meta(name)
         pk = meta["pk"]
         idx = self._fresh_index(name, field, "SPARSE_INVERTED")
-        if idx is not None:
+        if idx is not None and not self._expired_ts(meta):
             posting = self.spark.read.parquet(os.path.join(idx["path"], "posting"))
         else:
             posting = self._read(name).select(
@@ -1297,7 +1340,18 @@ class MilvusSparkClient:
             return hits
         pk = meta["pk"]
         fields = [f for f in output_fields if f != pk and f not in hits.columns]
-        side = self._read(name).select(pk, *fields)
+        base = self._read(name)
+        dyn = self._dyn(meta)
+        cols = [F.col(pk)]
+        for f in fields:
+            if f in base.columns:
+                cols.append(F.col(f))
+            elif dyn and dyn in base.columns and f.isidentifier():
+                # dynamic key: surface from the $meta blob (query() parity)
+                cols.append(F.get_json_object(F.col(dyn), f"$.{f}").alias(f))
+            else:
+                cols.append(F.col(f))  # raise the normal unresolved error
+        side = base.select(*cols)
         return side.join(F.broadcast(hits), pk).select(*hits.columns, *fields)
 
     def search_iterator(

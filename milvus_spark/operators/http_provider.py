@@ -144,6 +144,8 @@ def http_model_rerank(cand: DataFrame, corpus: DataFrame, pk_col: str, text_col:
         for batch in it:
             yield pd.Series(provider.score(query, batch.tolist()))
 
+    if "orig_score" not in cand.columns and "score" in cand.columns:
+        cand = cand.withColumnRenamed("score", "orig_score")  # accept raw hit frames
     with_text = corpus.select(pk_col, text_col).join(F.broadcast(cand), pk_col)
     scored = with_text.withColumn("rerank_score", rescore(F.col(text_col))).drop(text_col)
     return (

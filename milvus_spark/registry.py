@@ -40,10 +40,11 @@ def load_suites() -> None:
     suites.load_all()
 
 
-def _gc_scratch(max_age_hours: float = 2.0) -> None:
+def _gc_scratch(max_age_hours: float = 12.0) -> None:
     """Bound _scratch growth: suite queries mkdtemp work dirs per run;
-    anything past the age cutoff is from a finished run and dead (a full
-    suite pass takes minutes, so 2h leaves a wide safety margin).
+    anything past the age cutoff is from a finished run and dead. 12h is
+    chosen to outlive any single run (large-SF benches and long client
+    sessions run for hours) while still reclaiming dirs across rounds.
     Concurrent sessions are safe — fresh dirs are never touched."""
     import shutil
     import time

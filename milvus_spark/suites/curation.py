@@ -244,7 +244,7 @@ _MIX_ALPHA = 0.5  # temperature: w_s ∝ count_s^alpha / count_s = count_s^(alph
     )
     SELECT d.doc_id, d.source
     FROM documents d JOIN rates r ON d.source = r.source
-    WHERE {seeded_hash_sql("CAST(d.doc_id AS VARCHAR)", 99)} % 10000 < CAST(r.rate * 10000 AS BIGINT)
+    WHERE {seeded_hash_sql("CAST(d.doc_id AS VARCHAR)", 99)} % 10000 < CAST(floor(r.rate * 10000) AS BIGINT)
     """,
 )
 def cur_source_mix(spark: SparkSession, sf: str) -> DataFrame:
@@ -260,7 +260,9 @@ def cur_source_mix(spark: SparkSession, sf: str) -> DataFrame:
     rates = counts.crossJoin(F.broadcast(maxw)).select(
         "source", (F.pow("n", F.lit(_MIX_ALPHA - 1)) / F.col("m")).alias("rate")
     )
-    keep = seeded_hash(F.col("doc_id").cast("string"), 99) % 10000 < (
+    # floor on BOTH engines: Spark's cast truncates but DuckDB's rounds,
+    # so an explicit floor keeps the boundary row set bit-identical
+    keep = seeded_hash(F.col("doc_id").cast("string"), 99) % 10000 < F.floor(
         F.col("rate") * 10000
     ).cast("long")
     return d.join(F.broadcast(rates), "source").filter(keep).select("doc_id", "source")

@@ -1081,3 +1081,72 @@ def test_misc_introspection_api(client, spark, sf_dir):
 
     assert "milvus-spark" in client.get_server_version()
     client.drop_collection("misc")
+
+
+def test_review_fixes_round2(client, spark, sf_dir):
+    """Regression bundle from the round-2 code review."""
+    import math
+    import time
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+
+    # 1. ranker is honored on index-backed search paths (was silently dropped)
+    client.create_collection("rf1", pk_field="vec_id", vector_field="embedding")
+    client.insert("rf1", emb)
+    client.create_index("rf1", "embedding", "IVF_FLAT", params={"nlist": 8})
+    q = [emb.first().embedding]
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    dec = client.search(
+        "rf1", data=q, limit=5,
+        ranker={"type": "decay", "input_field": "label", "function": "gauss",
+                "origin": 2, "scale": 2, "decay": 0.5},
+    ).collect()
+    for r in dec:
+        want = math.exp((abs(labels[r.vec_id] - 2) ** 2) / ((2 ** 2) / math.log(0.5)))
+        assert abs(r.score - round(want, 4)) < 1e-9
+    with pytest.raises(ValueError):
+        client.search("rf1", data=q, limit=3, group_by_field="label",
+                      ranker={"type": "boost", "filter": "label >= 2", "weight": 2})
+    client.drop_collection("rf1")
+
+    # 2. TTL "0" (string, the Milvus property convention) means never expire
+    client.create_collection("rf2", pk_field="n_nationkey",
+                             properties={"collection.ttl.seconds": "0"})
+    client.insert("rf2", nation.limit(5))
+    assert client.count("rf2") == 5
+    client.drop_collection("rf2")
+
+    # 3. index-backed search hides TTL-expired rows (visibility consistency)
+    client.create_collection("rf3", pk_field="vec_id", vector_field="embedding",
+                             properties={"collection.ttl.seconds": 3600})
+    client.insert("rf3", emb)
+    client.create_index("rf3", "embedding", "IVF_FLAT", params={"nlist": 8})
+    for t in list(client._catalog["rf3"]["ts_wall"]):
+        client._catalog["rf3"]["ts_wall"][t] = time.time() - 7200
+    client._save_catalog()
+    assert client.search("rf3", data=q, limit=5).count() == 0  # falls back to scan
+    client.drop_collection("rf3")
+
+    # 4. dynamic partial upsert merges $meta keys (absent keys survive)
+    client.create_collection("rf4", pk_field="n_nationkey",
+                             enable_dynamic_field=True, fields=["n_nationkey", "n_name"])
+    client.insert("rf4", nation.limit(3).withColumn("color", F.lit("red"))
+                  .withColumn("size", F.lit(9)))
+    client.upsert(
+        "rf4",
+        nation.limit(1).select("n_nationkey", F.lit("blue").alias("color")),
+        partial_update=True,
+    )
+    row = client.query("rf4", filter="n_nationkey == 0",
+                       output_fields=["color", "size"]).collect()[0]
+    assert row.color == "blue" and row.size == "9"  # size kept, JSON string type
+
+    # 5. search output_fields resolves dynamic keys (query() parity)
+    client.drop_collection("rf4")
+    client.create_collection("rf5", pk_field="vec_id", vector_field="embedding",
+                             enable_dynamic_field=True, fields=["vec_id", "embedding"])
+    client.insert("rf5", emb)  # label -> $meta; embedding NOT packed (vector field)
+    hits = client.search("rf5", data=q, limit=3, output_fields=["label"]).collect()
+    assert all(h.label is not None for h in hits)
+    client.drop_collection("rf5")
