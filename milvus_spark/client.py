@@ -1015,7 +1015,16 @@ class MilvusSparkClient:
     def get(self, name: str, ids: Sequence[Any], output_fields: Optional[Sequence[str]] = None) -> DataFrame:
         meta = self._meta(name)
         df = self._read(name).filter(F.col(meta["pk"]).isin(*list(ids)))
-        return df.select(*output_fields) if output_fields else df
+        if not output_fields:
+            return df
+        dyn = self._dyn(meta)
+        cols = []
+        for f in output_fields:
+            if f not in df.columns and dyn and dyn in df.columns and f.isidentifier():
+                cols.append(F.get_json_object(F.col(dyn), f"$.{f}").alias(f))
+            else:
+                cols.append(F.col(f))
+        return df.select(*cols)
 
     def count(self, name: str, filter: Optional[str] = None) -> int:
         return apply_filter(

@@ -1150,3 +1150,15 @@ def test_review_fixes_round2(client, spark, sf_dir):
     hits = client.search("rf5", data=q, limit=3, output_fields=["label"]).collect()
     assert all(h.label is not None for h in hits)
     client.drop_collection("rf5")
+
+
+def test_get_resolves_dynamic_keys(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("gdy", pk_field="n_nationkey",
+                             enable_dynamic_field=True, fields=["n_nationkey", "n_name"])
+    client.insert("gdy", nation.limit(5))  # n_regionkey -> $meta
+    rows = client.get("gdy", ids=[0, 1], output_fields=["n_name", "n_regionkey"]).collect()
+    assert len(rows) == 2
+    want = sorted(r.n_regionkey for r in nation.filter("n_nationkey < 2").collect())
+    assert sorted(int(r.n_regionkey) for r in rows) == want
+    client.drop_collection("gdy")
