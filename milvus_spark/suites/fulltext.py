@@ -582,3 +582,69 @@ def fts_phrase_match3_slop(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("n_starts") > 0)
         .select("doc_id", "n_starts")
     )
+
+
+# --- BM25 through the CJK analyzer: analyzer → scoring integration -------------
+def _cjk_bm25_oracle() -> str:
+    from milvus_spark.operators.text import CJK_TOKENS_SQL, HASH_SQL
+
+    h = HASH_SQL.format(s="t")
+    qterms = "[" + ", ".join(f"'{t}'" for t in _cjk_query_terms()) + "]"
+    return f"""
+    WITH t0 AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+      SELECT t0.doc_id,
+             d.text || ' ' ||
+             array_to_string(list_transform(t0.toks, t -> chr(CAST(19968 + ({h} % 512) AS INTEGER))), '') AS mixed
+      FROM t0 JOIN documents d ON t0.doc_id = d.doc_id
+    ),
+    t AS (SELECT doc_id, {CJK_TOKENS_SQL.format(col="mixed")} AS toks FROM m),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE list_contains({qterms}, tok)
+      GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+    scored AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * p.tf * ({K1} + 1)
+                 / (p.tf + {K1} * (1 - {B} + {B} * d.dl / s.avgdl))) AS bm25
+      FROM posting p
+      JOIN dfq ON p.tok = dfq.tok
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(bm25, 4) AS score,
+           CAST(row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 15
+    """
+
+
+def _cjk_query_terms() -> list[str]:
+    # CJK bigram of adjacent (merge, batch) plus a latin term — one query
+    # term per analyzer leg
+    return [_CJK_QB, "vector"]
+
+
+@register("fts_cjk_bm25", oracle=_cjk_bm25_oracle())
+def fts_cjk_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 scored over cjk_bigram analyzer output — the analyzer→function
+    pipeline integration (analyzer feeds bm25_function.go term vectors in
+    the reference): same posting/stats/scoring plan as fts_bm25_topk, only
+    the tokenizer differs. Query terms hit both analyzer legs (a CJK bigram
+    and a latin token)."""
+    from milvus_spark.operators.text import cjk_bigram_tokens, token_hash
+
+    t0 = _docs_tokens(spark, sf)
+    cjk_char = lambda x: F.lit(_CJK_ALPHABET).substr(
+        (token_hash(x) % 512 + 1).cast("int"), F.lit(1)
+    )
+    mixed = F.concat_ws(" ", F.col("text"), F.concat_ws("", F.transform(F.col("toks"), cjk_char)))
+    t = t0.select("doc_id", cjk_bigram_tokens(mixed).alias("toks"))
+    return _bm25_topk(t, terms=_cjk_query_terms())
