@@ -568,3 +568,58 @@ def txt_bpe_token_count(spark: SparkSession, sf: str) -> DataFrame:
         n_words.cast("long").alias("n_words"),
         F.round(n_bpe / F.greatest(n_words, F.lit(1)), 4).alias("bpe_per_word"),
     )
+
+
+# --- script identification: CJK-aware language-ID complement -------------------
+@register(
+    "txt_script_id",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 4 = 1 THEN ' 向量搜索引擎'
+                          WHEN doc_id % 4 = 2 THEN ' ベクトル検索'
+                          WHEN doc_id % 4 = 3 THEN ' 벡터검색엔진' ELSE '' END AS mixed
+      FROM documents
+    ),
+    counts AS (
+      SELECT doc_id,
+             len(regexp_extract_all(mixed, '[一-鿿]')) AS han,
+             len(regexp_extract_all(mixed, '[぀-ヿ]')) AS kana,
+             len(regexp_extract_all(mixed, '[가-힯]')) AS hangul
+      FROM m
+    )
+    SELECT doc_id,
+           CASE WHEN han = 0 AND kana = 0 AND hangul = 0 THEN 'latin'
+                WHEN kana >= han AND kana >= hangul THEN 'ja'
+                WHEN hangul >= han THEN 'ko'
+                ELSE 'zh' END AS script,
+           CAST(han + kana + hangul AS BIGINT) AS n_cjk_chars
+    FROM counts
+    """,
+)
+def txt_script_id(spark: SparkSession, sf: str) -> DataFrame:
+    """Script-based language identification for CJK corpora (the complement
+    to txt_lang_id's latin n-gram heuristic; reference analyzers dispatch
+    per-language the same way, internal/util/analyzer/ multi-analyzer).
+    Deterministic CJK suffixes are appended per doc_id class so every script
+    branch is exercised; pure regexp counting, map-side only."""
+    d = load_table(spark, sf, "documents")
+    suffix = (
+        F.when(F.col("doc_id") % 4 == 1, F.lit(" 向量搜索引擎"))
+        .when(F.col("doc_id") % 4 == 2, F.lit(" ベクトル検索"))
+        .when(F.col("doc_id") % 4 == 3, F.lit(" 벡터검색엔진"))
+        .otherwise(F.lit(""))
+    )
+    mixed = F.concat(F.col("text"), suffix)
+    han = F.size(F.regexp_extract_all(mixed, F.lit("([一-鿿])"), 1))
+    kana = F.size(F.regexp_extract_all(mixed, F.lit("([぀-ヿ])"), 1))
+    hangul = F.size(F.regexp_extract_all(mixed, F.lit("([가-힯])"), 1))
+    script = (
+        F.when((han == 0) & (kana == 0) & (hangul == 0), F.lit("latin"))
+        .when((kana >= han) & (kana >= hangul), F.lit("ja"))
+        .when(hangul >= han, F.lit("ko"))
+        .otherwise(F.lit("zh"))
+    )
+    return d.select(
+        "doc_id", script.alias("script"), (han + kana + hangul).cast("long").alias("n_cjk_chars")
+    )
