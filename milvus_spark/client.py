@@ -639,9 +639,24 @@ class MilvusSparkClient:
             shutil.rmtree(p)
         self._ts.pop(name, None)
 
-    def compact(self, name: str, num_partitions: int = 4) -> None:
+    def compact(
+        self, name: str, num_partitions: int = 4, clustering_key: Optional[str] = None
+    ) -> None:
+        """Mix compaction, or clustering compaction when ``clustering_key``
+        is given (clustering_compactor.go range mode: rows re-laid-out
+        sorted by the key with a per-file min/max manifest for segment
+        pruning — the PartitionStatsSnapshot analog)."""
         meta = self._meta(name)
         expired = self._expired_ts(meta)
+        if clustering_key is not None:
+            if expired:  # reclaim expired batches first, then re-cluster
+                self._coll(name).compact(num_partitions, exclude_ts=expired)
+                for t in expired:
+                    meta.get("ts_wall", {}).pop(str(t), None)
+                expired = []
+            self._coll(name).compact_clustering(clustering_key, num_partitions)
+            self._save_catalog()
+            return
         self._coll(name).compact(num_partitions, exclude_ts=expired)
         for t in expired:  # rows physically reclaimed — stop tracking
             meta.get("ts_wall", {}).pop(str(t), None)

@@ -1162,3 +1162,26 @@ def test_get_resolves_dynamic_keys(client, spark, sf_dir):
     want = sorted(r.n_regionkey for r in nation.filter("n_nationkey < 2").collect())
     assert sorted(int(r.n_regionkey) for r in rows) == want
     client.drop_collection("gdy")
+
+
+def test_clustering_compaction_via_client(client, spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(2000)
+    client.create_collection("clc", pk_field="o_orderkey")
+    client.insert("clc", orders)
+    pre = client.count("clc")
+    client.compact("clc", num_partitions=4, clustering_key="o_custkey")
+    assert client.count("clc") == pre  # content preserved
+    import json
+    import os
+
+    mpath = os.path.join(client.root, "clc", "partition_stats.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    assert manifest["key"] == "o_custkey" and manifest["files"]
+    # range layout: every file's [min, max] is internally ordered, and the
+    # clustering key spans partition the domain (mins strictly increase)
+    ranges = sorted(manifest["files"].values(), key=lambda r: float(r[0]))
+    assert all(float(lo) <= float(hi) for lo, hi in ranges)
+    mins = [float(lo) for lo, _ in ranges]
+    assert mins == sorted(mins)
+    client.drop_collection("clc")
