@@ -655,6 +655,9 @@ class MilvusSparkClient:
                     meta.get("ts_wall", {}).pop(str(t), None)
                 expired = []
             self._coll(name).compact_clustering(clustering_key, num_partitions)
+            # freshness pin: the manifest serves as an access path only
+            # until the next DML (same staleness rule as the other indexes)
+            meta["clustered"] = {"key": clustering_key, "ts": self._current_ts(name)}
             self._save_catalog()
             return
         self._coll(name).compact(num_partitions, exclude_ts=expired)
@@ -935,6 +938,29 @@ class MilvusSparkClient:
         if filter and resolved is None:
             import re as _re
 
+            # clustering-manifest pruning (segment_pruner.go range pruning):
+            # a fresh post-clustering manifest turns a range filter on the
+            # clustering key into a file-skip list before Spark even lists
+            # them. Fresh = no DML since the clustering compaction (which
+            # also folded all tombstones), no TTL expiry, no evolution view.
+            meta_q = self._meta(name)
+            cl = meta_q.get("clustered")
+            mr = _re.fullmatch(
+                r"\s*(\w+)\s*>=\s*(-?\d+(?:\.\d+)?)\s+(?:and|&&)\s+(\w+)\s*<=\s*(-?\d+(?:\.\d+)?)\s*",
+                filter,
+            )
+            if (
+                cl is not None
+                and mr
+                and mr.group(1) == mr.group(3) == cl["key"]
+                and cl["ts"] == self._current_ts(name)
+                and not self._expired_ts(meta_q)
+                and not meta_q.get("added_fields")
+                and not meta_q.get("dropped_fields")
+                and not partition_names
+            ):
+                lo, hi = float(mr.group(2)), float(mr.group(4))
+                df = self._coll(name).read_pruned(lo, hi).drop(TS_COL)
             m = _re.fullmatch(
                 r'\s*(\w+)\s+like\s+"%([^%_\\"]+)%"\s*', filter
             )

@@ -1185,3 +1185,34 @@ def test_clustering_compaction_via_client(client, spark, sf_dir):
     mins = [float(lo) for lo, _ in ranges]
     assert mins == sorted(mins)
     client.drop_collection("clc")
+
+
+def test_query_uses_clustering_manifest(client, spark, sf_dir, monkeypatch):
+    """A fresh clustering manifest turns a range filter on the clustering
+    key into file-skip pruning; DML staleness falls back to the scan."""
+    from milvus_spark.operators.lifecycle import Collection
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(2000)
+    client.create_collection("clq", pk_field="o_orderkey")
+    client.insert("clq", orders)
+    client.compact("clq", num_partitions=4, clustering_key="o_custkey")
+
+    calls = []
+    orig = Collection.read_pruned
+
+    def spy(self, lo, hi):
+        calls.append((lo, hi))
+        return orig(self, lo, hi)
+
+    monkeypatch.setattr(Collection, "read_pruned", spy)
+    got = client.query("clq", filter="o_custkey >= 200 and o_custkey <= 500")
+    want = orders.filter("o_custkey between 200 and 500")
+    assert got.count() == want.count()
+    assert calls == [(200.0, 500.0)]  # pruned path taken
+
+    # post-DML the manifest is stale: same answer via the scan path
+    client.insert("clq", orders.limit(1).withColumn("o_orderkey", F.lit(999999999).cast("long")))
+    calls.clear()
+    got2 = client.query("clq", filter="o_custkey >= 200 and o_custkey <= 500")
+    assert got2.count() >= want.count() and calls == []
+    client.drop_collection("clq")
