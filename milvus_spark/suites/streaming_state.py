@@ -145,3 +145,91 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- streaming session windows: watermark-driven finalization ------------------
+@register(
+    "stream_session_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+             CASE WHEN CAST(ts AS TIMESTAMP)
+                       - lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS sess_start,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess
+    GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Session windows computed BY THE STREAMING ENGINE with append-mode
+    watermark finalization (session_window + withWatermark — the stateful
+    late-data path, not complete-mode replay): events stream in three
+    micro-batches, then two far-future sentinel batches advance the
+    watermark past every real session so the state store evicts and EMITS
+    them (watermark-driven finalization is the semantics under test — a
+    session emits only once its gap can no longer be extended). Sentinel
+    sessions themselves never finalize and are filtered by user_id. The
+    emitted set must hash-match the batch gaps-and-islands oracle."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    root = tempfile.mkdtemp(prefix="streamsess_", dir=_SCRATCH)
+    src = os.path.join(root, "src")
+    e = load_table(spark, sf, "events").select("ts", "user_id")
+    # time-ordered chunks: each micro-batch advances event time monotonically
+    # so a 0-second watermark never classifies in-order data as late (the
+    # hash-split used by the tumbling query would drop two thirds as late)
+    em = e.withColumn("_us", F.unix_micros("ts"))
+    q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
+    bounds = [(None, q1), (q1, q2), (q2, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = em
+        if lo is not None:
+            part = part.filter(F.col("_us") > int(lo))
+        if hi is not None:
+            part = part.filter(F.col("_us") <= int(hi))
+        part.drop("_us").write.parquet(os.path.join(src, f"chunk{i}.parquet"))
+    far = e.agg(F.max("ts").alias("m")).select(
+        F.col("m") + F.expr("INTERVAL 10 DAYS"), F.lit(-1).cast("long")
+    )
+    far.toDF("ts", "user_id").write.parquet(os.path.join(src, "sentinel1.parquet"))
+    far2 = e.agg(F.max("ts").alias("m")).select(
+        F.col("m") + F.expr("INTERVAL 20 DAYS"), F.lit(-2).cast("long")
+    )
+    far2.toDF("ts", "user_id").write.parquet(os.path.join(src, "sentinel2.parquet"))
+
+    stream = (
+        spark.readStream.schema(e.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    agg = (
+        stream.withWatermark("ts", "0 seconds")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
+    )
+    name = "ssa_" + os.path.basename(root).split("_")[-1]
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).filter(F.col("user_id") >= 0).select(
+        "user_id", "sess_start", "n_events"
+    )
