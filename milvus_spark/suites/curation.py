@@ -332,3 +332,55 @@ def cur_contamination(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").cast("long").alias("n_hits"))
     )
+
+
+# --- sequence packing: concat-and-chunk into training windows ------------------
+_PACK_W = 256  # tokens per packed training example
+
+
+@register(
+    "cur_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len({TOKENS_SQL.format(col="text")}) AS n_tokens FROM documents
+    ),
+    pos AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+      FROM t
+    )
+    SELECT CAST(start // {_PACK_W} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs_starting,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(CASE WHEN start // {_PACK_W} <> (start + n_tokens - 1) // {_PACK_W}
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_spanning
+    FROM pos
+    GROUP BY 1
+    """,
+)
+def cur_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (the GPT-style pre-training packing
+    pass): documents concatenate in pk order and split into fixed
+    {w}-token examples; per example, how many docs start in it, their token
+    mass, and how many cross the boundary (the attention-mask reset points).
+    Plan: one global running sum over the doc order — a single window over
+    (doc_id, n_tokens) pairs, NOT the text itself, so the windowed data is
+    ~16 bytes/doc; at 100 TB the same pass runs per corpus shard with
+    shard-offset stitching (associative prefix sums).""".format(w=_PACK_W)
+    d = load_table(spark, sf, "documents")
+    from pyspark.sql import Window as W
+
+    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    pos = t.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    bin_ = (F.col("start") / _PACK_W).cast("long")
+    end_bin = ((F.col("start") + F.col("n_tokens") - 1) / _PACK_W).cast("long")
+    return (
+        pos.select("doc_id", "n_tokens", bin_.alias("bin"), (bin_ != end_bin).alias("sp"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_starting"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("sp"), 1).otherwise(0)).cast("long").alias("n_spanning"),
+        )
+    )
