@@ -19,6 +19,8 @@ import json
 import os
 from typing import Any, Optional, Sequence
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -589,21 +591,27 @@ class MilvusSparkClient:
             dyn = self._dyn(meta)
             if dyn and dyn in packed.columns and dyn not in df.columns:
                 # merge the batch's dynamic keys over the stored $meta so
-                # keys absent from the batch keep their stored values
-                # (map_filter keeps keys distinct — no dedup-policy reliance)
+                # keys absent from the batch keep their stored values.
+                # The merge happens at the JSON level (Arrow-batched pandas
+                # UDF) so value TYPES survive: a stored {"size": 9} stays a
+                # number after a partial upsert of an unrelated key — a
+                # map<string,string> round-trip would re-store it as "9".
+                @F.pandas_udf("string")
+                def _merge_meta(old_s: pd.Series, new_s: pd.Series) -> pd.Series:
+                    out = []
+                    for o, n in zip(old_s, new_s):
+                        merged = json.loads(o) if o else {}
+                        merged.update(json.loads(n) if n else {})
+                        out.append(json.dumps(merged, separators=(",", ":")))
+                    return pd.Series(out)
+
                 old = self._read(name).select(
-                    F.col(meta["pk"]),
-                    F.from_json(F.col(dyn), "map<string,string>").alias("_old_m"),
-                )
-                new_m = F.from_json(F.col(dyn), "map<string,string>")
-                kept_old = F.map_filter(
-                    F.coalesce(F.col("_old_m"), F.map_from_arrays(F.array(), F.array())),
-                    lambda k, v: ~F.map_contains_key(new_m, k),
+                    F.col(meta["pk"]), F.col(dyn).alias("_old_meta")
                 )
                 packed = (
                     packed.join(old, meta["pk"], "left")
-                    .withColumn(dyn, F.to_json(F.map_concat(kept_old, new_m)))
-                    .drop("_old_m")
+                    .withColumn(dyn, _merge_meta(F.col("_old_meta"), F.col(dyn)))
+                    .drop("_old_meta")
                 )
             coll.upsert_partial(packed, ts=self._next_ts(name))
         else:
@@ -661,6 +669,11 @@ class MilvusSparkClient:
             self._save_catalog()
             return
         self._coll(name).compact(num_partitions, exclude_ts=expired)
+        # any segment rewrite invalidates the clustering manifest: file
+        # names/extents change, so the per-file [min,max] stats no longer
+        # describe what's on disk — drop the access path (correctness over
+        # speed; a later clustering compaction rebuilds it)
+        meta.pop("clustered", None)
         for t in expired:  # rows physically reclaimed — stop tracking
             meta.get("ts_wall", {}).pop(str(t), None)
         if "collection.ttl.seconds" not in (meta.get("properties") or {}):
@@ -809,13 +822,25 @@ class MilvusSparkClient:
 
             nbits = int(params.get("nbits", 10))
             seed = int(params.get("seed", 7))
+            if not os.path.isdir(os.path.join(self.root, name, "segments")):
+                raise ValueError(
+                    f"cannot build LSH index on empty collection {name!r}"
+                )
             df = self._read(name)
             corpus = (
                 l2_normalize(df, field)
                 if meta.get("metric", "COSINE") == "COSINE"
                 else df.withColumn(field, F.col(field).cast("array<double>"))
             )
-            dim = len(corpus.select(field).first()[0])
+            if "dim" in params:
+                dim = int(params["dim"])  # skip the probe job entirely
+            else:
+                row = corpus.select(field).first()
+                if row is None or row[0] is None:
+                    raise ValueError(
+                        f"cannot build LSH index on empty collection {name!r}"
+                    )
+                dim = len(row[0])
             H = hyperplanes(dim, nbits, seed)
             os.makedirs(idx_dir, exist_ok=True)
             write_bucketed(corpus, field, H, os.path.join(idx_dir, "bucketed"))

@@ -213,6 +213,15 @@ class Collection:
         with open(mpath) as f:
             manifest = json.load(f)
         key = manifest["key"]
+        # defense-in-depth vs a stale manifest: if any manifest file no
+        # longer exists on disk (a segment rewrite happened without
+        # invalidating the manifest), the stats describe nothing — fall
+        # back to the exact full scan rather than silently skipping data
+        if any(
+            not os.path.exists(os.path.join(self.seg_dir, fname))
+            for fname in manifest["files"]
+        ):
+            return self.read().filter(F.col(key).between(lo, hi))
         keep = [
             os.path.join(self.seg_dir, fname)
             for fname, (fmin, fmax) in manifest["files"].items()

@@ -363,18 +363,45 @@ def cur_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     pass): documents concatenate in pk order and split into fixed
     {w}-token examples; per example, how many docs start in it, their token
     mass, and how many cross the boundary (the attention-mask reset points).
-    Plan: one global running sum over the doc order — a single window over
-    (doc_id, n_tokens) pairs, NOT the text itself, so the windowed data is
-    ~16 bytes/doc; at 100 TB the same pass runs per corpus shard with
-    shard-offset stitching (associative prefix sums).""".format(w=_PACK_W)
+
+    Plan — DISTRIBUTED two-pass prefix sum (associative scan), never a
+    global unpartitioned window: (1) docs land in contiguous doc_id range
+    shards, each shard computes its local running sum in parallel; (2) the
+    per-shard token totals (≤ nshards rows) come to the driver, cumulative
+    offsets go back as a broadcast join, and start = shard offset + local
+    running sum. No partition ever holds more than its shard's
+    (doc_id, n_tokens) pairs, so the same plan runs at a 100 TB corpus —
+    the per-shard window is the only sort and it's shard-local.""".format(w=_PACK_W)
     d = load_table(spark, sf, "documents")
     from pyspark.sql import Window as W
 
     t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
-    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    pos = t.withColumn("start", F.sum("n_tokens").over(w) - F.col("n_tokens"))
-    bin_ = (F.col("start") / _PACK_W).cast("long")
-    end_bin = ((F.col("start") + F.col("n_tokens") - 1) / _PACK_W).cast("long")
+    nshards = 32
+    bounds = t.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
+    lo = int(bounds.lo) if bounds.lo is not None else 0
+    hi = int(bounds.hi) if bounds.hi is not None else 0
+    width = max(1, (hi - lo) // nshards + 1)
+    t = t.withColumn("shard", ((F.col("doc_id") - F.lit(lo)) / F.lit(width)).cast("int"))
+    wl = W.partitionBy("shard").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    loc = t.withColumn("local_end", F.sum("n_tokens").over(wl))
+    # pass 2: tiny per-shard totals (≤ nshards rows) → cumulative offsets
+    totals = sorted(
+        (int(r.shard), int(r.tot))
+        for r in loc.groupBy("shard").agg(F.max("local_end").alias("tot")).collect()
+    )
+    offs, acc = [], 0
+    for s, tot in totals:
+        offs.append((s, acc))
+        acc += tot
+    off_df = spark.createDataFrame(offs or [(0, 0)], "shard int, off long")
+    pos = loc.join(F.broadcast(off_df), "shard").withColumn(
+        "start", F.col("off") + F.col("local_end") - F.col("n_tokens")
+    )
+    # floor division on both engines: a zero-token doc whose start sits on a
+    # window boundary must give end_bin = bin - 1 (DuckDB // floors; a
+    # truncating cast would round toward zero and flip n_spanning)
+    bin_ = F.floor(F.col("start") / _PACK_W).cast("long")
+    end_bin = F.floor((F.col("start") + F.col("n_tokens") - 1) / _PACK_W).cast("long")
     return (
         pos.select("doc_id", "n_tokens", bin_.alias("bin"), (bin_ != end_bin).alias("sp"))
         .groupBy("bin")

@@ -15,6 +15,9 @@ from milvus_spark.client import MilvusSparkClient
 
 @pytest.fixture()
 def client(spark):
+    import os
+
+    os.makedirs("/root/repo/_scratch", exist_ok=True)
     root = tempfile.mkdtemp(prefix="msc_", dir="/root/repo/_scratch")
     yield MilvusSparkClient(spark, root)
     shutil.rmtree(root, ignore_errors=True)
@@ -1216,3 +1219,70 @@ def test_query_uses_clustering_manifest(client, spark, sf_dir, monkeypatch):
     got2 = client.query("clq", filter="o_custkey >= 200 and o_custkey <= 500")
     assert got2.count() >= want.count() and calls == []
     client.drop_collection("clq")
+
+
+def test_plain_compact_invalidates_clustering_manifest(client, spark, sf_dir):
+    """Regression: compact() after compact(clustering_key=...) rewrites
+    segment files under new names without bumping the write ts; the
+    clustering manifest must be invalidated so a range filter on the
+    clustering key takes the exact scan path, not an empty pruned read."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(2000)
+    client.create_collection("clp", pk_field="o_orderkey")
+    client.insert("clp", orders)
+    client.compact("clp", num_partitions=4, clustering_key="o_custkey")
+    client.compact("clp", num_partitions=2)  # plain mix compaction
+    assert "clustered" not in client._meta("clp")
+    got = client.query("clp", filter="o_custkey >= 200 and o_custkey <= 500")
+    want = orders.filter("o_custkey between 200 and 500")
+    assert got.count() == want.count()
+    client.drop_collection("clp")
+
+
+def test_partial_upsert_preserves_meta_value_types(client, spark, sf_dir):
+    """Regression: the $meta merge on partial upsert must preserve JSON
+    value types — a stored number stays a number, nested objects stay
+    nested — rather than round-tripping through map<string,string>."""
+    import json
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection(
+        "pmt", pk_field="n_nationkey", enable_dynamic_field=True,
+        fields=["n_nationkey", "n_name"],
+    )
+    client.insert(
+        "pmt",
+        nation.limit(2)
+        .withColumn("size", F.lit(9))
+        .withColumn("flag", F.lit(True)),
+    )
+    client.upsert(
+        "pmt",
+        nation.limit(1).select("n_nationkey", F.lit("blue").alias("color")),
+        partial_update=True,
+    )
+    blob = client.query(
+        "pmt", filter="n_nationkey == 0", output_fields=["$meta"]
+    ).collect()[0]["$meta"]
+    parsed = json.loads(blob)
+    assert parsed["size"] == 9 and parsed["size"] is not True  # number, not "9"
+    assert parsed["flag"] is True
+    assert parsed["color"] == "blue"
+    client.drop_collection("pmt")
+
+
+def test_lsh_index_empty_collection_errors(client, spark, sf_dir):
+    """Regression: LSH build on an empty collection raises a clear error
+    (not TypeError from first() returning None); dim can come from params."""
+    import pytest as _pytest
+
+    client.create_collection("lshe", pk_field="vec_id", vector_field="embedding")
+    with _pytest.raises(ValueError, match="empty collection"):
+        client.create_index("lshe", "embedding", "LSH", params={"nbits": 4})
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    client.insert("lshe", emb)
+    dim = len(emb.select("embedding").first()[0])
+    entry = client.create_index(
+        "lshe", "embedding", "LSH", params={"nbits": 4, "dim": dim}
+    )
+    assert entry["nbits"] == 4
+    client.drop_collection("lshe")

@@ -203,3 +203,19 @@ def test_curation_pipeline_shuffle_budget(spark, sf_dir):
     load_suites()
     plan = plan_of(QUERIES["cur_pipeline_e2e"](spark, sf_dir))
     assert plan.count("Exchange") <= 2 and "Join" not in plan
+
+
+def test_pack_sequences_prefix_sum_is_sharded(spark, sf_dir):
+    """Sequence packing must use the two-pass distributed prefix sum: every
+    window is partitioned by the shard key (no global unpartitioned
+    running-sum window that would funnel the whole corpus through one
+    task), and the offset stitch is a broadcast join."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["cur_pack_sequences"](spark, sf_dir))
+    for line in plan.splitlines():
+        if "windowspecdefinition(" in line:
+            assert "shard" in line, f"unpartitioned window: {line.strip()}"
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
