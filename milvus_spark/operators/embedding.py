@@ -51,12 +51,43 @@ def hash_embed_batch(texts: pd.Series, dim: int = DIM) -> pd.Series:
     return pd.Series(out)
 
 
-def with_text_embedding(df: DataFrame, text_col: str, out_col: str = "embedding", dim: int = DIM) -> DataFrame:
+MD5_DIM = 16
+
+
+def md5_embed_batch(texts: pd.Series, dim: int = MD5_DIM) -> pd.Series:
+    """SQL-reproducible fake 'model': component j is the j-th byte of
+    md5(text) centered at 127.5, then L2-normalized. Pure integer-derived
+    arithmetic in a fixed order, so an external SQL engine (hex-pair parse
+    of md5) recomputes the identical vector — this provider backs the
+    oracle-checked ingest query while ``hash_embed_batch`` keeps the
+    token-aware semantics for similarity tests."""
+    import math
+
+    out = []
+    for t in texts:
+        h = hashlib.md5(str(t).encode()).hexdigest()
+        c = [int(h[2 * j : 2 * j + 2], 16) - 127.5 for j in range(dim)]
+        sumsq = 0.0
+        for x in c:  # strict left-to-right fold — matches the oracle's sum
+            sumsq += x * x
+        n = math.sqrt(sumsq)
+        out.append([x / n for x in c])
+    return pd.Series(out)
+
+
+def with_text_embedding(
+    df: DataFrame,
+    text_col: str,
+    out_col: str = "embedding",
+    dim: int = DIM,
+    provider=None,
+) -> DataFrame:
     """Append an embedding column via the provider pandas UDF (Arrow-batched)."""
+    fn = provider or hash_embed_batch
 
     @F.pandas_udf(ArrayType(DoubleType()))
     def embed(s: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for batch in s:
-            yield hash_embed_batch(batch, dim)
+            yield fn(batch, dim)
 
     return df.withColumn(out_col, embed(F.col(text_col)))

@@ -58,8 +58,11 @@ def image_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             thumbs = [decode_image(bytes(b), fake=True) for b in pdf[payload_col]]
+            # 60-bit perceptual-hash stand-in: first 15 hex chars of the
+            # digest — integer arithmetic only, so an external SQL oracle
+            # can recompute it exactly (no fp, no sign games)
             phash = [
-                int.from_bytes(hashlib.sha256(bytes(b)).digest()[:8], "big") >> 1
+                int(hashlib.sha256(bytes(b)).hexdigest()[:15], 16)
                 for b in pdf[payload_col]
             ]
             yield pd.DataFrame({
@@ -73,21 +76,29 @@ def image_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
     )
 
 
-def frame_sample(df: DataFrame, payload_col: str, pk_col: str, every_n: int = 2) -> DataFrame:
+def frame_sample(
+    df: DataFrame, payload_col: str, pk_col: str, len_col: str, every_n: int = 2
+) -> DataFrame:
     """Video frame sampling stub: emit one row per sampled 'frame' index —
-    demonstrates the row-expanding mapInPandas shape used for real decoders."""
+    demonstrates the row-expanding mapInPandas shape used for real decoders.
+    The fake frame count derives from ``len_col`` (the media duration
+    stand-in) so row expansion actually varies per document, and each
+    frame's pixels hash the payload + the decimal frame index — both
+    choices SQL-reproducible for the external oracle."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for pk, b in zip(pdf[pk_col], pdf[payload_col]):
-                n_frames = (len(bytes(b)) % 7) + 2  # deterministic fake length
+            for pk, b, ln in zip(pdf[pk_col], pdf[payload_col], pdf[len_col]):
+                n_frames = (int(ln) % 7) + 2  # deterministic fake frame count
                 for i in range(0, n_frames, every_n):
-                    rows.append((int(pk), i, _fake_pixels(bytes(b) + bytes([i]), THUMB_W, 1)))
+                    rows.append(
+                        (int(pk), i, _fake_pixels(bytes(b) + str(i).encode(), THUMB_W, 1))
+                    )
             if rows:
                 yield pd.DataFrame(rows, columns=[pk_col, "frame_idx", "frame_vec"])
 
-    return df.select(pk_col, payload_col).mapInPandas(
+    return df.select(pk_col, payload_col, len_col).mapInPandas(
         run, schema=f"{pk_col} long, frame_idx int, frame_vec array<double>"
     )
 

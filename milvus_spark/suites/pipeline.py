@@ -1,9 +1,17 @@
-"""Training-pipeline queries that are genuinely non-SQL-expressible
-(stubbed media codec; hash-projection embedding provider): registered
-WITHOUT oracle_sql so the driver records the rows-only check — the Spark
-plumbing (schema, Arrow batching, determinism) is what's under test, with
-exact assertions living in tests/test_sources_multimodal.py and
-tests/test_embedding.py.
+"""Training-pipeline queries over stubbed media codecs / embedding providers.
+
+The codec and model kernels are container-stubbed (operators/multimodal.py,
+operators/embedding.py) but DELIBERATELY SQL-reproducible — every fake
+feature is integer/hex arithmetic over a digest both engines compute the
+same way — so each query here carries an exact DuckDB oracle: the driver
+hash-checks the full mapInPandas / pandas-UDF plumbing (schema, Arrow
+batching, row expansion, normalization order) end to end, not just row
+counts. Kernel-level assertions live in tests/test_sources_multimodal.py
+and tests/test_embedding.py.
+
+Reference parity: ingest FunctionSchema population
+(internal/util/function/embedding/*_provider.go; function_chain_validator.go)
+and media-column handling as opaque binary + typed metadata.
 """
 
 from __future__ import annotations
@@ -14,12 +22,41 @@ from pyspark.sql import functions as F
 from milvus_spark.registry import register
 from milvus_spark.session import load_table
 
+# DuckDB-side hex parsing helpers (sha256/md5 return lowercase hex there,
+# matching Spark's sha2/md5 and Python's hashlib hexdigest)
+_HEXPOS = "strpos('0123456789abcdef', substr({h}, {i}, 1)) - 1"
+# byte value of 1-based hex pair p
+_PAIR = (
+    "((strpos('0123456789abcdef', substr({h}, 2*({p})-1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr({h}, 2*({p}), 1)) - 1))"
+)
+# integer from the first 15 hex chars (60 bits — exact in BIGINT)
+_HEX15 = (
+    "CAST(list_sum(list_transform(range(1,16), i -> "
+    "CAST(strpos('0123456789abcdef', substr({h}, CAST(i AS INT), 1)) - 1 AS BIGINT)"
+    " * CAST(power(16, 15 - i) AS BIGINT))) AS BIGINT)"
+)
 
-@register("mm_image_features")
+
+@register(
+    "mm_image_features",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, sha256(sha256(text)) AS h FROM documents
+    )
+    SELECT doc_id,
+           {_HEX15.format(h='h')} AS phash,
+           CAST(16 AS BIGINT) AS thumb_dim,
+           CAST({_PAIR.format(h='h', p='1')} AS BIGINT) AS thumb_b0
+    FROM f
+    """,
+)
 def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
     """Multimodal feature extraction over binary media columns
     (mapInPandas batch decode — codec stubbed behind a deterministic fake,
-    plumbing real): one (thumb, phash) row per document."""
+    plumbing real): one (phash, thumb) row per document. thumb_b0 recovers
+    the first decoded 'pixel' byte exactly (thumb values are byte/255
+    rounded to 6 decimals, so *255 re-rounded is lossless)."""
     from milvus_spark.operators.multimodal import image_features, make_media_table
 
     docs = load_table(spark, sf, "documents")
@@ -29,40 +66,83 @@ def mm_image_features(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id",
         F.col("phash"),
         F.size("thumb").cast("long").alias("thumb_dim"),
+        F.round(F.element_at("thumb", 1) * 255, 0).cast("long").alias("thumb_b0"),
     )
 
 
-@register("embed_ingest")
+@register(
+    "embed_ingest",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 10 = 0
+    ),
+    v AS (
+      SELECT doc_id,
+             list_transform(range(1,17), j ->
+               CAST({_PAIR.format(h='h', p='CAST(j AS INT)')} AS DOUBLE) - 127.5) AS c
+      FROM g
+    ),
+    n AS (
+      SELECT doc_id, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nrm FROM v
+    )
+    SELECT doc_id,
+           CAST(16 AS BIGINT) AS dim,
+           round(c[1] / nrm, 4) AS c0,
+           round(c[8] / nrm, 4) AS c7
+    FROM n
+    """,
+)
 def embed_ingest(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding FunctionSchema ingest hook (embedding/*_provider.go):
-    text column → unit-normalized vector via the deterministic fake
-    provider (pandas UDF, Arrow-batched). Returns per-doc norm (≈1) and
-    first component so the rows-only check still pins determinism."""
-    from milvus_spark.operators.embedding import with_text_embedding
+    text column → unit-normalized vector via the md5-hexpair provider
+    (pandas UDF, Arrow-batched; the provider slot a real model call drops
+    into). The oracle recomputes the identical vector from md5 hex pairs,
+    pinning the full Arrow round trip, centering, and normalization order."""
+    from milvus_spark.operators.embedding import MD5_DIM, md5_embed_batch, with_text_embedding
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 10 == 0)
-    emb = with_text_embedding(docs, "text")
-    v = F.col("embedding").cast("array<double>")
-    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+    emb = with_text_embedding(docs, "text", dim=MD5_DIM, provider=md5_embed_batch)
+    v = F.col("embedding")
     return emb.select(
         "doc_id",
-        F.round(norm, 4).alias("norm"),
+        F.size(v).cast("long").alias("dim"),
         F.round(F.element_at(v, 1), 4).alias("c0"),
+        F.round(F.element_at(v, 8), 4).alias("c7"),
     )
 
 
-@register("mm_frame_sample")
+@register(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, sha256(text) AS payload, length(text) AS media_len
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    fr AS (
+      SELECT m.doc_id, CAST(u.i AS INT) AS frame_idx,
+             sha256(m.payload || CAST(u.i AS VARCHAR)) AS fh
+      FROM m, UNNEST(range(0, (m.media_len % 7) + 2, 2)) u(i)
+    )
+    SELECT doc_id, frame_idx,
+           CAST(4 AS BIGINT) AS vec_dim,
+           CAST({_PAIR.format(h='fh', p='1')} AS BIGINT) AS frame_b0
+    FROM fr
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame sampling over binary media columns (every-2nd-frame
     stride): the row-EXPANDING mapInPandas shape a real container demuxer
-    uses — codec stubbed deterministic, plumbing (schema, per-frame rows,
-    Arrow batching) real. Exact per-frame assertions live in
-    tests/test_sources_multimodal.py."""
+    uses — frame count derives from the media-length metadata so expansion
+    varies per document, and the oracle reproduces every frame row plus
+    the first 'pixel' byte of each sampled frame."""
     from milvus_spark.operators.multimodal import frame_sample, make_media_table
 
     docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
     media = make_media_table(docs, "doc_id", "text")
-    frames = frame_sample(media, "media", "doc_id", every_n=2)
+    frames = frame_sample(media, "media", "doc_id", "media_len", every_n=2)
     return frames.select(
-        "doc_id", "frame_idx", F.size("frame_vec").cast("long").alias("vec_dim")
+        "doc_id",
+        "frame_idx",
+        F.size("frame_vec").cast("long").alias("vec_dim"),
+        F.round(F.element_at("frame_vec", 1) * 255, 0).cast("long").alias("frame_b0"),
     )

@@ -105,7 +105,7 @@ def test_multimodal_features(spark, sf_dir):
     again = image_features(media, "media", "doc_id").orderBy("doc_id").limit(5).collect()
     assert [r.thumb for r in rows] == [r.thumb for r in again]
 
-    frames = frame_sample(media, "media", "doc_id")
+    frames = frame_sample(media, "media", "doc_id", "media_len")
     f0 = frames.filter("doc_id = 0").collect()
     assert f0 and all(len(r.frame_vec) == 4 for r in f0)
 
