@@ -107,29 +107,45 @@ def stream_upsert_state(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
-    """Tumbling-window aggregation computed BY THE STREAMING ENGINE: the
-    events table is staged as three WAL files, tailed with a file-source
-    stream (maxFilesPerTrigger=1 → three real micro-batches), watermarked,
-    windowed, and drained with Trigger.availableNow into a memory sink. The
-    final emission must hash-match the batch SQL oracle — the streaming and
-    batch planners agree on the same answer (Structured Streaming's
-    batch-equivalence contract). Complete output mode keeps the finite-input
-    result independent of file arrival order."""
+    """Tumbling-window aggregation computed BY THE STREAMING ENGINE in
+    APPEND mode with watermark-driven finalization — the unbounded-safe
+    pattern (complete-mode replay would re-emit every window each trigger
+    and hold all windows in state forever): events stream as three
+    time-ordered micro-batches, then two far-future sentinel batches push
+    the watermark past every real day-window so the state store finalizes
+    and EMITS them exactly once. Sentinel windows never finalize and are
+    filtered by event_type. The emitted set must hash-match the batch SQL
+    oracle (Structured Streaming's batch-equivalence contract)."""
     os.makedirs(_SCRATCH, exist_ok=True)
     root = tempfile.mkdtemp(prefix="streamwin_", dir=_SCRATCH)
     src = os.path.join(root, "src")
     e = load_table(spark, sf, "events").select("ts", "event_type", "value")
-    for i in range(3):
-        e.filter(F.abs(F.hash("ts", "event_type")) % 3 == i).write.parquet(
-            os.path.join(src, f"chunk{i}.parquet")
-        )
+    # time-ordered chunks: each micro-batch advances event time monotonically
+    # so a 0-second watermark never classifies in-order data as late
+    em = e.withColumn("_us", F.unix_micros("ts"))
+    q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
+    bounds = [(None, q1), (q1, q2), (q2, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = em
+        if lo is not None:
+            part = part.filter(F.col("_us") > int(lo))
+        if hi is not None:
+            part = part.filter(F.col("_us") <= int(hi))
+        part.drop("_us").write.parquet(os.path.join(src, f"chunk{i}.parquet"))
+    for j, days in enumerate((10, 20)):
+        e.agg(F.max("ts").alias("m")).select(
+            (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit("_sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        ).write.parquet(os.path.join(src, f"sentinel{j}.parquet"))
+
     stream = (
         spark.readStream.schema(e.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
     agg = (
-        stream.withWatermark("ts", "1 day")
+        stream.withWatermark("ts", "0 seconds")
         .groupBy(F.window("ts", "1 day").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
         .select(F.col("w.start").alias("day"), "event_type", "n", "total_value")
@@ -138,13 +154,15 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode("append")
         .option("checkpointLocation", os.path.join(root, "ckpt"))
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(name)
+    return spark.table(name).filter(F.col("event_type") != "_sentinel").select(
+        "day", "event_type", "n", "total_value"
+    )
 
 
 # --- streaming session windows: watermark-driven finalization ------------------
