@@ -210,3 +210,40 @@ def dml_snapshot_restore(spark: SparkSession, sf: str) -> DataFrame:
     return coll.read(as_of=2).select(
         "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "_ts"
     )
+
+
+# --- partition-key mode: directory pruning at the scan -------------------------
+@register(
+    "dml_partition_key_prune",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY o_orderpriority
+    """,
+)
+def dml_partition_key_prune(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-key mode (is_partition_key plan.proto:112; partition-key
+    resolution task_search.go:196-225, exprutil/expr_checker.go:105): the
+    designated field routes rows to hive-style physical partitions at
+    write, so an equality filter on it prunes whole partition DIRECTORIES
+    at file listing — PartitionFilters in the scan, asserted by
+    tests/test_plans.py::test_partition_key_filter_prunes_directories.
+    At 100 TB this is the difference between listing every segment and
+    touching only the target shard."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="pkmode_", dir=_SCRATCH)
+    shutil.rmtree(path)
+    coll = Collection(spark, path, pk="o_orderkey", partition_key="o_orderpriority")
+    coll.append(load_table(spark, sf, "orders"), ts=1)
+    return (
+        coll.read()
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )

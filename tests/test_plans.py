@@ -219,3 +219,35 @@ def test_pack_sequences_prefix_sum_is_sharded(spark, sf_dir):
             assert "shard" in line, f"unpartitioned window: {line.strip()}"
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_partition_key_filter_prunes_directories(spark, sf_dir):
+    """Partition-key mode: an equality filter on the designated partition
+    key must appear as a PartitionFilter on the scan (directory pruning at
+    file listing), not merely a data filter evaluated per row — the
+    reference's partition-key routing (task_search.go:196-225)."""
+    import os
+    import shutil
+    import tempfile
+
+    from milvus_spark.client import MilvusSparkClient
+
+    os.makedirs("/root/repo/_scratch", exist_ok=True)
+    root = tempfile.mkdtemp(prefix="pkplan_", dir="/root/repo/_scratch")
+    try:
+        client = MilvusSparkClient(spark, root)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        client.create_collection(
+            "pkm", pk_field="o_orderkey", partition_key_field="o_orderpriority"
+        )
+        client.insert("pkm", orders)
+        df = client.query("pkm", filter='o_orderpriority == "1-URGENT"')
+        plan = plan_of(df)
+        seg = plan[plan.index("PartitionFilters"):]
+        seg = seg[: seg.index("]") + 1]
+        assert "1-URGENT" in seg, seg  # the filter prunes at directory listing
+        # and the hive layout actually produced per-value directories
+        seg_dir = os.path.join(root, "pkm", "segments")
+        assert any(d.startswith("o_orderpriority=") for d in os.listdir(seg_dir))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
