@@ -648,3 +648,76 @@ def fts_cjk_bm25(spark: SparkSession, sf: str) -> DataFrame:
     mixed = F.concat_ws(" ", F.col("text"), F.concat_ws("", F.transform(F.col("toks"), cjk_char)))
     t = t0.select("doc_id", cjk_bigram_tokens(mixed).alias("toks"))
     return _bm25_topk(t, terms=_cjk_query_terms())
+
+
+# --- dictionary CJK segmentation: maximum-forward-matching ---------------------
+def _fts_cjk_dict_oracle() -> str:
+    from milvus_spark.operators.cjk_dict import TRI_VOCAB, VOCAB
+    from milvus_spark.operators.text import HASH_SQL
+
+    wl = ", ".join(f"('{w}')" for w in VOCAB)
+    tri = ", ".join(f"'{w}'" for w in TRI_VOCAB)
+    h = HASH_SQL.format(s="w")
+    ht = HASH_SQL.format(s="t")
+    return f"""
+    WITH RECURSIVE
+    wl(w) AS (VALUES {wl}),
+    mc AS (SELECT w, chr(CAST(19968 + ({h} % 512) AS INT)) AS c FROM wl),
+    d2 AS (SELECT DISTINCT a.c || b.c AS wd FROM mc a, mc b WHERE a.w <> b.w),
+    d3 AS (SELECT DISTINCT a.c || b.c || x.c AS wd FROM mc a, mc b, mc x
+           WHERE a.w IN ({tri}) AND b.w IN ({tri}) AND x.w IN ({tri})),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    runs AS (
+      SELECT doc_id,
+             array_to_string(list_transform(toks,
+               t -> chr(CAST(19968 + ({ht} % 512) AS INT))), '') AS run
+      FROM t
+    ),
+    seg AS (
+      SELECT doc_id, run, 1 AS pos, 0 AS wlen FROM runs
+      UNION ALL
+      SELECT s.doc_id, s.run,
+             s.pos + CASE WHEN t3.wd IS NOT NULL THEN 3
+                          WHEN t2.wd IS NOT NULL THEN 2 ELSE 1 END,
+             CASE WHEN t3.wd IS NOT NULL THEN 3
+                  WHEN t2.wd IS NOT NULL THEN 2 ELSE 1 END
+      FROM seg s
+      LEFT JOIN d3 t3 ON t3.wd = substr(s.run, s.pos, 3)
+      LEFT JOIN d2 t2 ON t2.wd = substr(s.run, s.pos, 2)
+      WHERE s.pos <= length(s.run)
+    )
+    SELECT doc_id,
+           CAST(count(*) FILTER (wlen = 3) AS BIGINT) AS n3,
+           CAST(count(*) FILTER (wlen = 2) AS BIGINT) AS n2,
+           CAST(count(*) FILTER (wlen = 1) AS BIGINT) AS n1
+    FROM seg WHERE wlen > 0
+    GROUP BY doc_id
+    HAVING count(*) FILTER (wlen >= 2) > 0
+    """
+
+
+@register("fts_cjk_dict_match", oracle=_fts_cjk_dict_oracle())
+def fts_cjk_dict_match(spark: SparkSession, sf: str) -> DataFrame:
+    """``cjk_dict`` analyzer: embedded-dictionary maximum-forward-matching
+    segmentation (the jieba/lindera dictionary path —
+    internal/util/analyzer/, canalyzer/c_analyzer_test.go:71-225),
+    complementing the dictionary-free ``cjk_bigram`` fallback. The corpus'
+    derived CJK column is segmented by greedy longest-match against a
+    ~3k-entry dictionary; the oracle replays the identical greedy scan as
+    a recursive CTE over the same SQL-built dictionary. Per doc: token
+    counts by matched word length (3/2/1 chars)."""
+    from milvus_spark.operators.cjk_dict import cjk_dict_tokens
+    from milvus_spark.operators.text import token_hash
+
+    t = _docs_tokens(spark, sf)
+    cjk_char = lambda x: F.lit(_CJK_ALPHABET).substr(
+        (token_hash(x) % 512 + 1).cast("int"), F.lit(1)
+    )
+    run = F.concat_ws("", F.transform(F.col("toks"), cjk_char))
+    seg = t.select("doc_id", cjk_dict_tokens(run).alias("dtoks"))
+    n_of = lambda ln: F.size(
+        F.filter("dtoks", lambda x: F.length(x) == ln)
+    ).cast("long")
+    return seg.select(
+        "doc_id", n_of(3).alias("n3"), n_of(2).alias("n2"), n_of(1).alias("n1")
+    ).filter((F.col("n3") + F.col("n2")) > 0)

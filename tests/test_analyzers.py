@@ -45,3 +45,33 @@ def test_japanese_korean_ranges(spark):
     got = _analyze(spark, "スパーク 검색엔진")
     assert "スパ" in got and "パー" in got
     assert "검색" in got and "색엔" in got and "엔진" in got
+
+
+def test_cjk_dict_mfm_segmentation(spark):
+    """Maximum-forward-matching: longest dictionary word wins, unmatched
+    chars emit as singles, repeats don't pair (a != b rule)."""
+    from milvus_spark.operators.cjk_dict import (
+        build_dictionary,
+        cjk_char_of,
+        cjk_dict_tokens,
+        mfm_segment,
+    )
+
+    d2, d3 = build_dictionary()
+    a, b, c = cjk_char_of("agg"), cjk_char_of("batch"), cjk_char_of("big")
+    t = cjk_char_of("table")
+    # triple over TRI_VOCAB beats the pair prefix
+    assert mfm_segment(a + b + c, d2, d3) == [a + b + c]
+    # pair of distinct words
+    assert mfm_segment(a + t, d2, d3) == [a + t]
+    # immediate repeat is not in the dictionary → singles
+    assert mfm_segment(t + t, d2, d3) == [t, t]
+    # greedy: after consuming the triple, the leftover single char stands
+    assert mfm_segment(a + b + c + t, d2, d3) == [a + b + c, t]
+    # empty input
+    assert mfm_segment("", d2, d3) == []
+
+    # column form round-trips through Arrow
+    df = spark.createDataFrame([(1, a + b + c + t)], "id long, run string")
+    got = df.select(cjk_dict_tokens(F.col("run")).alias("toks")).collect()[0].toks
+    assert got == [a + b + c, t]
