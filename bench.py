@@ -29,6 +29,9 @@ BENCH_QUERIES = [
     "fts_bm25_topk",          # BM25 full-text with corpus stats
     "dedup_minhash_lsh",      # MinHash+LSH near-dup
     "cur_pipeline_e2e",       # curation: gate → chunk → dedup → stats
+    "vec_fp16_ip",            # fp16 storage round-trip + IP top-k
+    "geo_grid_join_dwithin",  # grid-bucketed spatial join
+    "stream_session_agg",     # streaming session windows w/ watermark
 ]
 
 
@@ -51,6 +54,9 @@ def main() -> None:
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     import __spark_entry__ as entrymod
     from milvus_spark.session import get_spark
+
+    scratch = os.path.join(_REPO, "_scratch")
+    pre_scratch = set(os.listdir(scratch)) if os.path.isdir(scratch) else set()
 
     spark = get_spark("bench", shuffle_partitions=_sized_shuffle_partitions(sf))
     qs = entrymod.queries()
@@ -93,6 +99,13 @@ def main() -> None:
             }
         )
     )
+    # clean up the scratch dirs this bench created (streaming WAL stages,
+    # fp16 stores, ...) — leave anything that predates the run alone
+    if os.path.isdir(scratch):
+        import shutil
+
+        for entry in set(os.listdir(scratch)) - pre_scratch:
+            shutil.rmtree(os.path.join(scratch, entry), ignore_errors=True)
 
 
 if __name__ == "__main__":

@@ -56,16 +56,28 @@ def _half_bits_to_f32(h: Column) -> Column:
 
 
 def fp16_to_f32(bin_col: Column, dim: int) -> Column:
-    """Decode a packed-fp16 BINARY column to array<double>, JVM-side."""
-    hx = F.hex(bin_col)
+    """Decode a packed-fp16 BINARY column to array<double>, JVM-side.
+
+    The hex string is materialized ONCE per row via a lambda binding
+    (transform over a single-element array) — referencing ``hex(bin)``
+    inside the per-element lambda would re-hex the whole 2·dim-byte
+    buffer for every element (O(dim²) work per row)."""
     idx = F.sequence(F.lit(0), F.lit(dim - 1))
 
-    def elem(i: Column) -> Column:
-        # little-endian pair: swap the two hex bytes before parsing
-        word = F.concat(hx.substr(i * 4 + 3, F.lit(2)), hx.substr(i * 4 + 1, F.lit(2)))
-        return _half_bits_to_f32(F.conv(word, 16, 10).cast("int"))
+    def decode_all(hx: Column) -> Column:
+        def elem(i: Column) -> Column:
+            # little-endian pair: swap the two hex bytes before parsing
+            word = F.concat(
+                hx.substr(i * 4 + 3, F.lit(2)), hx.substr(i * 4 + 1, F.lit(2))
+            )
+            return _half_bits_to_f32(F.conv(word, 16, 10).cast("int"))
 
-    return F.transform(idx, elem)
+        return F.transform(idx, elem)
+
+    # bind hex(bin) to a lambda variable so it's evaluated once per row
+    return F.element_at(
+        F.transform(F.array(F.hex(bin_col)), decode_all), 1
+    )
 
 
 def bf16_to_f32(h: Column) -> Column:

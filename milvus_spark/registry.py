@@ -40,23 +40,34 @@ def load_suites() -> None:
     suites.load_all()
 
 
-def _gc_scratch(max_age_hours: float = 12.0) -> None:
-    """Bound _scratch growth: suite queries mkdtemp work dirs per run;
-    anything past the age cutoff is from a finished run and dead. 12h is
-    chosen to outlive any single run (large-SF benches and long client
-    sessions run for hours) while still reclaiming dirs across rounds.
-    Concurrent sessions are safe — fresh dirs are never touched."""
+def _gc_scratch(max_age_hours: float = 2.0, max_entries: int = 48) -> None:
+    """Bound _scratch growth on BOTH age and count: suite queries mkdtemp
+    work dirs per run. Age cutoff (2h outlives any single full-gate run)
+    reclaims across rounds; the count cap reclaims within a busy session —
+    when more than ``max_entries`` dirs exist, the oldest beyond the cap
+    go too, so a long check.py/bench loop can't pile up hundreds of dirs.
+    Only dirs older than 10 minutes are ever count-evicted, so concurrent
+    fresh runs are never touched."""
     import shutil
     import time
 
     root = "/root/repo/_scratch"
     if not os.path.isdir(root):
         return
-    cutoff = time.time() - max_age_hours * 3600
+    now = time.time()
+    cutoff = now - max_age_hours * 3600
+    entries = []
     for entry in os.listdir(root):
         path = os.path.join(root, entry)
         try:
-            if os.path.getmtime(path) < cutoff:
-                shutil.rmtree(path, ignore_errors=True)
+            mtime = os.path.getmtime(path)
         except OSError:
             continue
+        if mtime < cutoff:
+            shutil.rmtree(path, ignore_errors=True)
+        else:
+            entries.append((mtime, path))
+    entries.sort(reverse=True)  # newest first
+    for mtime, path in entries[max_entries:]:
+        if mtime < now - 600:
+            shutil.rmtree(path, ignore_errors=True)

@@ -248,10 +248,23 @@ def geo_grid_join_dwithin(spark: SparkSession, sf: str) -> DataFrame:
     equi-join co-locates without a shuffle."""
     p = _points(spark, sf)
     x, y = wkt_x(F.col("geom")), wkt_y(F.col("geom"))
-    base = p.select(
-        "event_id", x.alias("x"), y.alias("y"),
-        F.floor(x / _R).cast("long").alias("cx"),
-        F.floor(y / _R).cast("long").alias("cy"),
+    # parse the WKT exactly ONCE: both join sides reuse the cached parsed
+    # projection (40 B/row), so the regex never re-runs inside the join's
+    # pushed filters/projections. At 100 TB the same idea is persisting
+    # the parsed (id, x, y, cell) projection to parquet partitionBy(cell)
+    # and equi-joining co-located — parse cost paid once either way.
+    base = (
+        p.select(
+            "event_id", x.alias("x"), y.alias("y"),
+            F.floor(x / _R).cast("long").alias("cx"),
+            F.floor(y / _R).cast("long").alias("cy"),
+        )
+        # spread cells across tasks: a single dense input file would
+        # otherwise probe every candidate pair in ONE task (the per-cell
+        # work is the quadratic part — parallelism must follow cells, not
+        # input splits)
+        .repartition(spark.sparkContext.defaultParallelism, "cx", "cy")
+        .cache()
     )
     nbr = base.select(
         F.col("event_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay"),

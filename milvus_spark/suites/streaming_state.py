@@ -118,26 +118,34 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     oracle (Structured Streaming's batch-equivalence contract)."""
     os.makedirs(_SCRATCH, exist_ok=True)
     root = tempfile.mkdtemp(prefix="streamwin_", dir=_SCRATCH)
-    src = os.path.join(root, "src")
+    # staged WAL is immutable per SF — stage once, reuse across calls
+    # (checkpoint + sink stay fresh per run)
+    stage = os.path.join(_SCRATCH, "streamwin_store", os.path.basename(sf.rstrip("/")))
+    src = os.path.join(stage, "src")
     e = load_table(spark, sf, "events").select("ts", "event_type", "value")
-    # time-ordered chunks: each micro-batch advances event time monotonically
-    # so a 0-second watermark never classifies in-order data as late
-    em = e.withColumn("_us", F.unix_micros("ts"))
-    q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
-    bounds = [(None, q1), (q1, q2), (q2, None)]
-    for i, (lo, hi) in enumerate(bounds):
-        part = em
-        if lo is not None:
-            part = part.filter(F.col("_us") > int(lo))
-        if hi is not None:
-            part = part.filter(F.col("_us") <= int(hi))
-        part.drop("_us").write.parquet(os.path.join(src, f"chunk{i}.parquet"))
-    for j, days in enumerate((10, 20)):
-        e.agg(F.max("ts").alias("m")).select(
-            (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            F.lit("_sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
-        ).write.parquet(os.path.join(src, f"sentinel{j}.parquet"))
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        # time-ordered chunks: each micro-batch advances event time
+        # monotonically so a 0-second watermark never classifies in-order
+        # data as late
+        em = e.withColumn("_us", F.unix_micros("ts"))
+        q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
+        bounds = [(None, q1), (q1, q2), (q2, None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = em
+            if lo is not None:
+                part = part.filter(F.col("_us") > int(lo))
+            if hi is not None:
+                part = part.filter(F.col("_us") <= int(hi))
+            part.drop("_us").write.mode("overwrite").parquet(
+                os.path.join(src, f"chunk{i}.parquet")
+            )
+        for j, days in enumerate((10, 20)):
+            e.agg(F.max("ts").alias("m")).select(
+                (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                F.lit("_sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            ).write.mode("overwrite").parquet(os.path.join(src, f"sentinel{j}.parquet"))
+        open(os.path.join(stage, "_STAGED"), "w").close()
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -203,29 +211,42 @@ def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     emitted set must hash-match the batch gaps-and-islands oracle."""
     os.makedirs(_SCRATCH, exist_ok=True)
     root = tempfile.mkdtemp(prefix="streamsess_", dir=_SCRATCH)
-    src = os.path.join(root, "src")
+    # the staged WAL (time-ordered chunks + sentinels) is immutable per SF —
+    # stage it once and reuse across calls; only the checkpoint + memory
+    # sink must be fresh per run (a reused checkpoint would resume a
+    # finished query and emit nothing)
+    stage = os.path.join(_SCRATCH, "streamsess_store", os.path.basename(sf.rstrip("/")))
+    src = os.path.join(stage, "src")
     e = load_table(spark, sf, "events").select("ts", "user_id")
-    # time-ordered chunks: each micro-batch advances event time monotonically
-    # so a 0-second watermark never classifies in-order data as late (the
-    # hash-split used by the tumbling query would drop two thirds as late)
-    em = e.withColumn("_us", F.unix_micros("ts"))
-    q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
-    bounds = [(None, q1), (q1, q2), (q2, None)]
-    for i, (lo, hi) in enumerate(bounds):
-        part = em
-        if lo is not None:
-            part = part.filter(F.col("_us") > int(lo))
-        if hi is not None:
-            part = part.filter(F.col("_us") <= int(hi))
-        part.drop("_us").write.parquet(os.path.join(src, f"chunk{i}.parquet"))
-    far = e.agg(F.max("ts").alias("m")).select(
-        F.col("m") + F.expr("INTERVAL 10 DAYS"), F.lit(-1).cast("long")
-    )
-    far.toDF("ts", "user_id").write.parquet(os.path.join(src, "sentinel1.parquet"))
-    far2 = e.agg(F.max("ts").alias("m")).select(
-        F.col("m") + F.expr("INTERVAL 20 DAYS"), F.lit(-2).cast("long")
-    )
-    far2.toDF("ts", "user_id").write.parquet(os.path.join(src, "sentinel2.parquet"))
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        # time-ordered chunks: each micro-batch advances event time
+        # monotonically so a 0-second watermark never classifies in-order
+        # data as late (a hash-split would drop two thirds as late)
+        em = e.withColumn("_us", F.unix_micros("ts"))
+        q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
+        bounds = [(None, q1), (q1, q2), (q2, None)]
+        for i, (lo, hi) in enumerate(bounds):
+            part = em
+            if lo is not None:
+                part = part.filter(F.col("_us") > int(lo))
+            if hi is not None:
+                part = part.filter(F.col("_us") <= int(hi))
+            part.drop("_us").write.mode("overwrite").parquet(
+                os.path.join(src, f"chunk{i}.parquet")
+            )
+        far = e.agg(F.max("ts").alias("m")).select(
+            F.col("m") + F.expr("INTERVAL 10 DAYS"), F.lit(-1).cast("long")
+        )
+        far.toDF("ts", "user_id").write.mode("overwrite").parquet(
+            os.path.join(src, "sentinel1.parquet")
+        )
+        far2 = e.agg(F.max("ts").alias("m")).select(
+            F.col("m") + F.expr("INTERVAL 20 DAYS"), F.lit(-2).cast("long")
+        )
+        far2.toDF("ts", "user_id").write.mode("overwrite").parquet(
+            os.path.join(src, "sentinel2.parquet")
+        )
+        open(os.path.join(stage, "_STAGED"), "w").close()
 
     stream = (
         spark.readStream.schema(e.schema)
