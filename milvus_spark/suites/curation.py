@@ -411,3 +411,109 @@ def cur_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(F.when(F.col("sp"), 1).otherwise(0)).cast("long").alias("n_spanning"),
         )
     )
+
+
+# --- BPE vocabulary learning: one merge iteration over the corpus --------------
+@register(
+    "cur_bpe_merge_step",
+    oracle=f"""
+    WITH words AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+        SELECT unnest({TOKENS_SQL.format(col="text")}) AS w FROM documents
+      ) GROUP BY w
+    ),
+    pairs AS (
+      SELECT substr(w, CAST(i AS INT), 2) AS pair, freq
+      FROM words, UNNEST(range(1, length(w))) t(i)
+    )
+    SELECT pair, CAST(sum(freq) AS BIGINT) AS cnt FROM pairs
+    GROUP BY pair ORDER BY cnt DESC, pair ASC LIMIT 20
+    """,
+)
+def cur_bpe_merge_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One BPE merge iteration (byte-pair-encoding vocabulary learning,
+    Sennrich et al. 2016): the top adjacent-symbol pairs by corpus
+    frequency — the pair a tokenizer trainer would merge next.
+
+    Scale shape (the reason BPE training fits Spark): pair statistics are
+    computed over the DISTINCT-WORD frequency table, not the raw corpus —
+    the word groupBy is combiner-reduced map-side, and the pair explode
+    runs over |vocab| rows (millions) regardless of corpus size (hundreds
+    of billions of tokens). The driver loop for successive merges would
+    re-run this with the learned merge applied — each iteration one
+    bounded shuffle."""
+    d = load_table(spark, sf, "documents")
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    # NB: F.sequence(1, 0) counts DOWN in Spark — single-char words must be
+    # filtered out, not left to produce an empty range
+    pairs = words.filter(F.length("w") >= 2).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair").asc())
+        .limit(20)
+    )
+
+
+# --- LM-based quality scoring: unigram-LM mean negative log-likelihood ---------
+@register(
+    "cur_lm_quality_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({TOKENS_SQL.format(col="text")}) AS w FROM documents
+    ),
+    lm AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY w
+    ),
+    tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS n FROM lm),
+    scored AS (
+      SELECT tok.doc_id, -ln(lm.freq / tot.n) AS nll
+      FROM tok JOIN lm ON tok.w = lm.w, tot
+    )
+    SELECT doc_id,
+           round(avg(nll), 4) AS mean_nll,
+           CAST(count(*) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY doc_id
+    ORDER BY mean_nll DESC, doc_id LIMIT 50
+    """,
+)
+def cur_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-model quality scoring (the perplexity-filter slot in a
+    C4/CCNet-style pipeline): a unigram LM is estimated from the corpus
+    itself and each document is scored by mean negative log-likelihood; the
+    50 most 'surprising' docs surface for filtering.
+
+    Scale shape: the LM is a |vocab|-row table (combiner-reduced groupBy)
+    broadcast back onto the token stream — scoring is a map-side broadcast
+    join + per-doc aggregate, one corpus shuffle total. A real KenLM-style
+    n-gram LM drops into the same plan with n-gram keys."""
+    d = load_table(spark, sf, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    lm = tok.groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+    n = lm.agg(F.sum("freq").cast("double").alias("n"))
+    scored = (
+        tok.join(F.broadcast(lm), "w")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", (-F.log(F.col("freq") / F.col("n"))).alias("nll"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.round(F.avg("nll"), 4).alias("mean_nll"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        )
+        .orderBy(F.col("mean_nll").desc(), F.col("doc_id"))
+        .limit(50)
+    )
