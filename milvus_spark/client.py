@@ -575,12 +575,46 @@ class MilvusSparkClient:
         self._coll(name).append(df, ts=self._next_ts(name))
         return df.count()
 
-    def upsert(self, name: str, df: DataFrame, partial_update: bool = False) -> int:
+    def upsert(
+        self,
+        name: str,
+        df: DataFrame,
+        partial_update: bool = False,
+        field_ops: Optional[dict] = None,
+    ) -> int:
         """``partial_update=True``: df holds pk + a subset of fields; the rest
         keep their stored values (task_upsert_partial_op.go). Only existing
-        pks are touched in partial mode."""
+        pks are touched in partial mode.
+
+        ``field_ops`` maps ARRAY columns to ``"array_append"`` /
+        ``"array_remove"`` (FieldOp surface, issue #49241,
+        test_milvus_client_partial_update_array_op.py) and implies
+        ``partial_update=True``: append concatenates the batch elements to
+        the stored array; remove drops ALL occurrences of each batch
+        element. Errors on non-array / pk / unknown fields and on batches
+        missing the op'd column."""
         coll = self._coll(name)
         meta = self._meta(name)
+        if field_ops:
+            from pyspark.sql import types as T
+
+            partial_update = True
+            valid_ops = {"array_append", "array_remove"}
+            stored_schema = coll.read().schema
+            for fld, op in field_ops.items():
+                if op not in valid_ops:
+                    raise ValueError(f"unknown field op {op!r} (use {sorted(valid_ops)})")
+                if fld == meta["pk"]:
+                    raise ValueError(f"field_ops cannot target primary key {fld!r}")
+                if fld not in stored_schema.names:
+                    raise ValueError(f"field_ops: unknown field {fld!r}")
+                if not isinstance(stored_schema[fld].dataType, T.ArrayType):
+                    raise ValueError(
+                        f"field_ops: {fld!r} is {stored_schema[fld].dataType.simpleString()}, "
+                        "not an ARRAY field"
+                    )
+                if fld not in df.columns:
+                    raise ValueError(f"field_ops: batch is missing data for {fld!r}")
         if partial_update:
             # absent fields mean "keep stored value" — only null cells of
             # PRESENT columns take the default, never add columns
@@ -613,7 +647,7 @@ class MilvusSparkClient:
                     .withColumn(dyn, _merge_meta(F.col("_old_meta"), F.col(dyn)))
                     .drop("_old_meta")
                 )
-            coll.upsert_partial(packed, ts=self._next_ts(name))
+            coll.upsert_partial(packed, ts=self._next_ts(name), field_ops=field_ops)
         else:
             df = self._pack_dynamic(meta, self._apply_defaults(meta, df))
             coll.upsert(df, ts=self._next_ts(name))

@@ -73,24 +73,45 @@ class Collection:
         self.delete_pks(df.select(self.pk), ts)
         self.append(df, ts)
 
-    def upsert_partial(self, df: DataFrame, ts: int) -> None:
+    def upsert_partial(
+        self, df: DataFrame, ts: int, field_ops: dict[str, str] | None = None
+    ) -> None:
         """Partial-field update (task_upsert_partial_op.go): ``df`` carries the
         pk plus a subset of columns; unspecified columns keep their current
         values. Read-modify-write per batch: fetch the touched rows' visible
         state, overlay the new values, then normal upsert. The fetch is a
         broadcast semi-join on the (small) update batch — the corpus is never
-        shuffled."""
+        shuffled.
+
+        ``field_ops`` maps an ARRAY column to ``"array_append"`` /
+        ``"array_remove"`` (FieldOp, test_milvus_client_partial_update_array_op.py,
+        issue #49241): instead of replacing the stored array, append the
+        batch's elements to it, or remove ALL occurrences of each batch
+        element (duplicates of non-removed values survive — higher-order
+        filter, not array_except which would dedup)."""
+        field_ops = field_ops or {}
         current = self.read().drop(TS_COL)
         touched = current.join(F.broadcast(df.select(self.pk)), self.pk, "left_semi")
         updated_cols = [c for c in df.columns if c != self.pk]
+
+        def merged_col(c: str):
+            old, new = F.col(f"old.{c}"), F.col(f"new.{c}")
+            op = field_ops.get(c)
+            if op == "array_append":
+                empty = F.array().cast(current.schema[c].dataType)
+                return F.concat(F.coalesce(old, empty), F.coalesce(new, empty))
+            if op == "array_remove":
+                return F.when(new.isNull(), old).otherwise(
+                    F.filter(old, lambda x: ~F.array_contains(new, x))
+                )
+            if c in updated_cols:
+                return new
+            return old
+
         overlay = touched.alias("old").join(df.alias("new"), self.pk)
         merged = overlay.select(
             self.pk,
-            *[
-                (F.col(f"new.{c}") if c in updated_cols else F.col(f"old.{c}")).alias(c)
-                for c in current.columns
-                if c != self.pk
-            ],
+            *[merged_col(c).alias(c) for c in current.columns if c != self.pk],
         )
         self.upsert(merged, ts)
 

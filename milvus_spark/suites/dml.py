@@ -247,3 +247,65 @@ def dml_partition_key_prune(spark: SparkSession, sf: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("total"),
         )
     )
+
+
+# --- partial upsert with array field ops (FieldOp, issue #49241) ---------------
+@register(
+    "dml_array_field_ops",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey,
+             [o_orderkey % 5, o_orderkey % 7, o_orderkey % 5, o_orderkey % 11] AS tags
+      FROM orders WHERE o_orderkey <= 2000
+    ),
+    appended AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0
+                  THEN list_concat(tags, [o_orderkey % 3, o_orderkey % 5])
+                  ELSE tags END AS tags
+      FROM base
+    ),
+    removed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 20 = 0
+                  THEN list_filter(tags, x -> x <> o_orderkey % 5)
+                  ELSE tags END AS tags
+      FROM appended
+    )
+    SELECT o_orderkey, CAST(len(tags) AS BIGINT) AS n_tags,
+           COALESCE(array_to_string(tags, ','), '') AS tags_str
+    FROM removed
+    """,
+)
+def dml_array_field_ops(spark: SparkSession, sf: str) -> DataFrame:
+    """ARRAY partial-update ops (FieldOp array_append / array_remove,
+    test_milvus_client_partial_update_array_op.py, issue #49241): append
+    concatenates batch elements onto the stored array; remove drops ALL
+    occurrences of each batch element while preserving duplicates of
+    everything else. Timeline: insert tags=[k%5,k%7,k%5,k%11]; append
+    [k%3,k%5] where k%10=0; remove [k%5] where k%20=0. The oracle replays
+    the same list algebra."""
+    os.makedirs(_SCRATCH, exist_ok=True)
+    path = tempfile.mkdtemp(prefix="arrops_", dir=_SCRATCH)
+    shutil.rmtree(path)
+    coll = Collection(spark, path, pk="o_orderkey")
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)
+    k = F.col("o_orderkey")
+    coll.append(
+        o.select(k, F.array(k % 5, k % 7, k % 5, k % 11).alias("tags")), ts=1
+    )
+    coll.upsert_partial(
+        o.filter(k % 10 == 0).select(k, F.array(k % 3, k % 5).alias("tags")),
+        ts=2,
+        field_ops={"tags": "array_append"},
+    )
+    coll.upsert_partial(
+        o.filter(k % 20 == 0).select(k, F.array(k % 5).alias("tags")),
+        ts=3,
+        field_ops={"tags": "array_remove"},
+    )
+    return coll.read().select(
+        "o_orderkey",
+        F.size("tags").cast("long").alias("n_tags"),
+        F.array_join(F.col("tags").cast("array<string>"), ",").alias("tags_str"),
+    )

@@ -1286,3 +1286,67 @@ def test_lsh_index_empty_collection_errors(client, spark, sf_dir):
     )
     assert entry["nbits"] == 4
     client.drop_collection("lshe")
+
+
+def test_partial_upsert_array_field_ops(client, spark, sf_dir):
+    """FieldOp array_append / array_remove on partial upsert
+    (test_milvus_client_partial_update_array_op.py, issue #49241):
+    append concatenates, remove drops ALL occurrences (duplicates of
+    other values survive), field_ops implies partial_update, and
+    non-array / pk / unknown / missing-data targets error."""
+    import pytest as _pytest
+
+    client.create_collection("afo", pk_field="id")
+    df = spark.createDataFrame(
+        [(0, [10, 20, 10, 30], "a"), (1, [1, 1, 2, 1, 3], "b")],
+        "id long, tags array<bigint>, name string",
+    )
+    client.insert("afo", df)
+
+    # append (no partial_update flag — field_ops implies it)
+    client.upsert(
+        "afo",
+        spark.createDataFrame([(0, [40, 50])], "id long, tags array<bigint>"),
+        field_ops={"tags": "array_append"},
+    )
+    got = {r.id: r.tags for r in client.query("afo", output_fields=["id", "tags"]).collect()}
+    assert got[0] == [10, 20, 10, 30, 40, 50]
+    assert got[1] == [1, 1, 2, 1, 3]  # untouched pk keeps stored value
+
+    # remove drops ALL occurrences, keeps duplicates of other values
+    client.upsert(
+        "afo",
+        spark.createDataFrame([(1, [1])], "id long, tags array<bigint>"),
+        field_ops={"tags": "array_remove"},
+    )
+    got = {r.id: r.tags for r in client.query("afo", output_fields=["id", "tags"]).collect()}
+    assert got[1] == [2, 3]
+
+    # remove down to empty
+    client.upsert(
+        "afo",
+        spark.createDataFrame([(1, [2, 3])], "id long, tags array<bigint>"),
+        field_ops={"tags": "array_remove"},
+    )
+    got = {r.id: r.tags for r in client.query("afo", output_fields=["id", "tags"]).collect()}
+    assert got[1] == []
+
+    # other columns untouched throughout
+    names = {r.id: r.name for r in client.query("afo", output_fields=["id", "name"]).collect()}
+    assert names == {0: "a", 1: "b"}
+
+    # validation errors
+    bad = spark.createDataFrame([(0, [1])], "id long, tags array<bigint>")
+    with _pytest.raises(ValueError, match="not an ARRAY"):
+        client.upsert("afo", bad.withColumnRenamed("tags", "name")
+                      .select("id", F.lit("x").alias("name")),
+                      field_ops={"name": "array_append"})
+    with _pytest.raises(ValueError, match="primary key"):
+        client.upsert("afo", bad, field_ops={"id": "array_append"})
+    with _pytest.raises(ValueError, match="unknown field"):
+        client.upsert("afo", bad, field_ops={"nope": "array_append"})
+    with _pytest.raises(ValueError, match="missing data"):
+        client.upsert("afo", bad.select("id"), field_ops={"tags": "array_append"})
+    with _pytest.raises(ValueError, match="unknown field op"):
+        client.upsert("afo", bad, field_ops={"tags": "array_pop"})
+    client.drop_collection("afo")
