@@ -721,3 +721,88 @@ def fts_cjk_dict_match(spark: SparkSession, sf: str) -> DataFrame:
     return seg.select(
         "doc_id", n_of(3).alias("n3"), n_of(2).alias("n2"), n_of(1).alias("n1")
     ).filter((F.col("n3") + F.col("n2")) > 0)
+
+
+# --- pinyin analyzer filter (Han → Latin romanization) -------------------------
+def _pinyin_oracle() -> str:
+    from milvus_spark.operators.pinyin import PINYIN
+    from milvus_spark.operators.text import seeded_hash_sql
+
+    pyc = "".join(sorted(PINYIN))
+    n = len(pyc)
+    vals = ", ".join(f"('{ch}', '{py}')" for ch, py in PINYIN.items())
+    h = lambda seed: seeded_hash_sql("t", seed)
+    sylls = (
+        "list_transform(range(1, length(t) + 1), i -> "
+        "coalesce(map_extract(mp, substr(t, CAST(i AS INT), 1))[1], substr(t, CAST(i AS INT), 1)))"
+    )
+    return f"""
+    WITH dict(ch, py) AS (VALUES {vals}),
+    m AS (SELECT map(list(ch), list(py)) AS mp FROM dict),
+    t0 AS (SELECT doc_id, list_slice({_TOKS}, 1, 8) AS toks FROM documents WHERE doc_id < 60),
+    cn AS (
+      SELECT doc_id,
+             list_transform(toks, t ->
+               CASE WHEN {h(9)} % 3 = 0 THEN t
+                    ELSE substr('{pyc}', CAST(({h(0)} % {n}) + 1 AS INT), 1)
+                      || substr('{pyc}', CAST(({h(1)} % {n}) + 1 AS INT), 1) END) AS cts
+      FROM t0
+    ),
+    filt AS (
+      SELECT doc_id, mp,
+             flatten(list_transform(cts, t ->
+               CASE WHEN len(list_filter(range(1, length(t) + 1),
+                           i -> map_extract(mp, substr(t, CAST(i AS INT), 1)) <> [])) > 0
+               THEN list_concat(list_concat(list_concat(
+                      [t], {sylls}),
+                      [array_to_string({sylls}, '')]),
+                      [array_to_string(list_transform({sylls}, s -> substr(s, 1, 1)), '')])
+               ELSE [t] END)) AS out
+      FROM cn, m
+    )
+    SELECT doc_id, CAST(len(out) AS BIGINT) AS n_out,
+           array_to_string(out, ' ') AS pystr
+    FROM filt
+    """
+
+
+@register("fts_pinyin_filter", oracle=_pinyin_oracle())
+def fts_pinyin_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Pinyin analyzer filter (test_milvus_client_pinyin_filter.py): per
+    Chinese token emit original + per-char syllables + joined pinyin +
+    first-letter abbreviation; non-Chinese tokens pass through. The corpus
+    has no Han text, so a deterministic mixed Chinese/Latin token stream is
+    derived from the shared seeded-md5 hash (every 3rd token stays Latin);
+    both engines build the identical stream and the oracle replays the
+    filter over the same embedded dictionary. Output = full filtered token
+    stream per doc — any wrong syllable, joining order, or pass-through
+    decision breaks the hash."""
+    from milvus_spark.operators.pinyin import PINYIN, pinyin_filter
+    from milvus_spark.operators.text import seeded_hash
+
+    pyc = "".join(sorted(PINYIN))
+    n = len(pyc)
+    t = _docs_tokens(spark, sf)
+    toks8 = F.slice(F.col("toks"), 1, 8)
+
+    def pchar(tok, seed):
+        idx = (F.pmod(seeded_hash(tok, seed), F.lit(n)) + 1).cast("int")
+        return F.lit(pyc).substr(idx, F.lit(1))
+
+    def mixed(tok):
+        return F.when(
+            F.pmod(seeded_hash(tok, 9), F.lit(3)) == 0, tok
+        ).otherwise(F.concat(pchar(tok, 0), pchar(tok, 1)))
+
+    out = pinyin_filter(
+        F.transform(toks8, mixed),
+        keep_original=True,
+        keep_full_pinyin=True,
+        keep_joined_full_pinyin=True,
+        keep_separate_first_letter=True,
+    )
+    return t.filter(F.col("doc_id") < 60).select(
+        "doc_id",
+        F.size(out).cast("long").alias("n_out"),
+        F.array_join(out, " ").alias("pystr"),
+    )

@@ -75,3 +75,39 @@ def test_cjk_dict_mfm_segmentation(spark):
     df = spark.createDataFrame([(1, a + b + c + t)], "id long, run string")
     got = df.select(cjk_dict_tokens(F.col("run")).alias("toks")).collect()[0].toks
     assert got == [a + b + c, t]
+
+
+def test_pinyin_filter_output_modes(spark):
+    """The reference's pinyin-filter option matrix
+    (test_milvus_client_pinyin_filter.py PINYIN_OUTPUT_MODES): '中文测试'
+    tokenized as ['中文', '测试'] under each flag combination; Latin tokens
+    pass through untouched."""
+    from milvus_spark.operators.pinyin import pinyin_filter
+
+    df = spark.createDataFrame([(1, ["中文", "测试", "vector"])], "id long, toks array<string>")
+
+    def run(**kw):
+        return df.select(pinyin_filter(F.col("toks"), **kw).alias("o")).collect()[0].o
+
+    # full-pinyin mode
+    assert run(keep_original=True, keep_full_pinyin=True) == [
+        "中文", "zhong", "wen", "测试", "ce", "shi", "vector",
+    ]
+    # joined mode
+    assert run(
+        keep_original=True, keep_full_pinyin=False, keep_joined_full_pinyin=True
+    ) == ["中文", "zhongwen", "测试", "ceshi", "vector"]
+    # first-letters mode
+    assert run(
+        keep_original=True, keep_full_pinyin=False, keep_separate_first_letter=True
+    ) == ["中文", "zw", "测试", "cs", "vector"]
+    # without original: Chinese originals dropped, Latin still passes
+    assert run(
+        keep_original=False, keep_full_pinyin=False, keep_joined_full_pinyin=True
+    ) == ["zhongwen", "ceshi", "vector"]
+    # unmapped Han char falls back to itself as its syllable
+    df2 = spark.createDataFrame([(1, ["中鼹"])], "id long, toks array<string>")
+    got = df2.select(
+        pinyin_filter(F.col("toks"), keep_original=False, keep_full_pinyin=True).alias("o")
+    ).collect()[0].o
+    assert got == ["zhong", "鼹"]
