@@ -714,6 +714,30 @@ class MilvusSparkClient:
             meta.pop("ts_wall", None)  # TTL removed → drop the clock map
         self._save_catalog()
 
+    def optimize(self, name: str, target_size_mb: float = 512.0) -> None:
+        """Segment-count optimization toward a target segment size
+        (force_merge / optimize APIs — test_milvus_client_force_merge.py,
+        test_milvus_client_optimize.py; seal policy
+        component_param.go:5605-5630 ``dataCoord.segment.maxSize``): mix
+        compaction with the partition count derived from live bytes /
+        ``target_size_mb`` instead of a fixed number, so small segments
+        merge up to the target and a 100 TB collection lands on
+        size-uniform files."""
+        if not (isinstance(target_size_mb, (int, float)) and target_size_mb > 0):
+            raise ValueError(
+                f"target_size_mb must be a positive number, got {target_size_mb!r}"
+            )
+        seg_dir = os.path.join(self.root, self._resolve_alias(name), "segments")
+        total = 0
+        for dirpath, _dirs, files in os.walk(seg_dir):
+            for f in files:
+                if f.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(dirpath, f))
+        n = max(1, round(total / (target_size_mb * (1 << 20))))
+        self.compact(name, num_partitions=n)
+
+    force_merge = optimize  # reference exposes both names for the same op
+
     # -------------------------------------------------------------- indexes
     def create_index(
         self, name: str, field: str, index_type: str = "IVF_FLAT",

@@ -1350,3 +1350,29 @@ def test_partial_upsert_array_field_ops(client, spark, sf_dir):
     with _pytest.raises(ValueError, match="unknown field op"):
         client.upsert("afo", bad, field_ops={"tags": "array_pop"})
     client.drop_collection("afo")
+
+
+def test_optimize_targets_segment_size(client, spark, sf_dir):
+    """optimize()/force_merge(): mix compaction sized by live bytes /
+    target segment size (test_milvus_client_optimize.py,
+    test_milvus_client_force_merge.py); invalid targets error."""
+    import glob
+    import os
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    client.create_collection("opt", pk_field="o_orderkey")
+    for i in range(4):  # four small segments
+        client.insert("opt", orders.filter(F.col("o_orderkey") % 4 == i))
+    pre = client.count("opt")
+    seg_dir = os.path.join(client.root, "opt", "segments")
+    assert len(glob.glob(f"{seg_dir}/*.parquet")) >= 4
+
+    client.optimize("opt", target_size_mb=10_000)  # target >> data → 1 segment
+    assert len(glob.glob(f"{seg_dir}/*.parquet")) == 1
+    assert client.count("opt") == pre  # content preserved
+
+    with pytest.raises(ValueError):
+        client.force_merge("opt", target_size_mb=-1)
+    with pytest.raises(ValueError):
+        client.optimize("opt", target_size_mb=0)
+    client.drop_collection("opt")
