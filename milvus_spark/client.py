@@ -370,7 +370,35 @@ class MilvusSparkClient:
         return {"state": state, "partitions": parts}
 
     def list_collections(self) -> list[str]:
-        return sorted(k for k in self._catalog if k != "_aliases")
+        return sorted(k for k in self._catalog if not k.startswith("_"))
+
+    # -------------------------------------------------------- file resources
+    def create_file_resource(self, res_name: str, path: str) -> None:
+        """Register a shared analyzer resource file (file-resource API,
+        test_milvus_client_file_resource.py — remote stop-word lists pulled
+        from object storage there; a path here). The file is re-read at each
+        use, so editing it takes effect on the next query — the reference's
+        resource-refresh/warmup semantics without an explicit reload call."""
+        if not os.path.isfile(path):
+            raise ValueError(f"file resource path does not exist: {path!r}")
+        self._catalog.setdefault("_file_resources", {})[res_name] = {"path": path}
+        self._save_catalog()
+
+    def list_file_resources(self) -> list[str]:
+        return sorted(self._catalog.get("_file_resources", {}))
+
+    def drop_file_resource(self, res_name: str) -> None:
+        if res_name not in self._catalog.get("_file_resources", {}):
+            raise KeyError(f"no file resource {res_name!r}")
+        del self._catalog["_file_resources"][res_name]
+        self._save_catalog()
+
+    def _resource_words(self, res_name: str) -> list[str]:
+        res = self._catalog.get("_file_resources", {}).get(res_name)
+        if res is None:
+            raise KeyError(f"no file resource {res_name!r}")
+        with open(res["path"]) as f:
+            return [w.strip().lower() for w in f if w.strip()]
 
     def describe_collection(self, name: str) -> dict:
         return dict(self._meta(name))
@@ -1122,18 +1150,33 @@ class MilvusSparkClient:
         return df
 
     def text_search(
-        self, name: str, field: str, query: str, limit: int = 10
+        self,
+        name: str,
+        field: str,
+        query: str,
+        limit: int = 10,
+        stopwords_resource: Optional[str] = None,
     ) -> DataFrame:
         """Full-text (BM25) search over a varchar field: standard analyzer
         tokenization, corpus stats recomputed from current state (the IDF
         oracle sync), top-k by BM25 — the bm25_function.go + metric BM25
-        surface as a client call. Returns (pk, score, rank)."""
+        surface as a client call. Returns (pk, score, rank).
+
+        ``stopwords_resource`` names a registered file resource whose words
+        are dropped by the analyzer on BOTH the corpus and the query (the
+        file-resource stop filter, test_milvus_client_file_resource.py)."""
         from milvus_spark.operators.text import tokens
         from milvus_spark.suites.fulltext import _bm25_topk
 
         meta = self._meta(name)
         terms = [w for w in query.lower().split() if w]
-        t = self._read(name).withColumn("toks", tokens(F.col(field)))
+        toks = tokens(F.col(field))
+        if stopwords_resource is not None:
+            stops = set(self._resource_words(stopwords_resource))
+            terms = [w for w in terms if w not in stops]
+            stop_arr = F.array(*[F.lit(w) for w in sorted(stops)])
+            toks = F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
+        t = self._read(name).withColumn("toks", toks)
         return _bm25_topk(t, k=limit, pk_col=meta["pk"], terms=terms)
 
     def get(self, name: str, ids: Sequence[Any], output_fields: Optional[Sequence[str]] = None) -> DataFrame:

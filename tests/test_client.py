@@ -1376,3 +1376,43 @@ def test_optimize_targets_segment_size(client, spark, sf_dir):
     with pytest.raises(ValueError):
         client.optimize("opt", target_size_mb=0)
     client.drop_collection("opt")
+
+
+def test_file_resource_stopwords(client, spark, sf_dir):
+    """File-resource stop-word list (test_milvus_client_file_resource.py):
+    registered file feeds the analyzer's stop filter on both corpus and
+    query; editing the file takes effect on the next query (refresh
+    semantics); lifecycle list/drop; missing path errors."""
+    import os
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    client.create_collection("fres", pk_field="doc_id", fields=["doc_id", "text"])
+    client.insert("fres", docs.select("doc_id", "text"))
+
+    sw = os.path.join(client.root, "stop.txt")
+    with open(sw, "w") as f:
+        f.write("table\nthe\n")
+    client.create_file_resource("stops", sw)
+    assert client.list_file_resources() == ["stops"]
+
+    # stopped term contributes nothing: "table" alone yields no hits
+    hits = client.text_search("fres", "text", "table", limit=5,
+                              stopwords_resource="stops").collect()
+    assert hits == []
+    # same query without the resource scores normally
+    assert client.text_search("fres", "text", "table", limit=5).count() > 0
+
+    # refresh: editing the file un-stops the word on the next query
+    with open(sw, "w") as f:
+        f.write("the\n")
+    assert client.text_search("fres", "text", "table", limit=5,
+                              stopwords_resource="stops").count() > 0
+
+    client.drop_file_resource("stops")
+    with pytest.raises(KeyError):
+        client.text_search("fres", "text", "table", stopwords_resource="stops")
+    with pytest.raises(ValueError):
+        client.create_file_resource("nope", "/no/such/file.txt")
+    # resources never leak into the collection listing
+    assert client.list_collections() == ["fres"]
+    client.drop_collection("fres")
