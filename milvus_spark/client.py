@@ -159,9 +159,49 @@ class MilvusSparkClient:
 
     def alter_collection_properties(self, name: str, properties: dict) -> None:
         """Merge collection properties (AlterCollection API;
-        common.collection.ttl.seconds is honored by reads/compaction)."""
+        common.collection.ttl.seconds is honored by reads/compaction).
+        The schema-level ``enable_dynamic_field`` flag can be flipped here
+        (test_milvus_client_alter_enable_dynamic_collection_field):
+        enabling it makes FUTURE inserts pack undeclared columns into
+        $meta; rows written before the flip surface null dynamic keys
+        (mergeSchema semantics)."""
         meta = self._meta(name)
-        meta.setdefault("properties", {}).update(properties)
+        props = dict(properties)
+        if "enable_dynamic_field" in props:
+            meta["dynamic"] = bool(props.pop("enable_dynamic_field"))
+        meta.setdefault("properties", {}).update(props)
+        self._save_catalog()
+
+    def alter_collection_field(self, name: str, field: str, field_params: dict) -> None:
+        """Alter per-field properties (AlterCollectionField API,
+        test_milvus_client_alter.py): description (any field, repeatable,
+        empty allowed), max_length (varchar ingest bound), mmap.enabled
+        (storage-tier hint — metadata here; Spark's own storage levels
+        govern actual placement). Unknown property keys error, matching
+        the proxy's validation."""
+        meta = self._meta(name)
+        allowed = {"description", "max_length", "mmap.enabled"}
+        unknown = set(field_params) - allowed
+        if unknown:
+            raise ValueError(f"unsupported field properties: {sorted(unknown)}")
+        if "max_length" in field_params:
+            ml = field_params["max_length"]
+            if not (isinstance(ml, int) and 0 < ml <= 65535):
+                raise ValueError(f"max_length must be in (0, 65535], got {ml!r}")
+        meta.setdefault("field_properties", {}).setdefault(field, {}).update(field_params)
+        self._save_catalog()
+
+    def describe_field(self, name: str, field: str) -> dict:
+        return dict(self._meta(name).get("field_properties", {}).get(field, {}))
+
+    def alter_index_properties(self, name: str, field: str, index_type: str, properties: dict) -> None:
+        """Alter index properties (AlterIndex API): mmap.enabled is the
+        supported key, mirroring the reference's alter-index surface."""
+        entry = self.describe_index(name, field, index_type)
+        unknown = set(properties) - {"mmap.enabled"}
+        if unknown:
+            raise ValueError(f"unsupported index properties: {sorted(unknown)}")
+        entry.setdefault("properties", {}).update(properties)
         self._save_catalog()
 
     def _dyn(self, meta: dict) -> Optional[str]:
@@ -1538,10 +1578,19 @@ class MilvusSparkClient:
         filter: Optional[str] = None,
         metric_type: Optional[str] = None,
         max_pages: int = 100,
+        radius: Optional[float] = None,
+        range_filter: Optional[float] = None,
     ):
         """Paged ANN scan (search iterator v2, plan.proto:78-82): yields result
         batches, each page bounded by the previous page's worst score
-        (CachedSearchIterator widening-bound semantics)."""
+        (CachedSearchIterator widening-bound semantics). Supports the range
+        variant (``radius``/``range_filter``,
+        test_milvus_client_search_iterator_v2.py range cases); iteration is
+        single-query only (nq must be 1), matching the reference."""
+        if len(data) != 1:
+            raise ValueError(
+                f"search_iterator supports exactly one query vector (nq=1), got {len(data)}"
+            )
         meta = self._meta(name)
         metric = metric_type or meta["metric"]
         pk = meta["pk"]
@@ -1551,7 +1600,8 @@ class MilvusSparkClient:
             # bound-tie duplicates that a naive score<last_bound filter has
             k = batch_size * (page_no + 1)
             rows = self.search(
-                name, data, limit=k, filter=filter, metric_type=metric
+                name, data, limit=k, filter=filter, metric_type=metric,
+                radius=radius, range_filter=range_filter,
             ).collect()
             fresh = [r for r in rows if (r.qid, r[pk]) not in seen]
             if not fresh:

@@ -1416,3 +1416,63 @@ def test_file_resource_stopwords(client, spark, sf_dir):
     # resources never leak into the collection listing
     assert client.list_collections() == ["fres"]
     client.drop_collection("fres")
+
+
+def test_alter_field_and_index_properties(client, spark, sf_dir):
+    """AlterCollectionField / AlterIndex surface (test_milvus_client_alter.py):
+    field descriptions on any field type (repeatable, empty, special chars),
+    max_length validation, mmap hints; unknown keys error; dynamic-field
+    flag flips via collection properties."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("alt", pk_field="vec_id", vector_field="embedding")
+    client.insert("alt", emb.limit(100))
+
+    # descriptions: pk, vector, scalar; repeatable; empty; special chars
+    client.alter_collection_field("alt", "vec_id", {"description": "the pk"})
+    client.alter_collection_field("alt", "embedding", {"description": "vec col"})
+    client.alter_collection_field("alt", "label", {"description": "第一 – ünïcode ✓"})
+    client.alter_collection_field("alt", "label", {"description": ""})
+    assert client.describe_field("alt", "label")["description"] == ""
+    assert client.describe_field("alt", "vec_id")["description"] == "the pk"
+
+    client.alter_collection_field("alt", "label", {"max_length": 100})
+    with pytest.raises(ValueError):
+        client.alter_collection_field("alt", "label", {"max_length": 0})
+    with pytest.raises(ValueError):
+        client.alter_collection_field("alt", "label", {"nope": 1})
+
+    client.create_index("alt", "embedding", "IVF_FLAT", {"nlist": 4})
+    client.alter_index_properties("alt", "embedding", "IVF_FLAT", {"mmap.enabled": True})
+    assert client.describe_index("alt", "embedding", "IVF_FLAT")["properties"][
+        "mmap.enabled"
+    ] is True
+    with pytest.raises(ValueError):
+        client.alter_index_properties("alt", "embedding", "IVF_FLAT", {"x": 1})
+
+    # dynamic-field flag flip: future inserts pack undeclared columns
+    client.create_collection("dynf", pk_field="n_nationkey",
+                             fields=["n_nationkey", "n_name"])
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.insert("dynf", nation.limit(2).select("n_nationkey", "n_name"))
+    client.alter_collection_properties("dynf", {"enable_dynamic_field": True})
+    client.insert("dynf", nation.filter("n_nationkey >= 2").limit(2)
+                  .select("n_nationkey", "n_name", F.lit("x").alias("extra")))
+    rows = {r.n_nationkey: r.extra for r in client.query(
+        "dynf", output_fields=["n_nationkey", "extra"]).collect()}
+    assert rows[2] == "x" and rows[0] is None  # pre-flip rows: null dynamic keys
+    client.drop_collection("alt")
+    client.drop_collection("dynf")
+
+
+def test_search_iterator_nq_and_range(client, spark, sf_dir):
+    """Iterator v2: nq must be 1; range variant honors radius bound."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("itv2", pk_field="vec_id", vector_field="embedding")
+    client.insert("itv2", emb)
+    q = [emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    with pytest.raises(ValueError, match="nq=1"):
+        next(client.search_iterator("itv2", q + q, batch_size=5))
+    pages = list(client.search_iterator("itv2", q, batch_size=5, max_pages=2,
+                                        radius=0.2))
+    assert pages and all(r.score >= 0.2 - 1e-9 for p in pages for r in p)
+    client.drop_collection("itv2")
