@@ -251,3 +251,21 @@ def test_partition_key_filter_prunes_directories(spark, sf_dir):
         assert any(d.startswith("o_orderpriority=") for d in os.listdir(seg_dir))
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_bpe_and_lm_plans_are_bounded(spark, sf_dir):
+    """cur_bpe_merge_step: pair stats over the distinct-word table — no
+    join anywhere, partial aggregation map-side, final rank is a bounded
+    TakeOrdered. cur_lm_quality_score: the LM table joins back by
+    BROADCAST (corpus never shuffles for the small side)."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    bpe = plan_of(QUERIES["cur_bpe_merge_step"](spark, sf_dir))
+    assert "Join" not in bpe
+    assert "TakeOrderedAndProject" in bpe
+
+    lm = plan_of(QUERIES["cur_lm_quality_score"](spark, sf_dir))
+    assert "BroadcastHashJoin" in lm
+    assert "SortMergeJoin" not in lm
+    assert "TakeOrderedAndProject" in lm
