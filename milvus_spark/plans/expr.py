@@ -372,6 +372,54 @@ class Compiler:
             self.col_type(node.base), (T.ArrayType, T.MapType)
         )
 
+    def _json_variant(self, node: JsonPath) -> Column:
+        """The JSON path value as a VARIANT — preserves the stored JSON
+        type (number vs string vs bool), which get_json_object erases."""
+        path = "$" + "".join(
+            f"[{p}]" if isinstance(p, int) else f".{p}" for p in node.path
+        )
+        return F.try_variant_get(F.try_parse_json(F.col(node.base)), path, "variant")
+
+    @staticmethod
+    def _variant_is_num(typ: Column) -> Column:
+        return typ.isin("BIGINT", "INT", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT") | typ.startswith(
+            "DECIMAL"
+        )
+
+    def _json_typed_in(self, jp: JsonPath, values: list) -> Column:
+        """Mixed-type JSON IN canonicalization (issues #51489/#51567,
+        coverage_matrix.md FILTER-REG-51489/51567 rows): literals bucket by
+        JSON type — a stored number matches only numeric literals, a stored
+        string only string literals, a bool only bool literals; buckets
+        never coerce into each other ("1" ∉ [1], 1 ∉ [true])."""
+        var = self._json_variant(jp)
+        typ = F.schema_of_variant(var)
+        nums = [
+            float(v) for v in values
+            if isinstance(v, (int, float)) and not isinstance(v, bool)
+        ]
+        strs = [v for v in values if isinstance(v, str)]
+        bools = [v for v in values if isinstance(v, bool)]
+        branches = []
+        if nums:
+            branches.append(
+                self._variant_is_num(typ)
+                & F.try_variant_get(var, "$", "double").isin(nums)
+            )
+        if strs:
+            branches.append(
+                (typ == "STRING") & F.try_variant_get(var, "$", "string").isin(strs)
+            )
+        if bools:
+            branches.append(
+                (typ == "BOOLEAN")
+                & F.try_variant_get(var, "$", "boolean").isin([bool(b) for b in bools])
+            )
+        res: Column = F.lit(False)
+        for b in branches:
+            res = res | b
+        return res
+
     def _typed(self, node: Any, other: Any) -> Column:
         """JSON values arrive as strings; cast by the comparand's type
         (typed-compare semantics: numeric vs string vs bool buckets,
@@ -395,6 +443,22 @@ class Compiler:
             return self.compile(node.a) & self.compile(node.b)
         if op in ("or", "||"):
             return self.compile(node.a) | self.compile(node.b)
+        # typed bool equality on JSON paths: a stored number/string never
+        # equals a bool literal (disjoint JSON-type buckets, #51567) — a
+        # plain cast('boolean') would coerce "1"/1 to true
+        for x, y in ((node.a, node.b), (node.b, node.a)):
+            if (
+                op in ("==", "!=")
+                and isinstance(y, Lit)
+                and isinstance(y.value, bool)
+                and self._is_json(x)
+            ):
+                var = self._json_variant(x)
+                v = F.try_variant_get(var, "$", "boolean")
+                guard = F.schema_of_variant(var) == "BOOLEAN"
+                return guard & (
+                    v == F.lit(y.value) if op == "==" else v != F.lit(y.value)
+                )
         a = self._typed(node.a, node.b)
         b = self._typed(node.b, node.a)
         if op == "==":
@@ -449,8 +513,11 @@ class Compiler:
         items = node.items
         if not isinstance(items, Lit) or not isinstance(items.value, list):
             raise ExprError("IN requires a list literal")
-        c = self._typed(node.x, items)
-        res = c.isin(*items.value) if items.value else F.lit(False)
+        if self._is_json(node.x) and items.value:
+            res = self._json_typed_in(node.x, items.value)
+        else:
+            c = self._typed(node.x, items)
+            res = c.isin(*items.value) if items.value else F.lit(False)
         return ~res if node.negated else res
 
     def _call(self, node: Call) -> Column:

@@ -654,3 +654,60 @@ def rel_dynamic_field(spark: SparkSession, sf: str) -> DataFrame:
         F.get_json_object(F.col("$meta"), "$.lang").alias("lang"),
         F.get_json_object(F.col("$meta"), "$.n_chars").cast("double").cast("long").alias("n_chars"),
     )
+
+
+# --- mixed-type JSON IN canonicalization (typed buckets) -----------------------
+@register(
+    "rel_json_mixed_type_in",
+    oracle="""
+    WITH j AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '{"v": ' || CAST(doc_id % 5 AS VARCHAR) || '}'
+               WHEN 1 THEN '{"v": "' || CAST(doc_id % 5 AS VARCHAR) || '"}'
+               WHEN 2 THEN '{"v": ' || (CASE WHEN doc_id % 2 = 0 THEN 'true' ELSE 'false' END) || '}'
+               ELSE '{}' END AS js
+      FROM documents
+    )
+    SELECT doc_id,
+           ((json_type(js, '$.v') IN ('BIGINT', 'UBIGINT', 'DOUBLE')
+               AND TRY_CAST(json_extract_string(js, '$.v') AS DOUBLE) IN (1.0, 2.0))
+            OR (json_type(js, '$.v') = 'VARCHAR' AND json_extract_string(js, '$.v') IN ('2'))
+            OR (json_type(js, '$.v') = 'BOOLEAN'
+               AND TRY_CAST(json_extract_string(js, '$.v') AS BOOLEAN) = true)) AS in_hit,
+           (json_type(js, '$.v') = 'BOOLEAN'
+               AND TRY_CAST(json_extract_string(js, '$.v') AS BOOLEAN) = true) AS eq_true
+    FROM j
+    """,
+)
+def rel_json_mixed_type_in(spark: SparkSession, sf: str) -> DataFrame:
+    """Mixed-type JSON IN canonicalization (issues #51489/#51567;
+    coverage_matrix.md FILTER-REG-51489-MIXED-JSON-IN / 51567-BOOL-IN
+    rows): literals bucket by stored JSON type — number 2 matches literal
+    2 but never "2" or true; string "2" matches only "2"; bool true only
+    true. Implemented via VariantType (parse once, schema_of_variant type
+    dispatch) because get_json_object erases the stored type. The oracle
+    replays the same bucketing with DuckDB's json_type. Rows carry all
+    four JSON shapes (number / string / bool / missing key) so every
+    bucket and the 3VL missing-key path have witnesses."""
+    from milvus_spark.plans.expr import compile_expr
+
+    d = load_table(spark, sf, "documents")
+    n = (F.col("doc_id") % 5).cast("string")
+    js = (
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.lit('{"v": '), n, F.lit("}")))
+        .when(F.col("doc_id") % 4 == 1, F.concat(F.lit('{"v": "'), n, F.lit('"}')))
+        .when(
+            F.col("doc_id") % 4 == 2,
+            F.concat(
+                F.lit('{"v": '),
+                F.when(F.col("doc_id") % 2 == 0, F.lit("true")).otherwise(F.lit("false")),
+                F.lit("}"),
+            ),
+        )
+        .otherwise(F.lit("{}"))
+    )
+    t = d.select("doc_id", js.alias("js"))
+    in_hit = compile_expr('js["v"] in [1, 2, "2", true]', t.schema)
+    eq_true = compile_expr('js["v"] == true', t.schema)
+    return t.select("doc_id", in_hit.alias("in_hit"), eq_true.alias("eq_true"))

@@ -239,3 +239,41 @@ def test_phrase_match_nterm_slop(spark):
     assert run('phrase_match(t, "shuffle hash join", 2)') == [1, 2]
     assert run('phrase_match(t, "shuffle hash join", 3)') == [1, 2, 3]
     assert run('phrase_match(t, "shuffle join", 1)') == [1]  # 2-term unchanged
+
+
+def test_json_mixed_type_in_buckets(spark):
+    """Mixed-type JSON IN canonicalization (#51489/#51567): literals
+    bucket by stored JSON type; no cross-type coercion; bool equality is
+    type-guarded; missing key stays 3VL-unknown."""
+    from milvus_spark.plans.expr import compile_expr
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"v": 1}'),       # number 1
+            (2, '{"v": "1"}'),     # string "1"
+            (3, '{"v": true}'),    # bool true
+            (4, '{"v": 2}'),
+            (5, '{"v": "2"}'),
+            (6, '{"v": false}'),
+            (7, "{}"),             # missing key
+        ],
+        "id long, js string",
+    )
+
+    def ids(expr):
+        cond = compile_expr(expr, df.schema)
+        return sorted(r.id for r in df.filter(cond).collect())
+
+    # number bucket only
+    assert ids('js["v"] in [1]') == [1]
+    # string bucket only
+    assert ids('js["v"] in ["1"]') == [2]
+    # bool bucket only
+    assert ids('js["v"] in [true]') == [3]
+    # mixed union = per-bucket union, no coercion leakage
+    assert ids('js["v"] in [1, "2", true]') == [1, 3, 5]
+    # not in: complement within existing-key rows (missing key is UNKNOWN)
+    assert ids('js["v"] not in [1, "2", true]') == [2, 4, 6]
+    # typed bool equality: only the BOOLEAN row matches
+    assert ids('js["v"] == true') == [3]
+    assert ids('js["v"] != true') == [6]
