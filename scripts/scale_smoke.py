@@ -1,0 +1,90 @@
+"""Scale-up smoke: replicate the sf0.1 tables 10x (shifted pks) and time
+the heavy operators at both scales. Evidence that the plans scale with
+data volume, not against it — wall-clock should grow ~linearly (or less,
+when per-query fixed overhead dominates at the small scale), never
+quadratically.
+
+Usage: python scripts/scale_smoke.py [factor]   (default 10)
+Prints one JSON line: {"factor": N, "queries": {name: {"base": s,
+"scaled": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+sys.path.insert(0, _REPO)
+
+BASE_SF = "/root/testdata/sf0.1"
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+PK = {
+    "orders": "o_orderkey", "lineitem": "l_orderkey", "customer": "c_custkey",
+    "events": "event_id", "documents": "doc_id", "embeddings": "vec_id",
+}
+HEAVY = [
+    "rel_agg_group",
+    "vec_knn_cosine_filtered",
+    "fts_bm25_topk",
+    "dedup_minhash_lsh",
+    "cur_pipeline_e2e",
+    "cur_pack_sequences",
+    "cur_bpe_merge_step",
+    "geo_grid_join_dwithin",
+]
+
+
+def build_scaled(spark, factor: int, out: str) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if os.path.exists(os.path.join(dst, "_SUCCESS")):
+            continue
+        df = spark.read.parquet(f"{BASE_SF}/{t}.parquet")
+        if t in PK:
+            pk = PK[t]
+            hi = df.agg(F.max(pk)).first()[0] + 1
+            parts = [
+                df.withColumn(pk, (F.col(pk) + F.lit(int(i * hi))).cast("long"))
+                for i in range(factor)
+            ]
+            big = parts[0]
+            for p in parts[1:]:
+                big = big.unionByName(p)
+        else:
+            big = df  # dims stay fixed (the realistic shape)
+        big.write.mode("overwrite").parquet(dst)
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    from milvus_spark.session import get_spark
+    import __spark_entry__ as entrymod
+
+    spark = get_spark("scale-smoke", shuffle_partitions=64)
+    scaled_dir = os.path.join(_REPO, "_scratch", f"scale{factor}")
+    build_scaled(spark, factor, scaled_dir)
+    qs = entrymod.queries()
+    report = {}
+    for name in HEAVY:
+        times = {}
+        for label, sf in (("base", BASE_SF), ("scaled", scaled_dir)):
+            qs[name](spark, sf).count()  # warm (index/caches/python workers)
+            t0 = time.time()
+            qs[name](spark, sf).count()
+            times[label] = round(time.time() - t0, 2)
+        ratio = round(times["scaled"] / max(times["base"], 1e-9), 1)
+        report[name] = {**times, "ratio": ratio}
+        print(f"# {name}: base {times['base']}s scaled {times['scaled']}s ({ratio}x)",
+              file=sys.stderr)
+    print(json.dumps({"factor": factor, "queries": report}))
+
+
+if __name__ == "__main__":
+    main()
