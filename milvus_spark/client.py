@@ -1176,7 +1176,21 @@ class MilvusSparkClient:
             else:
                 df = df.select(*plain)
         if order_by:
-            df = df.orderBy(*[F.col(c).asc() if asc else F.col(c).desc() for c, asc in order_by])
+            # accept both the tuple form [("price", True)] and the
+            # reference's order_by_fields dict form
+            # [{"field": "price", "order": "asc"|"desc"}]
+            # (test_milvus_client_query_order.py)
+            cols = []
+            for ob in order_by:
+                if isinstance(ob, dict):
+                    c, direction = ob["field"], str(ob.get("order", "asc")).lower()
+                    if direction not in ("asc", "desc"):
+                        raise ValueError(f"order must be asc|desc, got {direction!r}")
+                    asc = direction == "asc"
+                else:
+                    c, asc = ob
+                cols.append(F.col(c).asc() if asc else F.col(c).desc())
+            df = df.orderBy(*cols)
         if offset:
             df = df.offset(offset)
         if limit is not None:

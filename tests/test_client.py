@@ -1476,3 +1476,44 @@ def test_search_iterator_nq_and_range(client, spark, sf_dir):
                                         radius=0.2))
     assert pages and all(r.score >= 0.2 - 1e-9 for p in pages for r in p)
     client.drop_collection("itv2")
+
+
+def test_query_order_by_dict_form_and_long_text(client, spark, sf_dir):
+    """order_by accepts the reference's order_by_fields dict form
+    (test_milvus_client_query_order.py: single/multi field, asc/desc,
+    with filter); TEXT/LOB-sized values (>64 KB) round-trip through
+    storage and text_match (test_milvus_client_text_lob.py)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(500)
+    client.create_collection("qord", pk_field="o_orderkey")
+    client.insert("qord", orders)
+
+    got = [r.o_totalprice for r in client.query(
+        "qord", order_by=[{"field": "o_totalprice", "order": "desc"}], limit=5
+    ).collect()]
+    assert got == sorted(got, reverse=True) and len(got) == 5
+
+    multi = client.query(
+        "qord",
+        filter="o_orderstatus == \"F\"",
+        order_by=[{"field": "o_orderstatus", "order": "asc"},
+                  {"field": "o_totalprice", "order": "desc"}],
+        limit=10,
+    ).collect()
+    prices = [r.o_totalprice for r in multi]
+    assert prices == sorted(prices, reverse=True)
+
+    with pytest.raises(ValueError, match="asc|desc"):
+        client.query("qord", order_by=[{"field": "o_totalprice", "order": "sideways"}])
+    client.drop_collection("qord")
+
+    # TEXT LOB: a >64 KB document stores, reads back intact, and matches
+    big = "lorem " * 20000 + "needleword tail"
+    assert len(big) > 65536
+    client.create_collection("lob", pk_field="id", fields=["id", "text"])
+    client.insert("lob", spark.createDataFrame([(1, big), (2, "short doc")],
+                                               "id long, text string"))
+    row = client.query("lob", filter="id == 1", output_fields=["text"]).collect()[0]
+    assert row.text == big  # byte-exact round trip
+    hits = client.query("lob", filter='text_match(text, "needleword")').collect()
+    assert [r.id for r in hits] == [1]
+    client.drop_collection("lob")
