@@ -1233,6 +1233,16 @@ class MilvusSparkClient:
         t = self._read(name).withColumn("toks", toks)
         return _bm25_topk(t, k=limit, pk_col=meta["pk"], terms=terms)
 
+    def run_analyzer(self, text: str, analyzer_params: Optional[dict] = None) -> list[str]:
+        """Debug-run an analyzer config on one string (run_analyzer API,
+        test_milvus_client_analyzer.py / pinyin tests use it to inspect
+        tokenization): returns the token list the declared pipeline emits."""
+        from milvus_spark.operators.analyzer import build_analyzer
+
+        analyze = build_analyzer(analyzer_params, resource_words=self._resource_words)
+        df = self.spark.createDataFrame([(text,)], "t string")
+        return list(df.select(analyze(F.col("t")).alias("toks")).first().toks)
+
     def get(self, name: str, ids: Sequence[Any], output_fields: Optional[Sequence[str]] = None) -> DataFrame:
         meta = self._meta(name)
         df = self._read(name).filter(F.col(meta["pk"]).isin(*list(ids)))

@@ -1,0 +1,116 @@
+"""Declarative analyzer configs → Column pipelines.
+
+Reference parity: Milvus analyzers are declared as JSON ``analyzer_params``
+({"tokenizer": ..., "filter": [...]}) attached to a varchar field or passed
+to run_analyzer (internal/util/analyzer/; canalyzer/c_analyzer_test.go:71-225;
+test_milvus_client_analyzer.py, test_milvus_client_pinyin_filter.py).
+``build_analyzer`` interprets the same shape into a pure-JVM Column
+pipeline: tokenizer ∈ {standard, whitespace, cjk_bigram, cjk_dict}, filters
+∈ {lowercase, length, stop, stemmer, pinyin}.
+
+All filters compose left-to-right like the reference's tantivy chain. The
+result is a function Column(str) → Column(array<str>) usable anywhere the
+suite analyzers are (BM25 term vectors, text_match, dedup shingles).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional, Sequence
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.text import cjk_bigram_tokens, tokens
+
+
+def _whitespace_tokens(col: Column) -> Column:
+    return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+def _stemmer(toks: Column) -> Column:
+    # suffix stemmer with min-stem-3 guard (matches suites/fulltext.py chain)
+    return F.transform(
+        toks,
+        lambda x: F.when(
+            F.length(F.regexp_replace(x, "(ing|ed|es|s)$", "")) >= 3,
+            F.regexp_replace(x, "(ing|ed|es|s)$", ""),
+        ).otherwise(x),
+    )
+
+
+def build_analyzer(
+    params: Optional[dict] = None,
+    resource_words: Optional[Callable[[str], Sequence[str]]] = None,
+) -> Callable[[Column], Column]:
+    """Compile ``analyzer_params`` into a Column pipeline.
+
+    ``resource_words`` resolves a ``stopwords_resource`` name to its word
+    list (the file-resource hook, client._resource_words)."""
+    params = params or {}
+    tok = params.get("tokenizer", "standard")
+    filters = list(params.get("filter", []))
+
+    if tok == "standard":
+        tokenize = tokens
+    elif tok == "whitespace":
+        tokenize = _whitespace_tokens
+    elif tok == "cjk_bigram":
+        tokenize = cjk_bigram_tokens
+    elif tok == "cjk_dict":
+        from milvus_spark.operators.cjk_dict import cjk_dict_tokens
+
+        tokenize = cjk_dict_tokens
+    else:
+        raise ValueError(f"unknown tokenizer {tok!r}")
+
+    steps: list[Callable[[Column], Column]] = []
+    for f in filters:
+        spec = {"type": f} if isinstance(f, str) else dict(f)
+        ftype = spec.pop("type")
+        if ftype == "lowercase":
+            steps.append(lambda c: F.transform(c, F.lower))
+        elif ftype == "length":
+            lo = int(spec.get("min", 1))
+            hi = int(spec.get("max", 255))
+            steps.append(
+                lambda c, lo=lo, hi=hi: F.filter(
+                    c, lambda x: (F.length(x) >= lo) & (F.length(x) <= hi)
+                )
+            )
+        elif ftype == "stop":
+            words = list(spec.get("stop_words", []))
+            res = spec.get("stopwords_resource")
+            if res is not None:
+                if resource_words is None:
+                    raise ValueError("stopwords_resource needs a client context")
+                words = list(resource_words(res))
+            arr = F.array(*[F.lit(w) for w in sorted(set(words))])
+            steps.append(
+                lambda c, arr=arr: F.filter(c, lambda x: ~F.array_contains(arr, x))
+            )
+        elif ftype == "stemmer":
+            steps.append(_stemmer)
+        elif ftype == "pinyin":
+            from milvus_spark.operators.pinyin import pinyin_filter
+
+            kw = {
+                k: bool(spec[k])
+                for k in (
+                    "keep_original",
+                    "keep_full_pinyin",
+                    "keep_joined_full_pinyin",
+                    "keep_separate_first_letter",
+                )
+                if k in spec
+            }
+            steps.append(lambda c, kw=kw: pinyin_filter(c, **kw))
+        else:
+            raise ValueError(f"unknown analyzer filter {ftype!r}")
+
+    def analyze(col: Column) -> Column:
+        c = tokenize(col)
+        for step in steps:
+            c = step(c)
+        return c
+
+    return analyze

@@ -111,3 +111,51 @@ def test_pinyin_filter_output_modes(spark):
         pinyin_filter(F.col("toks"), keep_original=False, keep_full_pinyin=True).alias("o")
     ).collect()[0].o
     assert got == ["zhong", "鼹"]
+
+
+def test_build_analyzer_declarative_configs(spark):
+    """analyzer_params JSON → Column pipeline (the reference's analyzer
+    config surface): tokenizer choices and the filter chain compose
+    left-to-right; unknown parts error."""
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    df = spark.createDataFrame(
+        [(1, "The Streaming ENGINE processes tables and the streams")],
+        "id long, t string",
+    )
+
+    def run(params):
+        an = build_analyzer(params)
+        return df.select(an(F.col("t")).alias("o")).collect()[0].o
+
+    # standard tokenizer lowercases already
+    assert "the" in run({"tokenizer": "standard"})
+    # whitespace keeps case until a lowercase filter runs
+    assert "The" in run({"tokenizer": "whitespace"})
+    assert "the" in run({"tokenizer": "whitespace", "filter": ["lowercase"]})
+    # chain: length + stemmer + stop
+    out = run({
+        "tokenizer": "standard",
+        "filter": [
+            {"type": "length", "min": 3, "max": 12},
+            {"type": "stemmer"},
+            {"type": "stop", "stop_words": ["the", "and"]},
+        ],
+    })
+    assert "the" not in out and "and" not in out
+    assert "stream" in out and "tabl" in out  # stemmed gerunds/plurals ("es$" strips)
+    # pinyin filter slots into the same chain
+    df2 = spark.createDataFrame([(1, "中文 test")], "id long, t string")
+    an = build_analyzer({
+        "tokenizer": "whitespace",
+        "filter": [{"type": "pinyin", "keep_original": False,
+                    "keep_full_pinyin": False, "keep_joined_full_pinyin": True}],
+    })
+    assert df2.select(an(F.col("t")).alias("o")).collect()[0].o == ["zhongwen", "test"]
+
+    with _pytest.raises(ValueError):
+        build_analyzer({"tokenizer": "nope"})
+    with _pytest.raises(ValueError):
+        build_analyzer({"filter": [{"type": "nope"}]})

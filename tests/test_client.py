@@ -1517,3 +1517,28 @@ def test_query_order_by_dict_form_and_long_text(client, spark, sf_dir):
     hits = client.query("lob", filter='text_match(text, "needleword")').collect()
     assert [r.id for r in hits] == [1]
     client.drop_collection("lob")
+
+
+def test_run_analyzer_api(client):
+    """run_analyzer: debug tokenization through a declared analyzer config,
+    including file-resource stop words."""
+    import os
+
+    toks = client.run_analyzer("The Quick FOXES jumped")
+    assert toks == ["the", "quick", "foxes", "jumped"]
+    toks = client.run_analyzer(
+        "The Quick FOXES jumped",
+        {"tokenizer": "standard",
+         "filter": [{"type": "stemmer"}, {"type": "stop", "stop_words": ["the"]}]},
+    )
+    assert toks == ["quick", "fox", "jump"]
+    sw = os.path.join(client.root, "sw.txt")
+    with open(sw, "w") as f:
+        f.write("quick\n")
+    client.create_file_resource("sw", sw)
+    toks = client.run_analyzer(
+        "The quick fox",
+        {"tokenizer": "standard",
+         "filter": [{"type": "stop", "stopwords_resource": "sw"}]},
+    )
+    assert toks == ["the", "fox"]
