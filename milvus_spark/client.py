@@ -111,6 +111,7 @@ class MilvusSparkClient:
         fields: Optional[Sequence[str]] = None,
         properties: Optional[dict] = None,
         field_defaults: Optional[dict] = None,
+        analyzer_params: Optional[dict] = None,
     ) -> None:
         """``vector_field`` may be a list: Milvus collections support
         multiple vector fields (one ANN sub-search per field in hybrid
@@ -128,6 +129,11 @@ class MilvusSparkClient:
             raise ValueError(f"collection {name} exists")
         if enable_dynamic_field and not fields:
             raise ValueError("enable_dynamic_field requires an explicit fields list")
+        if analyzer_params is not None:
+            from milvus_spark.operators.analyzer import build_analyzer
+
+            # proxy-style validation at declare time, not first query
+            build_analyzer(analyzer_params, resource_words=self._resource_words)
         vfs = (
             list(vector_field)
             if isinstance(vector_field, (list, tuple))
@@ -146,6 +152,10 @@ class MilvusSparkClient:
             # FieldSchema default_value (schema.proto ValueField): fills
             # missing columns and null cells at insert/upsert time
             "field_defaults": dict(field_defaults) if field_defaults else {},
+            # declared text analyzer config (analyzer_params on the schema,
+            # test_milvus_client_analyzer.py) — text_search tokenizes the
+            # corpus AND the query through this pipeline
+            "analyzer_params": dict(analyzer_params) if analyzer_params else None,
         }
         self._save_catalog()
 
@@ -1223,8 +1233,21 @@ class MilvusSparkClient:
         from milvus_spark.suites.fulltext import _bm25_topk
 
         meta = self._meta(name)
-        terms = [w for w in query.lower().split() if w]
-        toks = tokens(F.col(field))
+        if meta.get("analyzer_params") is not None:
+            # the schema-declared analyzer pipeline tokenizes BOTH sides —
+            # query terms must come out of the same analyzer or IDF/phrase
+            # semantics drift from what was indexed
+            from milvus_spark.operators.analyzer import build_analyzer
+
+            analyze = build_analyzer(
+                meta["analyzer_params"], resource_words=self._resource_words
+            )
+            toks = analyze(F.col(field))
+            qdf = self.spark.createDataFrame([(query,)], "q string")
+            terms = list(qdf.select(analyze(F.col("q")).alias("t")).first().t)
+        else:
+            terms = [w for w in query.lower().split() if w]
+            toks = tokens(F.col(field))
         if stopwords_resource is not None:
             stops = set(self._resource_words(stopwords_resource))
             terms = [w for w in terms if w not in stops]

@@ -1542,3 +1542,27 @@ def test_run_analyzer_api(client):
          "filter": [{"type": "stop", "stopwords_resource": "sw"}]},
     )
     assert toks == ["the", "fox"]
+
+
+def test_collection_declared_analyzer(client, spark, sf_dir):
+    """analyzer_params on the schema: text_search tokenizes corpus AND
+    query through the declared pipeline (stemmer makes 'streaming' and
+    'streams' the same term); invalid configs rejected at declare time."""
+    docs = spark.createDataFrame(
+        [(1, "streams of data"), (2, "streaming data engine"), (3, "batch only")],
+        "id long, text string",
+    )
+    client.create_collection(
+        "ana", pk_field="id", fields=["id", "text"],
+        analyzer_params={"tokenizer": "standard", "filter": [{"type": "stemmer"}]},
+    )
+    client.insert("ana", docs)
+    hits = {r.id for r in client.text_search("ana", "text", "streaming").collect()}
+    assert hits == {1, 2}  # stemmed query term matches the stemmed corpus
+    with pytest.raises(ValueError):
+        client.create_collection(
+            "bad", pk_field="id",
+            analyzer_params={"tokenizer": "nope"},
+        )
+    assert "bad" not in client.list_collections()
+    client.drop_collection("ana")
