@@ -623,3 +623,81 @@ def txt_script_id(spark: SparkSession, sf: str) -> DataFrame:
     return d.select(
         "doc_id", script.alias("script"), (han + kana + hangul).cast("long").alias("n_cjk_chars")
     )
+
+
+# --- incremental dedup: new batch vs persisted corpus signatures ---------------
+@register(
+    "dedup_minhash_incremental",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, {_band_sql(j)} AS bh FROM sig" for j in range(_BANDS))}
+    ),
+    nb AS (SELECT * FROM bands WHERE doc_id % 17 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 17 <> 0),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS a, cb.doc_id AS b
+      FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
+    ),
+    verified AS (
+      SELECT c.a, c.b,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup admission: an incoming batch (doc_id % 17 == 0
+    plays the new arrivals) is checked against the EXISTING corpus via the
+    persisted band index — the shape a continuously-ingesting 100 TB
+    pipeline needs, where re-running all-pairs dedup per batch is absurd.
+    Plan: corpus band signatures are the persisted index (computed once,
+    cached); the new batch's bands are tiny and BROADCAST into the band
+    join, so the corpus never shuffles; surviving candidates verify with
+    exact shingle Jaccard ≥ 0.5. Cost per batch is O(batch × band-hit
+    fan-out), independent of corpus size."""
+    t = _docs_tokens(spark, sf)
+    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh"))
+    corpus_s = s.filter(F.col("doc_id") % 17 != 0).cache()
+    new_s = s.filter(F.col("doc_id") % 17 == 0).cache()
+
+    def bandify(df: DataFrame) -> DataFrame:
+        sig = df.select(
+            "doc_id",
+            *[c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _H))],
+        )
+        band_arr = F.array(
+            *[
+                F.md5(F.concat_ws("_", F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}")))
+                for j in range(_BANDS)
+            ]
+        )
+        return sig.select("doc_id", F.posexplode(band_arr).alias("band", "bh"))
+
+    cb = bandify(corpus_s)
+    nb = bandify(new_s).select(
+        F.col("doc_id").alias("a"), F.col("band").alias("band2"), F.col("bh").alias("bh2")
+    )
+    corpus_s.count()
+    new_s.count()
+    cand = (
+        cb.join(F.broadcast(nb), (cb.band == nb.band2) & (cb.bh == nb.bh2))
+        .select("a", F.col("doc_id").alias("b"))
+        .distinct()
+    )
+    sa = new_s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = corpus_s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    verified = (
+        sb.join(F.broadcast(cand), "b")
+        .join(F.broadcast(sa), "a")
+        .select(
+            "a", "b",
+            F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")

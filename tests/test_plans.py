@@ -269,3 +269,15 @@ def test_bpe_and_lm_plans_are_bounded(spark, sf_dir):
     assert "BroadcastHashJoin" in lm
     assert "SortMergeJoin" not in lm
     assert "TakeOrderedAndProject" in lm
+
+
+def test_incremental_dedup_corpus_never_shuffles_for_batch(spark, sf_dir):
+    """Incremental dedup: the new batch's bands and the candidate set are
+    broadcast; the corpus-side band index is probed in place — no
+    SortMergeJoin anywhere (at 100 TB the corpus cannot move per batch)."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    plan = plan_of(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
