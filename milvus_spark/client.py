@@ -1307,6 +1307,7 @@ class MilvusSparkClient:
         group_size: int = 2,
         strict_group_size: bool = False,
         ranker: Optional[dict] = None,
+        search_aggregation: Optional[dict] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
         ``round_decimal`` rounds returned distances (search param validated
@@ -1320,6 +1321,35 @@ class MilvusSparkClient:
         range bound, snapshot read, or post-build DML falls back to the
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         meta = self._meta(name)
+        if search_aggregation is not None:
+            # faceted bucketing of the hit set (SearchAggregation,
+            # search_pipeline.go:813; test_milvus_client_search_aggregation.py)
+            if group_by_field is not None:
+                raise ValueError(
+                    "search_aggregation and group_by_field are mutually exclusive"
+                )
+            from milvus_spark.operators.search_agg import aggregate_search_hits
+
+            sa = dict(search_aggregation)
+            fields_ = list(sa.get("fields") or [])
+            if "size" not in sa:
+                raise ValueError("search_aggregation requires size")
+            needed = list(fields_)
+            for spec in (sa.get("metrics") or {}).values():
+                for fld in spec.values():
+                    if fld not in ("*", "score") and fld not in needed:
+                        needed.append(fld)
+            hits = self.search(
+                name, data, limit=limit, filter=filter, metric_type=metric_type,
+                params=params, radius=radius, range_filter=range_filter,
+                as_of=as_of, consistency_level=consistency_level,
+                search_params=search_params, output_fields=needed,
+                anns_field=anns_field, partition_names=partition_names,
+                round_decimal=round_decimal, ranker=ranker,
+            )
+            return aggregate_search_hits(
+                hits, fields_, int(sa["size"]), sa.get("metrics")
+            )
         vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
         if not vfields:
             raise ValueError(f"collection {name} has no vector field")

@@ -639,3 +639,44 @@ for _fn in ("linear", "exp"):
         ) WHERE rank <= 10
         """,
     )(_decay_query(_fn))
+
+
+# --- search aggregation: faceted buckets over ANN hits -------------------------
+@register(
+    "vec_search_agg_buckets",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE")},
+    hits AS (
+      SELECT r.qid, r.vec_id, r.score, e.label
+      FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
+      WHERE r.rank <= 50
+    ),
+    buckets AS (
+      SELECT qid, label,
+             CAST(count(*) AS BIGINT) AS count,
+             round(avg(score), 4) AS avg_score,
+             max(score) AS max_score
+      FROM hits GROUP BY qid, label
+    )
+    SELECT qid, label, count, avg_score, max_score FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid ORDER BY count DESC, label) AS rk
+      FROM buckets
+    ) WHERE rk <= 3
+    """,
+)
+def vec_search_agg_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """Search aggregation (SearchAggregation,
+    internal/proxy/search_pipeline.go:813, search_agg computer;
+    test_milvus_client_search_aggregation.py): ANN top-50 hits bucketed by
+    ``label``, per bucket count + avg/max score, the 3 largest buckets per
+    query survive. The facet step runs over the already-reduced hit set
+    (≤ nq·50 rows) — it never touches the corpus again."""
+    from milvus_spark.operators.search_agg import aggregate_search_hits
+
+    emb, qs = _load_queries(spark, sf)
+    res = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=50)
+    hits = res.join(emb.select("vec_id", "label"), "vec_id")
+    return aggregate_search_hits(
+        hits, ["label"], size=3,
+        metrics={"avg_score": {"avg": "score"}, "max_score": {"max": "score"}},
+    ).select("qid", "label", "count", "avg_score", "max_score")

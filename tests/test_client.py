@@ -1566,3 +1566,41 @@ def test_collection_declared_analyzer(client, spark, sf_dir):
         )
     assert "bad" not in client.list_collections()
     client.drop_collection("ana")
+
+
+def test_search_aggregation_buckets(client, spark, sf_dir):
+    """SearchAggregation (test_milvus_client_search_aggregation.py): hit
+    set bucketed by group fields with count/metrics, size buckets per
+    level survive; validation mirrors the reference (size required, ≤4
+    levels, mutual exclusivity with group_by_field)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("sagg", pk_field="vec_id", vector_field="embedding")
+    client.insert("sagg", emb)
+    q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
+
+    buckets = client.search(
+        "sagg", data=q, limit=30,
+        search_aggregation={
+            "fields": ["label"], "size": 2,
+            "metrics": {"doc_count": {"count": "*"}, "best": {"max": "score"}},
+        },
+    ).collect()
+    per_q = {}
+    for b in buckets:
+        per_q.setdefault(b.qid, []).append(b)
+    assert set(per_q) == {0, 1}
+    for qid, bs in per_q.items():
+        assert 1 <= len(bs) <= 2
+        assert all(b.doc_count == b["count"] and b.doc_count >= 1 for b in bs)
+        assert all(b.best <= 1.0 + 1e-9 for b in bs)
+    assert sum(b["count"] for b in per_q[0]) <= 30
+
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        client.search("sagg", data=q, search_aggregation={"fields": ["label"], "size": 1},
+                      group_by_field="label")
+    with pytest.raises(ValueError, match="size"):
+        client.search("sagg", data=q, search_aggregation={"fields": ["label"]})
+    with pytest.raises(ValueError, match="group levels"):
+        client.search("sagg", data=q,
+                      search_aggregation={"fields": ["label"] * 5, "size": 1})
+    client.drop_collection("sagg")
