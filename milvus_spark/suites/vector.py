@@ -680,3 +680,47 @@ def vec_search_agg_buckets(spark: SparkSession, sf: str) -> DataFrame:
         hits, ["label"], size=3,
         metrics={"avg_score": {"avg": "score"}, "max_score": {"max": "score"}},
     ).select("qid", "label", "count", "avg_score", "max_score")
+
+
+@register(
+    "vec_search_agg_nested",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE")},
+    hits AS (
+      SELECT r.qid, r.vec_id, r.score, e.label, CAST(r.vec_id % 3 AS BIGINT) AS b2
+      FROM ranked r JOIN embeddings e ON r.vec_id = e.vec_id
+      WHERE r.rank <= 50
+    ),
+    leaf AS (
+      SELECT qid, label, b2, CAST(count(*) AS BIGINT) AS count
+      FROM hits GROUP BY qid, label, b2
+    ),
+    l1 AS (SELECT qid, label, sum(count) AS n FROM leaf GROUP BY qid, label),
+    k1 AS (
+      SELECT qid, label FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY n DESC, label) AS rk FROM l1
+      ) WHERE rk <= 2
+    ),
+    kept AS (SELECT leaf.* FROM leaf JOIN k1 USING (qid, label))
+    SELECT qid, label, b2, count FROM (
+      SELECT *, row_number() OVER (PARTITION BY qid, label ORDER BY count DESC, b2) AS rk
+      FROM kept
+    ) WHERE rk <= 2
+    """,
+)
+def vec_search_agg_nested(spark: SparkSession, sf: str) -> DataFrame:
+    """Nested search aggregation (sub_groups,
+    test_milvus_client_search_aggregation.py four-level cases): two group
+    levels — per query the 2 largest label buckets survive, and within
+    each, the 2 largest sub-buckets. Pruning at level k ranks by total
+    count within the level-(k-1) parent, the reference's nesting rule."""
+    from milvus_spark.operators.search_agg import aggregate_search_hits
+
+    emb, qs = _load_queries(spark, sf)
+    res = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=50)
+    hits = res.join(emb.select("vec_id", "label"), "vec_id").withColumn(
+        "b2", (F.col("vec_id") % 3).cast("long")
+    )
+    return aggregate_search_hits(hits, ["label", "b2"], size=2).select(
+        "qid", "label", "b2", "count"
+    )
