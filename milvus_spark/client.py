@@ -1703,6 +1703,27 @@ class MilvusSparkClient:
             yield rows
             last = rows[-1][pk]
 
+    def advanced_search(self, name: str, reqs: Sequence[dict]) -> DataFrame:
+        """Batch of INDEPENDENT searches in one call (REST v2
+        /entities/advanced_search, handler_v2.go:113-120 — distinct from
+        hybrid_search, which fuses): each request runs with its own data /
+        limit / filter / params, and results union with a ``req_id``
+        column. One Spark job per request; the per-request plans are the
+        ordinary search plans."""
+        if not reqs:
+            raise ValueError("advanced_search needs at least one request")
+        out = None
+        for i, req in enumerate(reqs):
+            r = dict(req)
+            df = self.search(
+                name,
+                data=r.pop("data"),
+                limit=int(r.pop("limit", 10)),
+                **r,
+            ).withColumn("req_id", F.lit(i))
+            out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+        return out
+
     def hybrid_search(
         self,
         name: str,

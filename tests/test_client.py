@@ -1604,3 +1604,25 @@ def test_search_aggregation_buckets(client, spark, sf_dir):
         client.search("sagg", data=q,
                       search_aggregation={"fields": ["label"] * 5, "size": 1})
     client.drop_collection("sagg")
+
+
+def test_advanced_search_batch(client, spark, sf_dir):
+    """advanced_search: independent per-request search params, results
+    unioned with req_id (REST v2 advanced_search — no fusion)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("advs", pk_field="vec_id", vector_field="embedding")
+    client.insert("advs", emb)
+    q = [emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    res = client.advanced_search("advs", [
+        {"data": q, "limit": 3},
+        {"data": q, "limit": 5, "filter": "label >= 2"},
+    ]).collect()
+    by_req = {}
+    for r in res:
+        by_req.setdefault(r.req_id, []).append(r)
+    assert len(by_req[0]) == 3 and len(by_req[1]) <= 5
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert all(labels[r.vec_id] >= 2 for r in by_req[1])
+    with pytest.raises(ValueError):
+        client.advanced_search("advs", [])
+    client.drop_collection("advs")
