@@ -1348,7 +1348,8 @@ class MilvusSparkClient:
                 round_decimal=round_decimal, ranker=ranker,
             )
             return aggregate_search_hits(
-                hits, fields_, int(sa["size"]), sa.get("metrics")
+                hits, fields_, int(sa["size"]), sa.get("metrics"),
+                top_hits=int(sa.get("top_hits", 0)), pk_col=meta["pk"],
             )
         vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
         if not vfields:

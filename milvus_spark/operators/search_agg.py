@@ -43,14 +43,18 @@ def aggregate_search_hits(
     size: int,
     metrics: Optional[dict] = None,
     qid_col: str = "qid",
+    top_hits: int = 0,
+    pk_col: str = "vec_id",
+    score_col: str = "score",
 ) -> DataFrame:
     """Bucket a search hit set by nested group fields.
 
     ``metrics`` maps output name → {op: field} (op ∈ count/sum/avg/min/max).
     Returns one row per surviving leaf bucket: (qid, *fields, count,
-    *metrics). Per level, the ``size`` largest buckets (count desc, value
-    asc) within each parent bucket survive — the nested sub_groups rule.
-    """
+    *metrics[, hits]). Per level, the ``size`` largest buckets (count desc,
+    value asc) within each parent bucket survive — the nested sub_groups
+    rule. ``top_hits > 0`` adds a ``hits`` column: each bucket's best
+    ``top_hits`` (pk, score) pairs by score desc (TopHits)."""
     fields = list(fields)
     if not fields or len(fields) > MAX_LEVELS:
         raise ValueError(
@@ -72,6 +76,20 @@ def aggregate_search_hits(
         if op not in _METRIC_OPS:
             raise ValueError(f"unknown metric op {op!r}")
         aggs.append(_metric_col(op, fld).alias(out))
+    if top_hits > 0:
+        # per-bucket best hits: sort the collected (score, pk) structs and
+        # slice — bucket populations are bounded by the search limit
+        aggs.append(
+            F.slice(
+                F.reverse(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col(score_col), F.col(pk_col)))
+                    )
+                ),
+                1,
+                top_hits,
+            ).alias("hits")
+        )
     leaf = hits.groupBy(qid_col, *fields).agg(*aggs)
     # per-level pruning: level k's buckets rank by TOTAL count within the
     # parent prefix; deeper levels only see surviving parents

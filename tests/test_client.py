@@ -1626,3 +1626,24 @@ def test_advanced_search_batch(client, spark, sf_dir):
     with pytest.raises(ValueError):
         client.advanced_search("advs", [])
     client.drop_collection("advs")
+
+
+def test_search_aggregation_top_hits(client, spark, sf_dir):
+    """TopHits: each bucket carries its best hits (score desc), bounded by
+    the requested size; hit fields agree with the bucket key."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("sath", pk_field="vec_id", vector_field="embedding")
+    client.insert("sath", emb)
+    q = [emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+    buckets = client.search(
+        "sath", data=q, limit=30,
+        search_aggregation={"fields": ["label"], "size": 3, "top_hits": 2},
+    ).collect()
+    labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+    assert buckets
+    for b in buckets:
+        assert 1 <= len(b.hits) <= 2
+        scores = [h.score for h in b.hits]
+        assert scores == sorted(scores, reverse=True)
+        assert all(labels[h.vec_id] == b.label for h in b.hits)
+    client.drop_collection("sath")
