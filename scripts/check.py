@@ -76,9 +76,13 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> int:
     filters = sys.argv[1:]
+    import os
+
     import __spark_entry__ as entrymod
     from milvus_spark.session import get_spark
 
+    scratch = os.path.join(_REPO, "_scratch")
+    pre_scratch = set(os.listdir(scratch)) if os.path.isdir(scratch) else set()
     spark = get_spark("check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -126,6 +130,14 @@ def main() -> int:
             print(f"  ok {name}: {len(ns)} rows hash-match [{time.time()-t0:.1f}s]")
             ok += 1
     print(f"\n{ok} ok, {bad} fail / {len(names)} queries")
+    # every query was fully materialized above (toPandas), so the scratch
+    # dirs this run created are dead — reclaim them; never touch pre-run
+    # dirs (a concurrent session may own them)
+    if os.path.isdir(scratch):
+        import shutil
+
+        for entry in set(os.listdir(scratch)) - pre_scratch:
+            shutil.rmtree(os.path.join(scratch, entry), ignore_errors=True)
     return 1 if bad else 0
 
 
