@@ -79,7 +79,7 @@ def main() -> None:
     total = 0.0
     for name in names:
         best, n = None, 0
-        for _ in range(2):  # min of 2 passes: steady-state latency, robust
+        for _ in range(3):  # min of 3 passes: steady-state latency, robust
             t0 = time.time()  # to host steal-time spikes between passes
             df = qs[name](spark, sf)
             n = df.count()  # force full execution
