@@ -392,6 +392,24 @@ class MilvusSparkClient:
         if df is not None:
             df.unpersist()
 
+    def get_load_state(self, name: str) -> dict:
+        """Load-state introspection (GetLoadState API,
+        test_milvus_client_search_load.py): Loaded after load_collection,
+        NotLoad before/after release. Queries work either way — load is a
+        latency tier, not a visibility gate (unlike the reference, where
+        search on an unloaded collection errors; Spark can always scan)."""
+        self._meta(name)  # raises on unknown collection
+        loaded = name in getattr(self, "_loaded", {})
+        return {"state": "Loaded" if loaded else "NotLoad"}
+
+    def refresh_load(self, name: str) -> None:
+        """Re-pin the CURRENT visible state (RefreshLoad analog): after
+        DML, the cached snapshot is stale — drop it and load again."""
+        if self.get_load_state(name)["state"] != "Loaded":
+            raise ValueError(f"collection {name!r} is not loaded")
+        self.release_collection(name)
+        self.load_collection(name)
+
     def load_partitions(self, name: str, partitions: Sequence[str]) -> None:
         """Partition-level load (LoadPartitions analog): pin only the named
         partitions' rows in cache — the serving set at cluster scale is the

@@ -1647,3 +1647,23 @@ def test_search_aggregation_top_hits(client, spark, sf_dir):
         assert scores == sorted(scores, reverse=True)
         assert all(labels[h.vec_id] == b.label for h in b.hits)
     client.drop_collection("sath")
+
+
+def test_load_state_and_refresh(client, spark, sf_dir):
+    """GetLoadState / RefreshLoad: state transitions and post-DML
+    re-pinning of the visible snapshot."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("lds", pk_field="n_nationkey")
+    client.insert("lds", nation.limit(10))
+    assert client.get_load_state("lds")["state"] == "NotLoad"
+    client.load_collection("lds")
+    assert client.get_load_state("lds")["state"] == "Loaded"
+    client.insert("lds", nation.filter("n_nationkey >= 10").limit(5))
+    client.refresh_load("lds")
+    assert client.get_load_state("lds")["state"] == "Loaded"
+    assert client.count("lds") == 15
+    client.release_collection("lds")
+    assert client.get_load_state("lds")["state"] == "NotLoad"
+    with pytest.raises(ValueError):
+        client.refresh_load("lds")
+    client.drop_collection("lds")
