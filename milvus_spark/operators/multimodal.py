@@ -76,6 +76,24 @@ def image_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
     )
 
 
+def audio_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
+    """audio binary → (pk, fbank array<double>[AUDIO_FRAMES]) — the
+    fixed-frame feature shape (fbank/mfcc stand-in), Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield pd.DataFrame({
+                pk_col: pdf[pk_col].to_numpy(),
+                "fbank": [decode_audio(bytes(b), fake=True) for b in pdf[payload_col]],
+            })
+
+    return df.select(pk_col, payload_col).mapInPandas(
+        run, schema=f"{pk_col} long, fbank array<double>"
+    )
+
+
 def frame_sample(
     df: DataFrame, payload_col: str, pk_col: str, len_col: str, every_n: int = 2
 ) -> DataFrame:

@@ -146,3 +146,40 @@ def mm_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.size("frame_vec").cast("long").alias("vec_dim"),
         F.round(F.element_at("frame_vec", 1) * 255, 0).cast("long").alias("frame_b0"),
     )
+
+
+@register(
+    "mm_audio_features",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, sha256(sha256(text)) AS h
+      FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT doc_id,
+           CAST(8 AS BIGINT) AS n_frames,
+           CAST({_PAIR.format(h='h', p='1')} AS BIGINT) AS a0,
+           CAST({_PAIR.format(h='h', p='1')} + {_PAIR.format(h='h', p='2')}
+              + {_PAIR.format(h='h', p='3')} + {_PAIR.format(h='h', p='4')}
+              + {_PAIR.format(h='h', p='5')} + {_PAIR.format(h='h', p='6')}
+              + {_PAIR.format(h='h', p='7')} + {_PAIR.format(h='h', p='8')} AS BIGINT) AS a_sum
+    FROM f
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio feature extraction over binary media columns: the fixed-frame
+    (fbank-style) mapInPandas shape — codec stubbed deterministic,
+    plumbing real. a0/a_sum recover the first frame byte and the exact
+    byte total (sum of round-6 values × 255 re-rounds losslessly)."""
+    from milvus_spark.operators.multimodal import audio_features, make_media_table
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 3 == 0)
+    media = make_media_table(docs, "doc_id", "text")
+    feats = audio_features(media, "media", "doc_id")
+    v = F.col("fbank")
+    total = F.aggregate(v, F.lit(0.0), lambda a, x: a + x)
+    return feats.select(
+        "doc_id",
+        F.size(v).cast("long").alias("n_frames"),
+        F.round(F.element_at(v, 1) * 255, 0).cast("long").alias("a0"),
+        F.round(total * 255, 0).cast("long").alias("a_sum"),
+    )
