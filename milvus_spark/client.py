@@ -125,6 +125,10 @@ class MilvusSparkClient:
         columns into the hidden ``$meta`` JSON column, and filters /
         output_fields referencing undeclared names resolve into it with
         typed-compare semantics."""
+        if name.startswith("_"):
+            # "_"-prefixed catalog keys are reserved for internal state
+            # (_aliases, _file_resources) and hidden from list_collections
+            raise ValueError(f"collection name must not start with '_': {name!r}")
         if name in self._catalog:
             raise ValueError(f"collection {name} exists")
         if enable_dynamic_field and not fields:
@@ -248,6 +252,8 @@ class MilvusSparkClient:
         (internal/storagev2/packed/exttable_test.go, manifest_commit.go;
         tests/python_client/milvus_client/test_milvus_client_external_table.py).
         Read-only: query/search/count work, DML raises."""
+        if name.startswith("_"):
+            raise ValueError(f"collection name must not start with '_': {name!r}")
         if name in self._catalog:
             raise ValueError(f"collection {name} exists")
         self._catalog[name] = {
@@ -308,6 +314,8 @@ class MilvusSparkClient:
 
         if old in self._aliases():
             raise ValueError(f"{old!r} is an alias; rename the underlying collection")
+        if new.startswith("_"):
+            raise ValueError(f"collection name must not start with '_': {new!r}")
         if new in self._catalog or new in self._aliases():
             raise ValueError(f"collection or alias {new} exists")
         held = self.list_aliases(old)
@@ -392,24 +400,6 @@ class MilvusSparkClient:
         if df is not None:
             df.unpersist()
 
-    def get_load_state(self, name: str) -> dict:
-        """Load-state introspection (GetLoadState API,
-        test_milvus_client_search_load.py): Loaded after load_collection,
-        NotLoad before/after release. Queries work either way — load is a
-        latency tier, not a visibility gate (unlike the reference, where
-        search on an unloaded collection errors; Spark can always scan)."""
-        self._meta(name)  # raises on unknown collection
-        loaded = name in getattr(self, "_loaded", {})
-        return {"state": "Loaded" if loaded else "NotLoad"}
-
-    def refresh_load(self, name: str) -> None:
-        """Re-pin the CURRENT visible state (RefreshLoad analog): after
-        DML, the cached snapshot is stale — drop it and load again."""
-        if self.get_load_state(name)["state"] != "Loaded":
-            raise ValueError(f"collection {name!r} is not loaded")
-        self.release_collection(name)
-        self.load_collection(name)
-
     def load_partitions(self, name: str, partitions: Sequence[str]) -> None:
         """Partition-level load (LoadPartitions analog): pin only the named
         partitions' rows in cache — the serving set at cluster scale is the
@@ -429,6 +419,11 @@ class MilvusSparkClient:
             df.unpersist()
 
     def get_load_state(self, name: str) -> dict:
+        """GetLoadState API (test_milvus_client_search_load.py): queries
+        work either way — load is a latency tier, not a visibility gate
+        (unlike the reference, where search on an unloaded collection
+        errors; Spark can always scan)."""
+        self._meta(name)  # raises on unknown collection
         loaded = getattr(self, "_loaded", {})
         full = name in loaded
         parts = sorted(
@@ -976,7 +971,9 @@ class MilvusSparkClient:
 
             nbits = int(params.get("nbits", 10))
             seed = int(params.get("seed", 7))
-            if not os.path.isdir(os.path.join(self.root, name, "segments")):
+            if not os.path.isdir(
+                os.path.join(self.root, self._resolve_alias(name), "segments")
+            ):
                 raise ValueError(
                     f"cannot build LSH index on empty collection {name!r}"
                 )

@@ -101,8 +101,14 @@ class Collection:
                 empty = F.array().cast(current.schema[c].dataType)
                 return F.concat(F.coalesce(old, empty), F.coalesce(new, empty))
             if op == "array_remove":
+                # keep an element unless array_contains is definitively
+                # TRUE — a bare ~contains would also drop stored NULL
+                # elements (contains(new, null) is NULL, ~NULL is NULL)
                 return F.when(new.isNull(), old).otherwise(
-                    F.filter(old, lambda x: ~F.array_contains(new, x))
+                    F.filter(
+                        old,
+                        lambda x: ~F.coalesce(F.array_contains(new, x), F.lit(False)),
+                    )
                 )
             if c in updated_cols:
                 return new

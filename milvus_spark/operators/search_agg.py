@@ -72,6 +72,12 @@ def aggregate_search_hits(
             raise ValueError(f"unknown aggregation group field {f!r}")
     aggs = [F.count(F.lit(1)).cast("long").alias("count")]
     for out, spec in (metrics or {}).items():
+        if out in ("count", "hits", qid_col) or out in fields:
+            raise ValueError(f"metric name {out!r} collides with a built-in column")
+        if not isinstance(spec, dict) or len(spec) != 1:
+            raise ValueError(
+                f"metric {out!r} must be a single {{op: field}} pair, got {spec!r}"
+            )
         (op, fld), = spec.items()
         if op not in _METRIC_OPS:
             raise ValueError(f"unknown metric op {op!r}")

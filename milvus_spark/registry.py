@@ -40,14 +40,15 @@ def load_suites() -> None:
     suites.load_all()
 
 
-def _gc_scratch(max_age_hours: float = 2.0, max_entries: int = 48) -> None:
+def _gc_scratch(max_age_hours: float = 6.0, max_entries: int = 48) -> None:
     """Bound _scratch growth on BOTH age and count: suite queries mkdtemp
-    work dirs per run. Age cutoff (2h outlives any single full-gate run)
-    reclaims across rounds; the count cap reclaims within a busy session —
-    when more than ``max_entries`` dirs exist, the oldest beyond the cap
-    go too, so a long check.py/bench loop can't pile up hundreds of dirs.
-    Only dirs older than 10 minutes are ever count-evicted, so concurrent
-    fresh runs are never touched."""
+    work dirs per run. The age cutoff (6h — outlives any single run,
+    including multi-hour large-SF benches) reclaims across rounds; the
+    count cap reclaims within a busy session — when more than
+    ``max_entries`` dirs exist, the oldest beyond the cap go too, so a
+    long check/bench loop can't pile up hundreds of dirs. Count-eviction
+    skips dirs newer than 1h as a concurrent-session guard (check.py and
+    bench.py additionally clean their own dirs at end of run)."""
     import shutil
     import time
 
@@ -69,5 +70,5 @@ def _gc_scratch(max_age_hours: float = 2.0, max_entries: int = 48) -> None:
             entries.append((mtime, path))
     entries.sort(reverse=True)  # newest first
     for mtime, path in entries[max_entries:]:
-        if mtime < now - 600:
+        if mtime < now - 3600:
             shutil.rmtree(path, ignore_errors=True)

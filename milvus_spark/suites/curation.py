@@ -375,7 +375,10 @@ def cur_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     d = load_table(spark, sf, "documents")
     from pyspark.sql import Window as W
 
-    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    # cache the tiny (doc_id, n_tokens) projection (~16 B/doc): three
+    # actions read it (bounds, per-shard totals, final plan) and without
+    # the cache each re-tokenizes the whole corpus
+    t = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tokens")).cache()
     nshards = 32
     bounds = t.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).first()
     lo = int(bounds.lo) if bounds.lo is not None else 0

@@ -32,6 +32,37 @@ from milvus_spark.streaming.stateful import materialize_wal, read_final_state
 _SCRATCH = "/root/repo/_scratch"
 
 
+def _stage_time_ordered(stage: str, em: DataFrame, sentinel_frames: list) -> str:
+    """Stage a streaming WAL: three time-ordered chunks (split at the 33/66
+    event-time quantiles of the ``_us`` column) followed by sentinel files.
+    Each chunk is written coalesce(1) — ONE file per chunk — because the
+    file source trigger is one file per micro-batch and the 0-second
+    watermark advances to a chunk's max event time after its batch: a
+    second part file covering the same time range would arrive behind the
+    watermark and be dropped as late data. Staged once per SF (immutable);
+    returns the src dir."""
+    src = os.path.join(stage, "src")
+    if os.path.exists(os.path.join(stage, "_STAGED")):
+        return src
+    q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
+    bounds = [(None, q1), (q1, q2), (q2, None)]
+    for i, (lo, hi) in enumerate(bounds):
+        part = em
+        if lo is not None:
+            part = part.filter(F.col("_us") > int(lo))
+        if hi is not None:
+            part = part.filter(F.col("_us") <= int(hi))
+        part.drop("_us").coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"chunk{i}.parquet")
+        )
+    for j, sdf in enumerate(sentinel_frames):
+        sdf.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"sentinel{j}.parquet")
+        )
+    open(os.path.join(stage, "_STAGED"), "w").close()
+    return src
+
+
 def _write_wal(spark: SparkSession, sf: str, root: str) -> str:
     """Three WAL files (one micro-batch each) derived from orders."""
     o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
@@ -121,31 +152,16 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     # staged WAL is immutable per SF — stage once, reuse across calls
     # (checkpoint + sink stay fresh per run)
     stage = os.path.join(_SCRATCH, "streamwin_store", os.path.basename(sf.rstrip("/")))
-    src = os.path.join(stage, "src")
     e = load_table(spark, sf, "events").select("ts", "event_type", "value")
-    if not os.path.exists(os.path.join(stage, "_STAGED")):
-        # time-ordered chunks: each micro-batch advances event time
-        # monotonically so a 0-second watermark never classifies in-order
-        # data as late
-        em = e.withColumn("_us", F.unix_micros("ts"))
-        q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
-        bounds = [(None, q1), (q1, q2), (q2, None)]
-        for i, (lo, hi) in enumerate(bounds):
-            part = em
-            if lo is not None:
-                part = part.filter(F.col("_us") > int(lo))
-            if hi is not None:
-                part = part.filter(F.col("_us") <= int(hi))
-            part.drop("_us").write.mode("overwrite").parquet(
-                os.path.join(src, f"chunk{i}.parquet")
-            )
-        for j, days in enumerate((10, 20)):
-            e.agg(F.max("ts").alias("m")).select(
-                (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-                F.lit("_sentinel").alias("event_type"),
-                F.lit(0.0).alias("value"),
-            ).write.mode("overwrite").parquet(os.path.join(src, f"sentinel{j}.parquet"))
-        open(os.path.join(stage, "_STAGED"), "w").close()
+    sentinels = [
+        e.agg(F.max("ts").alias("m")).select(
+            (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+            F.lit("_sentinel").alias("event_type"),
+            F.lit(0.0).alias("value"),
+        )
+        for days in (10, 20)
+    ]
+    src = _stage_time_ordered(stage, e.withColumn("_us", F.unix_micros("ts")), sentinels)
 
     stream = (
         spark.readStream.schema(e.schema)
@@ -216,37 +232,14 @@ def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     # sink must be fresh per run (a reused checkpoint would resume a
     # finished query and emit nothing)
     stage = os.path.join(_SCRATCH, "streamsess_store", os.path.basename(sf.rstrip("/")))
-    src = os.path.join(stage, "src")
     e = load_table(spark, sf, "events").select("ts", "user_id")
-    if not os.path.exists(os.path.join(stage, "_STAGED")):
-        # time-ordered chunks: each micro-batch advances event time
-        # monotonically so a 0-second watermark never classifies in-order
-        # data as late (a hash-split would drop two thirds as late)
-        em = e.withColumn("_us", F.unix_micros("ts"))
-        q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
-        bounds = [(None, q1), (q1, q2), (q2, None)]
-        for i, (lo, hi) in enumerate(bounds):
-            part = em
-            if lo is not None:
-                part = part.filter(F.col("_us") > int(lo))
-            if hi is not None:
-                part = part.filter(F.col("_us") <= int(hi))
-            part.drop("_us").write.mode("overwrite").parquet(
-                os.path.join(src, f"chunk{i}.parquet")
-            )
-        far = e.agg(F.max("ts").alias("m")).select(
-            F.col("m") + F.expr("INTERVAL 10 DAYS"), F.lit(-1).cast("long")
-        )
-        far.toDF("ts", "user_id").write.mode("overwrite").parquet(
-            os.path.join(src, "sentinel1.parquet")
-        )
-        far2 = e.agg(F.max("ts").alias("m")).select(
-            F.col("m") + F.expr("INTERVAL 20 DAYS"), F.lit(-2).cast("long")
-        )
-        far2.toDF("ts", "user_id").write.mode("overwrite").parquet(
-            os.path.join(src, "sentinel2.parquet")
-        )
-        open(os.path.join(stage, "_STAGED"), "w").close()
+    sentinels = [
+        e.agg(F.max("ts").alias("m"))
+        .select(F.col("m") + F.expr(f"INTERVAL {days} DAYS"), F.lit(uid).cast("long"))
+        .toDF("ts", "user_id")
+        for days, uid in ((10, -1), (20, -2))
+    ]
+    src = _stage_time_ordered(stage, e.withColumn("_us", F.unix_micros("ts")), sentinels)
 
     stream = (
         spark.readStream.schema(e.schema)

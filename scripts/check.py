@@ -131,8 +131,10 @@ def main() -> int:
             ok += 1
     print(f"\n{ok} ok, {bad} fail / {len(names)} queries")
     # every query was fully materialized above (toPandas), so the scratch
-    # dirs this run created are dead — reclaim them; never touch pre-run
-    # dirs (a concurrent session may own them)
+    # dirs this run created are dead — reclaim them. Pre-run dirs are never
+    # touched; dirs created DURING the run are assumed ours (single-writer:
+    # the gate runs alone — don't run check.py concurrently with another
+    # suite session, or skip this cleanup)
     if os.path.isdir(scratch):
         import shutil
 
