@@ -373,7 +373,12 @@ class MilvusSparkClient:
         tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
         return df.filter(tag.isin(list(partition_names)))
 
-    def load_collection(self, name: str, mmap_enabled: bool = False) -> None:
+    def load_collection(
+        self,
+        name: str,
+        mmap_enabled: bool = False,
+        load_fields: Optional[Sequence[str]] = None,
+    ) -> None:
         """Load into memory for serving (QueryCoord load analog): pin the
         current visible state in Spark's block-manager cache. Reads between
         load and the next DML hit cached blocks instead of parquet.
@@ -382,11 +387,24 @@ class MilvusSparkClient:
         (cachinglayer/ + mmap/; collection property mmap.enabled): blocks
         persist MEMORY_AND_DISK so a collection larger than executor memory
         serves from local disk instead of failing the load — the same
-        capacity/latency trade mmap buys Milvus."""
+        capacity/latency trade mmap buys Milvus.
+
+        ``load_fields`` pins only the named columns plus the pk (partial
+        field loading, testcases/test_field_partial_load.py): memory holds
+        the serving subset; queries touching unloaded fields still answer
+        from the parquet scan (a latency tier, not a visibility gate —
+        the reference errors there, Spark can always scan)."""
         from pyspark import StorageLevel
 
         self._loaded = getattr(self, "_loaded", {})
         df = self._read(name)
+        if load_fields is not None:
+            pk = self._meta(name)["pk"]
+            missing = [f for f in load_fields if f not in df.columns]
+            if missing:
+                raise ValueError(f"load_fields not in schema: {missing}")
+            cols = [pk] + [f for f in load_fields if f != pk]
+            df = df.select(*cols)
         df = df.persist(
             StorageLevel.MEMORY_AND_DISK_DESER if mmap_enabled else StorageLevel.MEMORY_ONLY
         )

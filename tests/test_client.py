@@ -1667,3 +1667,22 @@ def test_load_state_and_refresh(client, spark, sf_dir):
     with pytest.raises(ValueError):
         client.refresh_load("lds")
     client.drop_collection("lds")
+
+
+def test_partial_field_load(client, spark, sf_dir):
+    """Partial field loading (testcases/test_field_partial_load.py): only
+    the named columns (+pk) pin in cache; queries on unloaded fields still
+    answer from the scan; unknown fields error."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("pfl", pk_field="vec_id", vector_field="embedding")
+    client.insert("pfl", emb)
+    client.load_collection("pfl", load_fields=["embedding"])
+    assert client.get_load_state("pfl")["state"] == "Loaded"
+    cached = client._loaded["pfl"]
+    assert set(cached.columns) == {"vec_id", "embedding"}
+    # a query on the unloaded column still works (scan path)
+    assert client.query("pfl", filter="label >= 2").count() == emb.filter("label >= 2").count()
+    client.release_collection("pfl")
+    with pytest.raises(ValueError, match="load_fields"):
+        client.load_collection("pfl", load_fields=["nope"])
+    client.drop_collection("pfl")
