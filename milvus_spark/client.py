@@ -931,6 +931,36 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "codebooks.json"), "w") as f:
                 json.dump(books.tolist(), f)
             entry["m"] = m
+        elif itype == "IVF_SQ8":
+            # Scalar-quantized index (knowhere IVF_SQ8, index_type.go): one
+            # distributed agg pass trains per-dim [min,max]; the code table
+            # stores 1 byte/dim (4x smaller scan than fp32). Search scans
+            # ONLY the codes via per-dim lookup tables and refines the
+            # shortlist exactly — operators/sq.py. COSINE collections
+            # encode normalized vectors so ascending SQ-L2 order equals
+            # descending cosine order.
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"IVF_SQ8 requires a vector field, got {field!r}")
+            from milvus_spark.operators.ivf import l2_normalize
+            from milvus_spark.operators.sq import encode_sq8, train_sq8
+
+            df = self._read(name)
+            corpus = (
+                l2_normalize(df, field)
+                if meta.get("metric", "COSINE") == "COSINE"
+                else df.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            row0 = corpus.select(field).first()
+            if row0 is None or row0[0] is None:
+                raise ValueError(f"cannot build IVF_SQ8 on empty collection {name!r}")
+            bounds = train_sq8(corpus, field, dim=len(row0[0]))
+            os.makedirs(idx_dir, exist_ok=True)
+            encode_sq8(corpus, field, meta["pk"], bounds).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(idx_dir, "codes"))
+            with open(os.path.join(idx_dir, "bounds.json"), "w") as f:
+                json.dump(bounds.tolist(), f)
         elif itype == "NGRAM":
             from milvus_spark.operators.ngram import build_ngram_index
 
@@ -1474,6 +1504,35 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
+            )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+            return self._requery(name, hits, meta, output_fields)
+        sq_idx = self._fresh_index(name, vfield, "IVF_SQ8")
+        if (
+            sq_idx is not None
+            and filter is None and radius is None and range_filter is None
+            and as_of is None and not meta.get("external_path")
+            and not partition_names
+            and not self._expired_ts(meta)
+        ):
+            import numpy as np
+
+            from milvus_spark.operators.sq import sq8_search
+
+            with open(os.path.join(sq_idx["path"], "bounds.json")) as f:
+                bounds = np.asarray(json.load(f), dtype=np.float64)
+            encoded = self.spark.read.parquet(os.path.join(sq_idx["path"], "codes"))
+            hits = sq8_search(
+                encoded,
+                self._read(name),
+                bounds,
+                [(i, list(map(float, v))) for i, v in enumerate(data)],
+                vec_col=vfield,
+                pk_col=meta["pk"],
+                metric=metric_type or meta["metric"],
+                k=limit,
+                shortlist=int((search_params or {}).get("shortlist", 10 * limit)),
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit)

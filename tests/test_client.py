@@ -1686,3 +1686,22 @@ def test_partial_field_load(client, spark, sf_dir):
     with pytest.raises(ValueError, match="load_fields"):
         client.load_collection("pfl", load_fields=["nope"])
     client.drop_collection("pfl")
+
+
+def test_sq8_index_backed_search(client, spark, sf_dir):
+    """create_index('IVF_SQ8'): code-table-backed search matches exact
+    brute force at near-perfect recall; DML staleness falls back to scan."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("sq8", pk_field="vec_id", vector_field="embedding",
+                             metric_type="L2")
+    client.insert("sq8", emb)
+    client.create_index("sq8", "embedding", "IVF_SQ8")
+    q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
+
+    idx_hits = {(r.qid, r.vec_id) for r in client.search("sq8", q, limit=10).collect()}
+    # exact baseline via the scan path (stale the index with a no-op DML)
+    client.insert("sq8", emb.limit(1).withColumn("vec_id", F.lit(10**9).cast("long")))
+    exact_hits = {(r.qid, r.vec_id) for r in client.search("sq8", q, limit=10).collect()}
+    inter = len(idx_hits & exact_hits)
+    assert inter / len(exact_hits) >= 0.9
+    client.drop_collection("sq8")
