@@ -55,8 +55,6 @@ def main() -> None:
     import __spark_entry__ as entrymod
     from milvus_spark.session import get_spark
 
-    scratch = os.path.join(_REPO, "_scratch")
-    pre_scratch = set(os.listdir(scratch)) if os.path.isdir(scratch) else set()
 
     spark = get_spark("bench", shuffle_partitions=_sized_shuffle_partitions(sf))
     qs = entrymod.queries()
@@ -99,13 +97,12 @@ def main() -> None:
             }
         )
     )
-    # clean up the scratch dirs this bench created (streaming WAL stages,
-    # fp16 stores, ...) — leave anything that predates the run alone
-    if os.path.isdir(scratch):
-        import shutil
+    # reclaim the scratch dirs THIS process created (pid-token ownership —
+    # concurrent sessions' dirs are never touched); shared per-SF stores
+    # stay for reuse and age out via the registry GC
+    from milvus_spark.scratch import cleanup_own
 
-        for entry in set(os.listdir(scratch)) - pre_scratch:
-            shutil.rmtree(os.path.join(scratch, entry), ignore_errors=True)
+    cleanup_own()
 
 
 if __name__ == "__main__":

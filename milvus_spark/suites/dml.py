@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from milvus_spark.operators.lifecycle import Collection
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 
 _SCRATCH = "/root/repo/_scratch"
@@ -37,7 +38,7 @@ _DELETED_T4 = "(o_orderkey % 997 = 0)"
 
 def _build_collection(spark: SparkSession, sf: str, upto_ts: int = 4) -> Collection:
     os.makedirs(_SCRATCH, exist_ok=True)
-    path = tempfile.mkdtemp(prefix="coll_", dir=_SCRATCH)
+    path = scratch_mkdtemp("coll_")
     shutil.rmtree(path)
     coll = Collection(spark, path, pk="o_orderkey")
     o = load_table(spark, sf, "orders")
@@ -234,7 +235,7 @@ def dml_partition_key_prune(spark: SparkSession, sf: str) -> DataFrame:
     At 100 TB this is the difference between listing every segment and
     touching only the target shard."""
     os.makedirs(_SCRATCH, exist_ok=True)
-    path = tempfile.mkdtemp(prefix="pkmode_", dir=_SCRATCH)
+    path = scratch_mkdtemp("pkmode_")
     shutil.rmtree(path)
     coll = Collection(spark, path, pk="o_orderkey", partition_key="o_orderpriority")
     coll.append(load_table(spark, sf, "orders"), ts=1)
@@ -286,7 +287,7 @@ def dml_array_field_ops(spark: SparkSession, sf: str) -> DataFrame:
     [k%3,k%5] where k%10=0; remove [k%5] where k%20=0. The oracle replays
     the same list algebra."""
     os.makedirs(_SCRATCH, exist_ok=True)
-    path = tempfile.mkdtemp(prefix="arrops_", dir=_SCRATCH)
+    path = scratch_mkdtemp("arrops_")
     shutil.rmtree(path)
     coll = Collection(spark, path, pk="o_orderkey")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") <= 2000)

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 
 
@@ -529,7 +530,7 @@ def rel_json_flat_index(spark: SparkSession, sf: str) -> DataFrame:
     import tempfile
 
     os.makedirs("/root/repo/_scratch", exist_ok=True)
-    root = tempfile.mkdtemp(prefix="jsonflat_", dir="/root/repo/_scratch")
+    root = scratch_mkdtemp("jsonflat_")
     shutil.rmtree(root)
     e = load_table(spark, sf, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")

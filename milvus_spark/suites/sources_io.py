@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 
 _SCRATCH = "/root/repo/_scratch"
@@ -50,7 +51,7 @@ def src_bulk_import(spark: SparkSession, sf: str) -> DataFrame:
     from milvus_spark.sources.bulk_import import read_csv, read_json
 
     os.makedirs(_SCRATCH, exist_ok=True)
-    base = tempfile.mkdtemp(prefix="imp_", dir=_SCRATCH)
+    base = scratch_mkdtemp("imp_")
     o = load_table(spark, sf, "orders").select(
         "o_orderkey", "o_custkey", "o_orderstatus",
         F.round("o_totalprice", 2).alias("o_totalprice"),

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 from milvus_spark.streaming.stateful import materialize_wal, read_final_state
 
@@ -96,7 +97,7 @@ def _write_wal(spark: SparkSession, sf: str, root: str) -> str:
 def run_wal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     """Build WAL → stateful stream → final-state DataFrame (pk, price)."""
     os.makedirs(_SCRATCH, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="stateful_", dir=_SCRATCH)
+    root = scratch_mkdtemp("stateful_")
     shutil.rmtree(root)
     os.makedirs(root)
     wal = _write_wal(spark, sf, root)
@@ -148,7 +149,7 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     filtered by event_type. The emitted set must hash-match the batch SQL
     oracle (Structured Streaming's batch-equivalence contract)."""
     os.makedirs(_SCRATCH, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="streamwin_", dir=_SCRATCH)
+    root = scratch_mkdtemp("streamwin_")
     # staged WAL is immutable per SF — stage once, reuse across calls
     # (checkpoint + sink stay fresh per run)
     stage = os.path.join(_SCRATCH, "streamwin_store", os.path.basename(sf.rstrip("/")))
@@ -226,7 +227,7 @@ def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     sessions themselves never finalize and are filtered by user_id. The
     emitted set must hash-match the batch gaps-and-islands oracle."""
     os.makedirs(_SCRATCH, exist_ok=True)
-    root = tempfile.mkdtemp(prefix="streamsess_", dir=_SCRATCH)
+    root = scratch_mkdtemp("streamsess_")
     # the staged WAL (time-ordered chunks + sentinels) is immutable per SF —
     # stage it once and reuse across calls; only the checkpoint + memory
     # sink must be fresh per run (a reused checkpoint would resume a

@@ -26,6 +26,7 @@ from milvus_spark.operators.hybrid import (
     weighted_fusion,
 )
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 
 NQ = 4
@@ -433,7 +434,7 @@ def vec_search_after_dml(spark: SparkSession, sf: str) -> DataFrame:
     from milvus_spark.operators.lifecycle import Collection
 
     os.makedirs("/root/repo/_scratch", exist_ok=True)
-    path = tempfile.mkdtemp(prefix="searchdml_", dir="/root/repo/_scratch")
+    path = scratch_mkdtemp("searchdml_")
     shutil.rmtree(path)
     emb = load_table(spark, sf, "embeddings")
     coll = Collection(spark, path, pk="vec_id")

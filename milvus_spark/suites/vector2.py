@@ -30,6 +30,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 
 NQ = 4
@@ -337,7 +338,7 @@ def vec_ivf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     import os
 
     os.makedirs("/root/repo/_scratch", exist_ok=True)
-    path = tempfile.mkdtemp(prefix="ivfq_", dir="/root/repo/_scratch")
+    path = scratch_mkdtemp("ivfq_")
     shutil.rmtree(path)
     write_clustered(norm, "embedding", cents, path)
     qrows = norm.filter(F.col("vec_id") < NQ).collect()

@@ -81,8 +81,6 @@ def main() -> int:
     import __spark_entry__ as entrymod
     from milvus_spark.session import get_spark
 
-    scratch = os.path.join(_REPO, "_scratch")
-    pre_scratch = set(os.listdir(scratch)) if os.path.isdir(scratch) else set()
     spark = get_spark("check", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
@@ -131,15 +129,11 @@ def main() -> int:
             ok += 1
     print(f"\n{ok} ok, {bad} fail / {len(names)} queries")
     # every query was fully materialized above (toPandas), so the scratch
-    # dirs this run created are dead — reclaim them. Pre-run dirs are never
-    # touched; dirs created DURING the run are assumed ours (single-writer:
-    # the gate runs alone — don't run check.py concurrently with another
-    # suite session, or skip this cleanup)
-    if os.path.isdir(scratch):
-        import shutil
+    # dirs THIS process created are dead — reclaim exactly those (pid-token
+    # ownership; concurrent sessions' dirs are never touched)
+    from milvus_spark.scratch import cleanup_own
 
-        for entry in set(os.listdir(scratch)) - pre_scratch:
-            shutil.rmtree(os.path.join(scratch, entry), ignore_errors=True)
+    cleanup_own()
     return 1 if bad else 0
 
 
