@@ -169,11 +169,15 @@ class Collection:
             .sortWithinPartitions(self.pk)
         )
         tmp = self.seg_dir + ".compacting"
-        (
-            compacted.write.mode("overwrite")
-            .option(f"parquet.bloom.filter.enabled#{self.pk}", "true")
-            .parquet(tmp)
+        w = compacted.write.mode("overwrite").option(
+            f"parquet.bloom.filter.enabled#{self.pk}", "true"
         )
+        if self.partition_key:
+            # partition-key mode: the rewrite must preserve the hive layout
+            # (a flat rewrite would mix directory depths with later
+            # partitioned appends and break partition discovery)
+            w = w.partitionBy(self.partition_key)
+        w.parquet(tmp)
         import shutil
 
         shutil.rmtree(self.seg_dir)
@@ -197,11 +201,14 @@ class Collection:
         live = self.read()
         clustered = live.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
         tmp = self.seg_dir + ".clustering"
-        (
-            clustered.write.mode("overwrite")
-            .option(f"parquet.bloom.filter.enabled#{self.pk}", "true")
-            .parquet(tmp)
+        wr = clustered.write.mode("overwrite").option(
+            f"parquet.bloom.filter.enabled#{self.pk}", "true"
         )
+        if self.partition_key:
+            # re-cluster WITHIN the hive partitions (the reference clusters
+            # per partition too) so the directory layout stays consistent
+            wr = wr.partitionBy(self.partition_key)
+        wr.parquet(tmp)
         import glob
         import json
         import shutil
@@ -210,11 +217,14 @@ class Collection:
         os.rename(tmp, self.seg_dir)
         if os.path.isdir(self.tomb_dir):
             shutil.rmtree(self.tomb_dir)
-        # per-file stats from parquet footers only — no data scan
+        # per-file stats from parquet footers only — no data scan; recursive
+        # glob + relative names so hive-partitioned layouts manifest too
         import pyarrow.parquet as pq
 
         stats: dict[str, list] = {}
-        for f in sorted(glob.glob(os.path.join(self.seg_dir, "*.parquet"))):
+        for f in sorted(
+            glob.glob(os.path.join(self.seg_dir, "**", "*.parquet"), recursive=True)
+        ):
             md = pq.ParquetFile(f).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key]
             mins, maxs = [], []
@@ -224,7 +234,7 @@ class Collection:
                     mins.append(st.min)
                     maxs.append(st.max)
             if mins:
-                stats[os.path.basename(f)] = [min(mins), max(maxs)]
+                stats[os.path.relpath(f, self.seg_dir)] = [min(mins), max(maxs)]
         manifest = {"key": key, "files": stats}
         with open(os.path.join(self.path, "partition_stats.json"), "w") as f:
             json.dump(manifest, f, indent=2, default=str)
@@ -233,21 +243,29 @@ class Collection:
     def read_pruned(self, lo, hi) -> DataFrame:
         """Range read on the clustering key using the partition-stats manifest
         to skip non-overlapping files (segment_pruner.go range pruning), then
-        the exact ``key BETWEEN lo AND hi`` filter on the survivors."""
+        the exact ``key BETWEEN lo AND hi`` filter on the survivors.
+
+        Defense-in-depth vs a stale manifest (segment set changed without
+        invalidating it): if any manifest file is missing from disk, OR any
+        on-disk segment file is absent from the manifest (a post-clustering
+        append), the stats no longer describe the segment set — fall back
+        to the exact full scan rather than resurrect/skip rows. The pruned
+        path also applies tombstones, exactly like read(): deletes recorded
+        AFTER the clustering compaction must stay invisible here too."""
+        import glob
         import json
 
         mpath = os.path.join(self.path, "partition_stats.json")
         with open(mpath) as f:
             manifest = json.load(f)
         key = manifest["key"]
-        # defense-in-depth vs a stale manifest: if any manifest file no
-        # longer exists on disk (a segment rewrite happened without
-        # invalidating the manifest), the stats describe nothing — fall
-        # back to the exact full scan rather than silently skipping data
-        if any(
-            not os.path.exists(os.path.join(self.seg_dir, fname))
-            for fname in manifest["files"]
-        ):
+        on_disk = {
+            os.path.relpath(f, self.seg_dir)
+            for f in glob.glob(
+                os.path.join(self.seg_dir, "**", "*.parquet"), recursive=True
+            )
+        }
+        if set(manifest["files"]) != on_disk:
             return self.read().filter(F.col(key).between(lo, hi))
         keep = [
             os.path.join(self.seg_dir, fname)
@@ -257,6 +275,10 @@ class Collection:
         if not keep:
             return self.read().filter(F.lit(False))
         df = self.spark.read.parquet(*keep)
+        tombs = self._tombstones()
+        if tombs is not None:
+            cond = (df[self.pk] == tombs[self.pk]) & (df[TS_COL] < tombs[DEL_TS_COL])
+            df = df.join(F.broadcast(tombs), cond, "left_anti")
         return df.filter(F.col(key).between(lo, hi))
 
     # -- CDC -------------------------------------------------------------------

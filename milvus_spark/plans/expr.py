@@ -248,6 +248,14 @@ class _Parser:
                 self.expect("]")
                 vals = []
                 for it in items:
+                    # fold signed numeric constants: -1 parses as Un('-', 1)
+                    if (
+                        isinstance(it, Un)
+                        and it.op in ("-", "+")
+                        and isinstance(it.x, Lit)
+                        and isinstance(it.x.value, (int, float))
+                    ):
+                        it = Lit(-it.x.value if it.op == "-" else it.x.value)
                     if not isinstance(it, Lit):
                         raise ExprError("list literals must contain constants")
                     vals.append(it.value)
@@ -304,9 +312,30 @@ class _Parser:
         raise ExprError(f"unexpected token {txt!r} at {t.pos}")
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0"}
+
+
 def _unquote(s: str) -> str:
+    """Interpret standard escape sequences (\\n, \\t, \\r, \\0, \\\\, \\", \\');
+    a backslash before any other char just drops (LIKE-style \\% → %)."""
     body = s[1:-1]
-    return re.sub(r"\\(.)", lambda m: m.group(1), body)
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body)
+
+
+
+def _json_path_str(path: list) -> str:
+    """JSONPath string: plain identifiers dot-chain; keys with dots or
+    other metacharacters use bracket quoting ($['a.b']) so they address
+    the literal top-level key, not a nested chain."""
+    out = "$"
+    for p in path:
+        if isinstance(p, int):
+            out += f"[{p}]"
+        elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p):
+            out += f".{p}"
+        else:
+            out += f"['{p}']"
+    return out
 
 
 # ------------------------------------------------------------------ compiler
@@ -364,8 +393,7 @@ class Compiler:
                 c = c.getItem(p)
             return c
         # JSON string column (dynamic $meta or explicit JSON field)
-        path = "$" + "".join(f"[{p}]" if isinstance(p, int) else f".{p}" for p in node.path)
-        return F.get_json_object(F.col(node.base), path)
+        return F.get_json_object(F.col(node.base), _json_path_str(node.path))
 
     def _is_json(self, node: Any) -> bool:
         return isinstance(node, JsonPath) and not isinstance(
@@ -375,10 +403,9 @@ class Compiler:
     def _json_variant(self, node: JsonPath) -> Column:
         """The JSON path value as a VARIANT — preserves the stored JSON
         type (number vs string vs bool), which get_json_object erases."""
-        path = "$" + "".join(
-            f"[{p}]" if isinstance(p, int) else f".{p}" for p in node.path
+        return F.try_variant_get(
+            F.try_parse_json(F.col(node.base)), _json_path_str(node.path), "variant"
         )
-        return F.try_variant_get(F.try_parse_json(F.col(node.base)), path, "variant")
 
     @staticmethod
     def _variant_is_num(typ: Column) -> Column:
@@ -459,6 +486,26 @@ class Compiler:
                 return guard & (
                     v == F.lit(y.value) if op == "==" else v != F.lit(y.value)
                 )
+        # JSON path vs JSON path: get_json_object strings would compare
+        # LEXICOGRAPHICALLY ('10' < '9'); compare numerically when both
+        # sides parse as numbers, else as strings — the typed-compare
+        # semantics for same-kind values
+        if (
+            op in ("==", "!=", "<", "<=", ">", ">=")
+            and self._is_json(node.a)
+            and self._is_json(node.b)
+        ):
+            a_s, b_s = self.compile(node.a), self.compile(node.b)
+            a_d, b_d = a_s.cast("double"), b_s.cast("double")
+            import operator as _op
+
+            fn = {
+                "==": _op.eq, "!=": _op.ne, "<": _op.lt,
+                "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+            }[op]
+            return F.when(
+                a_d.isNotNull() & b_d.isNotNull(), fn(a_d, b_d)
+            ).otherwise(fn(a_s, b_s))
         a = self._typed(node.a, node.b)
         b = self._typed(node.b, node.a)
         if op == "==":
@@ -499,10 +546,10 @@ class Compiler:
             if not isinstance(node.b, Lit) or not isinstance(node.b.value, str):
                 raise ExprError("LIKE pattern must be a string literal")
             return a.like(node.b.value)
-        if op == "=~":
-            return a.rlike(node.b.value if isinstance(node.b, Lit) else "")
-        if op == "!~":
-            return ~a.rlike(node.b.value if isinstance(node.b, Lit) else "")
+        if op in ("=~", "!~"):
+            if not isinstance(node.b, Lit) or not isinstance(node.b.value, str):
+                raise ExprError("regex pattern must be a string literal")
+            return a.rlike(node.b.value) if op == "=~" else ~a.rlike(node.b.value)
         raise ExprError(f"unsupported operator {op}")
 
     @staticmethod
@@ -535,11 +582,20 @@ class Compiler:
         if fn == "array_length":
             return F.size(self.compile(args[0]))
         if fn in ("array_contains", "json_contains"):
-            return F.array_contains(self._as_array(args[0]), self._lit_value(args[1]))
+            v = self._lit_value(args[1])
+            et = self._json_elem_type(v)
+            v_lit = float(v) if et == "double" else v
+            return F.array_contains(self._as_array(args[0], et), v_lit)
         if fn in ("array_contains_any", "json_contains_any"):
-            return F.arrays_overlap(self._as_array(args[0]), self._lit_array(args[1]))
+            vs = self._lit_value(args[1])
+            et = self._json_elem_type(vs)
+            arr = self._typed_lit_array(vs, et)
+            return F.arrays_overlap(self._as_array(args[0], et), arr)
         if fn in ("array_contains_all", "json_contains_all"):
-            return F.size(F.array_except(self._lit_array(args[1]), self._as_array(args[0]))) == 0
+            vs = self._lit_value(args[1])
+            et = self._json_elem_type(vs)
+            arr = self._typed_lit_array(vs, et)
+            return F.size(F.array_except(arr, self._as_array(args[0], et))) == 0
         if fn == "text_match":
             col = self.compile(args[0])
             terms = self._lit_value(args[1])
@@ -630,13 +686,34 @@ class Compiler:
             return F.lit(False)  # a point never equals a polygon
         raise ExprError("a POINT column cannot st_contains a POLYGON literal")
 
-    def _as_array(self, node: Any) -> Column:
+    @staticmethod
+    def _json_elem_type(values) -> str:
+        """Element type for parsing a JSON array, chosen by the comparand's
+        Python type — numeric membership must compare numerically
+        (json_contains(c, 1) matches stored 1.0), not as strings."""
+        vs = values if isinstance(values, list) else [values]
+        if vs and all(isinstance(v, bool) for v in vs):
+            return "boolean"
+        if vs and all(
+            isinstance(v, (int, float)) and not isinstance(v, bool) for v in vs
+        ):
+            return "double"
+        return "string"
+
+    def _as_array(self, node: Any, elem_type: str = "string") -> Column:
         if self._is_json(node):
             c = self.compile(node)
-            return F.from_json(c, "array<string>")
+            return F.from_json(c, f"array<{elem_type}>")
         return self.compile(node)
 
     def _lit_value(self, node: Any):
+        if (
+            isinstance(node, Un)
+            and node.op in ("-", "+")
+            and isinstance(node.x, Lit)
+            and isinstance(node.x.value, (int, float))
+        ):
+            return -node.x.value if node.op == "-" else node.x.value
         if isinstance(node, Lit):
             return node.value
         raise ExprError("expected literal argument")
@@ -646,6 +723,14 @@ class Compiler:
         if not isinstance(v, list):
             raise ExprError("expected list literal")
         return F.array(*[F.lit(x) for x in v])
+
+    @staticmethod
+    def _typed_lit_array(vs, elem_type: str) -> Column:
+        if not isinstance(vs, list):
+            raise ExprError("expected list literal")
+        if elem_type == "double":
+            vs = [float(x) for x in vs]
+        return F.array(*[F.lit(x) for x in vs])
 
 
 def _phrase_match(col: Column, phrase: str, slop: int) -> Column:

@@ -277,3 +277,40 @@ def test_json_mixed_type_in_buckets(spark):
     # typed bool equality: only the BOOLEAN row matches
     assert ids('js["v"] == true') == [3]
     assert ids('js["v"] != true') == [6]
+
+
+def test_expr_review_fixes(spark):
+    """Regression bundle: negative IN literals, typed json_contains,
+    JSON-vs-JSON numeric compare, dotted JSON keys, escape sequences,
+    non-literal regex rejection."""
+    from milvus_spark.plans.expr import ExprError, compile_expr
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [
+            (1, -1, '{"a": 10, "b": 9, "nums": [1.0, 2.5], "x.y": 7}', "line1\nline2"),
+            (2, 2, '{"a": 1, "b": 1.0, "nums": [3], "x.y": 1}', "plain"),
+        ],
+        "id long, v long, js string, s string",
+    )
+
+    def ids(expr):
+        return sorted(r.id for r in df.filter(compile_expr(expr, df.schema)).collect())
+
+    # negative literals in IN lists and function args
+    assert ids("v in [-1, 5]") == [1]
+    assert ids("v not in [-1]") == [2]
+    # typed json_contains: numeric membership matches stored 1.0
+    assert ids('json_contains(js["nums"], 1)') == [1]
+    assert ids('json_contains_any(js["nums"], [3, 9])') == [2]
+    assert ids('json_contains_all(js["nums"], [1, 2.5])') == [1]
+    # JSON path vs JSON path compares numerically, not lexicographically
+    assert ids('js["a"] > js["b"]') == [1]       # 10 > 9 (strings would say '10'<'9')
+    assert ids('js["a"] == js["b"]') == [2]      # 1 == 1.0 numerically
+    # dotted key addresses the literal top-level key
+    assert ids('js["x.y"] == 7') == [1]
+    # escape sequences interpret (\n is a newline, not the letter n)
+    assert ids('s == "line1\\nline2"') == [1]
+    # non-literal regex pattern is rejected, not silently always-true
+    with _pytest.raises(ExprError, match="string literal"):
+        compile_expr("s =~ js", df.schema)

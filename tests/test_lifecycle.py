@@ -99,3 +99,55 @@ def test_partial_upsert_keeps_unspecified_columns(coll, spark):
     assert after[3].o_totalprice == before[3].o_totalprice
     old = c.read(as_of=1).filter("o_orderkey = 1").collect()[0]
     assert old.o_totalprice == before[1].o_totalprice
+
+
+def test_read_pruned_applies_tombstones_and_detects_appends(coll, spark):
+    """Regression: the pruned range read must (a) anti-join tombstones
+    recorded after the clustering compaction (no resurrection), and
+    (b) fall back to the full scan when files were appended after the
+    manifest was written (no silent row loss)."""
+    from pyspark.sql import functions as F
+
+    coll, _orders = coll
+    coll.compact_clustering("o_custkey", num_partitions=4)
+    base = coll.read_pruned(0, 10**9).count()
+
+    # delete after clustering: pruned read must hide the rows
+    doomed = coll.read().limit(50).select("o_orderkey")
+    coll.delete_pks(doomed, ts=99)
+    assert coll.read_pruned(0, 10**9).count() == base - 50
+
+    # append after clustering: pruned read must include the new rows
+    extra = coll.read().limit(3).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**9).cast("long")
+    ).drop("_ts")
+    coll.append(extra, ts=100)
+    assert coll.read_pruned(0, 2 * 10**9).count() == base - 50 + 3
+
+
+def test_compact_preserves_partition_key_layout(spark, sf_dir, tmp_path):
+    """Regression: compacting a partition-key collection must keep the
+    hive directory layout — a flat rewrite followed by a partitioned
+    append breaks partition discovery for every subsequent read."""
+    import os
+
+    from milvus_spark.operators.lifecycle import Collection
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").limit(1000)
+    coll = Collection(
+        spark, str(tmp_path / "pkc"), pk="o_orderkey", partition_key="o_orderpriority"
+    )
+    coll.append(orders, ts=1)
+    n = coll.read().count()
+    coll.compact(num_partitions=2)
+    assert any(
+        d.startswith("o_orderpriority=") for d in os.listdir(coll.seg_dir)
+    ), "hive layout lost in compaction"
+    coll.append(
+        orders.limit(5).withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.lit(10**9).cast("long")
+        ),
+        ts=2,
+    )
+    assert coll.read().count() == n + 5  # read still works post-mixed-writes
