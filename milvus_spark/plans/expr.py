@@ -59,7 +59,7 @@ _TOKEN_RE = re.compile(
   | (?P<str>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
   | (?P<tmpl>\{[A-Za-z_][A-Za-z0-9_]*\})
-  | (?P<op>\*\*|<<|>>|<=|>=|==|!=|=~|!~|&&|\|\||[-+*/%()\[\],<>~!&|^])
+  | (?P<op>\*\*|<<|>>|<=|>=|==|!=|=~|!~|&&|\|\||[-+*/%()\[\],<>~!&|^=])
     """,
     re.VERBOSE,
 )
@@ -127,6 +127,17 @@ class Bin:
 class Call:
     fn: str
     args: list[Any]
+    kwargs: Optional[dict] = None
+
+
+@dataclass
+class ElemField:
+    """``$[sub_field]`` — a struct-array element's sub-field, only meaningful
+    inside an ``element_filter``/``MATCH_*`` element-level predicate
+    (planparserv2 parser_visitor.go:1327-1333: ``$[f]`` outside ElementFilter
+    context is a parse error)."""
+
+    name: str
 
 
 @dataclass
@@ -283,17 +294,37 @@ class _Parser:
                 raise ExprError(f"missing template param {key!r}")
             return Lit(self.params[key])
         if t.kind == "name":
+            # $[sub_field] — struct-array element sub-field reference
+            if txt == "$" and self.peek().text == "[":
+                self.next()
+                sub = self.next()
+                if sub.kind != "name":
+                    raise ExprError(f"expected sub-field name in $[...] at {sub.pos}")
+                self.expect("]")
+                return ElemField(sub.text)
             # function call?
             if self.peek().text == "(":
                 self.next()
-                args = []
-                if self.peek().text != ")":
-                    args.append(self.parse(3))
-                    while self.peek().text == ",":
+                args: list[Any] = []
+                kwargs: dict[str, Any] = {}
+                while self.peek().text != ")":
+                    if args or kwargs:
+                        self.expect(",")
+                    # named argument (threshold=3)?
+                    if (
+                        self.peek().kind == "name"
+                        and self.toks[self.i + 1].text == "="
+                    ):
+                        key = self.next().text.lower()
                         self.next()
-                        args.append(self.parse(3))
+                        kwargs[key] = self.parse(3)
+                    else:
+                        # full boolean binding power: predicate arguments
+                        # (element_filter / MATCH_*) may contain &&/||;
+                        # ',' is not an operator so args still split there
+                        args.append(self.parse(0))
                 self.expect(")")
-                return Call(txt.lower(), args)
+                return Call(txt.lower(), args, kwargs or None)
             # subscripts → json path / array index
             if self.peek().text == "[":
                 path = []
@@ -345,6 +376,9 @@ class Compiler:
     def __init__(self, schema: Optional[T.StructType] = None):
         self.schema = schema
         self.fields = {f.name: f.dataType for f in schema.fields} if schema else {}
+        # element-predicate context: (lambda variable Column, element StructType
+        # or None) while compiling inside element_filter / MATCH_*
+        self._elem: Optional[tuple] = None
 
     def col_type(self, name: str):
         return self.fields.get(name)
@@ -353,7 +387,25 @@ class Compiler:
         if isinstance(node, Lit):
             return F.lit(node.value)
         if isinstance(node, Field):
+            if self._elem is not None:
+                raise ExprError(
+                    f"element-level predicate cannot reference document field "
+                    f"{node.name!r} (MATCH predicates must be evaluated at "
+                    f"element level)"
+                )
             return F.col(node.name)
+        if isinstance(node, ElemField):
+            if self._elem is None:
+                raise ExprError(
+                    f"$[{node.name}] can only be used inside "
+                    f"element_filter/MATCH_* (parser_visitor.go:1327)"
+                )
+            var, et = self._elem
+            if isinstance(et, T.StructType) and node.name not in et.fieldNames():
+                raise ExprError(
+                    f"sub-field {node.name!r} not found in struct-array element"
+                )
+            return var[node.name]
         if isinstance(node, JsonPath):
             return self._subscript(node)
         if isinstance(node, Un):
@@ -567,9 +619,113 @@ class Compiler:
             res = c.isin(*items.value) if items.value else F.lit(False)
         return ~res if node.negated else res
 
+    # -- struct-array element predicates (ElementFilterExpr plan.proto:264,
+    # MatchExpr plan.proto:279; kernel semantics MatchExpr.cpp:43-113) -------
+    _MATCH_FNS = ("match_all", "match_any", "match_least", "match_most", "match_exact")
+
+    def _elem_array(self, node: Any, fn: str) -> tuple:
+        """Resolve the first argument of element_filter/MATCH_* to an
+        array-of-struct column + its element StructType (schema-aware)."""
+        if not isinstance(node, Field):
+            raise ExprError(f"{fn} first argument must be a struct-array field name")
+        dt = self.col_type(node.name)
+        if self.schema is not None:
+            if dt is None:
+                raise ExprError(f"{fn}: field {node.name!r} does not exist")
+            if not (isinstance(dt, T.ArrayType) and isinstance(dt.elementType, T.StructType)):
+                raise ExprError(f"{fn}: field {node.name!r} is not an array-of-struct")
+        et = dt.elementType if isinstance(dt, T.ArrayType) else None
+        return F.col(node.name), et
+
+    def _elem_validate(self, pred: Any, fn: str) -> None:
+        """Static checks mirroring planparserv2's ElementFilter/Match rules
+        (plan_parser_v2_test.go:3676-3695, 3811-3830): no nesting, at least
+        one ``$[f]`` reference, boolean root, no function calls, and each
+        comparison keeps one side element-free (the kernels evaluate
+        element-vs-literal only)."""
+
+        def walk(n: Any):
+            yield n
+            for c in (
+                [n.x] if isinstance(n, (Un, IsNull)) else
+                [n.a, n.b] if isinstance(n, Bin) else
+                [n.x, n.items] if isinstance(n, InList) else
+                n.args if isinstance(n, Call) else []
+            ):
+                yield from walk(c)
+
+        nodes = list(walk(pred))
+        if not any(isinstance(n, ElemField) for n in nodes):
+            raise ExprError(f"{fn} predicate must reference at least one $[sub_field]")
+        for n in nodes:
+            if isinstance(n, Call):
+                if n.fn == "element_filter" or n.fn in self._MATCH_FNS:
+                    raise ExprError(f"cannot nest {n.fn} inside {fn}")
+                raise ExprError(f"function calls are not supported in {fn} element predicates")
+            if isinstance(n, Bin) and n.op not in ("and", "&&", "or", "||"):
+                has_elem = lambda m: any(isinstance(k, ElemField) for k in walk(m))
+                if has_elem(n.a) and has_elem(n.b):
+                    raise ExprError(
+                        f"{fn}: both sides of {n.op!r} reference $[...] — "
+                        f"element predicates compare elements against constants"
+                    )
+        root_ok = isinstance(pred, (Bin, InList, IsNull)) or (
+            isinstance(pred, Un) and pred.op in ("not", "!")
+        )
+        if not root_ok:
+            raise ExprError(f"{fn} predicate must be a boolean expression over $[...]")
+
+    def _elem_pred(self, pred: Any, et, fn: str):
+        """Compile an element predicate AST into a Column-lambda usable by
+        exists/forall/filter higher-order functions."""
+        self._elem_validate(pred, fn)
+
+        def body(e: Column) -> Column:
+            prev = self._elem
+            self._elem = (e, et)
+            try:
+                return self.compile(pred)
+            finally:
+                self._elem = prev
+
+        return body
+
+    def _match_call(self, node: Call) -> Column:
+        fn = node.fn
+        if self._elem is not None:
+            raise ExprError(f"cannot nest {fn} inside an element predicate")
+        if len(node.args) != 2:
+            raise ExprError(f"{fn} takes (struct_array_field, element_predicate)")
+        arr, et = self._elem_array(node.args[0], fn)
+        pred = self._elem_pred(node.args[1], et, fn)
+        kwargs = node.kwargs or {}
+        if fn in ("match_least", "match_most", "match_exact"):
+            if "threshold" not in kwargs:
+                raise ExprError(f"{fn} requires threshold=N")
+            thr = self._lit_value(kwargs["threshold"])
+            if not isinstance(thr, int) or thr < 0:
+                raise ExprError(f"{fn} threshold must be a non-negative integer")
+        elif kwargs:
+            raise ExprError(f"{fn} takes no named arguments")
+        if fn == "element_filter" or fn == "match_any":
+            # a row qualifies when any element passes (ElementFilterBitsNode
+            # ORs element bits into the row bit; MatchAny MatchExpr.cpp:83)
+            return F.exists(arr, pred)
+        if fn == "match_all":
+            # vacuously true on empty arrays (MatchExpr.cpp:105)
+            return F.forall(arr, pred)
+        n_hit = F.size(F.filter(arr, pred))
+        if fn == "match_least":
+            return n_hit >= thr
+        if fn == "match_most":
+            return n_hit <= thr
+        return n_hit == thr  # match_exact
+
     def _call(self, node: Call) -> Column:
         fn = node.fn
         args = node.args
+        if fn == "element_filter" or fn in self._MATCH_FNS:
+            return self._match_call(node)
         if fn == "starts_with":
             return self.compile(args[0]).startswith(self.compile(args[1]))
         if fn == "empty":
@@ -767,6 +923,53 @@ def _phrase_match(col: Column, phrase: str, slop: int) -> Column:
     return F.exists(pos[0], lambda s: rec(1, s, s))
 
 
+def _count_ef(node: Any) -> int:
+    """Count element_filter calls in a subtree (placement validation)."""
+    n = 0
+    stack = [node]
+    while stack:
+        x = stack.pop()
+        if isinstance(x, Call):
+            if x.fn == "element_filter":
+                n += 1
+            stack.extend(x.args)
+            stack.extend((x.kwargs or {}).values())
+        elif isinstance(x, (Un, IsNull)):
+            stack.append(x.x)
+        elif isinstance(x, Bin):
+            stack.extend((x.a, x.b))
+        elif isinstance(x, InList):
+            stack.extend((x.x, x.items))
+    return n
+
+
+def _validate_ef_placement(ast: Any) -> None:
+    """element_filter may only appear as the whole filter or as the final
+    top-level AND conjunct after a document-level predicate — never under
+    OR/NOT and never more than once (plan_parser_v2_test.go:3690-3695:
+    ``ef || ef``, ``ef && doc``, ``not ef`` are all rejected; PlanProto.cpp
+    :638-690 splits exactly doc_pred && element_filter)."""
+    total = _count_ef(ast)
+    if total == 0:
+        return
+    if isinstance(ast, Call) and ast.fn == "element_filter":
+        if total == 1:
+            return
+    elif (
+        isinstance(ast, Bin)
+        and ast.op in ("and", "&&")
+        and isinstance(ast.b, Call)
+        and ast.b.fn == "element_filter"
+        and _count_ef(ast.a) == 0
+    ):
+        return
+    raise ExprError(
+        "element_filter must be the final top-level AND conjunct "
+        "(doc_predicate && element_filter) and cannot be negated, OR-ed, "
+        "or repeated"
+    )
+
+
 def _rewrite_dynamic(node: Any, fields: set, dynamic: str) -> Any:
     """Resolve identifiers absent from the schema into the dynamic ``$meta``
     JSON column (enable_dynamic_field semantics: unknown field ``color``
@@ -783,7 +986,11 @@ def _rewrite_dynamic(node: Any, fields: set, dynamic: str) -> Any:
         if isinstance(n, Bin):
             return Bin(n.op, rw(n.a), rw(n.b))
         if isinstance(n, Call):
-            return Call(n.fn, [rw(a) for a in n.args])
+            return Call(
+                n.fn,
+                [rw(a) for a in n.args],
+                {k: rw(v) for k, v in n.kwargs.items()} if n.kwargs else None,
+            )
         if isinstance(n, IsNull):
             return IsNull(rw(n.x), n.negated)
         if isinstance(n, InList):
@@ -811,6 +1018,7 @@ def compile_expr(
         raise ExprError(f"trailing input at {t.pos}: {t.text!r}")
     if dynamic_field and schema is not None:
         ast = _rewrite_dynamic(ast, {f.name for f in schema.fields}, dynamic_field)
+    _validate_ef_placement(ast)
     return Compiler(schema).compile(ast)
 
 

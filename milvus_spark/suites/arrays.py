@@ -122,6 +122,78 @@ def arr_match_quantifiers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- element_filter / MATCH_* through the filter-expression LANGUAGE ----------
+@register(
+    "arr_expr_element_filter",
+    oracle="""
+    SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING l_orderkey % 3 = 0
+       AND sum(CASE WHEN l_quantity > 45 AND l_discount > 0.08 THEN 1 ELSE 0 END) > 0
+    """,
+)
+def arr_expr_element_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The same element_filter semantics as arr_element_filter, but entered
+    through the filter-expression STRING — ``doc_pred &&
+    element_filter(items, $[f] ...)`` — exactly the surface a Milvus client
+    sends (planparserv2 plan_parser_v2_test.go:3651-3669; ElementFilterExpr
+    plan.proto:264 splits into doc predicate + per-element predicate,
+    query/PlanProto.cpp:638-690). Compiles to exists() over the struct array,
+    fully inside codegen."""
+    from milvus_spark.plans.expr import apply_filter
+
+    li = load_table(spark, sf, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_discount")).alias("items")
+    )
+    out = apply_filter(
+        items,
+        "l_orderkey % 3 == 0 && "
+        "element_filter(items, $[l_quantity] > 45 && $[l_discount] > 0.08)",
+    )
+    return out.select("l_orderkey", F.size("items").cast("long").alias("n_items"))
+
+
+@register(
+    "arr_expr_match_quantifiers",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           (sum(CASE WHEN l_tax = 0.0 THEN 1 ELSE 0 END) = 1) AS one_taxfree
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) >= 3
+       AND sum(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) <= 2
+    """,
+)
+def arr_expr_match_quantifiers(spark: SparkSession, sf: str) -> DataFrame:
+    """MATCH_LEAST / MATCH_MOST as a filter string and MATCH_EXACT as a
+    projected boolean — the five-quantifier MatchExpr family entered through
+    the expression language (plan.proto:279; kernel counting semantics
+    MatchExpr.cpp:102-113: least ≥, most ≤, exact =, with only valid
+    elements counted). size(filter(...)) keeps the count map-side."""
+    from milvus_spark.plans.expr import apply_filter, compile_expr
+
+    li = load_table(spark, sf, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_discount", "l_tax")).alias("items")
+    )
+    out = apply_filter(
+        items,
+        "MATCH_LEAST(items, $[l_quantity] >= 40, threshold=3) && "
+        "MATCH_MOST(items, $[l_discount] > 0.05, threshold=2)",
+    )
+    exact = compile_expr(
+        "MATCH_EXACT(items, $[l_tax] == 0.0, threshold=1)", out.schema
+    )
+    return out.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        exact.alias("one_taxfree"),
+    )
+
+
 # --- chain-based rerank (function-chain IR → DataFrame ops) -------------------
 @register(
     "vec_chain_rerank",

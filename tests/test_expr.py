@@ -314,3 +314,85 @@ def test_expr_review_fixes(spark):
     # non-literal regex pattern is rejected, not silently always-true
     with _pytest.raises(ExprError, match="string literal"):
         compile_expr("s =~ js", df.schema)
+
+
+# ---- struct-array element predicates: element_filter / MATCH_* ---------------
+# Valid/invalid matrix mirrors the reference parser's ElementFilter and Match
+# test lists (internal/parser/planparserv2/plan_parser_v2_test.go:3645-3830);
+# counting semantics mirror the kernel (MatchExpr.cpp:43-113: only valid
+# elements count, MATCH_ALL vacuously true on empty arrays).
+
+@pytest.fixture(scope="module")
+def structs(spark):
+    return spark.createDataFrame(
+        [
+            (1, [(5, "a"), (150, "b")]),
+            (2, [(1, "a")]),
+            (3, []),
+            (4, [(200, "x"), (300, "aaa")]),
+            (5, None),
+        ],
+        "id long, struct_array array<struct<sub_int:long, sub_str:string>>",
+    )
+
+
+ELEM_CASES = [
+    ("element_filter(struct_array, 2 > $[sub_int] > 1)", []),
+    ("element_filter(struct_array, $[sub_int] > 1)", [1, 4]),
+    ('element_filter(struct_array, $[sub_str] == "a" || $[sub_int] > 1)', [1, 2, 4]),
+    ("element_filter(struct_array, !($[sub_int] < 0))", [1, 2, 4]),
+    ("id > 1 && element_filter(struct_array, $[sub_int] > 1)", [4]),
+    ("MATCH_ALL(struct_array, $[sub_int] > 1)", [1, 3, 4]),  # empty → vacuous true
+    ('MATCH_ANY(struct_array, $[sub_str] == "aaa" && $[sub_int] > 100)', [4]),
+    ("MATCH_LEAST(struct_array, $[sub_int] > 1, threshold=2)", [1, 4]),
+    ("match_most(struct_array, $[sub_int] > 1, threshold=1)", [2, 3]),
+    ("MATCH_EXACT(struct_array, $[sub_int] > 1, threshold=2)", [1, 4]),
+    (
+        'MATCH_ALL(struct_array, $[sub_int] > 1) || MATCH_ANY(struct_array, $[sub_str] == "test")',
+        [1, 3, 4],
+    ),
+    ("MATCH_ANY(struct_array, $[sub_int] > 100) || id > 3", [1, 4, 5]),
+    ("MATCH_ANY(struct_array, $[sub_int] in [1, 200])", [2, 4]),
+    ("MATCH_ANY(struct_array, $[sub_str] is not null)", [1, 2, 4]),
+]
+
+
+@pytest.mark.parametrize("mexpr,want", ELEM_CASES, ids=[c[0][:48] for c in ELEM_CASES])
+def test_element_match_exprs(structs, mexpr, want):
+    got = sorted(
+        r.id for r in structs.filter(compile_expr(mexpr, structs.schema)).collect()
+    )
+    assert got == want, mexpr
+
+
+ELEM_INVALID = [
+    "$[sub_int] > 1",  # $[...] only inside element context
+    "id > 0 && $[sub_int] > 1",
+    "element_filter(struct_array, element_filter(struct_array, $[sub_int] > 1))",
+    "element_filter(struct_array, $[nope] > 1)",  # unknown sub-field
+    "element_filter(nope, $[sub_int] > 1)",  # unknown array field
+    "element_filter(struct_array)",
+    "element_filter()",
+    'element_filter(struct_array, $[sub_int] > 1) || element_filter(struct_array, $[sub_str] == "t")',
+    "element_filter(struct_array, $[sub_int] > 1) && id > 0",  # must be final conjunct
+    "not element_filter(struct_array, $[sub_int] > 1)",
+    "!element_filter(struct_array, $[sub_int] > 1)",
+    "MATCH_ALL(struct_array, MATCH_ANY(struct_array, $[sub_int] > 1))",
+    "MATCH_ALL(struct_array, id > 0)",  # element predicate references doc field
+    "MATCH_ANY(struct_array, $[sub_int] > 1 && id > 0)",
+    "MATCH_ALL(struct_array, $[sub_int] > id)",
+    "MATCH_ALL(struct_array, true)",  # not element-level
+    "MATCH_ANY(struct_array, $[sub_int] == $[sub_int])",  # elem-vs-elem compare
+    "MATCH_ANY(struct_array, $[sub_int])",  # bare element column
+    "MATCH_ANY(struct_array, empty($[sub_str]))",  # function calls unsupported
+    "MATCH_LEAST(struct_array, $[sub_int] > 1)",  # missing threshold
+    "MATCH_ALL(struct_array, $[sub_int] > 1, threshold=2)",  # spurious threshold
+    "MATCH_LEAST(struct_array, $[sub_int] > 1, threshold=-1)",
+    "MATCH_ALL(id, $[sub_int] > 1)",  # not an array-of-struct
+]
+
+
+@pytest.mark.parametrize("mexpr", ELEM_INVALID, ids=[e[:48] for e in ELEM_INVALID])
+def test_element_match_invalid(structs, mexpr):
+    with pytest.raises(ExprError):
+        compile_expr(mexpr, structs.schema)
