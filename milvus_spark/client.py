@@ -1424,6 +1424,102 @@ class MilvusSparkClient:
             # topk quota (quota_param.go:1445-1450); LargeTopK collections
             # relax this server-side — pass the relaxed cap explicitly
             raise ValueError(f"limit must be in (0, 16384], got {limit}")
+        if "[" in vfield and vfield.endswith("]"):
+            # struct-array vector sub-field ("structA[vec]",
+            # typeutil.ConcatStructFieldName schema.go:4133-4135):
+            # element-level vs embedding-list search is classified by the
+            # query placeholder shape (classifyHybridSubSearch,
+            # proxy/struct_hybrid_search.go:181-200); element_filter in the
+            # filter splits into doc predicate + element predicate
+            # (query/PlanProto.cpp:644-656)
+            from milvus_spark.operators.element_search import (
+                element_search,
+                emb_list_search,
+            )
+            from milvus_spark.plans.expr import split_element_filter
+
+            parent, sub = vfield[:-1].split("[", 1)
+            if group_by_field is not None or ranker is not None:
+                raise ValueError(
+                    "group_by/ranker are not supported for vector array fields"
+                )
+            df = self._partition_filter(
+                self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+                partition_names,
+            )
+            doc_cond, ef_field, elem_pred = split_element_filter(
+                filter, df.schema, params, dynamic_field=self._dyn(meta)
+            )
+            if ef_field is not None and ef_field != parent:
+                raise ValueError(
+                    f"element_filter targets {ef_field!r} but anns_field is {parent!r}"
+                )
+            emb_list = (
+                bool(data) and bool(data[0]) and isinstance(data[0][0], (list, tuple))
+            )
+            scope = (search_params or {}).get("element_scope")
+            rt = 12 if round_decimal == -1 else int(round_decimal)
+            if emb_list:
+                if scope is not None:
+                    # element_scope is element-level-only
+                    # (task_search.go:585-595)
+                    raise ValueError(
+                        "element_scope is only supported for element-level "
+                        "search on struct array vector sub-fields"
+                    )
+                if radius is not None or range_filter is not None:
+                    raise ValueError(
+                        "range search is not supported for vector array fields"
+                    )
+                met = metric_type or meta["metric"]
+                if not met.upper().startswith("MAX_SIM"):
+                    met = "MAX_SIM_" + met.upper()
+                hits = emb_list_search(
+                    df,
+                    [(i, v) for i, v in enumerate(data)],
+                    parent,
+                    sub,
+                    meta["pk"],
+                    metric=met,
+                    k=limit,
+                    element_pred=elem_pred,
+                    doc_cond=doc_cond,
+                    round_to=rt,
+                )
+            else:
+                collapse = None
+                if scope is not None:
+                    # strict key validation (parseAndRemoveElementScope,
+                    # struct_hybrid_search.go:58-121)
+                    if set(scope) - {"collapse"}:
+                        raise ValueError(
+                            f"unsupported element_scope key: "
+                            f"{sorted(set(scope) - {'collapse'})[0]}"
+                        )
+                    if "collapse" not in scope:
+                        raise ValueError("element_scope.collapse is required")
+                    collapse = dict(scope["collapse"])
+                    if set(collapse) - {"strategy", "topk"}:
+                        raise ValueError(
+                            f"unsupported element_scope.collapse key: "
+                            f"{sorted(set(collapse) - {'strategy', 'topk'})[0]}"
+                        )
+                    if "strategy" not in collapse:
+                        raise ValueError("element_scope.collapse.strategy is required")
+                hits = element_search(
+                    df,
+                    [(i, list(map(float, v))) for i, v in enumerate(data)],
+                    parent,
+                    sub,
+                    meta["pk"],
+                    metric=metric_type or meta["metric"],
+                    k=limit,
+                    element_pred=elem_pred,
+                    doc_cond=doc_cond,
+                    collapse=collapse,
+                    round_to=rt,
+                )
+            return self._requery(name, hits, meta, output_fields)
         if group_by_field is not None:
             from milvus_spark.operators.knn import grouping_search
 

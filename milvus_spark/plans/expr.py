@@ -1022,6 +1022,54 @@ def compile_expr(
     return Compiler(schema).compile(ast)
 
 
+def split_element_filter(
+    expr: str,
+    schema: Optional[T.StructType] = None,
+    params: Optional[dict[str, Any]] = None,
+    dynamic_field: Optional[str] = None,
+) -> tuple:
+    """Split a search filter of the form ``doc_pred && element_filter(arr,
+    pred)`` into its two halves for element-level vector search (the same
+    doc-expr / element-expr split the reference performs when building the
+    search plan, query/PlanProto.cpp:644-656).
+
+    Returns ``(doc_cond, struct_field_name, element_pred)`` where
+    ``doc_cond`` is a Column or None, ``struct_field_name`` names the
+    struct-array field targeted by element_filter (None if absent), and
+    ``element_pred`` is a Column-lambda usable with ``F.filter``/``exists``
+    over that array (None if absent)."""
+    if not expr:
+        return None, None, None
+    toks = _tokenize(expr)
+    p = _Parser(toks, params or {})
+    ast = p.parse(0)
+    if p.peek().kind != "end":
+        t = p.peek()
+        raise ExprError(f"trailing input at {t.pos}: {t.text!r}")
+    if dynamic_field and schema is not None:
+        ast = _rewrite_dynamic(ast, {f.name for f in schema.fields}, dynamic_field)
+    _validate_ef_placement(ast)
+    comp = Compiler(schema)
+    doc_ast, ef = ast, None
+    if isinstance(ast, Call) and ast.fn == "element_filter":
+        doc_ast, ef = None, ast
+    elif (
+        isinstance(ast, Bin)
+        and ast.op in ("and", "&&")
+        and isinstance(ast.b, Call)
+        and ast.b.fn == "element_filter"
+    ):
+        doc_ast, ef = ast.a, ast.b
+    doc_cond = comp.compile(doc_ast) if doc_ast is not None else None
+    if ef is None:
+        return doc_cond, None, None
+    if len(ef.args) != 2:
+        raise ExprError("element_filter takes (struct_array_field, element_predicate)")
+    _, et = comp._elem_array(ef.args[0], "element_filter")
+    pred = comp._elem_pred(ef.args[1], et, "element_filter")
+    return doc_cond, ef.args[0].name, pred
+
+
 def apply_filter(
     df: DataFrame,
     expr: Optional[str],

@@ -294,6 +294,167 @@ def vec_maxsim_ip(spark: SparkSession, sf: str) -> DataFrame:
     return _ranked_topk(scored, "qdoc", [F.col("score").desc(), F.col("doc").asc()], 5, "doc")
 
 
+# ---------- struct-array element-level search ---------------------------------
+def _struct_docs(spark, sf: str):
+    """Doc-level struct arrays from the flat embeddings table: doc =
+    vec_id // 4, elements array_sort-ed by elem_id so element offsets are
+    deterministic (elem_id = vec_id → element_idx = vec_id % 4)."""
+    e = load_table(spark, sf, "embeddings")
+    return (
+        e.select(
+            (F.col("vec_id") / _GROUP).cast("long").alias("doc"),
+            F.struct(
+                F.col("vec_id").alias("elem_id"),
+                F.col("embedding").cast("array<float>").alias("vec"),
+            ).alias("_el"),
+        )
+        .groupBy("doc")
+        .agg(F.array_sort(F.collect_list("_el")).alias("items"))
+    )
+
+
+@register(
+    "vec_element_collapse",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 2),
+    scored AS (
+      SELECT q.qid, v.doc, round(list_inner_product(v.emb, q.qv), 4) AS s,
+             row_number() OVER (PARTITION BY q.qid, v.doc
+                                ORDER BY list_inner_product(v.emb, q.qv) DESC) AS rn
+      FROM v, q WHERE v.vec_id % 2 = 0
+    ),
+    collapsed AS (
+      SELECT qid, doc, round(sum(s), 4) AS score
+      FROM scored WHERE rn <= 2 GROUP BY qid, doc
+    )
+    SELECT qid, doc, score, rank FROM (
+      SELECT qid, doc, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM collapsed
+    ) WHERE rank <= 5
+    """,
+)
+def vec_element_collapse(spark: SparkSession, sf: str) -> DataFrame:
+    """Element-level search over a struct-array vector sub-field with
+    element_filter (entered through the expression language) and
+    element_scope collapse topk_sum (struct_hybrid_search.go:22-31,123-149;
+    element/doc predicate split query/PlanProto.cpp:644-656). Per-element
+    scores are transform/zip_with HOFs on the array — the struct array
+    never explodes into a shuffle; only (qid, doc, score) reaches the
+    bounded two-level rank."""
+    from milvus_spark.operators.element_search import element_search
+    from milvus_spark.plans.expr import split_element_filter
+
+    docs = _struct_docs(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 2).collect()
+    ]
+    _, _, pred = split_element_filter(
+        "element_filter(items, $[elem_id] % 2 == 0)", docs.schema
+    )
+    return element_search(
+        docs, qs, "items", "vec", "doc", metric="IP", k=5,
+        element_pred=pred, collapse={"strategy": "topk_sum", "topk": 2},
+    )
+
+
+@register(
+    "vec_element_hits",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc,
+             CAST(vec_id % {_GROUP} AS BIGINT) AS element_idx,
+             CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 2),
+    scored AS (
+      SELECT q.qid, v.doc, v.element_idx,
+             round(list_cosine_similarity(v.emb, q.qv), 4) AS score
+      FROM v, q WHERE v.vec_id % 2 = 1
+    )
+    SELECT qid, doc, element_idx, score, rank FROM (
+      SELECT qid, doc, element_idx, score,
+             CAST(row_number() OVER (PARTITION BY qid
+               ORDER BY score DESC, doc, element_idx) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def vec_element_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """Element-level hits WITHOUT collapse: each struct-array element is its
+    own hit carrying its ORIGINAL array offset (element identity,
+    hybridElementKey struct_hybrid_search.go:28-31) — element_filter'd
+    elements keep their pre-filter positions."""
+    from milvus_spark.operators.element_search import element_search
+    from milvus_spark.plans.expr import split_element_filter
+
+    docs = _struct_docs(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qs = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in e.filter(F.col("vec_id") < 2).collect()
+    ]
+    _, _, pred = split_element_filter(
+        "element_filter(items, $[elem_id] % 2 == 1)", docs.schema
+    )
+    return element_search(
+        docs, qs, "items", "vec", "doc", metric="COSINE", k=10, element_pred=pred
+    )
+
+
+@register(
+    "vec_emb_list_struct",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, vec_id // {_GROUP} AS doc, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS qvec, doc AS qid, emb AS qemb FROM v WHERE vec_id < {2 * _GROUP}),
+    pairs AS (
+      SELECT q.qid, v.doc, q.qvec, max(list_inner_product(v.emb, q.qemb)) AS best
+      FROM v, q GROUP BY q.qid, v.doc, q.qvec
+    ),
+    scored AS (
+      SELECT qid, doc, round(sum(best), 4) AS score FROM pairs GROUP BY qid, doc
+    )
+    SELECT qid, doc, score, rank FROM (
+      SELECT qid, doc, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def vec_emb_list_struct(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-list (late interaction) search where BOTH sides live in
+    struct-array vector fields: query = each of the first two docs' element
+    lists, score(Q, D) = Σ_q max_d ⟨q, d⟩ (hybridSubSearchStructEmbList,
+    MAX_SIM metric_type.go:49-53). Same MAX_SIM math as vec_maxsim_ip but
+    through the struct-array layout + emb_list_search operator."""
+    from milvus_spark.operators.element_search import emb_list_search
+
+    docs = _struct_docs(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qrows = e.filter(F.col("vec_id") < 2 * _GROUP).collect()
+    by_doc: dict = {}
+    for r in sorted(qrows, key=lambda r: r.vec_id):
+        by_doc.setdefault(int(r.vec_id) // _GROUP, []).append(
+            [float(x) for x in r.embedding]
+        )
+    qs = sorted(by_doc.items())
+    return emb_list_search(
+        docs, qs, "items", "vec", "doc", metric="MAX_SIM_IP", k=5
+    )
+
+
 # ---------- search iterator: last_bound pagination ----------------------------
 @register(
     "vec_iterator_page2",

@@ -281,3 +281,18 @@ def test_incremental_dedup_corpus_never_shuffles_for_batch(spark, sf_dir):
     plan = plan_of(QUERIES["dedup_minhash_incremental"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_element_search_plan_is_bounded(spark, sf_dir):
+    """Struct-array element search: the array never explodes into a shuffle
+    before scoring (element filter + scores are higher-order functions in
+    the project), queries ride ONE broadcast nested-loop join, no cartesian
+    product, and the top-k windows are hash-bucket bounded."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    for name in ["vec_element_collapse", "vec_emb_list_struct"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("BroadcastNestedLoopJoin") <= 1, name
+        assert "xxhash64" in plan, name  # bucketed two-level rank
