@@ -9,6 +9,7 @@ this is the 100 TB posture: we declare plans, AQE re-plans with real stats.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -76,3 +77,24 @@ def load_table(spark: SparkSession, sf: str, name: str):
 
 def load_all(spark: SparkSession, sf: str) -> dict:
     return {t: load_table(spark, sf, t) for t in TABLES}
+
+
+@contextmanager
+def state_sized_shuffle(spark: SparkSession, n: int = 8):
+    """Pin ``spark.sql.shuffle.partitions`` for a stateful-streaming query.
+
+    A streaming aggregation materializes one state-store instance per
+    shuffle partition PER MICRO-BATCH (checkpoint delta + snapshot files
+    each); sizing that to the batch scan-volume heuristic multiplies pure
+    fixed overhead. State partitioning should track STATE cardinality
+    (number of live keys/windows), not input bytes — the reference
+    similarly sizes its streaming-node flush workers by segment count, not
+    corpus size. The streaming query pins the value into its checkpoint at
+    start; the session setting is restored on exit so batch plans keep the
+    data-sized default."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

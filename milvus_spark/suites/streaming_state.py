@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
-from milvus_spark.session import load_table
+from milvus_spark.session import load_table, state_sized_shuffle
 from milvus_spark.streaming.stateful import materialize_wal, read_final_state
 
 _SCRATCH = "/root/repo/_scratch"
@@ -102,7 +102,8 @@ def run_wal_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(root)
     wal = _write_wal(spark, sf, root)
     out = os.path.join(root, "state")
-    materialize_wal(spark, wal + "/*", out, os.path.join(root, "ckpt"))
+    with state_sized_shuffle(spark):
+        materialize_wal(spark, wal + "/*", out, os.path.join(root, "ckpt"))
     final = read_final_state(spark, out)
     return final.select(
         F.col("pk").alias("o_orderkey"),
@@ -176,15 +177,16 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.col("w.start").alias("day"), "event_type", "n", "total_value")
     )
     name = "swa_" + os.path.basename(root).split("_")[-1]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).filter(F.col("event_type") != "_sentinel").select(
         "day", "event_type", "n", "total_value"
     )
@@ -254,15 +256,16 @@ def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
         .select("user_id", F.col("w.start").alias("sess_start"), "n_events")
     )
     name = "ssa_" + os.path.basename(root).split("_")[-1]
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .option("checkpointLocation", os.path.join(root, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id", "sess_start", "n_events"
     )
