@@ -707,14 +707,21 @@ class Compiler:
                 raise ExprError(f"{fn} threshold must be a non-negative integer")
         elif kwargs:
             raise ExprError(f"{fn} takes no named arguments")
+        # invalid (null) elements are masked out before counting
+        # (MatchExpr.cpp:41-44: only valid elements count; MatchAll requires
+        # every VALID element to match, vacuously true with none); a NULL
+        # predicate result (e.g. null sub-field) is a non-match, not 3VL
+        # poison for the whole quantifier
+        valid = F.filter(arr, lambda e: e.isNotNull())
+        p = lambda e: F.coalesce(pred(e), F.lit(False))  # noqa: E731
         if fn == "element_filter" or fn == "match_any":
             # a row qualifies when any element passes (ElementFilterBitsNode
             # ORs element bits into the row bit; MatchAny MatchExpr.cpp:83)
-            return F.exists(arr, pred)
+            return F.exists(valid, p)
         if fn == "match_all":
             # vacuously true on empty arrays (MatchExpr.cpp:105)
-            return F.forall(arr, pred)
-        n_hit = F.size(F.filter(arr, pred))
+            return F.forall(valid, p)
+        n_hit = F.size(F.filter(valid, p))
         if fn == "match_least":
             return n_hit >= thr
         if fn == "match_most":
@@ -943,31 +950,38 @@ def _count_ef(node: Any) -> int:
     return n
 
 
+def _split_ef(ast: Any) -> tuple:
+    """Peel the element_filter call off the rightmost AND spine, returning
+    ``(doc_ast_or_None, ef_call_or_None)``. Spine-only: an element_filter
+    under OR/NOT or on an AND's LEFT side is not split (and will fail
+    placement validation)."""
+    if isinstance(ast, Call) and ast.fn == "element_filter":
+        return None, ast
+    if isinstance(ast, Bin) and ast.op in ("and", "&&"):
+        doc_b, ef = _split_ef(ast.b)
+        if ef is not None and _count_ef(ast.a) == 0:
+            doc = ast.a if doc_b is None else Bin(ast.op, ast.a, doc_b)
+            return doc, ef
+    return ast, None
+
+
 def _validate_ef_placement(ast: Any) -> None:
-    """element_filter may only appear as the whole filter or as the final
-    top-level AND conjunct after a document-level predicate — never under
-    OR/NOT and never more than once (plan_parser_v2_test.go:3690-3695:
-    ``ef || ef``, ``ef && doc``, ``not ef`` are all rejected; PlanProto.cpp
-    :638-690 splits exactly doc_pred && element_filter)."""
+    """element_filter may only appear as the final AND conjunct (reachable by
+    following AND right-children from the root) after a document-level
+    predicate — never under OR/NOT, never on an AND's left side, and never
+    more than once (plan_parser_v2_test.go:3690-3695: ``ef || ef``,
+    ``ef && doc``, ``not ef`` are all rejected; PlanProto.cpp:638-690 splits
+    exactly doc_pred && element_filter)."""
     total = _count_ef(ast)
     if total == 0:
         return
-    if isinstance(ast, Call) and ast.fn == "element_filter":
-        if total == 1:
-            return
-    elif (
-        isinstance(ast, Bin)
-        and ast.op in ("and", "&&")
-        and isinstance(ast.b, Call)
-        and ast.b.fn == "element_filter"
-        and _count_ef(ast.a) == 0
-    ):
-        return
-    raise ExprError(
-        "element_filter must be the final top-level AND conjunct "
-        "(doc_predicate && element_filter) and cannot be negated, OR-ed, "
-        "or repeated"
-    )
+    _, ef = _split_ef(ast)
+    if ef is None or total != 1:
+        raise ExprError(
+            "element_filter must be the final AND conjunct "
+            "(doc_predicate && element_filter) and cannot be negated, OR-ed, "
+            "or repeated"
+        )
 
 
 def _rewrite_dynamic(node: Any, fields: set, dynamic: str) -> Any:
@@ -1050,16 +1064,7 @@ def split_element_filter(
         ast = _rewrite_dynamic(ast, {f.name for f in schema.fields}, dynamic_field)
     _validate_ef_placement(ast)
     comp = Compiler(schema)
-    doc_ast, ef = ast, None
-    if isinstance(ast, Call) and ast.fn == "element_filter":
-        doc_ast, ef = None, ast
-    elif (
-        isinstance(ast, Bin)
-        and ast.op in ("and", "&&")
-        and isinstance(ast.b, Call)
-        and ast.b.fn == "element_filter"
-    ):
-        doc_ast, ef = ast.a, ast.b
+    doc_ast, ef = _split_ef(ast)
     doc_cond = comp.compile(doc_ast) if doc_ast is not None else None
     if ef is None:
         return doc_cond, None, None

@@ -396,3 +396,25 @@ ELEM_INVALID = [
 def test_element_match_invalid(structs, mexpr):
     with pytest.raises(ExprError):
         compile_expr(mexpr, structs.schema)
+
+
+def test_element_match_null_masking(spark):
+    """Invalid (null) elements are masked out before quantifier counting
+    (MatchExpr.cpp:41-44); a null predicate result (null sub-field) is a
+    non-match rather than 3VL-poisoning the whole quantifier."""
+    df = spark.createDataFrame(
+        [
+            (1, [None, (7, "z")]),       # null element ignored → ALL over [(7,z)]
+            (2, [(None, "n")]),          # null sub-field → pred null → non-match
+            (3, [None]),                 # no valid elements → ALL vacuous, ANY false
+        ],
+        "id long, struct_array array<struct<sub_int:long, sub_str:string>>",
+    )
+
+    def ids(expr):
+        return sorted(r.id for r in df.filter(compile_expr(expr, df.schema)).collect())
+
+    assert ids("MATCH_ALL(struct_array, $[sub_int] > 1)") == [1, 3]
+    assert ids("MATCH_ANY(struct_array, $[sub_int] > 1)") == [1]
+    assert ids("element_filter(struct_array, $[sub_int] > 1)") == [1]
+    assert ids("MATCH_EXACT(struct_array, $[sub_int] > 1, threshold=0)") == [2, 3]
