@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from typing import Any, Optional, Sequence
 
 import pandas as pd
@@ -112,6 +113,7 @@ class MilvusSparkClient:
         properties: Optional[dict] = None,
         field_defaults: Optional[dict] = None,
         analyzer_params: Optional[dict] = None,
+        enable_namespace: bool = False,
     ) -> None:
         """``vector_field`` may be a list: Milvus collections support
         multiple vector fields (one ANN sub-search per field in hybrid
@@ -143,12 +145,31 @@ class MilvusSparkClient:
             if isinstance(vector_field, (list, tuple))
             else ([vector_field] if vector_field else [])
         )
+        ns_mode = None
+        if enable_namespace:
+            # collection-level multi-tenancy (schema.enable_namespace +
+            # namespace.mode property, pkg/common/common.go:61-67):
+            # "partition_key" (default) stamps the hidden $namespace_id
+            # VARCHAR field and merges an equality conjunct into every
+            # query plan (MergeExprWithNamespace, query/PlanProto.cpp:70-86);
+            # "partition" maps each namespace onto a named partition
+            # (resolveNamespacePartitionNames, proxy/util.go:2844-2863)
+            ns_mode = (properties or {}).get("namespace.mode", "partition_key")
+            if ns_mode not in ("partition_key", "partition"):
+                raise ValueError(
+                    f"invalid namespace.mode {ns_mode!r}, valid: partition_key, partition"
+                )
+            if ns_mode == "partition_key" and partition_key_field is None:
+                # the namespace field doubles as the physical partition key
+                # → directory-pruned reads per tenant at any corpus size
+                partition_key_field = self.NAMESPACE_COL
         self._catalog[name] = {
             "pk": pk_field,
             "vector": vfs[0] if vfs else None,
             "vector_fields": vfs,
             "metric": metric_type,
             "partition_key": partition_key_field,
+            "namespace_mode": ns_mode,
             "auto_id": bool(auto_id),
             "dynamic": bool(enable_dynamic_field),
             "fields": list(fields) if fields else None,
@@ -230,7 +251,7 @@ class MilvusSparkClient:
         declared = (
             set(meta["fields"])
             | set(meta.get("vector_fields") or [])
-            | {meta["pk"], self.PARTITION_COL, self.DYNAMIC_COL}
+            | {meta["pk"], self.PARTITION_COL, self.DYNAMIC_COL, self.NAMESPACE_COL}
         )
         extras = [c for c in df.columns if c not in declared]
         if not extras:
@@ -333,6 +354,40 @@ class MilvusSparkClient:
 
     # ------------------------------------------------------------ partitions
     PARTITION_COL = "_partition"
+    NAMESPACE_COL = "$namespace_id"  # common.go:62 NamespaceFieldName
+
+    def _namespace_resolve(
+        self, name: str, meta: dict, namespace, partition_names=None
+    ) -> tuple:
+        """Strict CheckNamespace (common.go:CheckNamespace — enabled XOR
+        namespace-given is an error both ways), then resolve by mode.
+        Returns ``(partition_names, filter_conjunct_or_None)``."""
+        mode = meta.get("namespace_mode")
+        if (mode is None) != (namespace is None):
+            if namespace is not None:
+                raise ValueError("namespace data is set but namespace disabled")
+            raise ValueError("namespace data is not set but namespace enabled")
+        if namespace is None:
+            return partition_names, None
+        if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_.-]*", namespace):
+            raise ValueError(f"invalid namespace {namespace!r}")
+        if mode == "partition":
+            if partition_names and list(partition_names) != [namespace]:
+                raise ValueError(
+                    f"partition names {list(partition_names)} mismatch "
+                    f"namespace {namespace!r}"
+                )
+            return [namespace], None
+        return partition_names, f'{self.NAMESPACE_COL} == "{namespace}"'
+
+    @staticmethod
+    def _merge_ns_filter(ns_cond: Optional[str], filter: Optional[str]) -> Optional[str]:
+        """AND the namespace conjunct into a user filter (the
+        MergeExprWithNamespace analog) — prefixed, so an element_filter in
+        the user filter stays on the rightmost AND spine."""
+        if ns_cond is None:
+            return filter
+        return f"{ns_cond} && ({filter})" if filter else ns_cond
 
     def create_partition(self, name: str, partition: str) -> None:
         """Named partitions (CreatePartition API; partition resolution
@@ -641,8 +696,44 @@ class MilvusSparkClient:
         return [int(t) for t, w in meta.get("ts_wall", {}).items() if w <= cutoff]
 
     # ----------------------------------------------------------------- DML
-    def insert(self, name: str, df: DataFrame, partition_name: Optional[str] = None) -> int:
+    def insert(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_name: Optional[str] = None,
+        namespace: Optional[str] = None,
+    ) -> int:
         meta = self._meta(name)
+        ns_mode = meta.get("namespace_mode")
+        if ns_mode is not None or namespace is not None:
+            # addNamespaceData (proxy/util.go:2871-2900): partition mode
+            # routes the batch into the namespace's partition (created on
+            # first use); field mode stamps $namespace_id, validating any
+            # caller-supplied column instead of rejecting outright
+            self._namespace_resolve(name, meta, namespace)
+            if ns_mode == "partition":
+                if partition_name is not None and partition_name != namespace:
+                    raise ValueError(
+                        f"partition name {partition_name!r} mismatches "
+                        f"namespace {namespace!r}"
+                    )
+                if namespace not in meta.setdefault("partitions", ["_default"]):
+                    meta["partitions"].append(namespace)
+                    self._save_catalog()
+                partition_name = namespace
+            else:
+                ns_col = self.NAMESPACE_COL
+                if ns_col in df.columns:
+                    df = df.withColumn(
+                        ns_col,
+                        F.when(F.col(ns_col) == namespace, F.lit(namespace)).otherwise(
+                            F.raise_error(
+                                F.lit(f"namespace field data mismatches namespace {namespace!r}")
+                            ).cast("string")
+                        ),
+                    )
+                else:
+                    df = df.withColumn(ns_col, F.lit(namespace))
         if meta.get("auto_id"):
             # auto-id assignment (task_insert.go): snowflake-style ids with
             # explicit bit fields — (write_ts << 40) | (partition << 24) |
@@ -768,16 +859,30 @@ class MilvusSparkClient:
         ids: Optional[Sequence[Any]] = None,
         filter: Optional[str] = None,
         params: Optional[dict] = None,
+        namespace: Optional[str] = None,
     ) -> None:
+        meta = self._meta(name)
+        pnames, ns_cond = self._namespace_resolve(name, meta, namespace)
+        ns_col = (
+            F.coalesce(F.col(self.PARTITION_COL), F.lit("_default")) == namespace
+            if pnames
+            else (F.col(self.NAMESPACE_COL) == namespace if ns_cond else None)
+        )
         coll = self._coll(name)
         ts = self._next_ts(name)
         if ids is not None:  # simple pk fast path (task_delete.go:669)
-            pks = self.spark.createDataFrame([(i,) for i in ids], [coll.pk])
-            coll.delete_pks(pks, ts)
+            if ns_col is not None:
+                # tenancy-scoped: only this namespace's rows may tombstone
+                coll.delete_where(F.col(coll.pk).isin(list(ids)) & ns_col, ts)
+            else:
+                pks = self.spark.createDataFrame([(i,) for i in ids], [coll.pk])
+                coll.delete_pks(pks, ts)
         elif filter:  # complex path: filter → pks → tombstones (task_delete.go:426)
             cond = compile_expr(
-                filter, coll.read().schema, params, dynamic_field=self._dyn(self._meta(name))
+                filter, coll.read().schema, params, dynamic_field=self._dyn(meta)
             )
+            if ns_col is not None:
+                cond = cond & ns_col
             coll.delete_where(cond, ts)
         else:
             raise ValueError("delete needs ids or filter")
@@ -1141,6 +1246,7 @@ class MilvusSparkClient:
         as_of: Optional[int] = None,
         consistency_level: Optional[str] = None,
         partition_names: Optional[Sequence[str]] = None,
+        namespace: Optional[str] = None,
     ) -> DataFrame:
         """Filtered retrieval with optional aggregation output fields.
 
@@ -1156,6 +1262,10 @@ class MilvusSparkClient:
         filter, or a stale index, takes the scan path. Results are
         identical either way — the index is an access path, not a semantic.
         """
+        partition_names, ns_cond = self._namespace_resolve(
+            name, self._meta(name), namespace, partition_names
+        )
+        filter = self._merge_ns_filter(ns_cond, filter)
         resolved = self._resolve_as_of(name, as_of, consistency_level)
         base = self._partition_filter(self._read(name, resolved), partition_names)
         df = None
@@ -1371,6 +1481,8 @@ class MilvusSparkClient:
         strict_group_size: bool = False,
         ranker: Optional[dict] = None,
         search_aggregation: Optional[dict] = None,
+        namespace: Optional[str] = None,
+        hints: Optional[str] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
         ``round_decimal`` rounds returned distances (search param validated
@@ -1409,11 +1521,19 @@ class MilvusSparkClient:
                 search_params=search_params, output_fields=needed,
                 anns_field=anns_field, partition_names=partition_names,
                 round_decimal=round_decimal, ranker=ranker,
+                namespace=namespace,
             )
             return aggregate_search_hits(
                 hits, fields_, int(sa["size"]), sa.get("metrics"),
                 top_hits=int(sa.get("top_hits", 0)), pk_col=meta["pk"],
             )
+        partition_names, ns_cond = self._namespace_resolve(
+            name, meta, namespace, partition_names
+        )
+        # MergeExprWithNamespace analog (query/PlanProto.cpp:70-86): the
+        # namespace conjunct joins the doc predicate, which also demotes
+        # index fast paths to the exact filtered scan — indexes span tenants
+        filter = self._merge_ns_filter(ns_cond, filter)
         vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
         if not vfields:
             raise ValueError(f"collection {name} has no vector field")
@@ -1520,6 +1640,13 @@ class MilvusSparkClient:
                     round_to=rt,
                 )
             return self._requery(name, hits, meta, output_fields)
+        if "element_scope" in (search_params or {}):
+            # element_scope only applies to struct-array element-level search
+            # (parseAndRemoveElementScope rejection, task_search.go:585-588)
+            raise ValueError(
+                "element_scope is only supported for element-level search "
+                "on struct array vector sub-fields"
+            )
         if group_by_field is not None:
             from milvus_spark.operators.knn import grouping_search
 
@@ -1671,6 +1798,31 @@ class MilvusSparkClient:
             else None
         )
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
+        if hints is not None:
+            # execution-order hint (ParseSearchInfo, query/PlanProto.cpp:
+            # 103-112): "iterative_filter" scores first and filters the
+            # candidates (Mvcc → VectorSearch → IterativeFilter), "disable"
+            # forces the default pre-filter order; range search is
+            # incompatible with the iterative order (same guard as the
+            # reference's RADIUS check)
+            if hints not in ("iterative_filter", "disable"):
+                raise ValueError(f"unknown hints {hints!r}")
+            if hints == "iterative_filter" and cond is not None:
+                if radius is not None or range_filter is not None:
+                    raise ValueError(
+                        "iterative filter does not support range search"
+                    )
+                from milvus_spark.operators.knn import iterative_postfilter_search
+
+                hits = iterative_postfilter_search(
+                    df, queries, vfield, meta["pk"],
+                    metric=metric_type or meta["metric"], k=limit,
+                    filter_cond=cond,
+                    round_to=12 if round_decimal == -1 else int(round_decimal),
+                )
+                if ranker:
+                    hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                return self._requery(name, hits, meta, output_fields)
         hits = brute_force_search(
             df,
             queries,
@@ -1923,6 +2075,7 @@ class MilvusSparkClient:
         partition_names: Optional[Sequence[str]] = None,
         output_fields: Optional[Sequence[str]] = None,
         ranker: Optional[dict] = None,
+        namespace: Optional[str] = None,
     ) -> DataFrame:
         """Multi-vector search + fusion (initAdvancedSearchRequest analog).
 
@@ -1935,6 +2088,29 @@ class MilvusSparkClient:
         from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
         meta = self._meta(name)
+        vfs = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
+
+        # sub-search classification over struct-array vector sub-fields
+        # (classifyHybridSubSearch, proxy/struct_hybrid_search.go:181-208):
+        # emb-list vs element-level by query shape; when EVERY sub-search is
+        # element-level on the SAME struct, fusion happens at element
+        # identity (hybridElementKey) and element_scope is rejected
+        # (inferElementLevelHybrid :211-228)
+        def _kind(r: dict) -> tuple:
+            af = r.get("anns_field") or (vfs[0] if vfs else None)
+            if af and "[" in af and af.endswith("]") and not r.get("sparse_field"):
+                d = r.get("data") or []
+                emb = bool(d) and bool(d[0]) and isinstance(d[0][0], (list, tuple))
+                return ("emb_list" if emb else "element"), af[:-1].split("[", 1)[0]
+            return "normal", None
+
+        kinds = [_kind(r) for r in reqs]
+        element_hybrid = (
+            bool(reqs)
+            and all(k == "element" for k, _ in kinds)
+            and len({p for _, p in kinds}) == 1
+        )
+
         # identical sub-request dedup (planparserv2/check_identical.go:11-55):
         # equal (data, limit, filter, metric) sub-searches share one scored
         # plan instead of scanning/scoring twice
@@ -1942,24 +2118,32 @@ class MilvusSparkClient:
             if r.get("sparse_field"):
                 payload = [sorted((int(k), float(v)) for k, v in qv.items()) for qv in r["data"]]
             else:
-                payload = [[float(x) for x in v] for v in r["data"]]
+                payload = r["data"]
             return json.dumps(
                 [
                     payload,
                     r.get("limit", limit), r.get("filter"), r.get("metric_type"),
                     r.get("anns_field"), r.get("sparse_field"),
+                    r.get("search_params"),
                     list(partition_names or []),
                 ],
                 sort_keys=True,
+                default=float,
             )
 
         keys = [req_key(r) for r in reqs]
         dup = {k for k in keys if keys.count(k) > 1}
         cache: dict[str, DataFrame] = {}
         results = []
-        for r, key in zip(reqs, keys):
+        for (r, key), (kind, _) in zip(zip(reqs, keys), kinds):
             if key not in cache:
                 if r.get("sparse_field"):
+                    if namespace is not None or self._meta(name).get("namespace_mode"):
+                        # sparse_search has no namespace plumbing — failing
+                        # loudly beats silently searching every tenant
+                        raise ValueError(
+                            "namespace is not supported for sparse sub-searches"
+                        )
                     hits = self.sparse_search(
                         name, r["data"], field=r["sparse_field"],
                         limit=r.get("limit", limit),
@@ -1967,6 +2151,25 @@ class MilvusSparkClient:
                         partition_names=partition_names,
                     )
                 else:
+                    sp = dict(r.get("search_params") or {})
+                    if kind == "element":
+                        if element_hybrid:
+                            if "element_scope" in sp:
+                                raise ValueError(
+                                    "element_scope is not supported for "
+                                    "same-struct element-level hybrid search"
+                                )
+                        elif "element_scope" not in sp:
+                            # mixed-kind hybrid: element sub-results must be
+                            # doc-level before fusion — default collapse max
+                            # (defaultElementCollapseConfig,
+                            # struct_hybrid_search.go:54-56)
+                            sp["element_scope"] = {"collapse": {"strategy": "max"}}
+                    elif "element_scope" in sp:
+                        raise ValueError(
+                            "element_scope is only supported for element-level "
+                            "search on struct array vector sub-fields"
+                        )
                     hits = self.search(
                         name,
                         data=r["data"],
@@ -1975,21 +2178,59 @@ class MilvusSparkClient:
                         metric_type=r.get("metric_type"),
                         anns_field=r.get("anns_field"),
                         partition_names=partition_names,
+                        search_params=sp or None,
+                        namespace=namespace,
                     )
                 cache[key] = hits.cache() if key in dup else hits
             results.append(cache[key])
+        pk_type = None
+        if element_hybrid:
+            # fuse on element identity: pk ⊕ element_idx packed into the
+            # string element key the reference uses (makeHybridElementKey,
+            # struct_hybrid_search.go:231-239), unpacked after fusion
+            pk = meta["pk"]
+            pk_type = dict(self._read(name).dtypes)[pk]
+            results = [
+                h.withColumn(
+                    pk,
+                    F.concat_ws(
+                        "\x1f",
+                        F.lit("__milvus_element_key"),
+                        F.col(pk).cast("string"),
+                        F.col("element_idx").cast("string"),
+                    ),
+                ).drop("element_idx")
+                for h in results
+            ]
         if rerank == "rrf":
             fused = rrf_fusion(results, meta["pk"], limit=limit)
         elif rerank == "weighted":
             # sparse sub-requests score with IP regardless of the dense
-            # metric — their normalization must be IP's 0.5+atan(s)/π map
-            metrics = [
-                "IP" if r.get("sparse_field") else (r.get("metric_type") or meta["metric"])
-                for r in reqs
-            ]
+            # metric — their normalization must be IP's 0.5+atan(s)/π map;
+            # emb-list sub-requests score with MAX_SIM sums (unbounded), so
+            # they also take the atan map, never COSINE's (1+s)/2
+            metrics = []
+            for r, (kind, _) in zip(reqs, kinds):
+                if r.get("sparse_field"):
+                    metrics.append("IP")
+                    continue
+                m = r.get("metric_type") or meta["metric"]
+                if kind == "emb_list" and not m.upper().startswith("MAX_SIM"):
+                    m = "MAX_SIM_" + m.upper()
+                metrics.append(m)
             fused = weighted_fusion(results, metrics, weights or [1.0] * len(reqs), meta["pk"], limit=limit)
         else:
             raise ValueError(f"unknown rerank {rerank}")
+        if element_hybrid:
+            # unpack element keys back to (pk, element_idx)
+            # (parseHybridElementKey, struct_hybrid_search.go:242-268)
+            pk = meta["pk"]
+            kparts = F.split(F.col(pk), "\x1f")
+            fused = (
+                fused.withColumn("element_idx", kparts.getItem(2).cast("long"))
+                .withColumn(pk, kparts.getItem(1).cast(pk_type))
+                .select("qid", pk, "element_idx", "score", "rank")
+            )
         if ranker:
             fused = self._apply_ranker(name, fused, meta, ranker, limit)
         return self._requery(name, fused, meta, output_fields)

@@ -38,7 +38,9 @@ def normalize_score(score: Column, metric: str) -> Column:
         return (F.lit(1.0) + score) * 0.5
     if m == "BM25":
         return F.lit(2.0) * F.atan(score) / math.pi
-    if m in ("IP", "MHJACCARD", "MAX_SIM", "MAX_SIM_IP", "MAX_SIM_COSINE"):
+    if m in ("IP", "MHJACCARD", "MAX_SIM", "MAX_SIM_IP", "MAX_SIM_COSINE", "MAX_SIM_L2"):
+        # MAX_SIM_L2 scores are already negated distances (higher = better),
+        # so the similarity mapping applies, not the distance inversion
         return F.lit(0.5) + F.atan(score) / math.pi
     # distance metrics (smaller = better) → inverted to larger = better
     return F.lit(1.0) - F.lit(2.0) * F.atan(score) / math.pi

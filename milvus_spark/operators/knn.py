@@ -251,3 +251,49 @@ def queries_from_table(
     """
     rows = df.filter(pred).select(pk_col, vec_col).orderBy(pk_col).collect()
     return [(int(r[0]), list(map(float, r[1]))) for r in rows]
+
+
+def iterative_postfilter_search(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str,
+    pk_col: str,
+    metric: str,
+    k: int,
+    filter_cond: Column,
+    round_to: int = 4,
+    widen: int = 4,
+) -> DataFrame:
+    """Post-filter execution order (hint "iterative_filter",
+    query/PlanProto.cpp:667-698: Mvcc → VectorSearch → IterativeFilter):
+    score FIRST, apply the scalar filter to the candidates, widen the fetch
+    geometrically until every query holds k survivors. Result-identical to
+    pre-filter mode; preferable when the filter is expensive relative to
+    scoring or barely selective (the reference's motivation for the hint).
+    Each widening round is a bounded partial top-k — never a full ranking."""
+    asc = metric_ascending(metric)
+    total = df.count()
+    kf = max(widen * k, k)
+    while True:
+        hits = brute_force_search(
+            df, queries, vec_col, pk_col, metric=metric, k=min(kf, total),
+            round_to=round_to,
+        )
+        kept = hits.join(
+            df.filter(filter_cond).select(pk_col), pk_col, "left_semi"
+        )
+        short = (
+            kept.groupBy("qid").agg(F.count("*").alias("n"))
+            .filter(F.col("n") < k).count()
+        )
+        if short == 0 or kf >= total:
+            break
+        kf *= widen
+    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(pk_col).asc()]
+    w = W.partitionBy("qid").orderBy(*order)
+    return (
+        kept.drop("rank")
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", pk_col, "score", "rank")
+    )

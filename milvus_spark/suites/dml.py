@@ -310,3 +310,41 @@ def dml_array_field_ops(spark: SparkSession, sf: str) -> DataFrame:
         F.size("tags").cast("long").alias("n_tags"),
         F.array_join(F.col("tags").cast("array<string>"), ",").alias("tags_str"),
     )
+
+
+# --- collection namespaces: multi-tenancy isolation ---------------------------
+@register(
+    "dml_namespace_isolation",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM customer
+    WHERE c_custkey % 3 = 1 AND c_acctbal > 1000
+      AND NOT (c_custkey % 50 = 1)
+    """,
+)
+def dml_namespace_isolation(spark: SparkSession, sf: str) -> DataFrame:
+    """Collection-level namespaces, field mode: three tenants share one
+    collection via the hidden $namespace_id field (common.go:61-67); every
+    query/delete carries a namespace that merges into the plan
+    (MergeExprWithNamespace, query/PlanProto.cpp:70-86). A delete scoped to
+    tenant t1 removes rows there, while the SAME delete on tenant t2 is
+    invisible to t1's reads — the isolation contract. $namespace_id doubles
+    as the physical partition key, so each tenant read directory-prunes."""
+    from milvus_spark.client import MilvusSparkClient
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    client = MilvusSparkClient(spark, root=scratch_mkdtemp("nsq_"))
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    client.create_collection("cust", "c_custkey", enable_namespace=True)
+    for t in range(3):
+        client.insert(
+            "cust", c.filter(F.col("c_custkey") % 3 == t), namespace=f"t{t}"
+        )
+    client.delete("cust", filter="c_custkey % 50 == 1", namespace="t1")
+    # the same delete against t2 must not affect t1's view
+    client.delete("cust", filter="c_custkey % 50 == 1", namespace="t2")
+    out = client.query(
+        "cust", filter="c_acctbal > 1000", namespace="t1",
+        output_fields=["c_custkey", "c_acctbal"],
+    )
+    return out.select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))

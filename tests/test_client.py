@@ -1705,3 +1705,35 @@ def test_sq8_index_backed_search(client, spark, sf_dir):
     inter = len(idx_hits & exact_hits)
     assert inter / len(exact_hits) >= 0.9
     client.drop_collection("sq8")
+
+
+def test_search_hints_iterative_filter(spark, tmp_path):
+    """hints="iterative_filter" (ParseSearchInfo, query/PlanProto.cpp:103-112)
+    must be result-identical to the default pre-filter order, and reject the
+    range-search combination."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "hints"))
+    df = spark.createDataFrame(
+        [(i, i % 3, [float(i % 7), float(i % 5)]) for i in range(60)],
+        "id long, label long, emb array<float>",
+    )
+    c.create_collection("hc", "id", vector_field="emb", metric_type="L2")
+    c.insert("hc", df)
+    pre = c.search("hc", [[2.0, 3.0]], limit=5, filter="label == 1").collect()
+    post = c.search(
+        "hc", [[2.0, 3.0]], limit=5, filter="label == 1", hints="iterative_filter"
+    ).collect()
+    key = lambda r: r.rank
+    assert [(r.id, r.score) for r in sorted(pre, key=key)] == [
+        (r.id, r.score) for r in sorted(post, key=key)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="range search"):
+        c.search(
+            "hc", [[2.0, 3.0]], limit=5, filter="label == 1",
+            hints="iterative_filter", radius=50.0,
+        )
+    with _pytest.raises(ValueError, match="unknown hints"):
+        c.search("hc", [[2.0, 3.0]], limit=5, hints="bogus")

@@ -256,3 +256,115 @@ def test_client_struct_array_search(spark, struct_df, tmp_path):
             "sa", [list(map(float, QS[0]))], anns_field="items[vec]",
             search_params={"element_scope": {"collapse": {"strategy": "max"}, "x": 1}},
         )
+
+
+# ---- hybrid search over struct-array sub-fields -------------------------------
+def np_rrf(rank_lists, K=60):
+    """rank_lists: list of {key: rank}; returns [(key, fused_score)] ordered
+    like rrf_fusion (score desc, packed string key asc)."""
+    scores = {}
+    for ranks in rank_lists:
+        for key, rk in ranks.items():
+            scores[key] = scores.get(key, 0.0) + 1.0 / (K + rk)
+    items = [(k, r4(s)) for k, s in scores.items()]
+    items.sort(key=lambda kv: (-kv[1], kv[0] if isinstance(kv[0], str) else kv[0]))
+    return items
+
+
+def test_hybrid_same_struct_element_level(spark, struct_df, tmp_path):
+    """All-element-level same-struct hybrid fuses at ELEMENT identity
+    (inferElementLevelHybrid + hybridElementKey,
+    struct_hybrid_search.go:211-239): results carry (pk, element_idx)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path))
+    c.create_collection("sah", "doc_id", vector_field="items[vec]", metric_type="IP")
+    c.insert("sah", struct_df)
+    got = c.hybrid_search(
+        "sah",
+        [
+            {"data": [list(map(float, QS[0]))], "anns_field": "items[vec]", "limit": 10},
+            {"data": [list(map(float, QS[1]))], "anns_field": "items[vec]", "limit": 10},
+        ],
+        rerank="rrf",
+        limit=5,
+    ).collect()
+    per_req = []
+    for qi in range(2):
+        hits = np_element_hits("IP", 10)[qi]
+        per_req.append(
+            {
+                f"__milvus_element_key\x1f{d}\x1f{j}": rk + 1
+                for rk, (d, j, _s) in enumerate(hits)
+            }
+        )
+    want = np_rrf(per_req)[:5]
+    got_keys = [
+        (f"__milvus_element_key\x1f{r.doc_id}\x1f{r.element_idx}", round(r.score, 4))
+        for r in sorted(got, key=lambda r: r.rank)
+    ]
+    assert got_keys == want
+    # element_scope must be rejected in this mode
+    with pytest.raises(ValueError, match="same-struct element-level"):
+        c.hybrid_search(
+            "sah",
+            [
+                {
+                    "data": [list(map(float, QS[0]))],
+                    "anns_field": "items[vec]",
+                    "search_params": {"element_scope": {"collapse": {"strategy": "max"}}},
+                },
+                {"data": [list(map(float, QS[1]))], "anns_field": "items[vec]"},
+            ],
+        )
+
+
+def test_hybrid_mixed_element_collapses_to_doc(spark, struct_df, tmp_path):
+    """Mixed-kind hybrid: the element-level sub-search collapses per doc
+    (default strategy max, defaultElementCollapseConfig) before doc-level
+    fusion with the emb-list sub-search."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path))
+    c.create_collection("sam", "doc_id", vector_field="items[vec]", metric_type="IP")
+    c.insert("sam", struct_df)
+    got = c.hybrid_search(
+        "sam",
+        [
+            {"data": [list(map(float, QS[0]))], "anns_field": "items[vec]", "limit": 6},
+            {
+                "data": [[list(map(float, QS[0])), list(map(float, QS[1]))]],
+                "anns_field": "items[vec]",
+                "limit": 6,
+            },
+        ],
+        rerank="rrf",
+        limit=4,
+    ).collect()
+    # req 1: collapse-max doc ranks; req 2: emb-list MAX_SIM doc ranks
+    col = np_collapse("IP", "max")[0][:6]
+    r1 = {d: rk + 1 for rk, (d, _s) in enumerate(col)}
+    ml = []
+    for d, vs in DOCS.items():
+        V = np.asarray(vs, dtype=float)
+        ml.append((r4(sum(r4(float((V @ q).max())) for q in QS)), d))
+    ml.sort(key=lambda h: (-h[0], h[1]))
+    r2_ranks = {d: rk + 1 for rk, (_s, d) in enumerate(ml[:6])}
+    want = np_rrf([r1, r2_ranks])[:4]
+    assert [(r.doc_id, round(r.score, 4)) for r in sorted(got, key=lambda r: r.rank)] == want
+
+
+def test_element_scope_rejected_on_normal_field(spark, tmp_path):
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path))
+    c.create_collection("nrm", "id", vector_field="emb", metric_type="IP")
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)], "id long, emb array<float>"
+    )
+    c.insert("nrm", df)
+    with pytest.raises(ValueError, match="element-level"):
+        c.search(
+            "nrm", [[1.0, 0.0]],
+            search_params={"element_scope": {"collapse": {"strategy": "max"}}},
+        )

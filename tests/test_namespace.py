@@ -1,0 +1,121 @@
+"""Collection-level namespaces (multi-tenancy) — both modes.
+
+Reference contracts (file:line into /root/reference):
+  - hidden field + plan merge: $namespace_id (pkg/common/common.go:61-67),
+    MergeExprWithNamespace (internal/core/src/query/PlanProto.cpp:70-86)
+  - strict enable/namespace agreement both ways: CheckNamespace
+    (pkg/common/common.go:957-968)
+  - partition mode: namespace ↔ partition name resolution + mismatch errors
+    (internal/proxy/util.go:2844-2874)
+  - insert stamping / validation of caller-supplied namespace data:
+    addNamespaceData (internal/proxy/util.go:2871-2900)
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.client import MilvusSparkClient
+
+
+def mkdf(spark, n=30):
+    return spark.createDataFrame(
+        [(i, f"u{i % 5}", float(i)) for i in range(n)], "id long, user string, val double"
+    )
+
+
+@pytest.fixture()
+def cli(spark, tmp_path):
+    return MilvusSparkClient(spark, root=str(tmp_path))
+
+
+def test_namespace_field_mode(spark, cli):
+    cli.create_collection("nsf", "id")
+    # strict: namespace on a disabled collection is an error
+    with pytest.raises(ValueError, match="namespace disabled"):
+        cli.insert("nsf", mkdf(spark), namespace="a")
+
+    cli.create_collection("ns1", "id", enable_namespace=True)
+    df = mkdf(spark)
+    cli.insert("ns1", df.filter(F.col("id") % 3 == 0), namespace="t0")
+    cli.insert("ns1", df.filter(F.col("id") % 3 == 1), namespace="t1")
+    cli.insert("ns1", df.filter(F.col("id") % 3 == 2), namespace="t2")
+
+    # strict: enabled collection requires a namespace on every query
+    with pytest.raises(ValueError, match="namespace enabled"):
+        cli.query("ns1", filter="val >= 0")
+
+    got = sorted(r.id for r in cli.query("ns1", filter="val >= 0", namespace="t1").collect())
+    assert got == [i for i in range(30) if i % 3 == 1]
+    # user filter composes with the namespace conjunct
+    got = sorted(
+        r.id
+        for r in cli.query("ns1", filter='user == "u1"', namespace="t1").collect()
+    )
+    assert got == [i for i in range(30) if i % 3 == 1 and i % 5 == 1]
+
+
+def test_namespace_field_mode_search_and_delete(spark, cli):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], "id long, emb array<float>"
+    )
+    cli.create_collection("ns2", "id", vector_field="emb", metric_type="L2",
+                          enable_namespace=True)
+    cli.insert("ns2", emb.filter(F.col("id") % 2 == 0), namespace="even")
+    cli.insert("ns2", emb.filter(F.col("id") % 2 == 1), namespace="odd")
+
+    hits = cli.search("ns2", [[5.0, 1.0]], limit=3, namespace="odd").collect()
+    assert [r.id for r in sorted(hits, key=lambda r: r.rank)] == [5, 3, 7]
+    with pytest.raises(ValueError, match="namespace enabled"):
+        cli.search("ns2", [[5.0, 1.0]], limit=3)
+
+    # delete by ids is tenancy-scoped: deleting 5 (odd) from "even" is a no-op
+    cli.delete("ns2", ids=[5], namespace="even")
+    assert cli.query("ns2", filter="id == 5", namespace="odd").count() == 1
+    cli.delete("ns2", ids=[5], namespace="odd")
+    assert cli.query("ns2", filter="id == 5", namespace="odd").count() == 0
+
+
+def test_namespace_insert_validation(spark, cli):
+    cli.create_collection("ns3", "id", enable_namespace=True)
+    pre = mkdf(spark, 5).withColumn("$namespace_id", F.lit("t0"))
+    cli.insert("ns3", pre, namespace="t0")  # matching pre-stamped column OK
+    assert cli.query("ns3", filter="val >= 0", namespace="t0").count() == 5
+    # mismatching pre-stamped column fails loudly at write time
+    bad = mkdf(spark, 5).withColumn("$namespace_id", F.lit("t9"))
+    with pytest.raises(Exception, match="mismatches namespace"):
+        cli.insert("ns3", bad, namespace="t0")
+    with pytest.raises(ValueError, match="invalid namespace"):
+        cli.insert("ns3", mkdf(spark, 2), namespace='x"; drop')
+
+
+def test_namespace_partition_mode(spark, cli):
+    cli.create_collection(
+        "nsp", "id", enable_namespace=True,
+        properties={"namespace.mode": "partition"},
+    )
+    df = mkdf(spark)
+    cli.insert("nsp", df.filter(F.col("id") < 15), namespace="alpha")
+    cli.insert("nsp", df.filter(F.col("id") >= 15), namespace="beta")
+    got = sorted(r.id for r in cli.query("nsp", filter="val >= 0", namespace="beta").collect())
+    assert got == list(range(15, 30))
+    # explicit partition names must agree with the namespace
+    with pytest.raises(ValueError, match="mismatch"):
+        cli.query("nsp", filter="val >= 0", namespace="beta", partition_names=["alpha"])
+    with pytest.raises(ValueError, match="mismatches"):
+        cli.insert("nsp", df.limit(1), namespace="beta", partition_name="alpha")
+
+
+def test_namespace_field_mode_prunes_directories(spark, cli):
+    """Field mode doubles $namespace_id as the physical partition key, so a
+    tenant read prunes to its own directory (PartitionFilters in the scan) —
+    per-tenant cost at any corpus size."""
+    cli.create_collection("ns4", "id", enable_namespace=True)
+    df = mkdf(spark)
+    cli.insert("ns4", df.filter(F.col("id") < 15), namespace="a")
+    cli.insert("ns4", df.filter(F.col("id") >= 15), namespace="b")
+    q = cli.query("ns4", filter="val >= 0", namespace="a")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "namespace_id" in plan.split("PartitionFilters", 1)[1][:400]
