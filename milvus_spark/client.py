@@ -764,6 +764,14 @@ class MilvusSparkClient:
                     ).cast("long")
                 ),
             )
+        for fn in meta.get("functions") or []:
+            if fn["output_field"] in df.columns:
+                # function outputs are engine-computed, never client-written
+                # (reject_manual_output_writes)
+                raise ValueError(
+                    f"field {fn['output_field']!r} is a function output and "
+                    f"cannot be inserted"
+                )
         df = self._apply_defaults(meta, df)
         df = self._pack_dynamic(meta, df)
         if partition_name is not None:
@@ -795,6 +803,12 @@ class MilvusSparkClient:
         missing the op'd column."""
         coll = self._coll(name)
         meta = self._meta(name)
+        for fn in meta.get("functions") or []:
+            if fn["output_field"] in df.columns:
+                raise ValueError(
+                    f"field {fn['output_field']!r} is a function output and "
+                    f"cannot be upserted"
+                )
         if field_ops:
             from pyspark.sql import types as T
 
@@ -1402,18 +1416,34 @@ class MilvusSparkClient:
         ``stopwords_resource`` names a registered file resource whose words
         are dropped by the analyzer on BOTH the corpus and the query (the
         file-resource stop filter, test_milvus_client_file_resource.py)."""
+        meta = self._meta(name)
+        return self._text_topk(
+            meta, self._read(name), field, query, limit,
+            stopwords_resource=stopwords_resource,
+            analyzer_params=meta.get("analyzer_params"),
+        )
+
+    def _text_topk(
+        self,
+        meta: dict,
+        df: DataFrame,
+        field: str,
+        query: str,
+        limit: int,
+        stopwords_resource: Optional[str] = None,
+        analyzer_params: Optional[dict] = None,
+    ) -> DataFrame:
         from milvus_spark.operators.text import tokens
         from milvus_spark.suites.fulltext import _bm25_topk
 
-        meta = self._meta(name)
-        if meta.get("analyzer_params") is not None:
-            # the schema-declared analyzer pipeline tokenizes BOTH sides —
+        if analyzer_params is not None:
+            # the declared analyzer pipeline tokenizes BOTH sides —
             # query terms must come out of the same analyzer or IDF/phrase
             # semantics drift from what was indexed
             from milvus_spark.operators.analyzer import build_analyzer
 
             analyze = build_analyzer(
-                meta["analyzer_params"], resource_words=self._resource_words
+                analyzer_params, resource_words=self._resource_words
             )
             toks = analyze(F.col(field))
             qdf = self.spark.createDataFrame([(query,)], "q string")
@@ -1426,8 +1456,49 @@ class MilvusSparkClient:
             terms = [w for w in terms if w not in stops]
             stop_arr = F.array(*[F.lit(w) for w in sorted(stops)])
             toks = F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
-        t = self._read(name).withColumn("toks", toks)
+        t = df.withColumn("toks", toks)
         return _bm25_topk(t, k=limit, pk_col=meta["pk"], terms=terms)
+
+    def add_function_field(self, name: str, function: dict) -> None:
+        """Add a BM25 function field to an EXISTING collection
+        (test_add_function_field_feature.py; udf/bm25_function.go):
+        ``function`` = {"type": "BM25", "input_field": f, "output_field": g,
+        "analyzer_params": {...}?}. The output field is VIRTUAL — BM25
+        scoring derives from the input text at search time, so pre-existing
+        rows are covered the moment the function lands (the reference's
+        growing-data backfill, without a rewrite: a computed projection
+        needs no physical backfill pass). Manual writes to the output field
+        are rejected at insert/upsert (reject_manual_output_writes)."""
+        meta = self._meta(name)
+        ftype = str(function.get("type", "BM25")).upper()
+        if ftype != "BM25":
+            raise ValueError(f"unsupported function type {ftype!r}")
+        inp = function.get("input_field")
+        out = function.get("output_field")
+        if not inp or not out:
+            raise ValueError("function needs input_field and output_field")
+        fields = meta.get("fields")
+        if fields and inp not in fields:
+            raise ValueError(f"input field {inp!r} not found")
+        if (fields and out in fields) or out in (meta.get("vector_fields") or []):
+            raise ValueError(f"output field {out!r} already exists")
+        fns = meta.setdefault("functions", [])
+        if any(f["output_field"] == out for f in fns):
+            raise ValueError(f"function output {out!r} already bound")
+        ap = function.get("analyzer_params")
+        if ap is not None:
+            from milvus_spark.operators.analyzer import build_analyzer
+
+            build_analyzer(ap, resource_words=self._resource_words)
+        fns.append(
+            {
+                "type": ftype,
+                "input_field": inp,
+                "output_field": out,
+                "analyzer_params": dict(ap) if ap else None,
+            }
+        )
+        self._save_catalog()
 
     def run_analyzer(self, text: str, analyzer_params: Optional[dict] = None) -> list[str]:
         """Debug-run an analyzer config on one string (run_analyzer API,
@@ -1534,6 +1605,49 @@ class MilvusSparkClient:
         # namespace conjunct joins the doc predicate, which also demotes
         # index fast paths to the exact filtered scan — indexes span tenants
         filter = self._merge_ns_filter(ns_cond, filter)
+        iso = str(
+            (meta.get("properties") or {}).get("partitionkey.isolation", "")
+        ).lower() == "true"
+        if iso and meta.get("partition_key"):
+            # partitionkey.isolation (common.go:340): every search must pin
+            # the partition key with an AND-reachable equality
+            # (validatePartitionKeyIsolation, task_search.go +
+            # exprutil/expr_checker.go)
+            from milvus_spark.plans.expr import validate_partition_key_isolation
+
+            validate_partition_key_isolation(filter, meta["partition_key"], params)
+        fnf = next(
+            (f for f in meta.get("functions") or [] if f["output_field"] == anns_field),
+            None,
+        )
+        if fnf is not None:
+            # BM25 function-field search: anns_field names the function
+            # output, data carries query STRINGS; scoring derives from the
+            # input text through the function's analyzer
+            # (test_add_function_field_feature.py main path)
+            from functools import reduce as _reduce
+
+            fdf = self._partition_filter(
+                self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+                partition_names,
+            )
+            if filter:
+                fdf = fdf.filter(
+                    compile_expr(filter, fdf.schema, params, dynamic_field=self._dyn(meta))
+                )
+            parts = [
+                self._text_topk(
+                    meta, fdf, fnf["input_field"], str(q), limit,
+                    analyzer_params=fnf.get("analyzer_params") or meta.get("analyzer_params"),
+                ).withColumn("qid", F.lit(i).cast("long"))
+                for i, q in enumerate(data)
+            ]
+            hits = _reduce(DataFrame.unionByName, parts).select(
+                "qid", meta["pk"], "score", "rank"
+            )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+            return self._requery(name, hits, meta, output_fields)
         vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
         if not vfields:
             raise ValueError(f"collection {name} has no vector field")

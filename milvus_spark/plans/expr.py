@@ -131,6 +131,15 @@ class Call:
 
 
 @dataclass
+class Ident:
+    """A bare-identifier subscript (``structA[int_val]``) — distinct from a
+    quoted-string JSON key so the compiler can resolve it as a struct-array
+    sub-field projection."""
+
+    name: str
+
+
+@dataclass
 class ElemField:
     """``$[sub_field]`` — a struct-array element's sub-field, only meaningful
     inside an ``element_filter``/``MATCH_*`` element-level predicate
@@ -325,7 +334,7 @@ class _Parser:
                         args.append(self.parse(0))
                 self.expect(")")
                 return Call(txt.lower(), args, kwargs or None)
-            # subscripts → json path / array index
+            # subscripts → json path / array index / struct-array sub-field
             if self.peek().text == "[":
                 path = []
                 while self.peek().text == "[":
@@ -335,6 +344,12 @@ class _Parser:
                         path.append(_unquote(sub.text))
                     elif sub.kind == "int":
                         path.append(int(sub.text))
+                    elif sub.kind == "name":
+                        # bare identifier: struct-array sub-field projection
+                        # ``structA[int_val]`` (PR #47172 — the sub-field as
+                        # an array of per-element values); resolved against
+                        # the schema at compile time
+                        path.append(Ident(sub.text))
                     else:
                         raise ExprError(f"bad subscript {sub.text!r} at {sub.pos}")
                     self.expect("]")
@@ -360,6 +375,8 @@ def _json_path_str(path: list) -> str:
     the literal top-level key, not a nested chain."""
     out = "$"
     for p in path:
+        if isinstance(p, Ident):
+            p = p.name
         if isinstance(p, int):
             out += f"[{p}]"
         elif re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", p):
@@ -434,15 +451,49 @@ class Compiler:
         dt = self.col_type(node.base)
         if isinstance(dt, T.ArrayType):
             c: Column = F.col(node.base)
+            ct = dt
             for p in node.path:
-                if not isinstance(p, int):
+                if isinstance(p, (Ident, str)):
+                    sub = p.name if isinstance(p, Ident) else p
+                    if isinstance(ct, T.ArrayType) and isinstance(
+                        ct.elementType, T.StructType
+                    ):
+                        # struct-array sub-field projection (structA[int_val],
+                        # PR #47172): the sub-field across ALL elements as an
+                        # array — Catalyst GetArrayStructFields, usable with
+                        # the array_contains family and array_length
+                        st = ct.elementType
+                        if sub not in st.fieldNames():
+                            raise ExprError(
+                                f"sub-field {sub!r} not found in struct-array "
+                                f"{node.base!r}"
+                            )
+                        c = c.getField(sub)
+                        ct = T.ArrayType(st[sub].dataType)
+                    elif isinstance(ct, T.StructType):
+                        if sub not in ct.fieldNames():
+                            raise ExprError(
+                                f"sub-field {sub!r} not found in {node.base!r}"
+                            )
+                        c = c.getField(sub)
+                        ct = ct[sub].dataType
+                    else:
+                        raise ExprError(
+                            f"field {node.base!r} has no sub-field {sub!r}"
+                        )
+                    continue
+                if not isinstance(p, int) or not isinstance(ct, T.ArrayType):
                     raise ExprError(f"array field {node.base} needs integer subscript")
-                c = F.element_at(c, p + 1)  # Milvus arrays are 0-indexed
+                # Milvus arrays are 0-indexed; out-of-bounds is NULL (a
+                # filter predicate on a short array drops the row), never a
+                # runtime error — try_element_at, not ANSI element_at
+                c = F.try_element_at(c, F.lit(p + 1))
+                ct = ct.elementType
             return c
         if isinstance(dt, T.MapType):
             c = F.col(node.base)
             for p in node.path:
-                c = c.getItem(p)
+                c = c.getItem(p.name if isinstance(p, Ident) else p)
             return c
         # JSON string column (dynamic $meta or explicit JSON field)
         return F.get_json_object(F.col(node.base), _json_path_str(node.path))
@@ -1034,6 +1085,80 @@ def compile_expr(
         ast = _rewrite_dynamic(ast, {f.name for f in schema.fields}, dynamic_field)
     _validate_ef_placement(ast)
     return Compiler(schema).compile(ast)
+
+
+def validate_partition_key_isolation(
+    expr: str,
+    key_field: str,
+    params: Optional[dict[str, Any]] = None,
+) -> None:
+    """Partition-key isolation (collection property ``partitionkey.isolation``,
+    exprutil/expr_checker.go ValidatePartitionKeyIsolation): the filter MUST
+    pin the partition key with exactly ``key == value`` reachable only
+    through ANDs — IN, ranges, OR and NOT over the key are rejected, and a
+    filter that never mentions the key is rejected. Under isolation each
+    partition-key value holds its own sealed index; any broader predicate
+    would force a cross-partition scan the property exists to forbid."""
+    if not expr:
+        raise ExprError(
+            "partition key not found in expr or the expr is invalid when "
+            "validating partition key isolation"
+        )
+    toks = _tokenize(expr)
+    ast = _Parser(toks, params or {}).parse(0)
+
+    def is_key(n: Any) -> bool:
+        return isinstance(n, Field) and n.name == key_field
+
+    def walk(n: Any) -> bool:
+        if isinstance(n, Bin):
+            if n.op in ("and", "&&"):
+                return walk(n.a) | walk(n.b)
+            if n.op in ("or", "||"):
+                if walk(n.a) | walk(n.b):
+                    raise ExprError("partition key isolation does not support OR")
+                return False
+            if is_key(n.a) or is_key(n.b):
+                if n.op == "==":
+                    return True
+                raise ExprError(
+                    f"partition key isolation does not support {n.op}"
+                )
+            # arithmetic-wrapped keys ((key + 1) == 2) are NOT a key pin,
+            # mirroring the reference (BinaryArithOpEvalRange is absent from
+            # its validator's found-cases)
+            return False
+        if isinstance(n, Un):
+            found = walk(n.x)
+            if n.op in ("not", "!") and found:
+                raise ExprError("partition key isolation does not support NOT")
+            return found
+        if isinstance(n, InList):
+            if is_key(n.x):
+                raise ExprError("partition key isolation does not support IN")
+            return False
+        if isinstance(n, IsNull):
+            if is_key(n.x):
+                raise ExprError(
+                    "partition key isolation does not support null checks"
+                )
+            return False
+        if isinstance(n, Call):
+            for a in list(n.args) + list((n.kwargs or {}).values()):
+                if is_key(a):
+                    raise ExprError(
+                        "partition key isolation does not support function calls "
+                        "on the partition key"
+                    )
+                walk(a)
+            return False
+        return False
+
+    if not walk(ast):
+        raise ExprError(
+            "partition key not found in expr or the expr is invalid when "
+            "validating partition key isolation"
+        )
 
 
 def split_element_filter(

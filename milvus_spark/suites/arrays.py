@@ -194,6 +194,43 @@ def arr_expr_match_quantifiers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- struct-array sub-field projection (structA[sub] as an array) -------------
+@register(
+    "arr_struct_subfield",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           (sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0) AS has_return
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) <= 3
+       AND sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) > 0
+    """,
+)
+def arr_struct_subfield(spark: SparkSession, sf: str) -> DataFrame:
+    """Sub-field projection through the filter LANGUAGE —
+    ``array_contains(items[l_returnflag], "R") && array_length(items[l_quantity])
+    <= 3`` treats a struct-array sub-field as the array of its per-element
+    values (PR #47172, struct_array_element_query.py:181-370; Catalyst
+    GetArrayStructFields — a map-side projection, no explode)."""
+    from milvus_spark.plans.expr import apply_filter, compile_expr
+
+    li = load_table(spark, sf, "lineitem")
+    items = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_quantity", "l_returnflag")).alias("items")
+    )
+    out = apply_filter(
+        items,
+        'array_contains(items[l_returnflag], "R") && array_length(items[l_quantity]) <= 3',
+    )
+    has_ret = compile_expr('array_contains(items[l_returnflag], "R")', out.schema)
+    return out.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        has_ret.alias("has_return"),
+    )
+
+
 # --- chain-based rerank (function-chain IR → DataFrame ops) -------------------
 @register(
     "vec_chain_rerank",

@@ -1737,3 +1737,89 @@ def test_search_hints_iterative_filter(spark, tmp_path):
         )
     with _pytest.raises(ValueError, match="unknown hints"):
         c.search("hc", [[2.0, 3.0]], limit=5, hints="bogus")
+
+
+def test_partition_key_isolation(spark, tmp_path):
+    """partitionkey.isolation=true (common.go:340): every search must pin the
+    partition key with an AND-reachable equality; IN / ranges / OR / NOT over
+    the key and key-less filters are rejected
+    (exprutil/expr_checker.go ValidatePartitionKeyIsolation;
+    test_milvus_client_partition_key_isolation.py)."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import ExprError
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "iso"))
+    df = spark.createDataFrame(
+        [(i, f"tenant_{i % 3}", [float(i), 1.0]) for i in range(30)],
+        "id long, tenant string, emb array<float>",
+    )
+    c.create_collection(
+        "iso", "id", vector_field="emb", metric_type="L2",
+        partition_key_field="tenant",
+        properties={"partitionkey.isolation": "true"},
+    )
+    c.insert("iso", df)
+    hits = c.search(
+        "iso", [[5.0, 1.0]], limit=3, filter='tenant == "tenant_2" && id > 0'
+    ).collect()
+    assert hits and all(r.id % 3 == 2 for r in hits)
+    bad = [
+        ('tenant in ["tenant_0", "tenant_1"]', "IN"),
+        ('tenant > "tenant_0"', ">"),
+        ('tenant == "tenant_0" || id > 5', "OR"),
+        ('not (tenant == "tenant_0")', "NOT"),
+        ("id > 5", "not found"),
+        (None, "not found"),
+    ]
+    import pytest as _pytest
+
+    for f, msg in bad:
+        with _pytest.raises(ExprError, match=msg):
+            c.search("iso", [[5.0, 1.0]], limit=3, filter=f)
+
+
+def test_add_function_field_bm25(spark, tmp_path):
+    """BM25 function fields on an existing collection
+    (test_add_function_field_feature.py): the output field is virtual —
+    search via anns_field=<output> with a query string scores BOTH
+    pre-existing and later rows (backfill-free computed projection); manual
+    writes to the output are rejected; filters compose."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "fn"))
+    c.create_collection("docs", "id", fields=["id", "txt", "grp"])
+    pre = spark.createDataFrame(
+        [(1, "spark query engine", 0), (2, "query planner rules", 1),
+         (3, "storage layer", 0)],
+        "id long, txt string, grp long",
+    )
+    c.insert("docs", pre)  # rows BEFORE the function lands
+    c.add_function_field(
+        "docs",
+        {"type": "BM25", "input_field": "txt", "output_field": "txt_sparse"},
+    )
+    post = spark.createDataFrame(
+        [(4, "vector query search", 1)], "id long, txt string, grp long"
+    )
+    c.insert("docs", post)  # rows AFTER
+    hits = c.search("docs", ["query"], limit=10, anns_field="txt_sparse").collect()
+    ids = {r.id for r in hits}
+    assert ids == {1, 2, 4}  # pre- and post-function rows both covered
+    fhits = c.search(
+        "docs", ["query"], limit=10, anns_field="txt_sparse", filter="grp == 1"
+    ).collect()
+    assert {r.id for r in fhits} == {2, 4}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="function output"):
+        bad = post.withColumn("txt_sparse", post.id.cast("string"))
+        c.insert("docs", bad)
+    with _pytest.raises(ValueError, match="already bound"):
+        c.add_function_field(
+            "docs", {"type": "BM25", "input_field": "txt", "output_field": "txt_sparse"}
+        )
+    with _pytest.raises(ValueError, match="input field"):
+        c.add_function_field(
+            "docs", {"type": "BM25", "input_field": "nope", "output_field": "x"}
+        )

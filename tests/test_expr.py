@@ -418,3 +418,34 @@ def test_element_match_null_masking(spark):
     assert ids("MATCH_ANY(struct_array, $[sub_int] > 1)") == [1]
     assert ids("element_filter(struct_array, $[sub_int] > 1)") == [1]
     assert ids("MATCH_EXACT(struct_array, $[sub_int] > 1, threshold=0)") == [2, 3]
+
+
+def test_struct_subfield_projection(spark):
+    """structA[sub_field] projects the sub-field across all elements as an
+    array (PR #47172; struct_array_element_query.py:181-370): usable with
+    the array_contains family, array_length, and after an element index.
+    Out-of-bounds element access is NULL, not a runtime error."""
+    df = spark.createDataFrame(
+        [
+            (1, [(5, "Red"), (150, "Blue")]),
+            (2, [(1, "Red")]),
+            (3, []),
+            (4, [(5, "Green"), (101, "Blue")]),
+        ],
+        "id long, structA array<struct<int_val:long, color:string>>",
+    )
+
+    def ids(expr):
+        return sorted(r.id for r in df.filter(compile_expr(expr, df.schema)).collect())
+
+    assert ids("array_contains(structA[int_val], 5)") == [1, 4]
+    assert ids('array_contains(structA[color], "Red")') == [1, 2]
+    assert ids('array_contains_all(structA[color], ["Red", "Blue"])') == [1]
+    assert ids("array_contains_any(structA[int_val], [101, 150])") == [1, 4]
+    assert ids("array_length(structA[color]) == 2") == [1, 4]
+    assert ids("structA[0][int_val] == 5") == [1, 4]  # empty array → NULL, no error
+    assert ids(
+        'array_contains(structA[int_val], 5) && element_filter(structA, $[color] == "Blue")'
+    ) == [1, 4]
+    with pytest.raises(ExprError, match="not found"):
+        compile_expr("array_contains(structA[nope], 5)", df.schema)
