@@ -1554,6 +1554,7 @@ class MilvusSparkClient:
         search_aggregation: Optional[dict] = None,
         namespace: Optional[str] = None,
         hints: Optional[str] = None,
+        order_by_fields: Optional[Sequence] = None,
     ) -> DataFrame:
         """ANN top-k over the collection's vector field (pre-filter mode).
         ``round_decimal`` rounds returned distances (search param validated
@@ -1567,6 +1568,44 @@ class MilvusSparkClient:
         range bound, snapshot read, or post-build DML falls back to the
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         meta = self._meta(name)
+        if order_by_fields is not None:
+            # order_by_fields (test_milvus_client_search_order.py): retrieve
+            # the distance top-k first, then REORDER that page by scalar
+            # fields (asc/ascending/desc/descending; multi-field; dynamic
+            # fields; fields need not be in output_fields). With group_by,
+            # GROUPS reorder by their top-1 hit's value while rows within a
+            # group keep score order.
+            if search_aggregation is not None:
+                raise ValueError(
+                    "order_by_fields and search_aggregation are mutually exclusive"
+                )
+            spec = []
+            for ob in order_by_fields:
+                fld, o = (
+                    (ob["field"], str(ob.get("order", "asc")).lower())
+                    if isinstance(ob, dict)
+                    else (ob[0], str(ob[1]).lower())
+                )
+                if o not in ("asc", "ascending", "desc", "descending"):
+                    raise ValueError(f"invalid order {o!r}")
+                spec.append((fld, o in ("asc", "ascending")))
+            hits = self.search(
+                name, data, limit=limit, filter=filter, metric_type=metric_type,
+                params=params, radius=radius, range_filter=range_filter,
+                as_of=as_of, consistency_level=consistency_level,
+                search_params=search_params, anns_field=anns_field,
+                partition_names=partition_names, round_decimal=round_decimal,
+                group_by_field=group_by_field, group_size=group_size,
+                strict_group_size=strict_group_size, ranker=ranker,
+                namespace=namespace, hints=hints,
+            )
+            from milvus_spark.operators.knn import metric_ascending
+
+            hits = self._order_hits(
+                name, hits, meta, spec, group_by_field,
+                metric_ascending(metric_type or meta["metric"]),
+            )
+            return self._requery(name, hits, meta, output_fields)
         if search_aggregation is not None:
             # faceted bucketing of the hit set (SearchAggregation,
             # search_pipeline.go:813; test_milvus_client_search_aggregation.py)
@@ -1952,6 +1991,65 @@ class MilvusSparkClient:
         if ranker:
             hits = self._apply_ranker(name, hits, meta, ranker, limit)
         return self._requery(name, hits, meta, output_fields)
+
+    def _order_hits(
+        self,
+        name: str,
+        hits: DataFrame,
+        meta: dict,
+        spec: Sequence[tuple],
+        group_by_field: Optional[str],
+        metric_asc: bool,
+    ) -> DataFrame:
+        """Reorder a search hit page by scalar fields: rank (or group rank)
+        is reassigned by the order spec; order-field values join in via a
+        broadcast of the tiny hit set and are dropped afterwards."""
+        from pyspark.sql import Window as W
+
+        pk, dyn = meta["pk"], self._dyn(meta)
+        base = self._read(name)
+        cols, names = [F.col(pk)], []
+        for i, (fld, asc) in enumerate(spec):
+            cn = f"_ob{i}"
+            if fld in base.columns:
+                cols.append(F.col(fld).alias(cn))
+            elif dyn and dyn in base.columns and fld.isidentifier():
+                cols.append(F.get_json_object(F.col(dyn), f"$.{fld}").alias(cn))
+            else:
+                raise ValueError(f"unknown order_by field {fld!r}")
+            names.append((cn, asc))
+        joined = base.select(*cols).join(F.broadcast(hits), pk)
+        order = [F.col(c).asc() if a else F.col(c).desc() for c, a in names]
+        if group_by_field is not None and "grank" in hits.columns:
+            sc = F.col("score").asc() if metric_asc else F.col("score").desc()
+            w_in = W.partitionBy("qid", group_by_field).orderBy(sc, F.col(pk).asc())
+            top1 = (
+                joined.withColumn("_rin", F.row_number().over(w_in))
+                .filter(F.col("_rin") == 1)
+                .select("qid", group_by_field, *[F.col(c).alias(c + "_g") for c, _ in names])
+            )
+            gorder = [
+                F.col(c + "_g").asc() if a else F.col(c + "_g").desc()
+                for c, a in names
+            ]
+            w_g = W.partitionBy("qid").orderBy(*gorder, F.col(group_by_field).asc())
+            ranked_groups = top1.withColumn(
+                "grank", F.dense_rank().over(w_g).cast("long")
+            )
+            return (
+                joined.drop("grank", *[c for c, _ in names])
+                .join(
+                    F.broadcast(ranked_groups.drop(*[c + "_g" for c, _ in names])),
+                    ["qid", group_by_field],
+                )
+                .select(*hits.columns)
+            )
+        w = W.partitionBy("qid").orderBy(*order, F.col(pk).asc())
+        return (
+            joined.withColumn("rank", F.row_number().over(w).cast("long"))
+            .drop(*[c for c, _ in names])
+            .select(*hits.columns)
+        )
 
     def _apply_ranker(
         self, name: str, hits: DataFrame, meta: dict, ranker: dict, limit: int

@@ -35,6 +35,8 @@ HEAVY = [
     "cur_pack_sequences",
     "cur_bpe_merge_step",
     "geo_grid_join_dwithin",
+    "vec_element_collapse",
+    "vec_emb_list_struct",
 ]
 
 

@@ -1823,3 +1823,66 @@ def test_add_function_field_bm25(spark, tmp_path):
         c.add_function_field(
             "docs", {"type": "BM25", "input_field": "nope", "output_field": "x"}
         )
+
+
+def test_search_order_by_fields(spark, tmp_path):
+    """search(order_by_fields=...) reorders the distance top-k page by scalar
+    fields (test_milvus_client_search_order.py): single/multi field, all four
+    direction forms, dynamic fields, fields outside output_fields, and
+    group-by where GROUPS reorder by their top-1 hit's value."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "ord"))
+    rows = [
+        (i, float((i * 7) % 5), float(i % 4), f"cat{i % 3}", [float(i), 1.0])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "id long, price double, rating double, category string, emb array<float>")
+    c.create_collection("ord", "id", vector_field="emb", metric_type="L2")
+    c.insert("ord", df)
+    q = [[3.0, 1.0]]
+
+    plain = c.search("ord", q, limit=6).collect()
+    topk_ids = {r.id for r in plain}
+
+    got = c.search(
+        "ord", q, limit=6,
+        order_by_fields=[{"field": "price", "order": "asc"}],
+        output_fields=["price"],
+    ).collect()
+    # same hit SET as the distance top-k, reordered by price
+    assert {r.id for r in got} == topk_ids
+    prices = [r.price for r in sorted(got, key=lambda r: r.rank)]
+    assert prices == sorted(prices)
+
+    got2 = c.search(
+        "ord", q, limit=6,
+        order_by_fields=[{"field": "price", "order": "descending"},
+                         {"field": "rating", "order": "desc"}],
+        output_fields=["price", "rating"],
+    ).collect()
+    key2 = [(-r.price, -r.rating) for r in sorted(got2, key=lambda r: r.rank)]
+    assert key2 == sorted(key2)
+
+    # group-by: groups reorder by top-1 price
+    g = c.search(
+        "ord", q, limit=3, group_by_field="category", group_size=2,
+        order_by_fields=[{"field": "price", "order": "asc"}],
+        output_fields=["price", "category"],
+    ).collect()
+    by_cat: dict = {}
+    for r in g:
+        by_cat.setdefault(r.category, []).append(r)
+    # top-1 of each group = its best (lowest L2, pk tie) hit; groups must be
+    # ordered (by grank) according to that row's price ascending
+    tops = {c: min(rows, key=lambda r: (r.score, r.id)) for c, rows in by_cat.items()}
+    grank_of = {c: rows[0].grank for c, rows in by_cat.items()}
+    top1 = [tops[c].price for c in sorted(grank_of, key=grank_of.get)]
+    assert top1 == sorted(top1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="invalid order"):
+        c.search("ord", q, order_by_fields=[{"field": "price", "order": "up"}])
+    with _pytest.raises(ValueError, match="unknown order_by"):
+        c.search("ord", q, order_by_fields=[{"field": "nope"}])
