@@ -1350,8 +1350,15 @@ class MilvusSparkClient:
                         df = df.withColumn(
                             fspec, F.get_json_object(F.col(dyn), f"$.{fspec}")
                         )
+            for fspec in output_fields:
+                # struct-array sub-field projection as an output field
+                # ("structA[sub]" — same surface as the filter language)
+                ms = re.fullmatch(r"(\w+)\[(\w+)\]", fspec.strip())
+                if ms and fspec not in df.columns and ms.group(1) in df.columns:
+                    from milvus_spark.plans.expr import compile_expr as _ce
+
+                    df = df.withColumn(fspec, _ce(fspec.strip(), df.schema))
             aggs, plain = [], []
-            import re
 
             for fspec in output_fields:
                 m = re.fullmatch(r"(count|sum|avg|min|max)\((\*|\w+)\)", fspec.strip(), re.I)
@@ -1395,7 +1402,7 @@ class MilvusSparkClient:
         # the partition tag is routing metadata, not user data (Milvus
         # partitions are not columns) — hide unless explicitly requested;
         # same for the $meta blob (dynamic KEYS are what users select)
-        for hidden in (self.PARTITION_COL, self.DYNAMIC_COL):
+        for hidden in (self.PARTITION_COL, self.DYNAMIC_COL, self.NAMESPACE_COL):
             if hidden in df.columns and (not output_fields or hidden not in output_fields):
                 df = df.drop(hidden)
         return df

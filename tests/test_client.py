@@ -1886,3 +1886,20 @@ def test_search_order_by_fields(spark, tmp_path):
         c.search("ord", q, order_by_fields=[{"field": "price", "order": "up"}])
     with _pytest.raises(ValueError, match="unknown order_by"):
         c.search("ord", q, order_by_fields=[{"field": "nope"}])
+
+
+def test_query_output_subfield_projection(spark, tmp_path):
+    """query(output_fields=["structA[sub]"]) surfaces a struct-array
+    sub-field as an array column — same projection surface as the filter
+    language (PR #47172)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "proj"))
+    df = spark.createDataFrame(
+        [(1, [(5, "a"), (6, "b")]), (2, [(9, "c")])],
+        "id long, sa array<struct<x:long, s:string>>",
+    )
+    c.create_collection("pj", "id")
+    c.insert("pj", df)
+    out = c.query("pj", filter="id >= 1", output_fields=["id", "sa[x]"]).collect()
+    assert sorted((r["id"], list(r["sa[x]"])) for r in out) == [(1, [5, 6]), (2, [9])]

@@ -356,6 +356,21 @@ ELEM_CASES = [
     ("MATCH_ANY(struct_array, $[sub_str] is not null)", [1, 2, 4]),
 ]
 
+ELEM_TEMPLATE_CASES = [
+    # template params fill inside element predicates and threshold kwargs
+    # (fill_expression_value.go composes with ElementFilter/Match)
+    ("element_filter(struct_array, $[sub_int] > {thr})", {"thr": 100}, [1, 4]),
+    ("MATCH_LEAST(struct_array, $[sub_int] > {thr}, threshold={n})", {"thr": 1, "n": 2}, [1, 4]),
+]
+
+
+@pytest.mark.parametrize("mexpr,params,want", ELEM_TEMPLATE_CASES, ids=[c[0][:48] for c in ELEM_TEMPLATE_CASES])
+def test_element_match_template_params(structs, mexpr, params, want):
+    got = sorted(
+        r.id for r in structs.filter(compile_expr(mexpr, structs.schema, params)).collect()
+    )
+    assert got == want, mexpr
+
 
 @pytest.mark.parametrize("mexpr,want", ELEM_CASES, ids=[c[0][:48] for c in ELEM_CASES])
 def test_element_match_exprs(structs, mexpr, want):

@@ -119,3 +119,15 @@ def test_namespace_field_mode_prunes_directories(spark, cli):
     plan = q._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "namespace_id" in plan.split("PartitionFilters", 1)[1][:400]
+
+
+def test_namespace_column_hidden_in_query(spark, cli):
+    cli.create_collection("nsh", "id", enable_namespace=True)
+    cli.insert("nsh", mkdf(spark, 4), namespace="t")
+    rows = cli.query("nsh", filter="val >= 0", namespace="t").collect()
+    assert rows and all("$namespace_id" not in r.asDict() for r in rows)
+    rows = cli.query(
+        "nsh", filter="val >= 0", namespace="t",
+        output_fields=["id", "$namespace_id"],
+    ).collect()
+    assert all(r["$namespace_id"] == "t" for r in rows)
