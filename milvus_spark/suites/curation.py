@@ -520,3 +520,116 @@ def cur_lm_quality_score(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy(F.col("mean_nll").desc(), F.col("doc_id"))
         .limit(50)
     )
+
+
+# --- vocabulary coverage audit -------------------------------------------------
+@register(
+    "cur_vocab_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT d.doc_id, d.source, t.tok
+      FROM documents d, unnest({TOKENS_SQL.format(col="d.text")}) AS t(tok)
+    ),
+    vocab AS (
+      SELECT tok FROM (
+        SELECT tok, row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        FROM toks GROUP BY tok
+      ) WHERE rn <= 50
+    ),
+    per_doc AS (
+      SELECT doc_id, source, count(*) AS n_tok,
+             sum(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 1 ELSE 0 END) AS n_in
+      FROM toks GROUP BY doc_id, source
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(avg(n_in * 1.0 / n_tok), 4) AS avg_coverage,
+           CAST(sum(CASE WHEN n_in * 1.0 / n_tok < 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+    FROM per_doc GROUP BY source
+    """,
+)
+def cur_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary-coverage audit before tokenizer training: derive the
+    corpus top-50 token vocabulary (one word-count shuffle, map-side
+    combined, TakeOrdered head), broadcast it as a literal, then score every
+    document's in-vocab token fraction map-side (HOF filter over the token
+    array — duplicates count, so array_intersect would be wrong) and roll up
+    per source. At 100 TB the vocab derivation is a standard word count and
+    the audit pass is shuffle-free except the final tiny per-source agg."""
+    d = load_table(spark, sf, "documents").withColumn("toks", tokens(F.col("text")))
+    counts = (
+        d.select(F.explode("toks").alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("tok"))
+        .limit(50)
+    )
+    vocab = [r.tok for r in counts.collect()]
+    varr = F.array(*[F.lit(t) for t in sorted(vocab)])
+    scored = (
+        d.filter(F.size("toks") > 0)
+        .select(
+            "source",
+            F.size("toks").alias("n_tok"),
+            F.size(F.filter("toks", lambda t: F.array_contains(varr, t))).alias("n_in"),
+        )
+        .withColumn("cov", F.col("n_in") / F.col("n_tok"))
+    )
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("cov"), 4).alias("avg_coverage"),
+        F.sum(F.when(F.col("cov") < 0.3, 1).otherwise(0)).cast("long").alias("n_low"),
+    )
+
+
+# --- deterministic sharded training order --------------------------------------
+_SHARDS = 16
+_KNUTH = 2654435761  # Knuth multiplicative hash — identical in both engines
+
+
+@register(
+    "cur_shard_order",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             (doc_id * {_KNUTH}) % 4294967296 AS hkey,
+             (doc_id * {_KNUTH}) % {_SHARDS} AS shard
+      FROM documents
+    ),
+    ranked AS (
+      SELECT shard, hkey, doc_id,
+             row_number() OVER (PARTITION BY shard ORDER BY hkey, doc_id) AS pos
+      FROM h
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(hkey) AS BIGINT) AS first_key,
+           CAST(max(hkey) AS BIGINT) AS last_key,
+           CAST(sum(doc_id * pos) % 1000000007 AS BIGINT) AS order_sig
+    FROM ranked GROUP BY shard
+    """,
+)
+def cur_shard_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global training order: every document lands in a shard
+    and a position by a pure function of its id (Knuth multiplicative hash),
+    so the exact same interleaving reproduces on any cluster size, retry, or
+    engine — no RNG state, no global sort. The position-weighted checksum
+    (order_sig) proves the per-shard ORDER, not just membership, matches the
+    oracle. Plan: one hash-partition shuffle on shard + per-shard local sort
+    (sortWithinPartitions shape); at 100 TB shard count scales with corpus
+    size (shards ≈ corpus/file-target) keeping each sort bounded."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        ((F.col("doc_id") * _KNUTH) % F.lit(4294967296)).alias("hkey"),
+        ((F.col("doc_id") * _KNUTH) % _SHARDS).alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("hkey", "doc_id")
+    ranked = d.withColumn("pos", F.row_number().over(w))
+    return ranked.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.min("hkey").cast("long").alias("first_key"),
+        F.max("hkey").cast("long").alias("last_key"),
+        (F.sum(F.col("doc_id") * F.col("pos")) % 1000000007).cast("long").alias("order_sig"),
+    ).withColumn("shard", F.col("shard").cast("long"))
