@@ -131,3 +131,22 @@ def test_namespace_column_hidden_in_query(spark, cli):
         output_fields=["id", "$namespace_id"],
     ).collect()
     assert all(r["$namespace_id"] == "t" for r in rows)
+
+
+def test_namespace_search_prunes_directories(spark, cli):
+    """The merged namespace conjunct reaches the parquet scan in SEARCH too:
+    the brute-force kernel's input scan carries PartitionFilters on
+    $namespace_id, so a tenant ANN query reads only its own directory."""
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(10)], "id long, emb array<float>"
+    )
+    cli.create_collection("nspr", "id", vector_field="emb", metric_type="L2",
+                          enable_namespace=True)
+    cli.insert("nspr", emb.filter(F.col("id") < 5), namespace="a")
+    cli.insert("nspr", emb.filter(F.col("id") >= 5), namespace="b")
+    hits = cli.search("nspr", [[2.0, 1.0]], limit=2, namespace="a")
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    idx = plan.index("PartitionFilters")
+    assert "namespace_id" in plan[idx:idx + 400]
+    assert [r.id for r in sorted(hits.collect(), key=lambda r: r.rank)] == [2, 1]
