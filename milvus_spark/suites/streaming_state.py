@@ -34,8 +34,11 @@ _SCRATCH = "/root/repo/_scratch"
 
 
 def _stage_time_ordered(stage: str, em: DataFrame, sentinel_frames: list) -> str:
-    """Stage a streaming WAL: three time-ordered chunks (split at the 33/66
-    event-time quantiles of the ``_us`` column) followed by sentinel files.
+    """Stage a streaming WAL: two time-ordered chunks (split at the median
+    event time of the ``_us`` column) followed by sentinel files. Two real
+    chunks are the minimum that still exercises cross-micro-batch watermark
+    progression (state carried over a batch boundary, late-data ordering);
+    each extra chunk only adds fixed per-micro-batch state/checkpoint cost.
     Each chunk is written coalesce(1) — ONE file per chunk — because the
     file source trigger is one file per micro-batch and the 0-second
     watermark advances to a chunk's max event time after its batch: a
@@ -43,10 +46,11 @@ def _stage_time_ordered(stage: str, em: DataFrame, sentinel_frames: list) -> str
     watermark and be dropped as late data. Staged once per SF (immutable);
     returns the src dir."""
     src = os.path.join(stage, "src")
-    if os.path.exists(os.path.join(stage, "_STAGED")):
+    if os.path.exists(os.path.join(stage, "_STAGED_V2")):
         return src
-    q1, q2 = em.approxQuantile("_us", [0.33, 0.66], 0.0)
-    bounds = [(None, q1), (q1, q2), (q2, None)]
+    shutil.rmtree(src, ignore_errors=True)  # drop any prior-layout staging
+    (q1,) = em.approxQuantile("_us", [0.5], 0.0)
+    bounds = [(None, q1), (q1, None)]
     for i, (lo, hi) in enumerate(bounds):
         part = em
         if lo is not None:
@@ -60,7 +64,7 @@ def _stage_time_ordered(stage: str, em: DataFrame, sentinel_frames: list) -> str
         sdf.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(src, f"sentinel{j}.parquet")
         )
-    open(os.path.join(stage, "_STAGED"), "w").close()
+    open(os.path.join(stage, "_STAGED_V2"), "w").close()
     return src
 
 
