@@ -65,8 +65,14 @@ class Collection:
         ).write.mode("append").parquet(self.tomb_dir)
 
     def delete_where(self, cond, ts: int) -> None:
-        """Complex delete: filter resolves pks (internal query), then tombstone."""
-        self.delete_pks(self.read(as_of=ts).filter(cond).select(self.pk), ts)
+        """Complex delete: filter resolves pks (internal query), then tombstone.
+
+        Pks resolve against the snapshot STRICTLY BEFORE ``ts`` (as_of=ts-1):
+        the read-side kill condition is ``_ts < _del_ts``, so a row written
+        AT ts can never be killed by a ts tombstone (that ordering is what
+        keeps upsert's delete-then-insert at one ts atomic) — resolving at
+        as_of=ts would emit inert tombstones for same-ts rows."""
+        self.delete_pks(self.read(as_of=int(ts) - 1).filter(cond).select(self.pk), ts)
 
     def upsert(self, df: DataFrame, ts: int) -> None:
         """Delete-by-pk + insert, atomic per batch (MERGE semantics)."""
@@ -119,7 +125,13 @@ class Collection:
             self.pk,
             *[merged_col(c).alias(c) for c in current.columns if c != self.pk],
         )
-        self.upsert(merged, ts)
+        # tombstone from the (small) incoming batch, not from merged — going
+        # through upsert(merged) would materialize merged's corpus-join
+        # lineage twice (once for its delete leg, once for append). Batch pks
+        # absent from the store leave inert tombstones; merged holds exactly
+        # the existing ones.
+        self.delete_pks(df.select(self.pk), ts)
+        self.append(merged, ts)
 
     # -- read -----------------------------------------------------------------
     def _tombstones(self) -> DataFrame | None:
@@ -150,6 +162,69 @@ class Collection:
         return df.join(F.broadcast(tombs), cond, "left_anti")
 
     # -- maintenance ----------------------------------------------------------
+    def _segment_files(self) -> set:
+        import glob
+
+        return {
+            os.path.relpath(f, self.seg_dir)
+            for f in glob.glob(
+                os.path.join(self.seg_dir, "**", "*.parquet"), recursive=True
+            )
+        }
+
+    def _record_cdc_watermark(self) -> None:
+        """Compaction folds tombstones into data and drops them — change
+        history at or before this moment is no longer reconstructible. The
+        watermark (max folded ts) lets changes() fail loudly instead of
+        silently omitting pre-compaction deletes."""
+        import json
+
+        segs = self.spark.read.option("mergeSchema", "true").parquet(self.seg_dir)
+        wm = segs.agg(F.max(TS_COL)).first()[0] or 0
+        tombs = self._tombstones()
+        if tombs is not None:
+            tw = tombs.agg(F.max(DEL_TS_COL)).first()[0] or 0
+            wm = max(int(wm), int(tw))
+        with open(os.path.join(self.path, "cdc_watermark.json"), "w") as f:
+            json.dump({"compacted_through_ts": int(wm)}, f)
+
+    def _cdc_watermark(self) -> int:
+        import json
+
+        p = os.path.join(self.path, "cdc_watermark.json")
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(json.load(f)["compacted_through_ts"])
+
+    def _swap_segments(self, df: DataFrame, suffix: str) -> None:
+        """Write ``df`` as the new segment set and swap it in crash-safely:
+        write aside → rename live out of the way → rename new in → drop the
+        old set + folded tombstones. A kill at any point leaves either the
+        old live dir or the fully-written new one on disk under a known
+        name — never a window where the collection points at nothing (the
+        rmtree-then-rename ordering had exactly that window)."""
+        import shutil
+
+        tmp = self.seg_dir + suffix
+        w = df.write.mode("overwrite").option(
+            f"parquet.bloom.filter.enabled#{self.pk}", "true"
+        )
+        if self.partition_key:
+            # the rewrite must preserve the hive layout (a flat rewrite
+            # would mix directory depths with later partitioned appends and
+            # break partition discovery)
+            w = w.partitionBy(self.partition_key)
+        w.parquet(tmp)
+        self._record_cdc_watermark()
+        old = self.seg_dir + ".old"
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(self.seg_dir, old)
+        os.rename(tmp, self.seg_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(self.tomb_dir):
+            shutil.rmtree(self.tomb_dir)
+
     def compact(self, num_partitions: int = 4, exclude_ts: list[int] | None = None) -> None:
         """Mix+L0 compaction: fold tombstones into data, rewrite sorted by pk.
 
@@ -168,22 +243,7 @@ class Collection:
             live.repartitionByRange(num_partitions, F.col(self.pk))
             .sortWithinPartitions(self.pk)
         )
-        tmp = self.seg_dir + ".compacting"
-        w = compacted.write.mode("overwrite").option(
-            f"parquet.bloom.filter.enabled#{self.pk}", "true"
-        )
-        if self.partition_key:
-            # partition-key mode: the rewrite must preserve the hive layout
-            # (a flat rewrite would mix directory depths with later
-            # partitioned appends and break partition discovery)
-            w = w.partitionBy(self.partition_key)
-        w.parquet(tmp)
-        import shutil
-
-        shutil.rmtree(self.seg_dir)
-        os.rename(tmp, self.seg_dir)
-        if os.path.isdir(self.tomb_dir):
-            shutil.rmtree(self.tomb_dir)
+        self._swap_segments(compacted, ".compacting")
 
     def compact_clustering(self, key: str, num_partitions: int = 8) -> dict:
         """Clustering compaction by a scalar clustering key
@@ -198,33 +258,28 @@ class Collection:
         saves the file-open round trips, which is what matters when a 100 TB
         collection has tens of thousands of files on object storage.
         """
+        if key == self.partition_key:
+            # hive files don't carry the partition column in their footers,
+            # so no per-file [min,max] could be recorded — and directory
+            # pruning already covers equality/range on the partition key
+            raise ValueError(
+                f"clustering key {key!r} is the partition key; the hive "
+                f"layout already prunes on it"
+            )
         live = self.read()
+        if key not in live.columns:
+            raise ValueError(f"unknown clustering key {key!r}")
         clustered = live.repartitionByRange(num_partitions, F.col(key)).sortWithinPartitions(key)
-        tmp = self.seg_dir + ".clustering"
-        wr = clustered.write.mode("overwrite").option(
-            f"parquet.bloom.filter.enabled#{self.pk}", "true"
-        )
-        if self.partition_key:
-            # re-cluster WITHIN the hive partitions (the reference clusters
-            # per partition too) so the directory layout stays consistent
-            wr = wr.partitionBy(self.partition_key)
-        wr.parquet(tmp)
-        import glob
+        self._swap_segments(clustered, ".clustering")
         import json
-        import shutil
 
-        shutil.rmtree(self.seg_dir)
-        os.rename(tmp, self.seg_dir)
-        if os.path.isdir(self.tomb_dir):
-            shutil.rmtree(self.tomb_dir)
         # per-file stats from parquet footers only — no data scan; recursive
         # glob + relative names so hive-partitioned layouts manifest too
         import pyarrow.parquet as pq
 
         stats: dict[str, list] = {}
-        for f in sorted(
-            glob.glob(os.path.join(self.seg_dir, "**", "*.parquet"), recursive=True)
-        ):
+        for rel in sorted(self._segment_files()):
+            f = os.path.join(self.seg_dir, rel)
             md = pq.ParquetFile(f).metadata
             idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[key]
             mins, maxs = [], []
@@ -252,20 +307,13 @@ class Collection:
         to the exact full scan rather than resurrect/skip rows. The pruned
         path also applies tombstones, exactly like read(): deletes recorded
         AFTER the clustering compaction must stay invisible here too."""
-        import glob
         import json
 
         mpath = os.path.join(self.path, "partition_stats.json")
         with open(mpath) as f:
             manifest = json.load(f)
         key = manifest["key"]
-        on_disk = {
-            os.path.relpath(f, self.seg_dir)
-            for f in glob.glob(
-                os.path.join(self.seg_dir, "**", "*.parquet"), recursive=True
-            )
-        }
-        if set(manifest["files"]) != on_disk:
+        if set(manifest["files"]) != self._segment_files():
             return self.read().filter(F.col(key).between(lo, hi))
         keep = [
             os.path.join(self.seg_dir, fname)
@@ -274,7 +322,10 @@ class Collection:
         ]
         if not keep:
             return self.read().filter(F.lit(False))
-        df = self.spark.read.parquet(*keep)
+        # basePath keeps hive partition discovery alive when explicit leaf
+        # files are listed — without it a partition-key collection's
+        # partition column silently vanishes from the pruned frame
+        df = self.spark.read.option("basePath", self.seg_dir).parquet(*keep)
         tombs = self._tombstones()
         if tombs is not None:
             cond = (df[self.pk] == tombs[self.pk]) & (df[TS_COL] < tombs[DEL_TS_COL])
@@ -287,9 +338,19 @@ class Collection:
         (internal/cdc/ replication; Delta CDF analog). Emits the pk-level
         change log: op ∈ {insert, delete} with the change timestamp. An upsert
         appears as delete+insert at the same ts (task_upsert.go batch order).
-        Pure metadata-partition reads — segments/tombstones are append-only,
-        so a replicator tails this incrementally without touching old files.
+        Segments/tombstones are append-only BETWEEN compactions, so a
+        replicator tails this incrementally; a compaction folds tombstones
+        away, so a window reaching at or before the recorded compaction
+        watermark cannot be reconstructed and raises instead of silently
+        omitting the folded deletes.
         """
+        wm = self._cdc_watermark()
+        if int(since) < wm:
+            raise ValueError(
+                f"change window since={since} predates the last compaction "
+                f"(watermark ts={wm}); deltas up to the watermark were "
+                f"folded — re-sync from a snapshot instead"
+            )
         segs = self.spark.read.option("mergeSchema", "true").parquet(self.seg_dir)
         ins = segs.filter(
             (F.col(TS_COL) > int(since)) & (F.col(TS_COL) <= int(until))

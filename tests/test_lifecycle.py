@@ -151,3 +151,54 @@ def test_compact_preserves_partition_key_layout(spark, sf_dir, tmp_path):
         ts=2,
     )
     assert coll.read().count() == n + 5  # read still works post-mixed-writes
+
+
+def test_partition_key_pruned_read_keeps_partition_column(spark, tmp_path):
+    """read_pruned on a partition-key collection must surface the hive
+    partition column (basePath partition discovery over explicit leaf
+    files), and clustering by the partition key itself is rejected — the
+    directory layout already prunes on it."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.lifecycle import Collection
+
+    coll = Collection(spark, str(tmp_path / "pkc"), pk="id", partition_key="p")
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", i * 10) for i in range(40)], "id long, p string, v long"
+    )
+    coll.append(df, ts=1)
+    with _pytest.raises(ValueError, match="partition key"):
+        coll.compact_clustering("p")
+    coll.compact_clustering("v")
+    pruned = coll.read_pruned(100, 200)
+    assert "p" in pruned.columns  # hive column survives the leaf-file read
+    got = sorted((r.id, r.p) for r in pruned.collect())
+    assert got == [(i, f"p{i % 2}") for i in range(10, 21)]
+
+
+def test_changes_guarded_by_compaction_watermark(spark, tmp_path):
+    """Compaction folds tombstones away; a CDC window reaching into the
+    folded range must raise, not silently omit the deletes, while windows
+    after the watermark keep working."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.lifecycle import Collection
+
+    coll = Collection(spark, str(tmp_path / "cdc"), pk="id")
+    df = spark.createDataFrame([(i, i) for i in range(10)], "id long, v long")
+    coll.append(df, ts=1)
+    coll.delete_pks(df.filter(F.col("id") < 3).select("id"), ts=2)
+    coll.compact()
+    with _pytest.raises(ValueError, match="predates the last compaction"):
+        coll.changes(since=1, until=5)
+    coll.append(df.filter(F.col("id") >= 90), ts=3)  # empty — shape only
+    coll.delete_pks(df.filter(F.col("id") == 5).select("id"), ts=4)
+    out = coll.changes(since=2, until=5).collect()
+    assert ("delete", 5) in {(r.op, r.id) for r in out}
+    # no stray .old/.compacting dirs after swaps
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "cdc" / "segments.old"))
+    assert not os.path.isdir(str(tmp_path / "cdc" / "segments.compacting"))
