@@ -363,9 +363,20 @@ _ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "0": "\0"}
 
 def _unquote(s: str) -> str:
     """Interpret standard escape sequences (\\n, \\t, \\r, \\0, \\\\, \\", \\');
-    a backslash before any other char just drops (LIKE-style \\% → %)."""
+    a backslash before ANY OTHER char is preserved verbatim — dropping it
+    would corrupt regex classes (\\d → d) and LIKE escapes (\\% must reach
+    Spark's LIKE, whose default escape char makes it a literal percent)."""
     body = s[1:-1]
-    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body)
+
+    def sub(m: "re.Match") -> str:
+        c = m.group(1)
+        if c in _ESCAPES:
+            return _ESCAPES[c]
+        if c in ("\\", '"', "'"):
+            return c
+        return "\\" + c
+
+    return re.sub(r"\\(.)", sub, body)
 
 
 
@@ -424,6 +435,13 @@ class Compiler:
                 )
             return var[node.name]
         if isinstance(node, JsonPath):
+            if self._elem is not None:
+                # same rule as plain Field refs: element-level predicates
+                # evaluate per element — no document columns of any shape
+                raise ExprError(
+                    f"element-level predicate cannot reference document "
+                    f"field {node.base!r}"
+                )
             return self._subscript(node)
         if isinstance(node, Un):
             x = self.compile(node.x)
@@ -550,6 +568,25 @@ class Compiler:
             res = res | b
         return res
 
+    def _json_typed_cmp(self, jp: JsonPath, op: str, v) -> Column:
+        """Scalar compare of a JSON path against a literal within the
+        literal's JSON-type bucket (typed-compare semantics)."""
+        import operator as _op
+
+        fn = {
+            "==": _op.eq, "!=": _op.ne, "<": _op.lt,
+            "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+        }[op]
+        var = self._json_variant(jp)
+        typ = F.schema_of_variant(var)
+        if isinstance(v, str):
+            return (typ == "STRING") & fn(
+                F.try_variant_get(var, "$", "string"), F.lit(v)
+            )
+        return self._variant_is_num(typ) & fn(
+            F.try_variant_get(var, "$", "double"), F.lit(float(v))
+        )
+
     def _typed(self, node: Any, other: Any) -> Column:
         """JSON values arrive as strings; cast by the comparand's type
         (typed-compare semantics: numeric vs string vs bool buckets,
@@ -589,6 +626,22 @@ class Compiler:
                 return guard & (
                     v == F.lit(y.value) if op == "==" else v != F.lit(y.value)
                 )
+        # typed scalar compares on JSON paths (same bucket rules the IN and
+        # bool-equality paths already implement, #51489/#51567): a numeric
+        # literal matches only stored numbers, a string literal only stored
+        # strings — a blind cast would coerce "1" == 1 across buckets
+        _CMP = ("==", "!=", "<", "<=", ">", ">=")
+        _FLIP = {"<": ">", "<=": ">=", ">": "<", ">=": "<=", "==": "==", "!=": "!="}
+        for x, y, eff_op in ((node.a, node.b, op), (node.b, node.a, _FLIP.get(op, op))):
+            if (
+                op in _CMP
+                and self._is_json(x)
+                and not self._is_json(y)
+                and isinstance(y, Lit)
+                and isinstance(y.value, (int, float, str))
+                and not isinstance(y.value, bool)
+            ):
+                return self._json_typed_cmp(x, eff_op, y.value)
         # JSON path vs JSON path: get_json_object strings would compare
         # LEXICOGRAPHICALLY ('10' < '9'); compare numerically when both
         # sides parse as numbers, else as strings — the typed-compare
@@ -709,6 +762,13 @@ class Compiler:
         if not any(isinstance(n, ElemField) for n in nodes):
             raise ExprError(f"{fn} predicate must reference at least one $[sub_field]")
         for n in nodes:
+            if isinstance(n, (Field, JsonPath)):
+                name = n.name if isinstance(n, Field) else n.base
+                raise ExprError(
+                    f"element-level predicate cannot reference document "
+                    f"field {name!r} (MATCH predicates must be evaluated at "
+                    f"element level)"
+                )
             if isinstance(n, Call):
                 if n.fn == "element_filter" or n.fn in self._MATCH_FNS:
                     raise ExprError(f"cannot nest {n.fn} inside {fn}")
@@ -779,11 +839,32 @@ class Compiler:
             return n_hit <= thr
         return n_hit == thr  # match_exact
 
+    # fn → (min_args, max_args): short calls must fail as ExprError at
+    # compile, not an IndexError / AnalysisException at run time
+    _ARITY = {
+        "starts_with": (2, 2), "empty": (1, 1), "exists": (1, 1),
+        "array_length": (1, 1), "array_contains": (2, 2),
+        "json_contains": (2, 2), "array_contains_any": (2, 2),
+        "json_contains_any": (2, 2), "array_contains_all": (2, 2),
+        "json_contains_all": (2, 2), "text_match": (2, 3),
+        "phrase_match": (2, 3), "bloom_match": (2, 2), "random_sample": (1, 1),
+        "st_within": (2, 2), "st_contains": (2, 2), "st_intersects": (2, 2),
+        "st_equals": (2, 2), "st_touches": (2, 2), "st_crosses": (2, 2),
+        "st_overlaps": (2, 2), "st_isvalid": (1, 1), "st_dwithin": (3, 3),
+    }
+
     def _call(self, node: Call) -> Column:
         fn = node.fn
         args = node.args
         if fn == "element_filter" or fn in self._MATCH_FNS:
             return self._match_call(node)
+        spec = self._ARITY.get(fn.lower())
+        if spec is not None and not spec[0] <= len(args) <= spec[1]:
+            raise ExprError(
+                f"{fn} expects {spec[0]}"
+                + (f"-{spec[1]}" if spec[1] != spec[0] else "")
+                + f" arguments, got {len(args)}"
+            )
         if fn == "starts_with":
             return self.compile(args[0]).startswith(self.compile(args[1]))
         if fn == "empty":
@@ -792,11 +873,36 @@ class Compiler:
             x = args[0]
             if not isinstance(x, JsonPath):
                 raise ExprError("exists requires a JSON path")
+            if not isinstance(self.col_type(x.base), (T.ArrayType, T.MapType)):
+                # EXISTS tests key PRESENCE — a key stored with JSON null
+                # exists, but get_json_object returns NULL for both cases.
+                # Test membership in the parent container's key set instead.
+                *parent, last = [
+                    p.name if isinstance(p, Ident) else p for p in x.path
+                ]
+                col = F.col(x.base)
+                if parent:
+                    col = F.get_json_object(col, _json_path_str(parent))
+                if isinstance(last, int):
+                    return F.json_array_length(col) > last
+                return F.array_contains(F.json_object_keys(col), last)
             return self.compile(x).isNotNull()
         if fn == "array_length":
             return F.size(self.compile(args[0]))
         if fn in ("array_contains", "json_contains"):
             v = self._lit_value(args[1])
+            if isinstance(v, list):
+                # element is itself an array: containment of a sub-array in
+                # an array-of-arrays JSON value
+                if not self._is_json(args[0]):
+                    raise ExprError(
+                        f"{fn}: array-literal elements require a JSON field"
+                    )
+                it = self._json_elem_type(v)
+                nested = F.from_json(
+                    self.compile(args[0]), f"array<array<{it}>>"
+                )
+                return F.array_contains(nested, self._typed_lit_array(v, it))
             et = self._json_elem_type(v)
             v_lit = float(v) if et == "double" else v
             return F.array_contains(self._as_array(args[0], et), v_lit)
@@ -816,6 +922,10 @@ class Compiler:
             msm = self._lit_value(args[2]) if len(args) > 2 else 1
             toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
             qs = [t for t in re.split(r"[^a-z0-9]+", str(terms).lower()) if t]
+            if not qs:
+                # a query with no analyzable tokens matches nothing (an
+                # empty F.array() would fail analysis with a VOID type)
+                return F.lit(False)
             return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(q) for q in qs]))) >= int(msm)
         if fn == "phrase_match":
             col = self.compile(args[0])
@@ -838,9 +948,17 @@ class Compiler:
             return self._gis(fn.lower(), args)
         if fn == "random_sample":
             frac = float(self._lit_value(args[0]))
+            if not 0.0 < frac < 1.0:
+                # RandomSampleExpr factor domain (plan parser validation)
+                raise ExprError(f"random_sample factor must be in (0, 1), got {frac}")
+            if self.schema is None:
+                raise ExprError("random_sample requires a schema-bound filter")
             # deterministic hash-based Bernoulli sample on the row's pk-ish
-            # hash — reproducible across runs/partitions (RandomSampleNode)
-            return F.abs(F.hash(F.struct(*[F.col(c) for c in ([] if not self.schema else [self.schema.fields[0].name])]))) % 10000 < int(frac * 10000)
+            # hash — reproducible across runs/partitions (RandomSampleNode);
+            # 1e6 buckets keep small fractions meaningful (1e-6 granularity)
+            return F.abs(
+                F.hash(F.col(self.schema.fields[0].name))
+            ) % 1000000 < int(round(frac * 1000000))
         raise ExprError(f"unknown function {fn}")
 
     def _gis(self, fn: str, args: list[Any]) -> Column:
@@ -931,12 +1049,6 @@ class Compiler:
         if isinstance(node, Lit):
             return node.value
         raise ExprError("expected literal argument")
-
-    def _lit_array(self, node: Any) -> Column:
-        v = self._lit_value(node)
-        if not isinstance(v, list):
-            raise ExprError("expected list literal")
-        return F.array(*[F.lit(x) for x in v])
 
     @staticmethod
     def _typed_lit_array(vs, elem_type: str) -> Column:
@@ -1119,6 +1231,18 @@ def validate_partition_key_isolation(
                     raise ExprError("partition key isolation does not support OR")
                 return False
             if is_key(n.a) or is_key(n.b):
+                other = n.b if is_key(n.a) else n.a
+                is_const = isinstance(other, Lit) or (
+                    isinstance(other, Un)
+                    and other.op in ("-", "+")
+                    and isinstance(other.x, Lit)
+                )
+                if not is_const:
+                    # key-vs-column compiles to CompareExpr, which the
+                    # reference validator does not recognize as a pin — the
+                    # key stays unpinned (and the filter fails the
+                    # not-found check unless pinned elsewhere)
+                    return False
                 if n.op == "==":
                     return True
                 raise ExprError(

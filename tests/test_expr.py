@@ -464,3 +464,66 @@ def test_struct_subfield_projection(spark):
     ) == [1, 4]
     with pytest.raises(ExprError, match="not found"):
         compile_expr("array_contains(structA[nope], 5)", df.schema)
+
+
+def test_expr_review_fixes_round3(spark):
+    """Regression bundle from the round-3 expression review: typed-bucket
+    scalar JSON compares, escape preservation in regex/LIKE, json_contains
+    with array elements, exists on stored-null keys, empty text_match,
+    arity errors, random_sample validation."""
+    df = spark.createDataFrame(
+        [
+            (1, '{"v": 1, "arr": [[1, 2], [3]], "n": null}', "abc123"),
+            (2, '{"v": "1"}', "d123"),
+            (3, '{"v": 7}', "100%"),
+        ],
+        "id long, js string, s string",
+    )
+
+    def ids(expr):
+        return sorted(r.id for r in df.filter(compile_expr(expr, df.schema)).collect())
+
+    # typed buckets: a numeric literal never matches a stored string (== and
+    # range forms agree with the IN path)
+    assert ids('js["v"] == 1') == [1]
+    assert ids('js["v"] == "1"') == [2]
+    assert ids('js["v"] > 0') == [1, 3]
+    assert ids('0 < js["v"] < 5') == [1]
+    # cross-type values are skipped for != too (typed buckets don't compare)
+    assert ids('js["v"] != 1') == [3]
+    # escapes: \d stays a regex class, \% a literal LIKE percent
+    assert ids('s =~ "\\\\d{3}"') == [1, 2, 3]
+    assert ids('s like "100\\\\%"') == [3]
+    # array-element containment in a JSON array-of-arrays
+    assert ids('json_contains(js["arr"], [1, 2])') == [1]
+    assert ids('json_contains(js["arr"], [2, 1])') == []
+    # a key stored as JSON null EXISTS; a missing key does not
+    assert ids('exists js["n"]') == [1]
+    assert ids('exists js["nope"]') == []
+    # no-token text_match matches nothing (not an AnalysisException)
+    assert ids('text_match(s, "!!!")') == []
+    # arity and sample-range validation raise ExprError
+    for bad in ["starts_with(s)", "empty()", "array_length()",
+                "random_sample(2.5)", "random_sample(-1)"]:
+        with pytest.raises(ExprError):
+            compile_expr(bad, df.schema)
+    # random_sample keeps roughly the requested fraction
+    n = df.filter(compile_expr("random_sample(0.5)", df.schema)).count()
+    assert 0 <= n <= 3
+
+
+def test_element_pred_rejects_json_refs(spark):
+    df = spark.createDataFrame(
+        [(1, '{"k": 5}', [(10, "a")])],
+        "id long, js string, sa array<struct<x:long, s:string>>",
+    )
+    with pytest.raises(ExprError, match="document field"):
+        compile_expr('MATCH_ANY(sa, $[x] > js["k"])', df.schema)
+
+
+def test_isolation_key_vs_column_not_a_pin(spark):
+    from milvus_spark.plans.expr import validate_partition_key_isolation
+
+    validate_partition_key_isolation('pk == 3 && other > 1', "pk")
+    with pytest.raises(ExprError, match="not found"):
+        validate_partition_key_isolation("pk == other_col", "pk")
