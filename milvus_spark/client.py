@@ -320,6 +320,16 @@ class MilvusSparkClient:
         held = self.list_aliases(name)
         if held:
             raise ValueError(f"collection {name} has aliases {held}; drop them first")
+        # release any pinned serving cache before the files go away
+        loaded = getattr(self, "_loaded", {})
+        for k in [
+            k for k in loaded
+            if (isinstance(k, tuple) and len(k) >= 2 and k[:2] == (self.root, name))
+            or k == name
+        ]:
+            df = loaded.pop(k)
+            if df is not None:
+                df.unpersist()
         self._catalog.pop(name, None)
         self._save_catalog()
         p = os.path.join(self.root, name)
@@ -346,6 +356,13 @@ class MilvusSparkClient:
         self._catalog[new] = meta
         del self._catalog[old]
         po, pn = os.path.join(self.root, old), os.path.join(self.root, new)
+        # index artifacts move with the directory — rewrite their recorded
+        # paths or every still-fresh index would open the old location
+        for entries in (meta.get("indexes") or {}).values():
+            for e in entries if isinstance(entries, list) else [entries]:
+                if isinstance(e, dict) and isinstance(e.get("path"), str):
+                    if e["path"].startswith(po + os.sep):
+                        e["path"] = pn + e["path"][len(po):]
         if os.path.isdir(po):
             shutil.move(po, pn)
         if old in self._ts:
@@ -436,7 +453,8 @@ class MilvusSparkClient:
         if partition not in parts:
             raise ValueError(f"no partition {partition}")
         coll = self._coll(name)
-        coll.delete_where(F.col(self.PARTITION_COL) == partition, self._next_ts(name))
+        if self.PARTITION_COL in coll.read().columns:
+            coll.delete_where(F.col(self.PARTITION_COL) == partition, self._next_ts(name))
         parts.remove(partition)
         self._save_catalog()
 
@@ -444,7 +462,12 @@ class MilvusSparkClient:
         if not partition_names:
             return df
         if self.PARTITION_COL not in df.columns:
-            raise ValueError("collection has no named partitions")
+            # every row predates the first tagged insert → all are _default
+            # (no segment carries the tag column yet); selecting any other
+            # partition is a valid empty read, not an error
+            if "_default" in partition_names:
+                return df
+            return df.filter(F.lit(False))
         # rows written before the first create_partition carry no tag —
         # they belong to _default (mergeSchema surfaces them as null)
         tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
@@ -482,16 +505,24 @@ class MilvusSparkClient:
                 raise ValueError(f"load_fields not in schema: {missing}")
             cols = [pk] + [f for f in load_fields if f != pk]
             df = df.select(*cols)
+        prev = self._loaded.pop(self._load_key(name), None)
+        if prev is not None:
+            prev.unpersist()  # a re-load must not leak the previous pin
         df = df.persist(
             StorageLevel.MEMORY_AND_DISK_DESER if mmap_enabled else StorageLevel.MEMORY_ONLY
         )
         df.count()  # eager: load completes before the call returns
-        self._loaded[name] = df
+        self._loaded[self._load_key(name)] = df
+
+    def _load_key(self, name: str):
+        # cache keys carry the database dir — two databases may hold
+        # same-named collections, and load state must not cross over
+        return (self.root, self._resolve_alias(name))
 
     def release_collection(self, name: str) -> None:
         """Release cached state (ReleaseCollection analog)."""
         loaded = getattr(self, "_loaded", {})
-        df = loaded.pop(name, None)
+        df = loaded.pop(self._load_key(name), None) or loaded.pop(name, None)
         if df is not None:
             df.unpersist()
 
@@ -503,13 +534,18 @@ class MilvusSparkClient:
             if not self.has_partition(name, p):
                 raise ValueError(f"no partition {p}")
         self._loaded = getattr(self, "_loaded", {})
+        key = self._load_key(name) + (tuple(sorted(partitions)),)
+        prev = self._loaded.pop(key, None)
+        if prev is not None:
+            prev.unpersist()
         df = self._partition_filter(self._read(name), list(partitions)).cache()
         df.count()
-        self._loaded[(name, tuple(sorted(partitions)))] = df
+        self._loaded[key] = df
 
     def release_partitions(self, name: str, partitions: Sequence[str]) -> None:
         loaded = getattr(self, "_loaded", {})
-        df = loaded.pop((name, tuple(sorted(partitions))), None)
+        key = self._load_key(name) + (tuple(sorted(partitions)),)
+        df = loaded.pop(key, None)
         if df is not None:
             df.unpersist()
 
@@ -520,9 +556,11 @@ class MilvusSparkClient:
         errors; Spark can always scan)."""
         self._meta(name)  # raises on unknown collection
         loaded = getattr(self, "_loaded", {})
-        full = name in loaded
+        key = self._load_key(name)
+        full = key in loaded
         parts = sorted(
-            p for k in loaded if isinstance(k, tuple) and k[0] == name for p in k[1]
+            p for k in loaded if isinstance(k, tuple) and len(k) == 3
+            and k[:2] == key for p in k[2]
         )
         state = "Loaded" if full else ("PartiallyLoaded" if parts else "NotLoad")
         return {"state": state, "partitions": parts}
@@ -620,7 +658,11 @@ class MilvusSparkClient:
         meta = self._meta(name)
         if "partitions" in meta:
             df = self._read(name)
-            tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
+            tag = (
+                F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
+                if self.PARTITION_COL in df.columns
+                else F.lit("_default")
+            )
             stats["partitions"] = {
                 r["p"]: r["n"]
                 for r in df.groupBy(tag.alias("p"))
@@ -653,9 +695,10 @@ class MilvusSparkClient:
         """Re-pin the CURRENT visible state in cache (RefreshLoad: reload
         after DML so serving reads include the newest segments)."""
         loaded = getattr(self, "_loaded", {})
-        if name not in loaded:
+        key = self._load_key(name)
+        if key not in loaded:
             raise ValueError(f"collection {name} is not loaded")
-        was_mmap = loaded[name].storageLevel.useDisk
+        was_mmap = loaded[key].storageLevel.useDisk
         self.release_collection(name)
         self.load_collection(name, mmap_enabled=was_mmap)
 
@@ -802,8 +845,16 @@ class MilvusSparkClient:
             df = df.withColumn(self.PARTITION_COL, F.lit(partition_name))
         elif "partitions" in self._meta(name):
             df = df.withColumn(self.PARTITION_COL, F.lit("_default"))
-        self._coll(name).append(df, ts=self._next_ts(name))
-        return df.count()
+        ts = self._next_ts(name)
+        coll = self._coll(name)
+        coll.append(df, ts=ts)
+        # count the WRITTEN batch from its parquet footers (metadata-only
+        # count) — re-counting df would execute its whole lineage a second
+        # time and can even disagree with what was written
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(coll.seg_dir)
+            .filter(F.col(TS_COL) == ts).count()
+        )
 
     def upsert(
         self,
@@ -899,11 +950,17 @@ class MilvusSparkClient:
                     .withColumn(dyn, _merge_meta(F.col("_old_meta"), F.col(dyn)))
                     .drop("_old_meta")
                 )
-            coll.upsert_partial(packed, ts=self._next_ts(name), field_ops=field_ops)
+            ts = self._next_ts(name)
+            coll.upsert_partial(packed, ts=ts, field_ops=field_ops)
         else:
             df = self._pack_dynamic(meta, self._apply_defaults(meta, df))
-            coll.upsert(df, ts=self._next_ts(name))
-        return df.count()
+            ts = self._next_ts(name)
+            coll.upsert(df, ts=ts)
+        # written-batch count from footers, not a second lineage execution
+        return (
+            self.spark.read.option("mergeSchema", "true").parquet(coll.seg_dir)
+            .filter(F.col(TS_COL) == ts).count()
+        )
 
     def delete(
         self,
@@ -942,10 +999,17 @@ class MilvusSparkClient:
     def truncate(self, name: str) -> None:
         import shutil
 
-        p = os.path.join(self.root, name)
+        meta = self._meta(name)  # validates existence (raises on unknown)
+        real = self._resolve_alias(name)
+        p = os.path.join(self.root, real)
         if os.path.isdir(p):
             shutil.rmtree(p)
-        self._ts.pop(name, None)
+        self._ts.pop(real, None)
+        # data is gone — partitions, TTL clocks, index entries and the
+        # clustering manifest no longer describe anything
+        for k in ("partitions", "ts_wall", "indexes", "clustered"):
+            meta.pop(k, None)
+        self._save_catalog()
 
     def compact(
         self, name: str, num_partitions: int = 4, clustering_key: Optional[str] = None
@@ -974,6 +1038,12 @@ class MilvusSparkClient:
         # describe what's on disk — drop the access path (correctness over
         # speed; a later clustering compaction rebuilds it)
         meta.pop("clustered", None)
+        if expired:
+            # expired rows were physically reclaimed, but index artifacts
+            # (IVF clustered copy, PQ/SQ codes, LSH buckets, postings) still
+            # hold them — bump the collection ts so every fast path goes
+            # stale and falls back to the exact scan until rebuilt
+            self._next_ts(name)
         for t in expired:  # rows physically reclaimed — stop tracking
             meta.get("ts_wall", {}).pop(str(t), None)
         if "collection.ttl.seconds" not in (meta.get("properties") or {}):
@@ -1025,7 +1095,12 @@ class MilvusSparkClient:
         params = dict(params or {})
         meta = self._meta(name)
         itype = index_type.upper()
-        idx_dir = os.path.join(self.root, name, "_indexes", f"{field}__{itype}")
+        # resolve aliases for the artifact path — _meta already resolved the
+        # catalog entry, and artifacts must live INSIDE the collection tree
+        # (an alias-named dir would be orphaned by drop_collection)
+        idx_dir = os.path.join(
+            self.root, self._resolve_alias(name), "_indexes", f"{field}__{itype}"
+        )
         entry: dict = {
             "field": field, "index_type": itype, "params": params,
             "built_ts": self._current_ts(name), "path": idx_dir,
@@ -1765,7 +1840,7 @@ class MilvusSparkClient:
                 "qid", meta["pk"], "score", "rank"
             )
             if ranker:
-                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields, base=req_base)
         vfields = meta.get("vector_fields") or ([meta["vector"]] if meta.get("vector") else [])
         if not vfields:
@@ -1929,7 +2004,7 @@ class MilvusSparkClient:
                 nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
             )
             if ranker:
-                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         pq_idx = self._fresh_index(name, vfield, "IVF_PQ")
         if (
@@ -1958,7 +2033,7 @@ class MilvusSparkClient:
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
             )
             if ranker:
-                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         sq_idx = self._fresh_index(name, vfield, "IVF_SQ8")
         if (
@@ -1987,7 +2062,7 @@ class MilvusSparkClient:
                 shortlist=int((search_params or {}).get("shortlist", 10 * limit)),
             )
             if ranker:
-                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         lsh_idx = self._fresh_index(name, vfield, "LSH")
         if (
@@ -2015,7 +2090,7 @@ class MilvusSparkClient:
                 probe_radius=int((search_params or {}).get("probe_radius", 1)),
             )
             if ranker:
-                hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         df = self._partition_filter(
             self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
@@ -2049,7 +2124,7 @@ class MilvusSparkClient:
                     round_to=12 if round_decimal == -1 else int(round_decimal),
                 )
                 if ranker:
-                    hits = self._apply_ranker(name, hits, meta, ranker, limit)
+                    hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
                 return self._requery(name, hits, meta, output_fields, base=req_base)
         hits = brute_force_search(
             df,
@@ -2064,7 +2139,7 @@ class MilvusSparkClient:
             round_to=12 if round_decimal == -1 else int(round_decimal),
         )
         if ranker:
-            hits = self._apply_ranker(name, hits, meta, ranker, limit)
+            hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
         return self._requery(name, hits, meta, output_fields, base=req_base)
 
     def _order_hits(
@@ -2149,22 +2224,26 @@ class MilvusSparkClient:
         )
 
     def _apply_ranker(
-        self, name: str, hits: DataFrame, meta: dict, ranker: dict, limit: int
+        self, name: str, hits: DataFrame, meta: dict, ranker: dict, limit: int,
+        base: Optional[DataFrame] = None,
     ) -> DataFrame:
         """Function-based rerankers over a hit set (rerank providers
         internal/util/function/rerank/: decay_expr.go, model/boost rankers).
         ``ranker``: {"type": "decay"|"boost"|"model", ...}. Rerank only
-        touches the broadcast top-k — the corpus is never rescanned."""
+        touches the broadcast top-k — the corpus is never rescanned.
+        ``base``: the visibility-scoped frame the hits came from — rerank
+        field values must come from the same tenant/snapshot scope."""
         from pyspark.sql import Window as W
 
         from milvus_spark.operators.hybrid import boost_score, decay_factor, model_rerank
 
+        base = base if base is not None else self._read(name)
         pk = meta["pk"]
         rtype = ranker.get("type")
         if rtype == "model":
             return model_rerank(
                 hits,
-                self._read(name),
+                base,
                 pk,
                 ranker.get("field", "text"),
                 ranker["query"],
@@ -2173,7 +2252,7 @@ class MilvusSparkClient:
         w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk).asc())
         if rtype == "decay":
             fld = ranker["input_field"]
-            side = self._read(name).select(pk, F.col(fld).cast("double").alias("_dv"))
+            side = base.select(pk, F.col(fld).cast("double").alias("_dv"))
             scored = side.join(F.broadcast(hits.drop("rank")), pk).select(
                 "qid",
                 pk,
@@ -2190,7 +2269,6 @@ class MilvusSparkClient:
                 ).alias("score"),
             )
         elif rtype == "boost":
-            base = self._read(name)
             cond = compile_expr(
                 ranker["filter"], base.schema, dynamic_field=self._dyn(meta)
             )
@@ -2335,6 +2413,9 @@ class MilvusSparkClient:
         meta = self._meta(name)
         metric = metric_type or meta["metric"]
         pk = meta["pk"]
+        # pin the snapshot once: concurrent DML between pages must not
+        # reshuffle ranks or surface mixed row versions across one cursor
+        as_of = self._current_ts(name)
         seen: set = set()
         for page_no in range(max_pages):
             # widening top-k, then slice past already-emitted hits — avoids
@@ -2342,7 +2423,7 @@ class MilvusSparkClient:
             k = batch_size * (page_no + 1)
             rows = self.search(
                 name, data, limit=k, filter=filter, metric_type=metric,
-                radius=radius, range_filter=range_filter,
+                radius=radius, range_filter=range_filter, as_of=as_of,
             ).collect()
             fresh = [r for r in rows if (r.qid, r[pk]) not in seen]
             if not fresh:
@@ -2356,9 +2437,14 @@ class MilvusSparkClient:
         """pk-ordered pagination cursor (QueryIteratorCursor plan.proto:377)."""
         meta = self._meta(name)
         pk = meta["pk"]
+        # pin the snapshot once (GuaranteeTs): concurrent DML must not make
+        # rows vanish or change between pages of one cursor
+        as_of = self._current_ts(name)
         last = None
         while True:
-            df = apply_filter(self._read(name), filter, dynamic_field=self._dyn(meta))
+            df = apply_filter(
+                self._read(name, as_of), filter, dynamic_field=self._dyn(meta)
+            )
             if last is not None:
                 df = df.filter(F.col(pk) > last)
             rows = df.orderBy(pk).limit(batch_size).collect()
@@ -2506,7 +2592,10 @@ class MilvusSparkClient:
                         search_params=sp or None,
                         namespace=namespace,
                     )
-                cache[key] = hits.cache() if key in dup else hits
+                # shared sub-plan: materialize once, self-contained blocks are
+                # GC-scoped to the frame (cache() would pin executor
+                # storage until an unpersist nobody issues)
+                cache[key] = hits.localCheckpoint(eager=True) if key in dup else hits
             results.append(cache[key])
         pk_type = None
         if element_hybrid:
@@ -2556,6 +2645,7 @@ class MilvusSparkClient:
                 .withColumn(pk, kparts.getItem(1).cast(pk_type))
                 .select("qid", pk, "element_idx", "score", "rank")
             )
+        hbase = self._scoped_base(name, meta, namespace, partition_names)
         if ranker:
-            fused = self._apply_ranker(name, fused, meta, ranker, limit)
-        return self._requery(name, fused, meta, output_fields)
+            fused = self._apply_ranker(name, fused, meta, ranker, limit, base=hbase)
+        return self._requery(name, fused, meta, output_fields, base=hbase)

@@ -364,7 +364,7 @@ def test_rename_load_release(client, spark, sf_dir):
         client.count("rn")
 
     client.load_collection("rn2")
-    assert client._loaded["rn2"].storageLevel.useMemory
+    assert client._loaded[client._load_key("rn2")].storageLevel.useMemory
     client.release_collection("rn2")
     assert "rn2" not in client._loaded
 
@@ -1041,12 +1041,12 @@ def test_load_collection_mmap_storage_level(client, spark, sf_dir):
     client.insert("mml", nation)
 
     client.load_collection("mml")
-    lvl = client._loaded["mml"].storageLevel
+    lvl = client._loaded[client._load_key("mml")].storageLevel
     assert lvl.useMemory and not lvl.useDisk
     client.release_collection("mml")
 
     client.load_collection("mml", mmap_enabled=True)
-    lvl = client._loaded["mml"].storageLevel
+    lvl = client._loaded[client._load_key("mml")].storageLevel
     assert lvl.useMemory and lvl.useDisk
     client.release_collection("mml")
     client.drop_collection("mml")
@@ -1076,10 +1076,10 @@ def test_misc_introspection_api(client, spark, sf_dir):
     assert client.get_compaction_state("misc") == {"state": "Completed"}
 
     client.load_collection("misc")
-    n0 = client._loaded["misc"].count()
+    n0 = client._loaded[client._load_key("misc")].count()
     client.insert("misc", nation.limit(3).withColumn("n_nationkey", F.col("n_nationkey") + 500))
     client.refresh_load("misc")
-    assert client._loaded["misc"].count() == n0 + 3  # newest segments visible
+    assert client._loaded[client._load_key("misc")].count() == n0 + 3  # newest segments visible
     client.release_collection("misc")
 
     assert "milvus-spark" in client.get_server_version()
@@ -1678,7 +1678,7 @@ def test_partial_field_load(client, spark, sf_dir):
     client.insert("pfl", emb)
     client.load_collection("pfl", load_fields=["embedding"])
     assert client.get_load_state("pfl")["state"] == "Loaded"
-    cached = client._loaded["pfl"]
+    cached = client._loaded[client._load_key("pfl")]
     assert set(cached.columns) == {"vec_id", "embedding"}
     # a query on the unloaded column still works (scan path)
     assert client.query("pfl", filter="label >= 2").count() == emb.filter("label >= 2").count()
