@@ -2241,6 +2241,12 @@ class MilvusSparkClient:
         pk = meta["pk"]
         rtype = ranker.get("type")
         if rtype == "model":
+            from milvus_spark.operators.knn import metric_ascending
+
+            try:
+                orig_asc = metric_ascending(meta.get("metric", "COSINE"))
+            except ValueError:
+                orig_asc = False
             return model_rerank(
                 hits,
                 base,
@@ -2248,6 +2254,7 @@ class MilvusSparkClient:
                 ranker.get("field", "text"),
                 ranker["query"],
                 limit=limit,
+                orig_ascending=orig_asc,
             )
         w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk).asc())
         if rtype == "decay":

@@ -21,6 +21,7 @@ fusion join is broadcast-sized no matter the corpus scale.
 from __future__ import annotations
 
 import math
+import re
 from functools import reduce
 from typing import Optional, Sequence
 
@@ -79,6 +80,12 @@ def weighted_fusion(
 ) -> DataFrame:
     """Weighted fusion: score(pk) = Σ_i w_i · norm_i(s_i(pk)); a pk missing
     from sub-search i contributes 0 for that term (outer union semantics)."""
+    if not (len(results) == len(metrics) == len(weights)):
+        raise ValueError(
+            f"weighted fusion needs one metric and one weight per sub-search "
+            f"(got {len(results)} results, {len(metrics)} metrics, "
+            f"{len(weights)} weights)"
+        )
     parts = []
     for r, m, wgt in zip(results, metrics, weights):
         s = normalize_score(F.col("score"), m) if norm_score else F.col("score")
@@ -127,6 +134,7 @@ def model_rerank(
     text_col: str,
     query_text: str,
     limit: int = 10,
+    orig_ascending: bool = False,
 ) -> DataFrame:
     """Model-based rerank slot (rerank providers internal/util/function/
     rerank/*_provider.go — external cross-encoder services in the reference).
@@ -137,10 +145,14 @@ def model_rerank(
     with the same (query, text) → score contract). The plan shape is the real
     one: rerank only touches the top-k candidate set (broadcast), re-fetches
     text by pk, and re-sorts — the corpus is never rescanned.
-    """
-    from pyspark.sql import Window as W
 
-    qt = [w for w in query_text.lower().split() if w]
+    ``orig_ascending``: direction of the ORIGINAL score for tie-breaking —
+    True for distance metrics (smaller is better), else descending.
+    Query tokens go through the SAME analyzer as the documents
+    ([^a-z0-9]+ split) and are deduped so a repeated query word cannot
+    deflate the overlap denominator.
+    """
+    qt = sorted({w for w in re.split(r"[^a-z0-9]+", query_text.lower()) if w})
     toks = F.filter(F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"), lambda x: x != "")
     overlap = F.size(
         F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in qt]))
@@ -151,22 +163,10 @@ def model_rerank(
     rescored = cand.select(
         "qid", pk_col, "orig_score", F.round(overlap, 4).alias("rerank_score")
     )
-    w = W.partitionBy("qid").orderBy(
-        F.col("rerank_score").desc(), F.col("orig_score").desc(), F.col(pk_col).asc()
-    )
+    orig = F.col("orig_score").asc() if orig_ascending else F.col("orig_score").desc()
+    w = W.partitionBy("qid").orderBy(F.col("rerank_score").desc(), orig, F.col(pk_col).asc())
     return (
         rescored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= limit)
     )
 
-
-def requery_output_fields(
-    topk: DataFrame, source: DataFrame, pk_col: str, output_cols: Sequence[str]
-) -> DataFrame:
-    """Fetch wide output fields for top-k hits by pk (task_search.go:53-63).
-
-    The top-k side is broadcast — the big table is semi-joined, never shuffled.
-    """
-    return F.broadcast(topk).join(
-        source.select(pk_col, *output_cols), pk_col, "inner"
-    )

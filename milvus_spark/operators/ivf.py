@@ -64,13 +64,17 @@ def assign_clusters(df: DataFrame, vec_col: str, centroids: np.ndarray) -> DataF
     C = centroids
 
     def assign(batches):
+        from milvus_spark.operators.knn import _score_block
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
-            d = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # O(n·k) matmul distances — the broadcast-subtraction tensor
+            # ((n,k,d)) was O(n·k·d) memory and OOMed builds at large nlist
+            d = _score_block(V, C, "L2")  # (k, n) distances, queries=centroids
             out = pdf.drop(columns=[vec_col])
-            out["cluster_id"] = d.argmin(axis=1).astype(np.int32)
+            out["cluster_id"] = d.argmin(axis=0).astype(np.int32)
             out[vec_col] = pdf[vec_col]
             yield out
 
@@ -115,7 +119,15 @@ def ivf_search(
     # search metric: rows were placed in cells by L2, so cells must be probed
     # by L2 or recall craters. For COSINE, cluster normalized vectors
     # (spherical k-means — l2_normalize below) so L2 cells ≡ cosine cells.
-    D = _score_block(centroids, Q, "L2")
+    Qp = Q
+    if metric.upper() == "COSINE":
+        # centroids live on the unit sphere (spherical k-means) — the query
+        # must too, or ||q-c||^2 ranking degenerates to centroid-norm order
+        # for small/large-magnitude queries and the wrong cells get probed
+        n = np.linalg.norm(Q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Qp = Q / n
+    D = _score_block(centroids, Qp, "L2")
     order = np.argsort(D, axis=1)
     probes = order[:, :nprobe]  # (nq, nprobe)
 

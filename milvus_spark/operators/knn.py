@@ -208,7 +208,8 @@ def grouping_search(
                     ["score", pk], ascending=[asc, True], kind="mergesort"
                 ).groupby(gc, sort=False).head(gsize)
                 frames.append(f)
-            yield pd.concat(frames)[["qid", pk, gc, "score"]]
+            if frames:  # zero queries → nothing to emit (concat would raise)
+                yield pd.concat(frames)[["qid", pk, gc, "score"]]
 
     gtype = dict(df.dtypes)[group_col]
     partial = df.select(pk_col, vec_col, group_col).mapInPandas(
@@ -271,6 +272,8 @@ def iterative_postfilter_search(
     pre-filter mode; preferable when the filter is expensive relative to
     scoring or barely selective (the reference's motivation for the hint).
     Each widening round is a bounded partial top-k — never a full ranking."""
+    if widen < 2:
+        raise ValueError(f"widen must be >= 2 (got {widen}); 1 would never grow the fetch")
     asc = metric_ascending(metric)
     # survivors computed once and persisted — each widening round re-joins
     # against the same filtered pk set instead of re-running the filter scan

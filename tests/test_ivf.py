@@ -58,3 +58,47 @@ def test_partition_pruning(spark, clustered):
     full_parts = corpus.rdd.getNumPartitions()
     pruned_parts = corpus.filter(F.col("cluster_id").isin([1, 2, 3])).rdd.getNumPartitions()
     assert pruned_parts <= full_parts
+
+
+def test_ivf_cosine_probe_is_scale_invariant(spark):
+    """Regression: COSINE probing must normalize the query before ranking
+    centroids by L2 — a tiny-magnitude query (cosine is scale-invariant)
+    previously degenerated probe order to centroid-norm order and probed the
+    wrong cells."""
+    import shutil
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.ivf import (
+        build_centroids, ivf_search, l2_normalize, write_clustered,
+    )
+    from milvus_spark.operators.knn import brute_force_search
+    from milvus_spark.scratch import mkdtemp
+
+    rng = np.random.default_rng(3)
+    V = rng.normal(size=(400, 8))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<float>",
+    )
+    norm = l2_normalize(df, "embedding")
+    cents = build_centroids(norm, "embedding", k=8, seed=1, max_iter=6)
+    path = mkdtemp("ivfprobe_")
+    shutil.rmtree(path)
+    write_clustered(norm, "embedding", cents, path)
+    q_dir = V[7] / np.linalg.norm(V[7])
+    for scale in (1.0, 1e-3, 1e3):
+        q = [(0, [float(x) for x in (q_dir * scale)])]
+        got = ivf_search(
+            spark, path, cents, q, "embedding", "vec_id",
+            metric="COSINE", k=5, nprobe=3,
+        ).collect()
+        want = brute_force_search(
+            norm, q, "embedding", "vec_id", metric="COSINE", k=5
+        ).collect()
+        g = [r.vec_id for r in sorted(got, key=lambda r: r.rank)]
+        w = [r.vec_id for r in sorted(want, key=lambda r: r.rank)]
+        # identical probe behavior at every scale; recall of the top-1 exact
+        assert g[0] == w[0], (scale, g, w)
+        assert len(set(g) & set(w)) >= 4, (scale, g, w)
