@@ -66,7 +66,9 @@ def build_analyzer(
     steps: list[Callable[[Column], Column]] = []
     for f in filters:
         spec = {"type": f} if isinstance(f, str) else dict(f)
-        ftype = spec.pop("type")
+        ftype = spec.pop("type", None)
+        if ftype is None:
+            raise ValueError(f"filter spec {spec!r} is missing its 'type'")
         if ftype == "lowercase":
             steps.append(lambda c: F.transform(c, F.lower))
         elif ftype == "length":

@@ -125,9 +125,18 @@ CJK_TOKENS_SQL = (
     + ")"
 )
 HASH_SQL = "(('0x' || substr(md5({s}), 1, 8))::BIGINT)"
+# NB: the twin is fixed at n=3 — shingles_sql(t, n) generalizes it; every
+# suite oracle uses the default n, which shingles() asserts below
 SHINGLES_SQL = (
     "list_transform(range(1, len({t}) - 1), i -> {t}[i] || ' ' || {t}[i+1] || ' ' || {t}[i+2])"
 )
+
+
+def shingles_sql(t: str, n: int = 3) -> str:
+    """DuckDB twin of ``shingles(col, n)`` for any n (the module contract:
+    every Spark helper has a bit-identical SQL twin)."""
+    joined = " || ' ' || ".join(f"{t}[i+{j}]" if j else f"{t}[i]" for j in range(n))
+    return f"list_transform(range(1, len({t}) - {n - 2}), i -> {joined})"
 
 
 def seeded_hash_sql(s: str, seed: int) -> str:

@@ -20,7 +20,7 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,11 +46,15 @@ def read_csv(spark: SparkSession, path: str, schema: T.StructType, header: bool 
     # CSV can't carry arrays natively: vector columns arrive as
     # "v1;v2;..." strings and are split here (importutilv2/csv convention
     # of a scalar-text encoding).
+    missing = [f.name for f in schema.fields if f.name not in df.columns]
+    if missing:
+        # same uniform error contract as the JSON/parquet readers
+        raise ValueError(f"import missing column(s) {missing}")
     out = []
     for f in schema.fields:
         c = F.col(f.name)
         if isinstance(f.dataType, T.ArrayType):
-            c = F.split(c, ";").cast(f.dataType)
+            c = F.split(c, ";")
         out.append(c.cast(f.dataType).alias(f.name))
     return df.select(*out)
 
@@ -76,8 +80,8 @@ def read_numpy(spark: SparkSession, dir_path: str, schema: T.StructType) -> Data
             n = len(arr)
         elif len(arr) != n:
             raise ValueError(f"column {f.name} has {len(arr)} rows, expected {n}")
-        data[f.name] = list(arr) if arr.ndim > 1 else arr
-    pdf = pd.DataFrame({k: (list(v) if not isinstance(v, list) else v) for k, v in data.items()})
+        data[f.name] = list(arr)
+    pdf = pd.DataFrame(data)
     return spark.createDataFrame(pdf, schema=schema)
 
 
@@ -87,15 +91,37 @@ def validate_ingest(
     dim: Optional[int] = None,
     varchar_limits: Optional[dict[str, int]] = None,
 ) -> DataFrame:
-    """Proxy-style ingest validation; raises on the first violating row."""
+    """Proxy-style ingest validation; raises on the first violated constraint.
+
+    All constraints are counted in ONE aggregation pass over the frame —
+    a count() per check would rescan the whole import k+1 times."""
+    checks: list[tuple[str, Column]] = []
     if vector_field and dim is not None:
         if not (MIN_VECTOR_DIM <= dim <= MAX_VECTOR_DIM):
             raise ValueError(f"vector dim {dim} outside [{MIN_VECTOR_DIM}, {MAX_VECTOR_DIM}]")
-        bad = df.filter(F.size(F.col(vector_field)) != dim).count()
-        if bad:
-            raise ValueError(f"{bad} rows with wrong vector dim in {vector_field}")
+        v = F.col(vector_field)
+        # size(NULL) is NULL, so a bare size != dim would let NULL vectors
+        # sail through — a null vector field is itself a violation
+        checks.append(
+            (
+                f"rows with null or wrong-dim vector in {vector_field}",
+                v.isNull() | (F.size(v) != dim),
+            )
+        )
     for col, limit in (varchar_limits or {}).items():
-        bad = df.filter(F.length(F.col(col)) > limit).count()
+        checks.append(
+            (f"rows exceed max_length {limit} in {col}", F.length(F.col(col)) > limit)
+        )
+    if not checks:
+        return df
+    counts = df.agg(
+        *[
+            F.sum(F.when(cond, 1).otherwise(0)).alias(f"_c{i}")
+            for i, (_, cond) in enumerate(checks)
+        ]
+    ).first()
+    for i, (msg, _) in enumerate(checks):
+        bad = counts[f"_c{i}"] or 0
         if bad:
-            raise ValueError(f"{bad} rows exceed max_length {limit} in {col}")
+            raise ValueError(f"{bad} {msg}")
     return df

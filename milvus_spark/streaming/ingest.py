@@ -41,22 +41,48 @@ def stream_ingest(
     base_ts: int = 0,
     checkpoint: Optional[str] = None,
     fmt: str = "parquet",
+    available_now: bool = True,
 ):
     """Tail a drop-directory into the collection; one segment per micro-batch.
 
-    Returns the StreamingQuery; callers stop it or use Trigger.availableNow
-    semantics via ``run_available_now``.
+    ``available_now=True`` drains everything currently in the source and
+    terminates (the Strong-consistency barrier ``run_available_now`` waits
+    on); ``False`` keeps tailing until the caller stops the query.
+
+    The sink is IDEMPOTENT under foreachBatch's at-least-once retries: a
+    batch writes to a staging dir keyed by batch_id and its files move into
+    the segment dir under batch-prefixed names, replacing any partial copy a
+    crashed attempt left — a replayed micro-batch overwrites itself instead
+    of appending duplicate rows (the WAL redelivery / segment dedup rule).
     """
+    import glob
+    import os
+    import shutil
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        collection.append(batch_df, ts=base_ts + int(batch_id) + 1)
+        ts = base_ts + int(batch_id) + 1
+        staging = os.path.join(collection.path, "_ingest_staging", f"b{batch_id}")
+        batch_df.withColumn(TS_COL, F.lit(int(ts)).cast("long")).write.mode(
+            "overwrite"
+        ).parquet(staging)
+        os.makedirs(collection.seg_dir, exist_ok=True)
+        prefix = f"ingest-b{batch_id}-"
+        for old in glob.glob(os.path.join(collection.seg_dir, prefix + "*")):
+            os.remove(old)  # a previous (partial) attempt of this batch
+        for i, f in enumerate(
+            sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+        ):
+            os.replace(f, os.path.join(collection.seg_dir, f"{prefix}{i}.parquet"))
+        shutil.rmtree(staging, ignore_errors=True)
 
     reader = spark.readStream.format(fmt).schema(schema)
     src = reader.load(source_dir)
     writer = src.writeStream.foreachBatch(sink)
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
-    return writer.trigger(availableNow=True).start()
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def run_available_now(query) -> None:

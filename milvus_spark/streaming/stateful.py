@@ -44,7 +44,11 @@ def _fold_latest(
     pdfs: Iterator[pd.DataFrame],
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
-    """Keep the max-ts record per pk; a delete at the max ts kills the row."""
+    """Keep the max-ts record per pk; equal-ts insert/delete ties resolve
+    deterministically with the INSERT winning — the same rule as the batch
+    read path (lifecycle.py: a tombstone kills only rows with _ts strictly
+    below it, which is what makes upsert's delete-then-insert at one ts
+    atomic). Arrival order must never decide state (order independence)."""
     if state.exists:
         ts, alive, payload = state.get
     else:
@@ -52,8 +56,15 @@ def _fold_latest(
     for pdf in pdfs:
         if pdf.empty:
             continue
-        top = pdf.loc[pdf["ts"].idxmax()]
-        if int(top["ts"]) > ts:
+        # order by (ts, op-priority): delete sorts BELOW insert/upsert at the
+        # same ts, so the last row after a stable sort is the winner under
+        # the insert-beats-equal-ts-delete rule
+        pdf = pdf.assign(_del=(pdf["op"] == "delete").astype(int))
+        pdf = pdf.sort_values(["ts", "_del"], ascending=[True, False], kind="mergesort")
+        top = pdf.iloc[-1]
+        if int(top["ts"]) > ts or (
+            int(top["ts"]) == ts and not alive and top["op"] != "delete"
+        ):
             ts = int(top["ts"])
             alive = top["op"] != "delete"
             payload = None if top["payload"] is None else str(top["payload"])
@@ -116,7 +127,20 @@ def read_final_state(spark: SparkSession, out_dir: str) -> DataFrame:
 def dedup_wal_stream(wal_stream: DataFrame, ts_col: str, watermark: str) -> DataFrame:
     """Exactly-once pk dedup of a WAL stream within a watermark window —
     the insert-path pk dedupe (auto-id uniqueness) of the reference's proxy,
-    bounded-state on Spark via dropDuplicatesWithinWatermark."""
+    bounded-state on Spark via dropDuplicatesWithinWatermark.
+
+    ``ts_col`` may be the WAL's bigint tick: watermarking needs a timestamp
+    event-time column, so a non-timestamp tick is mapped through
+    timestamp_seconds (monotone — ordering and watermark math carry over)."""
+    dt = dict(wal_stream.dtypes).get(ts_col)
+    if dt not in ("timestamp", "timestamp_ntz"):
+        ev = "_wal_event_time"
+        return (
+            wal_stream.withColumn(ev, F.timestamp_seconds(F.col(ts_col)))
+            .withWatermark(ev, watermark)
+            .dropDuplicatesWithinWatermark(["pk"])
+            .drop(ev)
+        )
     return wal_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         ["pk"]
     )
