@@ -18,9 +18,13 @@ import re
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-WKT_POINT_VALID_RE = r"^POINT \([-0-9.]+ [-0-9.]+\)$"
-_X_RE = r"POINT \(([-0-9.]+) [-0-9.]+\)"
-_Y_RE = r"POINT \([-0-9.]+ ([-0-9.]+)\)"
+# number with optional scientific notation; optional space after POINT —
+# the extraction surface must accept everything parse_wkt accepts, or valid
+# stored WKT silently extracts to NULL and vanishes from results
+_NUM = r"[-+]?[0-9]*\.?[0-9]+(?:[eE][-+]?[0-9]+)?"
+WKT_POINT_VALID_RE = rf"^POINT ?\({_NUM} {_NUM}\)$"
+_X_RE = rf"POINT ?\(({_NUM}) {_NUM}\)"
+_Y_RE = rf"POINT ?\({_NUM} ({_NUM})\)"
 
 
 def wkt_x(geom: Column) -> Column:
@@ -39,8 +43,11 @@ def parse_wkt(s: str) -> tuple[str, object]:
     m = re.fullmatch(r"POINT\s*\(\s*([-0-9.eE]+)\s+([-0-9.eE]+)\s*\)", t, re.I)
     if m:
         return "POINT", (float(m.group(1)), float(m.group(2)))
-    m = re.fullmatch(r"POLYGON\s*\(\s*\(\s*(.*?)\s*\)\s*\)", t, re.I | re.S)
+    m = re.fullmatch(r"POLYGON\s*\(\s*\(\s*([^()]*?)\s*\)\s*(?:,.*)?\)", t, re.I | re.S)
     if m:
+        if re.search(r"\)\s*,\s*\(", t):
+            # inner ring(s) present — fail with intent, not a float() crash
+            raise ValueError(f"polygon holes are not supported: {s!r}")
         pts = []
         for pair in m.group(1).split(","):
             xs, ys = pair.split()
@@ -87,11 +94,20 @@ def st_contains_point(poly_edges: Column, x: Column, y: Column) -> Column:
 
 def point_on_boundary(poly_edges: Column, x: Column, y: Column, eps: float = 1e-9) -> Column:
     """Point lies on some polygon edge: collinear (cross product ~ 0) and
-    inside the edge's bbox — the DE-9IM boundary test for POINT operands."""
+    inside the edge's bbox — the DE-9IM boundary test for POINT operands.
+
+    The collinearity tolerance is RELATIVE: the cross product's float error
+    scales with edge length × coordinate magnitude, so a fixed 1e-9 breaks
+    for projected-meter coordinates (error ≫ eps) and for micro-scale ones
+    (eps ≫ signal)."""
     def on_edge(e):
         cross = (e["bx"] - e["ax"]) * (y - e["ay"]) - (e["by"] - e["ay"]) * (x - e["ax"])
+        scale = F.greatest(
+            F.lit(1.0),
+            F.abs(e["bx"] - e["ax"]) + F.abs(e["by"] - e["ay"]),
+        ) * F.greatest(F.lit(1.0), F.abs(x), F.abs(y))
         inx = (x >= F.least(e["ax"], e["bx"])) & (x <= F.greatest(e["ax"], e["bx"]))
         iny = (y >= F.least(e["ay"], e["by"])) & (y <= F.greatest(e["ay"], e["by"]))
-        return (F.abs(cross) <= eps) & inx & iny
+        return (F.abs(cross) <= eps * scale) & inx & iny
 
     return F.exists(poly_edges, on_edge)

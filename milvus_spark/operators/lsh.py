@@ -99,6 +99,16 @@ def lsh_search(
 
     from milvus_spark.operators.knn import _score_block, metric_ascending
 
+    if metric.upper() == "IP":
+        # sign-hyperplane buckets are angle-only (norm-blind): a huge-norm
+        # vector with the top inner product can sit several sign bits away
+        # and no probe radius short of nbits recovers it — refuse rather
+        # than silently return wrong neighbors (COSINE/L2 over the
+        # normalized corpus are the supported regimes)
+        raise ValueError(
+            "LSH index cannot serve metric IP (norm-blind bucketing); "
+            "use COSINE, or search without the index"
+        )
     asc = metric_ascending(metric)
     qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
     Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
@@ -233,6 +243,19 @@ def embedding_near_dup(
     return (
         a.join(F.broadcast(cand), "ia")
         .join(b.hint("shuffle_hash"), "ib")
-        .select("ia", "ib", F.round(dot / (F.col("na") * F.col("nb")), round_to).alias("cos"))
+        .select(
+            "ia",
+            "ib",
+            # zero-norm guard: zero vectors bucket together in every table
+            # and would NULL (or ANSI-error) the division — define their
+            # similarity as 0, matching _score_block's COSINE convention
+            F.round(
+                F.when(
+                    (F.col("na") > 0) & (F.col("nb") > 0),
+                    dot / (F.col("na") * F.col("nb")),
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("cos"),
+        )
         .filter(F.col("cos") >= threshold)
     )

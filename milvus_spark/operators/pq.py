@@ -63,7 +63,13 @@ def train_codebooks(
     sample = [
         np.asarray(r[0], dtype=np.float64)
         for r in df.select(vec_col).limit(sample_n).collect()
+        if r[0] is not None
     ]
+    if len(sample) < k:
+        raise ValueError(
+            f"cannot train PQ codebooks: {len(sample)} sample vectors "
+            f"< k={k} codewords (empty or tiny collection)"
+        )
     X = np.asarray(sample)
     d = X.shape[1]
     if d % m:
@@ -123,21 +129,44 @@ def pq_search(
     m, _, dsub = C.shape
     qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
     Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    mu = metric.upper()
+    Qt = Q
+    if mu == "COSINE":
+        # codes encode the l2-normalized corpus (build path) — normalize the
+        # query so dot tables rank by cosine
+        n = np.linalg.norm(Q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Qt = Q / n
 
     # Per-query (m × k) ADC lookup tables — tiny, broadcast via closure.
-    # L2: per-subspace squared distance contributions sum to the full
-    # squared-L2 against the quantized vector.
-    tables = np.stack(
-        [
-            np.stack(
-                [
-                    ((C[i] - Q[qi, i * dsub : (i + 1) * dsub][None, :]) ** 2).sum(axis=1)
-                    for i in range(m)
-                ]
-            )
-            for qi in range(len(Q))
-        ]
-    )  # (nq, m, k)
+    # L2: per-subspace squared distance contributions summing to squared-L2
+    # against the quantized vector (shortlist ascending). IP/COSINE:
+    # per-subspace dot products summing to the inner product (shortlist
+    # DESCENDING — an ascending-L2 shortlist would cut large-norm vectors
+    # that have the top inner product).
+    if mu in ("IP", "COSINE"):
+        tables = np.stack(
+            [
+                np.stack(
+                    [C[i] @ Qt[qi, i * dsub : (i + 1) * dsub] for i in range(m)]
+                )
+                for qi in range(len(Qt))
+            ]
+        )  # (nq, m, k)
+        adc_sign = -1.0  # higher is better → negate for ascending lexsort
+    else:
+        tables = np.stack(
+            [
+                np.stack(
+                    [
+                        ((C[i] - Qt[qi, i * dsub : (i + 1) * dsub][None, :]) ** 2).sum(axis=1)
+                        for i in range(m)
+                    ]
+                )
+                for qi in range(len(Qt))
+            ]
+        )  # (nq, m, k)
+        adc_sign = 1.0
 
     sl = int(shortlist)
 
@@ -151,14 +180,15 @@ def pq_search(
             frames = []
             for qi in range(len(Q)):
                 s = tables[qi][rows[None, :], codes].sum(axis=1)
-                idx = np.lexsort((ids, s))[: min(sl, len(ids))]
+                idx = np.lexsort((ids, adc_sign * s))[: min(sl, len(ids))]
                 frames.append(
                     pd.DataFrame({"qid": qids[qi], pk_col: ids[idx], "adc": s[idx]})
                 )
             yield pd.concat(frames)
 
     partial = encoded.mapInPandas(adc, schema=f"qid long, {pk_col} long, adc double")
-    w_sl = W.partitionBy("qid").orderBy(F.col("adc").asc(), F.col(pk_col).asc())
+    adc_order = F.col("adc").asc() if adc_sign > 0 else F.col("adc").desc()
+    w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())
     short = (
         partial.withColumn("srank", F.row_number().over(w_sl))
         .filter(F.col("srank") <= sl)

@@ -35,15 +35,29 @@ from milvus_spark.operators.knn import _score_block, metric_ascending
 
 
 def train_sq8(df: DataFrame, vec_col: str, dim: int) -> np.ndarray:
-    """Per-dimension [min, max] in one distributed agg pass → (2, d)."""
-    aggs = []
-    for j in range(dim):
-        e = F.element_at(F.col(vec_col), j + 1).cast("double")
-        aggs.append(F.min(e).alias(f"mn{j}"))
-        aggs.append(F.max(e).alias(f"mx{j}"))
-    row = df.agg(*aggs).first()
-    mins = np.asarray([row[f"mn{j}"] for j in range(dim)], dtype=np.float64)
-    maxs = np.asarray([row[f"mx{j}"] for j in range(dim)], dtype=np.float64)
+    """Per-dimension [min, max] → (2, d) in one shuffle of ≤ d rows/partition.
+
+    Plan-size note: 2·dim separate min/max expressions in one agg blow past
+    whole-stage-codegen limits at embedding dims (d=1536 → 3072 exprs in
+    the plan). posexplode + groupBy(pos) keeps the plan constant-size at
+    any dim; map-side partial aggregation reduces each scan partition to at
+    most d (pos, min, max) rows before the tiny d-row shuffle."""
+    stats = (
+        df.select(F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()
+    )
+    if len(stats) != dim:
+        raise ValueError(
+            f"cannot train SQ8 bounds: saw {len(stats)} dims, expected {dim} "
+            f"(empty collection or ragged vectors)"
+        )
+    mins = np.empty(dim, dtype=np.float64)
+    maxs = np.empty(dim, dtype=np.float64)
+    for r in stats:
+        mins[r["pos"]] = r["mn"]
+        maxs[r["pos"]] = r["mx"]
     return np.stack([mins, maxs])
 
 
@@ -91,8 +105,24 @@ def sq8_search(
     recon = mins[:, None] + (np.arange(256)[None, :] / 255.0) * rng[:, None]  # (d, 256)
     qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
     Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
-    # (nq, d, 256) squared-distance contribution tables
-    tables = (recon[None, :, :] - Q[:, :, None]) ** 2
+    mu = metric.upper()
+    Qt = Q
+    if mu == "COSINE":
+        # codes encode the l2-normalized corpus (build path) — normalize
+        # the query so dot tables rank by cosine
+        n = np.linalg.norm(Q, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        Qt = Q / n
+    if mu in ("IP", "COSINE"):
+        # (nq, d, 256) per-dim dot contributions: sum = ⟨q, recon⟩ —
+        # shortlist DESCENDING (an L2 shortlist would cut large-norm
+        # vectors holding the top inner product)
+        tables = recon[None, :, :] * Qt[:, :, None]
+        adc_sign = -1.0
+    else:
+        # (nq, d, 256) squared-distance contribution tables
+        tables = (recon[None, :, :] - Qt[:, :, None]) ** 2
+        adc_sign = 1.0
     sl, kk = int(shortlist), int(k)
 
     def scan(batches):
@@ -107,14 +137,15 @@ def sq8_search(
             frames = []
             for qi in range(len(Q)):
                 s = tables[qi][cols[None, :], codes].sum(axis=1)
-                idx = np.lexsort((ids, s))[: min(sl, len(ids))]
+                idx = np.lexsort((ids, adc_sign * s))[: min(sl, len(ids))]
                 frames.append(
                     pd.DataFrame({"qid": qids[qi], pk_col: ids[idx], "adist": s[idx]})
                 )
             yield pd.concat(frames)
 
     partial = encoded.mapInPandas(scan, schema=f"qid long, {pk_col} long, adist double")
-    w_sl = W.partitionBy("qid").orderBy(F.col("adist").asc(), F.col(pk_col).asc())
+    adc_order = F.col("adist").asc() if adc_sign > 0 else F.col("adist").desc()
+    w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())
     short = (
         partial.withColumn("srank", F.row_number().over(w_sl))
         .filter(F.col("srank") <= sl)

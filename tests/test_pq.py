@@ -50,3 +50,30 @@ def test_pq_code_size(pq_index):
     assert (m, k, dsub) == (16, 16, 4)
     row = encoded.first()
     assert len(row.code) == 16 and all(0 <= c < 16 for c in row.code)
+
+
+def test_pq_ip_metric_finds_large_norm_top1(spark):
+    """Regression: IP searches need dot-product ADC tables with a DESCENDING
+    shortlist — the L2 tables cut the large-norm vector that holds the top
+    inner product."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.pq import encode_pq, pq_search, train_codebooks
+
+    rng = np.random.default_rng(5)
+    V = rng.normal(size=(300, 8))
+    q = rng.normal(size=8)
+    # plant a large-norm vector aligned with the query but L2-far from it
+    V[42] = 50.0 * (q / np.linalg.norm(q))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<float>",
+    )
+    books = train_codebooks(df, "embedding", m=4, k=16)
+    enc = encode_pq(df, "embedding", "vec_id", books)
+    got = pq_search(
+        enc, df, books, [(0, [float(x) for x in q])], "embedding", "vec_id",
+        metric="IP", k=5, shortlist=60,
+    ).collect()
+    assert sorted(got, key=lambda r: r.rank)[0].vec_id == 42

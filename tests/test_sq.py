@@ -52,3 +52,27 @@ def test_sq8_code_size_and_bounds(sq_index):
     assert (bounds[1] >= bounds[0]).all()
     row = encoded.first()
     assert len(row.code) == 64  # 1 byte per dim (4x smaller than fp32)
+
+
+def test_sq8_ip_metric_finds_large_norm_top1(spark):
+    """Regression: IP SQ8 scans need dot-contribution tables with a
+    DESCENDING shortlist (see the PQ twin test)."""
+    import numpy as np
+
+    from milvus_spark.operators.sq import encode_sq8, sq8_search, train_sq8
+
+    rng = np.random.default_rng(6)
+    V = rng.normal(size=(300, 8))
+    q = rng.normal(size=8)
+    V[17] = 50.0 * (q / np.linalg.norm(q))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(V)],
+        "vec_id long, embedding array<float>",
+    )
+    bounds = train_sq8(df, "embedding", dim=8)
+    enc = encode_sq8(df, "embedding", "vec_id", bounds)
+    got = sq8_search(
+        enc, df, bounds, [(0, [float(x) for x in q])], "embedding", "vec_id",
+        metric="IP", k=5, shortlist=60,
+    ).collect()
+    assert sorted(got, key=lambda r: r.rank)[0].vec_id == 17
