@@ -39,9 +39,13 @@ def apply_chain(
     """Run a chain spec over one or more input result DataFrames."""
     dfs = list(inputs)
     cur: Optional[DataFrame] = dfs[0] if len(dfs) == 1 else None
-    for step in spec:
+    for i, step in enumerate(spec):
         op = step["op"]
         if op == "merge":
+            if i != 0:
+                # a mid-chain merge would silently re-fuse the ORIGINAL
+                # inputs and discard every step applied so far
+                raise ValueError("merge must be the first chain step")
             how = step.get("how", "rrf")
             from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
@@ -74,9 +78,18 @@ def apply_chain(
                 *[F.col(c).asc() if asc else F.col(c).desc() for c, asc in step["by"]]
             )
         elif op == "group_by":
+            # whitelisted aggregate ops only: chain specs are JSON-able
+            # client input, so a bare getattr(F, fn) would hand them
+            # arbitrary functions (fn="expr" → unrestricted SQL)
+            _AGGS = {
+                "count": F.count, "sum": F.sum, "avg": F.avg,
+                "min": F.min, "max": F.max, "first": F.first, "last": F.last,
+            }
             aggs = []
             for out, (fn, col) in step["aggs"].items():
-                aggs.append(getattr(F, fn)(col).alias(out))
+                if fn not in _AGGS:
+                    raise ValueError(f"unknown aggregate {fn!r} (use {sorted(_AGGS)})")
+                aggs.append(_AGGS[fn](col).alias(out))
             cur = cur.groupBy(*step["keys"]).agg(*aggs)
         elif op == "limit":
             per = step.get("per")

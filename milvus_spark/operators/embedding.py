@@ -63,6 +63,11 @@ def md5_embed_batch(texts: pd.Series, dim: int = MD5_DIM) -> pd.Series:
     token-aware semantics for similarity tests."""
     import math
 
+    if dim > MD5_DIM:
+        raise ValueError(
+            f"md5_embed_batch supports dim <= {MD5_DIM} (one hex pair per "
+            f"component); got dim={dim}"
+        )
     out = []
     for t in texts:
         h = hashlib.md5(str(t).encode()).hexdigest()

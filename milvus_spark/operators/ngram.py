@@ -29,12 +29,16 @@ from pyspark.sql import functions as F
 
 
 def char_ngrams(col, n: int = 3):
-    """Distinct character n-grams of a string column (JVM-side, no UDF)."""
-    return F.array_distinct(
-        F.expr(
-            f"transform(sequence(1, greatest(length({col}) - {n - 1}, 0)),"
-            f" i -> substring({col}, i, {n}))"
-        )
+    """Distinct character n-grams of a string column (JVM-side, no UDF).
+
+    Strings shorter than n yield an EMPTY array: sequence(1, 0) in Spark
+    DESCENDS ([1, 0]) rather than being empty, which would emit spurious
+    sub-n grams (junk posting rows for every short document)."""
+    return F.expr(
+        f"CASE WHEN length({col}) >= {n} THEN "
+        f"array_distinct(transform(sequence(1, length({col}) - {n - 1}),"
+        f" i -> substring({col}, i, {n}))) "
+        f"ELSE array() END"
     )
 
 
@@ -73,5 +77,8 @@ def inner_match(
     )
     # verify: n-gram coverage does not imply contiguity
     return corpus.join(
-        F.broadcast(cands), corpus[id_col] == cands["id"], "left_semi"
+        cands, corpus[id_col] == cands["id"], "left_semi"  # no forced
+        # broadcast: a low-selectivity pattern (one common gram) can match a
+        # large corpus fraction — AQE broadcasts when the set is small and
+        # falls back to a shuffle join when it is not
     ).filter(F.col(text_col).contains(pattern))

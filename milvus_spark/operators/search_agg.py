@@ -31,7 +31,9 @@ _METRIC_OPS = {"count", "sum", "avg", "min", "max"}
 
 def _metric_col(op: str, field: str):
     if op == "count":
-        return F.count(F.lit(1)).cast("long")
+        # COUNT(field) semantics: NULLs excluded ("*" keeps the row count)
+        c = F.count(F.lit(1)) if field == "*" else F.count(F.col(field))
+        return c.cast("long")
     fn = {"sum": F.sum, "avg": F.avg, "min": F.min, "max": F.max}[op]
     c = fn(F.col(field))
     return F.round(c, 4) if op in ("sum", "avg") else c
@@ -85,15 +87,24 @@ def aggregate_search_hits(
     if top_hits > 0:
         # per-bucket best hits: sort the collected (score, pk) structs and
         # slice — bucket populations are bounded by the search limit
+        # struct sort on (-score, pk) ascending == the repo-wide top-k order
+        # (score desc, pk asc); a reverse of (score, pk) asc would break
+        # ties by pk DESCENDING, diverging from every other ranking path
         aggs.append(
-            F.slice(
-                F.reverse(
+            F.transform(
+                F.slice(
                     F.array_sort(
-                        F.collect_list(F.struct(F.col(score_col), F.col(pk_col)))
-                    )
+                        F.collect_list(
+                            F.struct(
+                                (-F.col(score_col)).alias("negs"),
+                                F.col(pk_col).alias("pk"),
+                            )
+                        )
+                    ),
+                    1,
+                    top_hits,
                 ),
-                1,
-                top_hits,
+                lambda h: F.struct((-h["negs"]).alias(score_col), h["pk"].alias(pk_col)),
             ).alias("hits")
         )
     leaf = hits.groupBy(qid_col, *fields).agg(*aggs)

@@ -40,7 +40,8 @@ def salted_distinct_count(
     key's set — stage 2 sums the per-salt partial counts (salting by the
     distinct column keeps each distinct value in exactly one bucket, so
     partial counts are additive)."""
-    salted = with_salt(df, distinct_col, buckets)
+    # COUNT(DISTINCT col) excludes NULLs — keep the contract
+    salted = with_salt(df.filter(F.col(distinct_col).isNotNull()), distinct_col, buckets)
     partial = (
         salted.select(key, "_salt", distinct_col)
         .distinct()
@@ -58,7 +59,13 @@ def salted_join(
     becomes (key, salt) — a hot key now spreads over ``buckets`` reducers.
     Use when the small side is too big to broadcast outright and AQE's
     skew split can't help (it cannot replicate the other side)."""
-    b = big.withColumn("_salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    # deterministic per-row salt: monotonically_increasing_id depends on
+    # partition layout and breaks retry idempotency (recomputed map tasks
+    # re-salt rows differently than already-fetched reducer output) — hash
+    # the whole row instead
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in big.columns])), F.lit(buckets))
+    )
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)]))
     )
