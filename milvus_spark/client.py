@@ -321,15 +321,7 @@ class MilvusSparkClient:
         if held:
             raise ValueError(f"collection {name} has aliases {held}; drop them first")
         # release any pinned serving cache before the files go away
-        loaded = getattr(self, "_loaded", {})
-        for k in [
-            k for k in loaded
-            if (isinstance(k, tuple) and len(k) >= 2 and k[:2] == (self.root, name))
-            or k == name
-        ]:
-            df = loaded.pop(k)
-            if df is not None:
-                df.unpersist()
+        self._evict_loaded(name)
         self._catalog.pop(name, None)
         self._save_catalog()
         p = os.path.join(self.root, name)
@@ -996,11 +988,28 @@ class MilvusSparkClient:
         else:
             raise ValueError("delete needs ids or filter")
 
+    def _evict_loaded(self, name: str) -> None:
+        """Unpersist and drop every _loaded cache entry for ``name`` — the
+        pinned DataFrames hold (possibly deleted) data in executor storage
+        and their load-state keys would otherwise go stale."""
+        loaded = getattr(self, "_loaded", {})
+        for k in [
+            k for k in loaded
+            if (isinstance(k, tuple) and len(k) >= 2 and k[:2] == (self.root, name))
+            or k == name
+        ]:
+            df = loaded.pop(k)
+            if df is not None:
+                df.unpersist()
+
     def truncate(self, name: str) -> None:
         import shutil
 
         meta = self._meta(name)  # validates existence (raises on unknown)
         real = self._resolve_alias(name)
+        # same eviction as drop_collection: a pinned cache would keep
+        # get_load_state at Loaded and serve the deleted rows from memory
+        self._evict_loaded(real)
         p = os.path.join(self.root, real)
         if os.path.isdir(p):
             shutil.rmtree(p)
@@ -1553,6 +1562,7 @@ class MilvusSparkClient:
         limit: int,
         stopwords_resource: Optional[str] = None,
         analyzer_params: Optional[dict] = None,
+        corpus: Optional[DataFrame] = None,
     ) -> DataFrame:
         from milvus_spark.operators.text import tokens
         from milvus_spark.suites.fulltext import _bm25_topk
@@ -1578,7 +1588,8 @@ class MilvusSparkClient:
             stop_arr = F.array(*[F.lit(w) for w in sorted(stops)])
             toks = F.filter(toks, lambda x: ~F.array_contains(stop_arr, x))
         t = df.withColumn("toks", toks)
-        return _bm25_topk(t, k=limit, pk_col=meta["pk"], terms=terms)
+        corpus_t = corpus.withColumn("toks", toks) if corpus is not None else None
+        return _bm25_topk(t, k=limit, pk_col=meta["pk"], terms=terms, corpus=corpus_t)
 
     def add_function_field(self, name: str, function: dict) -> None:
         """Add a BM25 function field to an EXISTING collection
@@ -1825,6 +1836,12 @@ class MilvusSparkClient:
                 self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
                 partition_names,
             )
+            # BM25 corpus stats (N/avgdl/IDF) come from the UNFILTERED
+            # visibility-scoped frame — the reference keeps them
+            # collection-global at the delegator (idf_oracle.go:81), so a
+            # scalar filter (incl. the namespace conjunct: indexes span
+            # tenants) only restricts candidates, never changes a score
+            corpus = fdf if filter else None
             if filter:
                 fdf = fdf.filter(
                     compile_expr(filter, fdf.schema, params, dynamic_field=self._dyn(meta))
@@ -1833,6 +1850,7 @@ class MilvusSparkClient:
                 self._text_topk(
                     meta, fdf, fnf["input_field"], str(q), limit,
                     analyzer_params=fnf.get("analyzer_params") or meta.get("analyzer_params"),
+                    corpus=corpus,
                 ).withColumn("qid", F.lit(i).cast("long"))
                 for i, q in enumerate(data)
             ]
@@ -1878,8 +1896,15 @@ class MilvusSparkClient:
                 raise ValueError(
                     f"element_filter targets {ef_field!r} but anns_field is {parent!r}"
                 )
+            # emb-list vs element-level is classified by placeholder shape
+            # (classifyHybridSubSearch): a query whose first element is
+            # itself a sequence (list/tuple/np.ndarray row — anything
+            # len()-able that isn't a string) is a list of vectors
             emb_list = (
-                bool(data) and bool(data[0]) and isinstance(data[0][0], (list, tuple))
+                bool(len(data) if hasattr(data, "__len__") else data)
+                and len(data[0]) > 0
+                and hasattr(data[0][0], "__len__")
+                and not isinstance(data[0][0], (str, bytes))
             )
             scope = (search_params or {}).get("element_scope")
             rt = 12 if round_decimal == -1 else int(round_decimal)

@@ -147,6 +147,7 @@ class Collection:
         before the delete — an upsert re-inserting the same pk at the delete
         ts stays visible (delete-then-insert batch ordering, task_upsert.go).
         """
+        self._recover_segments()
         # mergeSchema: segments written before an add_field lack the new
         # column; the merged schema surfaces it as null there (StructType +
         # mergeSchema, the add_field/drop_field evolution analog)
@@ -197,13 +198,30 @@ class Collection:
         with open(p) as f:
             return int(json.load(f)["compacted_through_ts"])
 
+    def _recover_segments(self) -> None:
+        """Crash recovery for _swap_segments: if a kill (or a concurrent
+        reader) lands in the instant between renaming live → .old and
+        renaming the rewrite in, seg_dir is briefly missing. On the next
+        access, restore whichever survivor exists — the fully-written
+        rewrite (tombstones already folded in) wins over .old (pre-rewrite
+        state, tombstone dir still intact); both are complete snapshots."""
+        if os.path.isdir(self.seg_dir):
+            return
+        for suffix in (".compacting", ".clustering", ".old"):
+            cand = self.seg_dir + suffix
+            if os.path.isdir(cand):
+                os.rename(cand, self.seg_dir)
+                return
+
     def _swap_segments(self, df: DataFrame, suffix: str) -> None:
         """Write ``df`` as the new segment set and swap it in crash-safely:
         write aside → rename live out of the way → rename new in → drop the
         old set + folded tombstones. A kill at any point leaves either the
         old live dir or the fully-written new one on disk under a known
-        name — never a window where the collection points at nothing (the
-        rmtree-then-rename ordering had exactly that window)."""
+        name; the residual window is the instant between the two renames,
+        where seg_dir itself is missing — _recover_segments() (run at every
+        read) restores the surviving snapshot, so nothing is lost and the
+        next access self-heals."""
         import shutil
 
         tmp = self.seg_dir + suffix

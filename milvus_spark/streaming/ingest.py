@@ -62,17 +62,37 @@ def stream_ingest(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         ts = base_ts + int(batch_id) + 1
         staging = os.path.join(collection.path, "_ingest_staging", f"b{batch_id}")
-        batch_df.withColumn(TS_COL, F.lit(int(ts)).cast("long")).write.mode(
+        w = batch_df.withColumn(TS_COL, F.lit(int(ts)).cast("long")).write.mode(
             "overwrite"
-        ).parquet(staging)
+        )
+        if collection.partition_key:
+            # keep the hive layout Collection.append uses — a flat file at
+            # the segment root would mix directory depths and break
+            # partition discovery on the next read
+            w = w.partitionBy(collection.partition_key)
+        w.parquet(staging)
         os.makedirs(collection.seg_dir, exist_ok=True)
         prefix = f"ingest-b{batch_id}-"
-        for old in glob.glob(os.path.join(collection.seg_dir, prefix + "*")):
+        for old in glob.glob(
+            os.path.join(collection.seg_dir, "**", prefix + "*"), recursive=True
+        ):
             os.remove(old)  # a previous (partial) attempt of this batch
         for i, f in enumerate(
-            sorted(glob.glob(os.path.join(staging, "part-*.parquet")))
+            sorted(
+                glob.glob(
+                    os.path.join(staging, "**", "part-*.parquet"), recursive=True
+                )
+            )
         ):
-            os.replace(f, os.path.join(collection.seg_dir, f"{prefix}{i}.parquet"))
+            # preserve the hive leaf dirs (key=value/...) under seg_dir
+            rel_dir = os.path.relpath(os.path.dirname(f), staging)
+            dst_dir = (
+                collection.seg_dir
+                if rel_dir == "."
+                else os.path.join(collection.seg_dir, rel_dir)
+            )
+            os.makedirs(dst_dir, exist_ok=True)
+            os.replace(f, os.path.join(dst_dir, f"{prefix}{i}.parquet"))
         shutil.rmtree(staging, ignore_errors=True)
 
     reader = spark.readStream.format(fmt).schema(schema)

@@ -163,21 +163,43 @@ def fts_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
 def _bm25_topk(
     t: DataFrame, k: int = 15, pk_col: str = "doc_id",
     terms: Sequence[str] | None = None,
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 top-k over (pk, toks): corpus stats (N, avgdl, df) are
-    recomputed from the given corpus — the global-stats table the reference
-    keeps in sync at the delegator (idf_oracle.go:81)."""
+    recomputed from ``corpus`` (default: ``t``) — the global-stats table the
+    reference keeps in sync at the delegator (idf_oracle.go:81). When a
+    scalar filter restricts the candidate set, pass the filtered frame as
+    ``t`` and the unfiltered visibility-scoped frame as ``corpus``: the
+    reference's IDF/avgdl are collection-global and a filter only restricts
+    which documents can be hits, never what they score."""
     terms = list(terms) if terms is not None else QUERY_TERMS
     t = t.withColumnRenamed(pk_col, "doc_id") if pk_col != "doc_id" else t
+    same_corpus = corpus is None
+    corpus = t if same_corpus else (
+        corpus.withColumnRenamed(pk_col, "doc_id") if pk_col != "doc_id" else corpus
+    )
+    stats = corpus.select(F.size("toks").alias("dl")).agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
     dl = t.select("doc_id", F.size("toks").alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     posting = (
         t.select("doc_id", F.explode("toks").alias("tok"))
         .filter(F.col("tok").isin(terms))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency over the stats corpus — term-filtered map-side
+    # work, cheap even when the candidate frame is much smaller
+    dfreq = (
+        posting.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+        if same_corpus
+        else corpus.select(
+            "doc_id", F.explode(F.array_distinct("toks")).alias("tok")
+        )
+        .filter(F.col("tok").isin(terms))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
     idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
     tf_norm = (F.col("tf") * (K1 + 1)) / (
         F.col("tf") + K1 * (1 - B + B * F.col("dl") / F.col("avgdl"))

