@@ -23,6 +23,8 @@ Supported surface (→ Spark mapping):
     are unnecessary — Catalyst's LikeSimplification does the same)
   - regex        a =~ "^x.*"  /  a !~ p    → rlike (OpType RegexMatch)
   - text         text_match(f, "w"), phrase_match(f, "a b", slop),
+                 text_match_fuzzy(f, "w", max_edit_distance=d) (Plan.g4:24-25,
+                 OpType 17, d ∈ [0,2], transpositions cost 1),
                  starts_with(a, b), empty(a) (CallExpr FunctionFactory.cpp:63-65)
   - json path    meta["a"]["b"] > 1, meta['k'] == "s", exists meta['k']
     → get_json_object with type-directed cast (ColumnInfo.nested_path
@@ -39,6 +41,7 @@ from __future__ import annotations
 
 import re
 from dataclasses import dataclass
+from functools import reduce
 from typing import Any, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -48,6 +51,36 @@ from pyspark.sql import types as T
 
 class ExprError(ValueError):
     pass
+
+
+def _fuzzy_variants(term: str, d: int) -> list[tuple[str, int]]:
+    """(variant, cost) expansion of a query term for fuzzy matching with
+    transpositions counted as one edit (tantivy FuzzyTermQuery with
+    transposition_cost_one, index_reader_text.rs:99).
+
+    cost 0: the term itself; cost 1: each single adjacent swap; cost 2
+    (when d == 2): each pair of non-overlapping adjacent swaps. A doc token
+    t then matches iff min over variants of cost + levenshtein(variant, t)
+    ≤ d — the query-side pre-application of the automaton's transposition
+    moves, exact for the dominant cases and a compile-time literal set (the
+    query is always a literal), so the same list embeds verbatim in the
+    DuckDB oracle SQL."""
+    out: dict[str, int] = {term: 0}
+
+    def swaps(s: str):
+        for i in range(len(s) - 1):
+            if s[i] != s[i + 1]:
+                yield i, s[:i] + s[i + 1] + s[i] + s[i + 2:]
+
+    if d >= 1:
+        for _, v in swaps(term):
+            out.setdefault(v, 1)
+    if d >= 2:
+        for i, v1 in swaps(term):
+            for j, v2 in swaps(v1):
+                if abs(j - i) >= 2:
+                    out.setdefault(v2, 2)
+    return sorted(out.items())
 
 
 # ------------------------------------------------------------------ tokenizer
@@ -847,6 +880,7 @@ class Compiler:
         "json_contains": (2, 2), "array_contains_any": (2, 2),
         "json_contains_any": (2, 2), "array_contains_all": (2, 2),
         "json_contains_all": (2, 2), "text_match": (2, 3),
+        "text_match_fuzzy": (2, 2),
         "phrase_match": (2, 3), "bloom_match": (2, 2), "random_sample": (1, 1),
         "st_within": (2, 2), "st_contains": (2, 2), "st_intersects": (2, 2),
         "st_equals": (2, 2), "st_touches": (2, 2), "st_crosses": (2, 2),
@@ -865,6 +899,8 @@ class Compiler:
                 + (f"-{spec[1]}" if spec[1] != spec[0] else "")
                 + f" arguments, got {len(args)}"
             )
+        if node.kwargs and fn != "text_match_fuzzy":
+            raise ExprError(f"{fn} takes no named arguments")
         if fn == "starts_with":
             return self.compile(args[0]).startswith(self.compile(args[1]))
         if fn == "empty":
@@ -927,6 +963,78 @@ class Compiler:
                 # empty F.array() would fail analysis with a VOID type)
                 return F.lit(False)
             return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(q) for q in qs]))) >= int(msm)
+        if fn == "text_match_fuzzy":
+            # TEXT_MATCH_FUZZY(field, "query", max_edit_distance=N)
+            # (Plan.g4:24-25, OpType TextMatchFuzzy plan.proto:26). The
+            # option is grammar-required; the parser enforces N ∈ [0, 2]
+            # (parser_visitor.go:1018-1026 — tantivy's fuzzy automaton cap).
+            kwargs = node.kwargs or {}
+            if set(kwargs) - {"max_edit_distance"}:
+                bad = next(iter(set(kwargs) - {"max_edit_distance"}))
+                raise ExprError(
+                    f"invalid option {bad!r} for text_match_fuzzy, "
+                    "expected max_edit_distance"
+                )
+            if "max_edit_distance" not in kwargs:
+                raise ExprError(
+                    "max_edit_distance is required for text_match_fuzzy"
+                )
+            d = self._lit_value(kwargs["max_edit_distance"])
+            if not isinstance(d, int) or isinstance(d, bool):
+                raise ExprError(
+                    f"invalid max_edit_distance value: {d!r} (must be an integer)"
+                )
+            if not 0 <= d <= 2:
+                raise ExprError(
+                    f"max_edit_distance should be in [0, 2], got {d}"
+                )
+            # fuzzy match requires a string column
+            # (parseTextMatchOperand, parser_visitor.go:945-947)
+            if isinstance(args[0], Field):
+                ft = self.col_type(args[0].name)
+                if ft is not None and not isinstance(ft, T.StringType):
+                    raise ExprError(
+                        "text_match_fuzzy operation on non-string is unsupported"
+                    )
+            col = self.compile(args[0])
+            query = str(self._lit_value(args[1]))
+            qs = [t for t in re.split(r"[^a-z0-9]+", query.lower()) if t]
+            toks = F.filter(F.split(F.lower(col), "[^a-z0-9]+"), lambda x: x != "")
+            if not qs:
+                return F.lit(False)
+            if d == 0:
+                # distance 0 is exactly a term match — the cheap multiterms
+                # path (index_reader_text.rs:88-92)
+                return (
+                    F.size(
+                        F.array_intersect(
+                            F.array_distinct(toks), F.array(*[F.lit(q) for q in qs])
+                        )
+                    )
+                    >= 1
+                )
+            # Disjunction over per-token fuzzy matches (BooleanQuery::union,
+            # index_reader_text.rs:95-106). The tantivy automaton counts an
+            # adjacent transposition as ONE edit (FuzzyTermQuery
+            # transposition_cost_one=true); Spark has only plain levenshtein,
+            # so transpositions are pre-applied to the QUERY tokens — a
+            # compile-time literal — as (variant, cost) pairs, and a doc
+            # token matches when min(cost + lev(variant, tok)) ≤ d. The
+            # threshold form of levenshtein early-exits JVM-side.
+            preds = []
+            for q in qs:
+                for v, c in _fuzzy_variants(q, d):
+                    budget = d - c
+                    preds.append(
+                        lambda x, v=v, budget=budget: F.levenshtein(
+                            x, F.lit(v), budget
+                        )
+                        >= 0
+                    )
+            return F.exists(
+                F.array_distinct(toks),
+                lambda x: reduce(lambda a, b: a | b, [p(x) for p in preds]),
+            )
         if fn == "phrase_match":
             col = self.compile(args[0])
             phrase = str(self._lit_value(args[1]))

@@ -125,6 +125,48 @@ def fts_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# --- text_match_fuzzy in the filter language ---------------------------------
+# TEXT_MATCH_FUZZY(field, query, max_edit_distance=d): Plan.g4:24-25,
+# OpType TextMatchFuzzy plan.proto:26, executed as a disjunction of
+# per-token fuzzy automata (index_reader_text.rs:73-106). The oracle embeds
+# the SAME (variant, cost) expansion the compiler uses (plans/expr.py
+# _fuzzy_variants), so transposition handling is bit-identical on both sides.
+_FUZZY_QUERY = "saprk merg"  # "saprk"→"spark" is ONE edit only via transposition
+_FUZZY_D = 1
+
+
+def _fuzzy_pred_sql(d: int, terms: str) -> str:
+    import re as _re
+
+    from milvus_spark.plans.expr import _fuzzy_variants
+
+    ors = []
+    for q in [t for t in _re.split(r"[^a-z0-9]+", terms.lower()) if t]:
+        for v, c in _fuzzy_variants(q, d):
+            ors.append(f"levenshtein(x, '{v}') <= {d - c}")
+    return " OR ".join(ors)
+
+
+@register(
+    "fts_fuzzy_expr",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id FROM t
+    WHERE len(list_filter(list_distinct(toks),
+              x -> {_fuzzy_pred_sql(_FUZZY_D, _FUZZY_QUERY)})) > 0
+    """,
+)
+def fts_fuzzy_expr(spark: SparkSession, sf: str) -> DataFrame:
+    from milvus_spark.plans.expr import compile_expr
+
+    d = load_table(spark, sf, "documents")
+    cond = compile_expr(
+        f'text_match_fuzzy(text, "{_FUZZY_QUERY}", max_edit_distance={_FUZZY_D})',
+        d.schema,
+    )
+    return d.filter(cond).select("doc_id")
+
+
 # --- BM25 top-k ---------------------------------------------------------------
 @register(
     "fts_bm25_topk",

@@ -113,6 +113,63 @@ def test_text_and_phrase_match(spark, sf_dir):
     assert ph >= 0  # shape check; exact parity covered by fts_phrase_match oracle
 
 
+def test_text_match_fuzzy(spark, sf_dir):
+    """Parser matrix + semantics for text_match_fuzzy — mirrors the
+    reference's cases (plan_parser_v2_test.go:919-1026, Plan.g4:24-25)."""
+    import pyspark.sql.types as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    # valid distances 0/1/2; MAX_EDIT_DISTANCE is case-insensitive (EqualFold)
+    for d in (0, 1, 2):
+        c = compile_expr(f'text_match_fuzzy(text, "spark", max_edit_distance={d})', docs.schema)
+        assert docs.filter(c).count() > 0
+    compile_expr('text_match_fuzzy(text, "q", MAX_EDIT_DISTANCE=1)', docs.schema)
+
+    # d=0 is exactly a term match
+    n0 = docs.filter(
+        compile_expr('text_match_fuzzy(text, "spark", max_edit_distance=0)', docs.schema)
+    ).count()
+    nt = docs.filter(compile_expr('text_match(text, "spark")', docs.schema)).count()
+    assert n0 == nt
+
+    # transposition counts as ONE edit: "saprk" matches "spark" at d=1,
+    # though plain levenshtein("saprk", "spark") == 2
+    n_trans = docs.filter(
+        compile_expr('text_match_fuzzy(text, "saprk", max_edit_distance=1)', docs.schema)
+    ).count()
+    assert n_trans >= n0 > 0
+
+    # multi-token query ORs the per-token fuzzy matches (index_reader_text.rs:310)
+    n_multi = docs.filter(
+        compile_expr('text_match_fuzzy(text, "spark merge", max_edit_distance=1)', docs.schema)
+    ).count()
+    n_one = docs.filter(
+        compile_expr('text_match_fuzzy(text, "merge", max_edit_distance=1)', docs.schema)
+    ).count()
+    assert n_multi >= max(n_one, n0)
+
+    # invalid forms (parser_visitor.go:1004-1026 + grammar-required option)
+    sch = docs.schema
+    for bad in [
+        'text_match_fuzzy(text, "q")',  # missing grammar-required option
+        'text_match_fuzzy(text, "q", fuzziness=1)',  # wrong option name
+        'text_match_fuzzy(text, "q", max_edit_distance=3)',  # > 2
+        'text_match_fuzzy(text, "q", max_edit_distance=1.5)',  # non-integer
+        'text_match_fuzzy(text, "q", max_edit_distance=9223372036854775808)',
+        'text_match_fuzzy(text)',  # arity
+    ]:
+        with pytest.raises(ExprError):
+            compile_expr(bad, sch)
+    # non-string field rejected (plan_parser_v2_test.go:992 BoolField case)
+    sch2 = T.StructType([T.StructField("b", T.BooleanType())])
+    with pytest.raises(Exception):
+        compile_expr('text_match_fuzzy(b, "q", max_edit_distance=1)', sch2)
+    # named args are rejected on functions that take none
+    with pytest.raises(ExprError):
+        compile_expr('text_match(text, "q", min_should_match=1)', sch)
+
+
 def test_apply_filter_none(orders):
     assert apply_filter(orders, None).count() == orders.count()
 
