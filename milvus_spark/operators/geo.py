@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -111,3 +113,125 @@ def point_on_boundary(poly_edges: Column, x: Column, y: Column, eps: float = 1e-
         return (F.abs(cross) <= eps * scale) & inx & iny
 
     return F.exists(poly_edges, on_edge)
+
+
+# ------------------------------------------------------------------- WKB I/O
+# The reference's GEOMETRY type accepts both WKT and WKB on the wire
+# (Types.h:24 GEOMETRY; the proxy converts WKB input before storage). Here
+# WKT stays the storage/compute format; WKB is an ingest/interchange codec:
+# literals decode driver-side at compile time, columns decode through an
+# Arrow-batched pandas UDF (numpy-vectorized fast path for the dominant
+# little-endian point layout — never per-row Python in the hot loop).
+
+_WKB_POINT = 1
+_WKB_POLYGON = 3
+
+
+def parse_wkb(b) -> str:
+    """Decode a WKB value (bytes or hex string) → WKT text.
+
+    Supports POINT and POLYGON (outer ring only, matching parse_wkt's
+    surface), both byte orders. Raises ValueError on malformed input —
+    ingest should fail loudly, not store garbage."""
+    import struct
+
+    if isinstance(b, str):
+        b = bytes.fromhex(b)
+    if len(b) < 5:
+        raise ValueError("WKB too short")
+    bo = "<" if b[0] == 1 else (">" if b[0] == 0 else None)
+    if bo is None:
+        raise ValueError(f"bad WKB byte-order flag {b[0]!r}")
+    (gtype,) = struct.unpack_from(bo + "I", b, 1)
+    if gtype == _WKB_POINT:
+        if len(b) != 21:
+            raise ValueError(f"WKB point must be 21 bytes, got {len(b)}")
+        x, y = struct.unpack_from(bo + "dd", b, 5)
+        return f"POINT ({_fmt_coord(x)} {_fmt_coord(y)})"
+    if gtype == _WKB_POLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", b, 5)
+        if nrings < 1:
+            raise ValueError("WKB polygon with no rings")
+        off = 9
+        rings = []
+        for _ in range(nrings):
+            (npts,) = struct.unpack_from(bo + "I", b, off)
+            off += 4
+            pts = struct.unpack_from(bo + "d" * (2 * npts), b, off)
+            off += 16 * npts
+            ring = ", ".join(
+                f"{_fmt_coord(pts[2 * i])} {_fmt_coord(pts[2 * i + 1])}"
+                for i in range(npts)
+            )
+            rings.append(f"({ring})")
+        return f"POLYGON ({', '.join(rings)})"
+    raise ValueError(f"unsupported WKB geometry type {gtype}")
+
+
+def _fmt_coord(v: float) -> str:
+    """Canonical coordinate text: integral values print without '.0' (the
+    compact WKT the suites/storage use), everything else via repr (shortest
+    round-trip form)."""
+    return str(int(v)) if float(v).is_integer() else repr(float(v))
+
+
+def parse_geom_literal(s: str) -> tuple[str, object]:
+    """Parse a geometry literal that may be WKT text or WKB hex."""
+    t = s.strip()
+    if re.fullmatch(r"(?:00|01)[0-9a-fA-F]{8,}", t):
+        return parse_wkt(parse_wkb(t))
+    return parse_wkt(t)
+
+
+def wkb_point_encode(x: "Column", y: "Column") -> "Column":
+    """(x, y) double columns → 21-byte little-endian WKB POINT (binary).
+
+    numpy-vectorized inside an Arrow-batched pandas UDF: the doubles are
+    reinterpreted as bytes with a view, no per-row struct packing."""
+    @F.pandas_udf("binary")
+    def _enc(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        n = len(xs)
+        buf = np.zeros((n, 21), dtype=np.uint8)
+        buf[:, 0] = 1  # little-endian
+        buf[:, 1] = _WKB_POINT  # type word 01 00 00 00
+        buf[:, 5:13] = (
+            np.ascontiguousarray(xs.to_numpy(np.float64)).view(np.uint8).reshape(n, 8)
+        )
+        buf[:, 13:21] = (
+            np.ascontiguousarray(ys.to_numpy(np.float64)).view(np.uint8).reshape(n, 8)
+        )
+        return pd.Series(list(buf.tobytes()[i * 21 : (i + 1) * 21] for i in range(n)))
+
+    return _enc(x, y)
+
+
+def wkb_decode_wkt(col: "Column") -> "Column":
+    """WKB binary column → WKT string column (NULL on malformed input).
+
+    Fast path: when a batch is all 21-byte little-endian points (the
+    dominant shape), decode is one numpy reshape + two float64 views;
+    otherwise fall back to per-row parse_wkb (still Arrow-batched)."""
+    @F.pandas_udf("string")
+    def _dec(bs: pd.Series) -> pd.Series:
+        vals = bs.tolist()
+        if vals and all(
+            v is not None and len(v) == 21 and v[0] == 1 for v in vals
+        ):
+            arr = np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(len(vals), 21)
+            xs = arr[:, 5:13].copy().view(np.float64).ravel()
+            ys = arr[:, 13:21].copy().view(np.float64).ravel()
+            return pd.Series(
+                [f"POINT ({_fmt_coord(x)} {_fmt_coord(y)})" for x, y in zip(xs, ys)]
+            )
+        out = []
+        for v in vals:
+            if v is None:
+                out.append(None)
+                continue
+            try:
+                out.append(parse_wkb(bytes(v)))
+            except ValueError:
+                out.append(None)
+        return pd.Series(out, dtype=object)
+
+    return _dec(col)

@@ -1077,7 +1077,7 @@ class Compiler:
         identically false (wrong dimensions), touches needs a boundary."""
         from milvus_spark.operators.geo import (
             WKT_POINT_VALID_RE,
-            parse_wkt,
+            parse_geom_literal,
             point_on_boundary,
             poly_edges_col,
             st_contains_point,
@@ -1091,7 +1091,9 @@ class Compiler:
             return geom.rlike(WKT_POINT_VALID_RE)
         if fn in ("st_crosses", "st_overlaps"):
             return F.lit(False)
-        kind, val = parse_wkt(str(self._lit_value(args[1])))
+        # geometry literals may be WKT text or WKB hex — the reference's
+        # GEOMETRY type accepts both encodings on the wire (Types.h:24)
+        kind, val = parse_geom_literal(str(self._lit_value(args[1])))
         if fn == "st_dwithin":
             if kind != "POINT":
                 raise ExprError("st_dwithin literal must be a POINT")

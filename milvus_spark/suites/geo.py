@@ -340,3 +340,47 @@ def geo_expr_language(spark: SparkSession, sf: str) -> DataFrame:
         p.schema,
     )
     return p.filter(cond).select("event_id", "geom")
+
+
+# --- WKB ingest roundtrip -----------------------------------------------------
+@register(
+    "geo_wkb_roundtrip",
+    oracle="""
+    SELECT event_id,
+           round(value, 3) AS x_rt,
+           CAST(user_id % 100 AS DOUBLE) AS y_rt,
+           CAST(21 AS BIGINT) AS wkb_len,
+           '01' AS wkb_bo
+    FROM events
+    """,
+)
+def geo_wkb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
+    """WKB codec roundtrip (GEOMETRY accepts WKT and WKB: Types.h:24).
+
+    Coordinates → 21-byte little-endian WKB POINT (numpy-vectorized pandas
+    UDF) → decoded back to WKT → coordinates re-extracted JVM-side. IEEE
+    doubles survive bytes→repr→parse exactly, so the oracle is simply the
+    source coordinates — any codec asymmetry (endianness, offset, float
+    formatting) breaks the hash. wkb_len/wkb_bo pin the physical layout."""
+    from milvus_spark.operators.geo import (
+        wkb_decode_wkt,
+        wkb_point_encode,
+        wkt_x,
+        wkt_y,
+    )
+
+    e = load_table(spark, sf, "events")
+    pts = e.select(
+        "event_id",
+        F.round("value", 3).alias("x"),
+        (F.col("user_id") % 100).cast("double").alias("y"),
+    )
+    wkb = pts.withColumn("wkb", wkb_point_encode(F.col("x"), F.col("y")))
+    dec = wkb.withColumn("wkt", wkb_decode_wkt(F.col("wkb")))
+    return dec.select(
+        "event_id",
+        wkt_x(F.col("wkt")).alias("x_rt"),
+        wkt_y(F.col("wkt")).alias("y_rt"),
+        F.length("wkb").cast("long").alias("wkb_len"),
+        F.lower(F.hex(F.substring("wkb", 1, 1))).alias("wkb_bo"),
+    )
