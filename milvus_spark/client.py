@@ -2433,11 +2433,17 @@ class MilvusSparkClient:
         range_filter: Optional[float] = None,
     ):
         """Paged ANN scan (search iterator v2, plan.proto:78-82): yields result
-        batches, each page bounded by the previous page's worst score
-        (CachedSearchIterator widening-bound semantics). Supports the range
-        variant (``radius``/``range_filter``,
+        batches from a snapshot-pinned ranking (CachedSearchIterator
+        semantics). Supports the range variant (``radius``/``range_filter``,
         test_milvus_client_search_iterator_v2.py range cases); iteration is
-        single-query only (nq must be 1), matching the reference."""
+        single-query only (nq must be 1), matching the reference.
+
+        Scan economy: the cursor PREFETCHES several pages per scan and
+        re-fetches with a doubling bound only when its cached ranking prefix
+        drains — the reference's cached-iterator shape. Reading N pages costs
+        O(log N) corpus scans, not N; the snapshot pin plus deterministic
+        tie-breaks make every re-fetch an exact prefix extension, so pages
+        never shift or duplicate."""
         if len(data) != 1:
             raise ValueError(
                 f"search_iterator supports exactly one query vector (nq=1), got {len(data)}"
@@ -2449,19 +2455,35 @@ class MilvusSparkClient:
         # reshuffle ranks or surface mixed row versions across one cursor
         as_of = self._current_ts(name)
         seen: set = set()
+        prefetch_pages = 4  # pages served per scan before the next widening
+        fetched: list = []  # cached ranking prefix for this cursor
+        exhausted = False
         for page_no in range(max_pages):
-            # widening top-k, then slice past already-emitted hits — avoids
-            # bound-tie duplicates that a naive score<last_bound filter has
-            k = batch_size * (page_no + 1)
-            rows = self.search(
-                name, data, limit=k, filter=filter, metric_type=metric,
-                radius=radius, range_filter=range_filter, as_of=as_of,
-            ).collect()
-            fresh = [r for r in rows if (r.qid, r[pk]) not in seen]
+            need = batch_size * (page_no + 1)
+            if len(fetched) < need and not exhausted:
+                if need > 16384:
+                    # preserve the top-k quota error the per-page search
+                    # would have raised (quota_param.go:1445-1450)
+                    k = need
+                else:
+                    k = min(
+                        max(need, len(fetched) * 2, batch_size * prefetch_pages),
+                        16384,
+                    )
+                fetched = self.search(
+                    name, data, limit=k, filter=filter, metric_type=metric,
+                    radius=radius, range_filter=range_filter, as_of=as_of,
+                ).collect()
+                exhausted = len(fetched) < k
+            # slice past already-emitted hits — avoids bound-tie duplicates
+            # that a naive score<last_bound filter has
+            fresh = [r for r in fetched if (r.qid, r[pk]) not in seen][:batch_size]
             if not fresh:
                 return
             yield fresh
-            seen.update((r.qid, r[pk]) for r in rows)
+            seen.update((r.qid, r[pk]) for r in fresh)
+            if exhausted and len(seen) >= len(fetched):
+                return
 
     def query_iterator(
         self, name: str, batch_size: int = 1000, filter: Optional[str] = None

@@ -1478,6 +1478,45 @@ def test_search_iterator_nq_and_range(client, spark, sf_dir):
     client.drop_collection("itv2")
 
 
+def test_search_iterator_caches_scans(client, spark, sf_dir):
+    """The cursor serves pages from its cached ranking prefix: N pages cost
+    O(log N) search scans, not N (the CachedSearchIterator economy), and
+    the paged stream equals one big top-k exactly."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("itc", pk_field="vec_id", vector_field="embedding")
+    client.insert("itc", emb)
+    q = [emb.filter(F.col("vec_id") == 0).collect()[0].embedding]
+
+    calls = {"n": 0}
+    real_search = client.search
+
+    def counting_search(*a, **kw):
+        calls["n"] += 1
+        return real_search(*a, **kw)
+
+    client.search = counting_search
+    try:
+        pages = list(client.search_iterator("itc", q, batch_size=5, max_pages=4))
+    finally:
+        client.search = real_search
+    assert len(pages) == 4 and all(len(p) == 5 for p in pages)
+    # 4 pages fit in the first prefetch (4 pages/scan) — exactly one scan
+    assert calls["n"] == 1
+    # 6 pages: one prefetch + one doubling re-fetch
+    client.search = counting_search
+    calls["n"] = 0
+    try:
+        pages6 = list(client.search_iterator("itc", q, batch_size=5, max_pages=6))
+    finally:
+        client.search = real_search
+    assert len(pages6) == 6 and calls["n"] == 2
+    # paged stream == one-shot top-k, in order
+    flat = [r.vec_id for p in pages6 for r in p]
+    top = [r.vec_id for r in client.search("itc", q, limit=30).collect()]
+    assert flat == top
+    client.drop_collection("itc")
+
+
 def test_query_order_by_dict_form_and_long_text(client, spark, sf_dir):
     """order_by accepts the reference's order_by_fields dict form
     (test_milvus_client_query_order.py: single/multi field, asc/desc,
