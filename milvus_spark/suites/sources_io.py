@@ -65,3 +65,54 @@ def src_bulk_import(spark: SparkSession, sf: str) -> DataFrame:
     return read_json(spark, json_dir, _SCHEMA).unionByName(
         read_csv(spark, csv_dir, _SCHEMA)
     )
+
+
+@register(
+    "src_binlog_import",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_nationkey
+    FROM customer WHERE c_custkey % 7 = 2
+    """,
+)
+def src_binlog_import(spark: SparkSession, sf: str) -> DataFrame:
+    """Native binlog import round-trip (importutilv2/binlog/, storage
+    binlog_writer.go layout). A deterministic customer slice is encoded as
+    per-field insert binlogs — magic + descriptor event + insert event with
+    a single-column parquet payload, split over two log files per field —
+    and read back through the distributed segment reader (one mapInPandas
+    task per log group, columns zipped positionally). Must hash-match the
+    slice selected straight from parquet."""
+    from milvus_spark.sources.binlog import (
+        DT_DOUBLE,
+        DT_INT64,
+        DT_VARCHAR,
+        read_insert_binlogs,
+        write_field_binlog,
+    )
+
+    base = scratch_mkdtemp("binlog_")
+    rows = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 7 == 2)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_nationkey")
+        .orderBy("c_custkey")
+        .collect()
+    )
+    fields = {
+        100: ("c_custkey", DT_INT64, [r.c_custkey for r in rows]),
+        101: ("c_name", DT_VARCHAR, [r.c_name for r in rows]),
+        102: ("c_acctbal", DT_DOUBLE, [r.c_acctbal for r in rows]),
+        103: ("c_nationkey", DT_INT64, [r.c_nationkey for r in rows]),
+    }
+    half = len(rows) // 2
+    for fid, (_, dt, vals) in fields.items():
+        for log_id, chunk in ((0, vals[:half]), (1, vals[half:])):
+            write_field_binlog(
+                os.path.join(base, str(fid), f"{log_id}"),
+                fid,
+                dt,
+                chunk,
+                segment_id=log_id,
+            )
+    names = {fid: name for fid, (name, _, _) in fields.items()}
+    return read_insert_binlogs(spark, base, names)
