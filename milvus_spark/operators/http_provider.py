@@ -70,53 +70,156 @@ class _HttpJsonClient:
         raise HttpProviderError(f"provider failed after {self.max_retries + 1} attempts: {last}")
 
 
-class HttpEmbeddingProvider:
-    """OpenAI-style /embeddings contract: {model, input: [texts]} →
-    {data: [{embedding: [...]}, ...]} in input order."""
+# Named wire formats — request/response schemas + default batch caps mirror
+# the reference's per-provider clients (all shapes are the providers' PUBLIC
+# HTTP APIs; file:line cites are where the reference binds them):
+#   openai: {model, input:[...]} → {object:"list", data:[{index, embedding}],
+#           model, usage}; maxBatch 128; Bearer auth
+#           (models/openai/openai_client.go:28-76,
+#           embedding/openai_embedding_provider.go:134). Also the shape
+#           vLLM/SiliconFlow-compatible servers speak.
+#   tei:    {inputs:[...], truncate?} → bare [[...], ...]; maxBatch 32
+#           (models/tei/tei.go:65-72, embedding/tei_embedding_provider.go:56)
+#   cohere: {model, texts:[...], input_type?, embedding_types:["float"]}
+#           → {id, embeddings:{float:[[...]]}}
+#           (models/cohere/cohere_client.go:58-87)
+# "simple" keeps this module's original minimal contract for local stubs.
+EMBED_FORMATS = ("openai", "tei", "cohere", "simple")
+_EMBED_MAX_BATCH = {"openai": 128, "tei": 32, "cohere": 96, "simple": 64}
 
-    def __init__(self, url: str, model: str, dim: int, batch_size: int = 64,
+
+def _build_embed_request(fmt: str, model: str, chunk: list[str]) -> dict:
+    if fmt == "openai":
+        return {"model": model, "input": chunk, "encoding_format": "float"}
+    if fmt == "tei":
+        return {"inputs": chunk, "truncate": True}
+    if fmt == "cohere":
+        return {
+            "model": model,
+            "texts": chunk,
+            "input_type": "search_document",
+            "embedding_types": ["float"],
+        }
+    return {"model": model, "input": chunk}
+
+
+def _parse_embed_response(fmt: str, resp, n: int) -> list[list[float]]:
+    if fmt == "tei":
+        data = resp  # bare array-of-vectors (tei.go:72)
+    elif fmt == "cohere":
+        data = (resp.get("embeddings") or {}).get("float") or []
+    else:  # openai / simple: data rows carry {index?, embedding}
+        rows = resp.get("data", [])
+        if rows and "index" in rows[0]:
+            rows = sorted(rows, key=lambda r: r["index"])
+        data = [r["embedding"] for r in rows]
+    if len(data) != n:
+        raise HttpProviderError(
+            f"provider returned {len(data)} vectors for {n} inputs"
+        )
+    return data
+
+
+class HttpEmbeddingProvider:
+    """Text-embedding provider speaking a named public wire format
+    (``format``: openai | tei | cohere | simple). Batching honors the
+    provider's documented request cap; responses are order-restored (openai
+    rows re-sorted by index) and dim-validated before anything reaches a
+    vector column."""
+
+    def __init__(self, url: str, model: str, dim: int, batch_size: int | None = None,
                  headers: dict | None = None, timeout: float = 30.0,
-                 max_retries: int = 3, backoff: float = 0.2):
+                 max_retries: int = 3, backoff: float = 0.2,
+                 format: str = "simple", api_key: str | None = None):
+        if format not in EMBED_FORMATS:
+            raise ValueError(f"unknown provider format {format!r}; have {EMBED_FORMATS}")
+        headers = dict(headers or {})
+        if api_key:
+            # openai/tei use Bearer; cohere accepts Bearer on its v2 API
+            headers.setdefault("Authorization", f"Bearer {api_key}")
         self.client = _HttpJsonClient(url, headers, timeout, max_retries, backoff)
         self.model = model
         self.dim = int(dim)
-        self.batch_size = int(batch_size)
+        self.format = format
+        cap = _EMBED_MAX_BATCH[format]
+        self.batch_size = min(int(batch_size), cap) if batch_size else cap
 
     def embed(self, texts: Sequence[str]) -> list[list[float]]:
         out: list[list[float]] = []
         for i in range(0, len(texts), self.batch_size):
             chunk = [str(t) for t in texts[i : i + self.batch_size]]
-            data = self.client.post({"model": self.model, "input": chunk}).get("data", [])
-            if len(data) != len(chunk):
-                raise HttpProviderError(f"provider returned {len(data)} vectors for {len(chunk)} inputs")
-            for row in data:
-                v = row["embedding"]
+            resp = self.client.post(_build_embed_request(self.format, self.model, chunk))
+            for v in _parse_embed_response(self.format, resp, len(chunk)):
                 if len(v) != self.dim:
                     raise HttpProviderError(f"provider dim {len(v)} != schema dim {self.dim}")
                 out.append([float(x) for x in v])
         return out
 
 
+# Rerank wire formats (rerank/*_provider.go):
+#   tei:    {query, texts:[...]} → [{index, score}] (models/tei/tei.go:117-122,143-144)
+#   cohere: {model, query, documents:[...]} → {results:[{index,
+#           relevance_score}]} (models/cohere/cohere_client.go:150-169,186-187)
+#   simple: {model, query, documents} → {scores:[...]} (local stubs)
+RERANK_FORMATS = ("tei", "cohere", "simple")
+
+
+def _build_rerank_request(fmt: str, model: str, query: str, chunk: list[str]) -> dict:
+    if fmt == "tei":
+        return {"query": query, "texts": chunk, "raw_scores": False}
+    if fmt == "cohere":
+        return {"model": model, "query": query, "documents": chunk}
+    return {"model": model, "query": query, "documents": chunk}
+
+
+def _parse_rerank_response(fmt: str, resp, n: int) -> list[float]:
+    if fmt == "tei":
+        items = {int(r["index"]): float(r["score"]) for r in resp}
+    elif fmt == "cohere":
+        items = {
+            int(r["index"]): float(r["relevance_score"])
+            for r in resp.get("results", [])
+        }
+    else:
+        scores = resp.get("scores", [])
+        if len(scores) != n:
+            raise HttpProviderError(f"provider returned {len(scores)} scores for {n} docs")
+        return [float(s) for s in scores]
+    if len(items) != n or set(items) != set(range(n)):
+        raise HttpProviderError(
+            f"provider returned indices {sorted(items)} for {n} docs"
+        )
+    return [items[i] for i in range(n)]
+
+
 class HttpRerankProvider:
-    """Rerank contract: {model, query, documents: [...]} → {scores: [...]}."""
+    """Query+documents → per-document scores, speaking a named public wire
+    format (``format``: tei | cohere | simple). Index-addressed responses
+    are restored to input order — a provider returning results sorted by
+    relevance must not silently permute candidate scores."""
 
     def __init__(self, url: str, model: str, batch_size: int = 32,
                  headers: dict | None = None, timeout: float = 30.0,
-                 max_retries: int = 3, backoff: float = 0.2):
+                 max_retries: int = 3, backoff: float = 0.2,
+                 format: str = "simple", api_key: str | None = None):
+        if format not in RERANK_FORMATS:
+            raise ValueError(f"unknown rerank format {format!r}; have {RERANK_FORMATS}")
+        headers = dict(headers or {})
+        if api_key:
+            headers.setdefault("Authorization", f"Bearer {api_key}")
         self.client = _HttpJsonClient(url, headers, timeout, max_retries, backoff)
         self.model = model
+        self.format = format
         self.batch_size = int(batch_size)
 
     def score(self, query: str, docs: Sequence[str]) -> list[float]:
         out: list[float] = []
         for i in range(0, len(docs), self.batch_size):
             chunk = [str(d) for d in docs[i : i + self.batch_size]]
-            scores = self.client.post(
-                {"model": self.model, "query": str(query), "documents": chunk}
-            ).get("scores", [])
-            if len(scores) != len(chunk):
-                raise HttpProviderError(f"provider returned {len(scores)} scores for {len(chunk)} docs")
-            out.extend(float(s) for s in scores)
+            resp = self.client.post(
+                _build_rerank_request(self.format, self.model, str(query), chunk)
+            )
+            out.extend(_parse_rerank_response(self.format, resp, len(chunk)))
         return out
 
 

@@ -53,6 +53,55 @@ class _Handler(BaseHTTPRequestHandler):
                     for d in body["documents"]
                 ]
             }
+        elif self.path == "/v1/embeddings":
+            # openai shape (openai_client.go:28-76): indexed rows; serve
+            # them REVERSED to prove the client restores input order
+            texts = body["input"]
+            assert body.get("encoding_format") == "float"
+            with _STATE["lock"]:
+                _STATE["auth"] = self.headers.get("Authorization")
+            vecs = hash_embed_batch(pd.Series(texts), dim=32).tolist()
+            out = {
+                "object": "list",
+                "model": body["model"],
+                "data": [
+                    {"object": "embedding", "index": i, "embedding": v}
+                    for i, v in reversed(list(enumerate(vecs)))
+                ],
+                "usage": {"prompt_tokens": 1, "total_tokens": 1},
+            }
+        elif self.path == "/embed":
+            # tei shape (tei.go:65-72): bare array-of-vectors
+            texts = body["inputs"]
+            with _STATE["lock"]:
+                _STATE["batch_sizes"].append(len(texts))
+            out = hash_embed_batch(pd.Series(texts), dim=32).tolist()
+        elif self.path == "/v2/embed":
+            # cohere shape (cohere_client.go:58-87)
+            assert body["embedding_types"] == ["float"]
+            vecs = hash_embed_batch(pd.Series(body["texts"]), dim=32).tolist()
+            out = {"id": "req-1", "embeddings": {"float": vecs}}
+        elif self.path == "/tei_rerank":
+            # tei rerank (tei.go:117-122,143-144): indexed items, served
+            # sorted by score desc to prove order restoration
+            q = set(body["query"].lower().split())
+            items = [
+                {"index": i, "score": round(len(q & set(str(d).lower().split())) / max(len(q), 1), 4)}
+                for i, d in enumerate(body["texts"])
+            ]
+            out = sorted(items, key=lambda r: -r["score"])
+        elif self.path == "/cohere_rerank":
+            q = set(body["query"].lower().split())
+            out = {
+                "id": "req-2",
+                "results": sorted(
+                    [
+                        {"index": i, "relevance_score": round(len(q & set(str(d).lower().split())) / max(len(q), 1), 4)}
+                        for i, d in enumerate(body["documents"])
+                    ],
+                    key=lambda r: -r["relevance_score"],
+                ),
+            }
         elif self.path == "/badrequest":
             self.send_response(400)
             self.end_headers()
@@ -136,3 +185,69 @@ def test_http_rerank_reorders_candidates(mock_server, spark, sf_dir):
     scores = [r.rerank_score for r in out]
     assert scores == sorted(scores, reverse=True)
     assert scores[0] > 0  # the query terms do appear in the corpus
+
+
+def test_named_embedding_formats_agree(mock_server):
+    """openai (indexed, served shuffled), tei (bare array), cohere
+    (embeddings.float) all decode to the same vectors as the simple
+    contract — and openai's index-restore actually ran (rows came back
+    reversed)."""
+    texts = [f"doc number {i}" for i in range(7)]
+    base = HttpEmbeddingProvider(
+        f"{mock_server}/embeddings", model="m", dim=32, backoff=0.01
+    ).embed(texts)
+    for fmt, path in [("openai", "/v1/embeddings"), ("tei", "/embed"), ("cohere", "/v2/embed")]:
+        got = HttpEmbeddingProvider(
+            f"{mock_server}{path}", model="m", dim=32, backoff=0.01,
+            format=fmt, api_key="sk-test",
+        ).embed(texts)
+        assert got == base, fmt
+
+
+def test_openai_format_sends_bearer_auth(mock_server):
+    with _STATE["lock"]:
+        _STATE["auth"] = None
+    HttpEmbeddingProvider(
+        f"{mock_server}/v1/embeddings", model="m", dim=32, backoff=0.01,
+        format="openai", api_key="sk-test",
+    ).embed(["x"])
+    with _STATE["lock"]:
+        assert _STATE["auth"] == "Bearer sk-test"
+
+
+def test_embedding_batch_respects_provider_cap(mock_server):
+    """The request cap is the provider's documented limit (tei maxBatch 32,
+    tei_embedding_provider.go:56) even when the caller asks for more."""
+    prov = HttpEmbeddingProvider(
+        f"{mock_server}/embed", model="m", dim=32, batch_size=500,
+        backoff=0.01, format="tei",
+    )
+    assert prov.batch_size == 32
+    with _STATE["lock"]:
+        _STATE["batch_sizes"].clear()
+    prov.embed([f"t{i}" for i in range(70)])
+    with _STATE["lock"]:
+        sizes = list(_STATE["batch_sizes"])
+    assert sizes == [32, 32, 6]
+
+
+def test_named_rerank_formats_restore_order(mock_server):
+    """tei/cohere rerank responses arrive sorted by relevance; scores must
+    come back in input order regardless."""
+    docs = ["spark join", "nothing here", "join agg spark", "agg"]
+    want = HttpRerankProvider(
+        f"{mock_server}/rerank", model="r", backoff=0.01
+    ).score("spark join agg", docs)
+    for fmt, path in [("tei", "/tei_rerank"), ("cohere", "/cohere_rerank")]:
+        got = HttpRerankProvider(
+            f"{mock_server}{path}", model="r", backoff=0.01, format=fmt
+        ).score("spark join agg", docs)
+        assert got == want, fmt
+    assert want[0] > want[1] and want[2] == max(want)
+
+
+def test_unknown_format_rejected(mock_server):
+    with pytest.raises(ValueError, match="unknown provider format"):
+        HttpEmbeddingProvider(f"{mock_server}/x", model="m", dim=8, format="nope")
+    with pytest.raises(ValueError, match="unknown rerank format"):
+        HttpRerankProvider(f"{mock_server}/x", model="m", format="nope")
