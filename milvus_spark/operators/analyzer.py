@@ -5,7 +5,7 @@ Reference parity: Milvus analyzers are declared as JSON ``analyzer_params``
 to run_analyzer (internal/util/analyzer/; canalyzer/c_analyzer_test.go:71-225;
 test_milvus_client_analyzer.py, test_milvus_client_pinyin_filter.py).
 ``build_analyzer`` interprets the same shape into a pure-JVM Column
-pipeline: tokenizer ∈ {standard, whitespace, cjk_bigram, cjk_dict}, filters
+pipeline: tokenizer ∈ {standard, whitespace, cjk_bigram, cjk_dict, jieba}, filters
 ∈ {lowercase, length, stop, stemmer, pinyin}.
 
 All filters compose left-to-right like the reference's tantivy chain. The
@@ -60,6 +60,12 @@ def build_analyzer(
         from milvus_spark.operators.cjk_dict import cjk_dict_tokens
 
         tokenize = cjk_dict_tokens
+    elif tok == "jieba":
+        # DAG-route Chinese segmentation (the reference's jieba binding,
+        # canalyzer/c_analyzer_test.go:86-98)
+        from milvus_spark.operators.cjk_dict import jieba_tokens
+
+        tokenize = jieba_tokens
     else:
         raise ValueError(f"unknown tokenizer {tok!r}")
 

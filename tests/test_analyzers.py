@@ -159,3 +159,57 @@ def test_build_analyzer_declarative_configs(spark):
         build_analyzer({"tokenizer": "nope"})
     with _pytest.raises(ValueError):
         build_analyzer({"filter": [{"type": "nope"}]})
+
+
+def test_jieba_divergence_vs_known_segmentations(spark):
+    """Divergence-rate gate vs jieba's published segmentations (the MIT
+    jieba README examples + the sentence the reference's analyzer test
+    feeds its jieba binding, canalyzer/c_analyzer_test.go:86-98). The
+    DAG-route + pair-unknowns segmenter must reproduce the documented
+    outputs exactly on these; the rate assertion keeps the gate meaningful
+    if the dictionary grows."""
+    from milvus_spark.operators.cjk_dict import jieba_cut
+
+    cases = {
+        "我来到北京清华大学": ["我", "来到", "北京", "清华大学"],
+        "他来到了网易杭研大厦": ["他", "来到", "了", "网易", "杭研", "大厦"],
+        "小明硕士毕业于中国科学院计算所，后在日本京都大学深造": [
+            "小明", "硕士", "毕业", "于", "中国科学院", "计算所", "，",
+            "后", "在", "日本京都大学", "深造",
+        ],
+        "张华考上了北京大学；李萍进了中等技术学校；我在百货公司当售货员：我们都有光明的前途": [
+            "张华", "考上", "了", "北京大学", "；", "李萍", "进", "了",
+            "中等", "技术学校", "；", "我", "在", "百货公司", "当",
+            "售货员", "：", "我们", "都", "有", "光明", "的", "前途",
+        ],
+    }
+    total = agree = 0
+    for sent, want in cases.items():
+        got = jieba_cut(sent)
+        total += max(len(got), len(want))
+        agree += sum(1 for a, b in zip(got, want) if a == b)
+    assert agree / total >= 0.95, (agree, total)
+
+
+def test_jieba_unknown_word_pairing_and_user_dict(spark):
+    """Out-of-dictionary runs pair bisyllabically (the dominant HMM
+    outcome — documented delta vs trained Viterbi); load_user_dict extends
+    the dictionary in place like jieba.load_userdict."""
+    from milvus_spark.operators.cjk_dict import jieba_cut, load_user_dict
+
+    # 杭/研 are OOV singles -> paired; known singles stay separate
+    assert "杭研" in jieba_cut("网易杭研大厦")
+    assert jieba_cut("我在") == ["我", "在"]
+    # user dict overrides the pairing with an explicit entry
+    load_user_dict({"杭研大厦": 50})
+    assert "杭研大厦" in jieba_cut("网易杭研大厦")
+
+
+def test_jieba_analyzer_param_mixed_text(spark):
+    """tokenizer='jieba' through build_analyzer on mixed CJK/latin text."""
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    analyze = build_analyzer({"tokenizer": "jieba"})
+    df = spark.createDataFrame([("Spark在北京大学 rocks!",)], "t string")
+    got = df.select(analyze(F.col("t")).alias("toks")).first().toks
+    assert got == ["spark", "在", "北京大学", "rocks"]
