@@ -32,6 +32,9 @@ BENCH_QUERIES = [
     "vec_fp16_ip",            # fp16 storage round-trip + IP top-k
     "geo_grid_join_dwithin",  # grid-bucketed spatial join
     "stream_session_agg",     # streaming session windows w/ watermark
+    "dedup_simhash",          # banded fingerprint equi-join (r4 scale fix)
+    "dedup_ngram_jaccard",    # df-capped inverted shingle index (r4 scale fix)
+    "vec_element_collapse",   # element-level struct-array search
 ]
 
 

@@ -1547,10 +1547,15 @@ class MilvusSparkClient:
         are dropped by the analyzer on BOTH the corpus and the query (the
         file-resource stop filter, test_milvus_client_file_resource.py)."""
         meta = self._meta(name)
+        base = self._scoped_base(name, meta, namespace, None)
+        # BM25 stats are collection-global (idf_oracle.go:81) — the tenant
+        # scope restricts candidates, never a document's score
+        corpus = self._read(name) if namespace is not None else None
         return self._text_topk(
-            meta, self._scoped_base(name, meta, namespace, None), field, query, limit,
+            meta, base, field, query, limit,
             stopwords_resource=stopwords_resource,
             analyzer_params=meta.get("analyzer_params"),
+            corpus=corpus,
         )
 
     def _text_topk(

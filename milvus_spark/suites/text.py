@@ -231,12 +231,33 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     ).select("g")
     ec = e.join(rare, "g")
     e2 = ec.select(F.col("doc_id").alias("b_id"), F.col("g").alias("g2"))
-    cand = (
+    # shared-RARE-shingle count per pair (one agg on the pair key, no
+    # arrays carried), plus per-doc totals and hot-shingle counts
+    pairs = (
         ec.join(e2, (ec.g == e2.g2) & (ec.doc_id < e2.b_id))
-        .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
-        .distinct()
+        .groupBy(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("ic"))
     )
-    # exact verification over full shingle sets (candidates are few → broadcast)
+    sized = s.select(F.col("doc_id"), F.size("sh").alias("cnt"))
+    rcnt = ec.groupBy("doc_id").agg(F.count(F.lit(1)).alias("rcnt"))
+    stats = sized.join(rcnt, "doc_id", "left").select(
+        "doc_id", "cnt", (F.col("cnt") - F.coalesce("rcnt", F.lit(0))).alias("hot")
+    )
+    # EXACT pruning bound before touching any array: true intersection is
+    # at most shared-rare + min(hot_a, hot_b), so a pair whose best-case
+    # jaccard misses 0.5 can never qualify — this kills the ~99% of
+    # candidates that share one boilerplate-ish shingle without carrying
+    # their shingle arrays through a join
+    pa = stats.select(F.col("doc_id").alias("a"), F.col("cnt").alias("ca"), F.col("hot").alias("ha"))
+    pb = stats.select(F.col("doc_id").alias("b"), F.col("cnt").alias("cb"), F.col("hot").alias("hb"))
+    ub = F.col("ic") + F.least("ha", "hb")
+    cand = (
+        pairs.join(F.broadcast(pa), "a")
+        .join(F.broadcast(pb), "b")
+        .filter(ub / (F.col("ca") + F.col("cb") - ub) >= 0.5)
+        .select("a", "b")
+    )
+    # exact verification over full shingle sets (survivors are few → broadcast)
     sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
     sb = s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
@@ -374,8 +395,13 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """
     t = _docs_tokens(spark, sf)
     sh = F.array_distinct(shingles(F.col("toks")))
-    # shuffle barrier: materialize the 16-expression fingerprint once per row
-    fp = t.select("doc_id", simhash16(sh).alias("simhash")).repartition(8, "doc_id")
+    # cache barrier: materialize the 16-expression fingerprint ONCE per row.
+    # A repartition alone does not survive CollapseProject — the planner
+    # folds this projection into the band-explode select, duplicating the
+    # whole aggregate tree into each half expression (measured ~20× the
+    # map cost); the eager cache pins the two-long relation instead.
+    fp = t.select("doc_id", simhash16(sh).alias("simhash")).cache()
+    fp.count()
     halves = F.array(
         F.shiftright("simhash", 8).cast("long"),
         F.col("simhash").bitwiseAND(F.lit(255)).cast("long"),
@@ -387,14 +413,19 @@ def dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
         F.col("hid").alias("hid2"),
         F.col("hv").alias("hv2"),
     )
-    cand = (
+    # verify INSIDE the join stage (bit_count over two carried longs, pure
+    # codegen) so only true hits reach the dedup shuffle — a hamming-0 pair
+    # collides on both halves and would otherwise double through distinct
+    ham = F.bit_count(F.col("simhash").bitwiseXOR(F.col("sh2")))
+    return (
         e.hint("shuffle_hash")
         .join(e2, (e.hid == e2.hid2) & (e.hv == e2.hv2) & (e.doc_id < e2.b))
-        .select(F.col("doc_id").alias("a"), "b", F.col("simhash").alias("sh1"), "sh2")
+        .filter(ham <= 1)
+        .select(
+            F.col("doc_id").alias("a"), "b", ham.cast("long").alias("hamming")
+        )
         .distinct()
     )
-    ham = F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
-    return cand.filter(ham <= 1).select("a", "b", ham.cast("long").alias("hamming"))
 
 
 # --- embedding-cosine near-dup: top-20 most similar pairs ---------------------
