@@ -296,3 +296,22 @@ def test_element_search_plan_is_bounded(spark, sf_dir):
         assert "CartesianProduct" not in plan, name
         assert plan.count("BroadcastNestedLoopJoin") <= 1, name
         assert "xxhash64" in plan, name  # bucketed two-level rank
+
+
+def test_dedup_plans_have_no_theta_join(spark, sf_dir):
+    """The r4 scale fixes, pinned: dedup_simhash rides the banded half-key
+    equi-join and dedup_ngram_jaccard the df-capped posting equi-join —
+    neither may regress to a cartesian/nested-loop pair join (the verified
+    quadratic failure shape); the broadcast side is only the bounded
+    candidate list."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    for name in ["dedup_simhash", "dedup_ngram_jaccard"]:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    # the ngram candidate pruning happens BEFORE arrays are re-joined:
+    # the exact-verify join keys on the pair columns, not a range predicate
+    plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
+    assert "array_intersect" in plan  # exact verification retained
