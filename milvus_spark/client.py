@@ -1092,13 +1092,17 @@ class MilvusSparkClient:
         internal/util/indexparamcheck/index_type.go:30-40).
 
         Materialized types: IVF_FLAT (vector field → centroid table +
-        cluster-partitioned corpus rewrite, operators/ivf.py), IVF_PQ
-        (vector field → codebooks + compressed code table, operators/pq.py)
-        and NGRAM (varchar field → posting table, operators/ngram.py). Scalar types
-        (INVERTED / BITMAP / SORT / TRIE / AUTOINDEX) are recorded
-        metadata-only: parquet stats + Catalyst pushdown already serve their
-        role (SURVEY §4.1 — index selection is an optimization, not a
-        correctness requirement). Artifacts carry the collection ts at build
+        cluster-partitioned corpus rewrite, operators/ivf.py) — also built
+        for the graph/disk family HNSW / DISKANN / SCANN, which map onto
+        the same partition-pruned layout (a per-node neighbor graph can't
+        shard across executors; ef/search_list → nprobe at query time) —
+        IVF_PQ (vector field → codebooks + compressed code table,
+        operators/pq.py) and NGRAM (varchar field → posting table,
+        operators/ngram.py). Scalar types (INVERTED / BITMAP / SORT / TRIE
+        / AUTOINDEX) and FLAT / BIN_FLAT (exact scan is the flat index) are
+        recorded metadata-only: parquet stats + Catalyst pushdown already
+        serve their role (SURVEY §4.1 — index selection is an optimization,
+        not a correctness requirement). Artifacts carry the collection ts at build
         time; DML after the build makes the index stale and search falls
         back to exact scan (the sealed-index vs growing split)."""
         params = dict(params or {})
@@ -1115,10 +1119,20 @@ class MilvusSparkClient:
             "built_ts": self._current_ts(name), "path": idx_dir,
             "materialized": True,
         }
-        if itype == "IVF_FLAT":
+        if itype in ("IVF_FLAT", "HNSW", "DISKANN", "SCANN"):
+            # IVF_FLAT builds the centroid table + cluster-partitioned
+            # rewrite. The graph/disk families (HNSW — the reference's
+            # workhorse, SearchOnIndex.cpp; DISKANN; SCANN) are accepted
+            # for API parity and materialize the SAME partition-pruned IVF
+            # layout: a per-node neighbor graph cannot shard across
+            # executors, so centroid-pruned partition scans are the
+            # Spark-native access path at an equivalent recall operating
+            # point (recall-gated in tests/test_ivf.py); the graph tuning
+            # knobs are recorded and ef/search_list maps onto nprobe at
+            # query time.
             vfs = meta.get("vector_fields") or [meta.get("vector")]
             if field not in vfs:
-                raise ValueError(f"IVF_FLAT requires a vector field, got {field!r}")
+                raise ValueError(f"{itype} requires a vector field, got {field!r}")
             from milvus_spark.operators.ivf import (
                 build_centroids, l2_normalize, write_clustered,
             )
@@ -1140,6 +1154,12 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "centroids.json"), "w") as f:
                 json.dump(cents.tolist(), f)
             entry["nlist"] = nlist
+            if itype != "IVF_FLAT":
+                entry["graph_params"] = {
+                    k: params[k]
+                    for k in ("M", "efConstruction", "search_list_size", "max_degree")
+                    if k in params
+                }
         elif itype == "IVF_PQ":
             # Compressed index (knowhere PQ/SQ family): per-subspace
             # codebooks + an encoded code table ~m bytes/row. Search scans
@@ -1287,7 +1307,12 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "hyperplanes.json"), "w") as f:
                 json.dump(H.tolist(), f)
             entry["nbits"] = nbits
-        elif itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "AUTOINDEX"):
+        elif itype in (
+            "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "AUTOINDEX",
+            # FLAT = exact scan: the engine's default brute-force path IS
+            # the flat index, so nothing materializes (index_type.go:30)
+            "FLAT", "BIN_FLAT",
+        ):
             entry["materialized"] = False
         else:
             raise ValueError(f"unsupported index type {index_type!r}")
@@ -2008,7 +2033,14 @@ class MilvusSparkClient:
                 # a flat rerank would break the per-group quota structure
                 raise ValueError("ranker cannot be combined with group_by_field")
             return self._requery(name, hits, meta, output_fields, base=req_base)
-        idx = self._fresh_index(name, vfield, "IVF_FLAT")
+        idx = next(
+            (
+                e
+                for t in ("IVF_FLAT", "HNSW", "DISKANN", "SCANN")
+                if (e := self._fresh_index(name, vfield, t)) is not None
+            ),
+            None,
+        )
         if (
             idx is not None
             and filter is None and radius is None and range_filter is None
@@ -2022,6 +2054,15 @@ class MilvusSparkClient:
 
             with open(os.path.join(idx["path"], "centroids.json")) as f:
                 cents = np.asarray(json.load(f), dtype=np.float64)
+            sp = search_params or {}
+            # graph-index recall knobs map onto probe width: ef/search_list
+            # widens the candidate pool exactly as more probed clusters do
+            ef = sp.get("ef") or sp.get("search_list")
+            default_np = (
+                max(1, min(idx["nlist"], int(ef) // 4))
+                if ef
+                else max(1, idx["nlist"] // 2)
+            )
             hits = ivf_search(
                 self.spark,
                 os.path.join(idx["path"], "clustered"),
@@ -2031,7 +2072,7 @@ class MilvusSparkClient:
                 pk_col=meta["pk"],
                 metric=metric_type or meta["metric"],
                 k=limit,
-                nprobe=int((search_params or {}).get("nprobe", max(1, idx["nlist"] // 2))),
+                nprobe=int(sp.get("nprobe", default_np)),
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)

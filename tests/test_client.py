@@ -200,6 +200,36 @@ def test_index_lifecycle(client, spark, sf_dir):
     assert client.list_indexes("vx") == ["vec_id__INVERTED"]
 
 
+def test_graph_index_family_api_parity(client, spark, sf_dir):
+    """HNSW/DISKANN/SCANN are accepted (the reference's graph/disk index
+    zoo, index_type.go:30-40) and materialize the partition-pruned IVF
+    layout — the Spark-native access path; ef/search_list maps to probe
+    width. FLAT is metadata-only: the default exact scan IS flat."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("gx", pk_field="vec_id", vector_field="embedding")
+    client.insert("gx", emb)
+
+    entry = client.create_index(
+        "gx", "embedding", "HNSW", {"nlist": 8, "M": 16, "efConstruction": 200}
+    )
+    assert entry["materialized"] and entry["nlist"] == 8
+    assert entry["graph_params"] == {"M": 16, "efConstruction": 200}
+    q = [emb.filter(F.col("vec_id") == 0).first().embedding]
+    exact = {r.vec_id for r in client.search("gx", q, limit=10, filter="vec_id >= 0").collect()}
+    # wide ef → all clusters probed → exact equality with brute force
+    wide = {r.vec_id for r in client.search("gx", q, limit=10, search_params={"ef": 64}).collect()}
+    assert wide == exact
+    # narrow ef probes fewer clusters but still returns a full page
+    narrow = client.search("gx", q, limit=10, search_params={"ef": 8}).collect()
+    assert len(narrow) == 10
+
+    flat = client.create_index("gx", "embedding", "FLAT")
+    assert flat["materialized"] is False
+    with pytest.raises(ValueError, match="unsupported index type"):
+        client.create_index("gx", "embedding", "NOPE")
+    client.drop_collection("gx")
+
+
 def test_ngram_index_build(client, spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     client.create_collection("dx", pk_field="doc_id")
