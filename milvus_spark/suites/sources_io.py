@@ -116,3 +116,40 @@ def src_binlog_import(spark: SparkSession, sf: str) -> DataFrame:
             )
     names = {fid: name for fid, (name, _, _) in fields.items()}
     return read_insert_binlogs(spark, base, names)
+
+
+@register(
+    "src_external_table",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           round(l_extendedprice * (1 - l_discount), 4) AS net
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1995-01-01' AND l_quantity > 45
+    """,
+)
+def src_external_table(spark: SparkSession, sf: str) -> DataFrame:
+    """External table: query parquet IN PLACE, no import (storagev2 packed
+    external tables, exttable_test.go / manifest_commit.go;
+    test_milvus_client_external_table.py). The collection is a manifest
+    over the source directory; filters/projections reach the foreign scan
+    (pushdown is native — `spark.read.parquet` on the registered path),
+    and DML is rejected. Output must match the same SQL run directly on
+    the files."""
+    from milvus_spark.client import MilvusSparkClient
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    client = MilvusSparkClient(spark, root=scratch_mkdtemp("ext_"))
+    client.create_external_collection(
+        "li", os.path.join(sf, "lineitem.parquet"), pk_field="l_orderkey"
+    )
+    out = client.query(
+        "li",
+        filter='l_shipdate >= "1995-01-01" and l_quantity > 45',
+        output_fields=["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
+    )
