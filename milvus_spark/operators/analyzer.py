@@ -50,7 +50,32 @@ def build_analyzer(
     tok = params.get("tokenizer", "standard")
     filters = list(params.get("filter", []))
 
-    if tok == "standard":
+    tokenize = None
+    if isinstance(tok, dict):
+        # structured tokenizer spec ({"type": "lindera", "dict_kind":
+        # "ipadic"} — the reference's JSON form,
+        # canalyzer/c_analyzer_test.go:144-156)
+        spec = dict(tok)
+        ttype = spec.pop("type", None)
+        if ttype == "lindera":
+            from milvus_spark.operators.cjk_dict import (
+                _LINDERA_KINDS,
+                lindera_tokens,
+            )
+
+            kind = spec.get("dict_kind", "ipadic")
+            if kind not in _LINDERA_KINDS:
+                raise ValueError(
+                    f"unknown lindera dict_kind {kind!r}; have {_LINDERA_KINDS}"
+                )
+            tokenize = lambda c, kind=kind: lindera_tokens(c, kind)  # noqa: E731
+        elif ttype in ("jieba", "standard", "whitespace", "cjk_bigram", "cjk_dict"):
+            tok = ttype  # plain named tokenizer in structured form
+        else:
+            raise ValueError(f"unknown tokenizer {tok!r}")
+    if tokenize is not None:
+        pass  # structured form above already bound it
+    elif tok == "standard":
         tokenize = tokens
     elif tok == "whitespace":
         tokenize = _whitespace_tokens

