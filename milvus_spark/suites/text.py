@@ -775,3 +775,69 @@ def dedup_minhash_incremental(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     return verified.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+
+
+# --- canonical selection: keep the best document per near-dup cluster ---------
+_QUALITY_SQL = (
+    "round(0.4 * least(1.0, len(toks) / 100.0)"
+    f" + 0.3 * (len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) * 1.0 / len(toks))"
+    " + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks)), 4)"
+)
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    edges AS (
+      SELECT a, b FROM jac WHERE jaccard >= 0.5
+      UNION SELECT b, a FROM jac WHERE jaccard >= 0.5
+    ),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach AS (
+      WITH RECURSIVE r(src, dst) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.src, e.b FROM r JOIN edges e ON r.dst = e.a
+      )
+      SELECT src, dst FROM r
+    ),
+    comp AS (SELECT src AS doc_id, min(dst) AS canonical_id FROM reach GROUP BY src),
+    q AS (SELECT doc_id, {_QUALITY_SQL} AS quality FROM t),
+    allc AS (
+      SELECT q.doc_id, CAST(COALESCE(comp.canonical_id, q.doc_id) AS BIGINT) AS cluster_id,
+             q.quality
+      FROM q LEFT JOIN comp ON q.doc_id = comp.doc_id
+    ),
+    ranked AS (
+      SELECT doc_id, cluster_id, quality,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM allc
+    )
+    SELECT doc_id, cluster_id, quality FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical selection: within every near-dup cluster keep the single
+    highest-quality document (ties to the lowest doc_id); singletons keep
+    themselves. The train-data shape: dedup should retain the BEST copy,
+    not an arbitrary one. The per-cluster argmax is a window partitioned
+    by cluster id — cluster sizes bound the partitions, so no global sort
+    and no skew beyond the largest dup cluster (which the df-capped pair
+    generation already bounds)."""
+    from pyspark.sql import Window as W
+
+    qual = txt_quality(spark, sf).select("doc_id", "quality")
+    comp = dedup_components(spark, sf)
+    allc = qual.join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("canonical_id", "doc_id").cast("long").alias("cluster_id"),
+        "quality",
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    return (
+        allc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "cluster_id", "quality")
+    )
