@@ -41,7 +41,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
         try:
             with open(p) as f:
-                sampled.update(json.load(f).keys())
+                rows = json.load(f)
+            if isinstance(rows, dict):
+                sampled.update(rows.keys())
         except (OSError, ValueError):
             pass
     ordered = {k: v for k, v in qs.items() if k not in sampled}

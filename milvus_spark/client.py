@@ -29,6 +29,10 @@ from milvus_spark.operators.knn import brute_force_search
 from milvus_spark.operators.lifecycle import TS_COL, Collection
 from milvus_spark.plans.expr import apply_filter, compile_expr
 
+# top-k quota applied to every search path (quota_param.go:1445-1450);
+# the search validator and the iterator's prefetch cap must agree
+MAX_TOPK = 16384
+
 
 class MilvusSparkClient:
     def __init__(self, spark: SparkSession, root: str, db_name: str = "default"):
@@ -1843,10 +1847,10 @@ class MilvusSparkClient:
         req_base = self._scoped_base(
             name, meta, namespace, partition_names, as_of, consistency_level
         )
-        if not 0 < limit <= 16384:
+        if not 0 < limit <= MAX_TOPK:
             # topk quota (quota_param.go:1445-1450) applies to EVERY path,
             # including function-field and struct-array searches
-            raise ValueError(f"limit must be in (0, 16384], got {limit}")
+            raise ValueError(f"limit must be in (0, {MAX_TOPK}], got {limit}")
         fnf = next(
             (f for f in meta.get("functions") or [] if f["output_field"] == anns_field),
             None,
@@ -2507,14 +2511,14 @@ class MilvusSparkClient:
         for page_no in range(max_pages):
             need = batch_size * (page_no + 1)
             if len(fetched) < need and not exhausted:
-                if need > 16384:
+                if need > MAX_TOPK:
                     # preserve the top-k quota error the per-page search
                     # would have raised (quota_param.go:1445-1450)
                     k = need
                 else:
                     k = min(
                         max(need, len(fetched) * 2, batch_size * prefetch_pages),
-                        16384,
+                        MAX_TOPK,
                     )
                 fetched = self.search(
                     name, data, limit=k, filter=filter, metric_type=metric,

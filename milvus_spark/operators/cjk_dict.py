@@ -154,20 +154,26 @@ def _is_cjk(ch: str) -> bool:
     return "一" <= ch <= "鿿"
 
 
-def _cut_dag(run: str) -> list[str]:
+def _cut_dag(run: str, dic: dict | None = None, total: int | None = None,
+             maxlen: int | None = None) -> list[str]:
     """Max-probability route over the word DAG (the jieba calc/cut_DAG
-    algorithm, re-implemented)."""
+    algorithm, re-implemented). ``dic``/``total``/``maxlen`` default to the
+    live module dictionary; executors get an explicit SNAPSHOT captured in
+    the UDF closure (module globals mutated by load_user_dict on the driver
+    are invisible to worker re-imports)."""
     import math
 
+    if dic is None:
+        dic, total, maxlen = _ZH_CORE, ZH_TOTAL, _ZH_MAXLEN
     n = len(run)
-    logtotal = math.log(ZH_TOTAL)
+    logtotal = math.log(total)
     # route[i] = (best score from i to end, end index of first word)
     route: list[tuple[float, int]] = [(0.0, 0)] * (n + 1)
     for i in range(n - 1, -1, -1):
         best = None
-        for j in range(i + 1, min(n, i + _ZH_MAXLEN) + 1):
+        for j in range(i + 1, min(n, i + maxlen) + 1):
             w = run[i:j]
-            f = _ZH_CORE.get(w, 0)
+            f = dic.get(w, 0)
             if f == 0 and j > i + 1:
                 continue  # only dictionary words span >1 char
             score = math.log(f or 1) - logtotal + route[j][0]
@@ -182,7 +188,7 @@ def _cut_dag(run: str) -> list[str]:
     # BMES-style unknown-word pass: pair adjacent out-of-dictionary singles
     out, buf = [], []
     for w in words:
-        if len(w) == 1 and w not in _ZH_CORE:
+        if len(w) == 1 and w not in dic:
             buf.append(w)
             continue
         while len(buf) >= 2:
@@ -198,7 +204,8 @@ def _cut_dag(run: str) -> list[str]:
     return out
 
 
-def jieba_cut(sentence: str) -> list[str]:
+def jieba_cut(sentence: str, dic: dict | None = None, total: int | None = None,
+              maxlen: int | None = None) -> list[str]:
     """Segment mixed text: CJK runs via the DAG route, non-CJK runs kept
     whole (the caller's filters decide what survives)."""
     out: list[str] = []
@@ -209,25 +216,31 @@ def jieba_cut(sentence: str) -> list[str]:
         if mode is None or m == mode:
             buf += ch
         else:
-            out.extend(_cut_dag(buf) if mode else [buf])
+            out.extend(_cut_dag(buf, dic, total, maxlen) if mode else [buf])
             buf = ch
         mode = m
     if buf:
-        out.extend(_cut_dag(buf) if mode else [buf])
+        out.extend(_cut_dag(buf, dic, total, maxlen) if mode else [buf])
     return out
 
 
 def jieba_tokens(col: Column) -> Column:
     """``jieba`` analyzer column: DAG-route CJK words; non-CJK spans are
     split on non-alphanumerics and lowercased (the standard-filter chain
-    the reference applies around the jieba tokenizer)."""
+    the reference applies around the jieba tokenizer).
+
+    The dictionary is SNAPSHOTTED into the UDF closure at construction
+    time: executor workers re-import this module fresh, so driver-side
+    load_user_dict mutations must travel with the serialized function, not
+    via module globals."""
     import re as _re
 
     word_re = _re.compile(r"[a-z0-9]+")
+    dic, total, maxlen = dict(_ZH_CORE), ZH_TOTAL, _ZH_MAXLEN
 
     def tok(s: str) -> list[str]:
         out = []
-        for t in jieba_cut(s or ""):
+        for t in jieba_cut(s or "", dic, total, maxlen):
             if _is_cjk(t[0]):
                 out.append(t)
             else:
@@ -384,14 +397,20 @@ def lindera_cut(sentence: str, dict_kind: str = "ipadic") -> list[str]:
 
 
 def lindera_tokens(col: Column, dict_kind: str = "ipadic") -> Column:
-    """``lindera`` analyzer column (dict_kind-routed), Arrow-batched."""
+    """``lindera`` analyzer column (dict_kind-routed), Arrow-batched.
+    The cc-cedict route snapshots the (user-extensible) Chinese dictionary
+    into the closure — see jieba_tokens."""
     import re as _re
 
     word_re = _re.compile(r"[a-z0-9]+")
+    zh = (dict(_ZH_CORE), ZH_TOTAL, _ZH_MAXLEN) if dict_kind == "cc-cedict" else None
 
     def tok(s: str) -> list[str]:
         out = []
-        for t in lindera_cut(s or "", dict_kind):
+        cuts = (
+            jieba_cut(s or "", *zh) if zh is not None else lindera_cut(s or "", dict_kind)
+        )
+        for t in cuts:
             if t and _ja_script(t[0]) != "other" or (t and _is_cjk(t[0])):
                 out.append(t)
             else:

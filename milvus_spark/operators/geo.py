@@ -191,6 +191,10 @@ def wkb_point_encode(x: "Column", y: "Column") -> "Column":
     @F.pandas_udf("binary")
     def _enc(xs: pd.Series, ys: pd.Series) -> pd.Series:
         n = len(xs)
+        if xs.isna().any() or ys.isna().any():
+            # fail loudly — a NULL coordinate would otherwise encode as a
+            # valid-looking 'POINT (nan nan)' blob (the ingest contract)
+            raise ValueError("wkb_point_encode: NULL coordinate in batch")
         buf = np.zeros((n, 21), dtype=np.uint8)
         buf[:, 0] = 1  # little-endian
         buf[:, 1] = _WKB_POINT  # type word 01 00 00 00
@@ -215,7 +219,11 @@ def wkb_decode_wkt(col: "Column") -> "Column":
     def _dec(bs: pd.Series) -> pd.Series:
         vals = bs.tolist()
         if vals and all(
-            v is not None and len(v) == 21 and v[0] == 1 for v in vals
+            v is not None
+            and len(v) == 21
+            and v[0] == 1
+            and bytes(v[1:5]) == b"\x01\x00\x00\x00"  # type word must be POINT
+            for v in vals
         ):
             arr = np.frombuffer(b"".join(vals), dtype=np.uint8).reshape(len(vals), 21)
             xs = arr[:, 5:13].copy().view(np.float64).ravel()

@@ -209,7 +209,13 @@ class Collection:
             return
         for suffix in (".compacting", ".clustering", ".old"):
             cand = self.seg_dir + suffix
-            if os.path.isdir(cand):
+            # only promote a COMPLETE snapshot: a crash during the aside
+            # write leaves a partial tmp dir with no _SUCCESS commit marker
+            # (the live dir and any finished rewrite always carry one) —
+            # promoting it would silently drop rows
+            if os.path.isdir(cand) and os.path.exists(
+                os.path.join(cand, "_SUCCESS")
+            ):
                 os.rename(cand, self.seg_dir)
                 return
 

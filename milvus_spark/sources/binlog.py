@@ -212,7 +212,7 @@ def read_insert_binlogs(
     (row id 0 / timestamp 1) are dropped unless ``include_system``."""
     import pandas as pd
 
-    files = sorted(glob.glob(os.path.join(prefix, "*", "*")))
+    files = glob.glob(os.path.join(prefix, "*", "*"))
     by_field: dict[int, list[str]] = {}
     for f in files:
         try:
@@ -220,6 +220,16 @@ def read_insert_binlogs(
         except ValueError:
             continue
         by_field.setdefault(fid, []).append(f)
+
+    def _log_key(p: str):
+        # log IDs are numeric and differ across fields (binlog/util.go);
+        # a lexicographic sort would misalign batches once widths differ
+        # ('100' < '99'), silently zipping rows from different batches
+        b = os.path.basename(p)
+        return (0, int(b), b) if b.isdigit() else (1, 0, b)
+
+    for fs in by_field.values():
+        fs.sort(key=_log_key)
     if not by_field:
         raise ValueError(f"no binlog files under {prefix!r}")
     want = {

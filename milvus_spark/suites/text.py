@@ -193,14 +193,21 @@ _JACCARD_CTES = f"""
 """
 
 
-# Absolute document-frequency cap on shingles entering the candidate
-# self-join. A shingle appearing in f documents emits O(f²) candidate pairs
-# on a single join key, so boilerplate shingles are the skew/blowup risk at
-# scale; near-dup pairs (jaccard ≥ 0.5) share long runs of *rare* shingles,
-# so dropping hot ones from candidate generation loses no qualifying pair
-# (verified on the test corpus: max per-pair min-shared-df is 3 at sf0.01 /
-# 10 at sf0.1, vs max df 7 / 25). Production corpora use ~100-1000.
-NGRAM_DF_CAP = 12
+# Document-frequency cap on shingles entering the candidate self-join.
+# A shingle appearing in f documents emits O(f²) candidate pairs on a
+# single join key, so boilerplate shingles are the skew/blowup risk at
+# scale; near-dup pairs (jaccard ≥ 0.5) share long runs of *rare*
+# shingles, so dropping hot ones from candidate generation loses no
+# qualifying pair (verified on the test corpus: max per-pair min-shared-df
+# is 3 at sf0.01 / 10 at sf0.1, vs max df 7 / 25). The cap scales with
+# corpus size — shingle df grows linearly with duplication-heavy corpora,
+# so a fixed absolute cap would start dropping witness shingles past the
+# tested scale factors; the floor keeps small corpora at the verified 12.
+NGRAM_DF_CAP_FLOOR = 12
+
+
+def _ngram_df_cap(n_docs: int) -> int:
+    return max(NGRAM_DF_CAP_FLOOR, (24 * n_docs) // 10_000)
 
 
 @register(
@@ -214,7 +221,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     """Exact near-dup via a df-capped inverted shingle index.
 
     Candidate generation explodes documents to (doc_id, shingle) postings,
-    drops shingles with document frequency > NGRAM_DF_CAP (bounding the
+    drops shingles above the scale-aware df cap (bounding the
     worst join-key fan-out at cap² pairs — the standard stop-shingle cap
     that keeps the self-join linear at web scale), and equi-joins the
     surviving postings. Verification then computes the TRUE Jaccard from
@@ -224,10 +231,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     the verify probes reuse them instead of re-deriving from raw text."""
     t = _docs_tokens(spark, sf)
     s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).cache()
+    cap = _ngram_df_cap(s.count())  # eager: also materializes the cache
     e = s.select("doc_id", F.explode("sh").alias("g"))
     # df-cap: one aggregate on the same key the join shuffles on
     rare = e.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= NGRAM_DF_CAP
+        F.col("df") <= cap
     ).select("g")
     ec = e.join(rare, "g")
     e2 = ec.select(F.col("doc_id").alias("b_id"), F.col("g").alias("g2"))

@@ -89,3 +89,19 @@ def test_binlog_distributed_read(spark, tmp_path):
     # missing field dir fails loudly
     with pytest.raises(ValueError, match="missing field dirs"):
         read_insert_binlogs(spark, base, {999: "nope"})
+
+
+def test_binlog_numeric_log_id_ordering(spark, tmp_path):
+    """Log files zip in NUMERIC id order (binlog/util.go sorts numerically):
+    ids of differing digit widths ('99' vs '100') must not misalign the
+    positional column zip."""
+    base = str(tmp_path / "seg")
+    # field 100 logs {99, 100}; field 101 logs {101, 102} — lexicographic
+    # sort would pair 100's batch with 101's first batch
+    write_field_binlog(os.path.join(base, "100", "99"), 100, DT_INT64, [1, 2])
+    write_field_binlog(os.path.join(base, "100", "100"), 100, DT_INT64, [3, 4])
+    write_field_binlog(os.path.join(base, "101", "101"), 101, DT_VARCHAR, ["a", "b"])
+    write_field_binlog(os.path.join(base, "101", "102"), 101, DT_VARCHAR, ["c", "d"])
+    df = read_insert_binlogs(spark, base, {100: "pk", 101: "name"})
+    got = sorted((r.pk, r.name) for r in df.collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
