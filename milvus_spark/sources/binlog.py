@@ -281,3 +281,85 @@ def read_insert_binlogs(
                 yield pd.DataFrame(cols, columns=[want[f] for f in fids])
 
     return seg_df.mapInPandas(parse, schema)
+
+
+# ------------------------------------------------------------ delta (delete)
+DELETE_EVENT = 2
+
+
+def write_delta_binlog(path: str, pks, ts_list, *, pk_type: int = DT_INT64,
+                       ts: int = 1, **ids) -> None:
+    """Write a delta (delete) binlog: DeleteEventType events whose payload
+    is one JSON DeleteLog per tombstone — {"pk": …, "ts": …, "pkType": …}
+    (internal/storage/delta_data.go:142-156)."""
+    rows = [
+        json.dumps({"pk": pk, "ts": int(t), "pkType": pk_type}, separators=(",", ":"))
+        for pk, t in zip(pks, ts_list)
+    ]
+    payload = _payload_parquet(rows, DT_VARCHAR)
+    post_header_lengths = bytes([_DESC_FIX.size] + [_EVENT_FIX.size] * 7)
+    extras = json.dumps({"original_size": str(len(payload))}).encode()
+    desc_len = _HDR.size + _DESC_FIX.size + len(post_header_lengths) + 4 + len(extras)
+    out = bytearray(struct.pack("<i", MAGIC))
+    out += _HDR.pack(ts, DESCRIPTOR_EVENT, desc_len, 4 + desc_len)
+    out += _DESC_FIX.pack(
+        ids.get("collection_id", 0), ids.get("partition_id", 0),
+        ids.get("segment_id", 0), -1, ts, ts, DT_VARCHAR,
+    )
+    out += post_header_lengths
+    out += struct.pack("<i", len(extras)) + extras
+    out += _event(DELETE_EVENT, ts, payload, len(out))
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+def parse_delta_binlog(data: bytes):
+    """One delta binlog file → list of (pk, ts) tombstones."""
+    import pyarrow.parquet as pq
+
+    if len(data) < 4 + _HDR.size:
+        raise ValueError("binlog too short")
+    (magic,) = struct.unpack_from("<i", data, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad binlog magic {magic:#x}")
+    pos = 4
+    _, code, length, _ = _HDR.unpack_from(data, pos)
+    if code != DESCRIPTOR_EVENT:
+        raise ValueError("binlog must start with a descriptor event")
+    pos += length
+    out = []
+    while pos < len(data):
+        _, code, length, _ = _HDR.unpack_from(data, pos)
+        if length <= 0:
+            raise ValueError("corrupt event length")
+        if code == DELETE_EVENT:
+            payload = data[pos + _HDR.size + _EVENT_FIX.size : pos + length]
+            for s in pq.read_table(io.BytesIO(payload)).column("val").to_pylist():
+                d = json.loads(s)
+                out.append((d["pk"], int(d["ts"])))
+        pos += length
+    return out
+
+
+def read_delta_binlogs(spark: SparkSession, prefix: str) -> DataFrame:
+    """Distributed read of an L0/delta prefix → (pk, ts) tombstone frame
+    (importutilv2/binlog/l0_reader.go). One task per log file."""
+    import pandas as pd
+
+    files = sorted(glob.glob(os.path.join(prefix, "**", "*"), recursive=True))
+    files = [f for f in files if os.path.isfile(f)]
+    if not files:
+        raise ValueError(f"no delta binlogs under {prefix!r}")
+    fdf = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def parse(batches):
+        for pdf in batches:
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    rows = parse_delta_binlog(fh.read())
+                yield pd.DataFrame(
+                    {"pk": [r[0] for r in rows], "ts": [r[1] for r in rows]}
+                )
+
+    return fdf.mapInPandas(parse, "pk long, ts long")

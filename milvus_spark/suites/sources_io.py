@@ -71,7 +71,7 @@ def src_bulk_import(spark: SparkSession, sf: str) -> DataFrame:
     "src_binlog_import",
     oracle="""
     SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_nationkey
-    FROM customer WHERE c_custkey % 7 = 2
+    FROM customer WHERE c_custkey % 7 = 2 AND NOT c_custkey % 5 = 2
     """,
 )
 def src_binlog_import(spark: SparkSession, sf: str) -> DataFrame:
@@ -86,7 +86,9 @@ def src_binlog_import(spark: SparkSession, sf: str) -> DataFrame:
         DT_DOUBLE,
         DT_INT64,
         DT_VARCHAR,
+        read_delta_binlogs,
         read_insert_binlogs,
+        write_delta_binlog,
         write_field_binlog,
     )
 
@@ -114,8 +116,20 @@ def src_binlog_import(spark: SparkSession, sf: str) -> DataFrame:
                 chunk,
                 segment_id=log_id,
             )
+    # delta (L0) logs tombstone part of the slice; import applies them
+    # as the anti-join the reference's l0 import performs
+    # (importutilv2/binlog/l0_reader.go; DeleteLog delta_data.go:142-156)
+    delta_dir = os.path.join(base, "_delta")
+    dels = [r.c_custkey for r in rows if r.c_custkey % 5 == 2]
+    write_delta_binlog(
+        os.path.join(delta_dir, "0"), dels, [2] * len(dels)
+    )
     names = {fid: name for fid, (name, _, _) in fields.items()}
-    return read_insert_binlogs(spark, base, names)
+    ins = read_insert_binlogs(spark, base, names)
+    tombs = read_delta_binlogs(spark, delta_dir).select(
+        F.col("pk").alias("c_custkey")
+    )
+    return ins.join(tombs, "c_custkey", "left_anti")
 
 
 @register(

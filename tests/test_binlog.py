@@ -105,3 +105,28 @@ def test_binlog_numeric_log_id_ordering(spark, tmp_path):
     df = read_insert_binlogs(spark, base, {100: "pk", 101: "name"})
     got = sorted((r.pk, r.name) for r in df.collect())
     assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_delta_binlog_roundtrip(spark, tmp_path):
+    """Delta (delete) binlogs: DeleteEventType events carrying JSON
+    DeleteLog rows (delta_data.go:142-156) round-trip through the
+    distributed reader."""
+    from milvus_spark.sources.binlog import (
+        parse_delta_binlog,
+        read_delta_binlogs,
+        write_delta_binlog,
+    )
+
+    p = str(tmp_path / "delta" / "0")
+    write_delta_binlog(p, [7, 9, 11], [100, 101, 102])
+    assert parse_delta_binlog(open(p, "rb").read()) == [
+        (7, 100), (9, 101), (11, 102)
+    ]
+    df = read_delta_binlogs(spark, str(tmp_path / "delta"))
+    assert sorted((r.pk, r.ts) for r in df.collect()) == [
+        (7, 100), (9, 101), (11, 102)
+    ]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="no delta binlogs"):
+        read_delta_binlogs(spark, str(tmp_path / "nope"))
