@@ -633,3 +633,70 @@ def cur_shard_order(spark: SparkSession, sf: str) -> DataFrame:
         F.max("hkey").cast("long").alias("last_key"),
         (F.sum(F.col("doc_id") * F.col("pos")) % 1000000007).cast("long").alias("order_sig"),
     ).withColumn("shard", F.col("shard").cast("long"))
+
+
+# --- token-budget selection per source ----------------------------------------
+@register(
+    "cur_budget_select",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    q AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens,
+             round(0.4 * least(1.0, len(toks) / 100.0)
+                   + 0.3 * (len(list_filter(toks,
+                       x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                       * 1.0 / len(toks))
+                   + 0.3 * (len(list_distinct(toks)) * 1.0 / len(toks)), 4) AS quality
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens, quality,
+             CAST(sum(n_tokens) OVER (PARTITION BY source
+                                      ORDER BY quality DESC, doc_id ASC
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, source, n_tokens, quality, cum_tokens
+    FROM c WHERE cum_tokens <= 1200
+    """,
+)
+def cur_budget_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget curation: within each source, take documents in
+    descending quality order until the source token budget (1200) is
+    exhausted — the data-mixing step that fills per-source quotas with the
+    best material first. The running sum is a window per source key; at
+    100 TB the per-source scan is the irreducible sequential shape, and
+    sources partition the work (a skewed mega-source would be range-salted
+    into quota shards the same way cur_pack_sequences splits its prefix
+    sums)."""
+    from milvus_spark.operators.text import tokens as _tokens
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents")
+    t = d.select("doc_id", "source", _tokens(F.col("text")).alias("toks"))
+    n = F.size("toks")
+    quality = F.round(
+        0.4 * F.least(F.lit(1.0), n / F.lit(100.0))
+        + 0.3
+        * (
+            F.size(F.filter("toks", lambda x: x.isin("the", "a", "of", "and", "to", "in", "is")))
+            / n
+        )
+        + 0.3 * (F.size(F.array_distinct("toks")) / n),
+        4,
+    )
+    q = t.select(
+        "doc_id", "source", n.cast("long").alias("n_tokens"), quality.alias("quality")
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    c = q.withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+    return c.filter(F.col("cum_tokens") <= 1200).select(
+        "doc_id", "source", "n_tokens", "quality", "cum_tokens"
+    )

@@ -725,3 +725,46 @@ def vec_search_agg_nested(spark: SparkSession, sf: str) -> DataFrame:
     return aggregate_search_hits(hits, ["label", "b2"], size=2).select(
         "qid", "label", "b2", "count"
     )
+
+
+# --- kNN classification over the label column ---------------------------------
+@register(
+    "vec_knn_classify",
+    oracle=f"""
+    WITH {_Q}, {_ranked_cte("COSINE", where="e.vec_id <> q.qid")},
+    hits AS (SELECT qid, vec_id FROM ranked WHERE rank <= 10),
+    lab AS (
+      SELECT h.qid, e.label, count(*) AS votes
+      FROM hits h JOIN embeddings e USING (vec_id)
+      GROUP BY 1, 2
+    ),
+    best AS (
+      SELECT qid, label, votes,
+             row_number() OVER (PARTITION BY qid
+                                ORDER BY votes DESC, label ASC) AS rn
+      FROM lab
+    )
+    SELECT qid, label AS pred_label, CAST(votes AS BIGINT) AS votes
+    FROM best WHERE rn = 1
+    """,
+)
+def vec_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
+    """kNN classification: majority label among the 10 nearest non-self
+    neighbors (ties to the smallest label) — the similarity-search
+    application layer. Fetch k+1 so dropping the self hit still leaves the
+    exact non-self top-10 (any true non-self top-10 member is within the
+    overall top-11); the re-rank window runs over ≤11 rows per query."""
+    emb, qs = _load_queries(spark, sf)
+    hits = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=11)
+    nonself = hits.filter(F.col("vec_id") != F.col("qid"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    top = nonself.withColumn("rr", F.row_number().over(w)).filter(F.col("rr") <= 10)
+    lab = top.join(
+        F.broadcast(emb.select("vec_id", "label")), "vec_id"
+    ).groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = W.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label").asc())
+    return (
+        lab.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("qid", F.col("label").alias("pred_label"), "votes")
+    )

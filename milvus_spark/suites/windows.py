@@ -138,3 +138,57 @@ def win_distinct_users(spark: SparkSession, sf: str) -> DataFrame:
     return e.groupBy("event_type").agg(
         F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events")
     )
+
+
+# --- funnel analysis: ordered step completion ----------------------------------
+@register(
+    "win_funnel_steps",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS t_view
+      FROM events WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > v.t_view
+      GROUP BY 1
+    ),
+    p AS (
+      SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > c.t_click
+      GROUP BY 1
+    )
+    SELECT v.user_id, v.t_view, c.t_click, p.t_purchase
+    FROM v JOIN c ON v.user_id = c.user_id JOIN p ON c.user_id = p.user_id
+    """,
+)
+def win_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel completion (view → click → purchase): first view,
+    first click strictly after it, first purchase strictly after that —
+    per-user event-sequence analytics. Each step is one groupBy on
+    user_id (map-side partial min) co-partitioned with the next step's
+    join, so the whole funnel reuses a single shuffle key — the shape that
+    survives a billion-user event log."""
+    e = load_table(spark, sf, "events").select("user_id", "ts", "event_type")
+    v = e.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id").join(p, "user_id").select(
+        "user_id", "t_view", "t_click", "t_purchase"
+    )
