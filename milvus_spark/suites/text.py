@@ -849,3 +849,48 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("doc_id", "cluster_id", "quality")
     )
+
+
+# --- split decontamination: near-dups crossing a train/val split --------------
+@register(
+    "dedup_split_decontaminate",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    assign AS (
+      SELECT doc_id,
+             CASE WHEN (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10) < 8
+                  THEN 'train' ELSE 'val' END AS split
+      FROM t
+    )
+    SELECT j.a, j.b, j.jaccard, sa.split AS split_a, sb.split AS split_b
+    FROM jac j
+    JOIN assign sa ON j.a = sa.doc_id
+    JOIN assign sb ON j.b = sb.doc_id
+    WHERE j.jaccard >= 0.5 AND sa.split <> sb.split
+    """,
+)
+def dedup_split_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Train/val split decontamination: deterministic 80/20 hash split,
+    then every near-dup pair (jaccard ≥ 0.5) that CROSSES the split — the
+    leakage a benchmark-contamination audit must surface before training.
+    The pair set rides the df-capped inverted index (dedup_ngram_jaccard);
+    the split assignment is a pure hash column, so the audit adds only two
+    broadcast joins on the bounded pair list."""
+    pairs = dedup_ngram_jaccard(spark, sf)
+    d = load_table(spark, sf, "documents")
+    split = F.when(
+        token_hash(F.col("doc_id").cast("string")) % 10 < 8, "train"
+    ).otherwise("val")
+    assign = d.select("doc_id", split.alias("split"))
+    return (
+        pairs.join(
+            F.broadcast(assign).withColumnRenamed("doc_id", "a").withColumnRenamed("split", "split_a"),
+            "a",
+        )
+        .join(
+            F.broadcast(assign).withColumnRenamed("doc_id", "b").withColumnRenamed("split", "split_b"),
+            "b",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("a", "b", "jaccard", "split_a", "split_b")
+    )
