@@ -183,3 +183,68 @@ def mm_audio_features(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.element_at(v, 1) * 255, 0).cast("long").alias("a0"),
         F.round(total * 255, 0).cast("long").alias("a_sum"),
     )
+
+
+# --- keyframe selection: scene-cut detection over sampled frames --------------
+_FB = _PAIR  # frame-hash byte extractor
+
+
+@register(
+    "mm_keyframe_select",
+    oracle=f"""
+    WITH m AS (
+      SELECT doc_id, sha256(text) AS payload, length(text) AS media_len
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    fr AS (
+      SELECT m.doc_id, CAST(u.i AS INT) AS frame_idx,
+             sha256(m.payload || CAST(u.i AS VARCHAR)) AS fh
+      FROM m, UNNEST(range(0, (m.media_len % 7) + 2, 2)) u(i)
+    ),
+    px AS (
+      SELECT doc_id, frame_idx,
+             {_FB.format(h='fh', p='1')} AS b1, {_FB.format(h='fh', p='2')} AS b2,
+             {_FB.format(h='fh', p='3')} AS b3, {_FB.format(h='fh', p='4')} AS b4
+      FROM fr
+    ),
+    d AS (
+      SELECT doc_id, frame_idx,
+             abs(b1 - lag(b1) OVER w) + abs(b2 - lag(b2) OVER w)
+           + abs(b3 - lag(b3) OVER w) + abs(b4 - lag(b4) OVER w) AS dist
+      FROM px WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx)
+    )
+    SELECT doc_id, frame_idx, CAST(COALESCE(dist, 0) AS BIGINT) AS cut_dist
+    FROM d WHERE dist IS NULL OR dist >= 340
+    """,
+)
+def mm_keyframe_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Keyframe selection: keep the first frame of each media plus every
+    sampled frame whose L1 pixel distance to the previous frame crosses
+    the scene-cut threshold — the shot-boundary step of a video curation
+    pipeline. The distance is a JVM-side zip_with over the decoded frame
+    vectors (the mapInPandas decode already ran); the per-document lag
+    window is bounded by frames-per-video, so a billion-video corpus
+    parallelizes by doc with no global sort. Codec stubbed (fake=True
+    deterministic pixels), plumbing and selection math real."""
+    from pyspark.sql import Window as W
+
+    from milvus_spark.operators.multimodal import frame_sample, make_media_table
+
+    docs = load_table(spark, sf, "documents").filter(F.col("doc_id") % 5 == 0)
+    media = make_media_table(docs, "doc_id", "text")
+    frames = frame_sample(media, "media", "doc_id", "media_len", every_n=2)
+    w = W.partitionBy("doc_id").orderBy("frame_idx")
+    prev = F.lag("frame_vec").over(w)
+    dist = F.round(
+        F.aggregate(
+            F.zip_with("frame_vec", prev, lambda x, y: F.abs(x - y)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        * 255,
+        0,
+    ).cast("long")
+    d = frames.withColumn("cut_dist", dist)
+    return d.filter(F.col("cut_dist").isNull() | (F.col("cut_dist") >= 340)).select(
+        "doc_id", "frame_idx", F.coalesce("cut_dist", F.lit(0)).alias("cut_dist")
+    )
