@@ -138,6 +138,58 @@ class Field:
 
 
 @dataclass
+class IsoLit:
+    """``iso '2025-01-01T00:00:00Z'`` — a TIMESTAMPTZ literal
+    (Plan.g4:4-5 ISO token; timestamptz.ValidateAndReturnUnixMicroTz)."""
+
+    micros: int  # epoch microseconds, UTC
+
+
+@dataclass
+class IntervalLit:
+    """``interval 'P1Y2M3DT4H5M6S'`` — an ISO-8601 duration
+    (Plan.g4:4-5 INTERVAL token; parseISODuration utils.go:981-1012)."""
+
+    years: int = 0
+    months: int = 0
+    days: int = 0
+    hours: int = 0
+    minutes: int = 0
+    seconds: int = 0
+
+
+_ISO_DURATION_RE = re.compile(
+    r"^P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+)S)?)?$"
+)
+
+
+def _parse_iso_duration(s: str) -> IntervalLit:
+    m = _ISO_DURATION_RE.match(s.strip())
+    if not m:
+        raise ExprError(f"invalid ISO 8601 duration: {s!r}")
+    vals = [int(g) if g else 0 for g in m.groups()]
+    return IntervalLit(*vals)
+
+
+def _parse_iso_ts(s: str) -> int:
+    """ISO timestamp text → epoch micros; a missing offset defaults to the
+    session timezone (UTC here, matching spark.sql.session.timeZone)."""
+    from datetime import datetime, timedelta, timezone
+
+    t = s.strip().replace("Z", "+00:00").replace(" ", "T")
+    try:
+        dt = datetime.fromisoformat(t)
+    except ValueError as e:
+        raise ExprError(f"invalid ISO timestamp: {s!r}") from e
+    if dt.tzinfo is None:
+        dt = dt.replace(tzinfo=timezone.utc)
+    return (dt - datetime(1970, 1, 1, tzinfo=timezone.utc)) // timedelta(
+        microseconds=1
+    )
+
+
+@dataclass
 class JsonPath:
     base: str
     path: list[Any]  # str keys / int indexes
@@ -336,6 +388,14 @@ class _Parser:
                 raise ExprError(f"missing template param {key!r}")
             return Lit(self.params[key])
         if t.kind == "name":
+            # timestamptz literals (Plan.g4:4-5): iso '<ts>' / interval '<dur>'
+            # — contextual soft keywords, only consumed when a string
+            # literal follows (a column literally named iso stays usable)
+            if txt.lower() in ("iso", "interval") and self.peek().kind == "str":
+                lit = _unquote(self.next().text)
+                if txt.lower() == "iso":
+                    return IsoLit(_parse_iso_ts(lit))
+                return _parse_iso_duration(lit)
             # $[sub_field] — struct-array element sub-field reference
             if txt == "$" and self.peek().text == "[":
                 self.next()
@@ -447,6 +507,12 @@ class Compiler:
     def compile(self, node: Any) -> Column:
         if isinstance(node, Lit):
             return F.lit(node.value)
+        if isinstance(node, IsoLit):
+            return F.timestamp_micros(F.lit(node.micros))
+        if isinstance(node, IntervalLit):
+            raise ExprError(
+                "interval literals only combine as <timestamptz> ± interval '…'"
+            )
         if isinstance(node, Field):
             if self._elem is not None:
                 raise ExprError(
@@ -639,6 +705,28 @@ class Compiler:
 
     def _binary(self, node: Bin) -> Column:
         op = node.op
+        # timestamptz arithmetic/compare (TimestamptzCompareForward/Reverse,
+        # parser_visitor.go:2873-2990): col ± interval 'P…' compiles to a
+        # calendar-aware make_interval shift; iso literals become timestamp
+        # literal columns so both operand orders compare naturally
+        if isinstance(node.b, IntervalLit) or isinstance(node.a, IntervalLit):
+            if op not in ("+", "-") or isinstance(node.a, IntervalLit):
+                raise ExprError(
+                    "interval literals only combine as <timestamptz> ± interval '…'"
+                )
+            if isinstance(node.a, Field):
+                ft = self.col_type(node.a.name)
+                if ft is not None and not isinstance(ft, T.TimestampType):
+                    raise ExprError(
+                        f"field {node.a.name!r} is not a timestamptz datatype"
+                    )
+            iv = node.b
+            shift = F.make_interval(
+                F.lit(iv.years), F.lit(iv.months), F.lit(0), F.lit(iv.days),
+                F.lit(iv.hours), F.lit(iv.minutes), F.lit(iv.seconds),
+            )
+            base = self.compile(node.a)
+            return base + shift if op == "+" else base - shift
         if op in ("and", "&&"):
             return self.compile(node.a) & self.compile(node.b)
         if op in ("or", "||"):

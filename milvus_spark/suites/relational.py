@@ -712,3 +712,32 @@ def rel_json_mixed_type_in(spark: SparkSession, sf: str) -> DataFrame:
     in_hit = compile_expr('js["v"] in [1, 2, "2", true]', t.schema)
     eq_true = compile_expr('js["v"] == true', t.schema)
     return t.select("doc_id", in_hit.alias("in_hit"), eq_true.alias("eq_true"))
+
+
+# --- timestamptz language surface: iso / interval literals --------------------
+@register(
+    "rel_tstz_language",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+    FROM events
+    WHERE CAST(ts AS TIMESTAMP) + INTERVAL 1 MONTH + INTERVAL 10 DAY
+            > TIMESTAMP '2024-02-25'
+      AND TIMESTAMP '2024-01-20 12:00:00' >= CAST(ts AS TIMESTAMP)
+    """,
+)
+def rel_tstz_language(spark: SparkSession, sf: str) -> DataFrame:
+    """TimestamptzCompareForward/Reverse FROM THE FILTER STRING
+    (Plan.g4:4-5: ``col ± interval '<ISO-8601>' <op> iso '<ts>'`` and the
+    reversed operand order; parseISODuration utils.go:981, micros
+    semantics timestamptz.go:117-124). Calendar-aware month arithmetic via
+    make_interval — identical plan to the DataFrame-API rel_ts_interval,
+    so the language adds zero execution cost."""
+    from milvus_spark.plans.expr import compile_expr
+
+    e = load_table(spark, sf, "events")
+    cond = compile_expr(
+        'ts + interval "P1M10D" > iso "2024-02-25T00:00:00Z"'
+        ' and iso "2024-01-20 12:00:00" >= ts',
+        e.schema,
+    )
+    return e.filter(cond).select("event_id", "ts")

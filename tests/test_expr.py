@@ -584,3 +584,45 @@ def test_isolation_key_vs_column_not_a_pin(spark):
     validate_partition_key_isolation('pk == 3 && other > 1', "pk")
     with pytest.raises(ExprError, match="not found"):
         validate_partition_key_isolation("pk == other_col", "pk")
+
+
+def test_timestamptz_iso_interval_literals(spark, sf_dir):
+    """Plan.g4:4-5 TimestamptzCompare grammar: iso/interval literals,
+    both operand orders, calendar month arithmetic, validation errors."""
+    from milvus_spark.session import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    lang = e.filter(compile_expr(
+        'ts + interval "P10D" > iso "2024-01-25T00:00:00Z" and ts <= iso "2024-01-20"',
+        e.schema,
+    )).count()
+    api = e.filter(
+        (F.col("ts") + F.expr("INTERVAL 10 DAY") > F.lit("2024-01-25").cast("timestamp"))
+        & (F.col("ts") <= F.lit("2024-01-20").cast("timestamp"))
+    ).count()
+    assert lang == api > 0
+    # reversed operand order (TimestamptzCompareReverse) and subtraction
+    rev = e.filter(compile_expr('iso "2024-02-01" > ts - interval "PT12H"', e.schema)).count()
+    fwd = e.filter(compile_expr('ts - interval "PT12H" < iso "2024-02-01"', e.schema)).count()
+    assert rev == fwd
+    # calendar month arithmetic is not a fixed-day shift: P1M from Jan 31
+    # lands on Feb 29 (2024), not Mar 2
+    one = spark.createDataFrame([("2024-01-31 00:00:00",)], "t string").select(
+        F.col("t").cast("timestamp").alias("ts")
+    )
+    hit = one.filter(compile_expr('ts + interval "P1M" == iso "2024-02-29"', one.schema)).count()
+    assert hit == 1
+    # validation matrix
+    for bad in [
+        'interval "P1D" + ts > iso "2024-01-01"',   # interval on the left
+        'value + interval "P1D" > iso "2024-01-01"',  # non-timestamptz field
+        'ts > iso "garbage"',                        # bad timestamp text
+        'ts + interval "1 day" > iso "2024-01-01"',  # non-ISO-8601 duration
+    ]:
+        with pytest.raises(ExprError):
+            compile_expr(bad, e.schema)
+    # a column literally named iso/interval is still addressable (soft keyword)
+    import pyspark.sql.types as T
+
+    sch = T.StructType([T.StructField("iso", T.LongType())])
+    assert compile_expr("iso > 5", sch) is not None
