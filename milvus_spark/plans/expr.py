@@ -89,6 +89,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
+  | (?P<rawstr>[rR]"[^"]*"|[rR]'[^']*')
   | (?P<str>"(?:\\.|[^"\\])*"|'(?:\\.|[^'\\])*')
   | (?P<name>[A-Za-z_$][A-Za-z0-9_$]*)
   | (?P<tmpl>\{[A-Za-z_][A-Za-z0-9_]*\})
@@ -349,6 +350,8 @@ class _Parser:
                     items.append(self.parse(3))
                     while self.peek().text == ",":
                         self.next()
+                        if self.peek().text == "]":
+                            break  # trailing comma (grammar: (',' expr)* ','?)
                         items.append(self.parse(3))
                 self.expect("]")
                 vals = []
@@ -382,6 +385,10 @@ class _Parser:
             return Lit(float(txt))
         if t.kind == "str":
             return Lit(_unquote(txt))
+        if t.kind == "rawstr":
+            # RawStringLiteral (Plan.g4): no escape processing — backslashes
+            # reach the regex/LIKE engine verbatim
+            return Lit(txt[2:-1])
         if t.kind == "tmpl":
             key = txt[1:-1]
             if key not in self.params:
@@ -412,6 +419,8 @@ class _Parser:
                 while self.peek().text != ")":
                     if args or kwargs:
                         self.expect(",")
+                        if self.peek().text == ")":
+                            break  # trailing comma (grammar: ( expr (',' expr)* ','? )?)
                     # named argument (threshold=3)?
                     if (
                         self.peek().kind == "name"
@@ -987,8 +996,23 @@ class Compiler:
                 + (f"-{spec[1]}" if spec[1] != spec[0] else "")
                 + f" arguments, got {len(args)}"
             )
-        if node.kwargs and fn != "text_match_fuzzy":
+        if node.kwargs and fn not in ("text_match_fuzzy", "text_match"):
             raise ExprError(f"{fn} takes no named arguments")
+        if fn == "text_match" and node.kwargs:
+            # textMatchOption (Plan.g4:60-61): minimum_should_match=N named
+            # form; the positional third arg remains a convenience alias
+            if set(node.kwargs) != {"minimum_should_match"}:
+                bad = next(iter(set(node.kwargs) - {"minimum_should_match"}))
+                raise ExprError(
+                    f"invalid option {bad!r} for text_match, "
+                    "expected minimum_should_match"
+                )
+            if len(args) > 2:
+                raise ExprError(
+                    "text_match: minimum_should_match given both "
+                    "positionally and by name"
+                )
+            args = list(args) + [node.kwargs["minimum_should_match"]]
         if fn == "starts_with":
             return self.compile(args[0]).startswith(self.compile(args[1]))
         if fn == "empty":

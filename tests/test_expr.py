@@ -626,3 +626,32 @@ def test_timestamptz_iso_interval_literals(spark, sf_dir):
 
     sch = T.StructType([T.StructField("iso", T.LongType())])
     assert compile_expr("iso > 5", sch) is not None
+
+
+def test_grammar_literal_forms(spark, sf_dir):
+    """Plan.g4 literal forms: RawStringLiteral (no escape processing),
+    trailing commas in array literals and call args, named
+    minimum_should_match on text_match (textMatchOption)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # raw string == verbatim regex
+    a = ids_for(o, compile_expr('o_orderpriority =~ r"^1-.*"', o.schema), "o_orderkey")
+    b = ids_for(o, F.col("o_orderpriority").rlike("^1-.*"), "o_orderkey")
+    assert a == b
+    # raw strings keep backslashes verbatim (\\d stays a regex class)
+    assert compile_expr(r'o_orderpriority =~ r"^\d-"', o.schema) is not None
+    # trailing commas
+    t1 = ids_for(o, compile_expr('o_orderstatus in ["O", "F",]', o.schema), "o_orderkey")
+    t2 = ids_for(o, compile_expr('o_orderstatus in ["O", "F"]', o.schema), "o_orderkey")
+    assert t1 == t2
+    assert compile_expr('starts_with(o_orderpriority, "1",)', o.schema) is not None
+    # named minimum_should_match == positional form
+    n1 = d.filter(
+        compile_expr('text_match(text, "spark merge", minimum_should_match=2)', d.schema)
+    ).count()
+    n2 = d.filter(compile_expr('text_match(text, "spark merge", 2)', d.schema)).count()
+    assert n1 == n2 > 0
+    with pytest.raises(ExprError, match="minimum_should_match"):
+        compile_expr('text_match(text, "q", msm=1)', d.schema)
+    with pytest.raises(ExprError, match="both"):
+        compile_expr('text_match(text, "q", 2, minimum_should_match=2)', d.schema)
