@@ -87,6 +87,7 @@ def _fuzzy_variants(term: str, d: int) -> list[tuple[str, int]]:
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
+  | (?P<radix>0[xX][0-9a-fA-F]+|0[bB][01]+)
   | (?P<float>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+[eE][+-]?\d+)
   | (?P<int>\d+)
   | (?P<rawstr>[rR]"[^"]*"|[rR]'[^']*')
@@ -379,7 +380,14 @@ class _Parser:
                 return Lit(low == "true")
             if low == "null":
                 return Lit(None)
+        if t.kind == "radix":
+            # hex/binary integer constants (Plan.g4 IntegerConstant)
+            return Lit(int(txt, 0))
         if t.kind == "int":
+            # C-style octal: a leading zero with octal digits (Plan.g4
+            # OctalConstant — '017' is 15); plain '0' and decimals as-is
+            if len(txt) > 1 and txt[0] == "0" and all(c in "01234567" for c in txt[1:]):
+                return Lit(int(txt, 8))
             return Lit(int(txt))
         if t.kind == "float":
             return Lit(float(txt))
@@ -469,6 +477,11 @@ def _unquote(s: str) -> str:
     would corrupt regex classes (\\d → d) and LIKE escapes (\\% must reach
     Spark's LIKE, whose default escape char makes it a literal percent)."""
     body = s[1:-1]
+    # \uXXXX universal character names unescape first (the reference's
+    # unicodeEscapeRegex pass, utils.go:32)
+    body = re.sub(
+        r"\\u([0-9a-fA-F]{4})", lambda m: chr(int(m.group(1), 16)), body
+    )
 
     def sub(m: "re.Match") -> str:
         c = m.group(1)

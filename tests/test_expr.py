@@ -655,3 +655,14 @@ def test_grammar_literal_forms(spark, sf_dir):
         compile_expr('text_match(text, "q", msm=1)', d.schema)
     with pytest.raises(ExprError, match="both"):
         compile_expr('text_match(text, "q", 2, minimum_should_match=2)', d.schema)
+
+
+def test_integer_radix_and_unicode_escapes(spark, sf_dir):
+    """Plan.g4 IntegerConstant radix forms (hex/binary/octal) and \\uXXXX
+    universal character names in string literals (utils.go:32)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = ids_for(o, compile_expr("o_custkey == 16", o.schema), "o_orderkey")
+    for form in ("0x10", "0X10", "0b10000", "020"):
+        assert ids_for(o, compile_expr(f"o_custkey == {form}", o.schema), "o_orderkey") == base, form
+    d = spark.createDataFrame([("A",), ("B",)], "s string")
+    assert d.filter(compile_expr('s == "\\u0041"', d.schema)).count() == 1
