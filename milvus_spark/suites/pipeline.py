@@ -248,3 +248,79 @@ def mm_keyframe_select(spark: SparkSession, sf: str) -> DataFrame:
     return d.filter(F.col("cut_dist").isNull() | (F.col("cut_dist") >= 340)).select(
         "doc_id", "frame_idx", F.coalesce("cut_dist", F.lit(0)).alias("cut_dist")
     )
+
+
+# --- cross-modal retrieval: image query → text corpus -------------------------
+@register(
+    "mm_crossmodal_topk",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id AS qid, sha256(sha256(text)) AS h
+      FROM documents WHERE doc_id % 100 = 0
+    ),
+    qv AS (
+      SELECT qid, list_transform(range(1,17), j ->
+               round(CAST({_PAIR.format(h='h', p='CAST(j AS INT)')} AS DOUBLE) / 255.0, 6)) AS iv
+      FROM q
+    ),
+    g AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v AS (
+      SELECT doc_id, list_transform(range(1,17), j ->
+               CAST({_PAIR.format(h='h', p='CAST(j AS INT)')} AS DOUBLE) - 127.5) AS c
+      FROM g
+    ),
+    tv AS (
+      SELECT doc_id,
+             list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS tvv
+      FROM v
+    ),
+    s AS (
+      SELECT qv.qid, tv.doc_id,
+             round(list_sum(list_transform(range(1,17), j ->
+               iv[CAST(j AS INT)] * tvv[CAST(j AS INT)])), 4) AS score
+      FROM qv, tv
+    ),
+    ranked AS (
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid
+                                     ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+      FROM s
+    )
+    SELECT qid, doc_id, score, rank FROM ranked WHERE rank <= 5
+    """,
+)
+def mm_crossmodal_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modal retrieval: image-derived feature vectors (the stubbed
+    decode path's 16-dim thumbs) queried against the text corpus's
+    16-dim embedding column — the CLIP-style joint-space top-k with both
+    encoders swapped for deterministic fakes, so the full plumbing
+    (decode → project → broadcast queries → JVM dot product → per-query
+    top-k) is oracle-checked end to end. Query images broadcast; the dot
+    product is a zip_with fold in whole-stage codegen; top-k is a window
+    over per-query bounded partitions."""
+    from pyspark.sql import Window as W
+
+    from milvus_spark.operators.embedding import md5_embed_batch, with_text_embedding
+    from milvus_spark.operators.multimodal import image_features, make_media_table
+
+    docs = load_table(spark, sf, "documents")
+    qdocs = docs.filter(F.col("doc_id") % 100 == 0)
+    qv = image_features(make_media_table(qdocs, "doc_id", "text"), "media", "doc_id").select(
+        F.col("doc_id").alias("qid"), F.col("thumb").alias("iv")
+    )
+    tv = with_text_embedding(docs, "text", dim=16, provider=md5_embed_batch).select(
+        "doc_id", F.col("embedding").alias("tvv")
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with("iv", "tvv", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        ),
+        4,
+    )
+    s = tv.crossJoin(F.broadcast(qv)).select("qid", "doc_id", score.alias("score"))
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        s.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select("qid", "doc_id", "score", "rank")
+    )

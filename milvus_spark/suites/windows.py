@@ -192,3 +192,47 @@ def win_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     return v.join(c, "user_id").join(p, "user_id").select(
         "user_id", "t_view", "t_click", "t_purchase"
     )
+
+
+# --- cohort retention ----------------------------------------------------------
+@register(
+    "win_cohort_retention",
+    oracle="""
+    WITH firstday AS (
+      SELECT user_id,
+             CAST(date_trunc('day', min(CAST(ts AS TIMESTAMP))) AS TIMESTAMP) AS cohort
+      FROM events GROUP BY 1
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id, f.cohort,
+             date_diff('day', f.cohort, date_trunc('day', CAST(e.ts AS TIMESTAMP))) AS day_offset
+      FROM events e JOIN firstday f ON e.user_id = f.user_id
+    )
+    SELECT cohort, CAST(day_offset AS BIGINT) AS day_offset,
+           CAST(count(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def win_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity day, counted as
+    active per day-offset from their cohort — the engagement matrix every
+    event pipeline reports. Two aggregations on user_id (map-side partial
+    min, then distinct day offsets), final count keyed on the bounded
+    (cohort, offset) grid; the user-keyed shuffle is reused by the join."""
+    e = load_table(spark, sf, "events").select("user_id", "ts")
+    day = F.date_trunc("day", F.col("ts"))
+    firstday = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("cohort")
+    )
+    activity = (
+        e.join(firstday, "user_id")
+        .select(
+            "user_id",
+            "cohort",
+            F.datediff(day, F.col("cohort")).cast("long").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort", "day_offset").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
