@@ -35,6 +35,7 @@ BENCH_QUERIES = [
     "dedup_simhash",          # banded fingerprint equi-join (r4 scale fix)
     "dedup_ngram_jaccard",    # df-capped inverted shingle index (r4 scale fix)
     "vec_element_collapse",   # element-level struct-array search
+    "mm_crossmodal_topk",     # cross-modal joint-space top-k (stub codecs)
 ]
 
 
