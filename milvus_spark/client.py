@@ -39,7 +39,91 @@ class MilvusSparkClient:
         self.spark = spark
         self._base_root = root
         os.makedirs(root, exist_ok=True)
+        self._current_user = "root"  # reference default identity
         self._use(db_name)
+
+    # ----------------------------------------------------------------- RBAC
+    # Users/roles/privileges (test_milvus_client_rbac.py; privilege catalog
+    # constant.go:80-210). Enforcement mirrors the proxy interceptor: each
+    # data/DDL entry point checks (current user, privilege, collection).
+    @property
+    def _rbac(self):
+        from milvus_spark.rbac import RbacStore
+
+        s = getattr(self, "_rbac_store", None)
+        if s is None:
+            s = RbacStore(os.path.join(self._base_root, "_rbac.json"))
+            self._rbac_store = s
+        return s
+
+    def _priv(self, privilege: str, name: str = "*") -> None:
+        self._rbac.check(self._current_user, privilege, name)
+
+    def login(self, user: str, password: str) -> None:
+        """Authenticate and switch the client identity (the connection-
+        credential analog of MilvusClient(user=, password=))."""
+        self._rbac.authenticate(user, password)
+        self._current_user = user
+
+    def logout(self) -> None:
+        self._current_user = "root"
+
+    def create_user(self, user_name: str, password: str) -> None:
+        self._priv("UpdateUser")
+        self._rbac.create_user(user_name, password)
+
+    def drop_user(self, user_name: str) -> None:
+        self._priv("UpdateUser")
+        self._rbac.drop_user(user_name)
+
+    def list_users(self) -> list:
+        self._priv("SelectUser")
+        return self._rbac.list_users()
+
+    def describe_user(self, user_name: str) -> dict:
+        self._priv("SelectUser")
+        return self._rbac.describe_user(user_name)
+
+    def update_password(self, user_name: str, old_password: str, new_password: str) -> None:
+        self._rbac.update_password(user_name, old_password, new_password)
+
+    def create_role(self, role_name: str) -> None:
+        self._priv("UpdateUser")
+        self._rbac.create_role(role_name)
+
+    def drop_role(self, role_name: str) -> None:
+        self._priv("UpdateUser")
+        self._rbac.drop_role(role_name)
+
+    def list_roles(self) -> list:
+        self._priv("SelectUser")
+        return self._rbac.list_roles()
+
+    def describe_role(self, role_name: str) -> dict:
+        self._priv("SelectUser")
+        return self._rbac.describe_role(role_name)
+
+    def grant_role(self, user_name: str, role_name: str) -> None:
+        self._priv("UpdateUser")
+        self._rbac.grant_role(user_name, role_name)
+
+    def revoke_role(self, user_name: str, role_name: str) -> None:
+        self._priv("UpdateUser")
+        self._rbac.revoke_role(user_name, role_name)
+
+    def grant_privilege(
+        self, role_name: str, privilege: str, collection_name: str = "*",
+        object_type: str = "Collection",
+    ) -> None:
+        self._priv("UpdateUser")
+        self._rbac.grant_privilege(role_name, privilege, collection_name, object_type)
+
+    def revoke_privilege(
+        self, role_name: str, privilege: str, collection_name: str = "*",
+        object_type: str = "Collection",
+    ) -> None:
+        self._priv("UpdateUser")
+        self._rbac.revoke_privilege(role_name, privilege, collection_name, object_type)
 
     # ----------------------------------------------------------- databases
     # Milvus database namespaces (create_database/use_database — proxy
@@ -131,6 +215,7 @@ class MilvusSparkClient:
         columns into the hidden ``$meta`` JSON column, and filters /
         output_fields referencing undeclared names resolve into it with
         typed-compare semantics."""
+        self._priv("CreateCollection", "*")
         if name.startswith("_"):
             # "_"-prefixed catalog keys are reserved for internal state
             # (_aliases, _file_resources) and hidden from list_collections
@@ -317,6 +402,7 @@ class MilvusSparkClient:
         """Drop by real name only (drop_collection_task.go:43,63): alias
         arguments are rejected, and a collection with live aliases refuses
         to drop — never leaves dangling aliases."""
+        self._priv("DropCollection", name)
         import shutil
 
         if name in self._aliases():
@@ -764,6 +850,7 @@ class MilvusSparkClient:
         partition_name: Optional[str] = None,
         namespace: Optional[str] = None,
     ) -> int:
+        self._priv("Insert", name)
         meta = self._meta(name)
         ns_mode = meta.get("namespace_mode")
         if ns_mode is not None or namespace is not None:
@@ -871,6 +958,7 @@ class MilvusSparkClient:
         the stored array; remove drops ALL occurrences of each batch
         element. Errors on non-array / pk / unknown fields and on batches
         missing the op'd column."""
+        self._priv("Upsert", name)
         coll = self._coll(name)
         meta = self._meta(name)
         ns_mode = meta.get("namespace_mode")
@@ -966,6 +1054,7 @@ class MilvusSparkClient:
         params: Optional[dict] = None,
         namespace: Optional[str] = None,
     ) -> None:
+        self._priv("Delete", name)
         meta = self._meta(name)
         pnames, ns_cond = self._namespace_resolve(name, meta, namespace)
         ns_col = (
@@ -1031,6 +1120,7 @@ class MilvusSparkClient:
         is given (clustering_compactor.go range mode: rows re-laid-out
         sorted by the key with a per-file min/max manifest for segment
         pruning — the PartitionStatsSnapshot analog)."""
+        self._priv("Compaction", name)
         meta = self._meta(name)
         expired = self._expired_ts(meta)
         if clustering_key is not None:
@@ -1109,6 +1199,7 @@ class MilvusSparkClient:
         not a correctness requirement). Artifacts carry the collection ts at build
         time; DML after the build makes the index stale and search falls
         back to exact scan (the sealed-index vs growing split)."""
+        self._priv("CreateIndex", name)
         params = dict(params or {})
         meta = self._meta(name)
         itype = index_type.upper()
@@ -1335,6 +1426,7 @@ class MilvusSparkClient:
         return idx[key]
 
     def drop_index(self, name: str, field: str, index_type: str) -> None:
+        self._priv("DropIndex", name)
         import shutil
 
         entry = self.describe_index(name, field, index_type)
@@ -1427,6 +1519,7 @@ class MilvusSparkClient:
         filter, or a stale index, takes the scan path. Results are
         identical either way — the index is an access path, not a semantic.
         """
+        self._priv("Query", name)
         partition_names, ns_cond = self._namespace_resolve(
             name, self._meta(name), namespace, partition_names
         )
@@ -1746,6 +1839,7 @@ class MilvusSparkClient:
         unfiltered/unbounded (``search_params={"nprobe": n}``); any filter,
         range bound, snapshot read, or post-build DML falls back to the
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
+        self._priv("Search", name)
         meta = self._meta(name)
         if hints is not None and hints not in ("iterative_filter", "disable"):
             # hint value is validated for EVERY search, whichever execution
@@ -2598,6 +2692,7 @@ class MilvusSparkClient:
         sparse sub-searches fuse on the shared pk, the Milvus dense+sparse
         hybrid stack.
         """
+        self._priv("Search", name)
         from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
         meta = self._meta(name)

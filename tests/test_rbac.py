@@ -1,0 +1,142 @@
+"""RBAC surface + enforcement (test_milvus_client_rbac.py cases;
+privilege catalog constant.go:80-210)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.client import MilvusSparkClient
+from milvus_spark.rbac import RbacError
+
+
+@pytest.fixture()
+def client(spark, tmp_path):
+    return MilvusSparkClient(spark, root=str(tmp_path / "rbac_root"))
+
+
+def test_user_lifecycle_and_validation(client):
+    client.create_user("alice", "p@ssw0rd")
+    assert "alice" in client.list_users() and "root" in client.list_users()
+    assert client.describe_user("alice") == {"user_name": "alice", "roles": ()}
+    with pytest.raises(ValueError, match="exists"):
+        client.create_user("alice", "p@ssw0rd")
+    # invalid names (reference invalid-name matrix) and passwords
+    for bad in ["1user", "user-name", "a" * 33, ""]:
+        with pytest.raises(ValueError):
+            client.create_user(bad, "p@ssw0rd")
+    with pytest.raises(ValueError, match="6-256"):
+        client.create_user("bob", "short")
+    client.drop_user("alice")
+    assert "alice" not in client.list_users()
+    with pytest.raises(ValueError, match="root"):
+        client.drop_user("root")
+
+
+def test_password_and_login(client):
+    client.create_user("carol", "secret123")
+    client.login("carol", "secret123")
+    assert client._current_user == "carol"
+    client.logout()
+    with pytest.raises(RbacError, match="auth check failure"):
+        client.login("carol", "wrongpass")
+    client.update_password("carol", "secret123", "newsecret1")
+    with pytest.raises(ValueError, match="mismatch"):
+        client.update_password("carol", "secret123", "another123")
+    client.login("carol", "newsecret1")
+    client.logout()
+
+
+def test_role_lifecycle_and_grants(client):
+    client.create_role("reader")
+    assert set(client.list_roles()) >= {"admin", "public", "reader"}
+    client.create_user("dave", "davepass1")
+    client.grant_role("dave", "reader")
+    assert client.describe_user("dave")["roles"] == ("reader",)
+    # a role granted to users refuses to drop (reference semantics)
+    with pytest.raises(ValueError, match="granted to users"):
+        client.drop_role("reader")
+    client.revoke_role("dave", "reader")
+    client.drop_role("reader")
+    assert "reader" not in client.list_roles()
+    for builtin in ("admin", "public"):
+        with pytest.raises(ValueError, match="built-in"):
+            client.drop_role(builtin)
+    with pytest.raises(ValueError, match="not found"):
+        client.grant_role("dave", "ghost")
+
+
+def test_privilege_enforcement(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("nat", pk_field="n_nationkey")
+    client.insert("nat", nation)
+
+    client.create_user("eve", "evepass12")
+    client.create_role("nat_reader")
+    client.grant_privilege("nat_reader", "CollectionReadOnly", "nat")
+    client.grant_role("eve", "nat_reader")
+    client.login("eve", "evepass12")
+    try:
+        # group-expanded read privileges pass
+        assert client.query("nat", filter="n_regionkey == 1").count() > 0
+        # writes and DDL denied
+        with pytest.raises(RbacError, match="Insert"):
+            client.insert("nat", nation.limit(1))
+        with pytest.raises(RbacError, match="Delete"):
+            client.delete("nat", ids=[0])
+        with pytest.raises(RbacError, match="DropCollection"):
+            client.drop_collection("nat")
+        with pytest.raises(RbacError, match="CreateCollection"):
+            client.create_collection("other", pk_field="x")
+        # object scoping: the grant names 'nat' only
+        client.logout()
+        client.create_collection("nat2", pk_field="n_nationkey")
+        client.insert("nat2", nation)
+        client.login("eve", "evepass12")
+        with pytest.raises(RbacError, match="Query"):
+            client.query("nat2", filter="n_regionkey == 1")
+    finally:
+        client.logout()
+
+    # ReadWrite group unlocks DML; explicit revoke re-locks
+    client.grant_privilege("nat_reader", "CollectionReadWrite", "nat")
+    client.login("eve", "evepass12")
+    n0 = client.query("nat", output_fields=["n_nationkey"]).count()
+    client.delete("nat", ids=[0])
+    assert client.query("nat", output_fields=["n_nationkey"]).count() == n0 - 1
+    client.logout()
+    client.revoke_privilege("nat_reader", "CollectionReadWrite", "nat")
+    client.login("eve", "evepass12")
+    with pytest.raises(RbacError, match="Delete"):
+        client.delete("nat", ids=[1])
+    client.logout()
+
+    # admin role bypasses everything; RBAC APIs themselves are privileged
+    client.grant_role("eve", "admin")
+    client.login("eve", "evepass12")
+    client.create_collection("adm", pk_field="k")
+    client.create_user("frank", "frankpass")
+    client.logout()
+    with pytest.raises(ValueError, match="unknown privilege"):
+        client.grant_privilege("nat_reader", "Fly", "nat")
+
+
+def test_rbac_persists_across_clients(client, spark):
+    client.create_user("gina", "ginapass1")
+    client.create_role("r1")
+    client.grant_role("gina", "r1")
+    reopened = MilvusSparkClient(spark, root=client._base_root)
+    assert "gina" in reopened.list_users()
+    assert reopened.describe_user("gina")["roles"] == ("r1",)
+
+
+def test_rbac_api_requires_privilege(client):
+    client.create_user("henry", "henrypass")
+    client.login("henry", "henrypass")
+    try:
+        with pytest.raises(RbacError, match="UpdateUser"):
+            client.create_user("x1", "password1")
+        with pytest.raises(RbacError, match="SelectUser"):
+            client.list_users()
+    finally:
+        client.logout()
