@@ -30,25 +30,8 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Registered queries, ordered so that entries the driver has never
-    sampled (no row in any CORRECTNESS_r*.json yet) come first — each
-    round's ~50-query sample then covers new ground instead of re-checking
-    the same green rows. Within each group, registration order is kept."""
-    import json
-
-    qs = dict(registry.QUERIES)
-    sampled: set[str] = set()
-    for p in sorted(Path(_REPO).glob("CORRECTNESS_r*.json")):
-        try:
-            with open(p) as f:
-                rows = json.load(f)
-            if isinstance(rows, dict):
-                sampled.update(rows.keys())
-        except (OSError, ValueError):
-            pass
-    ordered = {k: v for k, v in qs.items() if k not in sampled}
-    ordered.update({k: v for k, v in qs.items() if k in sampled})
-    return ordered
+    """Registered queries in deterministic registration order."""
+    return dict(registry.QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
