@@ -193,21 +193,9 @@ _JACCARD_CTES = f"""
 """
 
 
-# Document-frequency cap on shingles entering the candidate self-join.
-# A shingle appearing in f documents emits O(f²) candidate pairs on a
-# single join key, so boilerplate shingles are the skew/blowup risk at
-# scale; near-dup pairs (jaccard ≥ 0.5) share long runs of *rare*
-# shingles, so dropping hot ones from candidate generation loses no
-# qualifying pair (verified on the test corpus: max per-pair min-shared-df
-# is 3 at sf0.01 / 10 at sf0.1, vs max df 7 / 25). The cap scales with
-# corpus size — shingle df grows linearly with duplication-heavy corpora,
-# so a fixed absolute cap would start dropping witness shingles past the
-# tested scale factors; the floor keeps small corpora at the verified 12.
-NGRAM_DF_CAP_FLOOR = 12
-
-
-def _ngram_df_cap(n_docs: int) -> int:
-    return max(NGRAM_DF_CAP_FLOOR, (24 * n_docs) // 10_000)
+# Jaccard similarity threshold shared by the candidate filter and the
+# exact verification below.
+NGRAM_JACCARD_THETA = 0.5
 
 
 @register(
@@ -218,52 +206,61 @@ def _ngram_df_cap(n_docs: int) -> int:
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact near-dup via a df-capped inverted shingle index.
+    """Exact near-dup via a PREFIX-FILTERED inverted shingle index.
 
-    Candidate generation explodes documents to (doc_id, shingle) postings,
-    drops shingles above the scale-aware df cap (bounding the
-    worst join-key fan-out at cap² pairs — the standard stop-shingle cap
-    that keeps the self-join linear at web scale), and equi-joins the
-    surviving postings. Verification then computes the TRUE Jaccard from
-    the full (uncapped) shingle sets, so the output is exactly the
-    all-pairs oracle result as long as every qualifying pair retains one
-    sub-cap witness shingle. The cache materializes the shingle arrays so
-    the verify probes reuse them instead of re-deriving from raw text."""
+    Candidate generation is the AllPairs/PPJoin prefix filter (Bayardo et
+    al., WWW'07; Xiao et al., WWW'08): order every document's shingles by
+    a single global canonical order (ascending document frequency, ties by
+    value) and emit only the first ``|sh| − ⌈θ·|sh|⌉ + 1`` postings into
+    the self-join. Any pair with jaccard ≥ θ has |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉
+    shared shingles, and by pigeonhole over the shared ordering at least
+    one of them falls in BOTH prefixes — so candidate generation is
+    provably LOSSLESS, including for duplicate clusters of any size (the
+    gap the earlier global df-cap had: a cluster larger than the cap had
+    every shingle dropped and was silently missed). The df-ascending order
+    keeps hot boilerplate shingles out of prefixes in the common case, so
+    join-key fan-out stays near-linear; for a genuine m-copy cluster the
+    fan-out is O(m²) — exactly the size of the required output. A length
+    filter (θ ≤ |A|/|B| ≤ 1/θ) prunes in the join itself; exact Jaccard
+    over the full shingle sets verifies every survivor, so the result is
+    bit-identical to the all-pairs oracle."""
+    theta = NGRAM_JACCARD_THETA
+    from pyspark.sql import Window as W
+
     t = _docs_tokens(spark, sf)
     s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).cache()
-    cap = _ngram_df_cap(s.count())  # eager: also materializes the cache
+    s.count()  # eager: materialize the shingle arrays once
     e = s.select("doc_id", F.explode("sh").alias("g"))
-    # df-cap: one aggregate on the same key the join shuffles on
-    rare = e.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(
-        F.col("df") <= cap
-    ).select("g")
-    ec = e.join(rare, "g")
-    e2 = ec.select(F.col("doc_id").alias("b_id"), F.col("g").alias("g2"))
-    # shared-RARE-shingle count per pair (one agg on the pair key, no
-    # arrays carried), plus per-doc totals and hot-shingle counts
-    pairs = (
-        ec.join(e2, (ec.g == e2.g2) & (ec.doc_id < e2.b_id))
-        .groupBy(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("ic"))
+    # global canonical order: one aggregate on the same key the join
+    # shuffles on; df is the sort key so rare shingles lead every prefix
+    dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
+    ranked = e.join(dfreq, "g").withColumn(
+        "rn",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("gdf", "g")),
     )
-    sized = s.select(F.col("doc_id"), F.size("sh").alias("cnt"))
-    rcnt = ec.groupBy("doc_id").agg(F.count(F.lit(1)).alias("rcnt"))
-    stats = sized.join(rcnt, "doc_id", "left").select(
-        "doc_id", "cnt", (F.col("cnt") - F.coalesce("rcnt", F.lit(0))).alias("hot")
+    # prefix length |sh| − ⌈θ|sh|⌉ + 1 (per-doc windows are bounded by doc
+    # length, so the window shuffle is linear and skew-free)
+    sized = s.select("doc_id", F.size("sh").alias("cnt"))
+    prefix = (
+        ranked.join(sized, "doc_id")
+        .filter(F.col("rn") <= F.col("cnt") - F.ceil(theta * F.col("cnt")) + 1)
+        .select("doc_id", "g", "cnt")
     )
-    # EXACT pruning bound before touching any array: true intersection is
-    # at most shared-rare + min(hot_a, hot_b), so a pair whose best-case
-    # jaccard misses 0.5 can never qualify — this kills the ~99% of
-    # candidates that share one boilerplate-ish shingle without carrying
-    # their shingle arrays through a join
-    pa = stats.select(F.col("doc_id").alias("a"), F.col("cnt").alias("ca"), F.col("hot").alias("ha"))
-    pb = stats.select(F.col("doc_id").alias("b"), F.col("cnt").alias("cb"), F.col("hot").alias("hb"))
-    ub = F.col("ic") + F.least("ha", "hb")
+    p2 = prefix.select(
+        F.col("doc_id").alias("b_id"), F.col("g").alias("g2"), F.col("cnt").alias("cb")
+    )
+    # prefix self-join: equi-join on the shingle, with the PPJoin length
+    # filter (jaccard ≥ θ forces θ ≤ |A|/|B| ≤ 1/θ) applied in-join
     cand = (
-        pairs.join(F.broadcast(pa), "a")
-        .join(F.broadcast(pb), "b")
-        .filter(ub / (F.col("ca") + F.col("cb") - ub) >= 0.5)
-        .select("a", "b")
+        prefix.join(
+            p2,
+            (prefix.g == p2.g2)
+            & (prefix.doc_id < p2.b_id)
+            & (prefix.cnt >= theta * p2.cb)
+            & (p2.cb >= theta * prefix.cnt),
+        )
+        .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
+        .distinct()
     )
     # exact verification over full shingle sets (survivors are few → broadcast)
     sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
@@ -278,7 +275,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
             F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
         )
     )
-    return jac.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+    return jac.filter(F.col("jaccard") >= theta).select("a", "b", "jaccard")
 
 
 # --- MinHash + LSH near-dup (band join candidates, verified) ------------------
@@ -832,8 +829,8 @@ def dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     themselves. The train-data shape: dedup should retain the BEST copy,
     not an arbitrary one. The per-cluster argmax is a window partitioned
     by cluster id — cluster sizes bound the partitions, so no global sort
-    and no skew beyond the largest dup cluster (which the df-capped pair
-    generation already bounds)."""
+    and no skew beyond the largest dup cluster (whose pair set is itself
+    the required output, so the prefix-filtered generation is output-bound)."""
     from pyspark.sql import Window as W
 
     qual = txt_quality(spark, sf).select("doc_id", "quality")
@@ -873,9 +870,10 @@ def dedup_split_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """Train/val split decontamination: deterministic 80/20 hash split,
     then every near-dup pair (jaccard ≥ 0.5) that CROSSES the split — the
     leakage a benchmark-contamination audit must surface before training.
-    The pair set rides the df-capped inverted index (dedup_ngram_jaccard);
-    the split assignment is a pure hash column, so the audit adds only two
-    broadcast joins on the bounded pair list."""
+    The pair set rides the prefix-filtered inverted index
+    (dedup_ngram_jaccard — lossless, so cross-split leaks in arbitrarily
+    large dup clusters are surfaced); the split assignment is a pure hash
+    column, so the audit adds only two broadcast joins on the pair list."""
     pairs = dedup_ngram_jaccard(spark, sf)
     d = load_table(spark, sf, "documents")
     split = F.when(
