@@ -35,11 +35,27 @@ MAX_TOPK = 16384
 
 
 class MilvusSparkClient:
-    def __init__(self, spark: SparkSession, root: str, db_name: str = "default"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        db_name: str = "default",
+        user: str = "root",
+        password: str | None = None,
+    ):
         self.spark = spark
         self._base_root = root
         os.makedirs(root, exist_ok=True)
-        self._current_user = "root"  # reference default identity
+        # Identity is tied to construction credentials (the MilvusClient
+        # user=/password= analog). The default root-without-password client
+        # mirrors the reference's auth-disabled deployment; any non-root
+        # identity must present credentials.
+        if password is not None:
+            self._rbac.authenticate(user, password)
+        elif user != "root":
+            raise ValueError("password required for non-root identity")
+        self._ctor_user = user
+        self._current_user = user
         self._use(db_name)
 
     # ----------------------------------------------------------------- RBAC
@@ -57,7 +73,9 @@ class MilvusSparkClient:
         return s
 
     def _priv(self, privilege: str, name: str = "*") -> None:
-        self._rbac.check(self._current_user, privilege, name)
+        self._rbac.check(
+            self._current_user, privilege, name, getattr(self, "db_name", "default")
+        )
 
     def login(self, user: str, password: str) -> None:
         """Authenticate and switch the client identity (the connection-
@@ -66,7 +84,11 @@ class MilvusSparkClient:
         self._current_user = user
 
     def logout(self) -> None:
-        self._current_user = "root"
+        """Drop back to the identity the client was CONSTRUCTED with — never
+        a credential-free escalation: a client built with restricted
+        credentials returns to that restricted identity, and regaining root
+        requires ``login("root", <root password>)``."""
+        self._current_user = self._ctor_user
 
     def create_user(self, user_name: str, password: str) -> None:
         self._priv("UpdateUser")
@@ -124,6 +146,55 @@ class MilvusSparkClient:
     ) -> None:
         self._priv("UpdateUser")
         self._rbac.revoke_privilege(role_name, privilege, collection_name, object_type)
+
+    # RBAC v2 (grant_privilege_v2 / privilege groups — constant.go:374-445,
+    # test_milvus_client_rbac.py:415,752-900): grants carry a database scope
+    # and grant names may be custom privilege groups.
+    def grant_privilege_v2(
+        self, role_name: str, privilege: str, collection_name: str = "*",
+        db_name: str = "*",
+    ) -> None:
+        self._priv("UpdateUser")
+        self._rbac.grant_privilege(
+            role_name, privilege, collection_name, "Collection", db_name
+        )
+
+    def revoke_privilege_v2(
+        self, role_name: str, privilege: str, collection_name: str = "*",
+        db_name: str = "*",
+    ) -> None:
+        self._priv("UpdateUser")
+        self._rbac.revoke_privilege(
+            role_name, privilege, collection_name, "Collection", db_name
+        )
+
+    def create_privilege_group(self, group_name: str) -> None:
+        self._priv("CreatePrivilegeGroup")
+        self._rbac.create_privilege_group(group_name)
+
+    def drop_privilege_group(self, group_name: str) -> None:
+        self._priv("DropPrivilegeGroup")
+        self._rbac.drop_privilege_group(group_name)
+
+    def list_privilege_groups(self) -> dict:
+        self._priv("ListPrivilegeGroups")
+        return self._rbac.list_privilege_groups()
+
+    def add_privileges_to_group(self, group_name: str, privileges: list) -> None:
+        self._priv("OperatePrivilegeGroup")
+        self._rbac.add_privileges_to_group(group_name, privileges)
+
+    def remove_privileges_from_group(self, group_name: str, privileges: list) -> None:
+        self._priv("OperatePrivilegeGroup")
+        self._rbac.remove_privileges_from_group(group_name, privileges)
+
+    def backup_rbac(self) -> dict:
+        self._priv("BackupRBAC")
+        return self._rbac.backup()
+
+    def restore_rbac(self, data: dict) -> None:
+        self._priv("RestoreRBAC")
+        self._rbac.restore(data)
 
     # ----------------------------------------------------------- databases
     # Milvus database namespaces (create_database/use_database — proxy

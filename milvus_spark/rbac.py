@@ -38,15 +38,41 @@ GLOBAL_PRIVS = {
     "ShowCollections", "RenameCollection", "CreateDatabase", "DropDatabase",
     "ListDatabases", "CreateAlias", "DropAlias", "ListAliases",
     "SelectUser", "UpdateUser",
+    # v2 additions (constant.go:374-445): database/cluster scoped verbs +
+    # privilege-group administration + RBAC backup/restore
+    "DescribeDatabase", "AlterDatabase", "FlushAll", "ListPrivilegeGroups",
+    "CreatePrivilegeGroup", "DropPrivilegeGroup", "OperatePrivilegeGroup",
+    "BackupRBAC", "RestoreRBAC",
 }
-# privilege groups expand at check time (constant.go ReadOnly/ReadWrite)
+# BUILT-IN privilege groups expand at check time. The catalog mirrors
+# constant.go: Collection{ReadOnly,ReadWrite,Admin} (:330-372),
+# Database{ReadOnly,ReadWrite,Admin} (:374-396, note RenameCollection is
+# database-admin, NOT collection-readwrite), Cluster{ReadOnly,ReadWrite,
+# Admin} (:397-445).
+_COLL_RO = {"Query", "Search", "IndexDetail", "GetLoadState",
+            "ShowPartitions", "HasPartition", "GetStatistics"}
+_COLL_RW = _COLL_RO | {"Insert", "Delete", "Upsert", "Import", "Flush",
+                       "Compaction", "Load", "Release", "CreateIndex",
+                       "DropIndex", "CreatePartition", "DropPartition"}
+_DB_RO = {"ShowCollections", "DescribeDatabase", "DescribeCollection"}
+_DB_RW = _DB_RO | {"AlterDatabase"}
+_CLUSTER_RO = {"ListDatabases", "SelectUser", "ListPrivilegeGroups"}
+_CLUSTER_RW = _CLUSTER_RO | {"FlushAll"}
 PRIVILEGE_GROUPS = {
-    "CollectionReadOnly": {"Query", "Search", "IndexDetail", "GetLoadState",
-                           "ShowPartitions", "HasPartition", "GetStatistics"},
-    "CollectionReadWrite": {"Query", "Search", "IndexDetail", "GetLoadState",
-                            "ShowPartitions", "HasPartition", "GetStatistics",
-                            "Insert", "Delete", "Upsert", "Import", "Flush",
-                            "Compaction", "Load", "Release"},
+    "CollectionReadOnly": _COLL_RO,
+    "CollectionReadWrite": _COLL_RW,
+    "CollectionAdmin": _COLL_RW | {"CreateAlias", "DropAlias"},
+    "DatabaseReadOnly": _DB_RO,
+    "DatabaseReadWrite": _DB_RW,
+    "DatabaseAdmin": _DB_RW | {"CreateCollection", "DropCollection",
+                               "RenameCollection"},
+    "ClusterReadOnly": _CLUSTER_RO,
+    "ClusterReadWrite": _CLUSTER_RW,
+    "ClusterAdmin": _CLUSTER_RW | {"CreateDatabase", "DropDatabase",
+                                   "UpdateUser", "CreatePrivilegeGroup",
+                                   "DropPrivilegeGroup",
+                                   "OperatePrivilegeGroup", "BackupRBAC",
+                                   "RestoreRBAC"},
 }
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,31}$")
@@ -87,6 +113,11 @@ class RbacStore:
                 "users": {ROOT_USER: {"password": _hash_pw("Milvus"), "roles": []}},
                 "roles": {ROLE_ADMIN: {"grants": []}, ROLE_PUBLIC: {"grants": []}},
             }
+        self._s.setdefault("privilege_groups", {})
+        # migrate pre-v2 grants ([otype, oname, priv]) to db-scoped
+        # 4-tuples; v1 grants applied regardless of database → db "*"
+        for r in self._s["roles"].values():
+            r["grants"] = [g + ["*"] if len(g) == 3 else g for g in r["grants"]]
 
     def _save(self) -> None:
         os.makedirs(os.path.dirname(self.path), exist_ok=True)
@@ -180,16 +211,17 @@ class RbacStore:
     # -- privileges -----------------------------------------------------------
     def grant_privilege(
         self, role: str, privilege: str, object_name: str = "*",
-        object_type: str = "Collection",
+        object_type: str = "Collection", db_name: str = "*",
     ) -> None:
         if role not in self._s["roles"]:
             raise ValueError(f"role {role!r} not found")
         valid = (
             COLLECTION_PRIVS | GLOBAL_PRIVS | set(PRIVILEGE_GROUPS)
+            | set(self._s["privilege_groups"])
         )
         if privilege not in valid:
             raise ValueError(f"unknown privilege {privilege!r}")
-        g = [object_type, object_name, privilege]
+        g = [object_type, object_name, privilege, db_name]
         grants = self._s["roles"][role]["grants"]
         if g not in grants:
             grants.append(g)
@@ -197,18 +229,90 @@ class RbacStore:
 
     def revoke_privilege(
         self, role: str, privilege: str, object_name: str = "*",
-        object_type: str = "Collection",
+        object_type: str = "Collection", db_name: str = "*",
     ) -> None:
         grants = self._s["roles"].get(role, {}).get("grants", [])
-        g = [object_type, object_name, privilege]
+        g = [object_type, object_name, privilege, db_name]
         if g in grants:
             grants.remove(g)
             self._save()
 
+    # -- privilege groups (v2: constant.go PrivilegeGroup surface) ------------
+    def create_privilege_group(self, group: str) -> None:
+        _validate_name(group, "privilege group")
+        if (
+            group in self._s["privilege_groups"]
+            or group in PRIVILEGE_GROUPS
+            or group in COLLECTION_PRIVS
+            or group in GLOBAL_PRIVS
+        ):
+            raise ValueError(f"privilege group {group!r} conflicts with an "
+                             "existing group or privilege")
+        self._s["privilege_groups"][group] = []
+        self._save()
+
+    def drop_privilege_group(self, group: str) -> None:
+        if group in PRIVILEGE_GROUPS:
+            raise ValueError(f"cannot drop built-in group {group!r}")
+        holders = [
+            role
+            for role, d in self._s["roles"].items()
+            if any(g[2] == group for g in d["grants"])
+        ]
+        if holders:
+            raise RbacError(
+                f"privilege group {group!r} is granted to roles {holders}"
+            )
+        self._s["privilege_groups"].pop(group, None)
+        self._save()
+
+    def list_privilege_groups(self) -> dict:
+        out = {k: tuple(sorted(v)) for k, v in PRIVILEGE_GROUPS.items()}
+        out.update(
+            {k: tuple(sorted(v)) for k, v in self._s["privilege_groups"].items()}
+        )
+        return out
+
+    def add_privileges_to_group(self, group: str, privileges: list) -> None:
+        g = self._s["privilege_groups"].get(group)
+        if g is None:
+            raise ValueError(f"privilege group {group!r} not found")
+        for p in privileges:
+            if p not in COLLECTION_PRIVS and p not in GLOBAL_PRIVS:
+                raise ValueError(f"unknown privilege {p!r}")
+            if p not in g:
+                g.append(p)
+        self._save()
+
+    def remove_privileges_from_group(self, group: str, privileges: list) -> None:
+        g = self._s["privilege_groups"].get(group)
+        if g is None:
+            raise ValueError(f"privilege group {group!r} not found")
+        self._s["privilege_groups"][group] = [p for p in g if p not in privileges]
+        self._save()
+
+    # -- backup / restore (BackupRBAC / RestoreRBAC) --------------------------
+    def backup(self) -> dict:
+        return json.loads(json.dumps(self._s))
+
+    def restore(self, data: dict) -> None:
+        if not isinstance(data, dict) or "users" not in data or "roles" not in data:
+            raise ValueError("invalid RBAC backup payload")
+        self._s = json.loads(json.dumps(data))
+        self._s.setdefault("privilege_groups", {})
+        for r in self._s["roles"].values():
+            r["grants"] = [g + ["*"] if len(g) == 3 else g for g in r["grants"]]
+        self._save()
+
     # -- enforcement ----------------------------------------------------------
-    def check(self, user: str, privilege: str, object_name: str = "*") -> None:
-        """Raise RbacError unless ``user`` holds ``privilege`` on the
-        object (root and the admin role bypass — DefaultRoles)."""
+    def check(
+        self, user: str, privilege: str, object_name: str = "*",
+        db_name: str = "default",
+    ) -> None:
+        """Raise RbacError unless ``user`` holds ``privilege`` on the object
+        in the database (root and the admin role bypass — DefaultRoles).
+        Grant names expand through built-in AND custom privilege groups; a
+        grant's db scope "*" matches any database."""
         if user == ROOT_USER:
             return
         u = self._s["users"].get(user)
@@ -217,15 +321,20 @@ class RbacStore:
         roles = set(u["roles"]) | {ROLE_PUBLIC}
         if ROLE_ADMIN in roles:
             return
+        custom = self._s["privilege_groups"]
         for role in roles:
-            for otype, oname, priv in self._s["roles"].get(role, {}).get("grants", []):
+            for otype, oname, priv, gdb in self._s["roles"].get(role, {}).get("grants", []):
                 if oname not in ("*", object_name):
+                    continue
+                if gdb not in ("*", db_name):
                     continue
                 if priv == "All" or priv == privilege:
                     return
                 if privilege in PRIVILEGE_GROUPS.get(priv, ()):
                     return
+                if privilege in custom.get(priv, ()):
+                    return
         raise RbacError(
             f"permission denied: user {user!r} lacks {privilege} on "
-            f"{object_name!r}"
+            f"{object_name!r} in db {db_name!r}"
         )

@@ -140,3 +140,144 @@ def test_rbac_api_requires_privilege(client):
             client.list_users()
     finally:
         client.logout()
+
+
+def test_logout_is_not_an_escalation(spark, tmp_path):
+    """A client constructed with restricted credentials can never regain
+    root without credentials (r4 advice: logout() used to reset to root)."""
+    root_dir = str(tmp_path / "esc_root")
+    admin = MilvusSparkClient(spark, root=root_dir)
+    admin.create_user("mallory", "mallorypw")
+
+    restricted = MilvusSparkClient(spark, root=root_dir, user="mallory", password="mallorypw")
+    assert restricted._current_user == "mallory"
+    restricted.logout()
+    assert restricted._current_user == "mallory"  # NOT root
+    with pytest.raises(RbacError):
+        restricted.create_user("evil", "evilpass1")
+    # regaining root requires actual root credentials
+    with pytest.raises(RbacError, match="auth check failure"):
+        restricted.login("root", "wrong")
+    restricted.login("root", "Milvus")
+    assert restricted._current_user == "root"
+    # logout drops back to the constructed identity, not root
+    restricted.logout()
+    assert restricted._current_user == "mallory"
+    # constructing with a non-root identity REQUIRES a password
+    with pytest.raises(ValueError, match="password required"):
+        MilvusSparkClient(spark, root=root_dir, user="mallory")
+    with pytest.raises(RbacError, match="auth check failure"):
+        MilvusSparkClient(spark, root=root_dir, user="mallory", password="nope12")
+
+
+def test_grant_privilege_v2_database_scope(spark, tmp_path, sf_dir):
+    """Database-scoped grants (grant_privilege_v2 db_name): a privilege
+    granted in one database does not apply in another; db_name='*' applies
+    everywhere (test_milvus_client_rbac.py:415)."""
+    client = MilvusSparkClient(spark, root=str(tmp_path / "v2_root"))
+    nation = client.spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_database("db2")
+    client.create_collection("nat", pk_field="n_nationkey")
+    client.insert("nat", nation)
+    client.use_database("db2")
+    client.create_collection("nat", pk_field="n_nationkey")
+    client.insert("nat", nation)
+    client.use_database("default")
+
+    client.create_user("zoe", "zoepass12")
+    client.create_role("db2_reader")
+    client.grant_privilege_v2("db2_reader", "CollectionReadOnly", "nat", db_name="db2")
+    client.grant_role("zoe", "db2_reader")
+    client.login("zoe", "zoepass12")
+    try:
+        with pytest.raises(RbacError, match="Query"):
+            client.query("nat", filter="n_regionkey == 1")  # default db: denied
+        client.use_database("db2")
+        assert client.query("nat", filter="n_regionkey == 1").count() > 0
+        client.use_database("default")
+    finally:
+        client.logout()
+    # revoke requires the same (collection, db) scope
+    client.revoke_privilege_v2("db2_reader", "CollectionReadOnly", "nat", db_name="db2")
+    client.login("zoe", "zoepass12")
+    client.use_database("db2")
+    with pytest.raises(RbacError, match="Query"):
+        client.query("nat", filter="n_regionkey == 1")
+    client.logout()
+    client.use_database("default")
+    # wildcard db grant applies in every database
+    client.grant_privilege_v2("db2_reader", "CollectionReadOnly", "nat", db_name="*")
+    client.login("zoe", "zoepass12")
+    assert client.query("nat", filter="n_regionkey == 1").count() > 0
+    client.use_database("db2")
+    assert client.query("nat", filter="n_regionkey == 1").count() > 0
+
+
+def test_custom_privilege_groups(spark, tmp_path, sf_dir):
+    """create_privilege_group / add_privileges_to_group / grant of a custom
+    group name (test_milvus_client_rbac.py:752-900)."""
+    client = MilvusSparkClient(spark, root=str(tmp_path / "pg_root"))
+    client.create_privilege_group("query_only")
+    assert "query_only" in client.list_privilege_groups()
+    assert "CollectionReadOnly" in client.list_privilege_groups()  # built-ins listed
+    with pytest.raises(ValueError, match="conflicts"):
+        client.create_privilege_group("CollectionReadOnly")
+    with pytest.raises(ValueError, match="invalid"):
+        client.create_privilege_group("bad-name!")
+    with pytest.raises(ValueError, match="unknown privilege"):
+        client.add_privileges_to_group("query_only", ["Fly"])
+    client.add_privileges_to_group("query_only", ["Query", "GetStatistics"])
+    assert client.list_privilege_groups()["query_only"] == ("GetStatistics", "Query")
+
+    nation = client.spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("nat", pk_field="n_nationkey")
+    client.insert("nat", nation)
+    client.create_user("pat", "patpass12")
+    client.create_role("qr")
+    client.grant_privilege("qr", "query_only", "nat")
+    client.grant_role("pat", "qr")
+    client.login("pat", "patpass12")
+    try:
+        assert client.query("nat", filter="n_regionkey == 1").count() > 0
+        with pytest.raises(RbacError, match="Insert"):
+            client.insert("nat", nation.limit(1))
+    finally:
+        client.logout()
+    # group membership is live: removing a privilege re-locks the grantees
+    client.remove_privileges_from_group("query_only", ["Query"])
+    client.login("pat", "patpass12")
+    with pytest.raises(RbacError, match="Query"):
+        client.query("nat", filter="n_regionkey == 1")
+    client.logout()
+    # a group referenced by a grant refuses to drop; built-ins always refuse
+    with pytest.raises(RbacError, match="granted to roles"):
+        client.drop_privilege_group("query_only")
+    client.revoke_privilege("qr", "query_only", "nat")
+    client.drop_privilege_group("query_only")
+    assert "query_only" not in client.list_privilege_groups()
+    with pytest.raises(ValueError, match="built-in"):
+        client.drop_privilege_group("DatabaseAdmin")
+
+
+def test_rbac_backup_restore(spark, tmp_path):
+    """BackupRBAC/RestoreRBAC round-trip across stores."""
+    a = MilvusSparkClient(spark, root=str(tmp_path / "bk_a"))
+    a.create_user("uma", "umapass12")
+    a.create_role("ops")
+    a.grant_role("uma", "ops")
+    a.grant_privilege_v2("ops", "DatabaseReadOnly", "*", db_name="prod")
+    a.create_privilege_group("gg")
+    a.add_privileges_to_group("gg", ["Flush"])
+    dump = a.backup_rbac()
+
+    b = MilvusSparkClient(spark, root=str(tmp_path / "bk_b"))
+    b.restore_rbac(dump)
+    assert "uma" in b.list_users()
+    assert b.describe_user("uma")["roles"] == ("ops",)
+    assert b.list_privilege_groups()["gg"] == ("Flush",)
+    b.login("uma", "umapass12")  # passwords survive the round-trip
+    with pytest.raises(RbacError, match="RestoreRBAC"):
+        b.restore_rbac(dump)  # restore itself is a privileged operation
+    b.logout()
+    with pytest.raises(ValueError, match="invalid RBAC backup"):
+        b.restore_rbac({"nope": 1})
