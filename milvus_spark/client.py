@@ -2031,16 +2031,15 @@ class MilvusSparkClient:
                 )
             from functools import reduce as _reduce
 
-            fdf = self._partition_filter(
-                self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
-                partition_names,
-            )
+            vis = self._read(name, self._resolve_as_of(name, as_of, consistency_level))
+            fdf = self._partition_filter(vis, partition_names)
             # BM25 corpus stats (N/avgdl/IDF) come from the UNFILTERED
             # visibility-scoped frame — the reference keeps them
             # collection-global at the delegator (idf_oracle.go:81), so a
-            # scalar filter (incl. the namespace conjunct: indexes span
-            # tenants) only restricts candidates, never changes a score
-            corpus = fdf if filter else None
+            # scalar filter AND the partition/namespace scope (indexes span
+            # tenants; search_text does the same) only restrict candidates,
+            # never change a score
+            corpus = vis if (filter or partition_names) else None
             if filter:
                 fdf = fdf.filter(
                     compile_expr(filter, fdf.schema, params, dynamic_field=self._dyn(meta))

@@ -58,13 +58,25 @@ def _fuzzy_variants(term: str, d: int) -> list[tuple[str, int]]:
     transpositions counted as one edit (tantivy FuzzyTermQuery with
     transposition_cost_one, index_reader_text.rs:99).
 
-    cost 0: the term itself; cost 1: each single adjacent swap; cost 2
-    (when d == 2): each pair of non-overlapping adjacent swaps. A doc token
-    t then matches iff min over variants of cost + levenshtein(variant, t)
-    ≤ d — the query-side pre-application of the automaton's transposition
-    moves, exact for the dominant cases and a compile-time literal set (the
-    query is always a literal), so the same list embeds verbatim in the
-    DuckDB oracle SQL."""
+    A doc token t matches iff min over variants of
+    cost + levenshtein(variant, t) ≤ d. For d ≤ 2 this is EXACTLY the
+    (unrestricted, Lowrance-Wagner) Damerau-Levenshtein predicate, because
+    every way a transposition can compose with other edits is covered:
+      cost 0: the term itself (covers all-plain-lev scripts, including the
+              3-char rotation two OVERLAPPING swaps produce — that rotation
+              is a delete+insert, i.e. plain lev 2);
+      cost 1: each single adjacent swap (inserts/substitutions commute
+              with a swap, so swap-variant + lev budget d−1 covers any
+              swap ∘ {ins,sub,del-elsewhere} composition);
+      cost 2: (a) each pair of non-overlapping adjacent swaps, and
+              (b) each delete-then-swap-the-new-neighbors — the one
+              composition a swap on the original term cannot express
+              (deletion is the only adjacency-creating edit; e.g.
+              'axb' → 'ba' is Damerau 2 via delete 'x', swap 'ab').
+    Verified exhaustively against an independent Damerau DP in
+    tests/test_expr.py (alphabet³, lengths ≤ 5, both d values). The
+    variants are a compile-time literal set (the query is always a
+    literal), so the same list embeds verbatim in the DuckDB oracle SQL."""
     out: dict[str, int] = {term: 0}
 
     def swaps(s: str):
@@ -80,6 +92,10 @@ def _fuzzy_variants(term: str, d: int) -> list[tuple[str, int]]:
             for j, v2 in swaps(v1):
                 if abs(j - i) >= 2:
                     out.setdefault(v2, 2)
+        for i in range(1, len(term) - 1):
+            if term[i - 1] != term[i + 1]:
+                v = term[: i - 1] + term[i + 1] + term[i - 1] + term[i + 2:]
+                out.setdefault(v, 2)
     return sorted(out.items())
 
 

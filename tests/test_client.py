@@ -2000,3 +2000,45 @@ def test_iterative_filter_zero_survivor_widening(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="unknown hints"):
         c.search("itz", [[0.0, 0.0]], limit=5, hints="bogus", group_by_field="id")
+
+
+def test_bm25_stats_global_across_partition_scope(spark, tmp_path):
+    """BM25 corpus stats are collection-global in the function-field path
+    even under a partition scope (r4 advice): a document's score must be
+    IDENTICAL whether the search is collection-wide or restricted to its
+    partition — the scope restricts candidates, never rescales IDF/avgdl."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "bm25g"))
+    c.create_collection("docs", "id", fields=["id", "txt"])
+    c.create_partition("docs", "p1")
+    a = spark.createDataFrame(
+        [(1, "spark query engine"), (2, "query planner rules")], "id long, txt string"
+    )
+    b = spark.createDataFrame(
+        [(3, "query optimizer"), (4, "storage layer manager stuff")], "id long, txt string"
+    )
+    c.insert("docs", a, partition_name="p1")
+    c.insert("docs", b)  # _default: changes global N/avgdl/IDF
+    c.add_function_field(
+        "docs", {"type": "BM25", "input_field": "txt", "output_field": "sp"}
+    )
+    full = {r.id: r.score for r in c.search("docs", ["query"], limit=10, anns_field="sp").collect()}
+    part = {
+        r.id: r.score
+        for r in c.search(
+            "docs", ["query"], limit=10, anns_field="sp", partition_names=["p1"]
+        ).collect()
+    }
+    assert set(part) == {1, 2}  # candidates restricted to p1
+    for i in part:
+        assert part[i] == full[i], f"doc {i}: partition-scoped score drifted"
+    # and with a scalar filter on top, scores still match the global ones
+    filt = {
+        r.id: r.score
+        for r in c.search(
+            "docs", ["query"], limit=10, anns_field="sp",
+            partition_names=["p1"], filter="id == 2",
+        ).collect()
+    }
+    assert filt == {2: full[2]}

@@ -666,3 +666,76 @@ def test_integer_radix_and_unicode_escapes(spark, sf_dir):
         assert ids_for(o, compile_expr(f"o_custkey == {form}", o.schema), "o_orderkey") == base, form
     d = spark.createDataFrame([("A",), ("B",)], "s string")
     assert d.filter(compile_expr('s == "\\u0041"', d.schema)).count() == 1
+
+
+def _damerau(a: str, b: str) -> int:
+    """Independent unrestricted Damerau-Levenshtein (Lowrance-Wagner) —
+    deliberately NOT derived from _fuzzy_variants, so the equivalence test
+    below is non-circular."""
+    INF = len(a) + len(b)
+    da: dict = {}
+    d = [[0] * (len(b) + 2) for _ in range(len(a) + 2)]
+    d[0][0] = INF
+    for i in range(len(a) + 1):
+        d[i + 1][0] = INF
+        d[i + 1][1] = i
+    for j in range(len(b) + 1):
+        d[0][j + 1] = INF
+        d[1][j + 1] = j
+    for i in range(1, len(a) + 1):
+        db = 0
+        for j in range(1, len(b) + 1):
+            k, l = da.get(b[j - 1], 0), db
+            if a[i - 1] == b[j - 1]:
+                cost, db = 0, j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,
+                d[i + 1][j] + 1,
+                d[i][j + 1] + 1,
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),
+            )
+        da[a[i - 1]] = i
+    return d[len(a) + 1][len(b) + 1]
+
+
+def _plain_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i in range(1, len(a) + 1):
+        cur = [i] + [0] * len(b)
+        for j in range(1, len(b) + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_fuzzy_variants_equal_true_damerau_exhaustive():
+    """The (variant, cost) expansion is EXACTLY the bounded Damerau
+    predicate for d ≤ 2 — exhaustive over a 3-letter alphabet up to length
+    5 on both sides, checked against the independent DP above (r4 advice:
+    the previous expansion missed transpositions whose adjacency is
+    created by a deletion, e.g. query 'axb' vs token 'ba' at d=2)."""
+    import itertools
+
+    from milvus_spark.plans.expr import _fuzzy_variants
+
+    words = [""] + [
+        "".join(p) for n in range(1, 6) for p in itertools.product("abc", repeat=n)
+    ]
+    for d in (1, 2):
+        for q in words:
+            vs = _fuzzy_variants(q, d)
+            for t in words:
+                pred = any(c + _plain_lev(v, t) <= d for v, c in vs)
+                truth = _damerau(q, t) <= d
+                assert pred == truth, f"d={d} q={q!r} t={t!r} dam={_damerau(q, t)}"
+
+
+def test_fuzzy_delete_then_transpose_matches(spark):
+    """End-to-end: the advisor's counterexample now matches in Spark."""
+    from milvus_spark.plans.expr import compile_expr
+
+    df = spark.createDataFrame([("ba",), ("zz",)], "text string")
+    c = compile_expr('text_match_fuzzy(text, "axb", max_edit_distance=2)', df.schema)
+    assert [r.text for r in df.filter(c).collect()] == ["ba"]
