@@ -93,13 +93,20 @@ def src_binlog_import(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     base = scratch_mkdtemp("binlog_")
+    # FIXTURE CONSTRUCTION ONLY: this collect() builds the binlog files the
+    # query then imports; the import/read path itself is distributed
+    # (mapInPandas per log group). The slice is ~1/7 of customer — bounded
+    # here so a misconfigured filter can never pull a full-scale table
+    # through the driver.
     rows = (
         load_table(spark, sf, "customer")
         .filter(F.col("c_custkey") % 7 == 2)
         .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_nationkey")
         .orderBy("c_custkey")
+        .limit(1_000_000)
         .collect()
     )
+    assert len(rows) < 1_000_000, "binlog fixture slice unexpectedly large"
     fields = {
         100: ("c_custkey", DT_INT64, [r.c_custkey for r in rows]),
         101: ("c_name", DT_VARCHAR, [r.c_name for r in rows]),
@@ -167,3 +174,70 @@ def src_external_table(spark: SparkSession, sf: str) -> DataFrame:
         "l_quantity",
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias("net"),
     )
+
+
+@register(
+    "src_packed_manifest",
+    oracle="""
+    SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 6 = 3 AND NOT c_custkey % 9 = 3
+    """,
+)
+def src_packed_manifest(spark: SparkSession, sf: str) -> DataFrame:
+    """Storage-v2 packed-manifest round-trip (storagev2/packed/
+    manifest_commit.go ManifestUpdates; explore_ffi.go LoonManifest walk +
+    NormalizeFileInfos). A customer slice is committed as TWO vertical
+    column groups x two aligned fragments plus a delta binlog tombstoning
+    part of the slice; the manifest also lists a stray non-parquet file
+    that normalization must drop. read_packed_table zips aligned fragments
+    positionally (one task each) and applies the tombstones as a broadcast
+    anti-join — and must hash-match the slice selected straight from
+    parquet."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from milvus_spark.sources.binlog import write_delta_binlog
+    from milvus_spark.sources.packed_manifest import (
+        read_packed_table,
+        write_manifest,
+    )
+
+    base = scratch_mkdtemp("packed_")
+    # FIXTURE CONSTRUCTION ONLY (bounded ~1/6 slice; see src_binlog_import
+    # note) — the read path under test is fully distributed.
+    rows = (
+        load_table(spark, sf, "customer")
+        .filter(F.col("c_custkey") % 6 == 3)
+        .select("c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "c_mktsegment")
+        .orderBy("c_custkey")
+        .limit(1_000_000)
+        .collect()
+    )
+    assert len(rows) < 1_000_000, "packed fixture slice unexpectedly large"
+    half = len(rows) // 2
+    cg_cols = {"cg0": ["c_custkey", "c_mktsegment"], "cg1": ["c_name", "c_acctbal"]}
+    groups = []
+    for cg, cols in cg_cols.items():
+        files = []
+        for i, chunk in enumerate((rows[:half], rows[half:])):
+            rel = f"{cg}/frag{i}.parquet"
+            p = os.path.join(base, rel)
+            os.makedirs(os.path.dirname(p), exist_ok=True)
+            pq.write_table(
+                pa.table({c: [getattr(r, c) for r in chunk] for c in cols}), p
+            )
+            files.append(
+                {"path": rel, "start_index": 0 if i == 0 else half,
+                 "end_index": half if i == 0 else len(rows)}
+            )
+        # stray listing entry that NormalizeFileInfos must filter out
+        files.append({"path": f"{cg}/_SUCCESS", "start_index": 0, "end_index": -1})
+        groups.append({"columns": cols, "files": files})
+    dels = [r.c_custkey for r in rows if r.c_custkey % 9 == 3]
+    write_delta_binlog(os.path.join(base, "_delta", "0"), dels, [1] * len(dels))
+    write_manifest(
+        os.path.join(base, "manifest.json"), groups, delta_logs=["_delta"]
+    )
+    return read_packed_table(
+        spark, os.path.join(base, "manifest.json"), pk_field="c_custkey"
+    ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
