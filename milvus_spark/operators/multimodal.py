@@ -2,12 +2,15 @@
 
 Media payloads are opaque ``binary`` columns with typed metadata
 (width/height/codec/duration), processed by Arrow-batched pandas UDFs over
-``mapInPandas``. The actual codec work (JPEG decode, resampling, frame
-extraction) requires libraries not present in this container, so the decode
-kernels are STUBS — ``decode_image``/``decode_audio`` raise
-``NotImplementedError`` unless ``fake=True``, where a deterministic
-hash-derived payload stands in so the Spark-side plumbing (schema, batch
-shape, partitioning) is fully testable.
+``mapInPandas``. The codec layer is pluggable at runtime:
+``decode_image``/``decode_audio`` use Pillow / soundfile when importable
+(real JPEG/PNG decode + resize, real WAV decode + frame-energy binning)
+and otherwise raise ``NotImplementedError`` unless ``fake=True``, where a
+deterministic hash-derived payload stands in so the Spark-side plumbing
+(schema, batch shape, partitioning) is fully testable in codec-less
+containers. The registered oracle queries PIN ``fake=True`` (the oracle
+recomputes the deterministic fixture); the real path is covered by unit
+tests that skip when the library is absent.
 
 The Spark-side contract IS the real design:
   - media rows are large → keep ``spark.sql.files.maxPartitionBytes`` small
@@ -38,26 +41,66 @@ def _fake_pixels(payload: bytes, w: int, h: int) -> list[float]:
     return (vals / 255.0).round(6).tolist()
 
 
+def _try_import(name: str):
+    try:
+        return __import__(name)
+    except ImportError:
+        return None
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
-    if not fake:
-        raise NotImplementedError("image codecs unavailable in this environment; use fake=True")
-    return _fake_pixels(payload, THUMB_W, THUMB_H)
+    """Decoded + grayscale-resized THUMB_W×THUMB_H pixel grid in [0,1].
+    Real path via Pillow when importable; ``fake=True`` forces the
+    deterministic fixture either way (the oracle-pinned path)."""
+    if fake:
+        return _fake_pixels(payload, THUMB_W, THUMB_H)
+    if _try_import("PIL") is not None:
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload)).convert("L").resize((THUMB_W, THUMB_H))
+        return (np.asarray(img, dtype=np.float64).ravel() / 255.0).round(6).tolist()
+    raise NotImplementedError(
+        "image codecs unavailable in this environment (pip install Pillow), "
+        "or use fake=True"
+    )
 
 
 def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
-    if not fake:
-        raise NotImplementedError("audio codecs unavailable in this environment; use fake=True")
-    return _fake_pixels(payload, AUDIO_FRAMES, 1)
+    """AUDIO_FRAMES mean-|amplitude| energy frames in [0,1]. Real path via
+    soundfile when importable; ``fake=True`` forces the deterministic
+    fixture either way (the oracle-pinned path)."""
+    if fake:
+        return _fake_pixels(payload, AUDIO_FRAMES, 1)
+    if _try_import("soundfile") is not None:
+        import io
+
+        import soundfile as sf
+
+        samples, _sr = sf.read(io.BytesIO(payload), dtype="float64", always_2d=True)
+        mono = np.abs(samples).mean(axis=1)
+        if len(mono) == 0:
+            return [0.0] * AUDIO_FRAMES
+        bins = np.array_split(mono, AUDIO_FRAMES)
+        return [round(float(b.mean()) if len(b) else 0.0, 6) for b in bins]
+    raise NotImplementedError(
+        "audio codecs unavailable in this environment (pip install soundfile), "
+        "or use fake=True"
+    )
 
 
-def image_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
-    """payload binary → (pk, thumb array<double>, phash bigint), Arrow-batched."""
+def image_features(
+    df: DataFrame, payload_col: str, pk_col: str, fake: bool = True
+) -> DataFrame:
+    """payload binary → (pk, thumb array<double>, phash bigint), Arrow-batched.
+    ``fake=False`` switches to the real Pillow decode (same schema/shape)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            thumbs = [decode_image(bytes(b), fake=True) for b in pdf[payload_col]]
+            thumbs = [decode_image(bytes(b), fake=fake) for b in pdf[payload_col]]
             # 60-bit perceptual-hash stand-in: first 15 hex chars of the
             # digest — integer arithmetic only, so an external SQL oracle
             # can recompute it exactly (no fp, no sign games)
@@ -76,9 +119,12 @@ def image_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
     )
 
 
-def audio_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
+def audio_features(
+    df: DataFrame, payload_col: str, pk_col: str, fake: bool = True
+) -> DataFrame:
     """audio binary → (pk, fbank array<double>[AUDIO_FRAMES]) — the
-    fixed-frame feature shape (fbank/mfcc stand-in), Arrow-batched."""
+    fixed-frame feature shape (fbank/mfcc stand-in), Arrow-batched.
+    ``fake=False`` switches to the real soundfile decode (same schema)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -86,7 +132,7 @@ def audio_features(df: DataFrame, payload_col: str, pk_col: str) -> DataFrame:
                 continue
             yield pd.DataFrame({
                 pk_col: pdf[pk_col].to_numpy(),
-                "fbank": [decode_audio(bytes(b), fake=True) for b in pdf[payload_col]],
+                "fbank": [decode_audio(bytes(b), fake=fake) for b in pdf[payload_col]],
             })
 
     return df.select(pk_col, payload_col).mapInPandas(

@@ -111,3 +111,63 @@ def test_multimodal_features(spark, sf_dir):
 
     with pytest.raises(NotImplementedError):
         decode_image(b"xx", fake=False)
+
+
+def _has(mod):
+    try:
+        __import__(mod)
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(not _has("PIL"), reason="Pillow not installed")
+def test_real_image_codec_path(spark):
+    """When Pillow IS present, fake=False decodes a real PNG through the
+    same mapInPandas plumbing with the same schema/shape."""
+    import io
+
+    from PIL import Image
+
+    from milvus_spark.operators.multimodal import THUMB_H, THUMB_W, decode_image, image_features
+
+    buf = io.BytesIO()
+    Image.new("RGB", (32, 16), (255, 0, 0)).save(buf, format="PNG")
+    png = buf.getvalue()
+    px = decode_image(png, fake=False)
+    assert len(px) == THUMB_W * THUMB_H and all(0.0 <= v <= 1.0 for v in px)
+    df = spark.createDataFrame([(1, bytearray(png))], "doc_id long, media binary")
+    rows = image_features(df, "media", "doc_id", fake=False).collect()
+    assert len(rows) == 1 and len(rows[0].thumb) == THUMB_W * THUMB_H
+
+
+@pytest.mark.skipif(not _has("soundfile"), reason="soundfile not installed")
+def test_real_audio_codec_path(spark):
+    import io
+    import struct
+    import wave
+
+    from milvus_spark.operators.multimodal import AUDIO_FRAMES, audio_features, decode_audio
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", (i % 100) * 300 - 15000) for i in range(800)))
+    wav = buf.getvalue()
+    fb = decode_audio(wav, fake=False)
+    assert len(fb) == AUDIO_FRAMES and all(0.0 <= v <= 1.0 for v in fb)
+    df = spark.createDataFrame([(1, bytearray(wav))], "doc_id long, media binary")
+    rows = audio_features(df, "media", "doc_id", fake=False).collect()
+    assert len(rows) == 1 and len(rows[0].fbank) == AUDIO_FRAMES
+
+
+@pytest.mark.skipif(_has("PIL") or _has("soundfile"), reason="codec libs present")
+def test_codecless_container_raises(spark):
+    from milvus_spark.operators.multimodal import decode_audio, decode_image
+
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        decode_image(b"xx", fake=False)
+    with pytest.raises(NotImplementedError, match="soundfile"):
+        decode_audio(b"xx", fake=False)
