@@ -69,6 +69,28 @@ def build_analyzer(
                     f"unknown lindera dict_kind {kind!r}; have {_LINDERA_KINDS}"
                 )
             tokenize = lambda c, kind=kind: lindera_tokens(c, kind)  # noqa: E731
+        elif ttype == "jieba" and ("dict_file" in spec or "dict_resource" in spec):
+            # jieba with a REAL dictionary attached ({"type": "jieba",
+            # "dict_file": <path>} or {"dict_resource": <file-resource
+            # name>} — jieba dict.txt format, public MIT data). The
+            # embedded core stays the fallback; supplying the full dict
+            # reaches tantivy-jieba parity (the DAG+DP route is already
+            # the published algorithm).
+            from milvus_spark.operators.cjk_dict import (
+                jieba_tokens,
+                load_dict_file,
+                parse_dict_lines,
+            )
+
+            if "dict_file" in spec:
+                extra = load_dict_file(spec["dict_file"])
+            else:
+                if resource_words is None:
+                    raise ValueError(
+                        "dict_resource requires a client file-resource context"
+                    )
+                extra = parse_dict_lines(resource_words(spec["dict_resource"]))
+            tokenize = lambda c, extra=extra: jieba_tokens(c, extra_dict=extra)  # noqa: E731
         elif ttype in ("jieba", "standard", "whitespace", "cjk_bigram", "cjk_dict"):
             tok = ttype  # plain named tokenizer in structured form
         else:

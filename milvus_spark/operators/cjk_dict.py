@@ -150,6 +150,40 @@ def load_user_dict(words: dict[str, int]) -> None:
     _ZH_MAXLEN = max(_ZH_MAXLEN, max((len(w) for w in words), default=1))
 
 
+def parse_dict_lines(lines) -> dict[str, int]:
+    """Parse jieba dict.txt-format lines — ``word [freq] [pos_tag]`` per
+    line (the MIT-licensed public data format jieba and tantivy-jieba
+    ship). Freq defaults to 3 (jieba's floor for user-dict entries whose
+    frequency is omitted); blank lines and ``#`` comments are skipped."""
+    out: dict[str, int] = {}
+    for raw in lines:
+        line = raw.strip()
+        if not line or line.startswith("#"):
+            continue
+        parts = line.split()
+        word = parts[0]
+        freq = 3
+        if len(parts) > 1 and parts[1].isdigit():
+            freq = max(1, int(parts[1]))
+        out[word] = freq
+    return out
+
+
+def load_dict_file(path: str) -> dict[str, int]:
+    """Read a jieba dict.txt-format file. A deployment that supplies the
+    full public dict reaches tantivy-jieba segmentation parity — the
+    algorithm (DAG + DP route) is already the published one; only the
+    dictionary data differs from the embedded core."""
+    with open(path, encoding="utf-8") as f:
+        return parse_dict_lines(f)
+
+
+def load_user_dict_file(path: str) -> None:
+    """load_dict_file + merge into the live dictionary (jieba
+    load_userdict with a file argument)."""
+    load_user_dict(load_dict_file(path))
+
+
 def _is_cjk(ch: str) -> bool:
     return "一" <= ch <= "鿿"
 
@@ -165,6 +199,10 @@ def _cut_dag(run: str, dic: dict | None = None, total: int | None = None,
 
     if dic is None:
         dic, total, maxlen = _ZH_CORE, ZH_TOTAL, _ZH_MAXLEN
+    if total is None:
+        total = sum(dic.values())
+    if maxlen is None:
+        maxlen = max((len(w) for w in dic), default=1)
     n = len(run)
     logtotal = math.log(total)
     # route[i] = (best score from i to end, end index of first word)
@@ -224,19 +262,25 @@ def jieba_cut(sentence: str, dic: dict | None = None, total: int | None = None,
     return out
 
 
-def jieba_tokens(col: Column) -> Column:
+def jieba_tokens(col: Column, extra_dict: dict[str, int] | None = None) -> Column:
     """``jieba`` analyzer column: DAG-route CJK words; non-CJK spans are
     split on non-alphanumerics and lowercased (the standard-filter chain
     the reference applies around the jieba tokenizer).
 
-    The dictionary is SNAPSHOTTED into the UDF closure at construction
-    time: executor workers re-import this module fresh, so driver-side
-    load_user_dict mutations must travel with the serialized function, not
-    via module globals."""
+    ``extra_dict`` overlays the embedded core for THIS analyzer only (the
+    per-analyzer dict_file/dict_resource option) without mutating module
+    state. The dictionary is SNAPSHOTTED into the UDF closure at
+    construction time: executor workers re-import this module fresh, so
+    driver-side load_user_dict mutations must travel with the serialized
+    function, not via module globals."""
     import re as _re
 
     word_re = _re.compile(r"[a-z0-9]+")
-    dic, total, maxlen = dict(_ZH_CORE), ZH_TOTAL, _ZH_MAXLEN
+    dic = dict(_ZH_CORE)
+    if extra_dict:
+        dic.update(extra_dict)
+    total = sum(dic.values())
+    maxlen = max(len(w) for w in dic)
 
     def tok(s: str) -> list[str]:
         out = []
