@@ -33,6 +33,13 @@ from milvus_spark.plans.expr import apply_filter, compile_expr
 # the search validator and the iterator's prefetch cap must agree
 MAX_TOPK = 16384
 
+WARMUP_VALUES = ("sync", "async", "disable")
+
+
+def _validate_warmup(v) -> None:
+    if v not in WARMUP_VALUES:
+        raise ValueError(f"invalid warmup value {v!r}, valid: {WARMUP_VALUES}")
+
 
 class MilvusSparkClient:
     def __init__(
@@ -273,6 +280,7 @@ class MilvusSparkClient:
         field_defaults: Optional[dict] = None,
         analyzer_params: Optional[dict] = None,
         enable_namespace: bool = False,
+        field_warmup: Optional[dict] = None,
     ) -> None:
         """``vector_field`` may be a list: Milvus collections support
         multiple vector fields (one ANN sub-search per field in hybrid
@@ -342,6 +350,17 @@ class MilvusSparkClient:
             # corpus AND the query through this pipeline
             "analyzer_params": dict(analyzer_params) if analyzer_params else None,
         }
+        # per-field warmup (add_field(warmup=...) / collection property
+        # "warmup", test_milvus_client_alter_warmup.py): "sync" fields
+        # materialize during load; "disable" fields stay a lazy parquet
+        # tier; "async" fields pin without blocking the load call
+        if properties and "warmup" in properties:
+            _validate_warmup(properties["warmup"])
+        if field_warmup:
+            fp = self._catalog[name].setdefault("field_properties", {})
+            for fld, w in field_warmup.items():
+                _validate_warmup(w)
+                fp.setdefault(fld, {})["warmup"] = w
         self._save_catalog()
 
     def _apply_defaults(self, meta: dict, df: DataFrame) -> DataFrame:
@@ -375,7 +394,7 @@ class MilvusSparkClient:
         govern actual placement). Unknown property keys error, matching
         the proxy's validation."""
         meta = self._meta(name)
-        allowed = {"description", "max_length", "mmap.enabled"}
+        allowed = {"description", "max_length", "mmap.enabled", "warmup"}
         unknown = set(field_params) - allowed
         if unknown:
             raise ValueError(f"unsupported field properties: {sorted(unknown)}")
@@ -383,6 +402,8 @@ class MilvusSparkClient:
             ml = field_params["max_length"]
             if not (isinstance(ml, int) and 0 < ml <= 65535):
                 raise ValueError(f"max_length must be in (0, 65535], got {ml!r}")
+        if "warmup" in field_params:
+            _validate_warmup(field_params["warmup"])
         meta.setdefault("field_properties", {}).setdefault(field, {}).update(field_params)
         self._save_catalog()
 
@@ -650,21 +671,54 @@ class MilvusSparkClient:
         from pyspark import StorageLevel
 
         self._loaded = getattr(self, "_loaded", {})
+        meta = self._meta(name)
         df = self._read(name)
         if load_fields is not None:
-            pk = self._meta(name)["pk"]
+            pk = meta["pk"]
             missing = [f for f in load_fields if f not in df.columns]
             if missing:
                 raise ValueError(f"load_fields not in schema: {missing}")
             cols = [pk] + [f for f in load_fields if f != pk]
             df = df.select(*cols)
+        else:
+            # field warmup (test_milvus_client_alter_warmup.py): fields
+            # marked warmup="disable" are EXCLUDED from the pinned
+            # projection — they stay a lazy parquet tier (queries touching
+            # them still answer, like partial load); explicit load_fields
+            # overrides the per-field declaration
+            fp = meta.get("field_properties", {})
+            default_w = meta.get("properties", {}).get("warmup", "sync")
+            pk = meta["pk"]
+            cold = {
+                f
+                for f, props in fp.items()
+                if props.get("warmup", default_w) == "disable" and f != pk
+            }
+            if default_w == "disable":
+                cold |= {c for c in df.columns if c != pk and fp.get(c, {}).get("warmup") in (None, "disable")}
+            if cold:
+                df = df.select(*[c for c in df.columns if c not in cold])
         prev = self._loaded.pop(self._load_key(name), None)
         if prev is not None:
             prev.unpersist()  # a re-load must not leak the previous pin
         df = df.persist(
             StorageLevel.MEMORY_AND_DISK_DESER if mmap_enabled else StorageLevel.MEMORY_ONLY
         )
-        df.count()  # eager: load completes before the call returns
+        # "async" warmup on every pinned non-pk field → the load call
+        # returns immediately and materialization happens on first read;
+        # any "sync" field blocks the call on the eager count (the
+        # reference's sync-warmup contract)
+        fp = meta.get("field_properties", {})
+        default_w = meta.get("properties", {}).get("warmup", "sync")
+        pinned_w = {
+            fp.get(c, {}).get("warmup", default_w)
+            for c in df.columns
+            if c != meta["pk"]
+        }
+        if pinned_w and pinned_w <= {"async"}:
+            pass  # deferred materialization
+        else:
+            df.count()  # eager: load completes before the call returns
         self._loaded[self._load_key(name)] = df
 
     def _load_key(self, name: str):

@@ -2042,3 +2042,62 @@ def test_bm25_stats_global_across_partition_scope(spark, tmp_path):
         ).collect()
     }
     assert filt == {2: full[2]}
+
+
+def test_field_warmup_properties(spark, tmp_path):
+    """Per-field warmup (test_milvus_client_alter_warmup.py): declared at
+    create (field_warmup) or via alter_collection_field, surfaced by
+    describe_field, validated, and honored at load — warmup='disable'
+    fields stay a lazy parquet tier (still queryable), 'sync' fields pin."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "warm"))
+    c.create_collection(
+        "w", "pk", vector_field="vec",
+        fields=["pk", "vec", "i64", "vstr"],
+        field_warmup={"vec": "sync", "i64": "disable", "vstr": "disable"},
+    )
+    assert c.describe_field("w", "vec") == {"warmup": "sync"}
+    assert c.describe_field("w", "i64")["warmup"] == "disable"
+    assert c.describe_field("w", "pk") == {}  # undeclared → no warmup key
+    rows = spark.createDataFrame(
+        [(i, [float(i), 1.0], i * 10, f"s{i}") for i in range(20)],
+        "pk long, vec array<float>, i64 long, vstr string",
+    )
+    c.insert("w", rows)
+    c.load_collection("w")
+    # cold fields still answer (lazy tier, not a visibility gate)
+    got = c.query("w", filter="i64 >= 100", output_fields=["pk", "i64", "vstr"])
+    assert got.count() == 10
+    hits = c.search("w", [[1.0, 1.0]], limit=5, output_fields=["i64"]).collect()
+    assert len(hits) == 5
+    c.release_collection("w")
+
+    # alter path + validation matrix
+    c.alter_collection_field("w", "i64", {"warmup": "sync"})
+    assert c.describe_field("w", "i64")["warmup"] == "sync"
+    for bad in ("eager", 1, None, "Sync"):
+        with pytest.raises(ValueError, match="invalid warmup"):
+            c.alter_collection_field("w", "i64", {"warmup": bad})
+    with pytest.raises(ValueError, match="invalid warmup"):
+        c.create_collection("w2", "pk", field_warmup={"x": "nope"})
+    with pytest.raises(ValueError, match="invalid warmup"):
+        c.create_collection("w3", "pk", properties={"warmup": "bogus"})
+
+    # collection-level default coexists with per-field overrides
+    c.create_collection(
+        "w4", "pk", fields=["pk", "a", "b"],
+        properties={"warmup": "disable"},
+        field_warmup={"a": "sync"},
+    )
+    c.insert("w4", spark.createDataFrame([(1, 2, 3)], "pk long, a long, b long"))
+    c.load_collection("w4")  # b is cold by collection default, a pinned
+    assert c.query("w4", filter="b == 3").count() == 1
+    c.release_collection("w4")
+
+    # async warmup: load returns without blocking; reads still correct
+    c.create_collection("w5", "pk", fields=["pk", "a"], field_warmup={"a": "async"})
+    c.insert("w5", spark.createDataFrame([(1, 2)], "pk long, a long"))
+    c.load_collection("w5")
+    assert c.query("w5", filter="a == 2").count() == 1
+    c.release_collection("w5")
