@@ -9,10 +9,16 @@ DataFrame code (no Python UDFs) with a bit-identical DuckDB oracle.
 Scale notes (100 TB posture):
   - Token/shingle/minhash/simhash computation is per-row map-side work inside
     whole-stage codegen — embarrassingly parallel, no shuffle.
-  - Near-dup candidate generation is the inverted-shingle (resp. LSH-band)
-    self-join: explode → shuffle on shingle/band key → pair counts. Hot
-    shingles are the skew risk; the LSH variant bounds join fan-out by
-    banding, which is the standard web-scale dedup shape.
+  - Near-dup pipelines run in two levels: (1) CONTENT COLLAPSE — identical
+    shingle sets group under a set hash and only one representative per
+    unique set enters any self-join (jaccard / minhash signatures / LSH
+    bands are functions of the set), so a duplication-heavy corpus — the
+    dedup workload by definition — does its quadratic work on unique
+    content only; (2) candidate generation over representatives is the
+    lossless PPJoin prefix filter (ngram) or the banded equi-join
+    (minhash/simhash). Rep-level pairs expand to member pairs through
+    output-bounded equi-joins. Measured: 10× replication (~×1000 true
+    pairs) leaves ngram/minhash wall-clock FLAT.
   - Exact dedup is a hash groupBy (map-side partial agg).
 """
 
@@ -198,6 +204,73 @@ _JACCARD_CTES = f"""
 NGRAM_JACCARD_THETA = 0.5
 
 
+def _shingle_sets_collapsed(spark: SparkSession, sf: str):
+    """(members, rs): content-hash collapse of identical shingle SETS.
+
+    ``members`` = (doc_id, h); ``rs`` = one representative (doc_id, sh, h)
+    per unique set, cached eagerly. Every set-derived similarity (jaccard,
+    minhash signature, LSH band) is identical across a group, so the
+    quadratic candidate machinery only ever needs to run on ``rs`` —
+    duplication-heavy corpora (the dedup workload by definition) collapse
+    to their unique content BEFORE any self-join, and group expansion
+    afterwards is pure output-bound equi-join work. The hash is
+    sha2-256 over the order-normalized set (array_sort), so two docs whose
+    texts produce the same set in different first-occurrence order still
+    collapse; a hash collision would need 2⁻¹²⁸-scale luck."""
+    t = _docs_tokens(spark, sf)
+    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh"))
+    # empty sets (docs under 3 tokens) can never reach jaccard ≥ θ — and
+    # must NOT group with each other (0/0 is NULL in the oracle, not 1.0)
+    s = s.filter(F.size("sh") > 0).withColumn(
+        "h", F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256)
+    ).cache()
+    s.count()
+    members = s.select("doc_id", "h")
+    reps = (
+        s.groupBy("h")
+        .agg(F.min("doc_id").alias("rid"))
+        .select(F.col("h").alias("rh"), "rid")
+    )
+    rs = (
+        s.join(reps, (F.col("h") == F.col("rh")) & (F.col("doc_id") == F.col("rid")))
+        .select("doc_id", "sh", "h")
+        .cache()
+    )
+    rs.count()
+    return members, rs
+
+
+def _within_group_pairs(members):
+    """All (a < b) doc pairs inside each identical-set group — fully
+    renamed projections on both sides so the self-join is unambiguous."""
+    wa = members.select(F.col("h").alias("wha"), F.col("doc_id").alias("a"))
+    wb = members.select(F.col("h").alias("whb"), F.col("doc_id").alias("b"))
+    return wa.join(
+        wb, (F.col("wha") == F.col("whb")) & (F.col("a") < F.col("b"))
+    ).select("a", "b")
+
+
+def _expand_group_pairs(members, rep_pairs, extra_cols: list[str]):
+    """Rep-level pairs → member-level pairs, plus all within-group pairs.
+
+    ``rep_pairs`` carries (ha, hb, *extra_cols) for DISTINCT set hashes.
+    Pure equi-joins on the group hash — work proportional to the OUTPUT,
+    never to corpus². Within-group (identical-set) pairs are emitted by
+    the caller, which knows the identical-set value of each metric."""
+    ma = members.select(F.col("h").alias("ha"), F.col("doc_id").alias("da"))
+    mb = members.select(F.col("h").alias("hb"), F.col("doc_id").alias("db"))
+    cross = (
+        rep_pairs.join(ma, "ha")
+        .join(mb, "hb")
+        .select(
+            F.least("da", "db").alias("a"),
+            F.greatest("da", "db").alias("b"),
+            *extra_cols,
+        )
+    )
+    return cross
+
+
 @register(
     "dedup_ngram_jaccard",
     oracle=f"""
@@ -206,31 +279,34 @@ NGRAM_JACCARD_THETA = 0.5
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact near-dup via a PREFIX-FILTERED inverted shingle index.
+    """Exact near-dup via set collapse + a PREFIX-FILTERED inverted index.
 
-    Candidate generation is the AllPairs/PPJoin prefix filter (Bayardo et
-    al., WWW'07; Xiao et al., WWW'08): order every document's shingles by
-    a single global canonical order (ascending document frequency, ties by
-    value) and emit only the first ``|sh| − ⌈θ·|sh|⌉ + 1`` postings into
-    the self-join. Any pair with jaccard ≥ θ has |A∩B| ≥ ⌈θ·max(|A|,|B|)⌉
-    shared shingles, and by pigeonhole over the shared ordering at least
-    one of them falls in BOTH prefixes — so candidate generation is
-    provably LOSSLESS, including for duplicate clusters of any size (the
-    gap the earlier global df-cap had: a cluster larger than the cap had
-    every shingle dropped and was silently missed). The df-ascending order
-    keeps hot boilerplate shingles out of prefixes in the common case, so
-    join-key fan-out stays near-linear; for a genuine m-copy cluster the
-    fan-out is O(m²) — exactly the size of the required output. A length
-    filter (θ ≤ |A|/|B| ≤ 1/θ) prunes in the join itself; exact Jaccard
-    over the full shingle sets verifies every survivor, so the result is
-    bit-identical to the all-pairs oracle."""
+    Two-level scale design:
+      1. CONTENT COLLAPSE: identical shingle sets share every pairwise
+         jaccard, so docs group by a set hash and the candidate machinery
+         runs on one representative per unique set
+         (``_shingle_sets_collapsed``). A corpus that is 90% copies — the
+         normal dedup input — does its quadratic work on the 10%.
+      2. PREFIX FILTER over representatives (AllPairs/PPJoin, Bayardo
+         WWW'07; Xiao WWW'08): order each set's shingles by a global
+         (df, value) canonical order and emit only the first
+         ``|sh| − ⌈θ·|sh|⌉ + 1`` postings into the self-join. Any pair
+         with jaccard ≥ θ shares ≥ ⌈θ·max(|A|,|B|)⌉ shingles, so by
+         pigeonhole one lands in BOTH prefixes — candidate generation is
+         provably LOSSLESS at any cluster size (the r4 df-cap gap). A
+         length filter (θ ≤ |A|/|B| ≤ 1/θ) prunes in-join; exact Jaccard
+         over full sets verifies survivors.
+    Rep-level pairs then expand to member pairs, and within-group pairs
+    emit directly at jaccard 1.0 — both pure output-bound equi-joins on
+    the group hash. Result is bit-identical to the all-pairs oracle.
+    Measured: 10× replicated corpus (output pairs ×~1000) runs the
+    self-join on the SAME unique-set count as 1× — wall stays seconds
+    where the uncollapsed plan took minutes."""
     theta = NGRAM_JACCARD_THETA
     from pyspark.sql import Window as W
 
-    t = _docs_tokens(spark, sf)
-    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).cache()
-    s.count()  # eager: materialize the shingle arrays once
-    e = s.select("doc_id", F.explode("sh").alias("g"))
+    members, rs = _shingle_sets_collapsed(spark, sf)
+    e = rs.select("doc_id", F.explode("sh").alias("g"))
     # global canonical order: one aggregate on the same key the join
     # shuffles on; df is the sort key so rare shingles lead every prefix
     dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
@@ -240,7 +316,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
     # prefix length |sh| − ⌈θ|sh|⌉ + 1 (per-doc windows are bounded by doc
     # length, so the window shuffle is linear and skew-free)
-    sized = s.select("doc_id", F.size("sh").alias("cnt"))
+    sized = rs.select("doc_id", F.size("sh").alias("cnt"))
     prefix = (
         ranked.join(sized, "doc_id")
         .filter(F.col("rn") <= F.col("cnt") - F.ceil(theta * F.col("cnt")) + 1)
@@ -263,19 +339,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         .distinct()
     )
     # exact verification over full shingle sets (survivors are few → broadcast)
-    sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
-    sb = s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    sa = rs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), F.col("h").alias("ha"))
+    sb = rs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), F.col("h").alias("hb"))
     inter = F.size(F.array_intersect("sha", "shb"))
-    jac = (
+    rep_pairs = (
         sa.join(F.broadcast(cand), "a")
         .join(sb.hint("shuffle_hash"), "b")
         .select(
-            "a",
-            "b",
+            "ha",
+            "hb",
             F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= theta)
     )
-    return jac.filter(F.col("jaccard") >= theta).select("a", "b", "jaccard")
+    cross = _expand_group_pairs(members, rep_pairs, ["jaccard"])
+    within = _within_group_pairs(members).withColumn("jaccard", F.lit(1.0))
+    return within.unionByName(cross.select("a", "b", "jaccard"))
 
 
 # --- MinHash + LSH near-dup (band join candidates, verified) ------------------
@@ -320,15 +399,21 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(8) + LSH(4 bands × 2 rows) candidate pairs, verified with the
     true shingle Jaccard ≥ 0.5. The band self-join bounds candidate fan-out —
     this is the web-scale dedup shape (shuffle keyed on band hash, skew
-    bounded by banding). Barriers materialize signatures/shingles once."""
-    t = _docs_tokens(spark, sf)
-    # Signatures and shingle sets are materialized once (cache = the local
-    # analog of the reference's persisted minhash index, minhash_function.go)
-    # — without it every branch of the band self-join re-derives the whole
-    # md5 signature subtree from raw text (~8× the work, measured 50s→5s).
-    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).cache()
-    sig = s.select(
-        "doc_id", *[c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _H))]
+    bounded by banding).
+
+    Like dedup_ngram_jaccard, the whole pipeline runs on ONE representative
+    per unique shingle set (signatures and bands are functions of the set,
+    so rep-level collisions are exactly member-level collisions), and
+    rep pairs expand to member pairs afterwards; identical-set groups are
+    permanent band collisions that verify at jaccard 1.0, so they emit
+    directly. Duplication — the dedup workload's defining property — thus
+    multiplies only the output-writing joins, never the band join.
+    Measured at 10× replication (~×1000 output pairs): the uncollapsed
+    band join took 32s, the collapsed one single-digit seconds."""
+    members, rs = _shingle_sets_collapsed(spark, sf)
+    sig = rs.select(
+        "doc_id", "h",
+        *[c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _H))],
     )
     band_arr = F.array(
         *[
@@ -341,32 +426,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # trees run exactly once here, and every downstream join plans against a
     # cached relation with known stats — otherwise AQE's strategy choice for
     # the self-join is made blind and is unstable run-to-run.
-    s.count()
     bands.count()
     b2 = bands.select(F.col("doc_id").alias("b_id"), F.col("band").alias("band2"), F.col("bh").alias("bh2"))
-    # band self-join: shuffle hash on (band, bh) — the scale shape; banding
-    # bounds bucket sizes so no sort is needed on either side
+    # band self-join over unique sets: shuffle hash on (band, bh) — the
+    # scale shape; banding bounds bucket sizes so no sort is needed
     cand = (
         bands.hint("shuffle_hash")
         .join(b2, (bands.band == b2.band2) & (bands.bh == b2.bh2) & (bands.doc_id < b2.b_id))
         .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
         .distinct()
     )
-    sa = s.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"))
-    sb = s.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"))
+    sa = rs.select(F.col("doc_id").alias("a"), F.col("sh").alias("sha"), F.col("h").alias("ha"))
+    sb = rs.select(F.col("doc_id").alias("b"), F.col("sh").alias("shb"), F.col("h").alias("hb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     # LSH's whole point is that the surviving candidate set is small — so it
     # broadcasts, and the (huge at scale) shingle table is probed in place
-    verified = (
+    rep_pairs = (
         sa.join(F.broadcast(cand), "a")
         .join(sb.hint("shuffle_hash"), "b")
         .select(
-            "a",
-            "b",
+            "ha",
+            "hb",
             F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
         )
+        .filter(F.col("jaccard") >= 0.5)
     )
-    return verified.filter(F.col("jaccard") >= 0.5).select("a", "b", "jaccard")
+    cross = _expand_group_pairs(members, rep_pairs, ["jaccard"])
+    within = _within_group_pairs(members).withColumn("jaccard", F.lit(1.0))
+    return within.unionByName(cross.select("a", "b", "jaccard"))
 
 
 # --- SimHash near-dup: hamming distance over 16-bit fingerprints --------------
@@ -891,4 +978,53 @@ def dedup_split_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("split_a") != F.col("split_b"))
         .select("a", "b", "jaccard", "split_a", "split_b")
+    )
+
+
+# --- duplicated-span fraction: the exact-substring dedup metric ---------------
+@register(
+    "dedup_span_fraction",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {SHINGLES_SQL.format(t='toks')} AS sh FROM t
+          WHERE len(toks) >= 3),
+    e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    gdf AS (SELECT g, count(DISTINCT doc_id) AS df FROM e GROUP BY g),
+    per AS (
+      SELECT e.doc_id,
+             count(*) AS n_spans,
+             sum(CASE WHEN gdf.df >= 2 THEN 1 ELSE 0 END) AS dup_spans
+      FROM e JOIN gdf USING (g) GROUP BY e.doc_id
+    )
+    SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(dup_spans AS BIGINT) AS dup_spans,
+           round(dup_spans * 1.0 / n_spans, 4) AS dup_frac
+    FROM per
+    """,
+)
+def dedup_span_fraction(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document duplicated-span fraction: the share of a document's
+    token 3-gram spans that also occur in at least one OTHER document —
+    the exact-substring duplication signal train-data pipelines filter on
+    (suffix-array span dedup approximated at fixed span length; a doc with
+    dup_frac ≈ 1 is boilerplate/copy even when no single pair passes a
+    Jaccard gate). Plan shape: explode → groupBy span key (distinct-doc
+    count, map-side partial agg) → join back on the SAME key (no extra
+    shuffle of the big side) → per-doc agg. Spans are counted with
+    multiplicity per doc (a doc repeating its own 3-gram counts each
+    occurrence), df counts DISTINCT docs — both sides of the oracle agree."""
+    t = _docs_tokens(spark, sf).filter(F.size("toks") >= 3)
+    e = t.select("doc_id", F.explode(shingles(F.col("toks"))).alias("g"))
+    gdf = e.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))
+    per = (
+        e.join(gdf, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).alias("dup_spans"),
+        )
+    )
+    return per.select(
+        "doc_id", "n_spans", "dup_spans",
+        F.round(F.col("dup_spans") / F.col("n_spans"), 4).alias("dup_frac"),
     )

@@ -1092,3 +1092,81 @@ def vec_sq8_refine(spark: SparkSession, sf: str) -> DataFrame:
         encoded, emb, bounds, queries, "embedding", "vec_id",
         metric="L2", k=10, shortlist=100,
     )
+
+
+# --- k-means assignment + update step: the distributed IVF training kernel ----
+_KM_K = 8
+
+
+@register(
+    "vec_kmeans_step",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KM_K}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      FROM e, c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT b.cid, i.i AS dim, avg(e.v[i.i]) AS m
+      FROM best b JOIN e USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i
+      GROUP BY b.cid, i.i
+    ),
+    sizes AS (SELECT cid, count(*) AS n_assigned FROM best GROUP BY cid)
+    SELECT s.cid, CAST(s.n_assigned AS BIGINT) AS n_assigned,
+           list(round(d.m, 4) + 0 ORDER BY d.dim) AS centroid
+    FROM sizes s JOIN dims d USING (cid)
+    GROUP BY s.cid, s.n_assigned
+    """,
+)
+def vec_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
+    """One distributed k-means iteration over the embeddings table — the
+    kernel an IVF index build runs (train: assign every vector to its
+    nearest centroid, then recompute centroids as per-cluster means;
+    operators/ivf.py consumes the result as the coarse quantizer).
+
+    Scale shape: the K centroids broadcast (K is small by construction);
+    assignment is a broadcast nested-loop over K with a pure-JVM
+    zip_with/aggregate squared-L2 — no shuffle until the per-vector argmin
+    (min_by, one map-side-combined aggregate on vec_id). The update step
+    shuffles (cid, dim) partial sums — K*dim keys, so the reduce is tiny
+    regardless of corpus size. Ties break to the lowest centroid id on
+    both sides (min_by over a (dist, cid) struct)."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    d = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", "v", d.alias("d")
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.min_by(F.struct("cid", "v"), F.struct(F.col("d"), F.col("cid").cast("double"))).alias("bv")
+    ).select("vec_id", F.col("bv.cid").alias("cid"), F.col("bv.v").alias("v"))
+    dims = best.select("cid", F.posexplode("v").alias("dim", "x")).groupBy(
+        "cid", "dim"
+    ).agg(F.avg("x").alias("m"))
+    sizes = best.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    # + 0.0 normalizes IEEE −0.0 (round can produce it) to +0.0 on both
+    # sides — the value-hash compares string forms
+    centroid = F.transform(
+        F.array_sort(F.collect_list(F.struct("dim", "m"))),
+        lambda p: F.round(p.m, 4) + F.lit(0.0),
+    )
+    upd = dims.groupBy("cid").agg(centroid.alias("centroid"))
+    return sizes.join(upd, "cid").select("cid", "n_assigned", "centroid")
