@@ -33,9 +33,12 @@ BENCH_QUERIES = [
     "geo_grid_join_dwithin",  # grid-bucketed spatial join
     "stream_session_agg",     # streaming session windows w/ watermark
     "dedup_simhash",          # banded fingerprint equi-join (r4 scale fix)
-    "dedup_ngram_jaccard",    # df-capped inverted shingle index (r4 scale fix)
+    "dedup_ngram_jaccard",    # lossless prefix-filtered index + set collapse (r5)
     "vec_element_collapse",   # element-level struct-array search
     "mm_crossmodal_topk",     # cross-modal joint-space top-k (stub codecs)
+    "dedup_span_fraction",    # exact-substring duplication signal (r5)
+    "vec_kmeans_step",        # distributed k-means step, the IVF train kernel (r5)
+    "src_packed_manifest",    # storage-v2 packed manifest read path (r5)
 ]
 
 

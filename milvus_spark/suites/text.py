@@ -320,20 +320,31 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     prefix = (
         ranked.join(sized, "doc_id")
         .filter(F.col("rn") <= F.col("cnt") - F.ceil(theta * F.col("cnt")) + 1)
-        .select("doc_id", "g", "cnt")
+        .select("doc_id", "g", "cnt", "rn")
     )
     p2 = prefix.select(
-        F.col("doc_id").alias("b_id"), F.col("g").alias("g2"), F.col("cnt").alias("cb")
+        F.col("doc_id").alias("b_id"), F.col("g").alias("g2"),
+        F.col("cnt").alias("cb"), F.col("rn").alias("rn2"),
     )
+    # pair-level overlap requirement: jaccard ≥ θ ⟺ |A∩B| ≥ θ/(1+θ)·(|A|+|B|)
+    t_pair = F.ceil(theta / (1 + theta) * (prefix.cnt + p2.cb))
+    # PPJoin POSITION filter (lossless): for a qualifying pair, its FIRST
+    # shared shingle in the global order sits at rank i in A and j in B
+    # with every shared element at rank ≥ i (resp. ≥ j), so the overlap is
+    # at most min(|A|−i, |B|−j)+1 — that occurrence must clear t_pair, so
+    # filtering every occurrence against its own bound keeps the pair
+    pos_ok = F.least(prefix.cnt - prefix.rn, p2.cb - p2.rn2) + 1 >= t_pair
     # prefix self-join: equi-join on the shingle, with the PPJoin length
-    # filter (jaccard ≥ θ forces θ ≤ |A|/|B| ≤ 1/θ) applied in-join
+    # filter (jaccard ≥ θ forces θ ≤ |A|/|B| ≤ 1/θ) and the position
+    # filter applied in-join, BEFORE the distinct shuffle
     cand = (
         prefix.join(
             p2,
             (prefix.g == p2.g2)
             & (prefix.doc_id < p2.b_id)
             & (prefix.cnt >= theta * p2.cb)
-            & (p2.cb >= theta * prefix.cnt),
+            & (p2.cb >= theta * prefix.cnt)
+            & pos_ok,
         )
         .select(F.col("doc_id").alias("a"), F.col("b_id").alias("b"))
         .distinct()
