@@ -225,15 +225,86 @@ class MilvusSparkClient:
                 self._catalog = json.load(f)
         self._ts: dict[str, int] = {}
 
-    def create_database(self, db_name: str) -> None:
+    _DB_NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,254}$")
+
+    def _validate_db_name(self, db_name) -> None:
+        # test_milvus_client_database.py invalid-name matrix: the first
+        # character must be an underscore or letter
+        if not isinstance(db_name, str) or not self._DB_NAME_RE.match(db_name):
+            raise ValueError(
+                "the first character of a database name must be an underscore "
+                f"or letter: invalid database name[database={db_name!r}]"
+            )
+
+    def create_database(self, db_name: str, properties: Optional[dict] = None) -> None:
+        self._validate_db_name(db_name)
         if db_name == "default" or os.path.isdir(self._db_dir(db_name)):
-            raise ValueError(f"database {db_name} exists")
+            raise ValueError(f"database already exist: {db_name}")
+        if properties is not None and not isinstance(properties, dict):
+            raise ValueError(f"properties must be a dict, got {type(properties).__name__}")
         os.makedirs(self._db_dir(db_name))
+        if properties:
+            self._save_db_props(db_name, dict(properties))
 
     def list_databases(self) -> list[str]:
         dbs_dir = os.path.join(self._base_root, "_dbs")
         extra = sorted(os.listdir(dbs_dir)) if os.path.isdir(dbs_dir) else []
         return ["default"] + extra
+
+    # database properties (describe/alter/drop_database_properties —
+    # test_milvus_client_database.py:213-284). database.force.deny.writing /
+    # .reading are ENFORCED: the proxy's rate-limiter deny switches map to
+    # per-entry-point checks here.
+    def _db_props_path(self, db_name: str) -> str:
+        return os.path.join(self._db_dir(db_name), "_dbprops.json")
+
+    def _db_props(self, db_name: str) -> dict:
+        p = self._db_props_path(db_name)
+        if os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+        return {}
+
+    def _save_db_props(self, db_name: str, props: dict) -> None:
+        with open(self._db_props_path(db_name), "w") as f:
+            json.dump(props, f, indent=1, sort_keys=True)
+
+    def _require_db(self, db_name: str) -> None:
+        if db_name != "default" and not os.path.isdir(self._db_dir(db_name)):
+            raise ValueError(f"database not found[database={db_name}]")
+
+    def describe_database(self, db_name: str) -> dict:
+        self._validate_db_name(db_name)
+        self._require_db(db_name)
+        return {"name": db_name, **self._db_props(db_name)}
+
+    def alter_database_properties(self, db_name: str, properties: dict) -> None:
+        self._validate_db_name(db_name)
+        self._require_db(db_name)
+        if not isinstance(properties, dict):
+            raise ValueError(f"properties must be a dict, got {type(properties).__name__}")
+        props = self._db_props(db_name)
+        props.update(properties)
+        self._save_db_props(db_name, props)
+
+    def drop_database_properties(self, db_name: str, property_keys) -> None:
+        self._validate_db_name(db_name)
+        self._require_db(db_name)
+        props = self._db_props(db_name)
+        for k in property_keys:
+            props.pop(k, None)
+        self._save_db_props(db_name, props)
+
+    def _deny(self, kind: str) -> None:
+        """Enforce database.force.deny.{writing,reading} on the current db
+        (the reference's quota-center force-deny switch: writes/reads are
+        refused at the proxy when the database property is set)."""
+        v = self._db_props(self.db_name).get(f"database.force.deny.{kind}")
+        if str(v).lower() == "true":
+            raise PermissionError(
+                f"{kind} is forbidden: database.force.deny.{kind} is set on "
+                f"database {self.db_name!r}"
+            )
 
     def use_database(self, db_name: str) -> None:
         if db_name != "default" and not os.path.isdir(self._db_dir(db_name)):
@@ -916,6 +987,14 @@ class MilvusSparkClient:
 
         return f"milvus-spark 2.0 (pyspark {pyspark.__version__})"
 
+    def flush_all(self) -> None:
+        """FlushAll API: the all-collections consistency barrier (per-
+        collection flush is already durable here, so this is the same
+        no-op applied across the current database's catalog)."""
+        self._priv("FlushAll")
+        for name in self.list_collections():
+            self.flush(name)
+
     def flush(self, name: str) -> None:
         """Flush is a consistency barrier in the reference (growing →
         sealed, WAL durable). Here every insert writes durable parquet
@@ -976,6 +1055,7 @@ class MilvusSparkClient:
         namespace: Optional[str] = None,
     ) -> int:
         self._priv("Insert", name)
+        self._deny("writing")
         meta = self._meta(name)
         ns_mode = meta.get("namespace_mode")
         if ns_mode is not None or namespace is not None:
@@ -1084,6 +1164,7 @@ class MilvusSparkClient:
         element. Errors on non-array / pk / unknown fields and on batches
         missing the op'd column."""
         self._priv("Upsert", name)
+        self._deny("writing")
         coll = self._coll(name)
         meta = self._meta(name)
         ns_mode = meta.get("namespace_mode")
@@ -1180,6 +1261,7 @@ class MilvusSparkClient:
         namespace: Optional[str] = None,
     ) -> None:
         self._priv("Delete", name)
+        self._deny("writing")
         meta = self._meta(name)
         pnames, ns_cond = self._namespace_resolve(name, meta, namespace)
         ns_col = (
@@ -1645,6 +1727,7 @@ class MilvusSparkClient:
         identical either way — the index is an access path, not a semantic.
         """
         self._priv("Query", name)
+        self._deny("reading")
         partition_names, ns_cond = self._namespace_resolve(
             name, self._meta(name), namespace, partition_names
         )
@@ -1965,6 +2048,7 @@ class MilvusSparkClient:
         range bound, snapshot read, or post-build DML falls back to the
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         self._priv("Search", name)
+        self._deny("reading")
         meta = self._meta(name)
         if hints is not None and hints not in ("iterative_filter", "disable"):
             # hint value is validated for EVERY search, whichever execution
@@ -2817,6 +2901,7 @@ class MilvusSparkClient:
         hybrid stack.
         """
         self._priv("Search", name)
+        self._deny("reading")
         from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
         meta = self._meta(name)

@@ -2101,3 +2101,63 @@ def test_field_warmup_properties(spark, tmp_path):
     c.load_collection("w5")
     assert c.query("w5", filter="a == 2").count() == 1
     c.release_collection("w5")
+
+
+def test_database_properties_and_force_deny(spark, tmp_path):
+    """Database properties (test_milvus_client_database.py:213-284):
+    create with properties, describe returns them, alter merges,
+    drop_database_properties removes; database.force.deny.writing/reading
+    are ENFORCED at the DML/query entry points; invalid names rejected."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "dbp"))
+    c.create_database(
+        "prod", properties={"database.force.deny.writing": "true",
+                            "database.replica.number": "3"}
+    )
+    assert c.describe_database("prod") == {
+        "name": "prod",
+        "database.force.deny.writing": "true",
+        "database.replica.number": "3",
+    }
+    c.alter_database_properties("prod", {"database.max.collections": "10"})
+    assert c.describe_database("prod")["database.max.collections"] == "10"
+    c.drop_database_properties("prod", ["database.replica.number"])
+    assert "database.replica.number" not in c.describe_database("prod")
+
+    # deny-writing enforcement in the affected database only
+    rows = spark.createDataFrame([(1, 2)], "pk long, a long")
+    c.use_database("prod")
+    c.create_collection("t", "pk", fields=["pk", "a"])
+    with pytest.raises(PermissionError, match="deny.writing"):
+        c.insert("t", rows)
+    c.use_database("default")
+    c.create_collection("t", "pk", fields=["pk", "a"])
+    c.insert("t", rows)  # default db unaffected
+
+    # deny-reading
+    c.alter_database_properties("prod", {"database.force.deny.writing": "false",
+                                         "database.force.deny.reading": "true"})
+    c.use_database("prod")
+    c.insert("t", rows)  # writing re-enabled
+    with pytest.raises(PermissionError, match="deny.reading"):
+        c.query("t", filter="a == 2")
+    c.drop_database_properties("prod", ["database.force.deny.reading"])
+    assert c.query("t", filter="a == 2").count() == 1
+    c.use_database("default")
+
+    # validation matrix
+    for bad in ["12-s", "12 s", "(mn)", "%$#", "  ", ""]:
+        with pytest.raises(ValueError, match="underscore or letter"):
+            c.create_database(bad)
+    with pytest.raises(ValueError, match="underscore or letter"):
+        c.describe_database("12-s")
+    with pytest.raises(ValueError, match="not found"):
+        c.describe_database("ghost")
+    with pytest.raises(ValueError, match="not found"):
+        c.alter_database_properties("ghost", {"x": 1})
+    with pytest.raises(ValueError, match="already exist"):
+        c.create_database("prod")
+    with pytest.raises(ValueError, match="must be a dict"):
+        c.create_database("pp", properties="hhh")
+    c.flush_all()  # all-collections barrier runs
