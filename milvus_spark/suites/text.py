@@ -271,37 +271,11 @@ def _expand_group_pairs(members, rep_pairs, extra_cols: list[str]):
     return cross
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
-    WITH {_JACCARD_CTES}
-    SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
-    """,
-)
-def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact near-dup via set collapse + a PREFIX-FILTERED inverted index.
-
-    Two-level scale design:
-      1. CONTENT COLLAPSE: identical shingle sets share every pairwise
-         jaccard, so docs group by a set hash and the candidate machinery
-         runs on one representative per unique set
-         (``_shingle_sets_collapsed``). A corpus that is 90% copies — the
-         normal dedup input — does its quadratic work on the 10%.
-      2. PREFIX FILTER over representatives (AllPairs/PPJoin, Bayardo
-         WWW'07; Xiao WWW'08): order each set's shingles by a global
-         (df, value) canonical order and emit only the first
-         ``|sh| − ⌈θ·|sh|⌉ + 1`` postings into the self-join. Any pair
-         with jaccard ≥ θ shares ≥ ⌈θ·max(|A|,|B|)⌉ shingles, so by
-         pigeonhole one lands in BOTH prefixes — candidate generation is
-         provably LOSSLESS at any cluster size (the r4 df-cap gap). A
-         length filter (θ ≤ |A|/|B| ≤ 1/θ) prunes in-join; exact Jaccard
-         over full sets verifies survivors.
-    Rep-level pairs then expand to member pairs, and within-group pairs
-    emit directly at jaccard 1.0 — both pure output-bound equi-joins on
-    the group hash. Result is bit-identical to the all-pairs oracle.
-    Measured: 10× replicated corpus (output pairs ×~1000) runs the
-    self-join on the SAME unique-set count as 1× — wall stays seconds
-    where the uncollapsed plan took minutes."""
+def _ngram_rep_pairs(spark: SparkSession, sf: str):
+    """(members, rep_pairs): the collapse + prefix/position-filtered +
+    exactly-verified rep-level jaccard pairs shared by dedup_ngram_jaccard
+    (which expands them to member pairs) and dedup_components (which
+    propagates labels over the GROUP graph instead)."""
     theta = NGRAM_JACCARD_THETA
     from pyspark.sql import Window as W
 
@@ -363,6 +337,41 @@ def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= theta)
     )
+    return members, rep_pairs
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_JACCARD_CTES}
+    SELECT a, b, jaccard FROM jac WHERE jaccard >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact near-dup via set collapse + a PREFIX-FILTERED inverted index.
+
+    Two-level scale design:
+      1. CONTENT COLLAPSE: identical shingle sets share every pairwise
+         jaccard, so docs group by a set hash and the candidate machinery
+         runs on one representative per unique set
+         (``_shingle_sets_collapsed``). A corpus that is 90% copies — the
+         normal dedup input — does its quadratic work on the 10%.
+      2. PREFIX FILTER over representatives (AllPairs/PPJoin, Bayardo
+         WWW'07; Xiao WWW'08): order each set's shingles by a global
+         (df, value) canonical order and emit only the first
+         ``|sh| − ⌈θ·|sh|⌉ + 1`` postings into the self-join. Any pair
+         with jaccard ≥ θ shares ≥ ⌈θ·max(|A|,|B|)⌉ shingles, so by
+         pigeonhole one lands in BOTH prefixes — candidate generation is
+         provably LOSSLESS at any cluster size (the r4 df-cap gap). A
+         length filter (θ ≤ |A|/|B| ≤ 1/θ) prunes in-join; exact Jaccard
+         over full sets verifies survivors.
+    Rep-level pairs then expand to member pairs, and within-group pairs
+    emit directly at jaccard 1.0 — both pure output-bound equi-joins on
+    the group hash. Result is bit-identical to the all-pairs oracle.
+    Measured: 10× replicated corpus (output pairs ×~1000) runs the
+    self-join on the SAME unique-set count as 1× — wall stays seconds
+    where the uncollapsed plan took minutes."""
+    members, rep_pairs = _ngram_rep_pairs(spark, sf)
     cross = _expand_group_pairs(members, rep_pairs, ["jaccard"])
     within = _within_group_pairs(members).withColumn("jaccard", F.lit(1.0))
     return within.unionByName(cross.select("a", "b", "jaccard"))
@@ -609,31 +618,66 @@ def dedup_embedding_pairs(spark: SparkSession, sf: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf: str) -> DataFrame:
     """Near-dup clusters: connected components of the jaccard ≥ 0.5 pair
-    graph via min-label propagation (iterative joins, the standard Spark
-    connected-components shape — converges in O(cluster diameter) rounds;
-    each round is one shuffle keyed on doc_id)."""
-    pairs = dedup_ngram_jaccard(spark, sf).select("a", "b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).cache()
-    labels = edges.select(F.col("a").alias("n")).distinct().withColumn("comp", F.col("n"))
+    graph via min-label propagation on the COLLAPSED group graph.
+
+    Identical-set groups are cliques, so each group is one supernode whose
+    initial label is its minimum member doc_id (= the group rep). Labels
+    propagate over rep-level edges only — iterations shuffle the
+    unique-set graph, never the member-level pair list, so a 90%-duplicate
+    corpus converges on the 10% graph. The final member expansion is one
+    equi-join on the group hash. min-label over supernodes equals min
+    doc_id over the member-level component (every member ≥ its group rep),
+    so the output is bit-identical to the recursive-CTE oracle. Standard
+    Spark connected-components shape otherwise: O(component diameter)
+    rounds, one shuffle keyed on the node per round."""
+    members, rep_pairs = _ngram_rep_pairs(spark, sf)
+    # localCheckpoint (not cache) for every piece of iteration state: it
+    # truncates the lineage to materialized blocks, so the 20-iteration
+    # loop plans against TINY trees. cache() here would register dozens of
+    # deep plans with the CacheManager, whose per-query plan matching then
+    # dominates wall-clock (measured: warm runs SLOWER than cold).
+    gm = (
+        members.groupBy("h")
+        .agg(F.min("doc_id").alias("rid"), F.count(F.lit(1)).alias("csize"))
+        .localCheckpoint()
+    )
+    ga = gm.select(F.col("h").alias("ha"))
+    gb = gm.select(F.col("h").alias("hb"))
+    rp = rep_pairs.join(ga, "ha").join(gb, "hb").select("ha", "hb").localCheckpoint()
+    # node set: groups with a cross edge, plus multi-member groups (their
+    # within-clique edges put every member in the oracle's node set)
+    nodes = (
+        rp.select(F.col("ha").alias("h"))
+        .unionByName(rp.select(F.col("hb").alias("h")))
+        .unionByName(gm.filter(F.col("csize") >= 2).select("h"))
+        .distinct()
+    )
+    edges = rp.unionByName(
+        rp.select(F.col("hb").alias("ha"), F.col("ha").alias("hb"))
+    ).localCheckpoint()
+    labels = nodes.join(gm, "h").select("h", F.col("rid").alias("comp")).localCheckpoint()
     for _ in range(20):
-        neigh = labels.join(edges, labels.n == edges.a).select(
-            F.col("b").alias("n"), F.col("comp")
+        neigh = labels.join(edges, labels.h == edges.ha).select(
+            F.col("hb").alias("h"), F.col("comp")
         )
         new_labels = (
-            labels.unionByName(neigh).groupBy("n").agg(F.min("comp").alias("comp")).cache()
+            labels.unionByName(neigh)
+            .groupBy("h")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("x")
-            .join(labels.alias("y"), "n")
+            .join(labels.alias("y"), "h")
             .filter(F.col("x.comp") != F.col("y.comp"))
             .count()
         )
         labels = new_labels
         if changed == 0:
             break
-    return labels.select(F.col("n").alias("doc_id"), F.col("comp").cast("long").alias("canonical_id"))
+    return members.join(labels, "h").select(
+        "doc_id", F.col("comp").cast("long").alias("canonical_id")
+    )
 
 
 # --- MHJACCARD metric: minhash-signature similarity search --------------------
