@@ -273,3 +273,119 @@ def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name).filter(F.col("user_id") >= 0).select(
         "user_id", "sess_start", "n_events"
     )
+
+
+# --- streaming near-dup admission: stream-static band join --------------------
+def _minhash_stream_oracle() -> str:
+    from milvus_spark.suites.text import _BANDS, _band_sql, _minhash_sig_sql
+    from milvus_spark.operators.text import SHINGLES_SQL, TOKENS_SQL
+
+    toks = TOKENS_SQL.format(col="text")
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {j} AS band, {_band_sql(j)} AS bh FROM sig"
+        for j in range(_BANDS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    sig AS ({_minhash_sig_sql()}),
+    bands AS ({bands}),
+    nb AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+    cb AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+    cand AS (
+      SELECT DISTINCT nb.doc_id AS a, cb.doc_id AS b
+      FROM nb JOIN cb ON nb.band = cb.band AND nb.bh = cb.bh
+    ),
+    verified AS (
+      SELECT c.a, c.b,
+             round(len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+                   (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))), 4) AS jaccard
+      FROM cand c JOIN s sa ON c.a = sa.doc_id JOIN s sb ON c.b = sb.doc_id
+    )
+    SELECT a, b, jaccard FROM verified WHERE jaccard >= 0.5
+    """
+
+
+@register("stream_dedup_minhash", oracle=_minhash_stream_oracle())
+def stream_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming near-dup ADMISSION: new documents arrive as real
+    Structured Streaming micro-batches and are checked against the static
+    corpus's persisted MinHash band index via a STREAM-STATIC equi-join —
+    the continuously-ingesting shape of dedup_minhash_incremental. The
+    whole per-batch pipeline is stateless JVM column work (tokenize →
+    signature → posexplode bands → band join → exact-jaccard verify), so
+    append mode needs no watermark; the only state is the band-pair
+    dropDuplicates, bounded by the emitted pair set (at real scale an
+    arrival-time watermark would bound it by time instead). Emitted pairs
+    must hash-match the batch oracle — the stream-static join's
+    batch-equivalence contract."""
+    from milvus_spark.operators.text import shingles, tokens, minhash_signature
+    from milvus_spark.suites.text import _BANDS, _H
+
+    os.makedirs(_SCRATCH, exist_ok=True)
+    root = scratch_mkdtemp("streamdedup_")
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    def with_bands(df: DataFrame) -> DataFrame:
+        sh = F.array_distinct(shingles(tokens(F.col("text"))))
+        sig = df.select("doc_id", sh.alias("sh")).select(
+            "doc_id", "sh",
+            *[c.alias(f"s{i}") for i, c in enumerate(minhash_signature(F.col("sh"), _H))],
+        )
+        band_arr = F.array(
+            *[
+                F.md5(F.concat_ws("_", F.col(f"s{2 * j}"), F.col(f"s{2 * j + 1}")))
+                for j in range(_BANDS)
+            ]
+        )
+        return sig.select("doc_id", "sh", F.posexplode(band_arr).alias("band", "bh"))
+
+    # the persisted corpus index: band entries + shingle sets, computed once
+    corpus = with_bands(d.filter(F.col("doc_id") % 5 != 0)).select(
+        F.col("doc_id").alias("b"), F.col("sh").alias("shb"), "band", "bh"
+    ).cache()
+    corpus.count()
+
+    # stage the arriving docs as two parquet chunks → two micro-batches
+    stage = os.path.join(_SCRATCH, "streamdedup_store", os.path.basename(sf.rstrip("/")))
+    src = os.path.join(stage, "src")
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        new_docs = d.filter(F.col("doc_id") % 5 == 0)
+        half = new_docs.agg(F.percentile_approx("doc_id", 0.5)).first()[0]
+        for i, part in enumerate(
+            (new_docs.filter(F.col("doc_id") <= half), new_docs.filter(F.col("doc_id") > half))
+        ):
+            part.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"chunk{i}"))
+        open(os.path.join(stage, "_STAGED"), "w").close()
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    sb = with_bands(stream).select(
+        F.col("doc_id").alias("a"), F.col("sh").alias("sha"),
+        F.col("band").alias("band2"), F.col("bh").alias("bh2"),
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    pairs = (
+        sb.join(corpus, (F.col("band2") == corpus.band) & (F.col("bh2") == corpus.bh))
+        .select(
+            "a", "b",
+            F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+        .dropDuplicates(["a", "b"])
+    )
+    name = "sdm_" + os.path.basename(root).split("_")[-1]
+    with state_sized_shuffle(spark):
+        q = (
+            pairs.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("a", "b", "jaccard")
