@@ -237,6 +237,7 @@ class MilvusSparkClient:
             )
 
     def create_database(self, db_name: str, properties: Optional[dict] = None) -> None:
+        self._priv("CreateDatabase")
         self._validate_db_name(db_name)
         if db_name == "default" or os.path.isdir(self._db_dir(db_name)):
             raise ValueError(f"database already exist: {db_name}")
@@ -247,6 +248,7 @@ class MilvusSparkClient:
             self._save_db_props(db_name, dict(properties))
 
     def list_databases(self) -> list[str]:
+        self._priv("ListDatabases")
         dbs_dir = os.path.join(self._base_root, "_dbs")
         extra = sorted(os.listdir(dbs_dir)) if os.path.isdir(dbs_dir) else []
         return ["default"] + extra
@@ -259,26 +261,38 @@ class MilvusSparkClient:
         return os.path.join(self._db_dir(db_name), "_dbprops.json")
 
     def _db_props(self, db_name: str) -> dict:
-        p = self._db_props_path(db_name)
-        if os.path.exists(p):
-            with open(p) as f:
-                return json.load(f)
-        return {}
+        # cached per db: _deny() runs on every hot data-path entry point
+        # and must not re-read the props file per call; mutations go
+        # through _save_db_props which refreshes the cache
+        cache = getattr(self, "_db_props_cache", None)
+        if cache is None:
+            cache = self._db_props_cache = {}
+        if db_name not in cache:
+            p = self._db_props_path(db_name)
+            if os.path.exists(p):
+                with open(p) as f:
+                    cache[db_name] = json.load(f)
+            else:
+                cache[db_name] = {}
+        return cache[db_name]
 
     def _save_db_props(self, db_name: str, props: dict) -> None:
         with open(self._db_props_path(db_name), "w") as f:
             json.dump(props, f, indent=1, sort_keys=True)
+        getattr(self, "_db_props_cache", {}).pop(db_name, None)
 
     def _require_db(self, db_name: str) -> None:
         if db_name != "default" and not os.path.isdir(self._db_dir(db_name)):
             raise ValueError(f"database not found[database={db_name}]")
 
     def describe_database(self, db_name: str) -> dict:
+        self._priv("DescribeDatabase")
         self._validate_db_name(db_name)
         self._require_db(db_name)
         return {"name": db_name, **self._db_props(db_name)}
 
     def alter_database_properties(self, db_name: str, properties: dict) -> None:
+        self._priv("AlterDatabase")
         self._validate_db_name(db_name)
         self._require_db(db_name)
         if not isinstance(properties, dict):
@@ -288,6 +302,7 @@ class MilvusSparkClient:
         self._save_db_props(db_name, props)
 
     def drop_database_properties(self, db_name: str, property_keys) -> None:
+        self._priv("AlterDatabase")
         self._validate_db_name(db_name)
         self._require_db(db_name)
         props = self._db_props(db_name)
@@ -314,6 +329,8 @@ class MilvusSparkClient:
     def drop_database(self, db_name: str) -> None:
         """Only empty, non-current, non-default databases (Milvus rule)."""
         import shutil
+
+        self._priv("DropDatabase")
 
         if db_name == "default":
             raise ValueError("cannot drop the default database")
@@ -402,6 +419,12 @@ class MilvusSparkClient:
                 # the namespace field doubles as the physical partition key
                 # → directory-pruned reads per tenant at any corpus size
                 partition_key_field = self.NAMESPACE_COL
+        # validate BEFORE touching the catalog — a failed create must not
+        # leave a phantom entry that blocks retry / gets persisted later
+        if properties and "warmup" in properties:
+            _validate_warmup(properties["warmup"])
+        for w in (field_warmup or {}).values():
+            _validate_warmup(w)
         self._catalog[name] = {
             "pk": pk_field,
             "vector": vfs[0] if vfs else None,
@@ -425,12 +448,9 @@ class MilvusSparkClient:
         # "warmup", test_milvus_client_alter_warmup.py): "sync" fields
         # materialize during load; "disable" fields stay a lazy parquet
         # tier; "async" fields pin without blocking the load call
-        if properties and "warmup" in properties:
-            _validate_warmup(properties["warmup"])
         if field_warmup:
             fp = self._catalog[name].setdefault("field_properties", {})
             for fld, w in field_warmup.items():
-                _validate_warmup(w)
                 fp.setdefault(fld, {})["warmup"] = w
         self._save_catalog()
 
@@ -454,6 +474,8 @@ class MilvusSparkClient:
         props = dict(properties)
         if "enable_dynamic_field" in props:
             meta["dynamic"] = bool(props.pop("enable_dynamic_field"))
+        if "warmup" in props:
+            _validate_warmup(props["warmup"])
         meta.setdefault("properties", {}).update(props)
         self._save_catalog()
 
@@ -743,9 +765,11 @@ class MilvusSparkClient:
 
         self._loaded = getattr(self, "_loaded", {})
         meta = self._meta(name)
+        fp = meta.get("field_properties", {})
+        default_w = meta.get("properties", {}).get("warmup", "sync")
+        pk = meta["pk"]
         df = self._read(name)
         if load_fields is not None:
-            pk = meta["pk"]
             missing = [f for f in load_fields if f not in df.columns]
             if missing:
                 raise ValueError(f"load_fields not in schema: {missing}")
@@ -757,9 +781,6 @@ class MilvusSparkClient:
             # projection — they stay a lazy parquet tier (queries touching
             # them still answer, like partial load); explicit load_fields
             # overrides the per-field declaration
-            fp = meta.get("field_properties", {})
-            default_w = meta.get("properties", {}).get("warmup", "sync")
-            pk = meta["pk"]
             cold = {
                 f
                 for f, props in fp.items()
@@ -779,12 +800,8 @@ class MilvusSparkClient:
         # returns immediately and materialization happens on first read;
         # any "sync" field blocks the call on the eager count (the
         # reference's sync-warmup contract)
-        fp = meta.get("field_properties", {})
-        default_w = meta.get("properties", {}).get("warmup", "sync")
         pinned_w = {
-            fp.get(c, {}).get("warmup", default_w)
-            for c in df.columns
-            if c != meta["pk"]
+            fp.get(c, {}).get("warmup", default_w) for c in df.columns if c != pk
         }
         if pinned_w and pinned_w <= {"async"}:
             pass  # deferred materialization
@@ -1876,6 +1893,8 @@ class MilvusSparkClient:
         ``stopwords_resource`` names a registered file resource whose words
         are dropped by the analyzer on BOTH the corpus and the query (the
         file-resource stop filter, test_milvus_client_file_resource.py)."""
+        self._priv("Search", name)
+        self._deny("reading")
         meta = self._meta(name)
         base = self._scoped_base(name, meta, namespace, None)
         # BM25 stats are collection-global (idf_oracle.go:81) — the tenant
@@ -1984,6 +2003,8 @@ class MilvusSparkClient:
         output_fields: Optional[Sequence[str]] = None,
         namespace: Optional[str] = None,
     ) -> DataFrame:
+        self._priv("Query", name)
+        self._deny("reading")
         meta = self._meta(name)
         df = self._scoped_base(name, meta, namespace, None).filter(
             F.col(meta["pk"]).isin(*list(ids))
@@ -2002,6 +2023,8 @@ class MilvusSparkClient:
     def count(
         self, name: str, filter: Optional[str] = None, namespace: Optional[str] = None
     ) -> int:
+        self._priv("Query", name)
+        self._deny("reading")
         meta = self._meta(name)
         return apply_filter(
             self._scoped_base(name, meta, namespace, None),
@@ -2841,6 +2864,8 @@ class MilvusSparkClient:
         self, name: str, batch_size: int = 1000, filter: Optional[str] = None
     ):
         """pk-ordered pagination cursor (QueryIteratorCursor plan.proto:377)."""
+        self._priv("Query", name)
+        self._deny("reading")
         meta = self._meta(name)
         pk = meta["pk"]
         # pin the snapshot once (GuaranteeTs): concurrent DML must not make

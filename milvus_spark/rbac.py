@@ -113,10 +113,16 @@ class RbacStore:
                 "users": {ROOT_USER: {"password": _hash_pw("Milvus"), "roles": []}},
                 "roles": {ROLE_ADMIN: {"grants": []}, ROLE_PUBLIC: {"grants": []}},
             }
-        self._s.setdefault("privilege_groups", {})
-        # migrate pre-v2 grants ([otype, oname, priv]) to db-scoped
-        # 4-tuples; v1 grants applied regardless of database → db "*"
-        for r in self._s["roles"].values():
+        self._normalize(self._s)
+
+    @staticmethod
+    def _normalize(state: dict) -> None:
+        """Shared shape migration for load AND restore paths: ensure the
+        privilege_groups map exists and migrate pre-v2 grants
+        ([otype, oname, priv]) to db-scoped 4-tuples (v1 grants applied
+        regardless of database → db "*")."""
+        state.setdefault("privilege_groups", {})
+        for r in state["roles"].values():
             r["grants"] = [g + ["*"] if len(g) == 3 else g for g in r["grants"]]
 
     def _save(self) -> None:
@@ -254,6 +260,8 @@ class RbacStore:
     def drop_privilege_group(self, group: str) -> None:
         if group in PRIVILEGE_GROUPS:
             raise ValueError(f"cannot drop built-in group {group!r}")
+        if group not in self._s["privilege_groups"]:
+            raise ValueError(f"privilege group {group!r} not found")
         holders = [
             role
             for role, d in self._s["roles"].items()
@@ -299,9 +307,7 @@ class RbacStore:
         if not isinstance(data, dict) or "users" not in data or "roles" not in data:
             raise ValueError("invalid RBAC backup payload")
         self._s = json.loads(json.dumps(data))
-        self._s.setdefault("privilege_groups", {})
-        for r in self._s["roles"].values():
-            r["grants"] = [g + ["*"] if len(g) == 3 else g for g in r["grants"]]
+        self._normalize(self._s)
         self._save()
 
     # -- enforcement ----------------------------------------------------------

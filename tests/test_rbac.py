@@ -281,3 +281,66 @@ def test_rbac_backup_restore(spark, tmp_path):
     b.logout()
     with pytest.raises(ValueError, match="invalid RBAC backup"):
         b.restore_rbac({"nope": 1})
+
+
+def test_database_apis_are_privileged(spark, tmp_path, sf_dir):
+    """Database property APIs enforce AlterDatabase/DescribeDatabase etc.
+    (code-review fix): a restricted user can neither read nor flip the
+    force-deny switches, and read entry points beyond query/search also
+    honor both RBAC and deny-reading."""
+    root_dir = str(tmp_path / "dbpriv")
+    c = MilvusSparkClient(spark, root=root_dir)
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("nat", pk_field="n_nationkey")
+    c.insert("nat", nation)
+    c.create_user("bob", "bobpass12")
+    c.create_role("r_read")
+    c.grant_privilege("r_read", "CollectionReadOnly", "nat")
+    c.grant_role("bob", "r_read")
+    c.login("bob", "bobpass12")
+    try:
+        for call in (
+            lambda: c.alter_database_properties("default", {"database.force.deny.writing": "false"}),
+            lambda: c.drop_database_properties("default", ["database.force.deny.reading"]),
+            lambda: c.describe_database("default"),
+            lambda: c.create_database("bobdb"),
+            lambda: c.drop_database("ghost"),
+            lambda: c.list_databases(),
+        ):
+            with pytest.raises(RbacError):
+                call()
+        # Query-privileged read entry points still work for bob on nat...
+        assert c.count("nat") > 0
+        assert c.get("nat", ids=[1]).count() == 1
+        assert len(c.text_search("nat", "n_name", "canada").columns) == 3
+    finally:
+        c.logout()
+    # ...and deny-reading now covers get/count/iterator/text_search too
+    c.alter_database_properties("default", {"database.force.deny.reading": "true"})
+    for call in (
+        lambda: c.count("nat"),
+        lambda: c.get("nat", ids=[1]),
+        lambda: next(c.query_iterator("nat")),
+        lambda: c.text_search("nat", "n_name", "canada"),
+    ):
+        with pytest.raises(PermissionError, match="deny.reading"):
+            call()
+    c.drop_database_properties("default", ["database.force.deny.reading"])
+
+
+def test_drop_unknown_privilege_group_raises(spark, tmp_path):
+    c = MilvusSparkClient(spark, root=str(tmp_path / "pg2"))
+    with pytest.raises(ValueError, match="not found"):
+        c.drop_privilege_group("typo_name")
+
+
+def test_failed_create_leaves_no_phantom_collection(spark, tmp_path):
+    """create_collection validation failures must not leave a catalog
+    entry behind (code-review fix): a retry with fixed params succeeds."""
+    c = MilvusSparkClient(spark, root=str(tmp_path / "ph"))
+    with pytest.raises(ValueError, match="invalid warmup"):
+        c.create_collection("w", "pk", field_warmup={"x": "bogus"})
+    assert not c.has_collection("w")
+    c.create_collection("w", "pk", field_warmup={"x": "sync"})  # retry works
+    with pytest.raises(ValueError, match="invalid warmup"):
+        c.alter_collection_properties("w", {"warmup": "bogus"})
