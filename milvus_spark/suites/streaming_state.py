@@ -340,11 +340,29 @@ def stream_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         )
         return sig.select("doc_id", "sh", F.posexplode(band_arr).alias("band", "bh"))
 
-    # the persisted corpus index: band entries + shingle sets, computed once
-    corpus = with_bands(d.filter(F.col("doc_id") % 5 != 0)).select(
-        F.col("doc_id").alias("b"), F.col("sh").alias("shb"), "band", "bh"
-    ).cache()
+    # the persisted corpus index, CONTENT-COLLAPSED (same trick as
+    # suites/text.py: bands are a function of the shingle set, so the
+    # index holds one representative per unique set plus a member map;
+    # the stream joins reps and a second static join expands to members —
+    # arriving docs pay for unique matching CONTENT, not for how many
+    # copies the corpus holds of it)
+    corpus_docs = d.filter(F.col("doc_id") % 5 != 0)
+    sh_col = F.array_distinct(shingles(tokens(F.col("text"))))
+    cs = corpus_docs.select(
+        "doc_id", "text", F.sha2(F.concat_ws("\x1f", F.array_sort(sh_col)), 256).alias("h")
+    )
+    cmembers = cs.select(F.col("h").alias("hm"), F.col("doc_id").alias("b")).cache()
+    crep_ids = cs.groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+    creps = cs.join(crep_ids, ["h", "doc_id"]).select("doc_id", "text", "h")
+    corpus = (
+        with_bands(creps.select("doc_id", "text"))
+        .join(creps.select(F.col("doc_id").alias("rid"), "h"),
+              F.col("doc_id") == F.col("rid"))
+        .select(F.col("h").alias("hb"), F.col("sh").alias("shb"), "band", "bh")
+        .cache()
+    )
     corpus.count()
+    cmembers.count()
 
     # stage the arriving docs as two parquet chunks → two micro-batches
     stage = os.path.join(_SCRATCH, "streamdedup_store", os.path.basename(sf.rstrip("/")))
@@ -368,14 +386,20 @@ def stream_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         F.col("band").alias("band2"), F.col("bh").alias("bh2"),
     )
     inter = F.size(F.array_intersect("sha", "shb"))
-    pairs = (
+    # stream→rep band join + verify, THEN expand to corpus members: the
+    # verify work is per unique matching set; the member join only writes
+    # output rows
+    rep_hits = (
         sb.join(corpus, (F.col("band2") == corpus.band) & (F.col("bh2") == corpus.bh))
         .select(
-            "a", "b",
+            "a", "hb",
             F.round(inter / (F.size("sha") + F.size("shb") - inter), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.5)
-        .dropDuplicates(["a", "b"])
+        .dropDuplicates(["a", "hb"])
+    )
+    pairs = rep_hits.join(cmembers, rep_hits.hb == cmembers.hm).select(
+        "a", "b", "jaccard"
     )
     name = "sdm_" + os.path.basename(root).split("_")[-1]
     with state_sized_shuffle(spark):
