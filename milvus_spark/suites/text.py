@@ -1083,3 +1083,101 @@ def dedup_span_fraction(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", "n_spans", "dup_spans",
         F.round(F.col("dup_spans") / F.col("n_spans"), 4).alias("dup_frac"),
     )
+
+
+# --- semantic dedup: kmeans-cluster embeddings, prune within-cluster ----------
+_SEM_K = 8
+_SEM_THETA = 0.35
+
+
+@register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      FROM e, c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT b.vec_id, b.cid, e.v FROM best b JOIN e USING (vec_id)),
+    p AS (
+      SELECT a.cid AS cid, a.vec_id AS keep_id, b.vec_id AS drop_id,
+             list_cosine_similarity(a.v, b.v) AS cos
+      FROM m a JOIN m b ON a.cid = b.cid AND a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_THETA}
+    )
+    SELECT drop_id, keep_id, cid, round(cos, 4) + 0 AS cos FROM (
+      SELECT cid, keep_id, drop_id, cos,
+             row_number() OVER (PARTITION BY drop_id ORDER BY cos DESC, keep_id) AS rn
+      FROM p
+    ) WHERE rn = 1
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic (embedding-space) dedup, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embeddings with one deterministic k-means
+    assignment (centroids = the first K vectors, the same coarse quantizer
+    kernel as vec_kmeans_step / operators/ivf.py), then within each cluster
+    drop every vector that has an earlier (lower-id) cluster-mate with
+    cosine >= theta, reporting the strongest such keeper.
+
+    Scale shape: the quadratic pair work is confined to a cluster — exactly
+    why SemDeDup clusters first. Assignment is a broadcast nested-loop over
+    K centroids with pure-JVM zip_with/aggregate distances (no shuffle
+    before the per-vector argmin); the pair stage is a shuffle EQUI-join on
+    cid (never a global cross join), so each cluster's pairs materialize
+    only on that cluster's partition. At 100 TB, K scales with corpus size
+    (SemDeDup uses n/K ~ 10^4) so per-cluster work stays bounded; here K=8
+    keeps the all-pairs DuckDB oracle tractable. The strongest-keeper pick
+    is a per-drop_id window (bounded by cluster size). Norms are
+    precomputed once per side; cosine stays in whole-stage codegen."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    sqdist = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = e.crossJoin(F.broadcast(cents)).select("vec_id", "v", "cid", sqdist.alias("d"))
+    # ties break to the lowest cid, mirroring the oracle's ORDER BY d, cid
+    m = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.min_by(
+                F.struct("cid", "v"), F.struct("d", F.col("cid").cast("double"))
+            ).alias("s")
+        )
+        .select("vec_id", F.col("s.cid").alias("cid"), F.col("s.v").alias("v"))
+    )
+    norm = F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
+    side = m.withColumn("n", norm)
+    a = side.select(F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va"), F.col("n").alias("na"))
+    b = side.select(F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("v").alias("vb"), F.col("n").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("keep_id") < F.col("drop_id"))
+        .select("cid", "keep_id", "drop_id", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
+        .filter(F.col("cos") >= _SEM_THETA)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("drop_id").orderBy(F.col("cos").desc(), F.col("keep_id"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("drop_id", "keep_id", "cid", (F.round("cos", 4) + F.lit(0.0)).alias("cos"))
+    )
