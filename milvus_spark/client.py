@@ -740,11 +740,67 @@ class MilvusSparkClient:
         tag = F.coalesce(F.col(self.PARTITION_COL), F.lit("_default"))
         return df.filter(tag.isin(list(partition_names)))
 
+    # ------------------------------------------------------- resource groups
+    # Query-node pooling surface (client/milvusclient/resource_group.go;
+    # semantics in querycoordv2/meta/resource_manager.go) re-expressed as
+    # fair-scheduler pools — see milvus_spark/resource_groups.py. Privilege
+    # names/group membership mirror constant.go:143-149,297-303,395-445.
+    @property
+    def _rg(self):
+        from milvus_spark.resource_groups import ResourceGroupStore
+
+        s = getattr(self, "_rg_store", None)
+        if s is None:
+            s = ResourceGroupStore(os.path.join(self._base_root, "_resource_groups.json"))
+            self._rg_store = s
+        return s
+
+    def _set_rg_pool(self, name: str) -> None:
+        """Run this query's jobs in the scheduler pool of the collection's
+        resource group (pool = group name; None clears back to the default
+        pool). Local properties are per-thread and captured at job submit,
+        so the DataFrame's eventual actions land in the right pool."""
+        self.spark.sparkContext.setLocalProperty(
+            "spark.scheduler.pool", self._rg.pool_for(name)
+        )
+
+    def create_resource_group(self, name: str, config: Optional[dict] = None) -> None:
+        self._priv("CreateResourceGroup")
+        self._rg.create(name, config)
+
+    def update_resource_groups(self, configs: dict) -> None:
+        self._priv("UpdateResourceGroups")
+        self._rg.update(configs)
+
+    def drop_resource_group(self, name: str) -> None:
+        self._priv("DropResourceGroup")
+        self._rg.drop(name)
+
+    def list_resource_groups(self) -> list:
+        self._priv("ListResourceGroups")
+        return self._rg.list()
+
+    def describe_resource_group(self, name: str) -> dict:
+        self._priv("DescribeResourceGroup")
+        return self._rg.describe(name)
+
+    def transfer_node(self, source_group: str, target_group: str, num_node: int) -> None:
+        self._priv("TransferNode")
+        self._rg.transfer_node(source_group, target_group, num_node)
+
+    def transfer_replica(
+        self, source_group: str, target_group: str, collection_name: str, num_replicas: int
+    ) -> None:
+        self._priv("TransferReplica")
+        self._rg.transfer_replica(source_group, target_group, collection_name, num_replicas)
+
     def load_collection(
         self,
         name: str,
         mmap_enabled: bool = False,
         load_fields: Optional[Sequence[str]] = None,
+        replica_number: int = 1,
+        resource_groups: Optional[Sequence[str]] = None,
     ) -> None:
         """Load into memory for serving (QueryCoord load analog): pin the
         current visible state in Spark's block-manager cache. Reads between
@@ -808,6 +864,13 @@ class MilvusSparkClient:
         else:
             df.count()  # eager: load completes before the call returns
         self._loaded[self._load_key(name)] = df
+        # replica placement: record which resource group(s) serve this
+        # collection — searches/queries then run in that group's scheduler
+        # pool (replica_number > len(resource_groups) round-robins, like the
+        # reference spreading replicas across the rg list)
+        if replica_number < 1:
+            raise ValueError("replica_number must be >= 1")
+        self._rg.place_replicas(name, replica_number, resource_groups)
 
     def _load_key(self, name: str):
         # cache keys carry the database dir — two databases may hold
@@ -820,6 +883,7 @@ class MilvusSparkClient:
         df = loaded.pop(self._load_key(name), None) or loaded.pop(name, None)
         if df is not None:
             df.unpersist()
+        self._rg.release_replicas(name)
 
     def load_partitions(self, name: str, partitions: Sequence[str]) -> None:
         """Partition-level load (LoadPartitions analog): pin only the named
@@ -1745,6 +1809,7 @@ class MilvusSparkClient:
         """
         self._priv("Query", name)
         self._deny("reading")
+        self._set_rg_pool(name)
         partition_names, ns_cond = self._namespace_resolve(
             name, self._meta(name), namespace, partition_names
         )
@@ -1895,6 +1960,7 @@ class MilvusSparkClient:
         file-resource stop filter, test_milvus_client_file_resource.py)."""
         self._priv("Search", name)
         self._deny("reading")
+        self._set_rg_pool(name)
         meta = self._meta(name)
         base = self._scoped_base(name, meta, namespace, None)
         # BM25 stats are collection-global (idf_oracle.go:81) — the tenant
@@ -2005,6 +2071,7 @@ class MilvusSparkClient:
     ) -> DataFrame:
         self._priv("Query", name)
         self._deny("reading")
+        self._set_rg_pool(name)
         meta = self._meta(name)
         df = self._scoped_base(name, meta, namespace, None).filter(
             F.col(meta["pk"]).isin(*list(ids))
@@ -2025,6 +2092,7 @@ class MilvusSparkClient:
     ) -> int:
         self._priv("Query", name)
         self._deny("reading")
+        self._set_rg_pool(name)
         meta = self._meta(name)
         return apply_filter(
             self._scoped_base(name, meta, namespace, None),
@@ -2072,6 +2140,7 @@ class MilvusSparkClient:
         exact scan — the same dispatch as SearchOnSealed-vs-brute-force."""
         self._priv("Search", name)
         self._deny("reading")
+        self._set_rg_pool(name)
         meta = self._meta(name)
         if hints is not None and hints not in ("iterative_filter", "disable"):
             # hint value is validated for EVERY search, whichever execution
@@ -2866,6 +2935,7 @@ class MilvusSparkClient:
         """pk-ordered pagination cursor (QueryIteratorCursor plan.proto:377)."""
         self._priv("Query", name)
         self._deny("reading")
+        self._set_rg_pool(name)
         meta = self._meta(name)
         pk = meta["pk"]
         # pin the snapshot once (GuaranteeTs): concurrent DML must not make

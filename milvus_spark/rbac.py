@@ -43,6 +43,10 @@ GLOBAL_PRIVS = {
     "DescribeDatabase", "AlterDatabase", "FlushAll", "ListPrivilegeGroups",
     "CreatePrivilegeGroup", "DropPrivilegeGroup", "OperatePrivilegeGroup",
     "BackupRBAC", "RestoreRBAC",
+    # resource-group administration (constant.go:143-149,297-303)
+    "CreateResourceGroup", "UpdateResourceGroups", "DropResourceGroup",
+    "DescribeResourceGroup", "ListResourceGroups", "TransferReplica",
+    "TransferNode",
 }
 # BUILT-IN privilege groups expand at check time. The catalog mirrors
 # constant.go: Collection{ReadOnly,ReadWrite,Admin} (:330-372),
@@ -56,8 +60,10 @@ _COLL_RW = _COLL_RO | {"Insert", "Delete", "Upsert", "Import", "Flush",
                        "DropIndex", "CreatePartition", "DropPartition"}
 _DB_RO = {"ShowCollections", "DescribeDatabase", "DescribeCollection"}
 _DB_RW = _DB_RO | {"AlterDatabase"}
-_CLUSTER_RO = {"ListDatabases", "SelectUser", "ListPrivilegeGroups"}
-_CLUSTER_RW = _CLUSTER_RO | {"FlushAll"}
+_CLUSTER_RO = {"ListDatabases", "SelectUser", "ListPrivilegeGroups",
+               "DescribeResourceGroup", "ListResourceGroups"}
+_CLUSTER_RW = _CLUSTER_RO | {"FlushAll", "TransferNode", "TransferReplica",
+                             "UpdateResourceGroups"}
 PRIVILEGE_GROUPS = {
     "CollectionReadOnly": _COLL_RO,
     "CollectionReadWrite": _COLL_RW,
@@ -72,7 +78,8 @@ PRIVILEGE_GROUPS = {
                                    "UpdateUser", "CreatePrivilegeGroup",
                                    "DropPrivilegeGroup",
                                    "OperatePrivilegeGroup", "BackupRBAC",
-                                   "RestoreRBAC"},
+                                   "RestoreRBAC", "CreateResourceGroup",
+                                   "DropResourceGroup"},
 }
 
 _NAME_RE = re.compile(r"^[A-Za-z_][A-Za-z0-9_]{0,31}$")
