@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "dedup_span_fraction",    # exact-substring duplication signal (r5)
     "vec_kmeans_step",        # distributed k-means step, the IVF train kernel (r5)
     "src_packed_manifest",    # storage-v2 packed manifest read path (r5)
+    "dedup_semantic",         # SemDeDup: kmeans-assign + in-cluster cosine prune (r5)
+    "stream_exact_dedup",     # streaming first-occurrence admission, stateful dropDuplicates (r5)
 ]
 
 

@@ -794,6 +794,12 @@ class MilvusSparkClient:
         self._priv("TransferReplica")
         self._rg.transfer_replica(source_group, target_group, collection_name, num_replicas)
 
+    def describe_replica(self, collection_name: str) -> list:
+        """Loaded-replica placement (DescribeReplica/GetReplicas,
+        resource_group.go:146-177). Gated like the other load-state reads."""
+        self._priv("GetLoadState", collection_name)
+        return self._rg.replicas_of(self._resolve_alias(collection_name))
+
     def load_collection(
         self,
         name: str,

@@ -306,3 +306,23 @@ class ResourceGroupStore:
         the caller leaves the default pool in place)."""
         rgs = self._s["replicas"].get(collection)
         return rgs[0] if rgs else None
+
+    def replicas_of(self, collection: str) -> list[dict]:
+        """DescribeReplica (client/milvusclient/resource_group.go:146-177):
+        one entry per loaded replica — id, owning group, the group's node
+        ids. ``shards`` is empty in local mode: the DM-channel analog here
+        is the micro-batch ingest log (streaming/ingest.py), which is not
+        replica-partitioned; ``num_outbound_node`` is structurally 0 for
+        the same reason describe()'s outgoing/incoming are empty."""
+        out = []
+        for i, rg in enumerate(self._s["replicas"].get(collection, [])):
+            out.append(
+                {
+                    "replica_id": i,
+                    "resource_group": rg,
+                    "nodes": list(self._nodes.get(rg, [])),
+                    "shards": [],
+                    "num_outbound_node": 0,
+                }
+            )
+        return out

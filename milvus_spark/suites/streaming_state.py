@@ -413,3 +413,62 @@ def stream_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
         )
         q.awaitTermination()
     return spark.table(name).select("a", "b", "jaccard")
+
+
+@register(
+    "stream_exact_dedup",
+    oracle="""
+    SELECT DISTINCT sha256(text) AS h, CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def stream_exact_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact-dedup ADMISSION: documents arrive as real micro-
+    batches and only the FIRST occurrence of each content hash is admitted —
+    the ingest-side pk/content dedup every continuously-fed training corpus
+    needs (and the streaming sibling of the batch ``dedup_exact`` groupBy).
+
+    The stateful operator is Spark's own streaming ``dropDuplicates``: one
+    state-store entry per unique hash, shuffle-partitioned by the key. The
+    emitted columns are FUNCTIONS OF THE KEY (the hash itself and
+    length(text), identical for every row sharing the hash), so the
+    operator's pick-the-first-row-it-saw nondeterminism cannot leak into
+    the result — the append-mode stream output equals the batch DISTINCT
+    exactly, which is the oracle. At real scale the state is bounded with
+    dropDuplicatesWithinWatermark on arrival time (late re-sends of content
+    older than the watermark are already persisted corpus, not state)."""
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+
+    stage = os.path.join(_SCRATCH, "streamexact_store", os.path.basename(sf.rstrip("/")))
+    src = os.path.join(stage, "src")
+    if not os.path.exists(os.path.join(stage, "_STAGED")):
+        half = d.agg(F.percentile_approx("doc_id", 0.5)).first()[0]
+        for i, part in enumerate(
+            (d.filter(F.col("doc_id") <= half), d.filter(F.col("doc_id") > half))
+        ):
+            part.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, f"chunk{i}"))
+        open(os.path.join(stage, "_STAGED"), "w").close()
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/*")
+    )
+    admitted = stream.select(
+        F.sha2(F.col("text"), 256).alias("h"),
+        F.length("text").cast("long").alias("n_chars"),
+    ).dropDuplicates(["h"])
+
+    root = scratch_mkdtemp("streamexact_")
+    name = "sed_" + os.path.basename(root).split("_")[-1]
+    with state_sized_shuffle(spark):
+        q = (
+            admitted.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(root, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name).select("h", "n_chars")

@@ -221,9 +221,18 @@ def _shingle_sets_collapsed(spark: SparkSession, sf: str):
     s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh"))
     # empty sets (docs under 3 tokens) can never reach jaccard ≥ θ — and
     # must NOT group with each other (0/0 is NULL in the oracle, not 1.0)
-    s = s.filter(F.size("sh") > 0).withColumn(
-        "h", F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256)
-    ).cache()
+    #
+    # cache(), not localCheckpoint(): the frame is WIDE (the sh arrays) and
+    # every consumer prunes columns — InMemoryRelation keeps the columnar
+    # layout so `members` reads only (doc_id, h), while a localCheckpoint
+    # is an RDD row barrier that re-materializes full rows per consumer
+    # (measured here: 10× slower). The localCheckpoint lesson applies to
+    # small ITERATIVE state (dedup_components), not to wide reused frames.
+    s = (
+        s.filter(F.size("sh") > 0)
+        .withColumn("h", F.sha2(F.concat_ws("\x1f", F.array_sort("sh")), 256))
+        .cache()
+    )
     s.count()
     members = s.select("doc_id", "h")
     reps = (
@@ -280,7 +289,8 @@ def _ngram_rep_pairs(spark: SparkSession, sf: str):
     from pyspark.sql import Window as W
 
     members, rs = _shingle_sets_collapsed(spark, sf)
-    e = rs.select("doc_id", F.explode("sh").alias("g"))
+    # set size rides the explode (it's just size(sh)) — no join back later
+    e = rs.select("doc_id", F.size("sh").alias("cnt"), F.explode("sh").alias("g"))
     # global canonical order: one aggregate on the same key the join
     # shuffles on; df is the sort key so rare shingles lead every prefix
     dfreq = e.groupBy("g").agg(F.count(F.lit(1)).alias("gdf"))
@@ -290,12 +300,9 @@ def _ngram_rep_pairs(spark: SparkSession, sf: str):
     )
     # prefix length |sh| − ⌈θ|sh|⌉ + 1 (per-doc windows are bounded by doc
     # length, so the window shuffle is linear and skew-free)
-    sized = rs.select("doc_id", F.size("sh").alias("cnt"))
-    prefix = (
-        ranked.join(sized, "doc_id")
-        .filter(F.col("rn") <= F.col("cnt") - F.ceil(theta * F.col("cnt")) + 1)
-        .select("doc_id", "g", "cnt", "rn")
-    )
+    prefix = ranked.filter(
+        F.col("rn") <= F.col("cnt") - F.ceil(theta * F.col("cnt")) + 1
+    ).select("doc_id", "g", "cnt", "rn")
     p2 = prefix.select(
         F.col("doc_id").alias("b_id"), F.col("g").alias("g2"),
         F.col("cnt").alias("cb"), F.col("rn").alias("rn2"),

@@ -135,6 +135,21 @@ def test_replica_placement_and_transfer(client, spark, sf_dir):
     client.drop_resource_group("rg_q")
 
 
+def test_describe_replica(client, spark, sf_dir):
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("nat", pk_field="n_nationkey")
+    client.insert("nat", nation)
+    assert client.describe_replica("nat") == []  # not loaded
+    client.create_resource_group("rg_r", {"requests": {"node_num": 2}, "limits": {"node_num": 2}})
+    client.load_collection("nat", replica_number=2, resource_groups=["rg_r", DEFAULT_RESOURCE_GROUP])
+    reps = client.describe_replica("nat")
+    assert [r["resource_group"] for r in reps] == ["rg_r", DEFAULT_RESOURCE_GROUP]
+    assert reps[0]["nodes"] == client.describe_resource_group("rg_r")["nodes"]
+    assert reps[0]["replica_id"] != reps[1]["replica_id"]
+    client.release_collection("nat")
+    assert client.describe_replica("nat") == []
+
+
 def test_queries_run_in_the_groups_scheduler_pool(client, spark, sf_dir):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     client.create_collection("nat", pk_field="n_nationkey")
