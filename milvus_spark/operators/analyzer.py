@@ -5,8 +5,40 @@ Reference parity: Milvus analyzers are declared as JSON ``analyzer_params``
 to run_analyzer (internal/util/analyzer/; canalyzer/c_analyzer_test.go:71-225;
 test_milvus_client_analyzer.py, test_milvus_client_pinyin_filter.py).
 ``build_analyzer`` interprets the same shape into a pure-JVM Column
-pipeline: tokenizer ∈ {standard, whitespace, cjk_bigram, cjk_dict, jieba}, filters
-∈ {lowercase, length, stop, stemmer, pinyin}.
+pipeline: tokenizer ∈ {standard, whitespace, cjk_bigram, cjk_dict, jieba},
+filters ∈ {lowercase, length, stop, stemmer, pinyin, alphanumonly,
+cncharonly, cnalphanumonly, removepunct, decimaldigit, asciifolding,
+arabic_normalization, regex, synonym, decompounder} — the full registry the
+reference dispatches in tantivy-binding/src/analyzer/filter/filter.rs:
+110-150, with semantics re-expressed per filter (no code reused; the
+originals are Rust):
+
+  - cncharonly / cnalphanumonly keep tokens CONTAINING a Han char (resp. a
+    Han/ASCII-alnum char) — the is_match(search) semantics of
+    cn_char_filter.rs:26,74; alphanumonly keeps only all-ASCII-alnum
+    tokens (tantivy AlphaNumOnlyFilter); removepunct drops tokens
+    containing punctuation/whitespace (remove_punct_filter.rs:25; Java's
+    \\p{Punct} dialect — ASCII punctuation — stands in for the Rust class).
+  - decimaldigit folds every Unicode Nd digit to ASCII 0-9
+    (decimal_digit_filter.rs; table derived from unicodedata, not copied).
+  - asciifolding folds Latin accents to ASCII: 1:1 folds generated from
+    NFKD (strip combining marks) over U+0080..U+024F plus the classic
+    multi-char folds (ß→ss, Æ→AE, …). Tantivy's table also folds many
+    non-Latin blocks — documented subset.
+  - arabic_normalization: alef variants → bare alef, teh marbuta → heh,
+    alef maksura → yeh, strip tatweel + harakat
+    (arabic_normalization_filter.rs:37-63).
+  - regex keeps tokens where the pattern FINDS a match (rlike), mirroring
+    regex_filter.rs is_match.
+  - synonym replaces a matching token with its mapped word set
+    (synonym_filter.rs:298-316; rows "A, B, C" group / "A => B, C"
+    mapping with \\-escapes; expand=true adds the key to its own set).
+    The reference emits a HashSet in undefined order; here the expansion
+    is emitted sorted for determinism.
+  - decompounder splits a token into dictionary parts when a
+    leftmost-longest scan covers it exactly, else keeps it (tantivy
+    SplitCompoundWords contract) — the one Arrow-batched pandas-UDF step
+    (per-token DP is not Column-expressible); everything else is JVM.
 
 All filters compose left-to-right like the reference's tantivy chain. The
 result is a function Column(str) → Column(array<str>) usable anywhere the
@@ -17,6 +49,7 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Sequence
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -25,6 +58,186 @@ from milvus_spark.operators.text import cjk_bigram_tokens, tokens
 
 def _whitespace_tokens(col: Column) -> Column:
     return F.filter(F.split(col, r"\s+"), lambda x: x != "")
+
+
+_DECIMAL_MAPS: Optional[tuple[str, str]] = None
+
+
+def _decimal_digit_maps() -> tuple[str, str]:
+    """(src, dst) translate strings folding every Unicode Nd digit to ASCII.
+    Derived from unicodedata (the same category the reference's zeros table
+    encodes); computed once, lazily — the full-plane scan is ~0.5s."""
+    global _DECIMAL_MAPS
+    if _DECIMAL_MAPS is None:
+        import sys
+        import unicodedata
+
+        src, dst = [], []
+        for cp in range(0x80, sys.maxunicode + 1):
+            ch = chr(cp)
+            if unicodedata.category(ch) == "Nd":
+                src.append(ch)
+                dst.append(str(unicodedata.digit(ch)))
+        _DECIMAL_MAPS = ("".join(src), "".join(dst))
+    return _DECIMAL_MAPS
+
+
+# multi-char folds without an NFKD decomposition (the classic Latin set the
+# Lucene/tantivy folding table spells out)
+_ASCII_MULTI = {
+    "ß": "ss", "ẞ": "SS", "Æ": "AE", "æ": "ae", "Œ": "OE", "œ": "oe",
+    "Ð": "D", "ð": "d", "Ø": "O", "ø": "o", "Þ": "TH", "þ": "th",
+    "Đ": "D", "đ": "d", "Ħ": "H", "ħ": "h", "Ł": "L", "ł": "l",
+    "Ŋ": "NG", "ŋ": "ng", "Ŧ": "T", "ŧ": "t", "ı": "i", "ĸ": "k",
+}
+_ASCII_MAPS: Optional[tuple[str, str]] = None
+
+
+def _ascii_fold_maps() -> tuple[str, str]:
+    """1:1 accent folds over U+0080..U+024F via NFKD-minus-marks."""
+    global _ASCII_MAPS
+    if _ASCII_MAPS is None:
+        import unicodedata
+
+        src, dst = [], []
+        for cp in range(0x80, 0x250):
+            ch = chr(cp)
+            if ch in _ASCII_MULTI:
+                continue
+            folded = "".join(
+                c
+                for c in unicodedata.normalize("NFKD", ch)
+                if not unicodedata.combining(c)
+            )
+            if len(folded) == 1 and folded != ch and ord(folded) < 0x80:
+                src.append(ch)
+                dst.append(folded)
+        _ASCII_MAPS = ("".join(src), "".join(dst))
+    return _ASCII_MAPS
+
+
+def _ascii_fold(tok: Column) -> Column:
+    src, dst = _ascii_fold_maps()
+    c = F.translate(tok, src, dst)
+    for k, v in _ASCII_MULTI.items():
+        c = F.regexp_replace(c, k, v)
+    return c
+
+
+def _arabic_normalize(tok: Column) -> Column:
+    # alef madda/hamza-above/hamza-below → alef; teh marbuta → heh;
+    # alef maksura → yeh; then strip tatweel + harakat (U+064B..U+065F)
+    c = F.translate(tok, "آأإةى", "اااهي")
+    return F.regexp_replace(c, "[ـً-ٟ]", "")
+
+
+def parse_synonym_rows(rows: Sequence[str], expand: bool) -> dict[str, list[str]]:
+    """The reference's synonym row grammar (synonym_filter.rs add_row):
+    "A, B, C" = group, "A => B, C" = mapping; ``\\`` escapes ``,`` ``\\``
+    `` `` and ``=>``; an unescaped space INSIDE a word is an error."""
+    dict_: dict[str, set[str]] = {}
+
+    def add(key: str, words: list[str]) -> None:
+        if key in dict_:
+            dict_[key].update(words)
+        else:
+            s = set(words)
+            if expand:
+                s.add(key)
+            dict_[key] = s
+
+    for row in rows:
+        is_mapping = False
+        space_flag = False
+        left: list[str] = []
+        right: list[str] = []
+        cur = ""
+        i, n = 0, len(row)
+        while i < n:
+            ch = row[i]
+            if ch == "\\":
+                if i + 1 >= n:
+                    raise ValueError(f"invalid synonym escaped in the end: {row}")
+                nxt = row[i + 1]
+                if nxt in (",", "\\", " "):
+                    cur += nxt
+                    i += 2
+                    continue
+                if nxt == "=" and i + 2 < n and row[i + 2] == ">":
+                    cur += "=>"
+                    i += 3
+                    continue
+                raise ValueError(f"invalid synonym escaped: \\{nxt} in {row}")
+            if ch == " ":
+                if cur:
+                    while i + 1 < n and row[i + 1] == " ":
+                        i += 1
+                    space_flag = True
+                i += 1
+                continue
+            if ch == ",":
+                if cur:
+                    (right if is_mapping else left).append(cur)
+                cur = ""
+                space_flag = False
+                i += 1
+                continue
+            if ch == "=" and i + 1 < n and row[i + 1] == ">":
+                if is_mapping:
+                    raise ValueError(f'more than one "=>" in {row}')
+                is_mapping = True
+                if cur:
+                    left.append(cur)
+                cur = ""
+                space_flag = False
+                i += 2
+                continue
+            if space_flag:
+                raise ValueError(
+                    f"space between words in {row}, use \\ to escape space"
+                )
+            cur += ch
+            i += 1
+        if cur:
+            (right if is_mapping else left).append(cur)
+        if is_mapping:
+            for key in left:
+                add(key, right)
+        elif left:
+            for key in left:
+                add(key, left if expand else [left[0]])
+    # sorted emission: the reference iterates a HashSet (undefined order)
+    return {k: sorted(v) for k, v in dict_.items()}
+
+
+def _decompound(word_list: Sequence[str]):
+    """tantivy SplitCompoundWords: emit the dictionary parts when a
+    leftmost-longest scan covers the token EXACTLY, else keep the token."""
+    words = sorted(set(word_list), key=len, reverse=True)
+
+    def split_one(tok: str) -> list[str]:
+        parts, i = [], 0
+        while i < len(tok):
+            for w in words:  # longest first at this position
+                if tok.startswith(w, i):
+                    parts.append(w)
+                    i += len(w)
+                    break
+            else:
+                return [tok]
+        return parts or [tok]
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def decompound_udf(toks: pd.Series) -> pd.Series:
+        return toks.map(
+            lambda arr: None
+            if arr is None
+            else [p for t in arr for p in split_one(t)]
+        )
+
+    return lambda c: decompound_udf(c)
 
 
 def _stemmer(toks: Column) -> Column:
@@ -159,6 +372,64 @@ def build_analyzer(
                 if k in spec
             }
             steps.append(lambda c, kw=kw: pinyin_filter(c, **kw))
+        elif ftype == "alphanumonly":
+            steps.append(lambda c: F.filter(c, lambda x: x.rlike("^[a-zA-Z0-9]*$")))
+        elif ftype == "cncharonly":
+            steps.append(lambda c: F.filter(c, lambda x: x.rlike("\\p{IsHan}")))
+        elif ftype == "cnalphanumonly":
+            steps.append(
+                lambda c: F.filter(c, lambda x: x.rlike("[\\p{IsHan}a-zA-Z0-9]"))
+            )
+        elif ftype == "removepunct":
+            steps.append(lambda c: F.filter(c, lambda x: ~x.rlike("[\\p{Punct}\\s]")))
+        elif ftype == "decimaldigit":
+            src, dst = _decimal_digit_maps()
+            steps.append(
+                lambda c, src=src, dst=dst: F.transform(
+                    c, lambda x: F.translate(x, src, dst)
+                )
+            )
+        elif ftype == "asciifolding":
+            steps.append(lambda c: F.transform(c, _ascii_fold))
+        elif ftype == "arabic_normalization":
+            steps.append(lambda c: F.transform(c, _arabic_normalize))
+        elif ftype == "regex":
+            expr = spec.get("expr")
+            if not isinstance(expr, str):
+                raise ValueError("must set expr for regex filter")
+            steps.append(lambda c, expr=expr: F.filter(c, lambda x: x.rlike(expr)))
+        elif ftype == "synonym":
+            rows = list(spec.get("synonyms", []))
+            res = spec.get("synonyms_resource")
+            if res is not None:
+                if resource_words is None:
+                    raise ValueError("synonyms_resource needs a client context")
+                rows += list(resource_words(res))
+            mapping = parse_synonym_rows(rows, bool(spec.get("expand", True)))
+            if mapping:
+                m = F.map_from_arrays(
+                    F.array(*[F.lit(k) for k in mapping]),
+                    F.array(
+                        *[F.array(*[F.lit(w) for w in v]) for v in mapping.values()]
+                    ),
+                )
+                steps.append(
+                    lambda c, m=m: F.flatten(
+                        F.transform(
+                            c, lambda x: F.coalesce(m[x], F.array(x))
+                        )
+                    )
+                )
+        elif ftype == "decompounder":
+            words = list(spec.get("word_list", []))
+            res = spec.get("word_list_resource")
+            if res is not None:
+                if resource_words is None:
+                    raise ValueError("word_list_resource needs a client context")
+                words += list(resource_words(res))
+            if not words:
+                raise ValueError("decompounder word list is empty")
+            steps.append(_decompound(words))
         else:
             raise ValueError(f"unknown analyzer filter {ftype!r}")
 

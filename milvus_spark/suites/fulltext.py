@@ -870,3 +870,61 @@ def fts_pinyin_filter(spark: SparkSession, sf: str) -> DataFrame:
         F.size(out).cast("long").alias("n_out"),
         F.array_join(out, " ").alias("pystr"),
     )
+
+
+# --- synonym-expanded term stats (analyzer filter registry) -------------------
+@register(
+    "fts_synonym_match",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    exp AS (
+      SELECT doc_id, unnest(
+        CASE
+          WHEN t IN ('fast', 'quick', 'rapid') THEN ['fast', 'quick', 'rapid']
+          WHEN t IN ('slow', 'sluggish')       THEN ['slow', 'sluggish']
+          ELSE [t]
+        END
+      ) AS term
+      FROM toks
+    )
+    SELECT term,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occ
+    FROM exp
+    WHERE term IN ('fast', 'quick', 'rapid', 'slow', 'sluggish')
+    GROUP BY term
+    """,
+)
+def fts_synonym_match(spark: SparkSession, sf: str) -> DataFrame:
+    """Synonym-expanded term statistics through the declarative analyzer
+    chain: the expand-mode synonym filter (tantivy-binding
+    synonym_filter.rs grammar: group rows, every member maps to the whole
+    group) rides build_analyzer exactly as a field's analyzer_params
+    would, then term stats aggregate over the expanded stream.
+
+    Scale shape: the expansion is a per-row JVM map lookup + flatten (no
+    UDF, no shuffle); the only shuffles are the two keyed aggregates, both
+    map-side-combined on the term key."""
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    analyze = build_analyzer(
+        {
+            "tokenizer": "whitespace",
+            "filter": [
+                {"type": "synonym",
+                 "synonyms": ["fast, quick, rapid", "slow, sluggish"]}
+            ],
+        }
+    )
+    d = load_table(spark, sf, "documents")
+    e = d.select("doc_id", F.explode(analyze(F.col("text"))).alias("term"))
+    return (
+        e.filter(F.col("term").isin("fast", "quick", "rapid", "slow", "sluggish"))
+        .groupBy("term")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+    )

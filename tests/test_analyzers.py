@@ -348,3 +348,131 @@ def test_jieba_dict_resource_via_client(spark, tmp_path):
     assert toks == ["他", "来到", "了", "网易", "杭研", "大厦"]
     with _pytest.raises(ValueError, match="file-resource context"):
         build_analyzer({"tokenizer": {"type": "jieba", "dict_resource": "zh_names"}})
+
+
+# ---- filter-registry parity (tantivy-binding filter/filter.rs:110-150) ------
+
+
+def _run(spark, text, params):
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    analyze = build_analyzer(params)
+    df = spark.createDataFrame([(text,)], ["t"]).select(
+        analyze(F.col("t")).alias("toks")
+    )
+    return df.collect()[0].toks
+
+
+def test_alphanumonly_and_removepunct(spark):
+    got = _run(spark, "abc a1 b-2 ©x 3",
+               {"tokenizer": "whitespace", "filter": ["alphanumonly"]})
+    assert got == ["abc", "a1", "3"]
+    got = _run(spark, "abc a,b x. y",
+               {"tokenizer": "whitespace", "filter": ["removepunct"]})
+    assert got == ["abc", "y"]
+
+
+def test_cn_char_filters(spark):
+    # cncharonly keeps tokens CONTAINING Han (cn_char_filter.rs:26)
+    got = _run(spark, "中文 mixed中 latin 123",
+               {"tokenizer": "whitespace", "filter": ["cncharonly"]})
+    assert got == ["中文", "mixed中"]
+    # cnalphanumonly keeps tokens containing Han OR ascii alnum (:74)
+    got = _run(spark, "中文 abc !!! a!b",
+               {"tokenizer": "whitespace", "filter": ["cnalphanumonly"]})
+    assert got == ["中文", "abc", "a!b"]
+
+
+def test_decimaldigit_folds_nd_digits(spark):
+    # Arabic-Indic ٣ (U+0663) and Thai ๓ (U+0E53) both become '3'
+    # (decimal_digit_filter.rs doc comment)
+    got = _run(spark, "٣ ๓ 42",
+               {"tokenizer": "whitespace", "filter": ["decimaldigit"]})
+    assert got == ["3", "3", "42"]
+
+
+def test_asciifolding(spark):
+    got = _run(spark, "café Ångström straße Œuvre",
+               {"tokenizer": "whitespace", "filter": ["asciifolding"]})
+    assert got == ["café".replace("é", "e"), "Angstrom", "strasse", "OEuvre"]
+
+
+def test_arabic_normalization(spark):
+    # alef-madda → alef, teh marbuta → heh, strip harakat + tatweel
+    # (arabic_normalization_filter.rs:37-63)
+    got = _run(spark, "آمنة كَتَب ـم",
+               {"tokenizer": "whitespace", "filter": ["arabic_normalization"]})
+    assert got == ["امنه", "كتب", "م"]
+
+
+def test_regex_filter_keeps_matches(spark):
+    got = _run(spark, "alpha beta42 gamma",
+               {"tokenizer": "whitespace",
+                "filter": [{"type": "regex", "expr": "[0-9]"}]})
+    assert got == ["beta42"]
+
+
+def test_synonym_filter_reference_fixture(spark):
+    # the reference's own test rows (synonym_filter.rs test_synonym_filter):
+    # expand=false, "trans => translate, \=>" and "\\test, test, tests"
+    got = _run(
+        spark,
+        "test trans synonym",
+        {"tokenizer": "whitespace",
+         "filter": [{"type": "synonym", "expand": False,
+                     "synonyms": ["trans => translate, \\=>", "\\\\test, test, tests"]}]},
+    )
+    assert set(got) == {"\\test", "translate", "=>", "synonym"}
+
+
+def test_synonym_expand_group(spark):
+    got = _run(
+        spark,
+        "big data",
+        {"tokenizer": "whitespace",
+         "filter": [{"type": "synonym", "synonyms": ["big, large, huge"]}]},
+    )
+    # expand=true (default): every group word expands to the whole group
+    assert got == ["big", "huge", "large", "data"]
+
+
+def test_synonym_row_errors():
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import parse_synonym_rows
+
+    with _pytest.raises(ValueError, match="escape space"):
+        parse_synonym_rows(["big data, large"], True)
+    with _pytest.raises(ValueError, match="more than one"):
+        parse_synonym_rows(["a => b => c"], True)
+    with _pytest.raises(ValueError, match="in the end"):
+        parse_synonym_rows(["a, b\\"], True)
+    # escaped space joins words
+    assert parse_synonym_rows(["big\\ data => large"], False) == {
+        "big data": ["large"]
+    }
+
+
+def test_decompounder(spark):
+    got = _run(
+        spark,
+        "dampfschifffahrt schiff unsplittable",
+        {"tokenizer": "whitespace",
+         "filter": [{"type": "decompounder",
+                     "word_list": ["dampf", "schiff", "fahrt"]}]},
+    )
+    # full leftmost-longest cover → parts; no cover → token kept
+    assert got == ["dampf", "schiff", "fahrt", "schiff", "unsplittable"]
+
+
+def test_unknown_filter_still_rejected(spark):
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    with _pytest.raises(ValueError, match="unknown analyzer filter"):
+        build_analyzer({"tokenizer": "standard", "filter": ["nope"]})
+    with _pytest.raises(ValueError, match="must set expr"):
+        build_analyzer({"tokenizer": "standard", "filter": [{"type": "regex"}]})
+    with _pytest.raises(ValueError, match="word list is empty"):
+        build_analyzer({"tokenizer": "standard", "filter": [{"type": "decompounder"}]})
