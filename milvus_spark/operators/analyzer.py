@@ -47,6 +47,7 @@ suite analyzers are (BM25 term vectors, text_match, dedup shingles).
 
 from __future__ import annotations
 
+import re
 from typing import Callable, Optional, Sequence
 
 import pandas as pd
@@ -129,6 +130,22 @@ def _arabic_normalize(tok: Column) -> Column:
     # alef maksura → yeh; then strip tatweel + harakat (U+064B..U+065F)
     c = F.translate(tok, "آأإةى", "اااهي")
     return F.regexp_replace(c, "[ـً-ٟ]", "")
+
+
+def _ident_language(col: Column) -> Column:
+    """Script-first language naming (whatlang eng_name vocabulary).
+    Kana outranks Han (Japanese text contains kanji); pure-Han → Mandarin;
+    Latin defaults to English, anything else → default."""
+    return (
+        F.when(col.rlike("[\\p{IsHiragana}\\p{IsKatakana}]"), "Japanese")
+        .when(col.rlike("\\p{IsHangul}"), "Korean")
+        .when(col.rlike("\\p{IsHan}"), "Mandarin")
+        .when(col.rlike("\\p{IsCyrillic}"), "Russian")
+        .when(col.rlike("\\p{IsArabic}"), "Arabic")
+        .when(col.rlike("\\p{IsThai}"), "Thai")
+        .when(col.rlike("[A-Za-z]"), "English")
+        .otherwise("default")
+    )
 
 
 def parse_synonym_rows(rows: Sequence[str], expand: bool) -> dict[str, list[str]]:
@@ -304,6 +321,78 @@ def build_analyzer(
                     )
                 extra = parse_dict_lines(resource_words(spec["dict_resource"]))
             tokenize = lambda c, extra=extra: jieba_tokens(c, extra_dict=extra)  # noqa: E731
+        elif ttype == "char_group":
+            # char_group_tokenizer.rs: split on literal delimiter chars
+            # and/or named char groups; multi-char entry = group name
+            delims = spec.get("delimiters")
+            if not isinstance(delims, list) or not delims:
+                raise ValueError("char group tokenizer delimiters can't be empty")
+            classes = {
+                "whitespace": r"\s\p{javaWhitespace}",
+                "letter": r"\p{L}",
+                "digit": "0-9",  # rust char::is_digit(10) is ASCII-only
+                "punctuation": r"\p{P}",
+                "symbol": r"\p{S}",
+                "ascii_whitespace": r" \t\n\x0B\f\r",
+                "ascii_letter": "a-zA-Z",
+                "ascii_digit": "0-9",
+                "ascii_punctuation": r"\p{Punct}",
+            }
+            parts = []
+            for d in delims:
+                if not isinstance(d, str):
+                    raise ValueError("char group delimiter must be string")
+                if len(d) == 1:
+                    parts.append(re.escape(d))
+                elif d in classes:
+                    parts.append(classes[d])
+                else:
+                    raise ValueError(
+                        f"{d} not a char or name of build-in char group"
+                    )
+            pat = "[" + "".join(parts) + "]+"
+            tokenize = lambda c, pat=pat: F.filter(  # noqa: E731
+                F.split(c, pat), lambda x: x != ""
+            )
+        elif ttype == "language_identifier":
+            # lang_ident_tokenizer.rs: detect the text's language, route to
+            # the named sub-analyzer ("analyzers" must include "default";
+            # "mapping" renames detected language → analyzer name). The
+            # detector here is the script/stopword heuristic (documented
+            # stand-in for whatlang, like the embedded CJK dictionaries —
+            # whatlang/lingua are Rust libraries); names follow whatlang's
+            # eng_name() ("Mandarin", "English", ...), unmatched → default.
+            subs_spec = spec.get("analyzers")
+            if not isinstance(subs_spec, dict) or not subs_spec:
+                raise ValueError("analyzers must be set")
+            if "default" not in subs_spec:
+                raise ValueError('language_identifier analyzers must include "default"')
+            mapping = dict(spec.get("mapping", {}))
+            subs = {
+                name: build_analyzer(p, resource_words=resource_words)
+                for name, p in subs_spec.items()
+            }
+
+            def tokenize(c, subs=subs, mapping=mapping):  # noqa: E731
+                lang = _ident_language(c)
+                # language -> analyzer name (mapping first, else the
+                # detected name itself when a sub-analyzer has it)
+                name = lang
+                for k, v in mapping.items():
+                    name = F.when(lang == k, F.lit(v)).otherwise(name)
+                expr = None
+                for sub_name, fn in subs.items():
+                    if sub_name == "default":
+                        continue
+                    br = fn(c)
+                    expr = (
+                        F.when(name == sub_name, br)
+                        if expr is None
+                        else expr.when(name == sub_name, br)
+                    )
+                default = subs["default"](c)
+                return default if expr is None else expr.otherwise(default)
+
         elif ttype in ("jieba", "standard", "whitespace", "cjk_bigram", "cjk_dict"):
             tok = ttype  # plain named tokenizer in structured form
         else:

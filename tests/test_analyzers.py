@@ -476,3 +476,72 @@ def test_unknown_filter_still_rejected(spark):
         build_analyzer({"tokenizer": "standard", "filter": [{"type": "regex"}]})
     with _pytest.raises(ValueError, match="word list is empty"):
         build_analyzer({"tokenizer": "standard", "filter": [{"type": "decompounder"}]})
+
+
+def test_char_group_tokenizer(spark):
+    # split on literal delimiters + named groups (char_group_tokenizer.rs)
+    got = _run(spark, "a-b_c d,e1f",
+               {"tokenizer": {"type": "char_group",
+                              "delimiters": ["-", "_", "whitespace", ","]}})
+    assert got == ["a", "b", "c", "d", "e1f"]
+    got = _run(spark, "ab1cd2ef",
+               {"tokenizer": {"type": "char_group", "delimiters": ["digit"]}})
+    assert got == ["ab", "cd", "ef"]
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    with _pytest.raises(ValueError, match="can't be empty"):
+        build_analyzer({"tokenizer": {"type": "char_group", "delimiters": []}})
+    with _pytest.raises(ValueError, match="not a char or name"):
+        build_analyzer({"tokenizer": {"type": "char_group", "delimiters": ["nope"]}})
+
+
+def test_language_identifier_routes_by_script(spark):
+    # Chinese → the cjk_bigram sub-analyzer; English → default+lowercase
+    params = {
+        "tokenizer": {
+            "type": "language_identifier",
+            "analyzers": {
+                "default": {"tokenizer": "whitespace",
+                            "filter": ["lowercase"]},
+                "Mandarin": {"tokenizer": "cjk_bigram"},
+            },
+        }
+    }
+    assert _run(spark, "向量搜索", params) == ["向量", "量搜", "搜索"]
+    assert _run(spark, "Fast Vector SEARCH", params) == ["fast", "vector", "search"]
+
+
+def test_language_identifier_mapping_and_validation(spark):
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    # mapping renames the detected language onto a configured analyzer
+    params = {
+        "tokenizer": {
+            "type": "language_identifier",
+            "analyzers": {
+                "default": {"tokenizer": "whitespace"},
+                "zh": {"tokenizer": "cjk_bigram"},
+            },
+            "mapping": {"Mandarin": "zh"},
+        }
+    }
+    assert _run(spark, "向量搜索", params) == ["向量", "量搜", "搜索"]
+    # unmapped language falls back to default (whitespace: one CJK token)
+    params2 = {
+        "tokenizer": {
+            "type": "language_identifier",
+            "analyzers": {"default": {"tokenizer": "whitespace"}},
+        }
+    }
+    assert _run(spark, "向量搜索", params2) == ["向量搜索"]
+    with _pytest.raises(ValueError, match="analyzers must be set"):
+        build_analyzer({"tokenizer": {"type": "language_identifier"}})
+    with _pytest.raises(ValueError, match='include "default"'):
+        build_analyzer(
+            {"tokenizer": {"type": "language_identifier",
+                           "analyzers": {"en": {"tokenizer": "standard"}}}}
+        )
