@@ -1147,44 +1147,9 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     keeps the all-pairs DuckDB oracle tractable. The strongest-keeper pick
     is a per-drop_id window (bounded by cluster size). Norms are
     precomputed once per side; cosine stays in whole-stage codegen."""
+    from milvus_spark.operators.semantic import semantic_dedup
+
     e = load_table(spark, sf, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = e.filter(F.col("vec_id") < _SEM_K).select(
-        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
-    )
-    sqdist = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = e.crossJoin(F.broadcast(cents)).select("vec_id", "v", "cid", sqdist.alias("d"))
-    # ties break to the lowest cid, mirroring the oracle's ORDER BY d, cid
-    m = (
-        scored.groupBy("vec_id")
-        .agg(
-            F.min_by(
-                F.struct("cid", "v"), F.struct("d", F.col("cid").cast("double"))
-            ).alias("s")
-        )
-        .select("vec_id", F.col("s.cid").alias("cid"), F.col("s.v").alias("v"))
-    )
-    norm = F.sqrt(F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x))
-    side = m.withColumn("n", norm)
-    a = side.select(F.col("cid"), F.col("vec_id").alias("keep_id"), F.col("v").alias("va"), F.col("n").alias("na"))
-    b = side.select(F.col("cid"), F.col("vec_id").alias("drop_id"), F.col("v").alias("vb"), F.col("n").alias("nb"))
-    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    pairs = (
-        a.join(b, "cid")
-        .filter(F.col("keep_id") < F.col("drop_id"))
-        .select("cid", "keep_id", "drop_id", (dot / (F.col("na") * F.col("nb"))).alias("cos"))
-        .filter(F.col("cos") >= _SEM_THETA)
-    )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("drop_id").orderBy(F.col("cos").desc(), F.col("keep_id"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("drop_id", "keep_id", "cid", (F.round("cos", 4) + F.lit(0.0)).alias("cos"))
-    )
+    return semantic_dedup(e, _SEM_K, _SEM_THETA)

@@ -39,7 +39,12 @@ HEAVY = [
     "geo_grid_join_dwithin",
     "vec_element_collapse",
     "vec_emb_list_struct",
+    "stream_exact_dedup",
 ]
+# dedup_semantic is measured separately (see main): the registered query
+# pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds
+# n/K constant — so the scale run grows K with the corpus instead of
+# letting clusters grow quadratically.
 
 
 def build_scaled(spark, factor: int, out: str) -> None:
@@ -87,6 +92,27 @@ def main() -> None:
         report[name] = {**times, "ratio": ratio}
         print(f"# {name}: base {times['base']}s scaled {times['scaled']}s ({ratio}x)",
               file=sys.stderr)
+
+    # semantic dedup under the SemDeDup contract: K grows with the corpus
+    # (constant n/K), so cluster size — and the per-cluster quadratic pair
+    # work — stays fixed under scale-up
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.semantic import semantic_dedup
+
+    times = {}
+    for label, sf, k in (("base", BASE_SF, 8), ("scaled", scaled_dir, 8 * factor)):
+        e = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+            "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        )
+        semantic_dedup(e, k, 0.35).count()  # warm
+        t0 = time.time()
+        semantic_dedup(e, k, 0.35).count()
+        times[label] = round(time.time() - t0, 2)
+    ratio = round(times["scaled"] / max(times["base"], 1e-9), 1)
+    report["dedup_semantic (K∝n)"] = {**times, "ratio": ratio}
+    print(f"# dedup_semantic (K∝n): base {times['base']}s scaled {times['scaled']}s ({ratio}x)",
+          file=sys.stderr)
     print(json.dumps({"factor": factor, "queries": report}))
 
 
