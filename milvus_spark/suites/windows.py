@@ -236,3 +236,120 @@ def win_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     return activity.groupBy("cohort", "day_offset").agg(
         F.count(F.lit(1)).alias("active_users")
     )
+
+
+# --- ASOF join: last click at-or-before each error ----------------------------
+@register(
+    "win_asof_last_click",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.event_id AS click_id,
+           CAST(date_diff('microsecond', c.ts, e.ts) AS BIGINT) AS gap_us,
+           c.value AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND c.ts <= e.ts
+    """,
+)
+def win_asof_last_click(spark: SparkSession, sf: str) -> DataFrame:
+    """AS-OF join: for every error event, the user's most recent click at or
+    before it (NULLs when none) — the temporal-join primitive Spark lacks as
+    a keyword and a training/event pipeline constantly needs.
+
+    Plan: the union-marker technique, NOT an inequality join. Both sides
+    union into one frame tagged src(0=click, 1=error); ONE shuffle on
+    user_id, then a running `last(..., ignorenulls)` over (ts, src) carries
+    the latest click's attributes forward INSIDE each partition; errors
+    filter out with their answer attached. Ordering (ts, src) puts a click
+    before an error at the same timestamp — the inclusive `c.ts <= e.ts` of
+    the oracle's ASOF JOIN. Linear in events, skew-bounded by per-user
+    volume; the naive formulation is an inequality join Spark can only
+    nested-loop or sort-merge-range."""
+    e = load_table(spark, sf, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts",
+        F.lit(0).alias("src"),
+        F.col("event_id").alias("cid"),
+        F.col("value").alias("cval"),
+        F.lit(None).cast("long").alias("eid"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id", "ts",
+        F.lit(1).alias("src"),
+        F.lit(None).cast("long").alias("cid"),
+        F.lit(None).cast("double").alias("cval"),
+        F.col("event_id").alias("eid"),
+    )
+    u = clicks.unionByName(errors)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "src")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    out = (
+        u.withColumn("click_id", F.last("cid", ignorenulls=True).over(w))
+        .withColumn(
+            "click_ts",
+            F.last(F.when(F.col("src") == 0, F.col("ts")), ignorenulls=True).over(w),
+        )
+        .withColumn("click_value", F.last("cval", ignorenulls=True).over(w))
+        .filter(F.col("src") == 1)
+    )
+    return out.select(
+        F.col("eid").alias("event_id"),
+        "user_id",
+        "click_id",
+        (F.unix_micros("ts") - F.unix_micros("click_ts")).cast("long").alias("gap_us"),
+        "click_value",
+    )
+
+
+# --- range join: clicks within ±5 minutes of each error -----------------------
+@register(
+    "win_range_join_nearby",
+    oracle="""
+    SELECT e.event_id, e.user_id, CAST(count(c.ts) AS BIGINT) AS n_nearby
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 300000000
+    GROUP BY 1, 2
+    """,
+)
+def win_range_join_nearby(spark: SparkSession, sf: str) -> DataFrame:
+    """Range (interval) join: clicks within ±5 minutes of each error for the
+    same user, realized as a BUCKETED EQUI-join — the scale path for a
+    predicate Spark would otherwise nested-loop.
+
+    Each click replicates to its time bucket and both neighbors (bucket
+    width = the radius, so every within-radius pair shares a bucket with
+    exactly ONE replica — no double counting, no missed pair); the join is
+    then a plain (user_id, bucket) equi-join with the exact |Δt| ≤ 5 min
+    predicate applied in-join. Shuffle volume is 3× clicks + errors,
+    independent of the time span; all arithmetic is integer microseconds —
+    exact on both engines."""
+    e = load_table(spark, sf, "events")
+    radius_us = 300_000_000
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id",
+        F.unix_micros("ts").alias("eus"),
+        F.floor(F.unix_micros("ts") / radius_us).alias("b"),
+    )
+    cb = F.floor(F.unix_micros("ts") / radius_us)
+    clk = (
+        e.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("cu"),
+            F.unix_micros("ts").alias("cus"),
+            F.explode(F.array(cb - 1, cb, cb + 1)).alias("cbkt"),
+        )
+    )
+    cond = (
+        (err.user_id == clk.cu)
+        & (err.b == clk.cbkt)
+        & (F.abs(err.eus - clk.cus) <= radius_us)
+    )
+    return (
+        err.join(clk, cond, "left")
+        .groupBy("event_id", "user_id")
+        .agg(F.count("cus").alias("n_nearby"))
+    )

@@ -315,3 +315,20 @@ def test_dedup_plans_have_no_theta_join(spark, sf_dir):
     # the exact-verify join keys on the pair columns, not a range predicate
     plan = plan_of(QUERIES["dedup_ngram_jaccard"](spark, sf_dir))
     assert "array_intersect" in plan  # exact verification retained
+
+
+def test_temporal_joins_have_no_nested_loop(spark, sf_dir):
+    """ASOF join = union + one user_id shuffle + running last() — NO join
+    operator at all; range join = bucketed equi-join, never a nested loop
+    over the inequality predicate."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    asof = plan_of(QUERIES["win_asof_last_click"](spark, sf_dir))
+    assert "CartesianProduct" not in asof
+    assert "BroadcastNestedLoopJoin" not in asof
+    assert "Join" not in asof  # the union-marker plan joins nothing
+    rng = plan_of(QUERIES["win_range_join_nearby"](spark, sf_dir))
+    assert "CartesianProduct" not in rng
+    assert "BroadcastNestedLoopJoin" not in rng
+    assert "SortMergeJoin" in rng or "ShuffledHashJoin" in rng or "BroadcastHashJoin" in rng
