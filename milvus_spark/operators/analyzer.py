@@ -132,6 +132,81 @@ def _arabic_normalize(tok: Column) -> Column:
     return F.regexp_replace(c, "[ـً-ٟ]", "")
 
 
+_THAI_CLASS = "[฀-๿]"
+
+
+def _thai_tokens(col: Column) -> Column:
+    """``thai`` tokenizer fallback: Thai runs → overlapping character
+    bigrams, other scripts → the standard analyzer. The reference segments
+    Thai with an ICU4X LSTM model (thai_tokenizer.rs) — a Rust model we
+    can't ship, so Thai gets the same package-free bigram treatment the
+    CJK analyzers use; whitespace/punctuation never tokenizes on either
+    side, matching the reference's word-character filter."""
+    other = tokens(F.regexp_replace(col, _THAI_CLASS + "+", " "))
+    runs = F.regexp_extract_all(col, F.lit("(" + _THAI_CLASS + "+)"), 1)
+    big = F.flatten(
+        F.transform(
+            runs,
+            lambda r: F.when(F.length(r) == 1, F.array(r)).otherwise(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(r) - 1),
+                    lambda i: r.substr(i, F.lit(2)),
+                )
+            ),
+        )
+    )
+    return F.concat(other, big)
+
+
+class RemoteTokenizer:
+    """The ``grpc`` tokenizer's wire contract (grpc_tokenizer.rs:24-41:
+    endpoint + parameters, ``default_tokens`` returned when the remote
+    call fails) over this repo's HTTP-JSON transport — tonic/protobuf
+    aren't in the container, so the request {"text", "parameters"} /
+    response {"tokens": [...]} exchange is modeled on the same
+    _HttpJsonClient the embedding providers use (mock-server tested)."""
+
+    def __init__(
+        self,
+        endpoint: str,
+        parameters: Optional[dict] = None,
+        default_tokens: Optional[Sequence[str]] = None,
+        timeout: float = 10.0,
+    ):
+        self.endpoint = endpoint
+        self.parameters = dict(parameters or {})
+        self.default_tokens = list(default_tokens or [])
+        self.timeout = timeout
+
+    def tokenize_one(self, text: str) -> list[str]:
+        from milvus_spark.operators.http_provider import _HttpJsonClient
+
+        try:
+            resp = _HttpJsonClient(self.endpoint, timeout=self.timeout).post(
+                {"text": text or "", "parameters": self.parameters}
+            )
+            toks = resp.get("tokens")
+            if not isinstance(toks, list):
+                raise ValueError("remote tokenizer response missing 'tokens'")
+            return [str(t) for t in toks]
+        except Exception:
+            return list(self.default_tokens)
+
+    def column(self) -> Callable[[Column], Column]:
+        ep, params, dflt, to = (
+            self.endpoint, self.parameters, self.default_tokens, self.timeout,
+        )
+
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("array<string>")
+        def remote_tok(texts: pd.Series) -> pd.Series:
+            rt = RemoteTokenizer(ep, params, dflt, to)
+            return texts.map(rt.tokenize_one)
+
+        return lambda c: remote_tok(c)
+
+
 def _ident_language(col: Column) -> Column:
     """Script-first language naming (whatlang eng_name vocabulary).
     Kana outranks Han (Japanese text contains kanji); pure-Han → Mandarin;
@@ -393,7 +468,20 @@ def build_analyzer(
                 default = subs["default"](c)
                 return default if expr is None else expr.otherwise(default)
 
-        elif ttype in ("jieba", "standard", "whitespace", "cjk_bigram", "cjk_dict"):
+        elif ttype == "grpc":
+            endpoint = spec.get("endpoint")
+            if not isinstance(endpoint, str) or not endpoint:
+                raise ValueError("grpc tokenizer must set endpoint")
+            rt = RemoteTokenizer(
+                endpoint,
+                parameters=spec.get("parameters"),
+                default_tokens=spec.get("default_tokens"),
+            )
+            tokenize = rt.column()
+        elif ttype in (
+            "jieba", "standard", "whitespace", "cjk_bigram", "cjk_dict",
+            "icu", "thai",
+        ):
             tok = ttype  # plain named tokenizer in structured form
         else:
             raise ValueError(f"unknown tokenizer {tok!r}")
@@ -409,6 +497,24 @@ def build_analyzer(
         from milvus_spark.operators.cjk_dict import cjk_dict_tokens
 
         tokenize = cjk_dict_tokens
+    elif tok == "icu":
+        # ICU "auto" word segmentation = UAX#29 word rules + dictionary
+        # segmentation for CJK (icu_tokneizer.rs try_new_auto). Stand-in:
+        # standard word rules for alphabetic scripts + the embedded-dict
+        # MFM segmentation for CJK runs — the same fallback contract as
+        # the jieba/lindera analyzers (documented divergence on rare words)
+        from milvus_spark.operators.cjk_dict import jieba_tokens
+        from milvus_spark.operators.text import CJK_CLASS
+
+        def tokenize(c):  # noqa: E731
+            other = tokens(F.regexp_replace(c, CJK_CLASS + "+", " "))
+            cjk_only = F.regexp_replace(c, "[^" + CJK_CLASS[1:-1] + "]+", " ")
+            seg = F.filter(
+                jieba_tokens(cjk_only), lambda x: x.rlike(CJK_CLASS)
+            )
+            return F.concat(other, seg)
+    elif tok == "thai":
+        tokenize = _thai_tokens
     elif tok == "jieba":
         # DAG-route Chinese segmentation (the reference's jieba binding,
         # canalyzer/c_analyzer_test.go:86-98)

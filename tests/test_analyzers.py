@@ -545,3 +545,62 @@ def test_language_identifier_mapping_and_validation(spark):
             {"tokenizer": {"type": "language_identifier",
                            "analyzers": {"en": {"tokenizer": "standard"}}}}
         )
+
+
+def test_thai_tokenizer_bigram_fallback(spark):
+    got = _run(spark, "สวัสดี world", {"tokenizer": "thai"})
+    # Thai run → overlapping bigrams; latin → standard analyzer
+    assert got == ["world", "สว", "วั", "ัส", "สด", "ดี"]
+
+
+def test_icu_tokenizer_auto_standin(spark):
+    # alphabetic scripts by word rules, Han runs dictionary-segmented
+    got = _run(spark, "vector 数据库", {"tokenizer": "icu"})
+    assert "vector" in got
+    assert "数据库" in got or ("数据" in got and "库" in got)
+
+
+def test_grpc_tokenizer_contract(spark):
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    class H(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def do_POST(self):
+            body = _json.loads(self.rfile.read(int(self.headers["Content-Length"])))
+            toks = (body.get("text") or "").upper().split()
+            if body.get("parameters", {}).get("suffix"):
+                toks = [t + body["parameters"]["suffix"] for t in toks]
+            out = _json.dumps({"tokens": toks}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_port}/tokenize"
+        got = _run(spark, "a b c",
+                   {"tokenizer": {"type": "grpc", "endpoint": url,
+                                  "parameters": {"suffix": "!"}}})
+        assert got == ["A!", "B!", "C!"]
+    finally:
+        srv.shutdown()
+    # unreachable endpoint → default_tokens (grpc_tokenizer.rs fallback)
+    got = _run(spark, "anything",
+               {"tokenizer": {"type": "grpc",
+                              "endpoint": "http://127.0.0.1:1/tokenize",
+                              "default_tokens": ["fallback"]}})
+    assert got == ["fallback"]
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import build_analyzer
+
+    with _pytest.raises(ValueError, match="must set endpoint"):
+        build_analyzer({"tokenizer": {"type": "grpc"}})
