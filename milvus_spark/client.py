@@ -314,12 +314,37 @@ class MilvusSparkClient:
         """Enforce database.force.deny.{writing,reading} on the current db
         (the reference's quota-center force-deny switch: writes/reads are
         refused at the proxy when the database property is set)."""
-        v = self._db_props(self.db_name).get(f"database.force.deny.{kind}")
+        props = self._db_props(self.db_name)
+        v = props.get(f"database.force.deny.{kind}")
         if str(v).lower() == "true":
             raise PermissionError(
                 f"{kind} is forbidden: database.force.deny.{kind} is set on "
                 f"database {self.db_name!r}"
             )
+        if kind == "writing":
+            # database.diskQuota.mb (common.go:302; quota-center denies
+            # writes once the db's stored size exceeds the quota). The size
+            # stat walks the db dir here — at cluster scale this is a
+            # metastore lookup, not a filesystem walk; the check only runs
+            # when the property is set.
+            quota = props.get("database.diskQuota.mb")
+            if quota is not None:
+                try:
+                    quota_mb = float(quota)
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"parse value of property fail, key:database.diskQuota.mb, value:{quota}"
+                    )
+                used = 0
+                for dirpath, _dirs, files in os.walk(self._db_dir(self.db_name)):
+                    used += sum(
+                        os.path.getsize(os.path.join(dirpath, f)) for f in files
+                    )
+                if used > quota_mb * (1 << 20):
+                    raise PermissionError(
+                        f"writing is forbidden: database {self.db_name!r} uses "
+                        f"{used / (1 << 20):.1f} MB, over database.diskQuota.mb={quota_mb}"
+                    )
 
     def use_database(self, db_name: str) -> None:
         if db_name != "default" and not os.path.isdir(self._db_dir(db_name)):
@@ -389,6 +414,23 @@ class MilvusSparkClient:
             raise ValueError(f"collection name must not start with '_': {name!r}")
         if name in self._catalog:
             raise ValueError(f"collection {name} exists")
+        # database.max.collections (create_collection_task.go:118-155): the
+        # db property takes precedence over the global quota default; the
+        # create is refused once the db holds that many collections
+        cap = self._db_props(self.db_name).get("database.max.collections")
+        if cap is not None:
+            try:
+                cap = int(cap)
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"parse value of property fail, key:database.max.collections, value:{cap}"
+                )
+            held = sum(1 for k in self._catalog if not k.startswith("_"))
+            if held >= cap:
+                raise ValueError(
+                    f"collection num limit exceeded: database {self.db_name!r}"
+                    f" holds {held}, max {cap}"
+                )
         if enable_dynamic_field and not fields:
             raise ValueError("enable_dynamic_field requires an explicit fields list")
         if analyzer_params is not None:

@@ -2161,3 +2161,36 @@ def test_database_properties_and_force_deny(spark, tmp_path):
     with pytest.raises(ValueError, match="must be a dict"):
         c.create_database("pp", properties="hhh")
     c.flush_all()  # all-collections barrier runs
+
+
+def test_database_quota_properties(spark, tmp_path, sf_dir):
+    """database.max.collections (create_collection_task.go:118-155: db
+    property outranks the global default, create refused at the cap) and
+    database.diskQuota.mb (common.go:302: writes denied once stored size
+    exceeds the quota; reads unaffected)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "quota_root"))
+    c.create_database("capped", properties={"database.max.collections": "2"})
+    c.use_database("capped")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("c1", pk_field="n_nationkey")
+    c.create_collection("c2", pk_field="n_nationkey")
+    with pytest.raises(ValueError, match="collection num limit exceeded"):
+        c.create_collection("c3", pk_field="n_nationkey")
+    # lifting the property unblocks; a junk value errors like the reference
+    c.drop_database_properties("capped", ["database.max.collections"])
+    c.create_collection("c3", pk_field="n_nationkey")
+    c.alter_database_properties("capped", {"database.max.collections": "zzz"})
+    with pytest.raises(ValueError, match="parse value of property fail"):
+        c.create_collection("c4", pk_field="n_nationkey")
+    c.drop_database_properties("capped", ["database.max.collections"])
+
+    # disk quota: fill past a tiny quota, writes deny, reads still serve
+    c.insert("c1", nation)
+    c.alter_database_properties("capped", {"database.diskQuota.mb": "0.0001"})
+    with pytest.raises(PermissionError, match="diskQuota"):
+        c.insert("c2", nation)
+    assert c.query("c1", filter="n_regionkey == 1").count() > 0  # reads OK
+    c.alter_database_properties("capped", {"database.diskQuota.mb": "10000"})
+    c.insert("c2", nation)  # under quota again
