@@ -346,6 +346,44 @@ class MilvusSparkClient:
                         f"{used / (1 << 20):.1f} MB, over database.diskQuota.mb={quota_mb}"
                     )
 
+    def _deny_ddl(self, scope: str) -> None:
+        """database.force.deny.ddl (all DDL) plus the per-scope switches
+        (common.go:307-312: collectionDDL / partitionDDL / index / flush /
+        compaction) — the quota-center DDL deny family."""
+        props = self._db_props(self.db_name)
+        for key in ("database.force.deny.ddl", f"database.force.deny.{scope}"):
+            if str(props.get(key)).lower() == "true":
+                raise PermissionError(
+                    f"DDL is forbidden: {key} is set on database {self.db_name!r}"
+                )
+
+    def _deny_collection_quota(self, name: str) -> None:
+        """collection.diskProtection.diskQuota.mb (common.go:296): per-
+        collection disk protection — writes to a collection whose stored
+        size exceeds its quota are denied (reads unaffected), the same
+        deny-writing the quota center applies per collection."""
+        quota = self._meta(name).get("properties", {}).get(
+            "collection.diskProtection.diskQuota.mb"
+        )
+        if quota is None:
+            return
+        try:
+            quota_mb = float(quota)
+        except (TypeError, ValueError):
+            raise ValueError(
+                "parse value of property fail, "
+                f"key:collection.diskProtection.diskQuota.mb, value:{quota}"
+            )
+        used = 0
+        cdir = os.path.join(self.root, self._resolve_alias(name))
+        for dirpath, _dirs, files in os.walk(cdir):
+            used += sum(os.path.getsize(os.path.join(dirpath, f)) for f in files)
+        if used > quota_mb * (1 << 20):
+            raise PermissionError(
+                f"writing is forbidden: collection {name!r} uses "
+                f"{used / (1 << 20):.1f} MB, over diskQuota.mb={quota_mb}"
+            )
+
     def use_database(self, db_name: str) -> None:
         if db_name != "default" and not os.path.isdir(self._db_dir(db_name)):
             raise ValueError(f"no database {db_name}")
@@ -408,6 +446,7 @@ class MilvusSparkClient:
         output_fields referencing undeclared names resolve into it with
         typed-compare semantics."""
         self._priv("CreateCollection", "*")
+        self._deny_ddl("collectionDDL")
         if name.startswith("_"):
             # "_"-prefixed catalog keys are reserved for internal state
             # (_aliases, _file_resources) and hidden from list_collections
@@ -630,6 +669,7 @@ class MilvusSparkClient:
         arguments are rejected, and a collection with live aliases refuses
         to drop — never leaves dangling aliases."""
         self._priv("DropCollection", name)
+        self._deny_ddl("collectionDDL")
         import shutil
 
         if name in self._aliases():
@@ -650,6 +690,7 @@ class MilvusSparkClient:
         Alias arguments and names shadowed by aliases are rejected, and a
         collection with live aliases refuses to rename (meta_table.go:1217,
         1245) — alias targets stay valid."""
+        self._deny_ddl("collectionDDL")
         import shutil
 
         if old in self._aliases():
@@ -742,6 +783,7 @@ class MilvusSparkClient:
         task_search.go:196-225). Rows carry a hidden partition column;
         partition-scoped reads filter on it (pushed to the scan). Composes
         with partition-key mode, which governs the physical layout."""
+        self._deny_ddl("partitionDDL")
         parts = self._meta(name).setdefault("partitions", ["_default"])
         if partition in parts:
             raise ValueError(f"partition {partition} exists")
@@ -756,6 +798,7 @@ class MilvusSparkClient:
 
     def drop_partition(self, name: str, partition: str) -> None:
         """Drop a named partition: its rows are tombstoned (delete path)."""
+        self._deny_ddl("partitionDDL")
         if partition == "_default":
             raise ValueError("cannot drop _default")
         parts = self._meta(name).get("partitions", ["_default"])
@@ -847,7 +890,7 @@ class MilvusSparkClient:
         name: str,
         mmap_enabled: bool = False,
         load_fields: Optional[Sequence[str]] = None,
-        replica_number: int = 1,
+        replica_number: Optional[int] = None,
         resource_groups: Optional[Sequence[str]] = None,
     ) -> None:
         """Load into memory for serving (QueryCoord load analog): pin the
@@ -916,8 +959,28 @@ class MilvusSparkClient:
         # collection — searches/queries then run in that group's scheduler
         # pool (replica_number > len(resource_groups) round-robins, like the
         # reference spreading replicas across the rg list)
-        if replica_number < 1:
+        if replica_number is not None and replica_number < 1:
             raise ValueError("replica_number must be >= 1")
+        # load-property defaults (common.go:315-317 collection.replica.number /
+        # collection.resource_groups, :300-301 database-level fallbacks):
+        # explicit arguments win, then collection properties, then db
+        # properties — the reference's cluster < db < collection precedence
+        # read the other way around at load time
+        cprops = meta.get("properties", {})
+        dprops = self._db_props(self.db_name)
+        if resource_groups is None:
+            rgs = cprops.get("collection.resource_groups") or dprops.get(
+                "database.resource_groups"
+            )
+            if rgs:
+                if isinstance(rgs, str):
+                    rgs = [s.strip() for s in rgs.split(",") if s.strip()]
+                resource_groups = list(rgs)
+        if replica_number is None:
+            rn = cprops.get("collection.replica.number") or dprops.get(
+                "database.replica.number"
+            )
+            replica_number = int(rn) if rn is not None else 1
         self._rg.place_replicas(name, replica_number, resource_groups)
 
     def _load_key(self, name: str):
@@ -1121,6 +1184,7 @@ class MilvusSparkClient:
         collection flush is already durable here, so this is the same
         no-op applied across the current database's catalog)."""
         self._priv("FlushAll")
+        self._deny_ddl("flush")
         for name in self.list_collections():
             self.flush(name)
 
@@ -1128,6 +1192,7 @@ class MilvusSparkClient:
         """Flush is a consistency barrier in the reference (growing →
         sealed, WAL durable). Here every insert writes durable parquet
         before returning, so flush is a no-op kept for API compatibility."""
+        self._deny_ddl("flush")
         self._meta(name)
 
     def _coll(self, name: str) -> Collection:
@@ -1185,6 +1250,7 @@ class MilvusSparkClient:
     ) -> int:
         self._priv("Insert", name)
         self._deny("writing")
+        self._deny_collection_quota(name)
         meta = self._meta(name)
         ns_mode = meta.get("namespace_mode")
         if ns_mode is not None or namespace is not None:
@@ -1293,6 +1359,7 @@ class MilvusSparkClient:
         element. Errors on non-array / pk / unknown fields and on batches
         missing the op'd column."""
         self._priv("Upsert", name)
+        self._deny_collection_quota(name)
         self._deny("writing")
         coll = self._coll(name)
         meta = self._meta(name)
@@ -1457,6 +1524,7 @@ class MilvusSparkClient:
         sorted by the key with a per-file min/max manifest for segment
         pruning — the PartitionStatsSnapshot analog)."""
         self._priv("Compaction", name)
+        self._deny_ddl("compaction")
         meta = self._meta(name)
         expired = self._expired_ts(meta)
         if clustering_key is not None:
@@ -1536,6 +1604,7 @@ class MilvusSparkClient:
         time; DML after the build makes the index stale and search falls
         back to exact scan (the sealed-index vs growing split)."""
         self._priv("CreateIndex", name)
+        self._deny_ddl("index")
         params = dict(params or {})
         meta = self._meta(name)
         itype = index_type.upper()
@@ -1763,6 +1832,7 @@ class MilvusSparkClient:
 
     def drop_index(self, name: str, field: str, index_type: str) -> None:
         self._priv("DropIndex", name)
+        self._deny_ddl("index")
         import shutil
 
         entry = self.describe_index(name, field, index_type)

@@ -2194,3 +2194,103 @@ def test_database_quota_properties(spark, tmp_path, sf_dir):
     assert c.query("c1", filter="n_regionkey == 1").count() > 0  # reads OK
     c.alter_database_properties("capped", {"database.diskQuota.mb": "10000"})
     c.insert("c2", nation)  # under quota again
+
+
+def test_ddl_force_deny_family(spark, tmp_path, sf_dir):
+    """database.force.deny.{ddl,collectionDDL,partitionDDL,index,flush,
+    compaction} (common.go:307-312): each scope blocks its DDL verbs; the
+    blanket .ddl key blocks all of them; data reads/writes unaffected."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "ddl_root"))
+    c.create_database("locked")
+    c.use_database("locked")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("nat", pk_field="n_nationkey")
+    c.insert("nat", nation)
+
+    c.alter_database_properties("locked", {"database.force.deny.collectionDDL": "true"})
+    with pytest.raises(PermissionError, match="collectionDDL"):
+        c.create_collection("nat2", pk_field="n_nationkey")
+    with pytest.raises(PermissionError, match="collectionDDL"):
+        c.drop_collection("nat")
+    with pytest.raises(PermissionError, match="collectionDDL"):
+        c.rename_collection("nat", "nat9")
+    c.insert("nat", nation.limit(1))  # DML still allowed
+    c.drop_database_properties("locked", ["database.force.deny.collectionDDL"])
+
+    c.alter_database_properties("locked", {"database.force.deny.partitionDDL": "true"})
+    with pytest.raises(PermissionError, match="partitionDDL"):
+        c.create_partition("nat", "p1")
+    c.drop_database_properties("locked", ["database.force.deny.partitionDDL"])
+
+    c.alter_database_properties("locked", {"database.force.deny.index": "true"})
+    with pytest.raises(PermissionError, match="index"):
+        c.create_index("nat", "n_name", "NGRAM")
+    c.drop_database_properties("locked", ["database.force.deny.index"])
+
+    # blanket .ddl blocks every scope
+    c.alter_database_properties("locked", {"database.force.deny.ddl": "true"})
+    for fn in (
+        lambda: c.create_collection("nat3", pk_field="n_nationkey"),
+        lambda: c.create_partition("nat", "p2"),
+        lambda: c.flush("nat"),
+        lambda: c.compact("nat"),
+    ):
+        with pytest.raises(PermissionError, match="force.deny.ddl"):
+            fn()
+    c.drop_database_properties("locked", ["database.force.deny.ddl"])
+    c.create_partition("nat", "p2")
+    c.flush("nat")
+
+
+def test_collection_disk_quota(spark, tmp_path, sf_dir):
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "cq_root"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection(
+        "nat", pk_field="n_nationkey",
+        properties={"collection.diskProtection.diskQuota.mb": "0.0001"},
+    )
+    c.insert("nat", nation)  # first write: size 0 < quota
+    with pytest.raises(PermissionError, match="diskQuota"):
+        c.insert("nat", nation.limit(1))
+    assert c.query("nat", filter="n_regionkey == 1").count() > 0  # reads OK
+    # other collections in the db are unaffected
+    c.create_collection("other", pk_field="n_nationkey")
+    c.insert("other", nation)
+
+
+def test_load_property_defaults(spark, tmp_path, sf_dir):
+    """collection.replica.number / collection.resource_groups (and the
+    database-level fallbacks) drive load_collection when no explicit
+    arguments are given; explicit arguments win."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.resource_groups import DEFAULT_RESOURCE_GROUP
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "lp_root"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_resource_group("rg_l", {"requests": {"node_num": 1}, "limits": {"node_num": 1}})
+    c.create_collection(
+        "nat", pk_field="n_nationkey",
+        properties={"collection.replica.number": "2",
+                    "collection.resource_groups": "rg_l"},
+    )
+    c.insert("nat", nation)
+    c.load_collection("nat")
+    assert [r["resource_group"] for r in c.describe_replica("nat")] == ["rg_l", "rg_l"]
+    c.release_collection("nat")
+    # explicit arguments override the properties
+    c.load_collection("nat", replica_number=1, resource_groups=[DEFAULT_RESOURCE_GROUP])
+    assert [r["resource_group"] for r in c.describe_replica("nat")] == [
+        DEFAULT_RESOURCE_GROUP
+    ]
+    c.release_collection("nat")
+    # db-level fallback when the collection carries no properties
+    c.create_database("dbp", properties={"database.replica.number": "3"})
+    c.use_database("dbp")
+    c.create_collection("nat2", pk_field="n_nationkey")
+    c.insert("nat2", nation)
+    c.load_collection("nat2")
+    assert len(c.describe_replica("nat2")) == 3
