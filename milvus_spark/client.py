@@ -1312,14 +1312,24 @@ class MilvusSparkClient:
                     ).cast("long")
                 ),
             )
+        allow_fn_outputs = str(
+            meta.get("properties", {}).get(
+                "collection.function.allowInsertNonBM25FunctionOutputs"
+            )
+        ).lower() == "true"
         for fn in meta.get("functions") or []:
             if fn["output_field"] in df.columns:
                 # function outputs are engine-computed, never client-written
-                # (reject_manual_output_writes)
+                # (reject_manual_output_writes) — UNLESS the collection
+                # property opts non-BM25 outputs in (util.go:3486,
+                # common.go:282: BM25 outputs are always disallowed)
+                if allow_fn_outputs and fn.get("type", "").upper() != "BM25":
+                    continue
                 raise ValueError(
                     f"field {fn['output_field']!r} is a function output and "
                     f"cannot be inserted"
                 )
+        df = self._apply_embedding_functions(meta, df)
         df = self._apply_defaults(meta, df)
         df = self._pack_dynamic(meta, df)
         if partition_name is not None:
@@ -1378,12 +1388,21 @@ class MilvusSparkClient:
                 df = df.withColumn(self.PARTITION_COL, F.lit(namespace))
             elif not partial_update and not field_ops:
                 df = df.withColumn(self.NAMESPACE_COL, F.lit(namespace))
+        allow_fn_outputs = str(
+            meta.get("properties", {}).get(
+                "collection.function.allowInsertNonBM25FunctionOutputs"
+            )
+        ).lower() == "true"
         for fn in meta.get("functions") or []:
             if fn["output_field"] in df.columns:
+                if allow_fn_outputs and fn.get("type", "").upper() != "BM25":
+                    continue
                 raise ValueError(
                     f"field {fn['output_field']!r} is a function output and "
                     f"cannot be upserted"
                 )
+        if not partial_update and not field_ops:
+            df = self._apply_embedding_functions(meta, df)
         if field_ops:
             from pyspark.sql import types as T
 
@@ -2141,7 +2160,7 @@ class MilvusSparkClient:
         are rejected at insert/upsert (reject_manual_output_writes)."""
         meta = self._meta(name)
         ftype = str(function.get("type", "BM25")).upper()
-        if ftype != "BM25":
+        if ftype not in ("BM25", "TEXTEMBEDDING"):
             raise ValueError(f"unsupported function type {ftype!r}")
         inp = function.get("input_field")
         out = function.get("output_field")
@@ -2166,9 +2185,34 @@ class MilvusSparkClient:
                 "input_field": inp,
                 "output_field": out,
                 "analyzer_params": dict(ap) if ap else None,
+                "params": dict(function.get("params") or {}),
             }
         )
         self._save_catalog()
+
+    def _apply_embedding_functions(self, meta: dict, df: DataFrame) -> DataFrame:
+        """TEXTEMBEDDING FunctionSchema at ingest (the reference's
+        function-executor ProcessInsert, proxy/util.go:3485-3513): any
+        declared embedding output the batch does NOT carry is computed from
+        its input text with the deterministic stub provider (an HTTP
+        provider deployment swaps in operators/http_provider). Arrow-
+        batched pandas UDF — the one place Python touches the ingest row
+        path, same as the reference calling its model service."""
+        from milvus_spark.operators.embedding import (
+            MD5_DIM, md5_embed_batch, with_text_embedding,
+        )
+
+        for fn in meta.get("functions") or []:
+            if fn.get("type", "").upper() != "TEXTEMBEDDING":
+                continue
+            if fn["output_field"] in df.columns or fn["input_field"] not in df.columns:
+                continue
+            dim = int((fn.get("params") or {}).get("dim", MD5_DIM))
+            df = with_text_embedding(
+                df, fn["input_field"], out_col=fn["output_field"],
+                dim=dim, provider=md5_embed_batch,
+            )
+        return df
 
     def run_analyzer(self, text: str, analyzer_params: Optional[dict] = None) -> list[str]:
         """Debug-run an analyzer config on one string (run_analyzer API,

@@ -2294,3 +2294,50 @@ def test_load_property_defaults(spark, tmp_path, sf_dir):
     c.insert("nat2", nation)
     c.load_collection("nat2")
     assert len(c.describe_replica("nat2")) == 3
+
+
+def test_textembedding_function_and_output_property(spark, tmp_path, sf_dir):
+    """TEXTEMBEDDING FunctionSchema executes at ingest (proxy/util.go:
+    3485-3513 function executor); manual writes to function outputs are
+    rejected UNLESS collection.function.allowInsertNonBM25FunctionOutputs
+    is set — and BM25 outputs stay rejected regardless (common.go:278-282)."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.operators.embedding import md5_embed_batch
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "fn_root"))
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    c.create_collection("d", pk_field="doc_id")
+    c.add_function_field(
+        "d", {"type": "TEXTEMBEDDING", "input_field": "text",
+              "output_field": "emb", "params": {"dim": 8}},
+    )
+    c.insert("d", docs)
+    got = {r.doc_id: r.emb for r in c.query("d", output_fields=["doc_id", "emb"]).collect()}
+    import pandas as pd
+
+    want = md5_embed_batch(pd.Series(["alpha beta"]), 8)[0]
+    assert [round(x, 9) for x in got[1]] == [round(x, 9) for x in want]
+    # manual write rejected by default...
+    with pytest.raises(ValueError, match="function output"):
+        c.insert("d", docs.withColumn("emb", F.array(F.lit(1.0))))
+    # ...allowed once the property opts in (non-BM25 only)
+    c.alter_collection_properties(
+        "d", {"collection.function.allowInsertNonBM25FunctionOutputs": "true"}
+    )
+    c.insert(
+        "d",
+        spark.createDataFrame([(3, "x", [1.0] * 8)], "doc_id long, text string, emb array<double>"),
+    )
+    got3 = c.query("d", filter="doc_id == 3", output_fields=["emb"]).first().emb
+    assert got3 == [1.0] * 8
+    # BM25 outputs are always engine-owned
+    c.add_function_field(
+        "d", {"type": "BM25", "input_field": "text", "output_field": "sparse"}
+    )
+    with pytest.raises(ValueError, match="function output"):
+        c.insert(
+            "d",
+            spark.createDataFrame([(4, "y", "z")], "doc_id long, text string, sparse string"),
+        )
