@@ -646,22 +646,74 @@ class MilvusSparkClient:
         visible on all rows without rewriting data (add_field feature,
         tests/python_client/milvus_client/test_add_field_feature.py).
         Old segments lack the column → mergeSchema read + default fill."""
+        self._deny_ddl("collectionDDL")
         meta = self._meta(name)
         added = meta.setdefault("added_fields", {})
-        if field in added or field in meta.get("dropped_fields", []):
+        if field in added:
             raise ValueError(f"field {field} already evolved")
-        added[field] = default
+        if field in meta.get("dropped_fields", []):
+            # re-add after drop: legal, but the old stored values must NOT
+            # resurrect — mask everything written up to now behind the
+            # default via a ts cutoff
+            meta["dropped_fields"].remove(field)
+            added[field] = {"default": default, "since_ts": self._current_ts(name)}
+        else:
+            added[field] = default
         self._save_catalog()
 
     def drop_field(self, name: str, field: str) -> None:
         """Schema evolution: hide a field from all reads without rewriting
         (test_drop_field_feature.py). Data is dropped lazily at compaction."""
         meta = self._meta(name)
-        vfs = meta.get("vector_fields") or [meta.get("vector")]
-        if meta["pk"] == field or field in vfs:
-            raise ValueError(f"cannot drop pk/vector field {field}")
+        vfs = [v for v in (meta.get("vector_fields") or [meta.get("vector")]) if v]
+        if meta["pk"] == field:
+            raise ValueError(f"cannot drop pk field {field}")
+        if field == meta.get("partition_key"):
+            raise ValueError(f"cannot drop partition key field {field}")
+        if field in vfs and len(vfs) == 1:
+            # dropping ONE vector field is legal while another remains
+            # (test_drop_one_vector_field_keeps_another_vector_field)
+            raise ValueError(f"cannot drop the only vector field {field}")
+        if any(f["output_field"] == field for f in meta.get("functions") or []):
+            raise ValueError(
+                f"{field} is a function output; drop_function_field removes it"
+            )
+        if field in vfs:
+            vfs.remove(field)
+            meta["vector_fields"] = vfs
+            if meta.get("vector") == field:
+                meta["vector"] = vfs[0]
+        # index cascade (test_drop_indexed_scalar_field_cascade): indexes on
+        # the dropped field go with it
+        for key in [k for k in meta.get("indexes", {}) if k.split("__")[0] == field]:
+            import shutil
+
+            entry = meta["indexes"].pop(key)
+            shutil.rmtree(entry.get("path", ""), ignore_errors=True)
         meta.setdefault("dropped_fields", []).append(field)
         meta.get("added_fields", {}).pop(field, None)
+        self._save_catalog()
+
+    def drop_function_field(self, name: str, output_field: str) -> None:
+        """DropFunctionField (client/milvusclient API;
+        test_drop_bm25_function_removes_output_field_and_index): removes the
+        function binding, hides its output field, and cascades any index on
+        it."""
+        meta = self._meta(name)
+        fns = meta.get("functions") or []
+        hit = [f for f in fns if f["output_field"] == output_field]
+        if not hit:
+            raise ValueError(f"no function with output field {output_field!r}")
+        meta["functions"] = [f for f in fns if f["output_field"] != output_field]
+        for key in [
+            k for k in meta.get("indexes", {}) if k.split("__")[0] == output_field
+        ]:
+            import shutil
+
+            entry = meta["indexes"].pop(key)
+            shutil.rmtree(entry.get("path", ""), ignore_errors=True)
+        if output_field not in meta.setdefault("dropped_fields", []):
+            meta["dropped_fields"].append(output_field)
         self._save_catalog()
 
     def drop_collection(self, name: str) -> None:
@@ -1901,19 +1953,32 @@ class MilvusSparkClient:
             expired = self._expired_ts(meta)
             if expired:
                 df = df.filter(~F.col(TS_COL).isin(expired))
-            df = df.drop(TS_COL)
         # schema evolution view: added fields materialize as default-filled
         # columns (missing in pre-evolution segments → mergeSchema leaves
-        # nulls, coalesced to the default); dropped fields are hidden.
-        for field, default in meta.get("added_fields", {}).items():
+        # nulls, coalesced to the default); dropped fields are hidden. An
+        # entry may be {"default": d, "since_ts": t}: the field was DROPPED
+        # and re-added, so stored values from before the re-add are masked
+        # to the default — old data never resurrects
+        # (test_drop_then_add_same_name_field_does_not_reuse_old_data).
+        for field, spec in meta.get("added_fields", {}).items():
+            since = None
+            default = spec
+            if isinstance(spec, dict):
+                default, since = spec.get("default"), spec.get("since_ts")
             if field in df.columns:
+                col = F.col(field)
+                if since is not None and TS_COL in df.columns:
+                    col = F.when(F.col(TS_COL) > since, col).otherwise(F.lit(default))
                 if default is not None:
-                    df = df.withColumn(field, F.coalesce(F.col(field), F.lit(default)))
+                    col = F.coalesce(col, F.lit(default))
+                df = df.withColumn(field, col)
             else:
                 df = df.withColumn(field, F.lit(default))
         for field in meta.get("dropped_fields", []):
             if field in df.columns:
                 df = df.drop(field)
+        if TS_COL in df.columns:
+            df = df.drop(TS_COL)
         return df
 
     def query(

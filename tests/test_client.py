@@ -2341,3 +2341,55 @@ def test_textembedding_function_and_output_property(spark, tmp_path, sf_dir):
             "d",
             spark.createDataFrame([(4, "y", "z")], "doc_id long, text string, sparse string"),
         )
+
+
+def test_field_evolution_edge_matrix(spark, tmp_path, sf_dir):
+    """The reference drop/add-field edge matrix (test_drop_field_feature.py):
+    re-add after drop never resurrects old values; one vector field can drop
+    while another remains (never the last); indexes on a dropped field
+    cascade; drop_function_field removes the binding + output + index."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "evo_root"))
+    rows = spark.createDataFrame(
+        [(1, "alpha", 7, [1.0, 0.0], [0.5, 0.5])],
+        "pk long, txt string, x long, v1 array<double>, v2 array<double>",
+    )
+    c.create_collection("t", pk_field="pk", vector_field=["v1", "v2"])
+    c.insert("t", rows)
+
+    # drop x, re-add with default: the old 7 must NOT come back
+    c.drop_field("t", "x")
+    assert "x" not in c.query("t").columns
+    c.add_field("t", "x", default=0)
+    assert c.query("t", filter="pk == 1", output_fields=["x"]).first().x == 0
+    # rows written after the re-add carry their own values
+    c.insert("t", spark.createDataFrame(
+        [(2, "beta", 9, [0.1, 0.9], [0.9, 0.1])],
+        "pk long, txt string, x long, v1 array<double>, v2 array<double>",
+    ))
+    got = {r.pk: r.x for r in c.query("t", output_fields=["pk", "x"]).collect()}
+    assert got == {1: 0, 2: 9}
+
+    # constraint matrix
+    with pytest.raises(ValueError, match="pk field"):
+        c.drop_field("t", "pk")
+    c.drop_field("t", "v1")  # another vector remains → legal
+    with pytest.raises(ValueError, match="only vector field"):
+        c.drop_field("t", "v2")
+
+    # indexed scalar drop cascades its index
+    c.create_index("t", "txt", "NGRAM")
+    assert any(k.startswith("txt__") for k in c.list_indexes("t"))
+    c.drop_field("t", "txt")
+    assert not any(k.startswith("txt__") for k in c.list_indexes("t"))
+
+    # drop_function_field removes the binding and hides the output
+    c.add_function_field(
+        "t", {"type": "BM25", "input_field": "x", "output_field": "sparse"}
+    )
+    with pytest.raises(ValueError, match="function output"):
+        c.drop_field("t", "sparse")
+    c.drop_function_field("t", "sparse")
+    with pytest.raises(ValueError, match="no function"):
+        c.drop_function_field("t", "sparse")
