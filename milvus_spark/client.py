@@ -694,6 +694,123 @@ class MilvusSparkClient:
         meta.get("added_fields", {}).pop(field, None)
         self._save_catalog()
 
+    # ------------------------------------------------ management parity
+    def get_persistent_segment_info(self, name: str) -> list:
+        """Per-segment stats (GetPersistentSegmentInfo, admin.go:79-99):
+        one entry per sealed parquet segment — id, row count (from the
+        parquet footer, no scan), on-disk bytes, state. Growing segments
+        don't exist here: every write seals durably."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        self._priv("GetStatistics", name)
+        coll = self._coll(name)
+        out = []
+        for f in sorted(
+            glob.glob(os.path.join(coll.seg_dir, "**", "*.parquet"), recursive=True)
+        ):
+            out.append(
+                {
+                    "segment_id": os.path.relpath(f, coll.seg_dir),
+                    "collection": self._resolve_alias(name),
+                    "num_rows": pq.ParquetFile(f).metadata.num_rows,
+                    "bytes": os.path.getsize(f),
+                    "state": "Flushed",
+                }
+            )
+        return out
+
+    def refresh_external_collection(self, name: str) -> dict:
+        """RefreshExternalCollection (external_table.go:36-52): re-validate
+        the external source and make newly landed files visible. Reads here
+        list the path per query (no pinned manifest), so the refresh
+        completes synchronously — the job record mirrors the reference's
+        job surface with progress 100."""
+        meta = self._meta(name)
+        if not meta.get("external_path"):
+            raise ValueError(f"collection {name!r} is not an external table")
+        if not os.path.isdir(meta["external_path"]):
+            raise ValueError(f"external source missing: {meta['external_path']}")
+        n = self.spark.read.parquet(meta["external_path"]).count()
+        jobs = meta.setdefault("refresh_jobs", [])
+        job = {
+            "job_id": len(jobs) + 1,
+            "collection_name": self._resolve_alias(name),
+            "state": "Finished",
+            "progress": 100,
+            "reason": "",
+            "external_source": meta["external_path"],
+            "num_rows": n,
+        }
+        jobs.append(job)
+        self._save_catalog()
+        return {"job_id": job["job_id"]}
+
+    def get_refresh_external_collection_progress(self, name: str, job_id: int) -> dict:
+        jobs = self._meta(name).get("refresh_jobs", [])
+        hit = [j for j in jobs if j["job_id"] == job_id]
+        if not hit:
+            raise ValueError(f"no refresh job {job_id}")
+        return dict(hit[0])
+
+    def list_refresh_external_collection_jobs(self, name: str) -> list:
+        return [dict(j) for j in self._meta(name).get("refresh_jobs", [])]
+
+    def create_snapshot(self, name: str, snapshot_name: str) -> None:
+        """Named point-in-time snapshot (CreateSnapshot / task_snapshot.go;
+        segments are immutable so the pin is a cheap manifest copy)."""
+        self._priv("GetStatistics", name)
+        self._coll(name).snapshot(snapshot_name)
+
+    def list_snapshots(self, name: str) -> list[str]:
+        d = os.path.join(self._coll(name).path, "snapshots")
+        return sorted(os.listdir(d)) if os.path.isdir(d) else []
+
+    def describe_snapshot(self, name: str, snapshot_name: str) -> dict:
+        import glob
+
+        d = os.path.join(self._coll(name).path, "snapshots", snapshot_name)
+        if not os.path.isdir(d):
+            raise ValueError(f"no snapshot {snapshot_name}")
+        files = glob.glob(os.path.join(d, "**", "*.parquet"), recursive=True)
+        return {
+            "name": snapshot_name,
+            "collection": self._resolve_alias(name),
+            "num_segments": len(files),
+            "bytes": sum(os.path.getsize(f) for f in files),
+        }
+
+    def drop_snapshot(self, name: str, snapshot_name: str) -> None:
+        import shutil
+
+        d = os.path.join(self._coll(name).path, "snapshots", snapshot_name)
+        if not os.path.isdir(d):
+            raise ValueError(f"no snapshot {snapshot_name}")
+        shutil.rmtree(d)
+
+    def restore_snapshot(self, name: str, snapshot_name: str) -> None:
+        self._deny("writing")
+        self._coll(name).restore(snapshot_name)
+        self._evict_loaded(name)
+        self._meta(name)["restore_state"] = {
+            "snapshot": snapshot_name, "state": "Completed", "progress": 100,
+        }
+        self._save_catalog()
+
+    def get_restore_snapshot_state(self, name: str) -> dict:
+        st = self._meta(name).get("restore_state")
+        if not st:
+            raise ValueError(f"no restore job for {name!r}")
+        return dict(st)
+
+    def close(self) -> None:
+        """Connection-lifecycle parity (Client.Close): drops cached serving
+        state. The SparkSession is session-owned and NOT stopped."""
+        for df in list(getattr(self, "_loaded", {}).values()):
+            df.unpersist()
+        self._loaded = {}
+
     def drop_function_field(self, name: str, output_field: str) -> None:
         """DropFunctionField (client/milvusclient API;
         test_drop_bm25_function_removes_output_field_and_index): removes the

@@ -2393,3 +2393,49 @@ def test_field_evolution_edge_matrix(spark, tmp_path, sf_dir):
     c.drop_function_field("t", "sparse")
     with pytest.raises(ValueError, match="no function"):
         c.drop_function_field("t", "sparse")
+
+
+def test_management_parity_apis(spark, tmp_path, sf_dir):
+    """GetPersistentSegmentInfo, snapshot client APIs (create/list/describe/
+    drop/restore + restore state), RefreshExternalCollection job surface,
+    Close (admin.go:79-99; external_table.go:36-90; task_snapshot.go)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "mgmt_root"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("nat", pk_field="n_nationkey")
+    c.insert("nat", nation)
+    c.insert("nat", nation.limit(3).withColumn("n_nationkey", F.col("n_nationkey") + 100))
+
+    segs = c.get_persistent_segment_info("nat")
+    assert len(segs) >= 2 and all(s["state"] == "Flushed" for s in segs)
+    assert sum(s["num_rows"] for s in segs) == 28
+
+    # snapshots
+    c.create_snapshot("nat", "s1")
+    assert c.list_snapshots("nat") == ["s1"]
+    d = c.describe_snapshot("nat", "s1")
+    assert d["num_segments"] >= 2 and d["bytes"] > 0
+    c.delete("nat", filter="n_nationkey >= 100")
+    assert c.query("nat").count() == 25
+    c.restore_snapshot("nat", "s1")
+    assert c.query("nat").count() == 28
+    assert c.get_restore_snapshot_state("nat")["state"] == "Completed"
+    c.drop_snapshot("nat", "s1")
+    assert c.list_snapshots("nat") == []
+    with pytest.raises(ValueError, match="no snapshot"):
+        c.describe_snapshot("nat", "s1")
+
+    # external refresh: new files land → refresh reports them; non-external errors
+    ext = tmp_path / "ext"
+    nation.limit(5).write.mode("overwrite").parquet(str(ext / "d.parquet"))
+    c.create_external_collection("x", str(ext / "d.parquet"), pk_field="n_nationkey")
+    job = c.refresh_external_collection("x")
+    info = c.get_refresh_external_collection_progress("x", job["job_id"])
+    assert info["state"] == "Finished" and info["num_rows"] == 5
+    assert len(c.list_refresh_external_collection_jobs("x")) == 1
+    with pytest.raises(ValueError, match="not an external table"):
+        c.refresh_external_collection("nat")
+
+    c.close()
+    assert c.query("nat").count() == 28  # close drops caches, not data
