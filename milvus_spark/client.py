@@ -694,6 +694,57 @@ class MilvusSparkClient:
         meta.get("added_fields", {}).pop(field, None)
         self._save_catalog()
 
+    # ------------------------------------------------ replicate topology
+    # Cross-cluster replication configuration (client/milvusclient/
+    # replicate.go; rules in pkg/util/replicateutil/config_validator.go,
+    # re-expressed in milvus_spark/replicate.py). The data plane is the
+    # changefeed operator; these APIs manage the validated topology.
+    CLUSTER_ID = "by-dev"
+    PCHANNELS = ["by-dev-rootcoord-dml_0", "by-dev-rootcoord-dml_1"]
+
+    def _replicate_path(self) -> str:
+        return os.path.join(self._base_root, "_replicate.json")
+
+    def update_replicate_configuration(self, configuration: dict) -> None:
+        from milvus_spark.replicate import validate_replicate_configuration
+
+        current = None
+        if os.path.exists(self._replicate_path()):
+            with open(self._replicate_path()) as f:
+                current = json.load(f)
+        validate_replicate_configuration(
+            configuration, current, self.CLUSTER_ID, self.PCHANNELS
+        )
+        with open(self._replicate_path(), "w") as f:
+            json.dump(configuration, f, indent=1)
+
+    def get_replicate_configuration(self) -> Optional[dict]:
+        if not os.path.exists(self._replicate_path()):
+            return None
+        with open(self._replicate_path()) as f:
+            return json.load(f)
+
+    def get_replicate_info(self) -> dict:
+        """Role + edges for THIS cluster under the active configuration
+        (GetReplicateInfo; role derivation config_helper.go:122-150)."""
+        from milvus_spark.replicate import replicate_role
+
+        cfg = self.get_replicate_configuration() or {}
+        topo = cfg.get("cross_cluster_topology") or []
+        return {
+            "cluster_id": self.CLUSTER_ID,
+            "role": replicate_role(cfg, self.CLUSTER_ID),
+            "targets": [
+                t["target_cluster_id"] for t in topo
+                if t.get("source_cluster_id") == self.CLUSTER_ID
+            ],
+            "source": next(
+                (t["source_cluster_id"] for t in topo
+                 if t.get("target_cluster_id") == self.CLUSTER_ID),
+                None,
+            ),
+        }
+
     # ------------------------------------------------ management parity
     def get_persistent_segment_info(self, name: str) -> list:
         """Per-segment stats (GetPersistentSegmentInfo, admin.go:79-99):
