@@ -25,10 +25,10 @@ def _sq_agg(arr: Column) -> Column:
     return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
 
 
-def semantic_dedup(e: DataFrame, k: int, theta: float) -> DataFrame:
-    """``e`` has columns (vec_id, v: array<double>). Returns one row per
-    DROPPED vector: (drop_id, keep_id, cid, cos) where keep_id is the
-    strongest earlier cluster-mate (ties → lowest keep_id)."""
+def assign_clusters(e: DataFrame, k: int) -> DataFrame:
+    """Deterministic k-means ASSIGNMENT (centroids = first k vectors by id;
+    ties to the lowest cid): (vec_id, cid, v). Broadcast-K, no shuffle
+    before the per-vector argmin."""
     cents = e.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("cid"), F.col("v").alias("cv")
     )
@@ -36,8 +36,7 @@ def semantic_dedup(e: DataFrame, k: int, theta: float) -> DataFrame:
     scored = e.crossJoin(F.broadcast(cents)).select(
         "vec_id", "v", "cid", sqdist.alias("d")
     )
-    # ties break to the lowest cid (min_by over a (dist, cid) struct)
-    m = (
+    return (
         scored.groupBy("vec_id")
         .agg(
             F.min_by(
@@ -46,6 +45,13 @@ def semantic_dedup(e: DataFrame, k: int, theta: float) -> DataFrame:
         )
         .select("vec_id", F.col("s.cid").alias("cid"), F.col("s.v").alias("v"))
     )
+
+
+def semantic_dedup(e: DataFrame, k: int, theta: float) -> DataFrame:
+    """``e`` has columns (vec_id, v: array<double>). Returns one row per
+    DROPPED vector: (drop_id, keep_id, cid, cos) where keep_id is the
+    strongest earlier cluster-mate (ties → lowest keep_id)."""
+    m = assign_clusters(e, k)
     norm = F.sqrt(_sq_agg(F.zip_with("v", "v", lambda a, b: a * b)))
     side = m.withColumn("n", norm)
     a = side.select(

@@ -700,3 +700,67 @@ def cur_budget_select(spark: SparkSession, sf: str) -> DataFrame:
     return c.filter(F.col("cum_tokens") <= 1200).select(
         "doc_id", "source", "n_tokens", "quality", "cum_tokens"
     )
+
+
+# --- cluster-balanced sampling: topic diversity under a per-cluster cap -------
+_CB_K = 8
+_CB_CAP = 40
+
+
+@register(
+    "cur_cluster_balance",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_CB_K}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      FROM e, c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    ranked AS (
+      SELECT vec_id, cid,
+             CAST(row_number() OVER (
+               PARTITION BY cid
+               ORDER BY {seeded_hash_sql("CAST(vec_id AS VARCHAR)", 7)}, vec_id
+             ) AS BIGINT) AS pick
+      FROM best
+    )
+    SELECT vec_id, cid, pick FROM ranked WHERE pick <= {_CB_CAP}
+    """,
+)
+def cur_cluster_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-balanced sampling: cap each embedding cluster's contribution
+    so no topic dominates the curated mix — the diversity-sampling
+    counterpart of dedup_semantic (same deterministic k-means assignment
+    kernel, operators/semantic.py). Within a cluster, the 'random' picks
+    are a seeded-hash order, so the sample is reproducible and the oracle
+    exact.
+
+    Scale shape: broadcast-K assignment (no shuffle before the argmin),
+    then ONE shuffle on cid for the per-cluster window — the window's
+    partition is a cluster, bounded by the same K∝n contract as
+    dedup_semantic, and only ranks <= cap survive."""
+    from milvus_spark.operators.semantic import assign_clusters
+    from milvus_spark.operators.text import seeded_hash
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    best = assign_clusters(e, _CB_K).select("vec_id", "cid")
+    w = W.partitionBy("cid").orderBy(
+        seeded_hash(F.col("vec_id").cast("string"), 7), "vec_id"
+    )
+    return (
+        best.withColumn("pick", F.row_number().over(w).cast("long"))
+        .filter(F.col("pick") <= _CB_CAP)
+        .select("vec_id", "cid", "pick")
+    )
