@@ -124,6 +124,10 @@ class MilvusSparkClient:
         self._priv("UpdateUser")
         self._rbac.drop_role(role_name)
 
+    def alter_role(self, role_name: str, properties: dict) -> None:
+        self._priv("UpdateUser")
+        self._rbac.alter_role(role_name, properties)
+
     def list_roles(self) -> list:
         self._priv("SelectUser")
         return self._rbac.list_roles()
@@ -592,6 +596,17 @@ class MilvusSparkClient:
         if unknown:
             raise ValueError(f"unsupported index properties: {sorted(unknown)}")
         entry.setdefault("properties", {}).update(properties)
+        self._save_catalog()
+
+    def drop_index_properties(
+        self, name: str, field: str, index_type: str, property_keys: Sequence[str]
+    ) -> None:
+        """DropIndexProperties (index.go:190-196 — the delete-keys form of
+        AlterIndex)."""
+        entry = self.describe_index(name, field, index_type)
+        props = entry.setdefault("properties", {})
+        for k in property_keys:
+            props.pop(k, None)
         self._save_catalog()
 
     def _dyn(self, meta: dict) -> Optional[str]:

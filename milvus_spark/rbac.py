@@ -196,6 +196,15 @@ class RbacStore:
         self._s["roles"].pop(role, None)
         self._save()
 
+    def alter_role(self, role: str, properties: dict) -> None:
+        """AlterRole (rbac.go:110-115): attach key/value properties to a
+        role (the reference uses it for role comments/annotations)."""
+        r = self._s["roles"].get(role)
+        if r is None:
+            raise ValueError(f"role {role!r} not found")
+        r.setdefault("properties", {}).update({str(k): str(v) for k, v in properties.items()})
+        self._save()
+
     def list_roles(self) -> list[str]:
         return sorted(self._s["roles"])
 
@@ -203,7 +212,10 @@ class RbacStore:
         r = self._s["roles"].get(role)
         if r is None:
             raise ValueError(f"role {role!r} not found")
-        return {"role": role, "privileges": tuple(tuple(g) for g in r["grants"])}
+        out = {"role": role, "privileges": tuple(tuple(g) for g in r["grants"])}
+        if r.get("properties"):
+            out["properties"] = dict(r["properties"])
+        return out
 
     def grant_role(self, user: str, role: str) -> None:
         if user not in self._s["users"]:

@@ -2439,3 +2439,19 @@ def test_management_parity_apis(spark, tmp_path, sf_dir):
 
     c.close()
     assert c.query("nat").count() == 28  # close drops caches, not data
+
+
+def test_drop_index_properties(spark, tmp_path, sf_dir):
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "ip_root"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("nat", pk_field="n_nationkey")
+    c.insert("nat", nation)
+    c.create_index("nat", "n_name", "NGRAM")
+    c.alter_index_properties("nat", "n_name", "NGRAM", {"mmap.enabled": "true"})
+    assert c.describe_index("nat", "n_name", "NGRAM")["properties"] == {
+        "mmap.enabled": "true"
+    }
+    c.drop_index_properties("nat", "n_name", "NGRAM", ["mmap.enabled"])
+    assert c.describe_index("nat", "n_name", "NGRAM")["properties"] == {}

@@ -344,3 +344,13 @@ def test_failed_create_leaves_no_phantom_collection(spark, tmp_path):
     c.create_collection("w", "pk", field_warmup={"x": "sync"})  # retry works
     with pytest.raises(ValueError, match="invalid warmup"):
         c.alter_collection_properties("w", {"warmup": "bogus"})
+
+
+def test_alter_role_properties(client):
+    client.create_role("ops_team")
+    client.alter_role("ops_team", {"comment": "on-call operators"})
+    assert client.describe_role("ops_team")["properties"] == {
+        "comment": "on-call operators"
+    }
+    with pytest.raises(ValueError, match="not found"):
+        client.alter_role("ghost", {"x": "y"})
