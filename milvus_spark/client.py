@@ -850,6 +850,8 @@ class MilvusSparkClient:
     def drop_snapshot(self, name: str, snapshot_name: str) -> None:
         import shutil
 
+        if snapshot_name in self._meta(name).get("snapshot_pins", []):
+            raise ValueError(f"snapshot {snapshot_name} is pinned; unpin it first")
         d = os.path.join(self._coll(name).path, "snapshots", snapshot_name)
         if not os.path.isdir(d):
             raise ValueError(f"no snapshot {snapshot_name}")
@@ -869,6 +871,73 @@ class MilvusSparkClient:
         if not st:
             raise ValueError(f"no restore job for {name!r}")
         return dict(st)
+
+    def pin_snapshot_data(self, name: str, snapshot_name: str) -> None:
+        """Pin a snapshot's data (PinSnapshotData): a pinned snapshot
+        refuses drop_snapshot until unpinned — the external-consumer
+        refcount that keeps exported data stable."""
+        self.describe_snapshot(name, snapshot_name)  # existence check
+        pins = self._meta(name).setdefault("snapshot_pins", [])
+        if snapshot_name not in pins:
+            pins.append(snapshot_name)
+            self._save_catalog()
+
+    def unpin_snapshot_data(self, name: str, snapshot_name: str) -> None:
+        pins = self._meta(name).get("snapshot_pins", [])
+        if snapshot_name in pins:
+            pins.remove(snapshot_name)
+            self._save_catalog()
+
+    def export_snapshot(self, name: str, snapshot_name: str, out_path: str) -> dict:
+        """ExportSnapshot: copy the pinned point-in-time state to an
+        external location with a manifest carrying enough schema to restore
+        it elsewhere (snapshotio export analog)."""
+        import shutil
+
+        src_dir = os.path.join(self._coll(name).path, "snapshots", snapshot_name)
+        if not os.path.isdir(src_dir):
+            raise ValueError(f"no snapshot {snapshot_name}")
+        if os.path.exists(out_path):
+            raise ValueError(f"export target exists: {out_path}")
+        shutil.copytree(src_dir, out_path)
+        manifest = {
+            "snapshot": snapshot_name,
+            "collection": self._resolve_alias(name),
+            "meta": {
+                k: v
+                for k, v in self._meta(name).items()
+                if k in ("pk", "vector", "vector_fields", "metric", "fields")
+            },
+        }
+        with open(os.path.join(out_path, "_manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=1)
+        return manifest
+
+    def restore_external_snapshot(self, new_name: str, path: str) -> None:
+        """RestoreExternalSnapshot: materialize an exported snapshot as a
+        NEW collection in this cluster (schema from the export manifest,
+        segments + tombstones copied in)."""
+        import shutil
+
+        mf = os.path.join(path, "_manifest.json")
+        if not os.path.isfile(mf):
+            raise ValueError(f"no snapshot manifest under {path}")
+        with open(mf) as f:
+            manifest = json.load(f)
+        meta = manifest["meta"]
+        self.create_collection(
+            new_name,
+            pk_field=meta["pk"],
+            vector_field=meta.get("vector_fields") or meta.get("vector"),
+            metric_type=meta.get("metric", "COSINE"),
+            fields=meta.get("fields"),
+        )
+        dst = self._coll(new_name)
+        shutil.rmtree(dst.seg_dir, ignore_errors=True)
+        shutil.copytree(os.path.join(path, "segments"), dst.seg_dir)
+        if os.path.isdir(os.path.join(path, "tombstones")):
+            shutil.rmtree(dst.tomb_dir, ignore_errors=True)
+            shutil.copytree(os.path.join(path, "tombstones"), dst.tomb_dir)
 
     def close(self) -> None:
         """Connection-lifecycle parity (Client.Close): drops cached serving

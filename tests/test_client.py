@@ -2455,3 +2455,35 @@ def test_drop_index_properties(spark, tmp_path, sf_dir):
     }
     c.drop_index_properties("nat", "n_name", "NGRAM", ["mmap.enabled"])
     assert c.describe_index("nat", "n_name", "NGRAM")["properties"] == {}
+
+
+def test_snapshot_export_pin_restore(spark, tmp_path, sf_dir):
+    """ExportSnapshot / RestoreExternalSnapshot / Pin/UnpinSnapshotData:
+    exported state restores as a NEW collection; pins block drop."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "snap_root"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("nat", pk_field="n_nationkey")
+    c.insert("nat", nation)
+    c.delete("nat", filter="n_regionkey == 4")
+    c.create_snapshot("nat", "s1")
+
+    c.pin_snapshot_data("nat", "s1")
+    with pytest.raises(ValueError, match="pinned"):
+        c.drop_snapshot("nat", "s1")
+
+    out = str(tmp_path / "exported_s1")
+    mf = c.export_snapshot("nat", "s1", out)
+    assert mf["collection"] == "nat"
+    # mutate the source AFTER the export; the restore must see the snapshot
+    c.insert("nat", nation.limit(2).withColumn("n_nationkey", F.col("n_nationkey") + 500))
+
+    c.restore_external_snapshot("nat_copy", out)
+    assert c.query("nat_copy").count() == nation.filter("n_regionkey != 4").count()
+    assert c.query("nat_copy", filter="n_nationkey >= 500").count() == 0
+
+    c.unpin_snapshot_data("nat", "s1")
+    c.drop_snapshot("nat", "s1")
+    with pytest.raises(ValueError, match="no snapshot"):
+        c.export_snapshot("nat", "s1", str(tmp_path / "x"))
