@@ -41,6 +41,8 @@ BENCH_QUERIES = [
     "src_packed_manifest",    # storage-v2 packed manifest read path (r5)
     "dedup_semantic",         # SemDeDup: kmeans-assign + in-cluster cosine prune (r5)
     "stream_exact_dedup",     # streaming first-occurrence admission, stateful dropDuplicates (r5)
+    "win_asof_last_click",    # AS-OF join via union-marker plan, no join operator (r5)
+    "win_range_join_nearby",  # interval join via bucketed equi-join (r5)
 ]
 
 
