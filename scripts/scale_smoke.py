@@ -40,6 +40,8 @@ HEAVY = [
     "vec_element_collapse",
     "vec_emb_list_struct",
     "stream_exact_dedup",
+    "win_asof_last_click",
+    "win_range_join_nearby",
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds

@@ -332,3 +332,20 @@ def test_temporal_joins_have_no_nested_loop(spark, sf_dir):
     assert "CartesianProduct" not in rng
     assert "BroadcastNestedLoopJoin" not in rng
     assert "SortMergeJoin" in rng or "ShuffledHashJoin" in rng or "BroadcastHashJoin" in rng
+
+
+def test_semantic_kernel_plans_are_bounded(spark, sf_dir):
+    """dedup_semantic / cur_cluster_balance: the ONLY nested-loop is the
+    broadcast of the K centroids (K is small by construction); the pair
+    stage is a cid equi-join, never a global cartesian."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    for q in ("dedup_semantic", "cur_cluster_balance"):
+        plan = plan_of(QUERIES[q](spark, sf_dir))
+        assert "CartesianProduct" not in plan
+        # at most one K-centroid broadcast per reference to the assignment
+        # subtree (both pair-join sides print it pre-AQE; the aggregate
+        # exchange above it is identical on both sides, so AQE's
+        # ReusedExchange computes the assignment once at runtime)
+        assert plan.count("BroadcastNestedLoopJoin") <= 2
