@@ -2487,3 +2487,41 @@ def test_snapshot_export_pin_restore(spark, tmp_path, sf_dir):
     c.drop_snapshot("nat", "s1")
     with pytest.raises(ValueError, match="no snapshot"):
         c.export_snapshot("nat", "s1", str(tmp_path / "x"))
+
+
+def test_struct_array_nullable_lifecycle(spark, tmp_path):
+    """Nullable struct-array values through the full DML lifecycle
+    (test_milvus_client_struct_array_nullable.py:1627-1910): insert with
+    NULL and empty arrays, element filters skip them (3VL, no error),
+    upsert flips null <-> non-null, and compaction preserves null/empty
+    values and element offsets."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "san_root"))
+    schema = "pk long, items array<struct<q:long, tag:string>>"
+    rows = [
+        (1, [(5, "a"), (150, "b")]),
+        (2, []),
+        (3, None),
+        (4, [(200, "x")]),
+    ]
+    c.create_collection("sa", pk_field="pk")
+    c.insert("sa", spark.createDataFrame(rows, schema))
+
+    # element filter: null/empty arrays simply never match
+    hits = c.query("sa", filter="element_filter(items, $[q] > 100)")
+    assert sorted(r.pk for r in hits.collect()) == [1, 4]
+    # nulls are retrievable as nulls
+    got = {r.pk: r["items"] for r in c.query("sa", output_fields=["pk", "items"]).collect()}
+    assert got[3] is None and got[2] == []
+
+    # upsert: null -> values, values -> null
+    c.upsert("sa", spark.createDataFrame([(3, [(999, "z")]), (1, None)], schema))
+    hits = c.query("sa", filter="element_filter(items, $[q] > 100)")
+    assert sorted(r.pk for r in hits.collect()) == [3, 4]
+
+    # compaction rewrites segments without disturbing null/empty/order
+    c.compact("sa")
+    got = {r.pk: r["items"] for r in c.query("sa", output_fields=["pk", "items"]).collect()}
+    assert got[1] is None and got[2] == [] and [tuple(e) for e in got[3]] == [(999, "z")]
+    assert [tuple(e) for e in got[4]] == [(200, "x")]
