@@ -741,3 +741,74 @@ def rel_tstz_language(spark: SparkSession, sf: str) -> DataFrame:
         e.schema,
     )
     return e.filter(cond).select("event_id", "ts")
+
+
+# --- pivot report: order revenue by year x market segment ---------------------
+@register(
+    "rel_pivot_report",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+           round(sum(CASE WHEN c.c_mktsegment = 'AUTOMOBILE' THEN o.o_totalprice END), 2) + 0 AS automobile,
+           round(sum(CASE WHEN c.c_mktsegment = 'BUILDING'   THEN o.o_totalprice END), 2) + 0 AS building,
+           round(sum(CASE WHEN c.c_mktsegment = 'MACHINERY'  THEN o.o_totalprice END), 2) + 0 AS machinery
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def rel_pivot_report(spark: SparkSession, sf: str) -> DataFrame:
+    """PIVOT: revenue matrix year × market segment — the cross-tab report
+    every analytics engine owes its users (beyond the reference's surface,
+    like the funnel/cohort ops). Spark's relational pivot compiles to the
+    same conditional partial aggregation the oracle spells out — one
+    map-side-combined shuffle on the year key, segments as columns, no
+    second pass."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    segs = ["AUTOMOBILE", "BUILDING", "MACHINERY"]
+    out = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(F.year("o_orderdate").cast("long").alias("yr"), "c_mktsegment", "o_totalprice")
+        .groupBy("yr")
+        .pivot("c_mktsegment", segs)
+        .agg(F.round(F.sum("o_totalprice"), 2) + F.lit(0.0))
+    )
+    return out.select(
+        "yr",
+        F.col(segs[0]).alias("automobile"),
+        F.col(segs[1]).alias("building"),
+        F.col(segs[2]).alias("machinery"),
+    )
+
+
+# --- rollup: revenue totals at (year, segment), (year), and grand level -------
+@register(
+    "rel_rollup_revenue",
+    oracle="""
+    SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr, c.c_mktsegment AS seg,
+           round(sum(o.o_totalprice), 2) + 0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY GROUPING SETS ((1, 2), (1), ())
+    """,
+)
+def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP over (year, segment): detail rows, per-year subtotals, and
+    the grand total in ONE pass (Spark Expand + partial agg — the rollup
+    never rescans the fact table per level, which is what makes it viable
+    at 100 TB; super-aggregate rows carry NULL keys, matching the
+    GROUPING SETS oracle exactly)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            F.col("c_mktsegment").alias("seg"),
+            "o_totalprice",
+        )
+        .rollup("yr", "seg")
+        .agg(
+            (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
