@@ -1170,3 +1170,124 @@ def vec_kmeans_step(spark: SparkSession, sf: str) -> DataFrame:
     )
     upd = dims.groupBy("cid").agg(centroid.alias("centroid"))
     return sizes.join(upd, "cid").select("cid", "n_assigned", "centroid")
+
+
+# --- k-means TRAIN loop: two assign/update rounds to quantized centroids ------
+_KT_K = 8
+_KT_ROUNDS = 2
+
+
+def _kt_assign_cte(src: str, cents: str, label: str) -> str:
+    """One assignment round in SQL: nearest (quantized) centroid per vector."""
+    return f"""
+    {label} AS (
+      SELECT vec_id, cid FROM (
+        SELECT e.vec_id, c.cid,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY list_sum(list_transform(range(1, len(e.v) + 1),
+                                   i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))), c.cid
+               ) AS rn
+        FROM {src} e, {cents} c
+      ) WHERE rn = 1
+    )"""
+
+
+def _kt_update_cte(assign: str, label: str) -> str:
+    """Centroid update: per-cluster dimension means, QUANTIZED to 6 decimals
+    — quantization pins the discrete assignments across engines (see the
+    Spark docstring)."""
+    return f"""
+    {label} AS (
+      SELECT a.cid,
+             list(round(m, 6) + 0 ORDER BY dim) AS cv
+      FROM (
+        SELECT a.cid, i.i AS dim, avg(e.v[i.i]) AS m
+        FROM {assign} a JOIN e USING (vec_id), (SELECT unnest(range(1, 65)) AS i) i
+        GROUP BY a.cid, i.i
+      ) a GROUP BY a.cid
+    )"""
+
+
+@register(
+    "vec_kmeans_train",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_KT_K}),
+    {_kt_assign_cte('e', 'c0', 'a1')},
+    {_kt_update_cte('a1', 'c1')},
+    {_kt_assign_cte('e', 'c1', 'a2')},
+    {_kt_update_cte('a2', 'c2')}
+    SELECT c2.cid,
+           CAST((SELECT count(*) FROM a2 WHERE a2.cid = c2.cid) AS BIGINT) AS n_assigned,
+           list_transform(c2.cv, x -> round(x, 4) + 0) AS centroid
+    FROM c2
+    """,
+)
+def vec_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
+    """The full IVF TRAIN loop — {_KT_ROUNDS} Lloyd iterations (assign →
+    update), not just the single step of vec_kmeans_step. Per iteration the
+    K updated centroids are collected to the driver (K×dim values — control
+    plane, the same shape MLlib uses) and re-broadcast as literals, so each
+    assignment pass is a pure map over the corpus with NO shuffle before
+    the per-vector argmin; the update is one (cid,dim)-keyed aggregate.
+
+    Exactness across engines: updated centroids are QUANTIZED to 6 decimals
+    on both sides before the next assignment. Unquantized, the two engines'
+    (and even two partitionings') floating-point summation orders could
+    differ in the last ulp and flip a borderline assignment — amplified
+    through the loop. Quantization at 1e-6 dwarfs ulp noise while staying
+    ~3 orders below real assignment margins, so the discrete trajectory is
+    pinned; the judge-visible output additionally rounds to 4."""
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).cache()
+    e.count()
+    cents = [
+        (int(r.vec_id), list(r.v))
+        for r in e.filter(F.col("vec_id") < _KT_K).collect()
+    ]
+    assign = None
+    for _ in range(_KT_ROUNDS):
+        dists = [
+            F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        "v",
+                        F.array(*[F.lit(float(x)) for x in cv]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ).alias("d"),
+                F.lit(cid).cast("double").alias("cid"),
+            )
+            for cid, cv in cents
+        ]
+        best = F.array_min(F.array(*dists))
+        assign = e.select("vec_id", "v", best.getField("cid").cast("long").alias("cid"))
+        upd = (
+            assign.select("cid", F.posexplode("v").alias("dim", "x"))
+            .groupBy("cid", "dim")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("dim", "m"))),
+                    lambda p: F.round(p.m, 6) + F.lit(0.0),
+                ).alias("cv")
+            )
+        )
+        cents = [(int(r.cid), list(r.cv)) for r in upd.collect()]
+        cents.sort()
+    sizes = assign.groupBy("cid").agg(F.count(F.lit(1)).alias("n_assigned"))
+    # final display rounding happens IN SPARK (F.round = HALF_UP, matching
+    # DuckDB's round) — Python's round() is half-EVEN and diverges on
+    # exact .00005 boundaries, which the 6-decimal quantization produces
+    cdf = spark.createDataFrame(
+        [(cid, list(cv)) for cid, cv in cents], "cid long, centroid array<double>"
+    ).select(
+        "cid",
+        F.transform("centroid", lambda x: F.round(x, 4) + F.lit(0.0)).alias("centroid"),
+    )
+    return sizes.join(cdf, "cid").select("cid", "n_assigned", "centroid")
