@@ -353,3 +353,34 @@ def win_range_join_nearby(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.count("cus").alias("n_nearby"))
     )
+
+
+# --- running totals + lag deltas per customer ---------------------------------
+@register(
+    "win_running_revenue",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) + 0 AS running,
+           round(o_totalprice - lag(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 2) + 0 AS delta_prev
+    FROM orders
+    WHERE o_custkey % 97 = 0
+    """,
+)
+def win_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-customer running revenue + order-over-order delta — the
+    cumulative/lag window pair every analytics migration expects. One
+    shuffle on the customer key; both windows share the same frame sort, so
+    Spark evaluates them in a single Window operator pass (bounded by
+    per-customer order counts, never a global sort)."""
+    o = load_table(spark, sf, "orders").filter(F.col("o_custkey") % 97 == 0)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.round(
+        F.sum("o_totalprice").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)), 2
+    ) + F.lit(0.0)
+    delta = F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2) + F.lit(0.0)
+    return o.select(
+        "o_custkey", "o_orderkey", running.alias("running"), delta.alias("delta_prev")
+    )
