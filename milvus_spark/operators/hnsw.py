@@ -1,0 +1,166 @@
+"""Per-segment graph ANN (HNSW family) — the reference's workhorse index,
+re-expressed for Spark's execution model (no code reused; knowhere is C++:
+``internal/core/src/query/SearchOnIndex.cpp``, config surface
+``indexparamcheck/index_type.go:30-40``).
+
+Faithful shape: Milvus builds ONE graph PER SEALED SEGMENT and fans every
+search out over all segments, merging per-segment top-k — a per-node graph
+never spans nodes. That is exactly a Spark partitioning: the corpus is
+deterministically bucketed (pk-based), each bucket builds its own
+self-contained graph inside ``applyInPandas`` (numpy), and a search runs
+beam search per bucket then merges with the same bucketed top-k window the
+brute-force kernel uses. 1000 segments on 1000 executors = the reference's
+per-segment parallelism, with no cross-partition edges to shuffle.
+
+Graph: single-layer NSW (the HNSW base layer). The upper hierarchy only
+buys a better entry point for very large graphs; per-SEGMENT graphs are
+bounded (segments seal at a few hundred k rows), where a flat beam search
+from a fixed entry is the dominant cost either way — documented divergence
+from knowhere's multi-layer build, same contract (recall-gated vs brute
+force, tests/test_hnsw.py).
+
+Determinism: insertion order = position order, entry point = node 0, ties
+break on node id — graph build and search are reproducible runs of the
+same data, so the staleness/fallback story matches the IVF path.
+"""
+
+from __future__ import annotations
+
+import heapq
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def _beam_search(X: np.ndarray, adj: list, q: np.ndarray, ef: int, entry: int = 0):
+    """Greedy best-first beam over the graph; returns [(sqdist, node)] of
+    the ef closest visited, ascending."""
+    d0 = float(((X[entry] - q) ** 2).sum())
+    visited = {entry}
+    cand = [(d0, entry)]
+    top = [(-d0, entry)]
+    while cand:
+        d, u = heapq.heappop(cand)
+        if len(top) >= ef and d > -top[0][0]:
+            break
+        for v in adj[u]:
+            if v in visited:
+                continue
+            visited.add(v)
+            dv = float(((X[v] - q) ** 2).sum())
+            if len(top) < ef or dv < -top[0][0]:
+                heapq.heappush(cand, (dv, v))
+                heapq.heappush(top, (-dv, v))
+                if len(top) > ef:
+                    heapq.heappop(top)
+    return sorted((-negd, v) for negd, v in top)
+
+
+def build_graph_np(X: np.ndarray, m: int = 8, ef_construction: int = 64) -> list:
+    """NSW construction: insert nodes in order; each connects to its m
+    nearest among the already-inserted (found by beam search), edges are
+    bidirectional, neighbor lists prune to 2m keeping the closest."""
+    n = len(X)
+    adj: list = [[] for _ in range(n)]
+    m_max = 2 * m
+    for i in range(1, n):
+        found = _beam_search(X[:i], adj, X[i], ef_construction)
+        nbrs = [v for _, v in found[:m]]
+        adj[i] = list(nbrs)
+        for v in nbrs:
+            adj[v].append(i)
+            if len(adj[v]) > m_max:
+                d = ((X[adj[v]] - X[v]) ** 2).sum(axis=1)
+                keep = np.argsort(d, kind="stable")[:m_max]
+                adj[v] = [adj[v][j] for j in keep]
+    return adj
+
+
+def search_graph_np(
+    X: np.ndarray, adj: list, q: np.ndarray, ef: int, k: int
+) -> list:
+    """Top-k (sqdist, node) for one query; ef >= k governs recall."""
+    return _beam_search(X, adj, q, max(ef, k))[:k]
+
+
+def build_hnsw(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_partitions: int = 8,
+    m: int = 8,
+    ef_construction: int = 64,
+) -> DataFrame:
+    """Index build: deterministic pk bucketing (the segment analog), one
+    self-contained graph per bucket via applyInPandas. The artifact rows
+    are (part, pos, id, vec, neighbors[pos]) — vectors ride along so a
+    search reads ONLY the index table (segment files + graph, like a
+    sealed segment with its HNSW binary)."""
+    src = df.select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.pmod(F.col(id_col).cast("long"), F.lit(n_partitions)).alias("part"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_id").reset_index(drop=True)  # deterministic order
+        X = np.asarray(pdf["_v"].tolist(), dtype=np.float64)
+        adj = build_graph_np(X, m=m, ef_construction=ef_construction)
+        return pd.DataFrame(
+            {
+                "part": pdf["part"],
+                "pos": range(len(pdf)),
+                "id": pdf["_id"],
+                "vec": pdf["_v"],
+                "neighbors": [list(map(int, a)) for a in adj],
+            }
+        )
+
+    return src.groupBy("part").applyInPandas(
+        build, "part long, pos long, id long, vec array<double>, neighbors array<long>"
+    )
+
+
+def hnsw_search(
+    index_df: DataFrame,
+    queries: list,
+    ef: int,
+    k: int,
+    ascending: bool = True,
+) -> DataFrame:
+    """Search: per-bucket beam search (applyInPandas over the index rows),
+    then the global nq×k merge with the same ranked-window shape as the
+    brute-force kernel. Distances are squared L2 over whatever the build
+    stored (normalize upstream for cosine). Returns (qid, id, sqdist,
+    rank <= k)."""
+    spark = index_df.sparkSession
+    qarr = [(int(i), [float(x) for x in q]) for i, q in enumerate(queries)]
+    bq = spark.sparkContext.broadcast(qarr)
+
+    def probe(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("pos").reset_index(drop=True)
+        X = np.asarray(pdf["vec"].tolist(), dtype=np.float64)
+        adj = [list(a) for a in pdf["neighbors"]]
+        ids = pdf["id"].to_numpy()
+        out_q, out_i, out_d = [], [], []
+        for qid, q in bq.value:
+            qv = np.asarray(q, dtype=np.float64)
+            for d, pos in search_graph_np(X, adj, qv, ef, k):
+                out_q.append(qid)
+                out_i.append(int(ids[pos]))
+                out_d.append(float(d))
+        return pd.DataFrame({"qid": out_q, "id": out_i, "sqdist": out_d})
+
+    per_part = index_df.groupBy("part").applyInPandas(
+        probe, "qid long, id long, sqdist double"
+    )
+    order = F.col("sqdist").asc() if ascending else F.col("sqdist").desc()
+    w = W.partitionBy("qid").orderBy(order, F.col("id").asc())
+    return (
+        per_part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "sqdist", "rank")
+    )
