@@ -1942,17 +1942,54 @@ class MilvusSparkClient:
             "built_ts": self._current_ts(name), "path": idx_dir,
             "materialized": True,
         }
-        if itype in ("IVF_FLAT", "HNSW", "DISKANN", "SCANN"):
+        if itype == "HNSW":
+            # REAL per-segment graph (knowhere's workhorse,
+            # SearchOnIndex.cpp): the corpus buckets deterministically by
+            # pk — the sealed-segment analog — and each bucket builds its
+            # own self-contained NSW graph (operators/hnsw.py; recall
+            # contract tests/test_hnsw.py). Searches beam per bucket and
+            # merge, exactly the reference's per-segment fan-out.
+            # Unsupported-with-graph regimes (filters, range, snapshots,
+            # IP metric) fall back to exact scan at query time.
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"HNSW requires a vector field, got {field!r}")
+            from milvus_spark.operators.hnsw import build_hnsw
+            from milvus_spark.operators.ivf import l2_normalize
+
+            df = self._read(name)
+            corpus = (
+                l2_normalize(df, field)
+                if meta.get("metric", "COSINE") == "COSINE"
+                else df.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            nparts = int(params.get("n_partitions", 8))
+            g = build_hnsw(
+                corpus.select(meta["pk"], field),
+                field,
+                meta["pk"],
+                n_partitions=nparts,
+                m=int(params.get("M", 8)),
+                ef_construction=int(params.get("efConstruction", 64)),
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            g.write.mode("overwrite").parquet(os.path.join(idx_dir, "graph"))
+            entry["n_partitions"] = nparts
+            entry["graph_params"] = {
+                k: params[k]
+                for k in ("M", "efConstruction", "search_list_size", "max_degree")
+                if k in params
+            }
+        elif itype in ("IVF_FLAT", "DISKANN", "SCANN"):
             # IVF_FLAT builds the centroid table + cluster-partitioned
-            # rewrite. The graph/disk families (HNSW — the reference's
-            # workhorse, SearchOnIndex.cpp; DISKANN; SCANN) are accepted
-            # for API parity and materialize the SAME partition-pruned IVF
-            # layout: a per-node neighbor graph cannot shard across
-            # executors, so centroid-pruned partition scans are the
+            # rewrite. The DISK/quantized-graph families (DISKANN, SCANN)
+            # are accepted for API parity and materialize the SAME
+            # partition-pruned IVF layout: their on-disk/quantized probe
+            # structure is a storage-format concern knowhere owns — the
             # Spark-native access path at an equivalent recall operating
-            # point (recall-gated in tests/test_ivf.py); the graph tuning
-            # knobs are recorded and ef/search_list maps onto nprobe at
-            # query time.
+            # point is the centroid-pruned partition scan (recall-gated in
+            # tests/test_ivf.py); the tuning knobs are recorded and
+            # search_list maps onto nprobe at query time.
             vfs = meta.get("vector_fields") or [meta.get("vector")]
             if field not in vfs:
                 raise ValueError(f"{itype} requires a vector field, got {field!r}")
@@ -2920,6 +2957,45 @@ class MilvusSparkClient:
         )
         if (
             idx is not None
+            and idx["index_type"] == "HNSW"
+            and filter is None and radius is None and range_filter is None
+            and as_of is None and not meta.get("external_path")
+            and not partition_names
+            and not self._expired_ts(meta)
+            and (metric_type or meta["metric"]) in ("COSINE", "L2")
+        ):
+            # real graph path: per-segment beam search + merge. Stored
+            # vectors are normalized for COSINE, so cos = 1 - sqdist/2;
+            # L2 scores are the squared distance (knowhere convention).
+            import numpy as np
+
+            from milvus_spark.operators.hnsw import hnsw_search
+
+            met = metric_type or meta["metric"]
+            g = self.spark.read.parquet(os.path.join(idx["path"], "graph"))
+            sp = search_params or {}
+            ef = int(sp.get("ef", sp.get("search_list", 64)))
+            qs = [list(map(float, v)) for v in data]
+            if met == "COSINE":
+                qs = [
+                    (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist() for q in qs
+                ]
+            raw = hnsw_search(g, qs, ef=max(ef, limit), k=limit)
+            rt = 12 if round_decimal == -1 else int(round_decimal)
+            score = (
+                F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
+                if met == "COSINE"
+                else F.round(F.col("sqdist"), rt) + F.lit(0.0)
+            )
+            hits = raw.select(
+                "qid", F.col("id").alias(meta["pk"]), score.alias("score"), "rank"
+            )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
+            return self._requery(name, hits, meta, output_fields)
+        if (
+            idx is not None
+            and idx["index_type"] != "HNSW"
             and filter is None and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names

@@ -201,27 +201,46 @@ def test_index_lifecycle(client, spark, sf_dir):
 
 
 def test_graph_index_family_api_parity(client, spark, sf_dir):
-    """HNSW/DISKANN/SCANN are accepted (the reference's graph/disk index
-    zoo, index_type.go:30-40) and materialize the partition-pruned IVF
-    layout — the Spark-native access path; ef/search_list maps to probe
-    width. FLAT is metadata-only: the default exact scan IS flat."""
+    """HNSW builds a REAL per-segment graph (operators/hnsw.py; searched by
+    per-bucket beam + merge, the reference's per-segment fan-out,
+    SearchOnIndex.cpp); DISKANN/SCANN are accepted (index_type.go:30-40)
+    onto the partition-pruned IVF layout with search_list → probe width.
+    FLAT is metadata-only: the default exact scan IS flat. The graph's
+    contract is recall vs brute force — knowhere's HNSW is not exact
+    either."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     client.create_collection("gx", pk_field="vec_id", vector_field="embedding")
     client.insert("gx", emb)
 
     entry = client.create_index(
-        "gx", "embedding", "HNSW", {"nlist": 8, "M": 16, "efConstruction": 200}
+        "gx", "embedding", "HNSW", {"M": 8, "efConstruction": 64}
     )
-    assert entry["materialized"] and entry["nlist"] == 8
-    assert entry["graph_params"] == {"M": 16, "efConstruction": 200}
+    assert entry["materialized"] and entry["n_partitions"] == 8
+    assert entry["graph_params"] == {"M": 8, "efConstruction": 64}
     q = [emb.filter(F.col("vec_id") == 0).first().embedding]
-    exact = {r.vec_id for r in client.search("gx", q, limit=10, filter="vec_id >= 0").collect()}
-    # wide ef → all clusters probed → exact equality with brute force
-    wide = {r.vec_id for r in client.search("gx", q, limit=10, search_params={"ef": 64}).collect()}
-    assert wide == exact
-    # narrow ef probes fewer clusters but still returns a full page
-    narrow = client.search("gx", q, limit=10, search_params={"ef": 8}).collect()
-    assert len(narrow) == 10
+    exact = [
+        (r.vec_id, r.score)
+        for r in client.search("gx", q, limit=10, filter="vec_id >= 0").collect()
+    ]
+    wide = [
+        (r.vec_id, r.score)
+        for r in client.search("gx", q, limit=10, search_params={"ef": 64}).collect()
+    ]
+    # self-match first, scores in the collection metric, recall >= 0.9
+    assert wide[0][0] == 0 and abs(wide[0][1] - 1.0) < 1e-6
+    assert len({v for v, _ in wide} & {v for v, _ in exact}) >= 9
+    # graph hits carry the SAME metric scores as the exact path
+    escore = dict(exact)
+    assert all(abs(s - escore[v]) < 1e-6 for v, s in wide if v in escore)
+    # narrow ef still returns a full page
+    assert len(client.search("gx", q, limit=10, search_params={"ef": 12}).collect()) == 10
+    # a filtered search cannot use the graph -> exact fallback, same result
+    assert {r.vec_id for r in client.search("gx", q, limit=10, filter="vec_id < 100000").collect()} == {
+        v for v, _ in exact
+    }
+
+    diskann = client.create_index("gx", "embedding", "DISKANN", {"nlist": 8, "search_list_size": 32})
+    assert diskann["nlist"] == 8  # disk family rides the IVF layout
 
     flat = client.create_index("gx", "embedding", "FLAT")
     assert flat["materialized"] is False
