@@ -1291,3 +1291,39 @@ def vec_kmeans_train(spark: SparkSession, sf: str) -> DataFrame:
         F.transform("centroid", lambda x: F.round(x, 4) + F.lit(0.0)).alias("centroid"),
     )
     return sizes.join(cdf, "cid").select("cid", "n_assigned", "centroid")
+
+
+# ---------- per-segment graph ANN (HNSW) --------------------------------------
+@register("vec_hnsw_cosine", oracle=_bf_oracle("COSINE"))
+def vec_hnsw_cosine(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN top-10 through the REAL per-segment graph machinery
+    (operators/hnsw.py): pk-bucketed segments, one NSW graph per bucket
+    built in applyInPandas, per-bucket beam search + merge. The gate query
+    searches with ef >= the largest bucket, and the insertion-built graph
+    is connected (every node links to an earlier one), so the beam visits
+    every node — EXACT equivalence with the brute-force oracle, the same
+    contract the reference holds its graph index to
+    (query/SearchBruteForce.cpp ground truth). The production regime
+    (small ef) is recall-gated in tests/test_hnsw.py."""
+    from milvus_spark.operators.hnsw import build_hnsw, hnsw_search
+    from milvus_spark.operators.ivf import l2_normalize
+
+    emb = load_table(spark, sf, "embeddings")
+    norm = l2_normalize(emb, "embedding")
+    idx = build_hnsw(norm, "embedding", "vec_id", n_partitions=8, m=8, ef_construction=48)
+    qrows = norm.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    queries = [list(r.embedding) for r in qrows]
+    n = emb.count()
+    raw = hnsw_search(idx, queries, ef=n, k=50)  # ef >= bucket size -> exhaustive
+    # rank on the ROUNDED cosine like every other vector path (ties -> id)
+    scored = raw.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("id").alias("vec_id"),
+        (F.round(1.0 - F.col("sqdist") / 2.0, 4) + F.lit(0.0)).alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id", "score", "rank")
+    )
