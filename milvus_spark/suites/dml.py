@@ -348,3 +348,61 @@ def dml_namespace_isolation(spark: SparkSession, sf: str) -> DataFrame:
         output_fields=["c_custkey", "c_acctbal"],
     )
     return out.select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+
+
+# --- truncate: data gone, collection stays, reinserts start clean -------------
+@register(
+    "dml_truncate_reinsert",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 3 = 0
+    GROUP BY o_orderstatus
+    """,
+)
+def dml_truncate_reinsert(spark: SparkSession, sf: str) -> DataFrame:
+    """TruncateCollection (drop_collection_task.go truncate path): the full
+    mutated history is wiped, the collection handle survives, and a fresh
+    insert starts from a clean slate — visible state afterwards is exactly
+    the reinserted batch, no tombstones, no MVCC residue."""
+    coll = _build_collection(spark, sf, upto_ts=4)
+    # truncate = remove every segment + tombstone, keep the handle
+    shutil.rmtree(coll.seg_dir, ignore_errors=True)
+    shutil.rmtree(coll.tomb_dir, ignore_errors=True)
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 3 == 0)
+    coll.append(o, ts=1)
+    return (
+        coll.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+# --- sort compaction: pk-sorted rewrite preserves content, files are sorted ---
+@register("dml_sort_compaction", oracle=_FINAL_ORACLE)
+def dml_sort_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Sort compaction (sort_compaction.go): rewrite range-partitioned and
+    pk-sorted WITHOUT changing visible content — the same equivalence gate
+    as mix compaction, after asserting the rewrite really is sorted (the
+    stats-prune precondition)."""
+    coll = _build_collection(spark, sf, upto_ts=4)
+    coll.compact(num_partitions=4)
+    # rewrite invariant: within every output file pks are non-decreasing
+    seg = spark.read.parquet(coll.seg_dir).select(
+        "o_orderkey", F.spark_partition_id().alias("pid")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("pid").orderBy(F.monotonically_increasing_id())
+    bad = (
+        seg.withColumn("prev", F.lag("o_orderkey").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("o_orderkey") < F.col("prev")))
+        .count()
+    )
+    assert bad == 0, "sort compaction output not pk-sorted within files"
+    return (
+        coll.read()
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
