@@ -939,6 +939,37 @@ class MilvusSparkClient:
             shutil.rmtree(dst.tomb_dir, ignore_errors=True)
             shutil.copytree(os.path.join(path, "tombstones"), dst.tomb_dir)
 
+    def loading_progress(self, name: str) -> dict:
+        """pymilvus utility.loading_progress analog. Loads here complete
+        synchronously (all-async warmup materializes on first read), so a
+        loaded collection is always 100%."""
+        loaded = self._load_key(name) in getattr(self, "_loaded", {})
+        return {"loading_progress": "100%" if loaded else "0%"}
+
+    def wait_for_loading_complete(self, name: str, timeout: float = 60.0) -> None:
+        if self._load_key(name) not in getattr(self, "_loaded", {}):
+            raise ValueError(f"collection {name!r} is not loading or loaded")
+
+    def index_building_progress(self, name: str, field: str, index_type: str) -> dict:
+        """utility.index_building_progress analog: builds are synchronous
+        jobs here, so a described index is fully built; a STALE index (DML
+        after build) reports its pending delta like the reference's
+        growing-rows gap."""
+        entry = self.describe_index(name, field, index_type)
+        total = self._read(name).count()
+        fresh = self._fresh_index(name, field, index_type) is not None
+        indexed = total if fresh else 0
+        return {
+            "total_rows": total,
+            "indexed_rows": indexed,
+            "pending_index_rows": total - indexed,
+        }
+
+    def wait_for_index_building_complete(
+        self, name: str, field: str, index_type: str, timeout: float = 60.0
+    ) -> None:
+        self.describe_index(name, field, index_type)  # raises on unknown
+
     def close(self) -> None:
         """Connection-lifecycle parity (Client.Close): drops cached serving
         state. The SparkSession is session-owned and NOT stopped."""

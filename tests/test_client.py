@@ -2544,3 +2544,33 @@ def test_struct_array_nullable_lifecycle(spark, tmp_path):
     got = {r.pk: r["items"] for r in c.query("sa", output_fields=["pk", "items"]).collect()}
     assert got[1] is None and got[2] == [] and [tuple(e) for e in got[3]] == [(999, "z")]
     assert [tuple(e) for e in got[4]] == [(200, "x")]
+
+
+def test_progress_utility_apis(spark, tmp_path, sf_dir):
+    """utility.loading_progress / wait_for_loading_complete /
+    index_building_progress / wait_for_index_building_complete analogs:
+    synchronous jobs report complete; stale indexes report the pending gap."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path / "prog_root"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    c.create_collection("nat", pk_field="n_nationkey")
+    c.insert("nat", nation)
+
+    assert c.loading_progress("nat") == {"loading_progress": "0%"}
+    with pytest.raises(ValueError, match="not loading"):
+        c.wait_for_loading_complete("nat")
+    c.load_collection("nat")
+    assert c.loading_progress("nat") == {"loading_progress": "100%"}
+    c.wait_for_loading_complete("nat")
+
+    c.create_index("nat", "n_name", "NGRAM")
+    p = c.index_building_progress("nat", "n_name", "NGRAM")
+    assert p["indexed_rows"] == p["total_rows"] == 25 and p["pending_index_rows"] == 0
+    c.wait_for_index_building_complete("nat", "n_name", "NGRAM")
+    # DML after build -> the index is stale, rows report as pending
+    c.insert("nat", nation.limit(2).withColumn("n_nationkey", F.col("n_nationkey") + 100))
+    p = c.index_building_progress("nat", "n_name", "NGRAM")
+    assert p["total_rows"] == 27 and p["pending_index_rows"] == 27
+    with pytest.raises(KeyError, match="no index"):
+        c.index_building_progress("nat", "n_name", "NOPE")
