@@ -1153,3 +1153,40 @@ def dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return semantic_dedup(e, _SEM_K, _SEM_THETA)
+
+
+# --- character-entropy quality signal -----------------------------------------
+@register(
+    "txt_char_entropy",
+    oracle="""
+    WITH ch AS (
+      SELECT doc_id, c FROM (
+        SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+      ) WHERE c <> ''
+    ),
+    freq AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1, 2),
+    tot AS (SELECT doc_id, sum(n) AS tot FROM freq GROUP BY 1)
+    SELECT f.doc_id,
+           round(-sum((n / tot) * log2(n / tot)), 4) + 0 AS entropy
+    FROM freq f JOIN tot USING (doc_id)
+    GROUP BY 1
+    """,
+)
+def txt_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character entropy — the classic gibberish/boilerplate
+    quality signal a pretraining filter thresholds on (low entropy =
+    repeated filler, high = encoded noise). Pure JVM: explode to chars,
+    two map-side-combined aggregates on (doc_id[,char]) — the same shape
+    as token counting, linear and skew-bounded by document length."""
+    d = load_table(spark, sf, "documents")
+    ch = d.select(
+        "doc_id", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    freq = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("tot"))
+    p = F.col("n") / F.col("tot")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg((F.round(-F.sum(p * F.log2(p)), 4) + F.lit(0.0)).alias("entropy"))
+    )
