@@ -1190,3 +1190,61 @@ def txt_char_entropy(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("doc_id")
         .agg((F.round(-F.sum(p * F.log2(p)), 4) + F.lit(0.0)).alias("entropy"))
     )
+
+
+# --- tf-idf keyword extraction ------------------------------------------------
+@register(
+    "txt_keyword_extract",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n_docs AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM t),
+    tf AS (
+      SELECT doc_id, tok, CAST(count(*) AS DOUBLE) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      GROUP BY 1, 2
+    ),
+    df AS (SELECT tok, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY tok),
+    scored AS (
+      SELECT tf.doc_id, tf.tok,
+             round(tf.tf * ln((SELECT n FROM n_docs) / df.df), 4) + 0 AS tfidf
+      FROM tf JOIN df USING (tok)
+    )
+    SELECT doc_id, tok, tfidf, kw_rank FROM (
+      SELECT doc_id, tok, tfidf,
+             CAST(row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, tok
+             ) AS BIGINT) AS kw_rank
+      FROM scored
+    ) WHERE kw_rank <= 3
+    """,
+)
+def txt_keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-3 terms per document (raw tf ×
+    ln(N/df), ties to lexicographic token). The classic document-labeling
+    signal a curation pipeline attaches for topic routing.
+
+    Scale shape: tf is a (doc,term)-keyed map-side-combined aggregate; df
+    aggregates the tf table again on the term key; the df table joins back
+    on term (broadcast-sized after stopword-free tokenization at any
+    corpus — term vocabularies grow ~log of corpus); the final window is
+    per-document, bounded by doc vocabulary."""
+    t = _docs_tokens(spark, sf)
+    n_docs = t.count()
+    tf = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    df = tf.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = tf.join(df, "tok").select(
+        "doc_id", "tok",
+        (F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4) + F.lit(0.0)).alias("tfidf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
+    return (
+        scored.withColumn("kw_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("kw_rank") <= 3)
+        .select("doc_id", "tok", "tfidf", "kw_rank")
+    )
