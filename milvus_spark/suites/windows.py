@@ -384,3 +384,60 @@ def win_running_revenue(spark: SparkSession, sf: str) -> DataFrame:
     return o.select(
         "o_custkey", "o_orderkey", running.alias("running"), delta.alias("delta_prev")
     )
+
+
+# --- rolling z-score anomaly flags --------------------------------------------
+@register(
+    "win_anomaly_zscore",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             sum(value) AS total
+      FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+      SELECT event_type, day, total,
+             avg(total) OVER w AS mu,
+             stddev(total) OVER w AS sd
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day,
+           round(total, 4) + 0 AS total,
+           round((total - mu) / sd, 4) + 0 AS z,
+           CAST(abs((total - mu) / sd) > 2 AS BOOLEAN) AS is_anomaly
+    FROM stats WHERE sd IS NOT NULL AND sd > 0
+    """,
+)
+def win_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling z-score anomaly detection on daily per-type volume: each
+    day scores against the TRAILING 3-day window (excluding itself, so a
+    spike can't mask its own detection). The event-pipeline alerting
+    primitive; the same expressions run under Structured Streaming with a
+    watermarked window. One shuffle on event_type for the daily agg; the
+    rolling frame is bounded (3 rows) per partition."""
+    e = load_table(spark, sf, "events")
+    daily = (
+        e.groupBy("event_type", F.window("ts", "1 day").alias("w"))
+        .agg(F.sum("value").alias("total"))
+        .select("event_type", F.col("w.start").alias("day"), "total")
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-3, -1)
+    )
+    st = daily.select(
+        "event_type", "day", "total",
+        F.avg("total").over(w).alias("mu"),
+        F.stddev("total").over(w).alias("sd"),
+    )
+    z = (F.col("total") - F.col("mu")) / F.col("sd")
+    return st.filter(F.col("sd").isNotNull() & (F.col("sd") > 0)).select(
+        "event_type", "day",
+        (F.round("total", 4) + F.lit(0.0)).alias("total"),
+        (F.round(z, 4) + F.lit(0.0)).alias("z"),
+        (F.abs(z) > 2).alias("is_anomaly"),
+    )
