@@ -384,3 +384,39 @@ def geo_wkb_roundtrip(spark: SparkSession, sf: str) -> DataFrame:
         F.length("wkb").cast("long").alias("wkb_len"),
         F.lower(F.hex(F.substring("wkb", 1, 1))).alias("wkb_bo"),
     )
+
+
+# --- spatial kNN: nearest points to a query location --------------------------
+@register(
+    "geo_knn_nearest",
+    oracle=f"""
+    WITH {_SQL_PT},
+    scored AS (
+      SELECT event_id, geom,
+             round(sqrt((x - 30)^2 + (y - 70)^2), 4) + 0 AS dist
+      FROM pts
+    )
+    SELECT event_id, geom, dist, rank FROM (
+      SELECT event_id, geom, dist,
+             CAST(row_number() OVER (ORDER BY dist, event_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 15
+    """,
+)
+def geo_knn_nearest(spark: SparkSession, sf: str) -> DataFrame:
+    """Spatial kNN: the 15 nearest points to POINT(30 70) — the geo twin
+    of vector top-k (an RTree nearest-neighbor walk in the reference; here
+    the same distributed TakeOrdered shape as every other top-k: per-batch
+    candidates, ONE bounded merge, no global sort). Ties break on event_id
+    over the ROUNDED distance, matching the oracle."""
+    p = _points(spark, sf)
+    x, y = wkt_x(F.col("geom")), wkt_y(F.col("geom"))
+    dist = F.round(F.sqrt((x - 30) * (x - 30) + (y - 70) * (y - 70)), 4) + F.lit(0.0)
+    scored = p.select("event_id", "geom", dist.alias("dist"))
+    top = scored.orderBy(F.col("dist").asc(), F.col("event_id").asc()).limit(15)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("dist").asc(), F.col("event_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "event_id", "geom", "dist", "rank"
+    )
