@@ -420,3 +420,46 @@ def geo_knn_nearest(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "event_id", "geom", "dist", "rank"
     )
+
+
+# --- aggregate geometry: per-user centroid of event points --------------------
+@register(
+    "geo_centroid_agg",
+    oracle=f"""
+    WITH {_SQL_PT},
+    j AS (
+      SELECT p.event_id, p.x, p.y, e.user_id
+      FROM pts p JOIN events e USING (event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_points,
+           'POINT (' || (round(avg(x), 4) + 0)::VARCHAR || ' '
+                     || (round(avg(y), 4) + 0)::VARCHAR || ')' AS centroid
+    FROM j
+    WHERE user_id < 40
+    GROUP BY user_id
+    """,
+)
+def geo_centroid_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """ST_Centroid as an AGGREGATE per group: each user's event-point cloud
+    collapses to its centroid, emitted as WKT (the same storage format the
+    predicates parse). Map-side partial agg on the user key — aggregate
+    geometry at 100 TB is just avg()."""
+    e = load_table(spark, sf, "events")
+    p = _points(spark, sf).join(e.select("event_id", "user_id"), "event_id")
+    x, y = wkt_x(F.col("geom")), wkt_y(F.col("geom"))
+    agg = (
+        p.filter(F.col("user_id") < 40)
+        .select("user_id", x.alias("x"), y.alias("y"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            (F.round(F.avg("x"), 4) + F.lit(0.0)).alias("cx"),
+            (F.round(F.avg("y"), 4) + F.lit(0.0)).alias("cy"),
+        )
+    )
+    wkt = F.concat(
+        F.lit("POINT ("), F.col("cx").cast("string"), F.lit(" "),
+        F.col("cy").cast("string"), F.lit(")"),
+    )
+    return agg.select("user_id", "n_points", wkt.alias("centroid"))
