@@ -764,3 +764,54 @@ def cur_cluster_balance(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("pick") <= _CB_CAP)
         .select("vec_id", "cid", "pick")
     )
+
+
+# --- deterministic source interleave (training stream order) ------------------
+@register(
+    "cur_interleave_sources",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 31)}, doc_id
+             ) AS BIGINT) AS rn,
+             CAST(dense_rank() OVER (ORDER BY source) AS BIGINT) AS src_idx,
+             CAST((SELECT count(DISTINCT source) FROM documents) AS BIGINT) AS n_src
+      FROM documents
+    )
+    SELECT doc_id, source,
+           (rn - 1) * n_src + src_idx AS position
+    FROM ranked WHERE rn <= 50
+    """,
+)
+def cur_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
+    """Round-robin source interleave: the training-stream order that
+    prevents any source from clustering (epoch = one shuffled doc per
+    source, repeat). The global position is CLOSED FORM —
+    (per-source_rank − 1) × n_sources + source_index — so no global sort
+    or window ever runs: one per-source window (seeded-hash shuffle order,
+    reproducible) and pure arithmetic. At 100 TB the write is a
+    repartitionByRange on position; the ordering logic stays shuffle-free."""
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf, "documents")
+    n_src = d.select("source").distinct().count()
+    srcs = {
+        r.source: i + 1
+        for i, r in enumerate(d.select("source").distinct().orderBy("source").collect())
+    }
+    src_idx = F.create_map(
+        *[x for s, i in sorted(srcs.items()) for x in (F.lit(s), F.lit(i))]
+    )[F.col("source")]
+    w = W.partitionBy("source").orderBy(
+        seeded_hash(F.col("doc_id").cast("string"), 31), "doc_id"
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 50)
+        .select(
+            "doc_id", "source",
+            ((F.col("rn") - 1) * n_src + src_idx).cast("long").alias("position"),
+        )
+    )

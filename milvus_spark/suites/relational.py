@@ -812,3 +812,32 @@ def rel_rollup_revenue(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
+
+
+# --- semi / anti joins: EXISTS and NOT EXISTS ---------------------------------
+@register(
+    "rel_semi_anti_join",
+    oracle="""
+    SELECT c.c_custkey,
+           EXISTS (SELECT 1 FROM orders o
+                   WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 150000)
+             AS has_big_order
+    FROM customer c
+    WHERE c.c_custkey % 13 = 0
+    """,
+)
+def rel_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
+    """EXISTS / NOT EXISTS as LEFT SEMI + LEFT ANTI joins — Spark's
+    dedicated join types: no row multiplication from the many-side, the
+    probe side never materializes matched rows (the plan stops at first
+    match per key). One equi-shuffle; the big-order filter pushes below
+    the join."""
+    c = load_table(spark, sf, "customer").filter(F.col("c_custkey") % 13 == 0)
+    big = load_table(spark, sf, "orders").filter(F.col("o_totalprice") > 150000)
+    semi = c.join(big, c.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", F.lit(True).alias("has_big_order")
+    )
+    anti = c.join(big, c.c_custkey == big.o_custkey, "left_anti").select(
+        "c_custkey", F.lit(False).alias("has_big_order")
+    )
+    return semi.unionByName(anti)
