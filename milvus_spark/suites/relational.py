@@ -841,3 +841,28 @@ def rel_semi_anti_join(spark: SparkSession, sf: str) -> DataFrame:
         "c_custkey", F.lit(False).alias("has_big_order")
     )
     return semi.unionByName(anti)
+
+
+# --- set operations: INTERSECT / EXCEPT ---------------------------------------
+@register(
+    "rel_intersect_except",
+    oracle="""
+    WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+    buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+    in_both AS (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers),
+    only_click AS (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+    SELECT user_id, 'both' AS cohort FROM in_both
+    UNION ALL
+    SELECT user_id, 'click_only' AS cohort FROM only_click
+    """,
+)
+def rel_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERSECT / EXCEPT set semantics (distinct both sides) — compiled to
+    Spark's LeftSemi/LeftAnti over aggregated inputs; one shuffle per set
+    op on the user key, no row multiplication."""
+    e = load_table(spark, sf, "events")
+    clickers = e.filter(F.col("event_type") == "click").select("user_id").distinct()
+    buyers = e.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    both = clickers.intersect(buyers).withColumn("cohort", F.lit("both"))
+    only = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
+    return both.unionByName(only)
