@@ -815,3 +815,61 @@ def cur_interleave_sources(spark: SparkSession, sf: str) -> DataFrame:
             ((F.col("rn") - 1) * n_src + src_idx).cast("long").alias("position"),
         )
     )
+
+
+# --- quality-gate funnel: survivors per cumulative filter stage ---------------
+@register(
+    "cur_gate_funnel",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {TOKENS_SQL.format(col='text')} AS toks FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(toks) AS n_tok,
+             len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x))) * 1.0
+               / len(toks) AS stop_ratio,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS uniq_ratio
+      FROM t
+    )
+    SELECT stage, CAST(n_pass AS BIGINT) AS n_pass FROM (
+      SELECT 1 AS stage_no, 'total' AS stage, count(*) AS n_pass FROM m
+      UNION ALL
+      SELECT 2, 'len_ge_20', count(*) FROM m WHERE n_tok >= 20
+      UNION ALL
+      SELECT 3, 'has_stopwords', count(*) FROM m WHERE n_tok >= 20 AND stop_ratio >= 0.01
+      UNION ALL
+      SELECT 4, 'diverse', count(*) FROM m
+       WHERE n_tok >= 20 AND stop_ratio >= 0.01 AND uniq_ratio >= 0.3
+    )
+    """,
+)
+def cur_gate_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-gate funnel: how many documents survive each CUMULATIVE
+    filter stage (length → stopword-presence → lexical diversity) — the
+    observability readout every curation run publishes before committing a
+    corpus. ONE scan: every stage is a conditional count over the same
+    per-doc metrics (no per-stage rescans), map-side combined."""
+    d = load_table(spark, sf, "documents").withColumn("toks", tokens(F.col("text")))
+    n = F.size("toks")
+    stop_ratio = F.size(
+        F.filter("toks", lambda x: x.isin("the", "a", "of", "and", "to", "in", "is"))
+    ) / n
+    uniq_ratio = F.size(F.array_distinct("toks")) / n
+    m = d.select(
+        n.alias("n_tok"), stop_ratio.alias("sr"), uniq_ratio.alias("ur")
+    )
+    g2 = F.col("n_tok") >= 20
+    g3 = g2 & (F.col("sr") >= 0.01)
+    g4 = g3 & (F.col("ur") >= 0.3)
+    agg = m.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(g2.cast("long")).alias("len_ge_20"),
+        F.sum(g3.cast("long")).alias("has_stopwords"),
+        F.sum(g4.cast("long")).alias("diverse"),
+    )
+    stages = ["total", "len_ge_20", "has_stopwords", "diverse"]
+    stacked = agg.select(
+        F.explode(
+            F.array(*[F.struct(F.lit(s).alias("stage"), F.col(s).alias("n_pass")) for s in stages])
+        ).alias("s")
+    )
+    return stacked.select(F.col("s.stage").alias("stage"), F.col("s.n_pass").alias("n_pass"))
