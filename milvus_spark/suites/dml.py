@@ -406,3 +406,65 @@ def dml_sort_compaction(spark: SparkSession, sf: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
     )
+
+
+# --- consistency levels: Strong vs Bounded vs Session snapshots ---------------
+@register(
+    "dml_consistency_levels",
+    oracle="""
+    WITH base AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 40 = 0
+    ),
+    strong AS (  -- sees both write batches: doubled where %80=0
+      SELECT 'Strong' AS level,
+             CAST(count(*) AS BIGINT) AS n,
+             round(sum(CASE WHEN o_orderkey % 80 = 0
+                            THEN o_totalprice * 2 ELSE o_totalprice END), 2) + 0 AS total
+      FROM base
+    ),
+    bounded AS (  -- one write-batch stale: only the ts=1 batch visible
+      SELECT 'Bounded' AS level, CAST(count(*) AS BIGINT) AS n,
+             round(sum(o_totalprice), 2) + 0 AS total
+      FROM base
+    ),
+    sess AS (  -- pins the client's OWN last write: both batches again
+      SELECT 'Session' AS level, n, total FROM strong
+    )
+    SELECT level, n, total FROM strong
+    UNION ALL SELECT level, n, total FROM bounded
+    UNION ALL SELECT 'Session', n, total FROM sess
+    """,
+)
+def dml_consistency_levels(spark: SparkSession, sf: str) -> DataFrame:
+    """Consistency levels through the CLIENT query path (GuaranteeTs,
+    how-guarantee-ts-works.md:48-71): after two write batches, Strong and
+    Session read everything committed while Bounded tolerates one
+    write-batch of staleness — three level-tagged snapshots of the same
+    collection, hash-compared against their closed-form states."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=scratch_mkdtemp("consq_"))
+    o = load_table(spark, sf, "orders").filter(F.col("o_orderkey") % 40 == 0)
+    client.create_collection("ords", pk_field="o_orderkey")
+    client.insert("ords", o.select("o_orderkey", "o_totalprice"))
+    up = o.filter(F.col("o_orderkey") % 80 == 0).select(
+        "o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice")
+    )
+    client.upsert("ords", up)
+
+    outs = []
+    for level in ("Strong", "Bounded", "Session"):
+        df = client.query(
+            "ords", output_fields=["o_orderkey", "o_totalprice"],
+            consistency_level=level,
+        )
+        outs.append(
+            df.agg(
+                F.count(F.lit(1)).alias("n"),
+                (F.round(F.sum("o_totalprice"), 2) + F.lit(0.0)).alias("total"),
+            ).select(F.lit(level).alias("level"), "n", "total")
+        )
+    out = outs[0]
+    for x in outs[1:]:
+        out = out.unionByName(x)
+    return out
