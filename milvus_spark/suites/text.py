@@ -1248,3 +1248,83 @@ def txt_keyword_extract(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("kw_rank") <= 3)
         .select("doc_id", "tok", "tfidf", "kw_rank")
     )
+
+
+# --- PMI collocations: phrase-mining signal -----------------------------------
+@register(
+    "txt_bigram_pmi",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    big AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> [toks[CAST(i AS INT)], toks[CAST(i AS INT) + 1]])) AS bg
+      FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT bg[1] AS w1, bg[2] AS w2, CAST(count(*) AS DOUBLE) AS n_ab
+           FROM big GROUP BY 1, 2),
+    uni AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, CAST(count(*) AS DOUBLE) AS n FROM uni GROUP BY w),
+    tot AS (SELECT sum(n) AS n_tok FROM uc),
+    tot2 AS (SELECT sum(n_ab) AS n_big FROM bc),
+    pmi AS (
+      SELECT bc.w1, bc.w2, bc.n_ab,
+             round(log2((bc.n_ab / (SELECT n_big FROM tot2))
+                        / ((u1.n / (SELECT n_tok FROM tot))
+                           * (u2.n / (SELECT n_tok FROM tot)))), 4) + 0 AS pmi
+      FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+      WHERE bc.n_ab >= 25
+    )
+    SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab, pmi, pmi_rank FROM (
+      SELECT w1, w2, n_ab, pmi,
+             CAST(row_number() OVER (ORDER BY pmi DESC, w1, w2) AS BIGINT) AS pmi_rank
+      FROM pmi
+    ) WHERE pmi_rank <= 20
+    """,
+)
+def txt_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """Pointwise-mutual-information collocations: the top-20 bigrams whose
+    co-occurrence beats chance (min support 25) — the phrase-mining signal
+    a tokenizer-training pipeline uses to promote multi-word units.
+
+    Scale shape: bigram and unigram counts are map-side-combined keyed
+    aggregates; the two unigram joins hit a vocabulary-sized table
+    (broadcastable at any corpus — vocab grows ~log n); the final top-20
+    is a bounded TakeOrdered on the ROUNDED pmi (tie → lexicographic)."""
+    t = _docs_tokens(spark, sf).filter(F.size("toks") >= 2)
+    idx = F.sequence(F.lit(1), F.size("toks") - 1)
+    bg = t.select(
+        F.explode(
+            F.transform(idx, lambda i: F.struct(
+                F.element_at("toks", i).alias("w1"),
+                F.element_at("toks", i + 1).alias("w2"),
+            ))
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    bc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("double").alias("n_ab"))
+    uni = _docs_tokens(spark, sf).select(F.explode("toks").alias("w"))
+    uc = uni.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n"))
+    n_tok = float(uc.agg(F.sum("n")).first()[0])
+    n_big = float(bc.agg(F.sum("n_ab")).first()[0])
+    u1 = uc.select(F.col("w").alias("w1"), F.col("n").alias("n1"))
+    u2 = uc.select(F.col("w").alias("w2"), F.col("n").alias("n2"))
+    pmi = (
+        bc.filter(F.col("n_ab") >= 25)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .select(
+            "w1", "w2", "n_ab",
+            (F.round(
+                F.log2((F.col("n_ab") / F.lit(n_big))
+                       / ((F.col("n1") / F.lit(n_tok)) * (F.col("n2") / F.lit(n_tok)))),
+                4,
+            ) + F.lit(0.0)).alias("pmi"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    top = pmi.orderBy(F.col("pmi").desc(), "w1", "w2").limit(20)
+    w = W.partitionBy(F.lit(0)).orderBy(F.col("pmi").desc(), "w1", "w2")
+    return top.withColumn("pmi_rank", F.row_number().over(w).cast("long")).select(
+        "w1", "w2", F.col("n_ab").cast("long").alias("n_ab"), "pmi", "pmi_rank"
+    )
