@@ -866,3 +866,35 @@ def rel_intersect_except(spark: SparkSession, sf: str) -> DataFrame:
     both = clickers.intersect(buyers).withColumn("cohort", F.lit("both"))
     only = clickers.exceptAll(buyers).withColumn("cohort", F.lit("click_only"))
     return both.unionByName(only)
+
+
+# --- statistical aggregates: correlation / covariance / stddev ----------------
+@register(
+    "rel_corr_stats",
+    oracle="""
+    SELECT c.c_mktsegment AS seg,
+           CAST(count(*) AS BIGINT) AS n,
+           round(corr(o.o_totalprice, c.c_acctbal), 4) + 0 AS price_bal_corr,
+           round(covar_samp(o.o_totalprice, c.c_acctbal), 2) + 0 AS price_bal_cov,
+           round(stddev_samp(o.o_totalprice), 2) + 0 AS price_sd
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def rel_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates per segment: Pearson correlation, sample
+    covariance, sample stddev — one map-side-combined pass (all three are
+    algebraic: sums/sums-of-squares/cross-products merge associatively, so
+    they scale exactly like count/sum)."""
+    o = load_table(spark, sf, "orders")
+    c = load_table(spark, sf, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.corr("o_totalprice", "c_acctbal"), 4) + F.lit(0.0)).alias("price_bal_corr"),
+            (F.round(F.covar_samp("o_totalprice", "c_acctbal"), 2) + F.lit(0.0)).alias("price_bal_cov"),
+            (F.round(F.stddev_samp("o_totalprice"), 2) + F.lit(0.0)).alias("price_sd"),
+        )
+    )
