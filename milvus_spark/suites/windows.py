@@ -441,3 +441,41 @@ def win_anomaly_zscore(spark: SparkSession, sf: str) -> DataFrame:
         (F.round(z, 4) + F.lit(0.0)).alias("z"),
         (F.abs(z) > 2).alias("is_anomaly"),
     )
+
+
+# --- top-k per window: leading users per day ----------------------------------
+@register(
+    "win_topk_per_day",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             user_id,
+             round(sum(value), 2) + 0 AS total
+      FROM events GROUP BY 1, 2
+    )
+    SELECT day, user_id, total, rnk FROM (
+      SELECT day, user_id, total,
+             CAST(row_number() OVER (
+               PARTITION BY day ORDER BY total DESC, user_id
+             ) AS BIGINT) AS rnk
+      FROM daily
+    ) WHERE rnk <= 3
+    """,
+)
+def win_topk_per_day(spark: SparkSession, sf: str) -> DataFrame:
+    """Leaderboard: top-3 users per day by event value — per-window ranked
+    top-k (daily keyed agg, then a rank window whose partition is one day,
+    never a global sort; ranking on the ROUNDED total so both engines cut
+    identical ties)."""
+    e = load_table(spark, sf, "events")
+    daily = (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "user_id")
+        .agg((F.round(F.sum("value"), 2) + F.lit(0.0)).alias("total"))
+        .select(F.col("w.start").alias("day"), "user_id", "total")
+    )
+    w = W.partitionBy("day").orderBy(F.col("total").desc(), F.col("user_id").asc())
+    return (
+        daily.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "user_id", "total", "rnk")
+    )
