@@ -1328,3 +1328,81 @@ def txt_bigram_pmi(spark: SparkSession, sf: str) -> DataFrame:
     return top.withColumn("pmi_rank", F.row_number().over(w).cast("long")).select(
         "w1", "w2", F.col("n_ab").cast("long").alias("n_ab"), "pmi", "pmi_rank"
     )
+
+
+# --- incremental semantic dedup: arriving batch vs existing corpus ------------
+@register(
+    "dedup_semantic_incremental",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < {_SEM_K}),
+    scored AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, len(e.v) + 1),
+                                     i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d
+      FROM e, c
+    ),
+    best AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    m AS (SELECT b.vec_id, b.cid, e.v FROM best b JOIN e USING (vec_id)),
+    batch AS (SELECT * FROM m WHERE vec_id % 5 = 0),
+    corpus AS (SELECT * FROM m WHERE vec_id % 5 <> 0),
+    hits AS (
+      SELECT b.vec_id AS new_id, c.vec_id AS dup_of, b.cid,
+             list_cosine_similarity(b.v, c.v) AS cos
+      FROM batch b JOIN corpus c ON b.cid = c.cid
+      WHERE list_cosine_similarity(b.v, c.v) >= {_SEM_THETA}
+    )
+    SELECT new_id, dup_of, cid, round(cos, 4) + 0 AS cos FROM (
+      SELECT new_id, dup_of, cid, cos,
+             row_number() OVER (PARTITION BY new_id ORDER BY cos DESC, dup_of) AS rn
+      FROM hits
+    ) WHERE rn = 1
+    """,
+)
+def dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental SEMANTIC admission: an arriving embedding batch checks
+    only against CORPUS members of its own cluster (the continuously-
+    ingesting shape of dedup_semantic, sibling of
+    dedup_minhash_incremental) — each new vector reports its strongest
+    existing duplicate at cosine >= theta, or admits silently.
+
+    Scale shape: both sides run the same broadcast-K assignment; the
+    batch-vs-corpus compare is a cid EQUI-join, so a new vector only ever
+    meets its own cluster's members — per-arrival work is bounded by
+    cluster size (K∝n), never corpus size."""
+    from milvus_spark.operators.semantic import assign_clusters
+
+    e = load_table(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    m = assign_clusters(e, _SEM_K)
+    norm = F.sqrt(
+        F.aggregate(F.zip_with("v", "v", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    )
+    side = m.withColumn("nn", norm)
+    batch = side.filter(F.col("vec_id") % 5 == 0).select(
+        "cid", F.col("vec_id").alias("new_id"), F.col("v").alias("vb"), F.col("nn").alias("nb")
+    )
+    corpus = side.filter(F.col("vec_id") % 5 != 0).select(
+        "cid", F.col("vec_id").alias("dup_of"), F.col("v").alias("vc"), F.col("nn").alias("nc")
+    )
+    dot = F.aggregate(F.zip_with("vb", "vc", lambda a, b: a * b), F.lit(0.0), lambda a, x: a + x)
+    hits = (
+        batch.join(corpus, "cid")
+        .select("cid", "new_id", "dup_of", (dot / (F.col("nb") * F.col("nc"))).alias("cos"))
+        .filter(F.col("cos") >= _SEM_THETA)
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("new_id").orderBy(F.col("cos").desc(), F.col("dup_of").asc())
+    return (
+        hits.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("new_id", "dup_of", "cid", (F.round("cos", 4) + F.lit(0.0)).alias("cos"))
+    )
