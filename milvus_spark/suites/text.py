@@ -1406,3 +1406,68 @@ def dedup_semantic_incremental(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("new_id", "dup_of", "cid", (F.round("cos", 4) + F.lit(0.0)).alias("cos"))
     )
+
+
+# --- minhash estimation calibration: estimated vs true jaccard ----------------
+@register(
+    "dedup_minhash_calibration",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    sigs AS (
+      SELECT doc_id,
+             list_transform(range(0, {_H}), i ->
+               list_min(list_transform(sh, g ->
+                 {HASH_SQL.format(s="CAST(i AS VARCHAR) || ':' || g")}))) AS sig
+      FROM s WHERE len(sh) > 0
+    ),
+    est AS (
+      SELECT j.a, j.b, j.jaccard,
+             round(len(list_filter(range(1, {_H} + 1),
+                       i -> sa.sig[CAST(i AS INT)] = sb.sig[CAST(i AS INT)]))
+                   * 1.0 / {_H}, 4) + 0 AS est_jaccard
+      FROM jac j JOIN sigs sa ON j.a = sa.doc_id JOIN sigs sb ON j.b = sb.doc_id
+      WHERE j.jaccard >= 0.5
+    )
+    SELECT a, b, jaccard, est_jaccard,
+           round(abs(jaccard - est_jaccard), 4) + 0 AS abs_err
+    FROM est
+    """,
+)
+def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Estimator calibration: for every TRUE near-dup pair (jaccard >= 0.5),
+    the {_H}-component MinHash estimate next to the exact Jaccard and its
+    absolute error — the observability readout that tells an operator
+    whether the signature width is adequate before trusting banded dedup
+    at scale. True pairs come from the same lossless prefix-filtered path
+    the dedup queries use; signatures are per-row map work."""
+    members, rep_pairs = _ngram_rep_pairs(spark, sf)
+    pairs = _expand_group_pairs(members, rep_pairs, [F.col("jaccard")]).unionByName(
+        _within_group_pairs(members).withColumn("jaccard", F.lit(1.0))
+    )
+    t = _docs_tokens(spark, sf)
+    s = t.select("doc_id", F.array_distinct(shingles(F.col("toks"))).alias("sh")).filter(
+        F.size("sh") > 0
+    )
+    sig = s.select(
+        "doc_id",
+        F.array(*[c for c in minhash_signature(F.col("sh"), _H)]).alias("sig"),
+    )
+    sa = sig.select(F.col("doc_id").alias("a"), F.col("sig").alias("siga"))
+    sb = sig.select(F.col("doc_id").alias("b"), F.col("sig").alias("sigb"))
+    est = (
+        F.size(F.filter(F.zip_with("siga", "sigb", lambda x, y: x == y), lambda m: m))
+        / F.lit(float(_H))
+    )
+    out = (
+        pairs.join(sa, "a")
+        .join(sb, "b")
+        .select(
+            "a", "b",
+            (F.round("jaccard", 4) + F.lit(0.0)).alias("jaccard"),
+            (F.round(est, 4) + F.lit(0.0)).alias("est_jaccard"),
+        )
+    )
+    return out.withColumn(
+        "abs_err",
+        F.round(F.abs(F.col("jaccard") - F.col("est_jaccard")), 4) + F.lit(0.0),
+    )
