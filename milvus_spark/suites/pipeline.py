@@ -324,3 +324,52 @@ def mm_crossmodal_topk(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("qid", "doc_id", "score", "rank")
     )
+
+
+# --- end-to-end semantic search: text -> embedding -> ANN top-k ---------------
+@register(
+    "cur_semantic_search_e2e",
+    oracle=f"""
+    WITH g AS (SELECT doc_id, md5(text) AS h FROM documents),
+    v AS (
+      SELECT doc_id,
+             list_transform(range(1,17), j ->
+               CAST({_PAIR.format(h='h', p='CAST(j AS INT)')} AS DOUBLE) - 127.5) AS c
+      FROM g
+    ),
+    n AS (
+      SELECT doc_id,
+             list_transform(c, x -> x / sqrt(list_sum(list_transform(c, y -> y * y)))) AS e
+      FROM v
+    ),
+    q AS (SELECT doc_id AS qid, e AS qv FROM n WHERE doc_id < 3),
+    scored AS (
+      SELECT q.qid, n.doc_id,
+             round(list_cosine_similarity(n.e, q.qv), 4) + 0 AS score
+      FROM n, q
+    )
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def cur_semantic_search_e2e(spark: SparkSession, sf: str) -> DataFrame:
+    """The full semantic-search user journey in one plan: corpus text →
+    embedding (the deterministic provider — an HTTP provider swaps in) →
+    exact cosine top-5 for three query texts, through the SAME brute-force
+    kernel every vector query uses. The driver hash-checks provider
+    plumbing + normalization + search end to end."""
+    from milvus_spark.operators.embedding import md5_embed_batch, with_text_embedding
+    from milvus_spark.operators.knn import brute_force_search
+
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    emb = with_text_embedding(d, "text", out_col="e", dim=16, provider=md5_embed_batch)
+    qrows = emb.filter(F.col("doc_id") < 3).orderBy("doc_id").collect()
+    queries = [(int(r.doc_id), list(r.e)) for r in qrows]
+    hits = brute_force_search(
+        emb.select("doc_id", "e"), queries, vec_col="e", pk_col="doc_id",
+        metric="COSINE", k=5,
+    )
+    return hits.select("qid", "doc_id", "score", "rank")
