@@ -479,3 +479,43 @@ def win_topk_per_day(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rnk") <= 3)
         .select("day", "user_id", "total", "rnk")
     )
+
+
+# --- rolling 7-day active users (WAU) -----------------------------------------
+@register(
+    "win_weekly_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+             user_id
+      FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day,
+           CAST(count(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d JOIN du u
+      ON u.day <= d.day AND u.day > d.day - INTERVAL 7 DAY
+    GROUP BY d.day
+    """,
+)
+def win_weekly_active_users(spark: SparkSession, sf: str) -> DataFrame:
+    """Rolling 7-day distinct actives per day (WAU) — the sliding DISTINCT
+    no window frame expresses directly. Plan: dedupe to (day, user) pairs
+    first (the only corpus-sized shuffle), then a RANGE join of days ×
+    day-user pairs bounded to 7 days per day — join volume is 7× the
+    deduped pairs, independent of raw event count; the distinct count is
+    per-day keyed."""
+    e = load_table(spark, sf, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    u = du.select(F.col("day").alias("uday"), "user_id")
+    cond = (F.col("uday") <= F.col("day")) & (
+        F.col("uday") > F.col("day") - F.expr("INTERVAL 7 DAYS")
+    )
+    return (
+        days.join(u, cond)
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
