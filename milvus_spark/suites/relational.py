@@ -898,3 +898,34 @@ def rel_corr_stats(spark: SparkSession, sf: str) -> DataFrame:
             (F.round(F.stddev_samp("o_totalprice"), 2) + F.lit(0.0)).alias("price_sd"),
         )
     )
+
+
+# --- value histogram: fixed-width buckets -------------------------------------
+@register(
+    "rel_price_histogram",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 25000) AS BIGINT) AS bucket,
+           CAST(floor(o_totalprice / 25000) * 25000 AS DOUBLE) + 0 AS lo,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(o_totalprice), 2) + 0 AS mean_in_bucket
+    FROM orders
+    GROUP BY 1, 2
+    """,
+)
+def rel_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width value histogram (the profiling readout behind every
+    quality dashboard): bucket = floor(x/width), one map-side-combined
+    aggregate — histogramming 100 TB costs exactly one scan + a
+    bucket-keyed reduce."""
+    o = load_table(spark, sf, "orders")
+    b = F.floor(F.col("o_totalprice") / 25000)
+    return (
+        o.groupBy(
+            b.cast("long").alias("bucket"),
+            ((b * 25000).cast("double") + F.lit(0.0)).alias("lo"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.round(F.avg("o_totalprice"), 2) + F.lit(0.0)).alias("mean_in_bucket"),
+        )
+    )
