@@ -929,3 +929,45 @@ def rel_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
             (F.round(F.avg("o_totalprice"), 2) + F.lit(0.0)).alias("mean_in_bucket"),
         )
     )
+
+
+# --- 5-table star join: revenue by nation (TPC-H Q5 shape) --------------------
+@register(
+    "rel_nation_revenue_join",
+    oracle="""
+    SELECT n.n_name,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) + 0 AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM region r
+    JOIN nation n   ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE r.r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n.n_name
+    """,
+)
+def rel_nation_revenue_join(spark: SparkSession, sf: str) -> DataFrame:
+    """The TPC-H Q5 join shape: region→nation→customer→orders→lineitem
+    revenue rollup. Declared as plain joins — Catalyst broadcasts every
+    dim (region/nation/customer fit under the threshold at any realistic
+    dim-to-fact ratio), reorders around the fact table, and pushes the
+    region filter below the join, so the only shuffle is the final
+    nation-keyed aggregate. The query a warehouse migration tries first."""
+    r = load_table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = load_table(spark, sf, "nation")
+    c = load_table(spark, sf, "customer")
+    o = load_table(spark, sf, "orders")
+    li = load_table(spark, sf, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            (F.round(F.sum(rev), 2) + F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
