@@ -241,3 +241,44 @@ def src_packed_manifest(spark: SparkSession, sf: str) -> DataFrame:
     return read_packed_table(
         spark, os.path.join(base, "manifest.json"), pk_field="c_custkey"
     ).select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+
+
+# --- partitioned export (the SINK side) + partition-pruned read-back ----------
+@register(
+    "src_partitioned_export",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(c_acctbal), 2) + 0 AS total_bal
+    FROM customer
+    WHERE c_mktsegment IN ('MACHINERY', 'HOUSEHOLD')
+    GROUP BY c_mktsegment
+    """,
+)
+def src_partitioned_export(spark: SparkSession, sf: str) -> DataFrame:
+    """Bulk EXPORT: write the collection hive-partitioned by a routing
+    column (`partitionBy` → one directory per segment value — the layout
+    every downstream consumer and the partition-key mode share), then read
+    it back with a partition filter that must prune at FILE LISTING (only
+    the two selected directories are ever opened — asserted in-query).
+    Round-trips values exactly: export is the other half of bulk import."""
+    import glob
+
+    out = scratch_mkdtemp("export_")
+    c = load_table(spark, sf, "customer").select(
+        "c_custkey", "c_mktsegment", F.round("c_acctbal", 2).alias("c_acctbal")
+    )
+    c.write.mode("overwrite").partitionBy("c_mktsegment").parquet(out)
+    dirs = {os.path.basename(d) for d in glob.glob(os.path.join(out, "c_mktsegment=*"))}
+    assert len(dirs) == 5, f"expected one directory per segment, got {dirs}"
+    back = spark.read.parquet(out).filter(
+        F.col("c_mktsegment").isin("MACHINERY", "HOUSEHOLD")
+    )
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "c_mktsegment" in plan.split("PartitionFilters")[1][:200], (
+        "partition filter did not reach the file listing"
+    )
+    return back.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
+    )
