@@ -1471,3 +1471,50 @@ def dedup_minhash_calibration(spark: SparkSession, sf: str) -> DataFrame:
         "abs_err",
         F.round(F.abs(F.col("jaccard") - F.col("est_jaccard")), 4) + F.lit(0.0),
     )
+
+
+# --- dedup observability: near-dup rate per source ----------------------------
+@register(
+    "dedup_rate_by_source",
+    oracle=f"""
+    WITH {_JACCARD_CTES},
+    dup_ids AS (
+      SELECT DISTINCT d FROM (
+        SELECT a AS d FROM jac WHERE jaccard >= 0.5
+        UNION ALL SELECT b FROM jac WHERE jaccard >= 0.5
+      )
+    )
+    SELECT doc.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (doc.doc_id IN (SELECT d FROM dup_ids)) AS BIGINT) AS n_in_dup,
+           round(count(*) FILTER (doc.doc_id IN (SELECT d FROM dup_ids)) * 1.0
+                 / count(*), 4) + 0 AS dup_rate
+    FROM documents doc
+    GROUP BY doc.source
+    """,
+)
+def dedup_rate_by_source(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup observability: which SOURCES are dirtiest — per-source count
+    of documents involved in any near-dup pair (jaccard >= 0.5) and the
+    rate. Pairs come from the same lossless collapsed prefix-filtered path
+    as dedup_ngram_jaccard; the rollup is a semi-join of the corpus against
+    the (small) dup-id set + one keyed aggregate — the report every
+    curation run publishes to pick which feeds to renegotiate."""
+    members, rep_pairs = _ngram_rep_pairs(spark, sf)
+    pairs = _expand_group_pairs(members, rep_pairs, [F.col("jaccard")]).unionByName(
+        _within_group_pairs(members).withColumn("jaccard", F.lit(1.0))
+    ).filter(F.col("jaccard") >= NGRAM_JACCARD_THETA)
+    dup_ids = (
+        pairs.select(F.col("a").alias("d"))
+        .unionByName(pairs.select(F.col("b").alias("d")))
+        .distinct()
+    )
+    d = load_table(spark, sf, "documents").select("doc_id", "source")
+    flagged = d.join(
+        F.broadcast(dup_ids), d.doc_id == dup_ids.d, "left"
+    ).select("source", F.col("d").isNotNull().cast("long").alias("is_dup"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_dup").alias("n_in_dup"),
+        (F.round(F.sum("is_dup") / F.count(F.lit(1)), 4) + F.lit(0.0)).alias("dup_rate"),
+    )
