@@ -873,3 +873,40 @@ def cur_gate_funnel(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("s")
     )
     return stacked.select(F.col("s.stage").alias("stage"), F.col("s.n_pass").alias("n_pass"))
+
+
+# --- deterministic train/val/test split ---------------------------------------
+@register(
+    "cur_holdout_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT doc_id,
+             CASE WHEN {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 77)} % 100 < 80 THEN 'train'
+                  WHEN {seeded_hash_sql("CAST(doc_id AS VARCHAR)", 77)} % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, CAST(count(*) AS BIGINT) AS n,
+           CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id
+    FROM assigned GROUP BY split
+    """,
+)
+def cur_holdout_split(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by seeded hash —
+    reproducible across runs AND engines (the split every training corpus
+    commits to before anything else; dedup_split_decontaminate then guards
+    its leakage). Pure map + one keyed rollup."""
+    d = load_table(spark, sf, "documents")
+    h = seeded_hash(F.col("doc_id").cast("string"), 77) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "val").otherwise("test")
+    )
+    return (
+        d.select("doc_id", split.alias("split"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+    )

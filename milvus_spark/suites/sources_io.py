@@ -282,3 +282,31 @@ def src_partitioned_export(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.round(F.sum("c_acctbal"), 2) + F.lit(0.0)).alias("total_bal"),
     )
+
+
+# --- import integrity report: pk uniqueness violations ------------------------
+@register(
+    "src_integrity_report",
+    oracle="""
+    WITH raw AS (
+      SELECT c_custkey FROM customer
+      UNION ALL
+      SELECT c_custkey FROM customer WHERE c_custkey % 200 = 0
+    )
+    SELECT CAST(c_custkey AS BIGINT) AS pk, CAST(count(*) AS BIGINT) AS n_rows
+    FROM raw GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def src_integrity_report(spark: SparkSession, sf: str) -> DataFrame:
+    """Pre-import integrity gate: pk uniqueness violations in a raw batch
+    (here a staged feed that re-delivered every 200th row) — the report an
+    import validates BEFORE committing, since a pk collision inside one
+    batch is undefined upsert order. One hash aggregate; the HAVING makes
+    the output dup-bounded, not corpus-bounded."""
+    c = load_table(spark, sf, "customer").select("c_custkey")
+    raw = c.unionByName(c.filter(F.col("c_custkey") % 200 == 0))
+    return (
+        raw.groupBy(F.col("c_custkey").alias("pk"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .filter(F.col("n_rows") > 1)
+    )
