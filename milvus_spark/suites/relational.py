@@ -949,11 +949,15 @@ def rel_price_histogram(spark: SparkSession, sf: str) -> DataFrame:
 )
 def rel_nation_revenue_join(spark: SparkSession, sf: str) -> DataFrame:
     """The TPC-H Q5 join shape: region→nation→customer→orders→lineitem
-    revenue rollup. Declared as plain joins — Catalyst broadcasts every
-    dim (region/nation/customer fit under the threshold at any realistic
-    dim-to-fact ratio), reorders around the fact table, and pushes the
-    region filter below the join, so the only shuffle is the final
-    nation-keyed aggregate. The query a warehouse migration tries first."""
+    revenue rollup. Declared as plain joins. Only the constant-size dims
+    (region: 5 rows, nation: 25 rows) carry broadcast hints; customer
+    grows with sf (150k rows × sf in TPC-H), so its join strategy is left
+    to AQE's runtime size check — at small sf AQE broadcasts it anyway, at
+    warehouse scale it becomes a shuffle join instead of a forced
+    multi-GB broadcast that OOMs executors. Catalyst reorders around the
+    fact table and pushes the region filter below the join, so the only
+    corpus-sized shuffle is the final nation-keyed aggregate. The query a
+    warehouse migration tries first."""
     r = load_table(spark, sf, "region").filter(F.col("r_name").isin("ASIA", "EUROPE"))
     n = load_table(spark, sf, "nation")
     c = load_table(spark, sf, "customer")
@@ -962,7 +966,7 @@ def rel_nation_revenue_join(spark: SparkSession, sf: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")

@@ -501,21 +501,29 @@ def win_topk_per_day(spark: SparkSession, sf: str) -> DataFrame:
 def win_weekly_active_users(spark: SparkSession, sf: str) -> DataFrame:
     """Rolling 7-day distinct actives per day (WAU) — the sliding DISTINCT
     no window frame expresses directly. Plan: dedupe to (day, user) pairs
-    first (the only corpus-sized shuffle), then a RANGE join of days ×
-    day-user pairs bounded to 7 days per day — join volume is 7× the
-    deduped pairs, independent of raw event count; the distinct count is
-    per-day keyed."""
+    first (the only corpus-sized shuffle), then EXPLODE each pair into the
+    ≤7 future days it contributes to (pure map, 7× row fan-out independent
+    of history length), broadcast-semi-join against the tiny set of
+    observed days, and finish with one keyed count_distinct. No range
+    join, no nested loop: work is O(7 · |deduped pairs|), not
+    O(|days| × |pairs|) — the shape that survives a 10-year corpus."""
     e = load_table(spark, sf, "events")
     du = e.select(
         F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
     ).distinct()
     days = du.select("day").distinct()
-    u = du.select(F.col("day").alias("uday"), "user_id")
-    cond = (F.col("uday") <= F.col("day")) & (
-        F.col("uday") > F.col("day") - F.expr("INTERVAL 7 DAYS")
+    contrib = du.select(
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAYS"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day"),
+        "user_id",
     )
     return (
-        days.join(u, cond)
+        contrib.join(F.broadcast(days), "day", "left_semi")
         .groupBy("day")
         .agg(F.count_distinct("user_id").alias("wau"))
     )

@@ -334,6 +334,43 @@ def test_temporal_joins_have_no_nested_loop(spark, sf_dir):
     assert "SortMergeJoin" in rng or "ShuffledHashJoin" in rng or "BroadcastHashJoin" in rng
 
 
+def test_every_window_query_has_no_nested_loop(spark, sf_dir):
+    """The r5 lesson (WAU slipped through the asof/range-only pin): EVERY
+    registered win_* query must compile without a CartesianProduct or
+    BroadcastNestedLoopJoin. The r6 WAU rewrite (explode each day-user
+    pair into its 7 contributing days + one keyed count_distinct) makes
+    this hold for the whole family."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    win_names = sorted(n for n in QUERIES if n.startswith("win_"))
+    assert win_names, "no win_* queries registered?"
+    for name in win_names:
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_star_join_fact_side_is_hint_free(spark, sf_dir):
+    """rel_nation_revenue_join: only the constant-size dims (region=5,
+    nation=25 rows) may carry a broadcast hint. customer scales with sf —
+    a forced broadcast there overrides AQE's size check and OOMs at
+    warehouse scale, so the optimized logical plan must carry at most the
+    two dim hints and the customer/orders joins must be strategy-free
+    (AQE picks at runtime)."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    df = QUERIES["rel_nation_revenue_join"](spark, sf_dir)
+    # count broadcast hints in the analyzed logical plan: exactly the two dims
+    logical = df._jdf.queryExecution().analyzed().toString()
+    n_hints = logical.count("ResolvedHint")
+    assert n_hints == 2, f"expected 2 dim-only broadcast hints, saw {n_hints}"
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_semantic_kernel_plans_are_bounded(spark, sf_dir):
     """dedup_semantic / cur_cluster_balance: the ONLY nested-loop is the
     broadcast of the K centroids (K is small by construction); the pair
