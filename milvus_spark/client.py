@@ -2989,7 +2989,7 @@ class MilvusSparkClient:
         if (
             idx is not None
             and idx["index_type"] == "HNSW"
-            and filter is None and radius is None and range_filter is None
+            and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
@@ -2998,6 +2998,12 @@ class MilvusSparkClient:
             # real graph path: per-segment beam search + merge. Stored
             # vectors are normalized for COSINE, so cos = 1 - sqdist/2;
             # L2 scores are the squared distance (knowhere convention).
+            # A scalar filter rides the index too (the reference's
+            # FilterBits→VectorSearch mode, query/PlanProto.cpp:667-698):
+            # the expression runs Catalyst-side on the base table (full
+            # pushdown), the surviving pk ids cogroup onto the index's
+            # pk-bucket layout, and the per-segment beam drops
+            # non-matching nodes from results while still traversing them.
             import numpy as np
 
             from milvus_spark.operators.hnsw import hnsw_search
@@ -3011,7 +3017,22 @@ class MilvusSparkClient:
                 qs = [
                     (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist() for q in qs
                 ]
-            raw = hnsw_search(g, qs, ef=max(ef, limit), k=limit)
+            matches = None
+            if filter:
+                base = self._read(name)
+                matches = base.filter(
+                    compile_expr(
+                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                ).select(meta["pk"])
+            raw = hnsw_search(
+                g,
+                qs,
+                ef=max(ef, limit),
+                k=limit,
+                matches=matches,
+                n_partitions=int(idx.get("n_partitions", 8)),
+            )
             rt = 12 if round_decimal == -1 else int(round_decimal)
             score = (
                 F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)

@@ -6,3 +6,6 @@ from __future__ import annotations
 def load_all() -> None:
     # Import order is stable; each module registers its queries on import.
     from milvus_spark.suites import arrays, curation, dml, fulltext, geo, pipeline, relational, sources_io, streaming_state, text, vector, vector2, windows  # noqa: F401
+    # r6+ additions import LAST so pre-existing registration positions
+    # never shift under the driver's in-order sampling rotation
+    from milvus_spark.suites import addons_r6  # noqa: F401

@@ -1327,3 +1327,5 @@ def vec_hnsw_cosine(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "vec_id", "score", "rank")
     )
+
+

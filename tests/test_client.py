@@ -218,9 +218,13 @@ def test_graph_index_family_api_parity(client, spark, sf_dir):
     assert entry["materialized"] and entry["n_partitions"] == 8
     assert entry["graph_params"] == {"M": 8, "efConstruction": 64}
     q = [emb.filter(F.col("vec_id") == 0).first().embedding]
+    # exhaustive ef + all-matching filter rides the graph but visits every
+    # node — exact ground truth THROUGH the FilterBits→VectorSearch path
     exact = [
         (r.vec_id, r.score)
-        for r in client.search("gx", q, limit=10, filter="vec_id >= 0").collect()
+        for r in client.search(
+            "gx", q, limit=10, filter="vec_id >= 0", search_params={"ef": 10**6}
+        ).collect()
     ]
     wide = [
         (r.vec_id, r.score)
@@ -234,10 +238,26 @@ def test_graph_index_family_api_parity(client, spark, sf_dir):
     assert all(abs(s - escore[v]) < 1e-6 for v, s in wide if v in escore)
     # narrow ef still returns a full page
     assert len(client.search("gx", q, limit=10, search_params={"ef": 12}).collect()) == 10
-    # a filtered search cannot use the graph -> exact fallback, same result
-    assert {r.vec_id for r in client.search("gx", q, limit=10, filter="vec_id < 100000").collect()} == {
-        v for v, _ in exact
+    # a SELECTIVE filter also rides the graph (r6: no more exact-scan
+    # fallback for filters) — every hit satisfies the predicate and the
+    # exhaustive-ef result equals the brute-force filtered top-k
+    filt = client.search(
+        "gx", q, limit=10, filter="vec_id % 2 == 0", search_params={"ef": 10**6}
+    ).collect()
+    assert len(filt) == 10 and all(r.vec_id % 2 == 0 for r in filt)
+    import numpy as np
+
+    rows = emb.collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in rows
+        if r.vec_id % 2 == 0
     }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in filt} == truth
 
     diskann = client.create_index("gx", "embedding", "DISKANN", {"nlist": 8, "search_list_size": 32})
     assert diskann["nlist"] == 8  # disk family rides the IVF layout

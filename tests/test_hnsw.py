@@ -61,6 +61,71 @@ def test_spark_hnsw_recall_and_determinism(spark, sf_dir):
     idx.unpersist()
 
 
+def test_filtered_search_recall(spark, sf_dir):
+    """FilterBits→VectorSearch at PRODUCTION ef (not the exhaustive gate):
+    the bitset drops non-matching nodes from results while the beam still
+    traverses them, so recall against the exact filtered top-k stays high
+    even when the filter keeps only ~1/3 of the corpus."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"), "label"
+    )
+    idx = build_hnsw(emb, "v", "vec_id", n_partitions=4, m=8, ef_construction=48)
+    idx = idx.cache()
+    idx.count()
+    rows = emb.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    queries = [r.v for r in rows]
+    matches = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    got = hnsw_search(idx, queries, ef=64, k=10, matches=matches, n_partitions=4)
+    res = {(r.qid, r.rank): r.id for r in got.collect()}
+    # exact filtered ground truth
+    all_rows = emb.orderBy("vec_id").collect()
+    X = np.asarray([r.v for r in all_rows])
+    ok_ids = np.asarray([r.vec_id for r in all_rows if r.label % 3 == 0])
+    ok_mask = np.asarray([r.label % 3 == 0 for r in all_rows])
+    hits, total = 0, 0
+    for qid, q in enumerate(queries):
+        d = ((X - np.asarray(q)) ** 2).sum(axis=1)
+        d[~ok_mask] = np.inf
+        truth = set(int(all_rows[i].vec_id) for i in np.argsort(d, kind="stable")[:10])
+        got_ids = {res[(qid, r)] for r in range(1, 11) if (qid, r) in res}
+        hits += len(truth & got_ids)
+        total += 10
+    assert hits / total >= 0.9
+    # every returned id satisfies the filter — the bitset is exact, not fuzzy
+    assert set(res.values()) <= set(int(i) for i in ok_ids)
+    idx.unpersist()
+
+
+def test_filtered_matches_unfiltered_when_filter_is_everything():
+    """allowed=all-True must behave exactly like allowed=None."""
+    from milvus_spark.operators.hnsw import _beam_search
+
+    rng = np.random.default_rng(11)
+    X = rng.normal(size=(300, 16))
+    adj = build_graph_np(X, m=6)
+    q = rng.normal(size=16)
+    plain = _beam_search(X, adj, q, ef=32)
+    masked = _beam_search(X, adj, q, ef=32, allowed=np.ones(len(X), dtype=bool))
+    assert plain == masked
+
+
+def test_vectorized_build_throughput():
+    """The chunked-matmul build must beat a per-node Python beam-insert
+    reference implementation by >=5x on a few-thousand-row segment (the
+    r5 finding: pure-Python insertion was hours per multi-100k segment)."""
+    import time
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(3000, 32))
+    t0 = time.time()
+    adj = build_graph_np(X, m=8)
+    dt = time.time() - t0
+    assert all(len(a) <= 16 for a in adj)
+    # the old per-node beam build measured ~20s+ on this input; the
+    # vectorized build should be well under a tenth of that
+    assert dt < 4.0, f"vectorized build took {dt:.1f}s"
+
+
 def test_hnsw_plan_no_cartesian(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
