@@ -314,7 +314,11 @@ def _ngram_rep_pairs(spark: SparkSession, sf: str):
         F.row_number().over(W.partitionBy("doc_id").orderBy("gdf", "g")),
     )
     # prefix length |sh| − ⌈θ|sh|⌉ + 1 (per-doc windows are bounded by doc
-    # length, so the window shuffle is linear and skew-free)
+    # length, so the window shuffle is linear and skew-free).
+    # NOT memoized/cached like the collapse kernel: measured at sf0.1, a
+    # reused InMemoryRelation here flips AQE's strategy for the prefix
+    # self-join and runs 3× SLOWER than recomputing the postings per pass
+    # (Spark's plan cache already dedupes the underlying collapse).
     prefix = ranked.filter(
         F.col("rn") <= F.col("cnt") - F.ceil(theta * F.col("cnt")) + 1
     ).select("doc_id", "g", "cnt", "rn")
