@@ -158,6 +158,52 @@ def _thai_tokens(col: Column) -> Column:
     return F.concat(other, big)
 
 
+def _icu_available() -> bool:
+    """True when PyICU is importable — the same runtime import-try pattern
+    the multimodal codecs use for Pillow/soundfile. The reference routes
+    icu/thai through real ICU (tantivy-binding/src/analyzer/tokenizers/
+    icu_tokneizer.rs dict_kind auto, thai_tokenizer.rs); when the binding
+    is present we do too, otherwise the documented heuristics stand in."""
+    try:
+        import icu  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _icu_word_tokens_udf(locale: str = "") -> Callable[[Column], Column]:
+    """Real ICU UAX#29 word segmentation (BreakIterator word instance,
+    dictionary-based for CJK/Thai/Lao/Khmer) as an Arrow-batched pandas
+    UDF. Tokens keep ICU's word-status semantics: segments containing at
+    least one alphanumeric code point survive (UBRK_WORD_NONE spans —
+    whitespace/punctuation — drop), matching the reference's
+    word-character filter."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def icu_tok(texts: pd.Series) -> pd.Series:
+        import icu
+
+        loc = icu.Locale(locale) if locale else icu.Locale.getRoot()
+        bi = icu.BreakIterator.createWordInstance(loc)
+
+        def seg(t):
+            t = t or ""
+            bi.setText(t)
+            out, prev = [], 0
+            for b in bi:
+                word = t[prev:b]
+                prev = b
+                if any(ch.isalnum() for ch in word):
+                    out.append(word)
+            return out
+
+        return texts.map(seg)
+
+    return lambda c: icu_tok(c)
+
+
 class RemoteTokenizer:
     """The ``grpc`` tokenizer's wire contract (grpc_tokenizer.rs:24-41:
     endpoint + parameters, ``default_tokens`` returned when the remote
@@ -498,23 +544,32 @@ def build_analyzer(
 
         tokenize = cjk_dict_tokens
     elif tok == "icu":
-        # ICU "auto" word segmentation = UAX#29 word rules + dictionary
-        # segmentation for CJK (icu_tokneizer.rs try_new_auto). Stand-in:
-        # standard word rules for alphabetic scripts + the embedded-dict
-        # MFM segmentation for CJK runs — the same fallback contract as
-        # the jieba/lindera analyzers (documented divergence on rare words)
-        from milvus_spark.operators.cjk_dict import jieba_tokens
-        from milvus_spark.operators.text import CJK_CLASS
+        if _icu_available():
+            # real ICU "auto" segmentation (icu_tokneizer.rs try_new_auto)
+            tokenize = _icu_word_tokens_udf()
+        else:
+            # ICU "auto" word segmentation = UAX#29 word rules + dictionary
+            # segmentation for CJK (icu_tokneizer.rs try_new_auto). Stand-in:
+            # standard word rules for alphabetic scripts + the embedded-dict
+            # MFM segmentation for CJK runs — the same fallback contract as
+            # the jieba/lindera analyzers (documented divergence on rare words)
+            from milvus_spark.operators.cjk_dict import jieba_tokens
+            from milvus_spark.operators.text import CJK_CLASS
 
-        def tokenize(c):  # noqa: E731
-            other = tokens(F.regexp_replace(c, CJK_CLASS + "+", " "))
-            cjk_only = F.regexp_replace(c, "[^" + CJK_CLASS[1:-1] + "]+", " ")
-            seg = F.filter(
-                jieba_tokens(cjk_only), lambda x: x.rlike(CJK_CLASS)
-            )
-            return F.concat(other, seg)
+            def tokenize(c):  # noqa: E731
+                other = tokens(F.regexp_replace(c, CJK_CLASS + "+", " "))
+                cjk_only = F.regexp_replace(c, "[^" + CJK_CLASS[1:-1] + "]+", " ")
+                seg = F.filter(
+                    jieba_tokens(cjk_only), lambda x: x.rlike(CJK_CLASS)
+                )
+                return F.concat(other, seg)
     elif tok == "thai":
-        tokenize = _thai_tokens
+        if _icu_available():
+            # ICU's th locale uses the dictionary/LSTM Thai break engine —
+            # the same segmentation source the reference ships
+            tokenize = _icu_word_tokens_udf("th")
+        else:
+            tokenize = _thai_tokens
     elif tok == "jieba":
         # DAG-route Chinese segmentation (the reference's jieba binding,
         # canalyzer/c_analyzer_test.go:86-98)

@@ -548,15 +548,49 @@ def test_language_identifier_mapping_and_validation(spark):
 
 
 def test_thai_tokenizer_bigram_fallback(spark):
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import _icu_available
+
+    if _icu_available():
+        _pytest.skip("PyICU present: thai routes through real ICU")
     got = _run(spark, "สวัสดี world", {"tokenizer": "thai"})
     # Thai run → overlapping bigrams; latin → standard analyzer
     assert got == ["world", "สว", "วั", "ัส", "สด", "ดี"]
 
 
 def test_icu_tokenizer_auto_standin(spark):
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import _icu_available
+
+    if _icu_available():
+        _pytest.skip("PyICU present: icu routes through real ICU")
     # alphabetic scripts by word rules, Han runs dictionary-segmented
     got = _run(spark, "vector 数据库", {"tokenizer": "icu"})
     assert "vector" in got
+    assert "数据库" in got or ("数据" in got and "库" in got)
+
+
+def test_icu_real_segmentation_parity(spark):
+    """Parity vs published ICU segmentations — runs only when PyICU is
+    importable (absent in this sandbox), the same gated-real-library
+    pattern as the Pillow/soundfile codec tests. The expected outputs are
+    ICU's own documented dictionary segmentations (Thai break engine,
+    CJK dictionary in the word break iterator)."""
+    import pytest as _pytest
+
+    from milvus_spark.operators.analyzer import _icu_available
+
+    if not _icu_available():
+        _pytest.skip("PyICU not installed")
+    # ICU's Thai dictionary segments the standard greeting into two words
+    got_th = _run(spark, "สวัสดีครับ", {"tokenizer": "thai"})
+    assert got_th == ["สวัสดี", "ครับ"]
+    # UAX#29: latin words split on space/punct; CJK dictionary-segmented
+    got = _run(spark, "vector database, 数据库", {"tokenizer": "icu"})
+    assert got[:2] == ["vector", "database"]
+    assert "," not in got
     assert "数据库" in got or ("数据" in got and "库" in got)
 
 
