@@ -10,9 +10,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+import glob
+import os
+
 from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
 from milvus_spark.suites.vector2 import NQ
+
+
+def _client(spark):
+    from milvus_spark.client import MilvusSparkClient
+
+    return MilvusSparkClient(spark, root=scratch_mkdtemp("r6_"))
 
 
 # ---------- filtered ANN through the per-segment graph ------------------------
@@ -67,4 +77,187 @@ def vec_hnsw_filtered(spark: SparkSession, sf: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= 10)
         .select("qid", "vec_id", "score", "rank")
+    )
+
+# ---------- client surfaces promoted from pytest-only to oracle-gated ----------
+@register(
+    "cli_optimize_file_count",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total,
+           CAST(1 AS BIGINT) AS n_files
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def cli_optimize_file_count(spark: SparkSession, sf: str) -> DataFrame:
+    """optimize / force_merge (test_milvus_client_optimize.py,
+    test_milvus_client_force_merge.py; seal policy
+    component_param.go:5605-5630): eight small inserts leave >=8 segment
+    files; optimize() derives its rewrite partition count from live bytes
+    / target_size_mb, so a target far above the corpus merges everything
+    into EXACTLY ONE size-uniform file. The oracle pins both the surviving
+    content (grouped rollup) and the file-count effect (n_files = 1)."""
+    client = _client(spark)
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_orderstatus", "o_totalprice")
+    client.create_collection("opt", pk_field="o_orderkey")
+    for i in range(8):
+        client.insert("opt", o.filter(F.col("o_orderkey") % 8 == i))
+    client.optimize("opt", target_size_mb=10**6)  # >> corpus -> 1 file
+    seg_dir = os.path.join(client.root, "opt", "segments")
+    n_files = len(glob.glob(os.path.join(seg_dir, "**", "*.parquet"), recursive=True))
+    return (
+        client.query("opt", output_fields=["o_orderstatus", "o_totalprice"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .withColumn("n_files", F.lit(n_files).cast("long"))
+    )
+
+
+@register(
+    "cli_partial_load_query",
+    oracle="""
+    SELECT c_custkey, round(c_acctbal, 4) AS acctbal
+    FROM customer WHERE c_acctbal > 5000
+    """,
+)
+def cli_partial_load_query(spark: SparkSession, sf: str) -> DataFrame:
+    """Partial field loading (testcases/test_field_partial_load.py): the
+    serving pin holds only pk + the requested columns, and queries over
+    the loaded subset answer from the pinned projection. The pinned frame
+    is column-pruned BEFORE persist — memory holds 2 of customer's 8
+    columns (pinned by tests/test_client.py::test_partial_field_load)."""
+    client = _client(spark)
+    c = load_table(spark, sf, "customer")
+    client.create_collection("pcust", pk_field="c_custkey")
+    client.insert("pcust", c)
+    client.load_collection("pcust", load_fields=["c_acctbal"])
+    out = client.query(
+        "pcust", filter="c_acctbal > 5000", output_fields=["c_custkey", "c_acctbal"]
+    )
+    client.release_collection("pcust")
+    return out.select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+
+
+@register(
+    "cli_alias_lifecycle",
+    oracle="""
+    SELECT 'initial' AS phase,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT 'altered' AS phase,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderkey % 2 = 1
+    """,
+)
+def cli_alias_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """Alias lifecycle (CreateAlias/AlterAlias/DropAlias,
+    test_milvus_client_alias.py): an alias resolves at call time, so the
+    same alias name serves collection A before alter_alias and collection
+    B after — the zero-downtime swap pattern. Reads THROUGH the alias pin
+    both phases; drop_alias removes resolution (list_aliases empties)."""
+    client = _client(spark)
+    o = load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice")
+    client.create_collection("ord_a", pk_field="o_orderkey")
+    client.create_collection("ord_b", pk_field="o_orderkey")
+    client.insert("ord_a", o.filter(F.col("o_orderkey") % 2 == 0))
+    client.insert("ord_b", o.filter(F.col("o_orderkey") % 2 == 1))
+    client.create_alias("ord_a", "serving")
+
+    def snap(phase):
+        return (
+            client.query("serving", output_fields=["o_orderkey", "o_totalprice"])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum("o_totalprice"), 2).alias("total"),
+            )
+            .select(F.lit(phase).alias("phase"), "n", "total")
+        )
+
+    first = snap("initial")
+    first.collect()  # materialize BEFORE the alias moves (call-time resolution)
+    first = first.localCheckpoint()
+    client.alter_alias("ord_b", "serving")
+    second = snap("altered")
+    client.drop_alias("serving")
+    assert client.list_aliases() == []
+    return first.unionByName(second)
+
+
+@register(
+    "cli_get_by_ids",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS price
+    FROM orders WHERE o_orderkey IN (1, 2, 3, 32, 33, 34, 35, 36, 37, 38)
+    """,
+)
+def cli_get_by_ids(spark: SparkSession, sf: str) -> DataFrame:
+    """get() — point lookup by pk list (GetByIds / client get API): the
+    read path is an IN-list filter over the pk, which parquet serves with
+    bloom + min/max row-group pruning after sort compaction (the
+    dml_sort_compaction layout contract)."""
+    client = _client(spark)
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    client.create_collection("gord", pk_field="o_orderkey")
+    client.insert("gord", o)
+    out = client.get(
+        "gord",
+        ids=[1, 2, 3, 32, 33, 34, 35, 36, 37, 38],
+        output_fields=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("price")
+    )
+
+
+@register(
+    "cli_rename_collection",
+    oracle="""
+    SELECT n_nationkey, n_name FROM nation
+    """,
+)
+def cli_rename_collection(spark: SparkSession, sf: str) -> DataFrame:
+    """rename_collection (RenameCollection API): data, indexes and catalog
+    entry survive under the new name; the old name stops resolving. The
+    query reads through the NEW name after the rename."""
+    client = _client(spark)
+    n = load_table(spark, sf, "nation").select("n_nationkey", "n_name")
+    client.create_collection("nat_old", pk_field="n_nationkey")
+    client.insert("nat_old", n)
+    client.rename_collection("nat_old", "nat_new")
+    assert "nat_old" not in client.list_collections()
+    return client.query("nat_new", output_fields=["n_nationkey", "n_name"])
+
+
+@register(
+    "cli_stats_after_dml",
+    oracle="""
+    SELECT CAST(count(*) AS BIGINT) AS row_count,
+           CAST((SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+                AS BIGINT) AS n_deleted
+    FROM customer WHERE c_custkey % 10 != 0
+    """,
+)
+def cli_stats_after_dml(spark: SparkSession, sf: str) -> DataFrame:
+    """get_collection_stats (GetCollectionStatistics): row_count reflects
+    visible (post-tombstone) state, exactly like the reference's stats
+    after delete; the deleted count cross-checks via count(filter)."""
+    client = _client(spark)
+    c = load_table(spark, sf, "customer").select("c_custkey", "c_acctbal")
+    client.create_collection("scust", pk_field="c_custkey")
+    client.insert("scust", c)
+    before = client.get_collection_stats("scust")["row_count"]
+    client.delete("scust", filter="c_custkey % 10 == 0")
+    after = client.get_collection_stats("scust")["row_count"]
+    return spark.createDataFrame(
+        [(int(after), int(before - after))], "row_count long, n_deleted long"
     )
