@@ -3048,7 +3048,7 @@ class MilvusSparkClient:
         if (
             idx is not None
             and idx["index_type"] != "HNSW"
-            and filter is None and radius is None and range_filter is None
+            and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
@@ -3068,6 +3068,17 @@ class MilvusSparkClient:
                 if ef
                 else max(1, idx["nlist"] // 2)
             )
+            # FilterBits→VectorSearch on the IVF layout: the scalar filter
+            # runs Catalyst-side, surviving pk ids semi-join the probed
+            # candidates before scoring (operators/ivf.py)
+            matches = None
+            if filter:
+                base = self._read(name)
+                matches = base.filter(
+                    compile_expr(
+                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                ).select(meta["pk"])
             hits = ivf_search(
                 self.spark,
                 os.path.join(idx["path"], "clustered"),
@@ -3078,6 +3089,7 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 nprobe=int(sp.get("nprobe", default_np)),
+                matches=matches,
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)

@@ -12,12 +12,14 @@ beam search per bucket then merges with the same bucketed top-k window the
 brute-force kernel uses. 1000 segments on 1000 executors = the reference's
 per-segment parallelism, with no cross-partition edges to shuffle.
 
-Graph: single-layer NSW (the HNSW base layer). The upper hierarchy only
-buys a better entry point for very large graphs; per-SEGMENT graphs are
-bounded (segments seal at a few hundred k rows), where a flat beam search
-from a fixed entry is the dominant cost either way — documented divergence
-from knowhere's multi-layer build, same contract (recall-gated vs brute
-force, tests/test_hnsw.py).
+Graph: single-layer NSW (the HNSW base layer), PLUS the hierarchy's one
+job — delivering the beam a near entry point — done directly: each probe
+scans a deterministic √n node sample (one vectorized distance block) and
+starts the beam at the nearest sample, the same O(√n) work a log-layer
+descent performs without maintaining upper-layer edge lists per segment.
+Per-SEGMENT graphs are bounded (segments seal at a few hundred k rows),
+so this matches knowhere's search contract (recall-gated vs brute force,
+tests/test_hnsw.py) — documented divergence from its multi-layer BUILD.
 
 Determinism: insertion order = position order, entry point = node 0, ties
 break on node id — graph build and search are reproducible runs of the
@@ -204,10 +206,23 @@ def hnsw_search(
             allowed = np.isin(ids, mids)
             if not allowed.any():
                 return pd.DataFrame({"qid": [], "id": [], "sqdist": []})
+        # entry-point selection — the job HNSW's upper layers do: scan a
+        # deterministic √n node sample (vectorized) and start the beam at
+        # the nearest sample, so the greedy walk begins near the target
+        # instead of traversing the graph diameter from node 0. Same
+        # recall contract, shorter beams at small ef; with exhaustive ef
+        # the visited set is the whole component regardless of entry, so
+        # the exact-oracle gate is unaffected.
+        step = max(1, int(np.sqrt(len(X))))
+        sample = np.arange(0, len(X), step)
+        Xs = X[sample]
         out_q, out_i, out_d = [], [], []
         for qid, q in bq.value:
             qv = np.asarray(q, dtype=np.float64)
-            for d, pos in _beam_search(X, adj, qv, max(ef, k), allowed=allowed)[:k]:
+            entry = int(sample[((Xs - qv) ** 2).sum(axis=1).argmin()])
+            for d, pos in _beam_search(
+                X, adj, qv, max(ef, k), entry=entry, allowed=allowed
+            )[:k]:
                 out_q.append(qid)
                 out_i.append(int(ids[pos]))
                 out_d.append(float(d))

@@ -104,12 +104,21 @@ def ivf_search(
     k: int = 10,
     nprobe: int = 8,
     round_to: int = 4,
+    matches: Optional[DataFrame] = None,
 ) -> DataFrame:
     """ANN top-k probing ``nprobe`` clusters per query; exact scoring within.
 
     The probe-list filter lands on the partition column → parquet partition
     pruning skips all non-probed cluster directories at the scan.
-    """
+
+    ``matches`` (optional, one long pk column) is the FilterBits →
+    VectorSearch mode on the IVF layout: the scalar filter runs
+    Catalyst-side on the base table, and the surviving pk ids semi-join
+    the probed candidate rows BEFORE scoring — only ids move, the probed
+    partitions are still the only ones scanned, and AQE broadcasts the id
+    list when the filter is selective. Recall contract matches the
+    reference: a filtered probe can return fewer than k hits when the
+    filter thins the probed cells (widen nprobe, same as Milvus)."""
     asc = metric_ascending(metric)
     qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
     Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
@@ -141,6 +150,9 @@ def ivf_search(
     cand = corpus.filter(F.col("cluster_id").isin(probed_ids)).join(
         F.broadcast(probe_df), "cluster_id"
     )
+    if matches is not None:
+        mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
+        cand = cand.join(mt, pk_col, "left_semi")
 
     sign = 1.0 if asc else -1.0
     kk, met, rt = int(k), metric, round_to

@@ -261,3 +261,54 @@ def cli_stats_after_dml(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(
         [(int(after), int(before - after))], "row_count long, n_deleted long"
     )
+
+
+@register(
+    "vec_ivf_filtered",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q WHERE e.label % 3 = 0
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
+    """Filtered ANN through the IVF layout (FilterBits→VectorSearch on the
+    cluster-partitioned corpus): the scalar filter (label % 3 = 0) runs
+    Catalyst-side, surviving pk ids semi-join the probed candidates before
+    scoring, and the probed cluster directories are still the only ones
+    scanned. The gate probes every list (nprobe = nlist) so the result is
+    EXACT vs the filtered brute-force oracle; pruned-probe recall under a
+    filter is gated in tests/test_ivf.py."""
+    import shutil
+
+    from milvus_spark.operators.ivf import (
+        build_centroids,
+        ivf_search,
+        l2_normalize,
+        write_clustered,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    norm = l2_normalize(emb, "embedding")
+    cents = build_centroids(norm, "embedding", k=16, seed=42, max_iter=8)
+    os.makedirs("/root/repo/_scratch", exist_ok=True)
+    path = scratch_mkdtemp("ivff_")
+    shutil.rmtree(path)
+    write_clustered(norm, "embedding", cents, path)
+    qrows = norm.filter(F.col("vec_id") < NQ).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    matches = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+    return ivf_search(
+        spark, path, cents, queries, "embedding", "vec_id",
+        metric="COSINE", k=10, nprobe=16, matches=matches,
+    )

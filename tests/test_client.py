@@ -183,12 +183,22 @@ def test_index_lifecycle(client, spark, sf_dir):
     assert client.describe_index("vx", "vec_id", "INVERTED")["materialized"] is False
 
     q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
-    exact = client.search("vx", data=q, limit=10, filter="vec_id >= 0")  # filtered → brute force
+    # filtered searches ride the IVF layout too (r6): full probe + an
+    # all-matching filter is exact ground truth THROUGH the filtered path
+    exact = client.search(
+        "vx", data=q, limit=10, filter="vec_id >= 0", search_params={"nprobe": 10**6}
+    )
     approx = client.search("vx", data=q, limit=10, search_params={"nprobe": 6})
     exact_ids = {(r.qid, r.vec_id) for r in exact.collect()}
     approx_ids = {(r.qid, r.vec_id) for r in approx.collect()}
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.9, recall
+    # a selective filter through the index returns only matching ids
+    filt = client.search(
+        "vx", data=q, limit=10, filter="vec_id % 2 == 0",
+        search_params={"nprobe": 10**6},
+    ).collect()
+    assert len(filt) == 10 and all(r.vec_id % 2 == 0 for r in filt)
 
     # DML after build → index stale → search falls back to the exact scan
     client.delete("vx", ids=[int(next(iter(exact_ids))[1])])

@@ -49,6 +49,39 @@ def test_ivf_recall(spark, clustered):
     assert np.mean(recalls) >= 0.95, f"recall {np.mean(recalls):.3f} ({recalls})"
 
 
+def test_ivf_filtered_recall_and_pruning(spark, clustered):
+    """Filtered IVF (FilterBits→VectorSearch on the cluster layout): every
+    hit satisfies the filter, recall vs the exact FILTERED top-k holds at
+    pruned nprobe, and the scan still partition-prunes to probed clusters
+    (the id semi-join must not defeat pruning)."""
+    emb, norm, cents, path = clustered
+    qrows = norm.filter(F.col("vec_id") < 8).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    matches = emb.filter(F.col("label") % 3 == 0).select("vec_id")
+
+    exact = brute_force_search(
+        emb.filter(F.col("label") % 3 == 0), queries, "embedding", "vec_id",
+        metric="COSINE", k=10,
+    )
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.qid, set()).add(r.vec_id)
+
+    approx = ivf_search(
+        spark, path, cents, queries, "embedding", "vec_id",
+        metric="COSINE", k=10, nprobe=12, matches=matches,
+    )
+    ok_ids = {r.vec_id for r in matches.collect()}
+    got = {}
+    for r in approx.collect():
+        assert r.vec_id in ok_ids  # the bitset is exact, not fuzzy
+        got.setdefault(r.qid, set()).add(r.vec_id)
+    recalls = [len(got.get(q, set()) & truth[q]) / len(truth[q]) for q in truth]
+    assert np.mean(recalls) >= 0.9, f"filtered recall {np.mean(recalls):.3f}"
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster_id" in plan
+
+
 def test_partition_pruning(spark, clustered):
     _, _, cents, path = clustered
     corpus = spark.read.parquet(path)
