@@ -1989,11 +1989,31 @@ class MilvusSparkClient:
             from milvus_spark.operators.ivf import l2_normalize
 
             df = self._read(name)
-            corpus = (
-                l2_normalize(df, field)
-                if meta.get("metric", "COSINE") == "COSINE"
-                else df.withColumn(field, F.col(field).cast("array<double>"))
-            )
+            met = meta.get("metric", "COSINE")
+            if met == "COSINE":
+                corpus = l2_normalize(df, field)
+            elif met == "IP":
+                # MIPS → L2 reduction (Bachrach et al., RecSys'14): augment
+                # each vector with sqrt(M² − ‖x‖²) where M = max corpus
+                # norm; queries augment with 0, and then
+                # ‖x̂ − q̂‖² = M² + ‖q‖² − 2⟨x,q⟩ — so L2 beam search over
+                # the augmented graph ranks EXACTLY by inner product. The
+                # graph thus serves IP searches too (score recovered as
+                # (M² + ‖q‖² − sqdist)/2 at dispatch).
+                v = F.col(field).cast("array<double>")
+                n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+                m2 = float(
+                    df.select(F.max(n2).alias("m2")).first()["m2"] or 0.0
+                )
+                entry["mips_m2"] = m2
+                corpus = df.withColumn(
+                    field,
+                    F.concat(
+                        v, F.array(F.sqrt(F.greatest(F.lit(m2) - n2, F.lit(0.0))))
+                    ),
+                )
+            else:
+                corpus = df.withColumn(field, F.col(field).cast("array<double>"))
             nparts = int(params.get("n_partitions", 8))
             g = build_hnsw(
                 corpus.select(meta["pk"], field),
@@ -2993,7 +3013,13 @@ class MilvusSparkClient:
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
-            and (metric_type or meta["metric"]) in ("COSINE", "L2")
+            and meta["metric"] in ("COSINE", "L2", "IP")
+            # the graph stores metric-specific vectors (normalized for
+            # COSINE, MIPS-augmented for IP) — a per-search metric override
+            # mismatching the BUILD metric must fall back to the exact
+            # scan, or normalized/augmented-space distances would silently
+            # masquerade as raw-space scores
+            and (metric_type is None or metric_type == meta["metric"])
         ):
             # real graph path: per-segment beam search + merge. Stored
             # vectors are normalized for COSINE, so cos = 1 - sqdist/2;
@@ -3013,10 +3039,15 @@ class MilvusSparkClient:
             sp = search_params or {}
             ef = int(sp.get("ef", sp.get("search_list", 64)))
             qs = [list(map(float, v)) for v in data]
+            qn2 = [float(np.dot(q, q)) for q in qs]
             if met == "COSINE":
                 qs = [
                     (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist() for q in qs
                 ]
+            elif met == "IP":
+                # MIPS→L2: augmented query [q, 0]; sqdist over the
+                # augmented graph is M² + ‖q‖² − 2⟨x,q⟩
+                qs = [q + [0.0] for q in qs]
             matches = None
             if filter:
                 base = self._read(name)
@@ -3034,11 +3065,22 @@ class MilvusSparkClient:
                 n_partitions=int(idx.get("n_partitions", 8)),
             )
             rt = 12 if round_decimal == -1 else int(round_decimal)
-            score = (
-                F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
-                if met == "COSINE"
-                else F.round(F.col("sqdist"), rt) + F.lit(0.0)
-            )
+            if met == "COSINE":
+                score = F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
+            elif met == "IP":
+                m2 = float(idx.get("mips_m2", 0.0))
+                # per-query ‖q‖² via a tiny literal map (nq entries)
+                qmap = F.create_map(
+                    *[x for i, n2v in enumerate(qn2) for x in (F.lit(i), F.lit(n2v))]
+                )
+                score = (
+                    F.round(
+                        (F.lit(m2) + qmap[F.col("qid")] - F.col("sqdist")) / 2.0, rt
+                    )
+                    + F.lit(0.0)
+                )
+            else:
+                score = F.round(F.col("sqdist"), rt) + F.lit(0.0)
             hits = raw.select(
                 "qid", F.col("id").alias(meta["pk"]), score.alias("score"), "rank"
             )
@@ -3052,6 +3094,9 @@ class MilvusSparkClient:
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
+            # clustered copy stores metric-specific vectors (normalized for
+            # COSINE) — a mismatched per-search metric falls back to scan
+            and (metric_type is None or metric_type == meta["metric"])
         ):
             import numpy as np
 
@@ -3101,6 +3146,7 @@ class MilvusSparkClient:
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
+            and (metric_type is None or metric_type == meta["metric"])
         ):
             import numpy as np
 
@@ -3130,6 +3176,7 @@ class MilvusSparkClient:
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
+            and (metric_type is None or metric_type == meta["metric"])
         ):
             import numpy as np
 
@@ -3159,6 +3206,7 @@ class MilvusSparkClient:
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
+            and (metric_type is None or metric_type == meta["metric"])
         ):
             import numpy as np
 

@@ -312,3 +312,66 @@ def vec_ivf_filtered(spark: SparkSession, sf: str) -> DataFrame:
         spark, path, cents, queries, "embedding", "vec_id",
         metric="COSINE", k=10, nprobe=16, matches=matches,
     )
+
+
+@register(
+    "vec_hnsw_ip",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_inner_product(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def vec_hnsw_ip(spark: SparkSession, sf: str) -> DataFrame:
+    """IP (max inner product) ANN THROUGH the per-segment graph via the
+    MIPS→L2 reduction (Bachrach et al., RecSys'14): every corpus vector is
+    augmented with sqrt(M² − ‖x‖²) where M is the max corpus norm, queries
+    with 0 — L2 over the augmented space then ranks exactly by ⟨x,q⟩
+    (‖x̂−q̂‖² = M² + ‖q‖² − 2⟨x,q⟩). The graph that previously served only
+    COSINE/L2 thus serves IP too. Exhaustive ef ⇒ exact equivalence with
+    the brute-force MIPS oracle; scores recovered as (M² + ‖q‖² − d)/2."""
+    import numpy as np
+
+    from milvus_spark.operators.hnsw import build_hnsw, hnsw_search
+
+    emb = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+    m2 = float(emb.select(F.max(n2).alias("m2")).first()["m2"])
+    aug = emb.withColumn(
+        "embedding",
+        F.concat(v, F.array(F.sqrt(F.greatest(F.lit(m2) - n2, F.lit(0.0))))),
+    )
+    idx = build_hnsw(aug, "embedding", "vec_id", n_partitions=8, m=8)
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    queries = [list(map(float, r.embedding)) + [0.0] for r in qrows]
+    qn2 = [float(np.dot(q[:-1], q[:-1])) for q in queries]
+    n = emb.count()
+    raw = hnsw_search(idx, queries, ef=n, k=50)
+    qmap = F.create_map(
+        *[x for i, val in enumerate(qn2) for x in (F.lit(i), F.lit(val))]
+    )
+    scored = raw.select(
+        F.col("qid").cast("long").alias("qid"),
+        F.col("id").alias("vec_id"),
+        (
+            F.round((F.lit(m2) + qmap[F.col("qid")] - F.col("sqdist")) / 2.0, 4)
+            + F.lit(0.0)
+        ).alias("score"),
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("qid", "vec_id", "score", "rank")
+    )

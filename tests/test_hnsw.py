@@ -126,6 +126,43 @@ def test_vectorized_build_throughput():
     assert dt < 4.0, f"vectorized build took {dt:.1f}s"
 
 
+def test_ip_metric_through_graph(spark, sf_dir, tmp_path):
+    """IP searches ride the graph via the MIPS→L2 reduction (augment each
+    corpus vector with sqrt(M² − ‖x‖²); L2 over augmented space ranks
+    exactly by inner product). Exhaustive ef = exact MIPS ground truth;
+    scores are true inner products."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection(
+        "ipx", pk_field="vec_id", vector_field="embedding", metric_type="IP"
+    )
+    client.insert("ipx", emb)
+    client.create_index("ipx", "embedding", "HNSW", {"M": 8})
+    q = [emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = client.search("ipx", q, limit=10, search_params={"ef": 10**6}).collect()
+    rows = emb.collect()
+    qv = np.asarray(q[0], dtype=np.float64)
+    ip = {r.vec_id: float(np.dot(np.asarray(r.embedding, dtype=np.float64), qv)) for r in rows}
+    truth = sorted(ip, key=lambda i: (-round(ip[i], 4), i))[:10]
+    assert [r.vec_id for r in sorted(got, key=lambda r: r.rank)] == truth
+    for r in got:
+        assert abs(r.score - round(ip[r.vec_id], 4)) < 1e-6
+    # a mismatched per-search metric must NOT serve from the augmented
+    # graph — the fallback exact scan answers in the requested metric
+    cos = client.search("ipx", q, limit=5, metric_type="COSINE").collect()
+    ncos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv / np.linalg.norm(qv))
+        )
+        for r in rows
+    }
+    want = sorted(ncos, key=lambda i: (-round(ncos[i], 4), i))[:5]
+    assert [r.vec_id for r in sorted(cos, key=lambda r: r.rank)] == want
+    client.drop_collection("ipx")
+
+
 def test_hnsw_plan_no_cartesian(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
