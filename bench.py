@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "stream_exact_dedup",     # streaming first-occurrence admission, stateful dropDuplicates (r5)
     "win_asof_last_click",    # AS-OF join via union-marker plan, no join operator (r5)
     "win_range_join_nearby",  # interval join via bucketed equi-join (r5)
+    "vec_hnsw_filtered",      # FilterBits->VectorSearch through the graph (r6)
 ]
 
 

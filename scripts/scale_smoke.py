@@ -4,9 +4,11 @@ data volume, not against it — wall-clock should grow ~linearly (or less,
 when per-query fixed overhead dominates at the small scale), never
 quadratically.
 
-Usage: python scripts/scale_smoke.py [factor]   (default 10)
-Prints one JSON line: {"factor": N, "queries": {name: {"base": s,
-"scaled": s, "ratio": r}}}.
+Usage: python scripts/scale_smoke.py [factor] [name_filter ...]
+(default factor 10; name filters are substring matches limiting which
+HEAVY queries run — the semantic-dedup contract row runs only when
+unfiltered or matched). Prints one JSON line: {"factor": N, "queries":
+{name: {"base": s, "scaled": s, "ratio": r}}}.
 """
 
 from __future__ import annotations
@@ -75,6 +77,7 @@ def build_scaled(spark, factor: int, out: str) -> None:
 
 def main() -> None:
     factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    filters = sys.argv[2:]
     from milvus_spark.session import get_spark
     import __spark_entry__ as entrymod
 
@@ -82,8 +85,11 @@ def main() -> None:
     scaled_dir = os.path.join(_REPO, "_scratch", f"scale{factor}")
     build_scaled(spark, factor, scaled_dir)
     qs = entrymod.queries()
+    heavy = [
+        n for n in HEAVY if not filters or any(f in n for f in filters)
+    ]
     report = {}
-    for name in HEAVY:
+    for name in heavy:
         times = {}
         for label, sf in (("base", BASE_SF), ("scaled", scaled_dir)):
             qs[name](spark, sf).count()  # warm (index/caches/python workers)
@@ -98,6 +104,9 @@ def main() -> None:
     # semantic dedup under the SemDeDup contract: K grows with the corpus
     # (constant n/K), so cluster size — and the per-cluster quadratic pair
     # work — stays fixed under scale-up
+    if filters and not any(f in "dedup_semantic" for f in filters):
+        print(json.dumps({"factor": factor, "queries": report}))
+        return
     from pyspark.sql import functions as F
 
     from milvus_spark.operators.semantic import semantic_dedup

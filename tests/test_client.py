@@ -198,7 +198,7 @@ def test_index_lifecycle(client, spark, sf_dir):
         "vx", data=q, limit=10, filter="vec_id % 2 == 0",
         search_params={"nprobe": 10**6},
     ).collect()
-    assert len(filt) == 10 and all(r.vec_id % 2 == 0 for r in filt)
+    assert len(filt) == 10 * len(q) and all(r.vec_id % 2 == 0 for r in filt)
 
     # DML after build → index stale → search falls back to the exact scan
     client.delete("vx", ids=[int(next(iter(exact_ids))[1])])
