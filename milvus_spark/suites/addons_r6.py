@@ -375,3 +375,111 @@ def vec_hnsw_ip(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("qid", "vec_id", "score", "rank")
     )
+
+
+# ---------- training-pipeline additions ----------------------------------------
+@register(
+    "cur_remove_boilerplate",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(lower(text),'[^a-z0-9]+'), x -> x <> '') AS toks
+      FROM documents
+    ),
+    segl AS (
+      SELECT doc_id,
+             list_transform(range(CAST(ceil(len(toks)/10.0) AS BIGINT)),
+                            i -> array_to_string(toks[i*10+1 : LEAST((i+1)*10, len(toks))], ' ')) AS segs
+      FROM t WHERE len(toks) > 0
+    ),
+    seg AS (
+      SELECT doc_id, CAST(u.i AS BIGINT) AS grp, segs[u.i+1] AS line
+      FROM segl, LATERAL UNNEST(range(len(segs))) AS u(i)
+    ),
+    freq AS (SELECT line FROM seg GROUP BY line HAVING count(DISTINCT doc_id) >= 2),
+    kept AS (SELECT * FROM seg WHERE line NOT IN (SELECT line FROM freq))
+    SELECT doc_id, string_agg(line, ' ' ORDER BY grp) AS clean_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def cur_remove_boilerplate(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-level boilerplate removal (Raffel et al. 2020 §2.2:
+    drop any line occurring in more than one document): documents segment
+    into consecutive 10-token 'lines' (the corpus has no newlines), a line
+    appearing in ≥2 DISTINCT docs is boilerplate, surviving lines
+    reconstruct the cleaned text in order. The REWRITE sibling of
+    dedup_span_fraction (which only scores).
+
+    Scale shape: segmenting is a per-row transform (no shuffle); the df
+    aggregate shuffles once on the line key; the frequent-line set is
+    SMALL by construction (boilerplate = the head of the distribution) so
+    the removal is a broadcast anti-join — the corpus-sized seg frame
+    never shuffles for it; reconstruction is one doc-keyed agg."""
+    from milvus_spark.suites.text import _docs_tokens
+
+    t = _docs_tokens(spark, sf).filter(F.size("toks") > 0)
+    nseg = F.ceil(F.size("toks") / F.lit(10.0)).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(F.slice("toks", i * 10 + 1, 10), " "),
+    )
+    seg = t.select(
+        "doc_id", F.posexplode(segs).alias("grp", "line")
+    ).withColumn("grp", F.col("grp").cast("long"))
+    freq = (
+        seg.groupBy("line")
+        .agg(F.count_distinct("doc_id").alias("df"))
+        .filter(F.col("df") >= 2)
+        .select("line")
+    )
+    kept = seg.join(F.broadcast(freq), "line", "left_anti")
+    return kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("grp", "line"))),
+                lambda x: x["line"],
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+@register(
+    "cur_length_quantile_filter",
+    oracle="""
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN q ON d.lang = q.lang
+    WHERE d.n_chars >= q.lo AND d.n_chars <= q.hi
+    GROUP BY d.lang
+    """,
+)
+def cur_length_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language length gating by exact quantiles (the standard
+    pipeline pre-filter: drop the shortest/longest tails per language,
+    whose thresholds differ by script). Exact interpolated percentiles
+    per language land in a tiny (one row per lang) frame that broadcasts
+    back onto the corpus — the corpus shuffles once for the percentile
+    agg and never for the gate."""
+    d = load_table(spark, sf, "documents")
+    q = d.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.05)).alias("lo"),
+        F.percentile("n_chars", F.lit(0.95)).alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(q), "lang")
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+    )
