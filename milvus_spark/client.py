@@ -3142,7 +3142,7 @@ class MilvusSparkClient:
         pq_idx = self._fresh_index(name, vfield, "IVF_PQ")
         if (
             pq_idx is not None
-            and filter is None and radius is None and range_filter is None
+            and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
@@ -3155,6 +3155,14 @@ class MilvusSparkClient:
             with open(os.path.join(pq_idx["path"], "codebooks.json")) as f:
                 books = np.asarray(json.load(f), dtype=np.float64)
             encoded = self.spark.read.parquet(os.path.join(pq_idx["path"], "codes"))
+            matches = None
+            if filter:
+                base = self._read(name)
+                matches = base.filter(
+                    compile_expr(
+                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                ).select(meta["pk"])
             hits = pq_search(
                 encoded,
                 self._read(name),
@@ -3165,6 +3173,7 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
+                matches=matches,
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
@@ -3172,7 +3181,7 @@ class MilvusSparkClient:
         sq_idx = self._fresh_index(name, vfield, "IVF_SQ8")
         if (
             sq_idx is not None
-            and filter is None and radius is None and range_filter is None
+            and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
@@ -3185,6 +3194,14 @@ class MilvusSparkClient:
             with open(os.path.join(sq_idx["path"], "bounds.json")) as f:
                 bounds = np.asarray(json.load(f), dtype=np.float64)
             encoded = self.spark.read.parquet(os.path.join(sq_idx["path"], "codes"))
+            matches = None
+            if filter:
+                base = self._read(name)
+                matches = base.filter(
+                    compile_expr(
+                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                ).select(meta["pk"])
             hits = sq8_search(
                 encoded,
                 self._read(name),
@@ -3195,6 +3212,7 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 10 * limit)),
+                matches=matches,
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
@@ -3202,7 +3220,7 @@ class MilvusSparkClient:
         lsh_idx = self._fresh_index(name, vfield, "LSH")
         if (
             lsh_idx is not None
-            and filter is None and radius is None and range_filter is None
+            and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not partition_names
             and not self._expired_ts(meta)
@@ -3214,6 +3232,14 @@ class MilvusSparkClient:
 
             with open(os.path.join(lsh_idx["path"], "hyperplanes.json")) as f:
                 H = np.asarray(json.load(f), dtype=np.float64)
+            matches = None
+            if filter:
+                base = self._read(name)
+                matches = base.filter(
+                    compile_expr(
+                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                ).select(meta["pk"])
             hits = lsh_search(
                 self.spark,
                 os.path.join(lsh_idx["path"], "bucketed"),
@@ -3224,6 +3250,7 @@ class MilvusSparkClient:
                 metric=metric_type or meta["metric"],
                 k=limit,
                 probe_radius=int((search_params or {}).get("probe_radius", 1)),
+                matches=matches,
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)

@@ -91,9 +91,14 @@ def lsh_search(
     k: int = 10,
     probe_radius: int = 1,
     round_to: int = 4,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """ANN top-k probing the hamming ball around each query's bucket; exact
-    scoring within — same pruned-scan + broadcast-probe tail as ivf_search."""
+    scoring within — same pruned-scan + broadcast-probe tail as ivf_search.
+
+    ``matches`` (optional, one long pk column): FilterBits→VectorSearch on
+    the bucketed layout — surviving pk ids semi-join the probed rows
+    before scoring; bucket pruning stays first."""
     import pandas as pd
     from pyspark.sql import Window as W
 
@@ -125,6 +130,9 @@ def lsh_search(
     cand = corpus.filter(F.col("bucket").isin(probed_ids)).join(
         F.broadcast(probe_df), "bucket"
     )
+    if matches is not None:
+        mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
+        cand = cand.join(mt, pk_col, "left_semi")
 
     sign = 1.0 if asc else -1.0
     kk, met, rt = int(k), metric, round_to

@@ -113,11 +113,17 @@ def pq_search(
     k: int = 10,
     shortlist: int = 200,
     round_to: int = 4,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """ADC shortlist over the code table, then exact refine of shortlist rows.
 
     The scan touches only (pk, code); full vectors are read for at most
     nq × shortlist rows via a broadcast semi-join (requery shape).
+
+    ``matches`` (optional, one long pk column): FilterBits→VectorSearch on
+    the PQ layout — surviving pk ids semi-join the code table BEFORE the
+    ADC scan, so the shortlist holds only filter-passing rows and filtered
+    recall needs no shortlist widening.
 
     shortlist sizing: ~20×k holds recall ≥ 0.9 even on uniform synthetic
     vectors — the adversarial case for PQ (distance concentration). Real
@@ -186,6 +192,9 @@ def pq_search(
                 )
             yield pd.concat(frames)
 
+    if matches is not None:
+        mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
+        encoded = encoded.join(mt, pk_col, "left_semi")
     partial = encoded.mapInPandas(adc, schema=f"qid long, {pk_col} long, adc double")
     adc_order = F.col("adc").asc() if adc_sign > 0 else F.col("adc").desc()
     w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())

@@ -92,12 +92,17 @@ def sq8_search(
     k: int = 10,
     shortlist: int = 100,
     round_to: int = 4,
+    matches: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate scan over the code table + exact refine of the shortlist.
 
     SQ8's reconstruction error is per-dim range/510, so its candidate
     ranking is far tighter than PQ's — a ~10×k shortlist suffices even on
-    uniform synthetic vectors."""
+    uniform synthetic vectors.
+
+    ``matches`` (optional, one long pk column): FilterBits→VectorSearch —
+    surviving pk ids semi-join the code table BEFORE the scan, so the
+    shortlist holds only filter-passing rows."""
     asc = metric_ascending(metric)
     mins, maxs = bounds
     d = len(mins)
@@ -143,6 +148,9 @@ def sq8_search(
                 )
             yield pd.concat(frames)
 
+    if matches is not None:
+        mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
+        encoded = encoded.join(mt, pk_col, "left_semi")
     partial = encoded.mapInPandas(scan, schema=f"qid long, {pk_col} long, adist double")
     adc_order = F.col("adist").asc() if adc_sign > 0 else F.col("adist").desc()
     w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())

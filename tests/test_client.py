@@ -575,12 +575,23 @@ def test_pq_index_backed_search(client, spark, sf_dir):
     assert entry["materialized"] and entry["m"] == 16
 
     q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
-    exact = client.search("pqx", data=q, limit=10, filter="vec_id >= 0")  # filtered → brute force
+    # filters now ride the PQ layout (r6): all-matching filter + a
+    # corpus-sized shortlist = exact ground truth THROUGH the filtered path
+    exact = client.search(
+        "pqx", data=q, limit=10, filter="vec_id >= 0",
+        search_params={"shortlist": 10**6},
+    )
     approx = client.search("pqx", data=q, limit=10)
     exact_ids = {(r.qid, r.vec_id) for r in exact.collect()}
     approx_ids = {(r.qid, r.vec_id) for r in approx.collect()}
     recall = len(exact_ids & approx_ids) / len(exact_ids)
     assert recall >= 0.9, recall
+    # a selective filter returns only matching ids, exact under full shortlist
+    filt = client.search(
+        "pqx", data=q, limit=10, filter="vec_id % 2 == 0",
+        search_params={"shortlist": 10**6},
+    ).collect()
+    assert len(filt) == 10 * len(q) and all(r.vec_id % 2 == 0 for r in filt)
 
     # DML after build → stale → exact fallback still correct
     client.delete("pqx", ids=[int(next(iter(exact_ids))[1])])
