@@ -3011,7 +3011,6 @@ class MilvusSparkClient:
             and idx["index_type"] == "HNSW"
             and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
-            and not partition_names
             and not self._expired_ts(meta)
             and meta["metric"] in ("COSINE", "L2", "IP")
             # the graph stores metric-specific vectors (normalized for
@@ -3048,14 +3047,18 @@ class MilvusSparkClient:
                 # MIPS→L2: augmented query [q, 0]; sqdist over the
                 # augmented graph is M² + ‖q‖² − 2⟨x,q⟩
                 qs = [q + [0.0] for q in qs]
+            # a partition scope IS a filter bitset: the partition-filtered
+            # pk set rides the same FilterBits->VectorSearch path
             matches = None
-            if filter:
-                base = self._read(name)
-                matches = base.filter(
-                    compile_expr(
-                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+            if filter or partition_names:
+                base = self._partition_filter(self._read(name), partition_names)
+                if filter:
+                    base = base.filter(
+                        compile_expr(
+                            filter, base.schema, params, dynamic_field=self._dyn(meta)
+                        )
                     )
-                ).select(meta["pk"])
+                matches = base.select(meta["pk"])
             raw = hnsw_search(
                 g,
                 qs,
@@ -3092,7 +3095,6 @@ class MilvusSparkClient:
             and idx["index_type"] != "HNSW"
             and radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
-            and not partition_names
             and not self._expired_ts(meta)
             # clustered copy stores metric-specific vectors (normalized for
             # COSINE) — a mismatched per-search metric falls back to scan
@@ -3115,15 +3117,18 @@ class MilvusSparkClient:
             )
             # FilterBits→VectorSearch on the IVF layout: the scalar filter
             # runs Catalyst-side, surviving pk ids semi-join the probed
-            # candidates before scoring (operators/ivf.py)
+            # candidates before scoring (operators/ivf.py); a partition
+            # scope folds into the same bitset
             matches = None
-            if filter:
-                base = self._read(name)
-                matches = base.filter(
-                    compile_expr(
-                        filter, base.schema, params, dynamic_field=self._dyn(meta)
+            if filter or partition_names:
+                base = self._partition_filter(self._read(name), partition_names)
+                if filter:
+                    base = base.filter(
+                        compile_expr(
+                            filter, base.schema, params, dynamic_field=self._dyn(meta)
+                        )
                     )
-                ).select(meta["pk"])
+                matches = base.select(meta["pk"])
             hits = ivf_search(
                 self.spark,
                 os.path.join(idx["path"], "clustered"),

@@ -163,6 +163,38 @@ def test_ip_metric_through_graph(spark, sf_dir, tmp_path):
     client.drop_collection("ipx")
 
 
+def test_partition_scope_through_graph(spark, sf_dir, tmp_path):
+    """A partition scope IS a filter bitset: partition-scoped searches now
+    ride the graph (previously exact-scan fallback). Exhaustive ef ⇒
+    identical to the exact partition-scoped result, and every hit belongs
+    to the scoped partition."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("pg", pk_field="vec_id", vector_field="embedding")
+    client.create_partition("pg", "even")
+    client.create_partition("pg", "odd")
+    client.insert("pg", emb.filter(F.col("vec_id") % 2 == 0), partition_name="even")
+    client.insert("pg", emb.filter(F.col("vec_id") % 2 == 1), partition_name="odd")
+    client.create_index("pg", "embedding", "HNSW", {"M": 8})
+    q = [emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = client.search(
+        "pg", q, limit=10, partition_names=["even"], search_params={"ef": 10**6}
+    ).collect()
+    assert len(got) == 10 and all(r.vec_id % 2 == 0 for r in got)
+    # ground truth: exact cosine over the even rows only
+    rows = emb.filter(F.col("vec_id") % 2 == 0).collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv))
+        for r in rows
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    client.drop_collection("pg")
+
+
 def test_hnsw_plan_no_cartesian(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
