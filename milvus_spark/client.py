@@ -2790,8 +2790,9 @@ class MilvusSparkClient:
             name, meta, namespace, partition_names
         )
         # MergeExprWithNamespace analog (query/PlanProto.cpp:70-86): the
-        # namespace conjunct joins the doc predicate, which also demotes
-        # index fast paths to the exact filtered scan — indexes span tenants
+        # namespace conjunct joins the doc predicate. Since r6 the merged
+        # filter (like any filter) rides the index paths as a pk bitset —
+        # indexes span tenants, the bitset scopes the results
         filter = self._merge_ns_filter(ns_cond, filter)
         iso = str(
             (meta.get("properties") or {}).get("partitionkey.isolation", "")
