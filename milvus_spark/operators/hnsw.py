@@ -21,9 +21,10 @@ Per-SEGMENT graphs are bounded (segments seal at a few hundred k rows),
 so this matches knowhere's search contract (recall-gated vs brute force,
 tests/test_hnsw.py) — documented divergence from its multi-layer BUILD.
 
-Determinism: insertion order = position order, entry point = node 0, ties
-break on node id — graph build and search are reproducible runs of the
-same data, so the staleness/fallback story matches the IVF path.
+Determinism: insertion order = position order, entry point = the nearest
+of a deterministic √n sample, ties break on node id — graph build and
+search are reproducible runs of the same data, so the
+staleness/fallback story matches the IVF path.
 """
 
 from __future__ import annotations
