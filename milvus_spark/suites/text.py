@@ -411,6 +411,17 @@ _BANDS = 4  # 4 bands × 2 rows
 _BANDS_MEMO: dict = {}
 
 
+def clear_memos() -> None:
+    """Drop the memoized dedup index frames (collapse kernel + band index).
+    For measurement harnesses that want per-query isolation: a memo hit
+    returns frames whose .cache() may have been evicted/cleared, in which
+    case the next action silently pays re-materialization inside its
+    timing window — clearing the memo makes the rebuild explicit in the
+    warm pass instead."""
+    _COLLAPSE_MEMO.clear()
+    _BANDS_MEMO.clear()
+
+
 def _minhash_sig_sql() -> str:
     sigs = ", ".join(
         f"list_min(list_transform(sh, g -> {seeded_hash_sql('g', i)})) AS s{i}" for i in range(_H)

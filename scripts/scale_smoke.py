@@ -89,6 +89,14 @@ def main() -> None:
         n for n in HEAVY if not filters or any(f in n for f in filters)
     ]
     report = {}
+    # NOTE on methodology (measured, r6): do NOT clear caches/memos between
+    # queries or resize shuffle partitions mid-session here. The warm
+    # shared-cache regime IS the steady state the smoke compares across
+    # scales; per-query clearCache + runtime partition-count changes were
+    # tried and produced wildly unstable numbers (the same ngram base pass
+    # measured 8.8s isolated, 24s mid-sweep, 118s with mid-session
+    # shuffle-partition changes) because AQE re-plans against a session
+    # whose storage/stat state keeps shifting.
     for name in heavy:
         times = {}
         for label, sf in (("base", BASE_SF), ("scaled", scaled_dir)):
