@@ -483,3 +483,56 @@ def cur_length_quantile_filter(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("chars_kept"),
         )
     )
+
+
+@register(
+    "cli_partition_filtered_ann",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q
+      WHERE e.vec_id % 2 = 0 AND e.label % 3 = 0
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def cli_partition_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END client dispatch: a search carrying BOTH a partition scope
+    and a scalar filter rides the per-segment graph — partition membership
+    and the filter fold into one pk bitset (FilterBits→VectorSearch), the
+    beam admits only matching nodes, and exhaustive ef makes the result
+    EXACT vs the doubly-filtered brute-force oracle. This is the everyday
+    production search shape (tenant partition + metadata filter) driven
+    through create_collection → insert → create_index → search."""
+    client = _client(spark)
+    emb = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "pfa", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.create_partition("pfa", "even")
+    client.create_partition("pfa", "odd")
+    client.insert("pfa", emb.filter(F.col("vec_id") % 2 == 0), partition_name="even")
+    client.insert("pfa", emb.filter(F.col("vec_id") % 2 == 1), partition_name="odd")
+    client.create_index("pfa", "embedding", "HNSW", {"M": 8})
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    out = client.search(
+        "pfa",
+        [list(r.embedding) for r in qrows],
+        limit=10,
+        filter="label % 3 == 0",
+        partition_names=["even"],
+        search_params={"ef": 10**6},
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "vec_id",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
