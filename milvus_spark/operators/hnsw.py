@@ -93,9 +93,21 @@ def build_graph_np(
     build throughput on multi-k segments; peak memory is one
     chunk × inserted block of float64). ``ef_construction`` is accepted
     for API compatibility; exact insertion dominates any finite beam.
-    Ties break on (distance, node id) so builds are reproducible."""
+    Ties break on (distance, node id) so builds are reproducible.
+
+    CONNECTIVITY GUARANTEE (fuzz-found, r6): pure closest-2m pruning can
+    disconnect a cluster whose only bridge edge gets pruned — on
+    adversarial data that breaks the exhaustive-ef == exact-oracle
+    contract. Two edges per node are therefore PROTECTED from pruning:
+    each node's single nearest smaller-id neighbor (a descent path from
+    any node toward node 0) and the chain edge i-1 → i (an ascent path
+    from node 0 to every node). Together they make every node reachable
+    from any entry point, so an exhaustive beam provably visits the whole
+    segment — ≤2 extra edges per node, recall can only improve
+    (property-fuzzed in tests/test_hnsw.py)."""
     n = len(X)
     adj: list = [[] for _ in range(n)]
+    protected: list = [set() for _ in range(n)]
     m_max = 2 * m
     norms = (X * X).sum(axis=1)
     for start in range(1, n, chunk):
@@ -116,12 +128,18 @@ def build_graph_np(
                 part = np.arange(i)
             nbrs = part[np.lexsort((part, row[part]))]
             adj[i] = [int(v) for v in nbrs]
+            protected[i].add(adj[i][0])  # nearest smaller id: descent edge
+            if i not in adj[i - 1]:
+                adj[i - 1].append(i)
+            protected[i - 1].add(i)  # chain edge: ascent path from node 0
             for v in adj[i]:
-                adj[v].append(i)
+                if i not in adj[v]:
+                    adj[v].append(i)
                 if len(adj[v]) > m_max:
                     d = norms[adj[v]] - 2.0 * (X[adj[v]] @ X[v]) + norms[v]
-                    keep = np.argsort(d, kind="stable")[:m_max]
-                    adj[v] = [adj[v][j] for j in keep]
+                    kept = {adj[v][j] for j in np.argsort(d, kind="stable")[:m_max]}
+                    keep_set = kept | (protected[v] & set(adj[v]))
+                    adj[v] = [u for u in adj[v] if u in keep_set]
     return adj
 
 
