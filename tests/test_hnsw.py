@@ -239,3 +239,34 @@ def test_filtered_beam_fuzz_exhaustive_equals_bruteforce():
         assert all(allowed[v] for _, v in got)
 
     prop()
+
+
+def test_mips_reduction_ranks_exactly_by_inner_product():
+    """Property: the MIPS→L2 augmentation (x̂ = [x, sqrt(M²−‖x‖²)],
+    q̂ = [q, 0]) ranks by inner product EXACTLY — ‖x̂−q̂‖² is an affine
+    transform of −⟨x,q⟩ per query — fuzzed over random corpora including
+    wildly mixed norms (the case plain-L2-over-raw gets wrong)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(seed=st.integers(0, 10**6), n=st.integers(3, 80), d=st.integers(2, 16))
+    def prop(seed, n, d):
+        rng = np.random.default_rng(seed)
+        X = rng.normal(size=(n, d)) * rng.lognormal(0, 2, size=(n, 1))
+        q = rng.normal(size=d)
+        n2 = (X * X).sum(axis=1)
+        m2 = float(n2.max())
+        aug = np.concatenate([X, np.sqrt(np.maximum(m2 - n2, 0.0))[:, None]], axis=1)
+        qa = np.concatenate([q, [0.0]])
+        sq = ((aug - qa) ** 2).sum(axis=1)
+        ip = X @ q
+        # identical total order (ties broken by id on both sides)
+        by_l2 = np.lexsort((np.arange(n), sq))
+        by_ip = np.lexsort((np.arange(n), -ip))
+        assert list(by_l2) == list(by_ip)
+        # and the score recovery identity holds
+        rec = (m2 + float(q @ q) - sq) / 2.0
+        assert np.allclose(rec, ip, atol=1e-8)
+
+    prop()
