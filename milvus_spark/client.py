@@ -2026,6 +2026,7 @@ class MilvusSparkClient:
             os.makedirs(idx_dir, exist_ok=True)
             g.write.mode("overwrite").parquet(os.path.join(idx_dir, "graph"))
             entry["n_partitions"] = nparts
+            entry["epochs"] = [{"base": 0, "n": nparts}]
             entry["graph_params"] = {
                 k: params[k]
                 for k in ("M", "efConstruction", "search_list_size", "max_degree")
@@ -2250,6 +2251,123 @@ class MilvusSparkClient:
         self._meta(name)["indexes"].pop(f"{field}__{index_type.upper()}")
         shutil.rmtree(entry["path"], ignore_errors=True)
         self._save_catalog()
+
+    def refresh_index(self, name: str, field: str, index_type: str = "HNSW") -> dict:
+        """Incremental index maintenance — the reference's actual
+        seal-and-index lifecycle (a sealed segment gets ITS OWN graph;
+        the corpus is never re-indexed, flush → buildIndex per new
+        segment): rows inserted since the last build become a NEW epoch
+        of pk-buckets, each with its own self-contained graph, appended
+        to the index artifact; searches fan over old + new buckets and
+        merge, exactly as over old + new segments.
+
+        Only valid for append-only deltas — a delete or upsert since the
+        last build means stale graph nodes would need per-bucket masking,
+        so it raises and the stale index keeps falling back to the exact
+        scan until a full create_index. At 100 TB this is THE difference
+        between re-indexing the corpus per ingest batch and indexing only
+        the batch."""
+        self._priv("CreateIndex", name)
+        self._deny_ddl("index")
+        from milvus_spark.operators.lifecycle import DEL_TS_COL
+
+        meta = self._meta(name)
+        itype = index_type.upper()
+        if itype != "HNSW":
+            raise ValueError(
+                f"refresh_index supports HNSW (got {itype!r}); rebuild the "
+                "IVF/PQ/SQ8/LSH families with create_index — their artifacts "
+                "are corpus-global (centroids/codebooks/bounds), not per-segment"
+            )
+        entry = meta.get("indexes", {}).get(f"{field}__{itype}")
+        if entry is None:
+            raise KeyError(f"no index {field}__{itype} on {name}")
+        cur = self._current_ts(name)
+        if entry["built_ts"] == cur:
+            return entry  # nothing inserted since the build
+        tombs = self._coll(name)._tombstones()
+        if (
+            tombs is not None
+            and tombs.filter(F.col(DEL_TS_COL) > entry["built_ts"]).limit(1).count()
+        ):
+            raise ValueError(
+                "refresh_index requires append-only changes since the last "
+                "build; deletes/upserts detected — rebuild with create_index"
+            )
+        df = self._read(name)
+        new = df.filter(F.col(TS_COL) > entry["built_ts"])
+        n_new = new.count()
+        graph_path = os.path.join(entry["path"], "graph")
+        g = self.spark.read.parquet(graph_path)
+        # folded-delete guard: compaction erases tombstones, so also require
+        # that every indexed row is still visible (counts + no pk overlap)
+        n_old = df.filter(F.col(TS_COL) <= entry["built_ts"]).count()
+        if n_old != g.count():
+            raise ValueError(
+                "refresh_index: indexed rows no longer match the visible "
+                "pre-build snapshot (compacted deletes?) — rebuild with "
+                "create_index"
+            )
+        if n_new == 0:
+            entry["built_ts"] = cur
+            self._save_catalog()
+            return entry
+        pk = meta["pk"]
+        if (
+            new.select(F.col(pk).cast("long").alias("id"))
+            .join(g.select("id"), "id", "left_semi")
+            .limit(1)
+            .count()
+        ):
+            raise ValueError(
+                "refresh_index: new rows re-use indexed pks (upsert shape) — "
+                "rebuild with create_index"
+            )
+        from milvus_spark.operators.hnsw import build_hnsw
+        from milvus_spark.operators.ivf import l2_normalize
+
+        met = meta.get("metric", "COSINE")
+        if met == "COSINE":
+            corpus = l2_normalize(new, field)
+        elif met == "IP":
+            # MIPS augmentation must reuse the BUILD-time M: a new vector
+            # whose norm exceeds it cannot be embedded exactly
+            v = F.col(field).cast("array<double>")
+            n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+            m2 = float(entry.get("mips_m2", 0.0))
+            new_max = float(new.select(F.max(n2).alias("m")).first()["m"] or 0.0)
+            if new_max > m2:
+                raise ValueError(
+                    "refresh_index: a new vector's norm exceeds the build-time "
+                    "MIPS bound M — rebuild with create_index"
+                )
+            corpus = new.withColumn(
+                field,
+                F.concat(v, F.array(F.sqrt(F.greatest(F.lit(m2) - n2, F.lit(0.0))))),
+            )
+        else:
+            corpus = new.withColumn(field, F.col(field).cast("array<double>"))
+        epochs = entry.get("epochs") or [
+            {"base": 0, "n": int(entry.get("n_partitions", 8))}
+        ]
+        base = max(e["base"] + e["n"] for e in epochs)
+        rows_per = max(1, n_old // max(1, sum(e["n"] for e in epochs)))
+        k = max(1, min(64, -(-n_new // rows_per)))
+        gp = entry.get("graph_params", {})
+        g_new = build_hnsw(
+            corpus.select(pk, field),
+            field,
+            pk,
+            n_partitions=k,
+            m=int(gp.get("M", 8)),
+            ef_construction=int(gp.get("efConstruction", 64)),
+            part_offset=base,
+        )
+        g_new.write.mode("append").parquet(graph_path)
+        entry["epochs"] = epochs + [{"base": base, "n": k}]
+        entry["built_ts"] = cur
+        self._save_catalog()
+        return entry
 
     def _current_ts(self, name: str) -> int:
         rn = self._resolve_alias(name)
@@ -3067,6 +3185,7 @@ class MilvusSparkClient:
                 k=limit,
                 matches=matches,
                 n_partitions=int(idx.get("n_partitions", 8)),
+                epochs=idx.get("epochs"),
             )
             rt = 12 if round_decimal == -1 else int(round_decimal)
             if met == "COSINE":

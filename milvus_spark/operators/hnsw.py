@@ -157,16 +157,26 @@ def build_hnsw(
     n_partitions: int = 8,
     m: int = 8,
     ef_construction: int = 64,
+    part_offset: int = 0,
 ) -> DataFrame:
     """Index build: deterministic pk bucketing (the segment analog), one
     self-contained graph per bucket via applyInPandas. The artifact rows
     are (part, pos, id, vec, neighbors[pos]) — vectors ride along so a
     search reads ONLY the index table (segment files + graph, like a
-    sealed segment with its HNSW binary)."""
+    sealed segment with its HNSW binary).
+
+    ``part_offset`` numbers the buckets from an offset — the incremental
+    refresh path (client.refresh_index) builds a NEW epoch of buckets for
+    newly inserted rows and appends them after the existing ones, exactly
+    how the reference seals a new segment and indexes only it instead of
+    rebuilding the corpus."""
     src = df.select(
         F.col(id_col).cast("long").alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
-        F.pmod(F.col(id_col).cast("long"), F.lit(n_partitions)).alias("part"),
+        (
+            F.pmod(F.col(id_col).cast("long"), F.lit(n_partitions))
+            + F.lit(int(part_offset))
+        ).alias("part"),
     )
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -196,6 +206,7 @@ def hnsw_search(
     ascending: bool = True,
     matches: DataFrame | None = None,
     n_partitions: int = 8,
+    epochs: list | None = None,
 ) -> DataFrame:
     """Search: per-bucket beam search (applyInPandas over the index rows),
     then the global nq×k merge with the same ranked-window shape as the
@@ -210,7 +221,14 @@ def hnsw_search(
     is laid out on — the only moving data is the id list (ints), never
     vectors, and the bitset build + beam search stay per-segment.
     ``n_partitions`` must equal the build-time bucket count (it is stored
-    in the index entry)."""
+    in the index entry).
+
+    ``epochs`` (optional, [{"base": b, "n": k}, ...]) describes an
+    incrementally refreshed index: each refresh appended k buckets
+    numbered b..b+k-1 holding the rows inserted in that epoch. A match id
+    routes to ONE candidate bucket per epoch (b + pmod(id, k)) — a
+    superset of where it actually resides; buckets where the pk is absent
+    simply don't admit it. Overrides ``n_partitions`` when given."""
     spark = index_df.sparkSession
     qarr = [(int(i), [float(x) for x in q]) for i, q in enumerate(queries)]
     bq = spark.sparkContext.broadcast(qarr)
@@ -254,9 +272,17 @@ def hnsw_search(
         )
     else:
         mcol = matches.columns[0]
-        mt = matches.select(F.col(mcol).cast("long").alias("mid")).withColumn(
-            "part", F.pmod(F.col("mid"), F.lit(n_partitions))
-        )
+        mid = matches.select(F.col(mcol).cast("long").alias("mid"))
+        if epochs:
+            parts = F.array(
+                *[
+                    F.pmod(F.col("mid"), F.lit(int(e["n"]))) + F.lit(int(e["base"]))
+                    for e in epochs
+                ]
+            )
+            mt = mid.select("mid", F.explode(parts).alias("part"))
+        else:
+            mt = mid.withColumn("part", F.pmod(F.col("mid"), F.lit(n_partitions)))
 
         def probe_co(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
             if left.empty:

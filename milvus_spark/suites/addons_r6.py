@@ -536,3 +536,54 @@ def cli_partition_filtered_ann(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("score") + F.lit(0.0)).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "cli_index_refresh_ann",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def cli_index_refresh_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental index maintenance end-to-end (the reference's
+    flush → buildIndex per sealed segment, never a corpus rebuild): index
+    two thirds of the corpus, insert the rest, refresh_index appends a
+    NEW epoch of per-segment graphs for just the delta, and the search
+    serves from old+new buckets — exhaustive ef makes the merged result
+    EXACT vs the whole-corpus brute-force oracle. At 100 TB this is the
+    difference between re-indexing the corpus per ingest batch and
+    indexing only the batch."""
+    client = _client(spark)
+    emb = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "rfq", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("rfq", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("rfq", "embedding", "HNSW", {"M": 8})
+    client.insert("rfq", emb.filter(F.col("vec_id") % 3 == 0))
+    entry = client.refresh_index("rfq", "embedding")
+    assert len(entry["epochs"]) == 2  # the delta got its own segment epoch
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    out = client.search(
+        "rfq",
+        [list(r.embedding) for r in qrows],
+        limit=10,
+        search_params={"ef": 10**6},
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "vec_id",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -270,3 +270,62 @@ def test_mips_reduction_ranks_exactly_by_inner_product():
         assert np.allclose(rec, ip, atol=1e-8)
 
     prop()
+
+
+def test_incremental_refresh_index(spark, sf_dir, tmp_path):
+    """refresh_index: the seal-and-index lifecycle — new inserts become a
+    NEW epoch of per-segment graphs appended to the artifact, no corpus
+    rebuild. After refresh the index serves again (no exact-scan
+    fallback); exhaustive ef equals exact over old+new rows, filtered
+    search routes match ids across epochs, and non-append-only DML is
+    refused."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    old = emb.filter(F.col("vec_id") % 3 != 0)
+    new = emb.filter(F.col("vec_id") % 3 == 0)
+    client.create_collection("rf", pk_field="vec_id", vector_field="embedding")
+    client.insert("rf", old)
+    client.create_index("rf", "embedding", "HNSW", {"M": 8})
+    client.insert("rf", new)  # index now stale
+    entry = client.refresh_index("rf", "embedding")
+    assert len(entry["epochs"]) == 2 and entry["epochs"][0] == {"base": 0, "n": 8}
+    # fresh again: the dispatch serves from the (old+new) graph
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    got = client.search("rf", q, limit=10, search_params={"ef": 10**6}).collect()
+    rows = emb.collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv))
+        for r in rows
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    # filtered: ids route across BOTH epochs (old pks live in epoch-0
+    # buckets, new pks in epoch-1 buckets)
+    filt = client.search(
+        "rf", q, limit=10, filter="vec_id % 2 == 0", search_params={"ef": 10**6}
+    ).collect()
+    even_truth = set(
+        sorted((i for i in cos if i % 2 == 0), key=lambda i: (-round(cos[i], 12), i))[:10]
+    )
+    assert {r.vec_id for r in filt} == even_truth
+    # idempotent no-op when nothing changed
+    assert len(client.refresh_index("rf", "embedding")["epochs"]) == 2
+    # a second append-only batch adds a third epoch
+    extra = emb.limit(5).select(
+        (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label"
+    )
+    client.insert("rf", extra)
+    assert len(client.refresh_index("rf", "embedding")["epochs"]) == 3
+    assert client.search("rf", q, limit=10, search_params={"ef": 10**6}).count() == 10
+    # deletes break append-only: refresh refuses, stale index -> exact scan
+    client.delete("rf", ids=[1])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="append-only"):
+        client.refresh_index("rf", "embedding")
+    post = client.search("rf", q, limit=10).collect()  # exact fallback
+    assert all(r.vec_id != 1 for r in post)
+    client.drop_collection("rf")
