@@ -2261,6 +2261,12 @@ class MilvusSparkClient:
         to the index artifact; searches fan over old + new buckets and
         merge, exactly as over old + new segments.
 
+        IVF family: the trained centroids are kept (the reference assigns
+        new segments to the existing centroids too; drift is accepted
+        until a full rebuild) and the delta is assigned + appended into
+        the cluster-partitioned layout — probe math and partition pruning
+        unchanged.
+
         Only valid for append-only deltas — a delete or upsert since the
         last build means stale graph nodes would need per-bucket masking,
         so it raises and the stale index keeps falling back to the exact
@@ -2273,11 +2279,11 @@ class MilvusSparkClient:
 
         meta = self._meta(name)
         itype = index_type.upper()
-        if itype != "HNSW":
+        if itype not in ("HNSW", "IVF_FLAT", "DISKANN", "SCANN"):
             raise ValueError(
-                f"refresh_index supports HNSW (got {itype!r}); rebuild the "
-                "IVF/PQ/SQ8/LSH families with create_index — their artifacts "
-                "are corpus-global (centroids/codebooks/bounds), not per-segment"
+                f"refresh_index supports the HNSW/IVF families (got {itype!r}); "
+                "rebuild PQ/SQ8/LSH with create_index — their artifacts "
+                "(codebooks/bounds/hyperplanes) are corpus-global trainings"
             )
         entry = meta.get("indexes", {}).get(f"{field}__{itype}")
         if entry is None:
@@ -2297,11 +2303,57 @@ class MilvusSparkClient:
         df = self._read(name)
         new = df.filter(F.col(TS_COL) > entry["built_ts"])
         n_new = new.count()
+        n_old = df.filter(F.col(TS_COL) <= entry["built_ts"]).count()
+        pk = meta["pk"]
+        if itype != "HNSW":
+            # IVF family: centroids are KEPT (no retraining — the reference
+            # also assigns new segments to the trained centroids; drift is
+            # accepted until a full rebuild) and the delta is assigned +
+            # appended into the cluster-partitioned layout, so partition
+            # pruning and the probe math are unchanged.
+            import numpy as np
+
+            from milvus_spark.operators.ivf import assign_clusters, l2_normalize
+
+            clustered_path = os.path.join(entry["path"], "clustered")
+            c = self.spark.read.parquet(clustered_path)
+            if n_old != c.count():
+                raise ValueError(
+                    "refresh_index: indexed rows no longer match the visible "
+                    "pre-build snapshot (compacted deletes?) — rebuild with "
+                    "create_index"
+                )
+            if n_new == 0:
+                entry["built_ts"] = cur
+                self._save_catalog()
+                return entry
+            if (
+                new.select(F.col(pk).alias("_npk"))
+                .join(c.select(F.col(pk).alias("_npk")), "_npk", "left_semi")
+                .limit(1)
+                .count()
+            ):
+                raise ValueError(
+                    "refresh_index: new rows re-use indexed pks (upsert "
+                    "shape) — rebuild with create_index"
+                )
+            corpus = (
+                l2_normalize(new, field)
+                if meta.get("metric", "COSINE") == "COSINE"
+                else new.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            with open(os.path.join(entry["path"], "centroids.json")) as f:
+                cents = np.asarray(json.load(f), dtype=np.float64)
+            assign_clusters(corpus, field, cents).write.mode("append").partitionBy(
+                "cluster_id"
+            ).parquet(clustered_path)
+            entry["built_ts"] = cur
+            self._save_catalog()
+            return entry
         graph_path = os.path.join(entry["path"], "graph")
         g = self.spark.read.parquet(graph_path)
         # folded-delete guard: compaction erases tombstones, so also require
         # that every indexed row is still visible (counts + no pk overlap)
-        n_old = df.filter(F.col(TS_COL) <= entry["built_ts"]).count()
         if n_old != g.count():
             raise ValueError(
                 "refresh_index: indexed rows no longer match the visible "
@@ -2312,7 +2364,6 @@ class MilvusSparkClient:
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
-        pk = meta["pk"]
         if (
             new.select(F.col(pk).cast("long").alias("id"))
             .join(g.select("id"), "id", "left_semi")

@@ -135,3 +135,36 @@ def test_ivf_cosine_probe_is_scale_invariant(spark):
         # identical probe behavior at every scale; recall of the top-1 exact
         assert g[0] == w[0], (scale, g, w)
         assert len(set(g) & set(w)) >= 4, (scale, g, w)
+
+
+def test_incremental_refresh_ivf(spark, sf_dir, tmp_path):
+    """IVF refresh: the delta assigns to the EXISTING centroids and
+    appends into the cluster-partitioned layout — the index serves again
+    without retraining, full probe stays exact over old+new rows, and
+    non-append-only DML is refused."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("ivr", pk_field="vec_id", vector_field="embedding")
+    client.insert("ivr", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("ivr", "embedding", "IVF_FLAT", {"nlist": 8})
+    client.insert("ivr", emb.filter(F.col("vec_id") % 3 == 0))
+    client.refresh_index("ivr", "embedding", "IVF_FLAT")
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    got = client.search("ivr", q, limit=10, search_params={"nprobe": 10**6}).collect()
+    rows = emb.collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in rows
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    # deletes break append-only
+    client.delete("ivr", ids=[1])
+    with pytest.raises(ValueError, match="append-only"):
+        client.refresh_index("ivr", "embedding", "IVF_FLAT")
+    client.drop_collection("ivr")
