@@ -2267,12 +2267,15 @@ class MilvusSparkClient:
         the cluster-partitioned layout — probe math and partition pruning
         unchanged.
 
-        Only valid for append-only deltas — a delete or upsert since the
-        last build means stale graph nodes would need per-bucket masking,
-        so it raises and the stale index keeps falling back to the exact
-        scan until a full create_index. At 100 TB this is THE difference
-        between re-indexing the corpus per ingest batch and indexing only
-        the batch."""
+        Deletes since the last build join the index entry's persisted
+        DELETE BITSET (the reference's sealed-segment delete mask, applied
+        during the search) — artifacts never rewrite on delete. Upserts — a
+        tombstoned pk REAPPEARING among the new rows — are refused (the old
+        node would need per-bucket version masking), as are folded
+        compactions and masks beyond 100k pks: those keep the existing
+        stale-fallback semantics until a full create_index. At 100 TB this
+        is THE difference between re-indexing the corpus per ingest batch
+        and indexing only the batch."""
         self._priv("CreateIndex", name)
         self._deny_ddl("index")
         from milvus_spark.operators.lifecycle import DEL_TS_COL
@@ -2291,20 +2294,33 @@ class MilvusSparkClient:
         cur = self._current_ts(name)
         if entry["built_ts"] == cur:
             return entry  # nothing inserted since the build
+        pk = meta["pk"]
+        # deletes since the last build become part of the persisted DELETE
+        # BITSET (the reference's sealed-segment delete mask applied at
+        # search): sealed graph/cluster artifacts never rewrite on delete.
+        # Upserts — a tombstoned pk REAPPEARING in new rows — stay refused
+        # (stale fallback): the old node would need per-bucket version
+        # masking. The mask is capped so the catalog entry stays small; a
+        # delete-heavy collection should rebuild (compaction + create_index).
         tombs = self._coll(name)._tombstones()
-        if (
-            tombs is not None
-            and tombs.filter(F.col(DEL_TS_COL) > entry["built_ts"]).limit(1).count()
-        ):
+        deleted: list = []
+        if tombs is not None:
+            deleted = [
+                int(r[0])
+                for r in tombs.filter(
+                    F.col(DEL_TS_COL) > entry["built_ts"]
+                ).select(pk).collect()
+            ]
+        masked = sorted(set(entry.get("masked_pks") or []) | set(deleted))
+        if len(masked) > 100_000:
             raise ValueError(
-                "refresh_index requires append-only changes since the last "
-                "build; deletes/upserts detected — rebuild with create_index"
+                "refresh_index: delete mask would exceed 100k pks — compact "
+                "and rebuild with create_index"
             )
         df = self._read(name)
         new = df.filter(F.col(TS_COL) > entry["built_ts"])
         n_new = new.count()
         n_old = df.filter(F.col(TS_COL) <= entry["built_ts"]).count()
-        pk = meta["pk"]
         if itype != "HNSW":
             # IVF family: centroids are KEPT (no retraining — the reference
             # also assigns new segments to the trained centroids; drift is
@@ -2317,13 +2333,24 @@ class MilvusSparkClient:
 
             clustered_path = os.path.join(entry["path"], "clustered")
             c = self.spark.read.parquet(clustered_path)
-            if n_old != c.count():
+            n_masked_in = (
+                c.join(
+                    self.spark.createDataFrame([(i,) for i in masked], f"{pk} long"),
+                    pk,
+                    "left_semi",
+                ).count()
+                if masked
+                else 0
+            )
+            if n_old + n_masked_in != c.count():
                 raise ValueError(
                     "refresh_index: indexed rows no longer match the visible "
                     "pre-build snapshot (compacted deletes?) — rebuild with "
                     "create_index"
                 )
             if n_new == 0:
+                if masked:
+                    entry["masked_pks"] = masked
                 entry["built_ts"] = cur
                 self._save_catalog()
                 return entry
@@ -2347,20 +2374,34 @@ class MilvusSparkClient:
             assign_clusters(corpus, field, cents).write.mode("append").partitionBy(
                 "cluster_id"
             ).parquet(clustered_path)
+            if masked:
+                entry["masked_pks"] = masked
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
         graph_path = os.path.join(entry["path"], "graph")
         g = self.spark.read.parquet(graph_path)
         # folded-delete guard: compaction erases tombstones, so also require
-        # that every indexed row is still visible (counts + no pk overlap)
-        if n_old != g.count():
+        # that every indexed row is still visible or masked (counts + no pk
+        # overlap)
+        n_masked_in = (
+            g.join(
+                self.spark.createDataFrame([(i,) for i in masked], "id long"),
+                "id",
+                "left_semi",
+            ).count()
+            if masked
+            else 0
+        )
+        if n_old + n_masked_in != g.count():
             raise ValueError(
                 "refresh_index: indexed rows no longer match the visible "
                 "pre-build snapshot (compacted deletes?) — rebuild with "
                 "create_index"
             )
         if n_new == 0:
+            if masked:
+                entry["masked_pks"] = masked
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
@@ -2416,6 +2457,8 @@ class MilvusSparkClient:
         )
         g_new.write.mode("append").parquet(graph_path)
         entry["epochs"] = epochs + [{"base": base, "n": k}]
+        if masked:
+            entry["masked_pks"] = masked
         entry["built_ts"] = cur
         self._save_catalog()
         return entry
@@ -3237,6 +3280,7 @@ class MilvusSparkClient:
                 matches=matches,
                 n_partitions=int(idx.get("n_partitions", 8)),
                 epochs=idx.get("epochs"),
+                excluded=idx.get("masked_pks"),
             )
             rt = 12 if round_decimal == -1 else int(round_decimal)
             if met == "COSINE":
@@ -3311,6 +3355,7 @@ class MilvusSparkClient:
                 k=limit,
                 nprobe=int(sp.get("nprobe", default_np)),
                 matches=matches,
+                excluded=idx.get("masked_pks"),
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)

@@ -207,6 +207,7 @@ def hnsw_search(
     matches: DataFrame | None = None,
     n_partitions: int = 8,
     epochs: list | None = None,
+    excluded: list | None = None,
 ) -> DataFrame:
     """Search: per-bucket beam search (applyInPandas over the index rows),
     then the global nq×k merge with the same ranked-window shape as the
@@ -228,10 +229,22 @@ def hnsw_search(
     numbered b..b+k-1 holding the rows inserted in that epoch. A match id
     routes to ONE candidate bucket per epoch (b + pmod(id, k)) — a
     superset of where it actually resides; buckets where the pk is absent
-    simply don't admit it. Overrides ``n_partitions`` when given."""
+    simply don't admit it. Overrides ``n_partitions`` when given.
+
+    ``excluded`` (optional, a plain list of long pk ids) is the
+    reference's DELETE BITSET at search time (sealed segments never
+    rewrite on delete; tombstoned rows are masked during the search):
+    graph nodes whose id is excluded are traversed but never admitted —
+    the same mechanics as the filter bitset, inverted. The list is
+    closure-broadcast (delete sets are bounded by the refresh cap)."""
     spark = index_df.sparkSession
     qarr = [(int(i), [float(x) for x in q]) for i, q in enumerate(queries)]
     bq = spark.sparkContext.broadcast(qarr)
+    excl_arr = (
+        np.asarray(sorted(excluded), dtype=np.int64)
+        if excluded
+        else None
+    )
 
     def probe_pdf(pdf: pd.DataFrame, mids) -> pd.DataFrame:
         pdf = pdf.sort_values("pos").reset_index(drop=True)
@@ -241,8 +254,11 @@ def hnsw_search(
         allowed = None
         if mids is not None:
             allowed = np.isin(ids, mids)
-            if not allowed.any():
-                return pd.DataFrame({"qid": [], "id": [], "sqdist": []})
+        if excl_arr is not None:
+            keep = ~np.isin(ids, excl_arr)
+            allowed = keep if allowed is None else (allowed & keep)
+        if allowed is not None and not allowed.any():
+            return pd.DataFrame({"qid": [], "id": [], "sqdist": []})
         # entry-point selection — the job HNSW's upper layers do: scan a
         # deterministic √n node sample (vectorized) and start the beam at
         # the nearest sample, so the greedy walk begins near the target

@@ -105,6 +105,7 @@ def ivf_search(
     nprobe: int = 8,
     round_to: int = 4,
     matches: Optional[DataFrame] = None,
+    excluded: Optional[Sequence[int]] = None,
 ) -> DataFrame:
     """ANN top-k probing ``nprobe`` clusters per query; exact scoring within.
 
@@ -153,6 +154,11 @@ def ivf_search(
     if matches is not None:
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         cand = cand.join(mt, pk_col, "left_semi")
+    if excluded:
+        # the persisted delete bitset (sealed artifacts never rewrite on
+        # delete): tombstoned pks drop from the candidates before scoring
+        xdf = spark.createDataFrame([(int(i),) for i in excluded], f"{pk_col} long")
+        cand = cand.join(F.broadcast(xdf), pk_col, "left_anti")
 
     sign = 1.0 if asc else -1.0
     kk, met, rt = int(k), metric, round_to

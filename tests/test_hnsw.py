@@ -313,19 +313,33 @@ def test_incremental_refresh_index(spark, sf_dir, tmp_path):
     assert {r.vec_id for r in filt} == even_truth
     # idempotent no-op when nothing changed
     assert len(client.refresh_index("rf", "embedding")["epochs"]) == 2
-    # a second append-only batch adds a third epoch
-    extra = emb.limit(5).select(
+    # a second append-only batch adds a third epoch (duplicated vectors
+    # under shifted pks — they rank identically to their originals)
+    extra = emb.filter(F.col("vec_id") < 5).select(
         (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label"
     )
     client.insert("rf", extra)
+    for i in range(5):
+        cos[10**6 + i] = cos[i]
     assert len(client.refresh_index("rf", "embedding")["epochs"]) == 3
-    assert client.search("rf", q, limit=10, search_params={"ef": 10**6}).count() == 10
-    # deletes break append-only: refresh refuses, stale index -> exact scan
+    got3 = client.search("rf", q, limit=10, search_params={"ef": 10**6}).collect()
+    truth3 = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got3} == truth3
+    # deletes join the persisted DELETE BITSET: refresh succeeds, the
+    # index serves again, and the tombstoned pk never surfaces
     client.delete("rf", ids=[1])
+    entry = client.refresh_index("rf", "embedding")
+    assert entry["masked_pks"] == [1] and len(entry["epochs"]) == 3
+    post = client.search("rf", q, limit=10, search_params={"ef": 10**6}).collect()
+    assert all(r.vec_id != 1 for r in post)
+    cos.pop(1)
+    truth_del = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in post} == truth_del
+    # an upsert (tombstoned pk reappearing) stays refused -> exact fallback
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="append-only"):
+    up = emb.filter(F.col("vec_id") == 2)
+    client.upsert("rf", up)
+    with _pytest.raises(ValueError, match="re-use indexed pks"):
         client.refresh_index("rf", "embedding")
-    post = client.search("rf", q, limit=10).collect()  # exact fallback
-    assert all(r.vec_id != 1 for r in post)
     client.drop_collection("rf")

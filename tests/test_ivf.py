@@ -163,8 +163,14 @@ def test_incremental_refresh_ivf(spark, sf_dir, tmp_path):
     }
     truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
     assert {r.vec_id for r in got} == truth
-    # deletes break append-only
+    # deletes join the persisted delete bitset: refresh succeeds and the
+    # tombstoned pk never surfaces from the index path
     client.delete("ivr", ids=[1])
-    with pytest.raises(ValueError, match="append-only"):
-        client.refresh_index("ivr", "embedding", "IVF_FLAT")
+    entry = client.refresh_index("ivr", "embedding", "IVF_FLAT")
+    assert entry["masked_pks"] == [1]
+    post = client.search("ivr", q, limit=10, search_params={"nprobe": 10**6}).collect()
+    assert all(r.vec_id != 1 for r in post)
+    cos.pop(1)
+    truth_del = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in post} == truth_del
     client.drop_collection("ivr")
