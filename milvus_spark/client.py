@@ -2282,11 +2282,12 @@ class MilvusSparkClient:
 
         meta = self._meta(name)
         itype = index_type.upper()
-        if itype not in ("HNSW", "IVF_FLAT", "DISKANN", "SCANN"):
+        if itype not in (
+            "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH"
+        ):
             raise ValueError(
-                f"refresh_index supports the HNSW/IVF families (got {itype!r}); "
-                "rebuild PQ/SQ8/LSH with create_index — their artifacts "
-                "(codebooks/bounds/hyperplanes) are corpus-global trainings"
+                f"refresh_index does not support {itype!r}; rebuild with "
+                "create_index"
             )
         entry = meta.get("indexes", {}).get(f"{field}__{itype}")
         if entry is None:
@@ -2322,17 +2323,23 @@ class MilvusSparkClient:
         n_new = new.count()
         n_old = df.filter(F.col(TS_COL) <= entry["built_ts"]).count()
         if itype != "HNSW":
-            # IVF family: centroids are KEPT (no retraining — the reference
-            # also assigns new segments to the trained centroids; drift is
-            # accepted until a full rebuild) and the delta is assigned +
-            # appended into the cluster-partitioned layout, so partition
-            # pruning and the probe math are unchanged.
+            # Trained-artifact family: the training (centroids / codebooks /
+            # SQ bounds / hyperplanes) is KEPT — the reference also encodes
+            # new segments with the existing training; drift is accepted
+            # until a full rebuild — and the delta is encoded/assigned and
+            # APPENDED into the layout, so probe math and pruning are
+            # unchanged. (SQ8 clips out-of-range values into the trained
+            # bounds; the shortlist ranking degrades gracefully and the
+            # exact refine still scores true vectors.)
             import numpy as np
 
             from milvus_spark.operators.ivf import assign_clusters, l2_normalize
 
-            clustered_path = os.path.join(entry["path"], "clustered")
-            c = self.spark.read.parquet(clustered_path)
+            artifact = "clustered" if itype in ("IVF_FLAT", "DISKANN", "SCANN") else (
+                "bucketed" if itype == "LSH" else "codes"
+            )
+            apath = os.path.join(entry["path"], artifact)
+            c = self.spark.read.parquet(apath)
             n_masked_in = (
                 c.join(
                     self.spark.createDataFrame([(i,) for i in masked], f"{pk} long"),
@@ -2369,11 +2376,36 @@ class MilvusSparkClient:
                 if meta.get("metric", "COSINE") == "COSINE"
                 else new.withColumn(field, F.col(field).cast("array<double>"))
             )
-            with open(os.path.join(entry["path"], "centroids.json")) as f:
-                cents = np.asarray(json.load(f), dtype=np.float64)
-            assign_clusters(corpus, field, cents).write.mode("append").partitionBy(
-                "cluster_id"
-            ).parquet(clustered_path)
+            if itype in ("IVF_FLAT", "DISKANN", "SCANN"):
+                with open(os.path.join(entry["path"], "centroids.json")) as f:
+                    cents = np.asarray(json.load(f), dtype=np.float64)
+                assign_clusters(corpus, field, cents).write.mode(
+                    "append"
+                ).partitionBy("cluster_id").parquet(apath)
+            elif itype == "IVF_PQ":
+                from milvus_spark.operators.pq import encode_pq
+
+                with open(os.path.join(entry["path"], "codebooks.json")) as f:
+                    books = np.asarray(json.load(f), dtype=np.float64)
+                encode_pq(corpus, field, pk, books).write.mode("append").parquet(
+                    apath
+                )
+            elif itype == "IVF_SQ8":
+                from milvus_spark.operators.sq import encode_sq8
+
+                with open(os.path.join(entry["path"], "bounds.json")) as f:
+                    bounds = np.asarray(json.load(f), dtype=np.float64)
+                encode_sq8(corpus, field, pk, bounds).write.mode("append").parquet(
+                    apath
+                )
+            else:  # LSH
+                from milvus_spark.operators.lsh import assign_buckets
+
+                with open(os.path.join(entry["path"], "hyperplanes.json")) as f:
+                    H = np.asarray(json.load(f), dtype=np.float64)
+                assign_buckets(corpus, field, H).write.mode("append").partitionBy(
+                    "bucket"
+                ).parquet(apath)
             if masked:
                 entry["masked_pks"] = masked
             entry["built_ts"] = cur
@@ -3395,6 +3427,7 @@ class MilvusSparkClient:
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
                 matches=matches,
+                excluded=pq_idx.get("masked_pks"),
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
@@ -3434,6 +3467,7 @@ class MilvusSparkClient:
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 10 * limit)),
                 matches=matches,
+                excluded=sq_idx.get("masked_pks"),
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
@@ -3472,6 +3506,7 @@ class MilvusSparkClient:
                 k=limit,
                 probe_radius=int((search_params or {}).get("probe_radius", 1)),
                 matches=matches,
+                excluded=lsh_idx.get("masked_pks"),
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)

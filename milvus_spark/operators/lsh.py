@@ -92,6 +92,7 @@ def lsh_search(
     probe_radius: int = 1,
     round_to: int = 4,
     matches: DataFrame | None = None,
+    excluded: list | None = None,
 ) -> DataFrame:
     """ANN top-k probing the hamming ball around each query's bucket; exact
     scoring within — same pruned-scan + broadcast-probe tail as ivf_search.
@@ -133,6 +134,10 @@ def lsh_search(
     if matches is not None:
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         cand = cand.join(mt, pk_col, "left_semi")
+    if excluded:
+        # persisted delete bitset: tombstoned pks drop from the probed rows
+        xdf = spark.createDataFrame([(int(i),) for i in excluded], f"{pk_col} long")
+        cand = cand.join(F.broadcast(xdf), pk_col, "left_anti")
 
     sign = 1.0 if asc else -1.0
     kk, met, rt = int(k), metric, round_to

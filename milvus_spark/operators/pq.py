@@ -114,6 +114,7 @@ def pq_search(
     shortlist: int = 200,
     round_to: int = 4,
     matches: DataFrame | None = None,
+    excluded: list | None = None,
 ) -> DataFrame:
     """ADC shortlist over the code table, then exact refine of shortlist rows.
 
@@ -195,6 +196,12 @@ def pq_search(
     if matches is not None:
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         encoded = encoded.join(mt, pk_col, "left_semi")
+    if excluded:
+        # persisted delete bitset: tombstoned pks drop before the ADC scan
+        xdf = encoded.sparkSession.createDataFrame(
+            [(int(i),) for i in excluded], f"{pk_col} long"
+        )
+        encoded = encoded.join(F.broadcast(xdf), pk_col, "left_anti")
     partial = encoded.mapInPandas(adc, schema=f"qid long, {pk_col} long, adc double")
     adc_order = F.col("adc").asc() if adc_sign > 0 else F.col("adc").desc()
     w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())

@@ -93,6 +93,7 @@ def sq8_search(
     shortlist: int = 100,
     round_to: int = 4,
     matches: DataFrame | None = None,
+    excluded: list | None = None,
 ) -> DataFrame:
     """Approximate scan over the code table + exact refine of the shortlist.
 
@@ -151,6 +152,12 @@ def sq8_search(
     if matches is not None:
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         encoded = encoded.join(mt, pk_col, "left_semi")
+    if excluded:
+        # persisted delete bitset: tombstoned pks drop before the code scan
+        xdf = encoded.sparkSession.createDataFrame(
+            [(int(i),) for i in excluded], f"{pk_col} long"
+        )
+        encoded = encoded.join(F.broadcast(xdf), pk_col, "left_anti")
     partial = encoded.mapInPandas(scan, schema=f"qid long, {pk_col} long, adist double")
     adc_order = F.col("adist").asc() if adc_sign > 0 else F.col("adist").desc()
     w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())

@@ -88,3 +88,47 @@ def test_lsh_topk_search_finds_planted_neighbor(spark, planted):
             assert top[N_BASE + i] == i, (i, top)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+def test_incremental_refresh_lsh(spark, sf_dir, tmp_path):
+    """LSH refresh: the delta buckets with the KEPT hyperplanes and appends
+    into the bucket-partitioned layout; deleted pks join the persisted
+    bitset and never surface."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("lshr", pk_field="vec_id", vector_field="embedding")
+    client.insert("lshr", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("lshr", "embedding", "LSH", {"nbits": 6})
+    client.insert("lshr", emb.filter(F.col("vec_id") % 3 == 0))
+    client.refresh_index("lshr", "embedding", "LSH")
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    # full probe radius -> every bucket probed -> exact
+    got = {
+        r.vec_id
+        for r in client.search(
+            "lshr", q, limit=10, search_params={"probe_radius": 6}
+        ).collect()
+    }
+    rows = emb.collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in rows
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert got == truth
+    client.delete("lshr", ids=[1])
+    entry = client.refresh_index("lshr", "embedding", "LSH")
+    assert entry["masked_pks"] == [1]
+    post = client.search(
+        "lshr", q, limit=10, search_params={"probe_radius": 6}
+    ).collect()
+    assert all(r.vec_id != 1 for r in post)
+    client.drop_collection("lshr")

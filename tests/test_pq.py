@@ -77,3 +77,47 @@ def test_pq_ip_metric_finds_large_norm_top1(spark):
         metric="IP", k=5, shortlist=60,
     ).collect()
     assert sorted(got, key=lambda r: r.rank)[0].vec_id == 42
+
+
+def test_incremental_refresh_pq(spark, sf_dir, tmp_path):
+    """PQ refresh: the delta encodes with the KEPT codebooks and appends to
+    the code table; the index serves again, recall holds over old+new
+    rows, and a deleted pk joins the persisted bitset."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("pqr", pk_field="vec_id", vector_field="embedding")
+    client.insert("pqr", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("pqr", "embedding", "IVF_PQ", {"m": 16})
+    client.insert("pqr", emb.filter(F.col("vec_id") % 3 == 0))
+    client.refresh_index("pqr", "embedding", "IVF_PQ")
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    got = {
+        r.vec_id
+        for r in client.search(
+            "pqr", q, limit=10, search_params={"shortlist": 10**6}
+        ).collect()
+    }
+    rows = emb.collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in rows
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    # full shortlist -> exact refine over everything = exact
+    assert got == truth
+    client.delete("pqr", ids=[1])
+    entry = client.refresh_index("pqr", "embedding", "IVF_PQ")
+    assert entry["masked_pks"] == [1]
+    post = client.search(
+        "pqr", q, limit=10, search_params={"shortlist": 10**6}
+    ).collect()
+    assert all(r.vec_id != 1 for r in post)
+    client.drop_collection("pqr")
