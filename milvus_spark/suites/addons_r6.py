@@ -587,3 +587,53 @@ def cli_index_refresh_ann(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("score") + F.lit(0.0)).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "cli_delete_masked_ann",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q WHERE e.vec_id % 7 != 0
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def cli_delete_masked_ann(spark: SparkSession, sf: str) -> DataFrame:
+    """The sealed-segment DELETE BITSET end-to-end: index the corpus,
+    delete every seventh pk, refresh_index folds the tombstones into the
+    entry's persisted mask (the artifact never rewrites), and the search
+    serves FROM THE INDEX with masked nodes dropped during beam
+    expansion — exhaustive ef is EXACT vs the brute-force oracle over the
+    surviving rows. The delegator's delete-mask model
+    (sealed segments + tombstone bitset applied at search)."""
+    client = _client(spark)
+    emb = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "dmq", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("dmq", emb)
+    client.create_index("dmq", "embedding", "HNSW", {"M": 8})
+    client.delete("dmq", filter="vec_id % 7 == 0")
+    entry = client.refresh_index("dmq", "embedding")
+    assert entry.get("masked_pks"), "tombstones must fold into the mask"
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    out = client.search(
+        "dmq",
+        [list(r.embedding) for r in qrows],
+        limit=10,
+        search_params={"ef": 10**6},
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "vec_id",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
