@@ -325,16 +325,24 @@ def test_incremental_refresh_index(spark, sf_dir, tmp_path):
     got3 = client.search("rf", q, limit=10, search_params={"ef": 10**6}).collect()
     truth3 = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
     assert {r.vec_id for r in got3} == truth3
-    # deletes join the persisted DELETE BITSET: refresh succeeds, the
-    # index serves again, and the tombstoned pk never surfaces
+    # deletes join the persisted DELETE BITSET: a refresh carrying BOTH a
+    # delete and a fresh insert batch masks the tombstone AND builds the
+    # new epoch in one call; the index serves again and the tombstoned pk
+    # never surfaces
     client.delete("rf", ids=[1])
+    extra2 = emb.filter((F.col("vec_id") >= 5) & (F.col("vec_id") < 8)).select(
+        (F.col("vec_id") + 2 * 10**6).alias("vec_id"), "embedding", "label"
+    )
+    client.insert("rf", extra2)
+    for i in range(5, 8):
+        cos[2 * 10**6 + i] = cos[i]
     entry = client.refresh_index("rf", "embedding")
-    assert entry["masked_pks"] == [1] and len(entry["epochs"]) == 3
+    assert entry["masked_pks"] == [1] and len(entry["epochs"]) == 4
     post = client.search("rf", q, limit=10, search_params={"ef": 10**6}).collect()
     assert all(r.vec_id != 1 for r in post)
     cos.pop(1)
     truth_del = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
-    assert {r.vec_id for r in post} == truth_del
+    assert {r.vec_id for r in post} == truth_del  # incl. the 4th-epoch rows
     # an upsert (tombstoned pk reappearing) stays refused -> exact fallback
     import pytest as _pytest
 
