@@ -44,6 +44,7 @@ BENCH_QUERIES = [
     "win_asof_last_click",    # AS-OF join via union-marker plan, no join operator (r5)
     "win_range_join_nearby",  # interval join via bucketed equi-join (r5)
     "vec_hnsw_filtered",      # FilterBits->VectorSearch through the graph (r6)
+    "vec_hnsw_prod_ef",       # production-ef graph serving path, recall-gated (r7)
 ]
 
 

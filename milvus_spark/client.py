@@ -2014,7 +2014,21 @@ class MilvusSparkClient:
                 )
             else:
                 corpus = df.withColumn(field, F.col(field).cast("array<double>"))
-            nparts = int(params.get("n_partitions", 8))
+            from milvus_spark.operators.hnsw import (
+                SEGMENT_ROWS_DEFAULT, derive_n_partitions,
+            )
+
+            # bucket count from corpus size (the seal-policy analog,
+            # component_param.go:5605-5630): per-bucket build work is
+            # bounded by segment_rows at ANY corpus scale; explicit
+            # n_partitions still wins for tests/tuning
+            if "n_partitions" in params:
+                nparts = int(params["n_partitions"])
+            else:
+                nparts = derive_n_partitions(
+                    corpus.count(),
+                    int(params.get("segment_rows", SEGMENT_ROWS_DEFAULT)),
+                )
             g = build_hnsw(
                 corpus.select(meta["pk"], field),
                 field,
@@ -2299,25 +2313,25 @@ class MilvusSparkClient:
         # deletes since the last build become part of the persisted DELETE
         # BITSET (the reference's sealed-segment delete mask applied at
         # search): sealed graph/cluster artifacts never rewrite on delete.
-        # Upserts — a tombstoned pk REAPPEARING in new rows — stay refused
-        # (stale fallback): the old node would need per-bucket version
-        # masking. The mask is capped so the catalog entry stays small; a
-        # delete-heavy collection should rebuild (compaction + create_index).
+        # Only pks ACTUALLY PRESENT in the artifact enter the mask — a row
+        # inserted after the build and then deleted (or deleted-and-
+        # re-inserted) was never indexed, so masking it would bloat every
+        # search's exclusion broadcast AND silently hide the re-inserted
+        # copy indexed by this refresh (the r6 advisor's disappearing-row
+        # bug). The mask is capped so the catalog entry stays small; a
+        # delete-heavy collection should rebuild (compaction +
+        # create_index). HNSW masks are [pk, bound] VERSION pairs (see the
+        # graph branch below); the trained family keeps flat pks and
+        # refuses upsert shapes (its appended layout cannot
+        # version-distinguish two copies of one pk).
         tombs = self._coll(name)._tombstones()
-        deleted: list = []
-        if tombs is not None:
-            deleted = [
-                int(r[0])
-                for r in tombs.filter(
-                    F.col(DEL_TS_COL) > entry["built_ts"]
-                ).select(pk).collect()
-            ]
-        masked = sorted(set(entry.get("masked_pks") or []) | set(deleted))
-        if len(masked) > 100_000:
-            raise ValueError(
-                "refresh_index: delete mask would exceed 100k pks — compact "
-                "and rebuild with create_index"
-            )
+        deleted_df = (
+            tombs.filter(F.col(DEL_TS_COL) > entry["built_ts"])
+            .select(F.col(pk).cast("long").alias("_del_pk"))
+            .distinct()
+            if tombs is not None
+            else None
+        )
         df = self._read(name)
         new = df.filter(F.col(TS_COL) > entry["built_ts"])
         n_new = new.count()
@@ -2340,6 +2354,23 @@ class MilvusSparkClient:
             )
             apath = os.path.join(entry["path"], artifact)
             c = self.spark.read.parquet(apath)
+            deleted_in = (
+                [
+                    int(r[0])
+                    for r in c.select(F.col(pk).cast("long").alias("_del_pk"))
+                    .join(deleted_df, "_del_pk", "left_semi")
+                    .distinct()
+                    .collect()
+                ]
+                if deleted_df is not None
+                else []
+            )
+            masked = sorted(set(entry.get("masked_pks") or []) | set(deleted_in))
+            if len(masked) > 100_000:
+                raise ValueError(
+                    "refresh_index: delete mask would exceed 100k pks — "
+                    "compact and rebuild with create_index"
+                )
             n_masked_in = (
                 c.join(
                     self.spark.createDataFrame([(i,) for i in masked], f"{pk} long"),
@@ -2413,16 +2444,54 @@ class MilvusSparkClient:
             return entry
         graph_path = os.path.join(entry["path"], "graph")
         g = self.spark.read.parquet(graph_path)
+        epochs = entry.get("epochs") or [
+            {"base": 0, "n": int(entry.get("n_partitions", 8))}
+        ]
+        base = max(e["base"] + e["n"] for e in epochs)
+        # HNSW delete masks are PER-EPOCH VERSION pairs [pk, bound]: the pk
+        # is masked only in buckets with part < bound, so an upserted row's
+        # re-indexed copy (in a later epoch, part >= bound) stays visible —
+        # the reference's delete-bitset-plus-new-segment semantics. Legacy
+        # flat-int masks (pre-r7 catalogs) mean "masked everywhere built so
+        # far": bound = the current bucket count.
+        masked_pairs: dict[int, int] = {}
+        for e in entry.get("masked_pks") or []:
+            p, b = (int(e[0]), int(e[1])) if isinstance(e, (list, tuple)) else (
+                int(e), base
+            )
+            masked_pairs[p] = max(masked_pairs.get(p, 0), b)
+        # fold this round's tombstones: only pks with copies IN the graph
+        # (see the shared note above) — every existing copy lives in a
+        # part < base, so bound = base masks them all
+        if deleted_df is not None:
+            for r in (
+                g.select(F.col("id").alias("_del_pk"))
+                .join(deleted_df, "_del_pk", "left_semi")
+                .distinct()
+                .collect()
+            ):
+                masked_pairs[int(r[0])] = base
+        if len(masked_pairs) > 100_000:
+            raise ValueError(
+                "refresh_index: delete mask would exceed 100k pks — compact "
+                "and rebuild with create_index"
+            )
+        masked = sorted([p, b] for p, b in masked_pairs.items())
+        mdf = (
+            self.spark.createDataFrame(masked, "mid long, bound long")
+            if masked
+            else None
+        )
         # folded-delete guard: compaction erases tombstones, so also require
-        # that every indexed row is still visible or masked (counts + no pk
-        # overlap)
+        # that every indexed row is still visible or bound-masked (a pk's
+        # re-indexed live copy sits at part >= bound and must NOT count as
+        # masked, or the invariant would drift after an accepted upsert)
         n_masked_in = (
             g.join(
-                self.spark.createDataFrame([(i,) for i in masked], "id long"),
-                "id",
+                mdf, (g["id"] == mdf["mid"]) & (g["part"] < mdf["bound"]),
                 "left_semi",
             ).count()
-            if masked
+            if mdf is not None
             else 0
         )
         if n_old + n_masked_in != g.count():
@@ -2437,17 +2506,32 @@ class MilvusSparkClient:
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
-        if (
-            new.select(F.col(pk).cast("long").alias("id"))
-            .join(g.select("id"), "id", "left_semi")
-            .limit(1)
-            .count()
-        ):
-            raise ValueError(
-                "refresh_index: new rows re-use indexed pks (upsert shape) — "
-                "rebuild with create_index"
+        # upsert acceptance (r7): a new row re-using an indexed pk is fine
+        # IFF every prior copy is tombstone-masked below this epoch (bound
+        # == base, set by this round's fold) — the old node masks out, the
+        # new node indexes into the new epoch. Anything else (a duplicate
+        # insert without a delete, a part-covered stale mask) keeps the
+        # refusal: versions would be indistinguishable at search time.
+        covered = [[p] for p, b in masked_pairs.items() if b >= base]
+        coll = (
+            new.select(F.col(pk).cast("long").alias("_cid"))
+            .join(g.select(F.col("id").alias("_cid")), "_cid", "left_semi")
+        )
+        if covered:
+            coll = coll.join(
+                self.spark.createDataFrame(covered, "_cid long"),
+                "_cid",
+                "left_anti",
             )
-        from milvus_spark.operators.hnsw import build_hnsw
+        if coll.limit(1).count():
+            raise ValueError(
+                "refresh_index: new rows re-use indexed pks whose prior "
+                "copies are not tombstoned — rebuild with create_index"
+            )
+        from milvus_spark.operators.hnsw import (
+            SEGMENT_ROWS_DEFAULT,
+            build_hnsw,
+        )
         from milvus_spark.operators.ivf import l2_normalize
 
         met = meta.get("metric", "COSINE")
@@ -2471,12 +2555,14 @@ class MilvusSparkClient:
             )
         else:
             corpus = new.withColumn(field, F.col(field).cast("array<double>"))
-        epochs = entry.get("epochs") or [
-            {"base": 0, "n": int(entry.get("n_partitions", 8))}
-        ]
-        base = max(e["base"] + e["n"] for e in epochs)
         rows_per = max(1, n_old // max(1, sum(e["n"] for e in epochs)))
-        k = max(1, min(64, -(-n_new // rows_per)))
+        seg_rows = int(
+            (entry.get("params") or {}).get("segment_rows", SEGMENT_ROWS_DEFAULT)
+        )
+        # epoch bucket count: proportional to the existing layout's
+        # rows-per-bucket, but never letting one bucket exceed the seal
+        # size (the same cap create_index derives its count from)
+        k = max(1, min(64, -(-n_new // rows_per)), -(-n_new // seg_rows))
         gp = entry.get("graph_params", {})
         g_new = build_hnsw(
             corpus.select(pk, field),
@@ -2488,12 +2574,100 @@ class MilvusSparkClient:
             part_offset=base,
         )
         g_new.write.mode("append").parquet(graph_path)
-        entry["epochs"] = epochs + [{"base": base, "n": k}]
+        epochs = epochs + [{"base": base, "n": k}]
+        if len(epochs) > self.MAX_INDEX_EPOCHS:
+            epochs, masked = self._compact_epochs(
+                entry, graph_path, epochs, masked_pairs, gp, rows_per, seg_rows
+            )
+        entry["epochs"] = epochs
         if masked:
             entry["masked_pks"] = masked
+        else:  # compaction may fold EVERY masked copy away
+            entry.pop("masked_pks", None)
         entry["built_ts"] = cur
         self._save_catalog()
         return entry
+
+    # epoch-compaction threshold: searches fan one candidate bucket per
+    # epoch per match id and the routing array grows with epoch count, so
+    # unbounded refreshes would degrade filtered search; above this count
+    # the refresh epochs merge into ONE rebuilt epoch (the base build is
+    # never touched — still no corpus rebuild)
+    MAX_INDEX_EPOCHS = 4
+
+    def _compact_epochs(
+        self,
+        entry: dict,
+        graph_path: str,
+        epochs: list,
+        masked_pairs: dict,
+        gp: dict,
+        rows_per: int,
+        seg_rows: int,
+    ) -> tuple:
+        """Merge every refresh epoch (epochs[1:]) into one rebuilt epoch —
+        the reference's small-segment compaction applied to the index: the
+        base build keeps its graphs untouched, the merged rows (which
+        together are refresh-batch sized, not corpus sized) rebuild once,
+        and masked copies living in merged epochs are PHYSICALLY dropped
+        (the delete fold), shrinking both the artifact and the mask."""
+        import shutil
+
+        from milvus_spark.operators.hnsw import build_hnsw
+
+        lo = int(epochs[1]["base"])  # everything >= lo is a refresh epoch
+        g_all = self.spark.read.parquet(graph_path)
+        keep = g_all.filter(F.col("part") < lo)
+        merge_src = g_all.filter(F.col("part") >= lo)
+        if masked_pairs:
+            mdf = self.spark.createDataFrame(
+                sorted([p, b] for p, b in masked_pairs.items()),
+                "mid long, bound long",
+            )
+            merge_src = merge_src.join(
+                mdf,
+                (merge_src["id"] == mdf["mid"])
+                & (merge_src["part"] < mdf["bound"]),
+                "left_anti",
+            )
+        mrows = merge_src.select("id", "vec")
+        n_m = mrows.count()
+        k_m = max(1, min(64, -(-n_m // rows_per)), -(-n_m // seg_rows))
+        rebuilt = build_hnsw(
+            mrows,
+            "vec",
+            "id",
+            n_partitions=k_m,
+            m=int(gp.get("M", 8)),
+            ef_construction=int(gp.get("efConstruction", 64)),
+            part_offset=lo,
+        )
+        tmp = graph_path + ".compact"
+        keep.unionByName(rebuilt).write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(graph_path)
+        os.replace(tmp, graph_path)
+        # masks: merged-epoch copies are gone, so clamp bounds to lo; an
+        # entry whose pk no longer has a base-epoch copy is dead weight
+        clamped = {p: min(b, lo) for p, b in masked_pairs.items()}
+        if clamped:
+            cdf = self.spark.createDataFrame(
+                [[p] for p in sorted(clamped)], "mid long"
+            )
+            alive = {
+                int(r[0])
+                for r in cdf.join(
+                    self.spark.read.parquet(graph_path)
+                    .filter(F.col("part") < lo)
+                    .select(F.col("id").alias("mid")),
+                    "mid",
+                    "left_semi",
+                ).collect()
+            }
+            clamped = {p: b for p, b in clamped.items() if p in alive}
+        return (
+            [epochs[0], {"base": lo, "n": k_m}],
+            sorted([p, b] for p, b in clamped.items()),
+        )
 
     def _current_ts(self, name: str) -> int:
         rn = self._resolve_alias(name)
@@ -3264,6 +3438,11 @@ class MilvusSparkClient:
             # scan, or normalized/augmented-space distances would silently
             # masquerade as raw-space scores
             and (metric_type is None or metric_type == meta["metric"])
+            # an IP graph is only servable when the artifact actually
+            # carries the MIPS augmentation (an index persisted before the
+            # MIPS→L2 path existed stores raw d-dim vectors: probing it
+            # with a (d+1)-dim augmented query would shape-error)
+            and (meta["metric"] != "IP" or "mips_m2" in idx)
         ):
             # real graph path: per-segment beam search + merge. Stored
             # vectors are normalized for COSINE, so cos = 1 - sqdist/2;

@@ -9,3 +9,4 @@ def load_all() -> None:
     # r6+ additions import LAST so pre-existing registration positions
     # never shift under the driver's in-order sampling rotation
     from milvus_spark.suites import addons_r6  # noqa: F401
+    from milvus_spark.suites import addons_r7  # noqa: F401

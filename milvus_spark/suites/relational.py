@@ -463,12 +463,17 @@ def rel_analyzer_stop(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def rel_join_topk_revenue(spark: SparkSession, sf: str) -> DataFrame:
+    # NO broadcast hint on customer: it scales with sf (a forced hint
+    # overrides AQE's size check and OOMs the build side at warehouse
+    # scale). AQE broadcasts it at runtime when the filtered side is
+    # actually small — the same r6 fix the star join got, generalized by
+    # the registry-wide hint sweep (scripts/plan_sweep.py).
     c = load_table(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = load_table(spark, sf, "orders").filter(F.col("o_orderstatus") != "F")
     li = load_table(spark, sf, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_custkey")
         .agg(
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(

@@ -24,7 +24,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_spark.operators.text import (
@@ -1068,20 +1068,19 @@ def dedup_split_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     large dup clusters are surfaced); the split assignment is a pure hash
     column, so the audit adds only two broadcast joins on the pair list."""
     pairs = dedup_ngram_jaccard(spark, sf)
-    d = load_table(spark, sf, "documents")
-    split = F.when(
-        token_hash(F.col("doc_id").cast("string")) % 10 < 8, "train"
-    ).otherwise("val")
-    assign = d.select("doc_id", split.alias("split"))
+
+    # the split is a PURE HASH of doc_id, so it evaluates directly on the
+    # pair columns — no join at all (r7: the registry hint audit flagged
+    # the previous broadcast of the corpus-sized (doc_id, split) frame;
+    # broadcasting an sf-proportional side OOMs at warehouse scale)
+    def split_of(c: str) -> Column:
+        return F.when(
+            token_hash(F.col(c).cast("string")) % 10 < 8, "train"
+        ).otherwise("val")
+
     return (
-        pairs.join(
-            F.broadcast(assign).withColumnRenamed("doc_id", "a").withColumnRenamed("split", "split_a"),
-            "a",
-        )
-        .join(
-            F.broadcast(assign).withColumnRenamed("doc_id", "b").withColumnRenamed("split", "split_b"),
-            "b",
-        )
+        pairs.withColumn("split_a", split_of("a"))
+        .withColumn("split_b", split_of("b"))
         .filter(F.col("split_a") != F.col("split_b"))
         .select("a", "b", "jaccard", "split_a", "split_b")
     )

@@ -329,9 +329,12 @@ def vec_boost_rerank(spark: SparkSession, sf: str) -> DataFrame:
     # only label==3 by 2× means any candidate could flip, so score everything.
     n = emb.count()
     scored = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=n)
+    # no hint: scored is nq x corpus and lab is corpus-sized — neither side
+    # is broadcastable by construction, so the equi-join shuffles on vec_id
+    # and AQE picks the strategy at runtime (r7, registry hint audit)
     lab = emb.select("vec_id", "label")
     boosted = (
-        scored.join(F.broadcast(lab), "vec_id")
+        scored.join(lab, "vec_id")
         .select(
             "qid",
             "vec_id",
@@ -759,9 +762,16 @@ def vec_knn_classify(spark: SparkSession, sf: str) -> DataFrame:
     nonself = hits.filter(F.col("vec_id") != F.col("qid"))
     w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     top = nonself.withColumn("rr", F.row_number().over(w)).filter(F.col("rr") <= 10)
-    lab = top.join(
-        F.broadcast(emb.select("vec_id", "label")), "vec_id"
-    ).groupBy("qid", "label").agg(F.count(F.lit(1)).alias("votes"))
+    # broadcast the nq*10 hit list against the corpus label column (2-col
+    # pruned scan, no shuffle) — NOT the other way around: the label frame
+    # is sf-proportional and broadcasting it OOMs at warehouse scale (r7,
+    # caught by the registry hint audit)
+    lab = (
+        emb.select("vec_id", "label")
+        .join(F.broadcast(top.select("qid", "vec_id")), "vec_id")
+        .groupBy("qid", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
     wv = W.partitionBy("qid").orderBy(F.col("votes").desc(), F.col("label").asc())
     return (
         lab.withColumn("rn", F.row_number().over(wv))
