@@ -104,7 +104,11 @@ CARD_REDUCERS = ("Aggregate", "GlobalLimit", "Deduplicate")
 #   [idx]  index-probe shortlists (PQ/SQ refine, posting-index matches) —
 #         bounded by nq x shortlist_k / predicate selectivity
 HINT_ALLOWED: dict[str, int] = {
-    # [q] nq-sized query frames filtered by literal pk bound
+    # [q] nq-sized query frames filtered by literal pk bound; knn_classify
+    # broadcasts its nq*10 hit list (rank<=10 window filter — bounded, but
+    # not an Aggregate/Limit node)
+    "vec_knn_classify": 1,
+    "vec_binary_substructure": 1, "vec_binary_superstructure": 1,
     "vec_binary_hamming": 1, "vec_binary_jaccard": 1, "vec_sparse_ip": 1,
     "vec_maxsim_ip": 1, "vec_maxsim_cosine": 1, "vec_maxsim_l2": 1,
     "vec_maxsim_hamming": 1, "vec_maxsim_jaccard": 1, "vec_int8_ip": 1,
