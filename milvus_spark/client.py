@@ -2076,7 +2076,13 @@ class MilvusSparkClient:
                 max_iter=int(params.get("max_iter", 8)),
             )
             os.makedirs(idx_dir, exist_ok=True)
-            write_clustered(corpus, field, cents, os.path.join(idx_dir, "clustered"))
+            # rows carry _epoch (0 = the base build; refresh appends higher
+            # epochs) so the delete bitset can version-mask upserted pks —
+            # operators/bitset.py documents the semantics
+            write_clustered(
+                corpus.withColumn("_epoch", F.lit(0).cast("long")),
+                field, cents, os.path.join(idx_dir, "clustered"),
+            )
             with open(os.path.join(idx_dir, "centroids.json"), "w") as f:
                 json.dump(cents.tolist(), f)
             entry["nlist"] = nlist
@@ -2112,9 +2118,9 @@ class MilvusSparkClient:
                 seed=int(params.get("seed", 42)),
             )
             os.makedirs(idx_dir, exist_ok=True)
-            encode_pq(corpus, field, meta["pk"], books).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(idx_dir, "codes"))
+            encode_pq(corpus, field, meta["pk"], books).withColumn(
+                "_epoch", F.lit(0).cast("long")
+            ).write.mode("overwrite").parquet(os.path.join(idx_dir, "codes"))
             with open(os.path.join(idx_dir, "codebooks.json"), "w") as f:
                 json.dump(books.tolist(), f)
             entry["m"] = m
@@ -2143,9 +2149,9 @@ class MilvusSparkClient:
                 raise ValueError(f"cannot build IVF_SQ8 on empty collection {name!r}")
             bounds = train_sq8(corpus, field, dim=len(row0[0]))
             os.makedirs(idx_dir, exist_ok=True)
-            encode_sq8(corpus, field, meta["pk"], bounds).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(idx_dir, "codes"))
+            encode_sq8(corpus, field, meta["pk"], bounds).withColumn(
+                "_epoch", F.lit(0).cast("long")
+            ).write.mode("overwrite").parquet(os.path.join(idx_dir, "codes"))
             with open(os.path.join(idx_dir, "bounds.json"), "w") as f:
                 json.dump(bounds.tolist(), f)
         elif itype == "NGRAM":
@@ -2229,7 +2235,10 @@ class MilvusSparkClient:
                 dim = len(row[0])
             H = hyperplanes(dim, nbits, seed)
             os.makedirs(idx_dir, exist_ok=True)
-            write_bucketed(corpus, field, H, os.path.join(idx_dir, "bucketed"))
+            write_bucketed(
+                corpus.withColumn("_epoch", F.lit(0).cast("long")),
+                field, H, os.path.join(idx_dir, "bucketed"),
+            )
             with open(os.path.join(idx_dir, "hyperplanes.json"), "w") as f:
                 json.dump(H.tolist(), f)
             entry["nbits"] = nbits
@@ -2349,11 +2358,27 @@ class MilvusSparkClient:
 
             from milvus_spark.operators.ivf import assign_clusters, l2_normalize
 
+            from milvus_spark.operators.bitset import epoch_col, normalize_mask
+
             artifact = "clustered" if itype in ("IVF_FLAT", "DISKANN", "SCANN") else (
                 "bucketed" if itype == "LSH" else "codes"
             )
             apath = os.path.join(entry["path"], artifact)
             c = self.spark.read.parquet(apath)
+            # rows carry _epoch since r7 (create_index stamps 0; each
+            # refresh appends the next epoch), enabling PER-EPOCH VERSION
+            # MASKS for upserts — [pk, bound] masks only rows with
+            # _epoch < bound, so the re-appended copy keeps serving
+            # (operators/bitset.py). A pre-r7 artifact has no _epoch
+            # column: appending one mid-artifact would fork the parquet
+            # schema, so legacy artifacts keep flat masks and REFUSE
+            # upserts (the old stale-fallback contract) until a
+            # create_index rebuild.
+            epochal = "_epoch" in c.columns
+            new_epoch = int(entry.get("cur_epoch", 0)) + 1
+            masked_pairs: dict[int, int] = {
+                p: b for p, b in normalize_mask(entry.get("masked_pks"))
+            }
             deleted_in = (
                 [
                     int(r[0])
@@ -2365,19 +2390,34 @@ class MilvusSparkClient:
                 if deleted_df is not None
                 else []
             )
-            masked = sorted(set(entry.get("masked_pks") or []) | set(deleted_in))
-            if len(masked) > 100_000:
+            for p in deleted_in:
+                # every existing copy lives below new_epoch; for legacy
+                # artifacts normalize_mask maps flat ints to "every epoch"
+                masked_pairs[p] = max(
+                    masked_pairs.get(p, 0), new_epoch if epochal else 1 << 62
+                )
+            if len(masked_pairs) > 100_000:
                 raise ValueError(
                     "refresh_index: delete mask would exceed 100k pks — "
                     "compact and rebuild with create_index"
                 )
+            masked = sorted([p, b] for p, b in masked_pairs.items())
+            mdf = (
+                self.spark.createDataFrame(masked, "mid long, bound long")
+                if masked
+                else None
+            )
+            # folded-delete guard: every artifact row is either a visible
+            # pre-refresh row (n_old) or a bound-masked stale copy — an
+            # upserted pk's re-appended copy sits at _epoch >= bound and
+            # must NOT count as masked
             n_masked_in = (
                 c.join(
-                    self.spark.createDataFrame([(i,) for i in masked], f"{pk} long"),
-                    pk,
+                    mdf,
+                    (F.col(pk) == mdf["mid"]) & (epoch_col(c) < mdf["bound"]),
                     "left_semi",
                 ).count()
-                if masked
+                if mdf is not None
                 else 0
             )
             if n_old + n_masked_in != c.count():
@@ -2392,21 +2432,44 @@ class MilvusSparkClient:
                 entry["built_ts"] = cur
                 self._save_catalog()
                 return entry
-            if (
-                new.select(F.col(pk).alias("_npk"))
-                .join(c.select(F.col(pk).alias("_npk")), "_npk", "left_semi")
-                .limit(1)
-                .count()
-            ):
+            # upsert acceptance (epochal artifacts only): a new row re-using
+            # an indexed pk is fine IFF every prior copy is tombstone-masked
+            # below the epoch this refresh appends (bound == new_epoch, set
+            # by this round's fold) — otherwise refuse: two live copies of
+            # one pk are indistinguishable at search time
+            covered = (
+                [[p] for p, b in masked_pairs.items() if b >= new_epoch]
+                if epochal
+                else []
+            )
+            coll = (
+                new.select(F.col(pk).cast("long").alias("_npk"))
+                .join(
+                    c.select(F.col(pk).cast("long").alias("_npk")),
+                    "_npk",
+                    "left_semi",
+                )
+            )
+            if covered:
+                coll = coll.join(
+                    self.spark.createDataFrame(covered, "_npk long"),
+                    "_npk",
+                    "left_anti",
+                )
+            if coll.limit(1).count():
                 raise ValueError(
-                    "refresh_index: new rows re-use indexed pks (upsert "
-                    "shape) — rebuild with create_index"
+                    "refresh_index: new rows re-use indexed pks whose prior "
+                    "copies are not tombstoned — rebuild with create_index"
                 )
             corpus = (
                 l2_normalize(new, field)
                 if meta.get("metric", "COSINE") == "COSINE"
                 else new.withColumn(field, F.col(field).cast("array<double>"))
             )
+            if epochal:
+                corpus = corpus.withColumn(
+                    "_epoch", F.lit(new_epoch).cast("long")
+                )
             if itype in ("IVF_FLAT", "DISKANN", "SCANN"):
                 with open(os.path.join(entry["path"], "centroids.json")) as f:
                     cents = np.asarray(json.load(f), dtype=np.float64)
@@ -2418,17 +2481,19 @@ class MilvusSparkClient:
 
                 with open(os.path.join(entry["path"], "codebooks.json")) as f:
                     books = np.asarray(json.load(f), dtype=np.float64)
-                encode_pq(corpus, field, pk, books).write.mode("append").parquet(
-                    apath
-                )
+                enc = encode_pq(corpus, field, pk, books)
+                if epochal:
+                    enc = enc.withColumn("_epoch", F.lit(new_epoch).cast("long"))
+                enc.write.mode("append").parquet(apath)
             elif itype == "IVF_SQ8":
                 from milvus_spark.operators.sq import encode_sq8
 
                 with open(os.path.join(entry["path"], "bounds.json")) as f:
                     bounds = np.asarray(json.load(f), dtype=np.float64)
-                encode_sq8(corpus, field, pk, bounds).write.mode("append").parquet(
-                    apath
-                )
+                enc = encode_sq8(corpus, field, pk, bounds)
+                if epochal:
+                    enc = enc.withColumn("_epoch", F.lit(new_epoch).cast("long"))
+                enc.write.mode("append").parquet(apath)
             else:  # LSH
                 from milvus_spark.operators.lsh import assign_buckets
 
@@ -2437,6 +2502,8 @@ class MilvusSparkClient:
                 assign_buckets(corpus, field, H).write.mode("append").partitionBy(
                     "bucket"
                 ).parquet(apath)
+            if epochal:
+                entry["cur_epoch"] = new_epoch
             if masked:
                 entry["masked_pks"] = masked
             entry["built_ts"] = cur

@@ -156,9 +156,11 @@ def ivf_search(
         cand = cand.join(mt, pk_col, "left_semi")
     if excluded:
         # the persisted delete bitset (sealed artifacts never rewrite on
-        # delete): tombstoned pks drop from the candidates before scoring
-        xdf = spark.createDataFrame([(int(i),) for i in excluded], f"{pk_col} long")
-        cand = cand.join(F.broadcast(xdf), pk_col, "left_anti")
+        # delete): tombstoned pks drop from the candidates before scoring;
+        # [pk, bound] entries mask only epochs below the bound (upserts)
+        from milvus_spark.operators.bitset import apply_delete_bitset
+
+        cand = apply_delete_bitset(cand, pk_col, excluded)
 
     sign = 1.0 if asc else -1.0
     kk, met, rt = int(k), metric, round_to

@@ -135,9 +135,11 @@ def lsh_search(
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         cand = cand.join(mt, pk_col, "left_semi")
     if excluded:
-        # persisted delete bitset: tombstoned pks drop from the probed rows
-        xdf = spark.createDataFrame([(int(i),) for i in excluded], f"{pk_col} long")
-        cand = cand.join(F.broadcast(xdf), pk_col, "left_anti")
+        # persisted delete bitset: tombstoned pks drop from the probed rows;
+        # [pk, bound] entries mask only epochs below the bound (upserts)
+        from milvus_spark.operators.bitset import apply_delete_bitset
+
+        cand = apply_delete_bitset(cand, pk_col, excluded)
 
     sign = 1.0 if asc else -1.0
     kk, met, rt = int(k), metric, round_to

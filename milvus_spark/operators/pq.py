@@ -197,11 +197,11 @@ def pq_search(
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         encoded = encoded.join(mt, pk_col, "left_semi")
     if excluded:
-        # persisted delete bitset: tombstoned pks drop before the ADC scan
-        xdf = encoded.sparkSession.createDataFrame(
-            [(int(i),) for i in excluded], f"{pk_col} long"
-        )
-        encoded = encoded.join(F.broadcast(xdf), pk_col, "left_anti")
+        # persisted delete bitset: tombstoned pks drop before the ADC scan;
+        # [pk, bound] entries mask only epochs below the bound (upserts)
+        from milvus_spark.operators.bitset import apply_delete_bitset
+
+        encoded = apply_delete_bitset(encoded, pk_col, excluded)
     partial = encoded.mapInPandas(adc, schema=f"qid long, {pk_col} long, adc double")
     adc_order = F.col("adc").asc() if adc_sign > 0 else F.col("adc").desc()
     w_sl = W.partitionBy("qid").orderBy(adc_order, F.col(pk_col).asc())

@@ -163,6 +163,81 @@ def cli_epoch_compact_ann(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@register(
+    "cli_upsert_refresh_ivf",
+    oracle=f"""
+    WITH n AS (SELECT count(*) AS n FROM embeddings),
+    eff AS (
+      SELECT e.vec_id,
+             CASE WHEN e.vec_id % 5 = 0 THEN nb.embedding
+                  ELSE e.embedding END AS emb
+      FROM embeddings e
+      JOIN n ON TRUE
+      JOIN embeddings nb ON nb.vec_id = (e.vec_id + 1) % n.n
+    ),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, eff.vec_id,
+             round(list_cosine_similarity(CAST(eff.emb AS DOUBLE[]), q.qv), 4) AS score
+      FROM eff, q
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def cli_upsert_refresh_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Upsert-tolerant refresh on the TRAINED index family (r7): IVF
+    artifact rows carry an ``_epoch`` column, so an upserted pk's old
+    assigned copy version-masks below the refresh epoch while the
+    re-assigned new copy (possibly in a DIFFERENT cluster — the vectors
+    changed) serves — the same delete-bitset-plus-new-segment semantics
+    the graph path got, without retraining the centroids. Full probe
+    (nprobe = nlist) keeps the search EXACT vs the brute-force oracle
+    over the POST-upsert corpus, proving the new versions rank and the
+    shadowed copies never surface."""
+    client = _client(spark)
+    emb = load_table(spark, sf, "embeddings")
+    n = emb.count()
+    client.create_collection(
+        "uri", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("uri", emb)
+    client.create_index("uri", "embedding", "IVF_FLAT", {"nlist": 8})
+    up = (
+        emb.filter(F.col("vec_id") % 5 == 0)
+        .alias("e")
+        .join(
+            emb.alias("nb"),
+            F.col("nb.vec_id") == (F.col("e.vec_id") + 1) % n,
+        )
+        .select(
+            F.col("e.vec_id").alias("vec_id"),
+            F.col("nb.embedding").alias("embedding"),
+            F.col("e.label").alias("label"),
+        )
+    )
+    client.upsert("uri", up)
+    entry = client.refresh_index("uri", "embedding", "IVF_FLAT")
+    assert entry.get("cur_epoch") == 1 and entry["masked_pks"]
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    out = client.search(
+        "uri",
+        [list(r.embedding) for r in qrows],
+        limit=10,
+        search_params={"nprobe": 10**6},
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "vec_id",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 # ---------- production-regime ANN serving bench entry -------------------------
 # The exhaustive-ef queries gate EXACTNESS; this entry benches the SERVING
 # path (small ef, the regime a deployed index actually runs) so a

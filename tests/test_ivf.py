@@ -167,10 +167,25 @@ def test_incremental_refresh_ivf(spark, sf_dir, tmp_path):
     # tombstoned pk never surfaces from the index path
     client.delete("ivr", ids=[1])
     entry = client.refresh_index("ivr", "embedding", "IVF_FLAT")
-    assert entry["masked_pks"] == [1]
+    # masks are [pk, epoch-bound] pairs (r7): pk masked below the bound
+    assert [p for p, _ in entry["masked_pks"]] == [1]
     post = client.search("ivr", q, limit=10, search_params={"nprobe": 10**6}).collect()
     assert all(r.vec_id != 1 for r in post)
     cos.pop(1)
     truth_del = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
     assert {r.vec_id for r in post} == truth_del
+    # upsert ACCEPTED (r7): rows carry _epoch, so the old assigned copy
+    # version-masks below the new epoch while the re-inserted row keeps
+    # serving — the delete-bitset-plus-new-segment semantics
+    client.upsert("ivr", emb.filter(F.col("vec_id") == 2))
+    entry = client.refresh_index("ivr", "embedding", "IVF_FLAT")
+    assert sorted(p for p, _ in entry["masked_pks"]) == [1, 2]
+    up = client.search("ivr", q, limit=10, search_params={"nprobe": 10**6}).collect()
+    assert {r.vec_id for r in up} == truth_del  # pk 2 still present, pk 1 not
+    # a duplicate insert WITHOUT a tombstone stays refused
+    client.insert("ivr", emb.filter(F.col("vec_id") == 4))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not tombstoned"):
+        client.refresh_index("ivr", "embedding", "IVF_FLAT")
     client.drop_collection("ivr")

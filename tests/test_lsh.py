@@ -126,9 +126,21 @@ def test_incremental_refresh_lsh(spark, sf_dir, tmp_path):
     assert got == truth
     client.delete("lshr", ids=[1])
     entry = client.refresh_index("lshr", "embedding", "LSH")
-    assert entry["masked_pks"] == [1]
+    assert [p for p, _ in entry["masked_pks"]] == [1]  # [pk, bound] pairs (r7)
     post = client.search(
         "lshr", q, limit=10, search_params={"probe_radius": 6}
     ).collect()
     assert all(r.vec_id != 1 for r in post)
+    # upsert ACCEPTED (r7): old bucketed copy version-masks below the new
+    # epoch; the re-bucketed copy keeps serving (same vector -> same rank)
+    client.upsert("lshr", emb.filter(F.col("vec_id") == 2))
+    entry = client.refresh_index("lshr", "embedding", "LSH")
+    assert sorted(p for p, _ in entry["masked_pks"]) == [1, 2]
+    up = {
+        r.vec_id
+        for r in client.search(
+            "lshr", q, limit=10, search_params={"probe_radius": 6}
+        ).collect()
+    }
+    assert up == {r.vec_id for r in post}
     client.drop_collection("lshr")

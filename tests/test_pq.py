@@ -115,9 +115,19 @@ def test_incremental_refresh_pq(spark, sf_dir, tmp_path):
     assert got == truth
     client.delete("pqr", ids=[1])
     entry = client.refresh_index("pqr", "embedding", "IVF_PQ")
-    assert entry["masked_pks"] == [1]
+    assert [p for p, _ in entry["masked_pks"]] == [1]  # [pk, bound] pairs (r7)
     post = client.search(
         "pqr", q, limit=10, search_params={"shortlist": 10**6}
     ).collect()
     assert all(r.vec_id != 1 for r in post)
+    # upsert ACCEPTED (r7): old code row version-masks below the new
+    # epoch; the re-encoded copy keeps serving
+    client.upsert("pqr", emb.filter(F.col("vec_id") == 2))
+    entry = client.refresh_index("pqr", "embedding", "IVF_PQ")
+    assert sorted(p for p, _ in entry["masked_pks"]) == [1, 2]
+    up = client.search(
+        "pqr", q, limit=10, search_params={"shortlist": 10**6}
+    ).collect()
+    # identical vector re-encoded -> identical exact-refine result
+    assert {r.vec_id for r in up} == {r.vec_id for r in post}
     client.drop_collection("pqr")
