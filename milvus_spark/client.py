@@ -2379,15 +2379,27 @@ class MilvusSparkClient:
             masked_pairs: dict[int, int] = {
                 p: b for p, b in normalize_mask(entry.get("masked_pks"))
             }
-            deleted_in = (
-                [
-                    int(r[0])
-                    for r in c.select(F.col(pk).cast("long").alias("_del_pk"))
-                    .join(deleted_df, "_del_pk", "left_semi")
-                    .distinct()
-                    .collect()
-                ]
+            deleted_in_df = (
+                c.select(F.col(pk).cast("long").alias("_del_pk"))
+                .join(deleted_df, "_del_pk", "left_semi")
+                .distinct()
                 if deleted_df is not None
+                else None
+            )
+            # cap BEFORE collecting: a delete-heavy corpus must not
+            # materialize an unbounded pk list on the driver just to learn
+            # the mask is oversized
+            if (
+                deleted_in_df is not None
+                and len(masked_pairs) + deleted_in_df.count() > 100_000
+            ):
+                raise ValueError(
+                    "refresh_index: delete mask would exceed 100k pks — "
+                    "compact and rebuild with create_index"
+                )
+            deleted_in = (
+                [int(r[0]) for r in deleted_in_df.collect()]
+                if deleted_in_df is not None
                 else []
             )
             for p in deleted_in:
@@ -2529,14 +2541,21 @@ class MilvusSparkClient:
             masked_pairs[p] = max(masked_pairs.get(p, 0), b)
         # fold this round's tombstones: only pks with copies IN the graph
         # (see the shared note above) — every existing copy lives in a
-        # part < base, so bound = base masks them all
+        # part < base, so bound = base masks them all. Cap BEFORE
+        # collecting so a delete-heavy corpus never materializes an
+        # unbounded pk list on the driver.
         if deleted_df is not None:
-            for r in (
+            del_in_g = (
                 g.select(F.col("id").alias("_del_pk"))
                 .join(deleted_df, "_del_pk", "left_semi")
                 .distinct()
-                .collect()
-            ):
+            )
+            if len(masked_pairs) + del_in_g.count() > 100_000:
+                raise ValueError(
+                    "refresh_index: delete mask would exceed 100k pks — "
+                    "compact and rebuild with create_index"
+                )
+            for r in del_in_g.collect():
                 masked_pairs[int(r[0])] = base
         if len(masked_pairs) > 100_000:
             raise ValueError(
