@@ -2275,7 +2275,13 @@ class MilvusSparkClient:
         shutil.rmtree(entry["path"], ignore_errors=True)
         self._save_catalog()
 
-    def refresh_index(self, name: str, field: str, index_type: str = "HNSW") -> dict:
+    def refresh_index(
+        self,
+        name: str,
+        field: str,
+        index_type: str = "HNSW",
+        on_mismatch: str = "error",
+    ) -> dict:
         """Incremental index maintenance — the reference's actual
         seal-and-index lifecycle (a sealed segment gets ITS OWN graph;
         the corpus is never re-indexed, flush → buildIndex per new
@@ -2292,13 +2298,35 @@ class MilvusSparkClient:
 
         Deletes since the last build join the index entry's persisted
         DELETE BITSET (the reference's sealed-segment delete mask, applied
-        during the search) — artifacts never rewrite on delete. Upserts — a
-        tombstoned pk REAPPEARING among the new rows — are refused (the old
-        node would need per-bucket version masking), as are folded
-        compactions and masks beyond 100k pks: those keep the existing
-        stale-fallback semantics until a full create_index. At 100 TB this
-        is THE difference between re-indexing the corpus per ingest batch
-        and indexing only the batch."""
+        during the search) — artifacts never rewrite on delete. Upserts
+        (a tombstoned pk reappearing among the new rows) are ACCEPTED via
+        per-epoch version masks (r7): the old copy masks below the new
+        epoch while the re-indexed row serves from it. Refused shapes —
+        duplicate inserts without a tombstone, folded compactions (the
+        artifact no longer matches the pre-build snapshot), masks beyond
+        100k pks — keep the stale-fallback semantics under the default
+        ``on_mismatch="error"``; ``on_mismatch="rebuild"`` instead falls
+        back to a full ``create_index`` with the entry's stored params —
+        the reference's own answer to a compacted segment set (compaction
+        triggers re-index of the affected segments). At 100 TB the
+        incremental path is THE difference between re-indexing the corpus
+        per ingest batch and indexing only the batch; the rebuild
+        fallback is the escape hatch for the shapes that genuinely
+        invalidate the artifact."""
+        if on_mismatch not in ("error", "rebuild"):
+            raise ValueError(f"on_mismatch must be error|rebuild, got {on_mismatch!r}")
+        if on_mismatch == "rebuild":
+            try:
+                return self.refresh_index(name, field, index_type)
+            except ValueError as e:
+                if "rebuild with create_index" not in str(e):
+                    raise
+                entry = self._meta(name)["indexes"][
+                    f"{field}__{index_type.upper()}"
+                ]
+                return self.create_index(
+                    name, field, index_type, dict(entry.get("params") or {})
+                )
         self._priv("CreateIndex", name)
         self._deny_ddl("index")
         from milvus_spark.operators.lifecycle import DEL_TS_COL

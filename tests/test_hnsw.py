@@ -293,6 +293,48 @@ def test_epoch_compaction_bounds_fanout(spark, sf_dir, tmp_path):
     client.drop_collection("ec")
 
 
+def test_refresh_rebuild_on_folded_compaction(spark, sf_dir, tmp_path):
+    """Compaction folds tombstones into the data files, so the sealed
+    index artifact no longer matches the pre-build snapshot — the strict
+    refresh refuses (stale fallback). on_mismatch="rebuild" (r7) instead
+    falls back to a full create_index with the entry's stored params —
+    the reference's own answer to a compacted segment set — and the
+    rebuilt index serves exactly."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("rc", pk_field="vec_id", vector_field="embedding")
+    client.insert("rc", emb)
+    client.create_index("rc", "embedding", "HNSW", {"M": 8})
+    client.delete("rc", ids=[5, 6])
+    client.compact("rc")  # folds the tombstones away
+    with pytest.raises(ValueError, match="rebuild with create_index"):
+        client.refresh_index("rc", "embedding")
+    entry = client.refresh_index("rc", "embedding", on_mismatch="rebuild")
+    assert entry["built_ts"] == client._current_ts("rc")
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    got = client.search("rc", q, limit=10, search_params={"ef": 10**6}).collect()
+    rows = [r for r in emb.collect() if r.vec_id not in (5, 6)]
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv))
+        for r in rows
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    # the ordinary append-only path is untouched by the flag
+    client.insert(
+        "rc",
+        emb.filter(F.col("vec_id") == 5).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label"
+        ),
+    )
+    entry = client.refresh_index("rc", "embedding", on_mismatch="rebuild")
+    assert len(entry["epochs"]) == 2  # incremental epoch, not a rebuild
+    client.drop_collection("rc")
+
+
 def test_ip_metric_through_graph(spark, sf_dir, tmp_path):
     """IP searches ride the graph via the MIPS→L2 reduction (augment each
     corpus vector with sqrt(M² − ‖x‖²); L2 over augmented space ranks
