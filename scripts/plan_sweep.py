@@ -128,6 +128,11 @@ HINT_ALLOWED: dict[str, int] = {
     "dml_snapshot_restore": 1, "dml_array_field_ops": 1,
     "dml_namespace_isolation": 1, "dml_consistency_levels": 3,
     "vec_search_after_dml": 1, "vec_sealed_growing_merge": 1,
+    # [life] sealed+growing serving (r8): the growing delta reads through
+    # Collection.read, whose tombstone anti-join broadcast is the same
+    # compaction-bounded frame as the dml_* rows above; the serving path's
+    # OWN per-query mask is additionally capped (client.GROWING_MASK_LIMIT)
+    "cli_growing_merge_ann": 1,
     # [idx] probe shortlists
     "vec_pq_refine": 1, "vec_sq8_refine": 1, "rel_json_flat_index": 1,
 }

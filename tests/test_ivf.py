@@ -186,6 +186,81 @@ def test_incremental_refresh_ivf(spark, sf_dir, tmp_path):
     client.insert("ivr", emb.filter(F.col("vec_id") == 4))
     import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="not tombstoned"):
+    with _pytest.raises(ValueError, match="still have live"):
         client.refresh_index("ivr", "embedding", "IVF_FLAT")
     client.drop_collection("ivr")
+
+
+def test_trained_mask_fold_rewrites_only_affected_clusters(spark, sf_dir, tmp_path):
+    """r8 (the r7 verdict's #3 ask): when epochs cross MAX_INDEX_EPOCHS,
+    version-masked copies physically drop from the clustered layout by
+    rewriting ONLY the cluster partitions that contain them — unaffected
+    cluster dirs must be BYTE-IDENTICAL (mask-sized IO, not corpus-sized),
+    the mask folds to empty, and full probe stays exact."""
+    import hashlib
+    import os
+
+    from milvus_spark.client import MilvusSparkClient
+
+    def _cluster_state(apath):
+        state = {}
+        for d in sorted(os.listdir(apath)):
+            if not d.startswith("cluster_id="):
+                continue
+            for fn in sorted(os.listdir(os.path.join(apath, d))):
+                with open(os.path.join(apath, d, fn), "rb") as f:
+                    state[(d, fn)] = hashlib.sha256(f.read()).hexdigest()
+        return state
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("mf", pk_field="vec_id", vector_field="embedding")
+    client.insert("mf", emb)
+    client.create_index("mf", "embedding", "IVF_FLAT", {"nlist": 8})
+    entry = client.describe_index("mf", "embedding", "IVF_FLAT")
+    apath = os.path.join(entry["path"], "clustered")
+    before = _cluster_state(apath)
+    # five upsert→refresh cycles over the SAME two pks: masks accumulate
+    # until the 5th refresh crosses MAX_INDEX_EPOCHS and folds them
+    up = emb.filter(F.col("vec_id").isin(3, 11))
+    for _cycle in range(5):
+        client.upsert("mf", up)
+        entry = client.refresh_index("mf", "embedding", "IVF_FLAT")
+    assert entry["cur_epoch"] == 5
+    assert not entry.get("masked_pks")  # folded to empty
+    after = _cluster_state(apath)
+    # the two pks' copies live in a bounded set of clusters; every other
+    # cluster partition is untouched on disk
+    changed = {d for (d, fn) in set(before) ^ set(after)} | {
+        d for k in before if k in after and before[k] != after[k] for d in [k[0]]
+    }
+    untouched = {d for (d, _fn) in before} - changed
+    assert untouched, "some cluster partitions must be untouched"
+    for k, h in before.items():
+        if k[0] in untouched:
+            assert after.get(k) == h
+    # shadowed copies are physically gone: each upserted pk keeps exactly
+    # one row in the artifact (the epoch-5 copy)
+    c = spark.read.parquet(apath)
+    counts = {
+        r[0]: r[1]
+        for r in c.filter(F.col("vec_id").isin(3, 11))
+        .groupBy("vec_id").count().collect()
+    }
+    assert counts == {3: 1, 11: 1}
+    assert int(c.filter(F.col("vec_id").isin(3, 11)).agg(
+        F.min("_epoch")).first()[0]) == 5
+    # and search over the folded artifact stays exact (identical vectors
+    # re-upserted, so the full-probe top-k equals the plain corpus truth)
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in emb.collect()
+    }
+    got = client.search("mf", q, limit=10, search_params={"nprobe": 10**6}).collect()
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    client.drop_collection("mf")
