@@ -3,8 +3,10 @@
 Media payloads are opaque ``binary`` columns with typed metadata
 (width/height/codec/duration), processed by Arrow-batched pandas UDFs over
 ``mapInPandas``. The codec layer is pluggable at runtime:
-``decode_image``/``decode_audio`` use Pillow / soundfile when importable
-(real JPEG/PNG decode + resize, real WAV decode + frame-energy binning)
+``decode_image``/``decode_audio`` decode BMP, PNG (stdlib zlib — headers,
+CRC, inflate, all five scanline filters) and PCM WAV natively with numpy,
+use Pillow / soundfile when importable for the remaining compressed
+formats (JPEG, FLAC, …),
 and otherwise raise ``NotImplementedError`` unless ``fake=True``, where a
 deterministic hash-derived payload stands in so the Spark-side plumbing
 (schema, batch shape, partitioning) is fully testable in codec-less
@@ -48,6 +50,22 @@ def _try_import(name: str):
         return None
 
 
+def _thumb_from_gray(gray: np.ndarray) -> list[float]:
+    """THUMB_W×THUMB_H block-mean downscale of a float grayscale image in
+    [0,255] → flat [0,1] list (shared by every real image decoder).
+    Images smaller than the thumb grid upsample nearest-neighbor so every
+    block has pixels (deterministic, solid colors unaffected)."""
+    if gray.shape[0] < THUMB_H:
+        gray = np.repeat(gray, THUMB_H, axis=0)
+    if gray.shape[1] < THUMB_W:
+        gray = np.repeat(gray, THUMB_W, axis=1)
+    out: list[float] = []
+    for rblock in np.array_split(gray, THUMB_H, axis=0):
+        for cblock in np.array_split(rblock, THUMB_W, axis=1):
+            out.append(round(float(cblock.mean()) / 255.0, 6))
+    return out
+
+
 def _decode_bmp(payload: bytes) -> list[float]:
     """REAL, library-free BMP decode (uncompressed 24-bit BI_RGB — the
     format every tool can emit): parse BITMAPFILEHEADER/BITMAPINFOHEADER,
@@ -72,17 +90,96 @@ def _decode_bmp(payload: bytes) -> list[float]:
         px = px[::-1]
     # pixel order in a BMP row is BGR; ITU-R BT.601 luma = Pillow "L"
     gray = 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
-    # images smaller than the thumb grid upsample nearest-neighbor so
-    # every block has pixels (deterministic, solid colors unaffected)
-    if gray.shape[0] < THUMB_H:
-        gray = np.repeat(gray, THUMB_H, axis=0)
-    if gray.shape[1] < THUMB_W:
-        gray = np.repeat(gray, THUMB_W, axis=1)
-    out: list[float] = []
-    for rblock in np.array_split(gray, THUMB_H, axis=0):
-        for cblock in np.array_split(rblock, THUMB_W, axis=1):
-            out.append(round(float(cblock.mean()) / 255.0, 6))
-    return out
+    return _thumb_from_gray(gray)
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _decode_png(payload: bytes) -> list[float]:
+    """REAL PNG decode with stdlib ``zlib`` only (r8 — the first
+    COMPRESSED format executing for real in this codec-less container):
+    chunk walk (IHDR/IDAT/IEND with CRC-32 verification), zlib inflate of
+    the concatenated IDAT stream, per-scanline unfilter (all five filter
+    types 0-4: None/Sub/Up/Average/Paeth, the spec's §9 reconstruction
+    functions), BT.601 luma, then the shared block-mean thumb.
+
+    Scope is the non-interlaced 8-bit truecolor/grayscale core (color
+    types 0/2/6 exactly as Pillow's "L" conversion treats them — alpha
+    ignored); Adam7 interlace, 16-bit depth and palette images REFUSE
+    with a clear error (refusal-tested) rather than decode approximately.
+    Oracle-gated end-to-end via mm_png_real_decode."""
+    import zlib
+
+    if payload[: len(_PNG_SIG)] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    while pos + 8 <= len(payload):
+        sz = int.from_bytes(payload[pos : pos + 4], "big")
+        ctype = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + sz]
+        crc = int.from_bytes(payload[pos + 8 + sz : pos + 12 + sz], "big")
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} fails CRC")
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + sz
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, color, _comp, _filt, interlace = ihdr[8:13]
+    if interlace != 0:
+        raise ValueError("unsupported PNG (Adam7 interlaced)")
+    if depth != 8:
+        raise ValueError(f"unsupported PNG (bit depth {depth})")
+    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    if channels is None or w <= 0 or h <= 0:
+        raise ValueError(f"unsupported PNG (color type {color})")
+    stride = w * channels
+    raw = zlib.decompress(idat)
+    if len(raw) != h * (1 + stride):
+        raise ValueError("PNG pixel data size mismatch")
+    px = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, y * (1 + stride) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - channels] if x >= channels else 0
+                b = int(prev[x])
+                if ft == 1:
+                    rec = a
+                elif ft == 3:
+                    rec = (a + b) >> 1
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    rec = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + rec) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ft}")
+        px[y] = cur.astype(np.uint8)
+        prev = cur
+    img = px.reshape(h, w, channels).astype(np.float64)
+    if color == 0:
+        gray = img[..., 0]
+    else:  # truecolor (alpha, if present, ignored — Pillow "L" on RGB)
+        gray = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+    return _thumb_from_gray(gray)
 
 
 def _decode_wav(payload: bytes) -> list[float]:
@@ -133,6 +230,14 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         return _fake_pixels(payload, THUMB_W, THUMB_H)
     if payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[: len(_PNG_SIG)] == _PNG_SIG:
+        try:
+            return _decode_png(payload)
+        except ValueError:
+            # out-of-scope PNG (interlaced/16-bit/palette): Pillow if
+            # present, else surface the precise refusal
+            if _try_import("PIL") is None:
+                raise
     if _try_import("PIL") is not None:
         import io
 
@@ -281,6 +386,78 @@ def make_bmp(w: int, h: int, rgb: tuple) -> bytes:
     r, g, b = rgb
     row = bytes([b, g, r]) * w + b"\x00" * (rowsize - 3 * w)
     return fh + ih + row * h
+
+
+def make_png(
+    w: int,
+    h: int,
+    rgb: tuple | None = None,
+    pixels: np.ndarray | None = None,
+    color_type: int = 2,
+    filter_type: int = 0,
+    bit_depth: int = 8,
+    interlace: int = 0,
+) -> bytes:
+    """A real, spec-conformant PNG encoder (stdlib zlib) — the encoder
+    side of _decode_png. ``rgb`` emits a solid color (the closed-form
+    oracle shape, like make_bmp); ``pixels`` ((h, w, channels) uint8)
+    lets tests round-trip arbitrary images through each scanline filter
+    type (the encoder applies ``filter_type`` to every row, so filters
+    1-4 are exercised against known pixel data). ``bit_depth``/
+    ``interlace`` exist to emit the out-of-scope headers the refusal
+    tests need."""
+    import zlib
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    if pixels is None:
+        base = {0: (rgb[0],), 2: tuple(rgb), 6: tuple(rgb) + (255,)}[color_type]
+        pixels = np.tile(np.asarray(base, np.uint8), (h, w, 1))
+    px = np.asarray(pixels, dtype=np.int64).reshape(h, w * channels)
+    lines = b""
+    prev = np.zeros(w * channels, dtype=np.int64)
+    for y in range(h):
+        cur = px[y]
+        if filter_type == 0:
+            enc = cur
+        elif filter_type == 2:
+            enc = (cur - prev) & 0xFF
+        else:  # 1/3/4: left-dependent — encode with the inverse recon fn
+            enc = np.zeros(w * channels, dtype=np.int64)
+            for x in range(w * channels):
+                a = int(cur[x - channels]) if x >= channels else 0
+                b = int(prev[x])
+                if filter_type == 1:
+                    rec = a
+                elif filter_type == 3:
+                    rec = (a + b) >> 1
+                else:
+                    c = int(prev[x - channels]) if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    rec = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[x] = (int(cur[x]) - rec) & 0xFF
+        lines += bytes([filter_type]) + enc.astype(np.uint8).tobytes()
+        prev = cur
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big")
+            + ctype
+            + body
+            + (zlib.crc32(ctype + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    ihdr = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + bytes([bit_depth, color_type, 0, 0, interlace])
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
 
 
 def make_wav(n_samples: int, value: int, n_ch: int = 1, sr: int = 8000) -> bytes:

@@ -281,3 +281,74 @@ def test_real_codecs_through_spark_pipeline(spark):
         r, g, b = (i * 37) % 256, (i * 59) % 256, (i * 83) % 256
         assert thumbs[i][0] == round((0.299 * r + 0.587 * g + 0.114 * b) / 255, 6)
         assert fbanks[i] == [round(((i * 997) % 30000) / 32768, 6)] * 8
+
+
+def test_real_png_codec_stdlib_zlib():
+    """r8: PNG is the first COMPRESSED format decoding for real with no
+    codec library — chunk walk + CRC-32, zlib inflate, and all five
+    scanline filter types reconstruct to identical pixels (the spec's §9
+    filters are bijective given the same image), cross-checked against a
+    numpy-computed luma thumbnail. Out-of-scope shapes (interlace,
+    16-bit, palette) REFUSE with precise errors instead of mis-decoding."""
+    import zlib
+
+    import numpy as np
+
+    from milvus_spark.operators.multimodal import (
+        _PNG_SIG, _decode_png, _thumb_from_gray, decode_image, make_png,
+    )
+
+    # solid colors: closed-form BT.601 luma (the oracle shape)
+    for i in (0, 7, 123, 255):
+        rgb = ((i * 41) % 256, (i * 67) % 256, (i * 89) % 256)
+        out = _decode_png(make_png(4 + i % 3, 2 + i % 4, rgb))
+        exp = round((0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]) / 255, 6)
+        assert len(out) == 16 and all(abs(v - exp) < 1.5e-6 for v in out)
+    # decode_image routes PNG by signature (no fake, no Pillow needed)
+    assert decode_image(make_png(4, 4, (10, 20, 30)), fake=False) == _decode_png(
+        make_png(4, 4, (10, 20, 30))
+    )
+    # every filter type round-trips arbitrary pixels to the SAME thumb,
+    # for grayscale (0), RGB (2) and RGBA (6, alpha ignored like Pillow)
+    rng = np.random.default_rng(5)
+    for ct, ch in [(0, 1), (2, 3), (6, 4)]:
+        px = rng.integers(0, 256, size=(6, 5, ch), dtype=np.uint8)
+        img = px.astype(np.float64)
+        gray = (
+            img[..., 0]
+            if ch == 1
+            else 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
+        )
+        want = _thumb_from_gray(gray)
+        for ft in range(5):
+            got = _decode_png(make_png(5, 6, pixels=px, color_type=ct, filter_type=ft))
+            assert got == want, (ct, ft)
+    # refusals: interlaced / 16-bit / palette / corrupt CRC
+    with pytest.raises(ValueError, match="interlaced"):
+        _decode_png(make_png(4, 4, (1, 2, 3), interlace=1))
+    with pytest.raises(ValueError, match="bit depth"):
+        _decode_png(make_png(4, 4, (1, 2, 3), bit_depth=16))
+
+    def chunk(ct: bytes, body: bytes) -> bytes:
+        return (
+            len(body).to_bytes(4, "big") + ct + body
+            + (zlib.crc32(ct + body) & 0xFFFFFFFF).to_bytes(4, "big")
+        )
+
+    pal_ihdr = (2).to_bytes(4, "big") + (2).to_bytes(4, "big") + bytes([8, 3, 0, 0, 0])
+    pal = (
+        _PNG_SIG + chunk(b"IHDR", pal_ihdr)
+        + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)) + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="color type 3"):
+        _decode_png(pal)
+    good = make_png(3, 3, (9, 9, 9))
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_png(bytes(corrupt))
+    # a codec-less container surfaces the precise refusal through
+    # decode_image (Pillow absent -> no silent fallback)
+    if not _has("PIL"):
+        with pytest.raises(ValueError, match="interlaced"):
+            decode_image(make_png(4, 4, (1, 2, 3), interlace=1), fake=False)
