@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "win_range_join_nearby",  # interval join via bucketed equi-join (r5)
     "vec_hnsw_filtered",      # FilterBits->VectorSearch through the graph (r6)
     "vec_hnsw_prod_ef",       # production-ef graph serving path, recall-gated (r7)
+    "mm_png_real_decode",     # real PNG decode via stdlib zlib, map-side (r8)
 ]
 
 

@@ -10,3 +10,4 @@ def load_all() -> None:
     # never shift under the driver's in-order sampling rotation
     from milvus_spark.suites import addons_r6  # noqa: F401
     from milvus_spark.suites import addons_r7  # noqa: F401
+    from milvus_spark.suites import addons_r8  # noqa: F401

@@ -258,7 +258,10 @@ def _prod_index(spark: SparkSession, sf: str):
     )
     from milvus_spark.operators.ivf import l2_normalize
 
-    key = (id(spark), sf)
+    # keyed on applicationId, not id(spark): CPython recycles object ids
+    # after GC, which could serve cached DataFrames bound to a dead session
+    # (r7 advisor; same key the addons_r6 memo uses)
+    key = (spark.sparkContext.applicationId, sf)
     if key in _PROD_MEMO:
         return _PROD_MEMO[key]
     emb = load_table(spark, sf, "embeddings")
