@@ -1963,8 +1963,12 @@ class MilvusSparkClient:
         recorded metadata-only: parquet stats + Catalyst pushdown already
         serve their role (SURVEY §4.1 — index selection is an optimization,
         not a correctness requirement). Artifacts carry the collection ts at build
-        time; DML after the build makes the index stale and search falls
-        back to exact scan (the sealed-index vs growing split)."""
+        time; DML after the build makes the index stale, and search then
+        serves SEALED + GROWING (r8): index epochs plus an exact scan of
+        only the post-build delta, merged through the top-k window — the
+        reference's delegator split (SearchOnSealed.cpp/SearchOnGrowing.cpp)
+        — falling back to the full exact scan only when the composition
+        can't be proven safe (see _servable_delta)."""
         self._priv("CreateIndex", name)
         self._deny_ddl("index")
         params = dict(params or {})
@@ -2985,8 +2989,49 @@ class MilvusSparkClient:
         * a post-build delete set past GROWING_MASK_LIMIT (per-query
           broadcast budget — refresh folds it into the persisted mask).
         """
-        meta = self._meta(name)
-        entry = meta.get("indexes", {}).get(f"{field}__HNSW")
+        entry = self._meta(name).get("indexes", {}).get(f"{field}__HNSW")
+        served = self._servable_delta(name, entry)
+        if served is None:
+            return None
+        delta, deleted = served
+        epochs = entry.get("epochs") or [
+            {"base": 0, "n": int(entry.get("n_partitions", 8))}
+        ]
+        bound = max(int(e["base"]) + int(e["n"]) for e in epochs)
+        return entry, delta, [[p, bound] for p in deleted]
+
+    def _servable_trained(self, name: str, field: str) -> Optional[tuple]:
+        """Sealed+growing serving for the clustered (IVF/DISKANN/SCANN)
+        family — same composition as :meth:`_servable_graph`, same safety
+        guards: probed clusters serve as the sealed side, the delta
+        exact-scans as growing, and post-build deletes mask EVERY epoch
+        in the artifact (a re-inserted pk's live copy is post-build, so
+        it lives in the delta, never the artifact)."""
+        for t in ("IVF_FLAT", "DISKANN", "SCANN"):
+            entry = self._meta(name).get("indexes", {}).get(f"{field}__{t}")
+            if entry is not None:
+                break
+        served = self._servable_delta(name, entry)
+        if served is None:
+            return None
+        delta, deleted = served
+        return entry, delta, [int(p) for p in deleted]
+
+    def _servable_delta(
+        self, name: str, entry: Optional[dict]
+    ) -> Optional[tuple]:
+        """Shared safety gate for sealed+growing serving: the index must
+        be stale ONLY by post-build writes. Returns (delta_df,
+        deleted_pks) or None when the composition can't be proven safe:
+
+        * tombstones folded after the build (``_cdc_watermark`` >
+          built_ts): the post-build delete set is no longer
+          reconstructible from the tombstone table;
+        * an invalidated artifact (built_ts sentinel -1, e.g. snapshot
+          restore);
+        * a post-build delete set past GROWING_MASK_LIMIT (per-query
+          broadcast budget — refresh folds it into the persisted mask).
+        """
         if entry is None or entry["built_ts"] < 0:
             return None
         cur = self._current_ts(name)
@@ -2997,12 +3042,8 @@ class MilvusSparkClient:
             return None
         from milvus_spark.operators.lifecycle import DEL_TS_COL
 
-        pk = meta["pk"]
-        epochs = entry.get("epochs") or [
-            {"base": 0, "n": int(entry.get("n_partitions", 8))}
-        ]
-        bound = max(int(e["base"]) + int(e["n"]) for e in epochs)
-        extra: list = []
+        pk = self._meta(name)["pk"]
+        deleted: list = []
         tombs = coll._tombstones()
         if tombs is not None:
             d = (
@@ -3013,9 +3054,9 @@ class MilvusSparkClient:
             rows = d.limit(self.GROWING_MASK_LIMIT + 1).collect()
             if len(rows) > self.GROWING_MASK_LIMIT:
                 return None
-            extra = [[int(r[0]), bound] for r in rows]
+            deleted = [int(r[0]) for r in rows]
         delta = self._read(name).filter(F.col(TS_COL) > entry["built_ts"])
-        return entry, delta, extra
+        return delta, deleted
 
     def _merge_growing(
         self,
@@ -3832,7 +3873,9 @@ class MilvusSparkClient:
             and meta["metric"] in ("COSINE", "L2", "IP")
             and (metric_type is None or metric_type == meta["metric"])
         ):
-            served = self._servable_graph(name, vfield)
+            served = self._servable_graph(name, vfield) or self._servable_trained(
+                name, vfield
+            )
             if served is not None:
                 idx, growing, growing_mask = served
         if (
@@ -3982,8 +4025,17 @@ class MilvusSparkClient:
                 k=limit,
                 nprobe=int(sp.get("nprobe", default_np)),
                 matches=matches,
-                excluded=idx.get("masked_pks"),
+                excluded=(list(idx.get("masked_pks") or []) + growing_mask)
+                or None,
             )
+            if growing is not None:
+                # growing side rounds at the SAME 4 decimals ivf_search
+                # scores with, so the merged window ranks consistently
+                hits = self._merge_growing(
+                    hits, growing, meta, vfield, data,
+                    metric_type or meta["metric"], limit, 4,
+                    filter, params, partition_names,
+                )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)

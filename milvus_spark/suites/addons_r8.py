@@ -227,3 +227,55 @@ def mm_png_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("thumb", 1).alias("luma01"),
         F.size("thumb").cast("long").alias("n_px"),
     )
+
+
+@register(
+    "cli_growing_merge_ivf",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q WHERE e.vec_id % 89 != 7
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def cli_growing_merge_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """Sealed + growing serving on the TRAINED family (r8): same
+    delegator composition as cli_growing_merge_ann but the sealed side
+    probes the cluster-partitioned IVF layout (partition pruning intact)
+    while the growing delta exact-scans — post-build deletes mask every
+    artifact epoch (a re-inserted pk's live copy is post-build, so it
+    lives in the delta, never the artifact). Full probe keeps the merged
+    result EXACT vs the whole visible corpus with NO refresh after the
+    writes."""
+    client = _client(spark)
+    emb = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "gmi", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("gmi", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("gmi", "embedding", "IVF_FLAT", {"nlist": 8})
+    client.insert("gmi", emb.filter(F.col("vec_id") % 3 == 0))
+    client.delete("gmi", filter="vec_id % 89 == 7")
+    entry = client.describe_index("gmi", "embedding", "IVF_FLAT")
+    assert entry["built_ts"] < client._current_ts("gmi")  # stale, unrefreshed
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    out = client.search(
+        "gmi",
+        [list(r.embedding) for r in qrows],
+        limit=10,
+        search_params={"nprobe": 10**6},
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "vec_id",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

@@ -132,7 +132,7 @@ HINT_ALLOWED: dict[str, int] = {
     # Collection.read, whose tombstone anti-join broadcast is the same
     # compaction-bounded frame as the dml_* rows above; the serving path's
     # OWN per-query mask is additionally capped (client.GROWING_MASK_LIMIT)
-    "cli_growing_merge_ann": 1,
+    "cli_growing_merge_ann": 1, "cli_growing_merge_ivf": 1,
     # [idx] probe shortlists
     "vec_pq_refine": 1, "vec_sq8_refine": 1, "rel_json_flat_index": 1,
 }

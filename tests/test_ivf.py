@@ -264,3 +264,45 @@ def test_trained_mask_fold_rewrites_only_affected_clusters(spark, sf_dir, tmp_pa
     truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
     assert {r.vec_id for r in got} == truth
     client.drop_collection("mf")
+
+
+def test_sealed_growing_serving_ivf(spark, sf_dir, tmp_path):
+    """r8: the sealed+growing composition extends to the trained family —
+    a stale IVF index serves its probed clusters while only the
+    post-build delta exact-scans (PushedFilters on _ts), post-build
+    deletes mask every artifact epoch, and the merged full-probe result
+    is exact. A refresh hands back to the pure sealed dispatch."""
+    from milvus_spark.client import MilvusSparkClient
+
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("sgi", pk_field="vec_id", vector_field="embedding")
+    client.insert("sgi", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("sgi", "embedding", "IVF_FLAT", {"nlist": 8})
+    client.insert("sgi", emb.filter(F.col("vec_id") % 3 == 0))
+    client.delete("sgi", ids=[2, 3])  # one indexed (2), one growing (3)
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    hits = client.search("sgi", q, limit=10, search_params={"nprobe": 10**6})
+    plan = plan_of(hits)
+    assert "GreaterThan(_ts" in plan  # growing side scans ONLY the delta
+    assert "cluster_id" in plan  # sealed side reads the clustered layout
+    got = {r.vec_id for r in hits.collect()}
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in emb.collect()
+        if r.vec_id not in (2, 3)
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert got == truth
+    # refresh folds the delta in; the delta filter leaves the plan
+    client.refresh_index("sgi", "embedding", "IVF_FLAT")
+    fresh = client.search("sgi", q, limit=10, search_params={"nprobe": 10**6})
+    assert "GreaterThan(_ts" not in plan_of(fresh)
+    assert {r.vec_id for r in fresh.collect()} == truth
+    client.drop_collection("sgi")
