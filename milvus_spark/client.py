@@ -2137,9 +2137,17 @@ class MilvusSparkClient:
                 seed=int(params.get("seed", 42)),
             )
             os.makedirs(idx_dir, exist_ok=True)
+            # sharded by pmod(pk, CODE_SHARDS) (r8): the ADC scan reads
+            # every shard anyway, but mask FOLDING rewrites only the
+            # shards holding masked pks — the same partition-scoped
+            # maintenance contract as the clustered/bucketed layouts
             encode_pq(corpus, field, meta["pk"], books).withColumn(
                 "_epoch", F.lit(0).cast("long")
-            ).write.mode("overwrite").parquet(os.path.join(idx_dir, "codes"))
+            ).withColumn(
+                "_shard", F.pmod(F.col(meta["pk"]).cast("long"), F.lit(self.CODE_SHARDS))
+            ).write.mode("overwrite").partitionBy("_shard").parquet(
+                os.path.join(idx_dir, "codes")
+            )
             with open(os.path.join(idx_dir, "codebooks.json"), "w") as f:
                 json.dump(books.tolist(), f)
             entry["m"] = m
@@ -2168,9 +2176,14 @@ class MilvusSparkClient:
                 raise ValueError(f"cannot build IVF_SQ8 on empty collection {name!r}")
             bounds = train_sq8(corpus, field, dim=len(row0[0]))
             os.makedirs(idx_dir, exist_ok=True)
+            # sharded like the PQ codes (r8) — see the IVF_PQ comment
             encode_sq8(corpus, field, meta["pk"], bounds).withColumn(
                 "_epoch", F.lit(0).cast("long")
-            ).write.mode("overwrite").parquet(os.path.join(idx_dir, "codes"))
+            ).withColumn(
+                "_shard", F.pmod(F.col(meta["pk"]).cast("long"), F.lit(self.CODE_SHARDS))
+            ).write.mode("overwrite").partitionBy("_shard").parquet(
+                os.path.join(idx_dir, "codes")
+            )
             with open(os.path.join(idx_dir, "bounds.json"), "w") as f:
                 json.dump(bounds.tolist(), f)
         elif itype == "NGRAM":
@@ -2546,7 +2559,7 @@ class MilvusSparkClient:
                 enc = encode_pq(corpus, field, pk, books)
                 if epochal:
                     enc = enc.withColumn("_epoch", F.lit(new_epoch).cast("long"))
-                enc.write.mode("append").parquet(apath)
+                self._append_codes(enc, c, pk, apath)
             elif itype == "IVF_SQ8":
                 from milvus_spark.operators.sq import encode_sq8
 
@@ -2555,7 +2568,7 @@ class MilvusSparkClient:
                 enc = encode_sq8(corpus, field, pk, bounds)
                 if epochal:
                     enc = enc.withColumn("_epoch", F.lit(new_epoch).cast("long"))
-                enc.write.mode("append").parquet(apath)
+                self._append_codes(enc, c, pk, apath)
             else:  # LSH
                 from milvus_spark.operators.lsh import assign_buckets
 
@@ -2576,17 +2589,21 @@ class MilvusSparkClient:
             # mask-based (their rows are m-byte codes; the 100k mask cap
             # still bounds them) — folding those would rewrite the whole
             # code table for any mask.
+            fold_col = (
+                "bucket" if itype == "LSH"
+                else "cluster_id" if itype in ("IVF_FLAT", "DISKANN", "SCANN")
+                # PQ/SQ8 fold on the pk-shard layout (r8); a legacy flat
+                # code table (no _shard partition) stays mask-based
+                else ("_shard" if "_shard" in c.columns else None)
+            )
             if (
                 epochal
                 and masked_pairs
                 and new_epoch > self.MAX_INDEX_EPOCHS
-                and itype in ("IVF_FLAT", "DISKANN", "SCANN", "LSH")
+                and fold_col is not None
             ):
                 masked = self._fold_trained_masks(
-                    apath,
-                    "bucket" if itype == "LSH" else "cluster_id",
-                    pk,
-                    masked_pairs,
+                    apath, fold_col, pk, masked_pairs
                 )
             if masked:
                 entry["masked_pks"] = masked
@@ -2754,6 +2771,10 @@ class MilvusSparkClient:
         self._save_catalog()
         return entry
 
+    # code-table shard count (PQ/SQ8, r8): a fold-granularity knob only —
+    # searches scan all shards; mask folds rewrite affected shards only
+    CODE_SHARDS = 64
+
     # epoch-compaction threshold: searches fan one candidate bucket per
     # epoch per match id and the routing array grows with epoch count, so
     # unbounded refreshes would degrade filtered search; above this count
@@ -2912,6 +2933,21 @@ class MilvusSparkClient:
             if os.path.isdir(src):
                 os.rename(src, dst)
         shutil.rmtree(tmp, ignore_errors=True)
+
+    def _append_codes(
+        self, enc: DataFrame, existing: DataFrame, pk: str, apath: str
+    ) -> None:
+        """Append refreshed PQ/SQ8 codes honoring the artifact's layout:
+        shard-partitioned tables (r8 builds) append into their pk-shard
+        directories so mask folds stay partition-scoped; legacy flat
+        tables keep flat appends (a partitioned append would mix
+        directory depths and break partition discovery)."""
+        if "_shard" in existing.columns:
+            enc.withColumn(
+                "_shard", F.pmod(F.col(pk).cast("long"), F.lit(self.CODE_SHARDS))
+            ).write.mode("append").partitionBy("_shard").parquet(apath)
+        else:
+            enc.write.mode("append").parquet(apath)
 
     def _fold_trained_masks(
         self, apath: str, part_col: str, pk: str, masked_pairs: dict

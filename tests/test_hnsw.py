@@ -699,7 +699,11 @@ def test_prod_ef_recall_vs_segment_size_curve():
     48k→0.80 — recall declines as a single segment fills, which is WHY
     serving ef should rise with segment fill (README scale table); the
     floors sit a margin under those points to flag regressions, not
-    noise."""
+    noise. Negative result, measured r8 so nobody re-chases it:
+    MULTI-ENTRY beam seeding (top-E nearest samples, E ∝ rows/16k) moved
+    recall by exactly 0.000 at every size on this geometry — the walk
+    stalls inside the right cluster, not in the wrong one, so wider ef
+    (or larger m at build) is the recall lever, not more seeds."""
     from milvus_spark.operators.hnsw import _beam_search
 
     rng = np.random.default_rng(42)

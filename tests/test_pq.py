@@ -131,3 +131,72 @@ def test_incremental_refresh_pq(spark, sf_dir, tmp_path):
     # identical vector re-encoded -> identical exact-refine result
     assert {r.vec_id for r in up} == {r.vec_id for r in post}
     client.drop_collection("pqr")
+
+
+def test_pq_mask_fold_rewrites_only_affected_shards(spark, sf_dir, tmp_path):
+    """r8: PQ code tables are pk-shard-partitioned, so past
+    MAX_INDEX_EPOCHS the version-masked (shadowed) codes physically drop
+    by rewriting ONLY the shards holding masked pks — unaffected shard
+    dirs byte-identical, mask folded to empty, exactly one surviving code
+    row per upserted pk, and the full-shortlist search stays exact."""
+    import hashlib
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from milvus_spark.client import MilvusSparkClient
+
+    def _shard_state(apath):
+        state = {}
+        for d in sorted(os.listdir(apath)):
+            if not d.startswith("_shard="):
+                continue
+            for fn in sorted(os.listdir(os.path.join(apath, d))):
+                with open(os.path.join(apath, d, fn), "rb") as f:
+                    state[(d, fn)] = hashlib.sha256(f.read()).hexdigest()
+        return state
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("pqf", pk_field="vec_id", vector_field="embedding")
+    client.insert("pqf", emb)
+    client.create_index("pqf", "embedding", "IVF_PQ", {"m": 8})
+    entry = client.describe_index("pqf", "embedding", "IVF_PQ")
+    apath = os.path.join(entry["path"], "codes")
+    before = _shard_state(apath)
+    assert before, "codes must be shard-partitioned"
+    up = emb.filter(F.col("vec_id").isin(3, 11))
+    for _cycle in range(5):
+        client.upsert("pqf", up)
+        entry = client.refresh_index("pqf", "embedding", "IVF_PQ")
+    assert entry["cur_epoch"] == 5
+    assert not entry.get("masked_pks")  # folded to empty
+    after = _shard_state(apath)
+    # pks 3 and 11 home to shards 3 and 11; every other shard untouched
+    touched = {"_shard=3", "_shard=11"}
+    for k, h in before.items():
+        if k[0] not in touched:
+            assert after.get(k) == h, k
+    c = spark.read.parquet(apath)
+    counts = {
+        r[0]: r[1]
+        for r in c.filter(F.col("vec_id").isin(3, 11))
+        .groupBy("vec_id").count().collect()
+    }
+    assert counts == {3: 1, 11: 1}
+    # identical vectors re-upserted: full-shortlist search == corpus truth
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    got = client.search(
+        "pqf", q, limit=10, search_params={"shortlist": 10**6}
+    ).collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in emb.collect()
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    client.drop_collection("pqf")
