@@ -3036,14 +3036,19 @@ class MilvusSparkClient:
         bound = max(int(e["base"]) + int(e["n"]) for e in epochs)
         return entry, delta, [[p, bound] for p in deleted]
 
-    def _servable_trained(self, name: str, field: str) -> Optional[tuple]:
-        """Sealed+growing serving for the clustered (IVF/DISKANN/SCANN)
-        family — same composition as :meth:`_servable_graph`, same safety
-        guards: probed clusters serve as the sealed side, the delta
-        exact-scans as growing, and post-build deletes mask EVERY epoch
-        in the artifact (a re-inserted pk's live copy is post-build, so
-        it lives in the delta, never the artifact)."""
-        for t in ("IVF_FLAT", "DISKANN", "SCANN"):
+    def _servable_trained(
+        self, name: str, field: str, types: tuple = ("IVF_FLAT", "DISKANN", "SCANN")
+    ) -> Optional[tuple]:
+        """Sealed+growing serving for a trained-family index — same
+        composition as :meth:`_servable_graph`, same safety guards: the
+        sealed artifact serves as-is, the delta exact-scans as growing,
+        and post-build deletes mask EVERY epoch in the artifact (a
+        re-inserted pk's live copy is post-build, so it lives in the
+        delta, never the artifact). ``types`` picks the family (the IVF
+        clustered layouts by default; the PQ/SQ8/LSH dispatch branches
+        pass their own type)."""
+        entry = None
+        for t in types:
             entry = self._meta(name).get("indexes", {}).get(f"{field}__{t}")
             if entry is not None:
                 break
@@ -3895,20 +3900,26 @@ class MilvusSparkClient:
             ),
             None,
         )
-        # sealed + growing (r8): with no fresh index, a graph stale ONLY
-        # by post-build writes still serves — epochs as sealed segments,
-        # the _ts > built_ts delta as the growing segment, post-build
-        # deletes as a query-time version mask. Guard conditions mirror
-        # the graph branch below (the composition inherits its regime).
-        growing, growing_mask = None, []
-        if (
-            idx is None
-            and radius is None and range_filter is None
+        # sealed + growing (r8): with no fresh index OF ANY TYPE, an
+        # index stale ONLY by post-build writes still serves — its
+        # artifact as the sealed side, the _ts > built_ts delta as the
+        # growing segment, post-build deletes as a query-time version
+        # mask. Guard conditions mirror the index branches below (the
+        # composition inherits their regimes); a fresh index anywhere on
+        # the field wins outright — it serves exactly with no delta work.
+        stale_ok = (
+            radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not self._expired_ts(meta)
             and meta["metric"] in ("COSINE", "L2", "IP")
             and (metric_type is None or metric_type == meta["metric"])
-        ):
+            and not any(
+                self._fresh_index(name, vfield, t) is not None
+                for t in ("IVF_PQ", "IVF_SQ8", "LSH")
+            )
+        )
+        growing, growing_mask = None, []
+        if idx is None and stale_ok:
             served = self._servable_graph(name, vfield) or self._servable_trained(
                 name, vfield
             )
@@ -4076,6 +4087,11 @@ class MilvusSparkClient:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         pq_idx = self._fresh_index(name, vfield, "IVF_PQ")
+        growing_pq, pq_mask = (None, [])
+        if pq_idx is None and idx is None and stale_ok and not partition_names:
+            served = self._servable_trained(name, vfield, ("IVF_PQ",))
+            if served is not None:
+                pq_idx, growing_pq, pq_mask = served
         if (
             pq_idx is not None
             and radius is None and range_filter is None
@@ -4110,12 +4126,24 @@ class MilvusSparkClient:
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 20 * limit)),
                 matches=matches,
-                excluded=pq_idx.get("masked_pks"),
+                excluded=(list(pq_idx.get("masked_pks") or []) + pq_mask)
+                or None,
             )
+            if growing_pq is not None:
+                hits = self._merge_growing(
+                    hits, growing_pq, meta, vfield, data,
+                    metric_type or meta["metric"], limit, 4,
+                    filter, params, partition_names,
+                )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         sq_idx = self._fresh_index(name, vfield, "IVF_SQ8")
+        growing_sq, sq_mask = (None, [])
+        if sq_idx is None and idx is None and pq_idx is None and stale_ok and not partition_names:
+            served = self._servable_trained(name, vfield, ("IVF_SQ8",))
+            if served is not None:
+                sq_idx, growing_sq, sq_mask = served
         if (
             sq_idx is not None
             and radius is None and range_filter is None
@@ -4150,12 +4178,27 @@ class MilvusSparkClient:
                 k=limit,
                 shortlist=int((search_params or {}).get("shortlist", 10 * limit)),
                 matches=matches,
-                excluded=sq_idx.get("masked_pks"),
+                excluded=(list(sq_idx.get("masked_pks") or []) + sq_mask)
+                or None,
             )
+            if growing_sq is not None:
+                hits = self._merge_growing(
+                    hits, growing_sq, meta, vfield, data,
+                    metric_type or meta["metric"], limit, 4,
+                    filter, params, partition_names,
+                )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)
         lsh_idx = self._fresh_index(name, vfield, "LSH")
+        growing_lsh, lsh_mask = (None, [])
+        if (
+            lsh_idx is None and idx is None and pq_idx is None
+            and sq_idx is None and stale_ok and not partition_names
+        ):
+            served = self._servable_trained(name, vfield, ("LSH",))
+            if served is not None:
+                lsh_idx, growing_lsh, lsh_mask = served
         if (
             lsh_idx is not None
             and radius is None and range_filter is None
@@ -4189,8 +4232,15 @@ class MilvusSparkClient:
                 k=limit,
                 probe_radius=int((search_params or {}).get("probe_radius", 1)),
                 matches=matches,
-                excluded=lsh_idx.get("masked_pks"),
+                excluded=(list(lsh_idx.get("masked_pks") or []) + lsh_mask)
+                or None,
             )
+            if growing_lsh is not None:
+                hits = self._merge_growing(
+                    hits, growing_lsh, meta, vfield, data,
+                    metric_type or meta["metric"], limit, 4,
+                    filter, params, partition_names,
+                )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
             return self._requery(name, hits, meta, output_fields)

@@ -279,3 +279,56 @@ def cli_growing_merge_ivf(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("score") + F.lit(0.0)).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "cli_growing_merge_pq",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < {NQ}),
+    scored AS (
+      SELECT q.qid, e.vec_id,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q WHERE e.vec_id % 83 != 5
+    ),
+    ranked AS (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    )
+    SELECT qid, vec_id, score, rank FROM ranked WHERE rank <= 10
+    """,
+)
+def cli_growing_merge_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Sealed + growing serving on the SHORTLIST family (r8): a stale
+    IVF_PQ index keeps serving — the ADC scan over the (shard-
+    partitioned) code table is the sealed side, the post-build delta
+    exact-scans as growing, post-build deletes mask every artifact epoch.
+    Exhaustive shortlist makes the merged result EXACT vs the whole
+    visible corpus with NO refresh after the writes — completing the
+    reference's delegator composition across the index zoo
+    (SearchOnSealed.cpp/SearchOnGrowing.cpp; PQ/SQ8/LSH variants are
+    pytest-parameterized in tests/test_pq.py)."""
+    client = _client(spark)
+    emb = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "gmp", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("gmp", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("gmp", "embedding", "IVF_PQ", {"m": 8})
+    client.insert("gmp", emb.filter(F.col("vec_id") % 3 == 0))
+    client.delete("gmp", filter="vec_id % 83 == 5")
+    entry = client.describe_index("gmp", "embedding", "IVF_PQ")
+    assert entry["built_ts"] < client._current_ts("gmp")  # stale, unrefreshed
+    qrows = emb.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    out = client.search(
+        "gmp",
+        [list(r.embedding) for r in qrows],
+        limit=10,
+        search_params={"shortlist": 10**6},
+    )
+    return out.select(
+        F.col("qid").cast("long").alias("qid"), "vec_id",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+    )

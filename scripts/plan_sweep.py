@@ -133,6 +133,10 @@ HINT_ALLOWED: dict[str, int] = {
     # compaction-bounded frame as the dml_* rows above; the serving path's
     # OWN per-query mask is additionally capped (client.GROWING_MASK_LIMIT)
     "cli_growing_merge_ann": 1, "cli_growing_merge_ivf": 1,
+    # PQ variant adds the [idx] shortlist requery broadcast (same bounded
+    # shape vec_pq_refine is allowed) on top of two [life] tombstone
+    # anti-joins (delta read + requery base read)
+    "cli_growing_merge_pq": 3,
     # [idx] probe shortlists
     "vec_pq_refine": 1, "vec_sq8_refine": 1, "rel_json_flat_index": 1,
 }

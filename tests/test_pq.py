@@ -200,3 +200,44 @@ def test_pq_mask_fold_rewrites_only_affected_shards(spark, sf_dir, tmp_path):
     truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
     assert {r.vec_id for r in got} == truth
     client.drop_collection("pqf")
+
+
+@pytest.mark.parametrize("itype,params,sp", [
+    ("IVF_PQ", {"m": 8}, {"shortlist": 10**6}),
+    ("IVF_SQ8", {}, {"shortlist": 10**6}),
+    ("LSH", {"nbits": 8}, {"probe_radius": 8}),
+])
+def test_sealed_growing_serving_shortlist_family(
+    spark, sf_dir, tmp_path, itype, params, sp
+):
+    """r8: sealed+growing serving covers the WHOLE index zoo — a stale
+    PQ/SQ8/LSH index serves its artifact as the sealed side while only
+    the post-build delta exact-scans (PushedFilters on _ts), post-build
+    deletes mask every artifact epoch, and with an exhaustive
+    shortlist/probe the merged result is exact over the visible corpus
+    with NO refresh."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path / itype))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("zg", pk_field="vec_id", vector_field="embedding")
+    client.insert("zg", emb.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("zg", "embedding", itype, dict(params))
+    client.insert("zg", emb.filter(F.col("vec_id") % 3 == 0))
+    client.delete("zg", ids=[2, 3])
+    q = [emb.filter(F.col("vec_id") == 1).first().embedding]
+    hits = client.search("zg", q, limit=10, search_params=dict(sp))
+    plan = hits._jdf.queryExecution().executedPlan().toString()
+    assert "GreaterThan(_ts" in plan  # growing side scans ONLY the delta
+    got = {r.vec_id for r in hits.collect()}
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in emb.collect()
+        if r.vec_id not in (2, 3)
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert got == truth
+    client.drop_collection("zg")
