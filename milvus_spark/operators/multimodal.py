@@ -4,9 +4,10 @@ Media payloads are opaque ``binary`` columns with typed metadata
 (width/height/codec/duration), processed by Arrow-batched pandas UDFs over
 ``mapInPandas``. The codec layer is pluggable at runtime:
 ``decode_image``/``decode_audio`` decode BMP, PNG (stdlib zlib — headers,
-CRC, inflate, all five scanline filters) and PCM WAV natively with numpy,
-use Pillow / soundfile when importable for the remaining compressed
-formats (JPEG, FLAC, …),
+CRC, inflate, all five scanline filters), baseline JPEG (Huffman entropy
+decode, dequantize, IDCT — grayscale + 4:4:4 color) and PCM WAV natively
+with numpy, use Pillow / soundfile when importable for the remaining
+formats (progressive/subsampled JPEG, FLAC, …),
 and otherwise raise ``NotImplementedError`` unless ``fake=True``, where a
 deterministic hash-derived payload stands in so the Spark-side plumbing
 (schema, batch shape, partitioning) is fully testable in codec-less
@@ -220,6 +221,381 @@ def _decode_wav(payload: bytes) -> list[float]:
     return [round(float(b.mean()) if len(b) else 0.0, 6) for b in bins]
 
 
+# ---------------------------------------------------------------- JPEG (r8)
+# Baseline sequential DCT JPEG with stdlib + numpy only — the second
+# COMPRESSED format executing for real. Scope: 8-bit baseline (SOF0),
+# grayscale or 4:4:4 YCbCr (no chroma subsampling), custom-DHT Huffman
+# entropy coding, byte stuffing. Out of scope, REFUSED precisely:
+# progressive (SOF2) and every non-baseline frame type, 16-bit quant
+# tables, restart intervals (DRI), subsampled chroma, arithmetic coding.
+# The encoder emits a spec-conformant stream with a CONSTANT quant table
+# (all 16s) and flat canonical Huffman tables declared in DHT — chosen so
+# a solid color with EVEN gray level round-trips EXACTLY (constant block
+# ⇒ DC-only ⇒ decoded = round(8·(L−128)/16)·16/8 + 128 = L for even L),
+# which is what makes mm_jpeg_real_decode's oracle a closed form.
+
+_ZIGZAG = [
+    (r, s - r)
+    for s in range(15)
+    for r in (range(min(s, 7), max(0, s - 7) - 1, -1) if s % 2 == 0
+              else range(max(0, s - 7), min(s, 7) + 1))
+]
+_DCT_M = None
+
+
+def _dct_matrix() -> np.ndarray:
+    global _DCT_M
+    if _DCT_M is None:
+        u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+        M = np.cos((2 * x + 1) * u * np.pi / 16) / 2.0
+        M[0] /= np.sqrt(2.0)
+        _DCT_M = M
+    return _DCT_M
+
+
+# flat canonical Huffman tables (declared in DHT, so any conformant
+# decoder reads them): 12 DC category symbols at code length 4, the 162
+# standard AC run/size symbols at code length 8 — Kraft-valid, trivially
+# canonical, and symbol order == value order keeps both sides simple
+_DC_SYMS = list(range(12))
+_AC_SYMS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+
+
+def _canonical_codes(symbols: list, length: int) -> dict:
+    return {sym: (i, length) for i, sym in enumerate(symbols)}
+
+
+def _jpeg_huff_decoder(bits: list, vals: list) -> dict:
+    """DHT (BITS, HUFFVAL) → {(length, code): symbol} via the spec's
+    canonical code construction."""
+    out, code, k = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def done(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.put((1 << pad) - 1, pad)  # pad the final byte with 1s
+        return bytes(self.buf)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.d):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.d[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.d) or self.d[self.pos] != 0x00:
+                    raise ValueError("JPEG marker inside entropy stream")
+                self.pos += 1  # unstuff
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+    def huff(self, table: dict) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | self.bit()
+            if (ln, code) in table:
+                return table[(ln, code)]
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _jpeg_extend(v: int, t: int) -> int:
+    """DECODE_EXTEND (spec F.12): t-bit value → signed coefficient."""
+    return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _decode_jpeg(payload: bytes) -> list[float]:
+    """REAL baseline JPEG decode with numpy only: marker walk, DQT/DHT
+    parse, SOF0 frame header, Huffman entropy decode (DC diff categories,
+    AC run/size with ZRL/EOB, byte unstuffing), dequantize, un-zigzag,
+    float IDCT (8×8 DCT-II basis matmul), level shift + clamp, then for
+    color frames YCbCr→RGB→BT.601 luma into the shared block-mean thumb.
+    Non-baseline shapes refuse precisely (see the scope note above)."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    qt: dict = {}
+    huff_dc: dict = {}
+    huff_ac: dict = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT
+            b = 0
+            while b < len(body):
+                prec, tid = body[b] >> 4, body[b] & 0xF
+                if prec != 0:
+                    raise ValueError("unsupported JPEG (16-bit quant table)")
+                qt[tid] = np.frombuffer(
+                    body, np.uint8, 64, b + 1
+                ).astype(np.float64)
+                b += 65
+        elif marker == 0xC4:  # DHT
+            b = 0
+            while b < len(body):
+                cls, tid = body[b] >> 4, body[b] & 0xF
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                (huff_dc if cls == 0 else huff_ac)[tid] = _jpeg_huff_decoder(
+                    bits, vals
+                )
+                b += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            if body[0] != 8:
+                raise ValueError("unsupported JPEG (non-8-bit precision)")
+            h = int.from_bytes(body[1:3], "big")
+            w = int.from_bytes(body[3:5], "big")
+            comps = []
+            for ci in range(body[5]):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise ValueError("unsupported JPEG (subsampled chroma)")
+                comps.append((cid, tq))
+            frame = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
+            raise ValueError(f"unsupported JPEG ({kind} frame)")
+        elif marker == 0xDD:  # DRI
+            raise ValueError("unsupported JPEG (restart intervals)")
+        elif marker == 0xDA:  # SOS
+            ns = body[0]
+            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            pos = pos + 2 + seg_len
+            break
+        pos += 2 + seg_len
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF0/SOS")
+    w, h, comps = frame
+    if len(scan) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+    # entropy-coded data runs to the EOI marker
+    end = payload.rfind(b"\xff\xd9")
+    rd = _BitReader(payload[pos : end if end > pos else len(payload)])
+    M = _dct_matrix()
+    bw, bh = -(-w // 8), -(-h // 8)
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    pred = [0] * len(comps)
+    zz_r = np.array([z[0] for z in _ZIGZAG])
+    zz_c = np.array([z[1] for z in _ZIGZAG])
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, (cid, tq) in enumerate(comps):
+                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
+                t = rd.huff(huff_dc[td])
+                diff = _jpeg_extend(rd.bits(t), t)
+                pred[ci] += diff
+                coef = np.zeros(64)
+                coef[0] = pred[ci]
+                k = 1
+                while k < 64:
+                    rs = rd.huff(huff_ac[ta])
+                    if rs == 0x00:  # EOB
+                        break
+                    run, size = rs >> 4, rs & 0xF
+                    if rs == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC coefficient overrun")
+                    coef[k] = _jpeg_extend(rd.bits(size), size)
+                    k += 1
+                dq = coef * qt[tq]
+                block = np.zeros((8, 8))
+                block[zz_r, zz_c] = dq
+                px = M.T @ block @ M + 128.0
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+    if len(planes) == 1:
+        gray = planes[0]
+    elif len(planes) == 3:
+        Y, Cb, Cr = planes
+        R = np.clip(np.round(Y + 1.402 * (Cr - 128.0)), 0, 255)
+        G = np.clip(
+            np.round(Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)),
+            0, 255,
+        )
+        B = np.clip(np.round(Y + 1.772 * (Cb - 128.0)), 0, 255)
+        gray = 0.299 * R + 0.587 * G + 0.114 * B
+    else:
+        raise ValueError(f"unsupported JPEG ({len(planes)} components)")
+    return _thumb_from_gray(gray)
+
+
+def _jpeg_encode_block(
+    bwr: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
+    dc_codes: dict, ac_codes: dict,
+) -> int:
+    """DCT → quantize → zigzag → Huffman-encode one 8×8 block; returns
+    the new DC predictor."""
+    M = _dct_matrix()
+    coef = M @ (block - 128.0) @ M.T
+    zz = np.array([
+        int(np.round(coef[r, c] / q[i])) for i, (r, c) in enumerate(_ZIGZAG)
+    ])
+    diff = int(zz[0]) - pred
+
+    def put_val(v: int, t: int) -> None:
+        if t:
+            bwr.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    t = int(abs(diff)).bit_length()
+    code, ln = dc_codes[t]
+    bwr.put(code, ln)
+    put_val(diff, t)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = ac_codes[0xF0]
+            bwr.put(code, ln)
+            run -= 16
+        size = int(abs(v)).bit_length()
+        code, ln = ac_codes[(run << 4) | size]
+        bwr.put(code, ln)
+        put_val(v, size)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]
+        bwr.put(code, ln)
+    return int(zz[0])
+
+
+def make_jpeg(
+    w: int,
+    h: int,
+    gray: int | None = None,
+    rgb: tuple | None = None,
+    pixels: np.ndarray | None = None,
+) -> bytes:
+    """A real, spec-conformant baseline JPEG encoder (numpy only) — the
+    encoder side of _decode_jpeg. ``gray`` emits a solid single-component
+    image (the closed-form oracle shape: EVEN gray levels round-trip the
+    16s quant table exactly); ``rgb`` a solid 4:4:4 color image;
+    ``pixels`` ((h, w) grayscale or (h, w, 3) RGB uint8) arbitrary
+    content for round-trip tests. Constant quant table (all 16s), flat
+    canonical Huffman tables declared in DHT."""
+    if pixels is None:
+        if gray is not None:
+            pixels = np.full((h, w), gray, np.uint8)
+        else:
+            pixels = np.tile(np.asarray(rgb, np.uint8), (h, w, 1))
+    px = np.asarray(pixels, dtype=np.float64)
+    if px.ndim == 2:
+        planes = [px]
+    else:
+        R, G, B = px[..., 0], px[..., 1], px[..., 2]
+        planes = [
+            np.round(0.299 * R + 0.587 * G + 0.114 * B),
+            np.round(128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B),
+            np.round(128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B),
+        ]
+        planes = [np.clip(p, 0, 255) for p in planes]
+    q = np.full(64, 16.0)
+    bw, bh = -(-w // 8), -(-h // 8)
+    # edge-replicate to block boundaries
+    planes = [
+        np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
+        for p in planes
+    ]
+    dc_codes = _canonical_codes(_DC_SYMS, 4)
+    ac_codes = _canonical_codes(_AC_SYMS, 8)
+    bwr = _BitWriter()
+    pred = [0] * len(planes)
+    for by in range(bh):
+        for bx in range(bw):
+            for ci, p in enumerate(planes):
+                pred[ci] = _jpeg_encode_block(
+                    bwr,
+                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    q, pred[ci], dc_codes, ac_codes,
+                )
+    entropy = bwr.done()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    nf = len(planes)
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, 0]) for ci in range(nf)
+    )
+    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+              + bytes([nf]) + sof_comps)
+    dht_dc = seg(
+        0xC4,
+        bytes([0x00]) + bytes(
+            [0, 0, 0, len(_DC_SYMS)] + [0] * 12
+        ) + bytes(_DC_SYMS),
+    )
+    dht_ac = seg(
+        0xC4,
+        bytes([0x10]) + bytes(
+            [0, 0, 0, 0, 0, 0, 0, len(_AC_SYMS)] + [0] * 8
+        ) + bytes(_AC_SYMS),
+    )
+    sos = seg(0xDA, bytes([nf]) + b"".join(
+        bytes([ci + 1, 0x00]) for ci in range(nf)
+    ) + bytes([0, 63, 0]))
+    return (
+        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    )
+
+
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
     """Decoded + grayscale-resized THUMB_W×THUMB_H pixel grid in [0,1].
     BMP payloads decode via the library-free numpy parser (deterministic
@@ -235,6 +611,14 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
             return _decode_png(payload)
         except ValueError:
             # out-of-scope PNG (interlaced/16-bit/palette): Pillow if
+            # present, else surface the precise refusal
+            if _try_import("PIL") is None:
+                raise
+    if payload[:2] == b"\xff\xd8":
+        try:
+            return _decode_jpeg(payload)
+        except ValueError:
+            # out-of-scope JPEG (progressive/subsampled/DRI): Pillow if
             # present, else surface the precise refusal
             if _try_import("PIL") is None:
                 raise

@@ -332,3 +332,54 @@ def cli_growing_merge_pq(spark: SparkSession, sf: str) -> DataFrame:
         (F.col("score") + F.lit(0.0)).alias("score"),
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+@register(
+    "mm_jpeg_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((2*((doc_id*29)%128))/255.0, 6) AS luma01,
+           CAST(16 AS BIGINT) AS n_px
+    FROM documents
+    """,
+)
+def mm_jpeg_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL baseline-JPEG decode end-to-end, numpy only (r8 — the second
+    compressed format after PNG): each document gets a spec-conformant
+    baseline JPEG (solid EVEN gray level derived from its id, varying
+    dimensions so edge-replicated partial blocks exercise; Huffman
+    entropy decode, dequantize, un-zigzag and IDCT all execute),
+    image_features(fake=False) routes it through the numpy JPEG parser
+    inside mapInPandas, and because even levels round-trip the all-16s
+    quant table EXACTLY (constant block ⇒ DC-only ⇒ decoded =
+    round((L−128)/2)·2 + 128 = L), the decoded thumb equals the
+    closed-form value the oracle recomputes. Scale shape: one map-side
+    Arrow-batched pass — zero shuffles."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import image_features, make_jpeg
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "media": [
+                    make_jpeg(5 + i % 4, 3 + i % 3, gray=2 * ((i * 29) % 128))
+                    for i in ids
+                ],
+            })
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = image_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("thumb", 1).alias("luma01"),
+        F.size("thumb").cast("long").alias("n_px"),
+    )

@@ -48,6 +48,7 @@ HEAVY = [
     "vec_hnsw_filtered",    # r7: exhaustive-ef filtered gate (memoized build)
     "mm_bmp_real_decode",   # r7: real BMP decode, map-side only
     "mm_png_real_decode",   # r8: real PNG decode (zlib inflate), map-side only
+    "mm_jpeg_real_decode",  # r8: real baseline-JPEG decode, map-side only
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds

@@ -352,3 +352,82 @@ def test_real_png_codec_stdlib_zlib():
     if not _has("PIL"):
         with pytest.raises(ValueError, match="interlaced"):
             decode_image(make_png(4, 4, (1, 2, 3), interlace=1), fake=False)
+
+
+def test_real_jpeg_codec_numpy_baseline():
+    """r8: baseline JPEG decodes for real with numpy only — Huffman
+    entropy decode (custom canonical DHT tables, byte unstuffing),
+    dequantize, un-zigzag, IDCT. Grayscale with EVEN levels round-trips
+    the all-16s quant table EXACTLY (the closed-form oracle shape);
+    arbitrary pixels validate the bitstream layers against a direct
+    DCT→quantize→IDCT reference that never touches Huffman; 4:4:4 color
+    goes through YCbCr; non-baseline shapes refuse precisely."""
+    import numpy as np
+
+    from milvus_spark.operators.multimodal import (
+        _dct_matrix, _decode_jpeg, _thumb_from_gray, decode_image, make_jpeg,
+    )
+
+    # even solid gray: exact
+    for L in (0, 64, 128, 200, 254):
+        t = _decode_jpeg(make_jpeg(5 + L % 4, 3 + L % 3, gray=L))
+        want = round(L / 255, 6)
+        assert len(t) == 16 and all(abs(v - want) < 1e-9 for v in t), (L, t[:2])
+    # decode_image routes by SOI signature
+    assert decode_image(make_jpeg(4, 4, gray=100), fake=False) == _decode_jpeg(
+        make_jpeg(4, 4, gray=100)
+    )
+    # arbitrary grayscale: decoder == direct DCT/quant/IDCT reference
+    rng = np.random.default_rng(3)
+    M = _dct_matrix()
+
+    def ref_decode(px):
+        h, w = px.shape
+        bw, bh = -(-w // 8), -(-h // 8)
+        p = np.pad(
+            px.astype(np.float64), ((0, bh * 8 - h), (0, bw * 8 - w)),
+            mode="edge",
+        )
+        out = np.zeros_like(p)
+        for by in range(bh):
+            for bx in range(bw):
+                B = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                Cq = np.round((M @ (B - 128.0) @ M.T) / 16.0) * 16.0
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    M.T @ Cq @ M + 128.0
+                )
+        return np.clip(np.round(out[:h, :w]), 0, 255)
+
+    for (w, h) in ((8, 8), (13, 10), (24, 16)):
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        assert _decode_jpeg(make_jpeg(w, h, pixels=px)) == _thumb_from_gray(
+            ref_decode(px)
+        ), (w, h)
+    # solid 4:4:4 color: BT.601 luma within quantization tolerance
+    rgbv = (30, 180, 90)
+    t = _decode_jpeg(make_jpeg(9, 7, rgb=rgbv))
+    want = (0.299 * rgbv[0] + 0.587 * rgbv[1] + 0.114 * rgbv[2]) / 255
+    assert max(abs(v - want) for v in t) < 0.02
+    # refusals: patch the conformant stream into out-of-scope shapes
+    good = make_jpeg(8, 8, gray=100)
+    sof_at = good.find(b"\xff\xc0")
+    prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
+    with pytest.raises(ValueError, match="progressive"):
+        _decode_jpeg(prog)
+    sub = bytearray(good)
+    sub[sof_at + 11] = 0x22  # 4:2:0 sampling factors on component 1
+    with pytest.raises(ValueError, match="subsampled"):
+        _decode_jpeg(bytes(sub))
+    dqt_at = good.find(b"\xff\xdb")
+    q16 = bytearray(good)
+    q16[dqt_at + 4] = 0x10  # 16-bit quant table precision
+    with pytest.raises(ValueError, match="16-bit quant"):
+        _decode_jpeg(bytes(q16))
+    dri = good[:sof_at] + b"\xff\xdd\x00\x04\x00\x08" + good[sof_at:]
+    with pytest.raises(ValueError, match="restart intervals"):
+        _decode_jpeg(dri)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        _decode_jpeg(b"nope")
+    if not _has("PIL"):
+        with pytest.raises(ValueError, match="progressive"):
+            decode_image(prog, fake=False)
