@@ -69,6 +69,74 @@ def rrf_fusion(
     )
 
 
+def rrf_fusion_tagged(
+    tagged: DataFrame,
+    pk_col: str,
+    k: int = DEFAULT_RRF_K,
+    limit: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """RRF over a single ``sid``-tagged multi-search frame (the
+    one-corpus-scan hybrid kernel, knn.multi_metric_search) — same math
+    as :func:`rrf_fusion` but with NO per-sub-search split: splitting the
+    tagged frame into per-sid DataFrames and unioning them back plans the
+    scan subtree once per sub-search (measured 2× slower at sf0.1 —
+    ReusedExchange does not fire across the union branches), while the
+    grouped aggregate here keeps one subtree and the corpus scan executes
+    once per hybrid request."""
+    fused = (
+        tagged.select(
+            "qid", pk_col,
+            (F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("rrf"),
+        )
+        .groupBy("qid", pk_col)
+        .agg(F.round(F.sum("rrf"), round_to).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+        .select("qid", pk_col, "score", "rank")
+    )
+
+
+def weighted_fusion_tagged(
+    tagged: DataFrame,
+    metrics: Sequence[str],
+    weights: Sequence[float],
+    pk_col: str,
+    limit: int = 10,
+    norm_score: bool = True,
+    round_to: int = 4,
+) -> DataFrame:
+    """Weighted fusion over a ``sid``-tagged multi-search frame — the
+    per-sub-search weight and score normalization fold into one CASE
+    chain on ``sid``, keeping the single-scan plan (see
+    :func:`rrf_fusion_tagged`)."""
+    if len(metrics) != len(weights):
+        raise ValueError("one metric and one weight per sub-search")
+    ws: Optional[Column] = None
+    for sid, (m, wgt) in enumerate(zip(metrics, weights)):
+        s = normalize_score(F.col("score"), m) if norm_score else F.col("score")
+        term = F.lit(float(wgt)) * s
+        ws = (
+            F.when(F.col("sid") == sid, term)
+            if ws is None
+            else ws.when(F.col("sid") == sid, term)
+        )
+    fused = (
+        tagged.select("qid", pk_col, ws.alias("ws"))
+        .groupBy("qid", pk_col)
+        .agg(F.round(F.sum("ws"), round_to).alias("score"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col(pk_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= limit)
+        .select("qid", pk_col, "score", "rank")
+    )
+
+
 def weighted_fusion(
     results: Sequence[DataFrame],
     metrics: Sequence[str],

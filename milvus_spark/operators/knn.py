@@ -165,6 +165,76 @@ def brute_force_search(
     )
 
 
+def multi_metric_search(
+    df: DataFrame,
+    queries: Sequence[tuple[int, Sequence[float]]],
+    vec_col: str,
+    pk_col: str,
+    metrics: Sequence[str],
+    k: int = 10,
+    round_to: int = 4,
+) -> DataFrame:
+    """Hybrid-search fan-out in ONE corpus scan (r8): score every metric
+    of a multi-metric request against the same vector column per Arrow
+    batch — the vectors are deserialized and the parquet read paid ONCE
+    instead of once per sub-search (the reference's delegator also visits
+    each segment once per hybrid request, task_search.go:489). Returns
+    (sid, qid, pk, score, rank) where ``sid`` indexes ``metrics``;
+    per-(sid, qid) ranking is IDENTICAL to a standalone
+    :func:`brute_force_search` of that metric — same rounding, same
+    (score, pk) total order via a sign-folded order key, so fusion layers
+    can consume the slices interchangeably."""
+    qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
+    Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
+    signs = [1.0 if metric_ascending(m) else -1.0 for m in metrics]
+    kk, rt = int(k), round_to
+    pk, vc = pk_col, vec_col
+    mets = list(metrics)
+
+    def score_batches(batches: Iterable[pd.DataFrame]):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = pdf[pk].to_numpy()
+            V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
+            frames = []
+            for sid, met in enumerate(mets):
+                S = np.round(_score_block(V, Q, met), rt)
+                sign = signs[sid]
+                for qi, qid in enumerate(qids):
+                    row = S[qi]
+                    idx = np.lexsort((ids, sign * row))[: min(kk, len(ids))]
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "sid": sid,
+                                "qid": qid,
+                                pk: ids[idx].astype(np.int64),
+                                "score": row[idx],
+                            }
+                        )
+                    )
+            if frames:
+                yield pd.concat(frames)
+
+    partial = df.select(pk_col, vec_col).mapInPandas(
+        score_batches, schema=f"sid int, qid long, {pk_col} long, score double"
+    )
+    # one window over ALL sub-searches: the per-sid order direction folds
+    # into a sign key (ties at equal score are unaffected — ±0.0 compare
+    # equal), so ranking matches each metric's standalone window exactly
+    okey = F.when(
+        F.col("sid").isin([s for s, g in enumerate(signs) if g > 0]),
+        F.col("score"),
+    ).otherwise(-F.col("score"))
+    w = W.partitionBy("sid", "qid").orderBy(okey.asc(), F.col(pk_col).asc())
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("sid", "qid", pk_col, "score", "rank")
+    )
+
+
 def grouping_search(
     df: DataFrame,
     queries: Sequence[tuple[int, Sequence[float]]],

@@ -22,8 +22,8 @@ from milvus_spark.operators.knn import brute_force_search, grouping_search, quer
 from milvus_spark.operators.hybrid import (
     boost_score,
     decay_factor,
-    rrf_fusion,
-    weighted_fusion,
+    rrf_fusion_tagged,
+    weighted_fusion_tagged,
 )
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
@@ -198,11 +198,20 @@ _HYBRID_SUBS = f"""
 """
 
 
-def _hybrid_results(spark: SparkSession, sf: str):
+def _hybrid_results(spark: SparkSession, sf: str) -> DataFrame:
+    """Both hybrid sub-searches in ONE corpus scan (r8): the multi-metric
+    kernel deserializes the vectors and pays the parquet read ONCE and
+    returns a single sid-tagged frame the tagged fusion layers consume
+    without splitting (splitting + re-unioning plans the scan once per
+    sub-search — measured 2× slower). One scan per hybrid request is
+    exactly the reference's delegator visiting each segment once
+    (task_search.go:489)."""
+    from milvus_spark.operators.knn import multi_metric_search
+
     emb, qs = _load_queries(spark, sf)
-    r1 = brute_force_search(emb, qs, "embedding", "vec_id", metric="COSINE", k=20)
-    r2 = brute_force_search(emb, qs, "embedding", "vec_id", metric="L2", k=20)
-    return r1, r2
+    return multi_metric_search(
+        emb, qs, "embedding", "vec_id", metrics=["COSINE", "L2"], k=20
+    )
 
 
 @register(
@@ -224,8 +233,7 @@ def _hybrid_results(spark: SparkSession, sf: str):
     """,
 )
 def vec_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
-    r1, r2 = _hybrid_results(spark, sf)
-    return rrf_fusion([r1, r2], "vec_id", k=60, limit=10)
+    return rrf_fusion_tagged(_hybrid_results(spark, sf), "vec_id", k=60, limit=10)
 
 
 @register(
@@ -250,9 +258,9 @@ def vec_hybrid_rrf(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def vec_hybrid_weighted(spark: SparkSession, sf: str) -> DataFrame:
-    r1, r2 = _hybrid_results(spark, sf)
-    return weighted_fusion(
-        [r1, r2], ["COSINE", "L2"], [0.7, 0.3], "vec_id", limit=10, norm_score=True
+    return weighted_fusion_tagged(
+        _hybrid_results(spark, sf), ["COSINE", "L2"], [0.7, 0.3], "vec_id",
+        limit=10, norm_score=True,
     )
 
 

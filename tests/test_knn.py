@@ -189,3 +189,33 @@ def test_binary_vector_client_search(spark, sf_dir):
                     assert got[(qi, rank)] == vid, (metric, qid, rank)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_multi_metric_search_matches_per_metric_searches(spark, sf_dir):
+    """r8: the one-scan hybrid kernel's per-sid slices must equal a
+    standalone brute_force_search of each metric exactly (same rounding,
+    same (score, pk) total order) — including the all-descending case
+    where the sign-folded order key has no ascending sids."""
+    from pyspark.sql import functions as F
+
+    from milvus_spark.operators.knn import (
+        brute_force_search, multi_metric_search, queries_from_table,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = queries_from_table(emb, "vec_id", "embedding", F.col("vec_id") < 3)
+    for metrics in (["COSINE", "L2"], ["COSINE", "IP"], ["L2"]):
+        both = multi_metric_search(
+            emb, qs, "embedding", "vec_id", metrics=metrics, k=15
+        )
+        rows = both.collect()
+        for sid, met in enumerate(metrics):
+            want = sorted(
+                map(tuple, brute_force_search(
+                    emb, qs, "embedding", "vec_id", metric=met, k=15
+                ).collect())
+            )
+            got = sorted(
+                (r.qid, r.vec_id, r.score, r.rank) for r in rows if r.sid == sid
+            )
+            assert got == want, (metrics, met)

@@ -422,3 +422,19 @@ def test_semantic_kernel_plans_are_bounded(spark, sf_dir):
         # exchange above it is identical on both sides, so AQE's
         # ReusedExchange computes the assignment once at runtime)
         assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_hybrid_fusion_single_corpus_scan(spark, sf_dir):
+    """r8: a hybrid request's sub-searches must share ONE corpus scan —
+    the multi-metric kernel scores every metric per Arrow batch, and the
+    tagged fusion consumes the frame without splitting (a split +
+    re-union plans the scan once per sub-search: measured 2× the work).
+    At 100 TB this is the difference between reading the corpus once or
+    N times per hybrid query."""
+    from milvus_spark.registry import QUERIES, load_suites
+
+    load_suites()
+    for name in ("vec_hybrid_rrf", "vec_hybrid_weighted"):
+        df = QUERIES[name](spark, sf_dir)
+        plan = plan_of(df)
+        assert plan.count("embeddings.parquet") == 1, name

@@ -108,6 +108,17 @@ def test_refresh_lifecycle_fuzz(spark, tmp_path, itype, params, sp):
                     spark.createDataFrame([(p, v2)], "pk long, v array<double>"),
                 )
                 model[p] = v2
+            # r8: every other step searches WITHOUT refreshing first —
+            # the sealed+growing serving path (stale index epochs + delta
+            # exact scan + query-time delete mask) must match the model
+            # exactly too, including its unsafe-composition fallbacks
+            if _step % 2 == 0:
+                got = client.search(
+                    name, [q], limit=10, search_params=dict(sp)
+                ).collect()
+                assert {r.pk for r in got} == _truth_topk(model, q, 10), (
+                    "sealed+growing", itype, seed, _step, op,
+                )
             entry = client.refresh_index(name, "v", itype)
             if itype == "HNSW":
                 assert len(entry["epochs"]) <= client.MAX_INDEX_EPOCHS + 1
