@@ -841,3 +841,97 @@ def test_snapshot_restore_invalidates_index(spark, sf_dir, tmp_path):
     truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
     assert got == truth  # restored visibility, not the indexed state
     client.drop_collection("sr")
+
+
+def test_compaction_crash_window_recovers_via_rebuild(spark, sf_dir, tmp_path):
+    """The partition-scoped swap's crash story (r8): if a kill lands
+    mid-swap, the artifact directory still EXISTS (no whole-artifact
+    rmtree window) but its partition set no longer matches the catalog —
+    the next refresh's row-count guard must refuse (never a silent wrong
+    answer) and on_mismatch="rebuild" must recover to an exact index."""
+    import os
+    import shutil
+
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("cw", pk_field="vec_id", vector_field="embedding")
+    client.insert("cw", emb.filter(F.col("vec_id") % 2 == 0))
+    client.create_index("cw", "embedding", "HNSW", {"M": 8})
+    client.insert("cw", emb.filter(F.col("vec_id") % 2 == 1))
+    entry = client.refresh_index("cw", "embedding")
+    # simulate a crash mid-swap: one refresh-epoch partition dir vanishes
+    gp = os.path.join(entry["path"], "graph")
+    lost = entry["epochs"][1]["base"]
+    victim = next(
+        os.path.join(gp, f"part={p}")
+        for p in range(lost, lost + entry["epochs"][1]["n"])
+        if os.path.isdir(os.path.join(gp, f"part={p}"))
+    )
+    shutil.rmtree(victim)
+    assert os.path.isdir(gp)  # the artifact itself survives
+    client.insert(
+        "cw",
+        emb.filter(F.col("vec_id") == 0).select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label"
+        ),
+    )
+    with pytest.raises(ValueError, match="rebuild with create_index"):
+        client.refresh_index("cw", "embedding")
+    entry = client.refresh_index("cw", "embedding", on_mismatch="rebuild")
+    q = [emb.filter(F.col("vec_id") == 2).first().embedding]
+    got = client.search("cw", q, limit=10, search_params={"ef": 10**6}).collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in emb.collect()
+    }
+    cos[10**6] = cos[0]
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    client.drop_collection("cw")
+
+
+def test_legacy_flat_graph_migrates_on_first_refresh(spark, sf_dir, tmp_path):
+    """Pre-r8 catalogs stored the graph as flat parquet; the first
+    refresh must migrate it to the part-partitioned layout once (a
+    partitioned append into a flat dir would break partition discovery)
+    and keep serving exactly."""
+    import os
+
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("lg", pk_field="vec_id", vector_field="embedding")
+    client.insert("lg", emb.filter(F.col("vec_id") % 2 == 0))
+    client.create_index("lg", "embedding", "HNSW", {"M": 8})
+    entry = client.describe_index("lg", "embedding", "HNSW")
+    gp = os.path.join(entry["path"], "graph")
+    # flatten the artifact back to the legacy layout
+    flat = spark.read.parquet(gp).select("part", "pos", "id", "vec", "neighbors")
+    tmp = gp + ".flat"
+    flat.write.mode("overwrite").parquet(tmp)
+    import shutil
+
+    shutil.rmtree(gp)
+    os.rename(tmp, gp)
+    assert not any(e.startswith("part=") for e in os.listdir(gp))
+    client.insert("lg", emb.filter(F.col("vec_id") % 2 == 1))
+    client.refresh_index("lg", "embedding")
+    assert any(e.startswith("part=") for e in os.listdir(gp))  # migrated
+    q = [emb.filter(F.col("vec_id") == 0).first().embedding]
+    got = client.search("lg", q, limit=10, search_params={"ef": 10**6}).collect()
+    qv = np.asarray(q[0]) / np.linalg.norm(q[0])
+    cos = {
+        r.vec_id: float(
+            np.dot(np.asarray(r.embedding) / np.linalg.norm(r.embedding), qv)
+        )
+        for r in emb.collect()
+    }
+    truth = set(sorted(cos, key=lambda i: (-round(cos[i], 12), i))[:10])
+    assert {r.vec_id for r in got} == truth
+    client.drop_collection("lg")
