@@ -183,12 +183,37 @@ def _decode_png(payload: bytes) -> list[float]:
     return _thumb_from_gray(gray)
 
 
+def _g711_ulaw_table() -> np.ndarray:
+    """G.711 μ-law codeword → 16-bit sample (the standard expansion:
+    complement, split sign/exponent/mantissa, magnitude =
+    ((m·8 + 132) << e) − 132; max = 32124)."""
+    c = np.arange(256, dtype=np.int64) ^ 0xFF
+    sign = np.where(c & 0x80, -1, 1)
+    e = (c >> 4) & 0x7
+    m = c & 0xF
+    mag = (((m << 3) + 0x84) << e) - 0x84
+    return sign * mag
+
+
+def _g711_alaw_table() -> np.ndarray:
+    """G.711 A-law codeword → 16-bit sample (xor 0x55, sign/exponent/
+    mantissa split, chord expansion; max = 32256, min step = 8)."""
+    c = np.arange(256, dtype=np.int64) ^ 0x55
+    sign = np.where(c & 0x80, 1, -1)
+    e = (c >> 4) & 0x7
+    m = c & 0xF
+    mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
+    return sign * mag
+
+
 def _decode_wav(payload: bytes) -> list[float]:
-    """REAL, library-free WAV decode (RIFF/WAVE, PCM 8/16-bit): walk the
-    chunk list for fmt/data, scale samples to [-1, 1] exactly as
-    soundfile does (float64, /32768 for s16, offset-128/128 for u8),
-    mono-fold by channel mean of |amplitude|, then AUDIO_FRAMES energy
-    bins. Pure numpy — oracle-gated via mm_wav_real_decode."""
+    """REAL, library-free WAV decode (RIFF/WAVE; PCM 8/16-bit plus G.711
+    μ-law/A-law companded formats, r8): walk the chunk list for fmt/data,
+    scale samples to [-1, 1] exactly as soundfile does (float64, /32768
+    for s16 and for the expanded G.711 16-bit values, offset-128/128 for
+    u8), mono-fold by channel mean of |amplitude|, then AUDIO_FRAMES
+    energy bins. Pure numpy — oracle-gated via mm_wav_real_decode and
+    mm_ulaw_real_decode."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
     pos, fmt, data = 12, None, None
@@ -206,9 +231,18 @@ def _decode_wav(payload: bytes) -> list[float]:
     audio_format = int.from_bytes(fmt[0:2], "little")
     n_ch = int.from_bytes(fmt[2:4], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1 or bits not in (8, 16) or n_ch < 1:
+    if (
+        n_ch < 1
+        or (audio_format == 1 and bits not in (8, 16))
+        or (audio_format in (6, 7) and bits != 8)
+        or audio_format not in (1, 6, 7)
+    ):
         raise ValueError(f"unsupported WAV (fmt={audio_format}, bits={bits})")
-    if bits == 16:
+    if audio_format in (6, 7):  # G.711 A-law / μ-law companded bytes
+        table = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
+        raw = np.frombuffer(data[: len(data) - len(data) % n_ch], np.uint8)
+        s = table[raw].astype(np.float64) / 32768.0
+    elif bits == 16:
         s = np.frombuffer(data[: len(data) - len(data) % (2 * n_ch)], "<i2")
         s = s.astype(np.float64) / 32768.0
     else:
@@ -844,19 +878,33 @@ def make_png(
     )
 
 
-def make_wav(n_samples: int, value: int, n_ch: int = 1, sr: int = 8000) -> bytes:
-    """A real RIFF/WAVE PCM-16 file of one constant sample value — the
-    encoder side of _decode_wav (constant amplitude makes every energy
-    bin exactly value/32768, closed-form for the SQL oracle, while the
-    parser still walks the chunk list and scales samples)."""
-    data = value.to_bytes(2, "little", signed=True) * (n_samples * n_ch)
+def make_wav(
+    n_samples: int,
+    value: int,
+    n_ch: int = 1,
+    sr: int = 8000,
+    audio_format: int = 1,
+) -> bytes:
+    """A real RIFF/WAVE file of one constant sample — the encoder side of
+    _decode_wav (constant amplitude makes every energy bin a closed form
+    for the SQL oracle, while the parser still walks the chunk list and
+    scales samples). ``audio_format`` 1 emits PCM-16 with ``value`` as
+    the signed sample; 6 (A-law) / 7 (μ-law) emit ``value`` as the raw
+    8-bit G.711 codeword per sample (r8), whose expanded 16-bit level is
+    itself a closed form of the codeword."""
+    if audio_format in (6, 7):
+        width = 1
+        data = bytes([value & 0xFF]) * (n_samples * n_ch)
+    else:
+        width = 2
+        data = value.to_bytes(2, "little", signed=True) * (n_samples * n_ch)
     fmt = (
-        (1).to_bytes(2, "little")
+        audio_format.to_bytes(2, "little")
         + n_ch.to_bytes(2, "little")
         + sr.to_bytes(4, "little")
-        + (sr * n_ch * 2).to_bytes(4, "little")
-        + (n_ch * 2).to_bytes(2, "little")
-        + (16).to_bytes(2, "little")
+        + (sr * n_ch * width).to_bytes(4, "little")
+        + (n_ch * width).to_bytes(2, "little")
+        + (8 * width).to_bytes(2, "little")
     )
     chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     chunks += b"data" + len(data).to_bytes(4, "little") + data

@@ -383,3 +383,58 @@ def mm_jpeg_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("thumb", 1).alias("luma01"),
         F.size("thumb").cast("long").alias("n_px"),
     )
+
+
+@register(
+    "mm_ulaw_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((((((255 - ((doc_id*13)%256)) % 16) * 8 + 132)
+                   * POW(2, ((255 - ((doc_id*13)%256)) // 16) % 8)) - 132)
+                 / 32768.0, 6) AS energy,
+           CAST(8 AS BIGINT) AS n_frames
+    FROM documents
+    """,
+)
+def mm_ulaw_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL G.711 μ-law decode end-to-end (r8): each document gets a
+    RIFF/WAVE fmt-7 file holding one constant 8-bit μ-law codeword
+    derived from its id (every third doc stereo), audio_features
+    (fake=False) expands it through the numpy G.711 table (complement →
+    sign/exponent/mantissa → ((m·8+132)≪e)−132, the standard chord
+    expansion with max 32124), and every energy bin must equal
+    |expanded|/32768 exactly — which the oracle recomputes as a closed
+    form of the codeword (the magnitude ignores the sign bit, so no CASE
+    is needed). Same map-side-only scale shape as the other codecs."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import audio_features, make_wav
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "media": [
+                    make_wav(
+                        96 + i % 5, (i * 13) % 256,
+                        n_ch=2 if i % 3 == 0 else 1,
+                        audio_format=7,
+                    )
+                    for i in ids
+                ],
+            })
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = audio_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("fbank", 1).alias("energy"),
+        F.size("fbank").cast("long").alias("n_frames"),
+    )

@@ -431,3 +431,31 @@ def test_real_jpeg_codec_numpy_baseline():
     if not _has("PIL"):
         with pytest.raises(ValueError, match="progressive"):
             decode_image(prog, fake=False)
+
+
+def test_real_g711_codec_library_free():
+    """r8: G.711 μ-law/A-law WAV (fmt 7/6) expand through the standard
+    chord tables — canonical anchors pinned (μ-law max 32124, ±zero
+    codewords 0xFF/0x7F; A-law max 32256, min step 8), constant-codeword
+    files decode to exactly |expanded|/32768 in every energy bin, stereo
+    folds, and unknown format ids still refuse."""
+    import numpy as np
+
+    from milvus_spark.operators.multimodal import (
+        _decode_wav, _g711_alaw_table, _g711_ulaw_table, make_wav,
+    )
+
+    u, a = _g711_ulaw_table(), _g711_alaw_table()
+    assert u.max() == 32124 and u.min() == -32124
+    assert u[0xFF] == 0 and u[0x7F] == 0
+    assert a.max() == 32256 and int(np.abs(a).min()) == 8
+    for fmtid, tbl in ((7, u), (6, a)):
+        for c in (0x12, 0x80, 0xD5, 0xFF):
+            fb = _decode_wav(make_wav(64, c, audio_format=fmtid))
+            assert fb == [round(abs(int(tbl[c])) / 32768, 6)] * 8, (fmtid, c)
+    fb = _decode_wav(make_wav(33, 0x9A, n_ch=2, audio_format=7))
+    assert fb == [round(abs(int(u[0x9A])) / 32768, 6)] * 8
+    bad = bytearray(make_wav(8, 5))
+    bad[20:22] = (3).to_bytes(2, "little")  # IEEE float: still out of scope
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        _decode_wav(bytes(bad))
