@@ -5,9 +5,10 @@ Media payloads are opaque ``binary`` columns with typed metadata
 ``mapInPandas``. The codec layer is pluggable at runtime:
 ``decode_image``/``decode_audio`` decode BMP, PNG (stdlib zlib — headers,
 CRC, inflate, all five scanline filters), baseline JPEG (Huffman entropy
-decode, dequantize, IDCT — grayscale + 4:4:4 color) and PCM WAV natively
-with numpy, use Pillow / soundfile when importable for the remaining
-formats (progressive/subsampled JPEG, FLAC, …),
+decode, dequantize, IDCT — grayscale + 4:4:4 color), GIF (from-scratch
+LZW), and PCM + G.711 μ-law/A-law WAV natively with numpy, use Pillow /
+soundfile when importable for the remaining formats
+(progressive/subsampled JPEG, FLAC, …),
 and otherwise raise ``NotImplementedError`` unless ``fake=True``, where a
 deterministic hash-derived payload stands in so the Spark-side plumbing
 (schema, batch shape, partitioning) is fully testable in codec-less
@@ -253,6 +254,209 @@ def _decode_wav(payload: bytes) -> list[float]:
         return [0.0] * AUDIO_FRAMES
     bins = np.array_split(mono, AUDIO_FRAMES)
     return [round(float(b.mean()) if len(b) else 0.0, 6) for b in bins]
+
+
+# ----------------------------------------------------------------- GIF (r8)
+# GIF87a/89a with a REAL LZW codec (the third compressed format): logical
+# screen descriptor + global color table, extension-block skipping, image
+# descriptor, variable-width LSB-first LZW with CLEAR/END, dictionary
+# growth to 12 bits and the KwKwK (code == next_code) case. First image
+# block only (animation frames beyond it are ignored); interlaced images
+# and local color tables REFUSE precisely.
+
+
+def _lzw_decode(data: bytes, min_code: int) -> list[int]:
+    """GIF-flavor LZW: codes are packed LSB-first; width starts at
+    min_code+1, grows when the dictionary reaches the width's capacity,
+    caps at 12 bits until a CLEAR resets it."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    acc = nbits = pos = 0
+    width = min_code + 1
+    dict_: dict[int, tuple] = {i: (i,) for i in range(clear)}
+    next_code = end + 1
+    prev: tuple = ()
+    out: list[int] = []
+
+    def read() -> int:
+        nonlocal acc, nbits, pos
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF LZW stream truncated")
+            acc |= data[pos] << nbits
+            nbits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = read()
+        if code == clear:
+            dict_ = {i: (i,) for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+            prev = ()
+            continue
+        if code == end:
+            return out
+        if code in dict_:
+            entry = dict_[code]
+        elif code == next_code and prev:
+            entry = prev + (prev[0],)  # KwKwK
+        else:
+            raise ValueError("invalid GIF LZW code")
+        out.extend(entry)
+        if prev:
+            dict_[next_code] = prev + (entry[0],)
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+
+
+def _lzw_encode(indices: list[int], min_code: int) -> bytes:
+    """The encoder side of :func:`_lzw_decode` — real dictionary LZW
+    (CLEAR at start and on dictionary overflow), round-trip-fuzzed."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+
+    def put(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    put(clear)
+    dict_: dict[tuple, int] = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    buf: tuple = ()
+    for px in indices:
+        cand = buf + (int(px),)
+        if cand in dict_:
+            buf = cand
+            continue
+        put(dict_[buf])
+        dict_[cand] = next_code
+        next_code += 1
+        # one add LATER than the decoder's bump: the decoder lags one
+        # dictionary entry behind (the KwKwK lag), so bumping here at
+        # next_code == 1<<width would widen the encoder a code early
+        if next_code > (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:
+            put(clear)
+            dict_ = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code + 1
+        buf = (int(px),)
+    if buf:
+        put(dict_[buf])
+    put(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _decode_gif(payload: bytes) -> list[float]:
+    """REAL GIF decode with numpy + the LZW codec above: header + logical
+    screen descriptor, global color table, extension skipping, the FIRST
+    image descriptor's LZW data (sub-block concatenation), palette
+    lookup, BT.601 luma, shared block-mean thumb. Interlaced images and
+    local color tables refuse precisely. Oracle-gated end-to-end via
+    mm_gif_real_decode."""
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    flags = payload[10]
+    if not flags & 0x80:
+        raise ValueError("unsupported GIF (no global color table)")
+    gct_n = 2 << (flags & 0x7)
+    pos = 13
+    palette = np.frombuffer(
+        payload, np.uint8, gct_n * 3, pos
+    ).reshape(gct_n, 3).astype(np.float64)
+    pos += gct_n * 3
+    while pos < len(payload):
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: skip sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
+            h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
+            iflags = payload[pos + 9]
+            if iflags & 0x40:
+                raise ValueError("unsupported GIF (interlaced)")
+            if iflags & 0x80:
+                raise ValueError("unsupported GIF (local color table)")
+            pos += 10
+            min_code = payload[pos]
+            pos += 1
+            data = bytearray()
+            while payload[pos] != 0:
+                n = payload[pos]
+                data += payload[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = _lzw_decode(bytes(data), min_code)
+            if len(idx) < w * h:
+                raise ValueError("GIF pixel data short")
+            px = palette[np.asarray(idx[: w * h]).reshape(h, w)]
+            gray = (
+                0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+            )
+            return _thumb_from_gray(gray)
+        elif b0 == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"unknown GIF block 0x{b0:02x}")
+    raise ValueError("GIF has no image block")
+
+
+def make_gif(
+    w: int,
+    h: int,
+    rgb: tuple | None = None,
+    pixels: np.ndarray | None = None,
+    palette: list | None = None,
+) -> bytes:
+    """A real GIF89a encoder (the encoder side of _decode_gif): global
+    color table + LZW-compressed first frame. ``rgb`` emits a solid color
+    with a deterministic 4-entry palette (the closed-form oracle shape);
+    ``pixels`` ((h, w) palette indices) + ``palette`` ([(r,g,b), ...])
+    encode arbitrary indexed content for round-trip tests — long streams
+    cross LZW width boundaries and the 4096 dictionary reset."""
+    if pixels is None:
+        palette = [tuple(rgb), (0, 0, 0), (255, 255, 255), (1, 2, 3)]
+        pixels = np.zeros((h, w), np.int64)
+    pal_bits = max(1, (max(2, len(palette)) - 1).bit_length())
+    gct_n = 1 << pal_bits
+    pal = list(palette) + [(0, 0, 0)] * (gct_n - len(palette))
+    min_code = max(2, pal_bits)
+    lzw = _lzw_encode([int(v) for v in np.asarray(pixels).ravel()], min_code)
+    sub = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        sub += bytes([len(chunk)]) + chunk
+    sub += b"\x00"
+    head = (
+        b"GIF89a"
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + bytes([0x80 | (pal_bits - 1), 0, 0])
+        + b"".join(bytes(p) for p in pal)
+    )
+    img = (
+        b"\x2c" + b"\x00" * 4
+        + w.to_bytes(2, "little") + h.to_bytes(2, "little")
+        + b"\x00" + bytes([min_code]) + bytes(sub)
+    )
+    return head + img + b"\x3b"
 
 
 # ---------------------------------------------------------------- JPEG (r8)
@@ -653,6 +857,14 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
             return _decode_jpeg(payload)
         except ValueError:
             # out-of-scope JPEG (progressive/subsampled/DRI): Pillow if
+            # present, else surface the precise refusal
+            if _try_import("PIL") is None:
+                raise
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        try:
+            return _decode_gif(payload)
+        except ValueError:
+            # out-of-scope GIF (interlaced/local color table): Pillow if
             # present, else surface the precise refusal
             if _try_import("PIL") is None:
                 raise

@@ -438,3 +438,55 @@ def mm_ulaw_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("fbank", 1).alias("energy"),
         F.size("fbank").cast("long").alias("n_frames"),
     )
+
+
+@register(
+    "mm_gif_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((0.299*((doc_id*37)%256) + 0.587*((doc_id*59)%256)
+                  + 0.114*((doc_id*83)%256))/255, 6) AS luma01,
+           CAST(16 AS BIGINT) AS n_px
+    FROM documents
+    """,
+)
+def mm_gif_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL GIF decode end-to-end through a from-scratch LZW codec (r8 —
+    the third compressed format): each document gets a GIF89a with a
+    solid color derived from its id (global color table, LZW-compressed
+    first frame; varying dimensions exercise the sub-thumb upsample),
+    image_features(fake=False) routes it through the numpy GIF parser
+    inside mapInPandas, and the decoded thumb's first block must equal
+    the closed-form BT.601 luma the oracle computes. Same map-side-only
+    scale shape as the other codecs — zero shuffles."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import image_features, make_gif
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "media": [
+                    make_gif(
+                        4 + i % 3, 2 + i % 4,
+                        rgb=((i * 37) % 256, (i * 59) % 256, (i * 83) % 256),
+                    )
+                    for i in ids
+                ],
+            })
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = image_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("thumb", 1).alias("luma01"),
+        F.size("thumb").cast("long").alias("n_px"),
+    )

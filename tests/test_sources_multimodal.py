@@ -459,3 +459,63 @@ def test_real_g711_codec_library_free():
     bad[20:22] = (3).to_bytes(2, "little")  # IEEE float: still out of scope
     with pytest.raises(ValueError, match="unsupported WAV"):
         _decode_wav(bytes(bad))
+
+
+def test_real_gif_codec_lzw():
+    """r8: GIF decodes for real through a from-scratch LZW codec —
+    variable-width LSB-first codes, dictionary growth to 12 bits,
+    CLEAR/END, the KwKwK case (pinned with a hand-crafted code vector so
+    the general-decoder path is exercised independently of our encoder),
+    and the encoder/decoder pair round-trip-fuzzed across alphabets and
+    streams long enough to cross width boundaries and the 4096 reset.
+    Interlaced images and local color tables refuse precisely."""
+    import numpy as np
+
+    from milvus_spark.operators.multimodal import (
+        _decode_gif, _lzw_decode, _lzw_encode, _thumb_from_gray, decode_image,
+        make_gif,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(25):
+        min_code = int(rng.integers(2, 9))
+        seq = rng.integers(0, 1 << min_code, size=int(rng.integers(1, 6000))).tolist()
+        assert _lzw_decode(_lzw_encode(seq, min_code), min_code) == seq
+    seq = list(range(200)) * 60  # crosses width boundaries + 4096 reset
+    assert _lzw_decode(_lzw_encode(seq, 8), 8) == seq
+    # hand-crafted KwKwK vector: codes [clear=4, 1, 6(==next_code), end=5]
+    acc = nb = 0
+    raw = bytearray()
+    for code in (4, 1, 6, 5):
+        acc |= code << nb
+        nb += 3
+        while nb >= 8:
+            raw.append(acc & 0xFF)
+            acc >>= 8
+            nb -= 8
+    if nb:
+        raw.append(acc & 0xFF)
+    assert _lzw_decode(bytes(raw), 2) == [1, 1, 1]
+    # solid color: closed-form luma (the oracle shape)
+    for i in (0, 5, 255):
+        rgb = ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256)
+        t = _decode_gif(make_gif(4 + i % 3, 2 + i % 4, rgb=rgb))
+        want = round((0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]) / 255, 6)
+        assert len(t) == 16 and all(abs(v - want) < 1.5e-6 for v in t)
+    # arbitrary indexed image vs direct palette lookup
+    pal = [(10, 20, 30), (200, 100, 0), (0, 0, 255), (255, 255, 255), (9, 9, 9)]
+    px = rng.integers(0, len(pal), size=(9, 14))
+    arr = np.asarray(pal, np.float64)[px]
+    want = _thumb_from_gray(
+        0.299 * arr[..., 0] + 0.587 * arr[..., 1] + 0.114 * arr[..., 2]
+    )
+    assert _decode_gif(make_gif(14, 9, pixels=px, palette=pal)) == want
+    # decode_image routes by signature
+    g = make_gif(4, 4, rgb=(1, 2, 3))
+    assert decode_image(g, fake=False) == _decode_gif(g)
+    img_at = g.find(b"\x2c")
+    for bit, msg in ((0x40, "interlaced"), (0x80, "local color")):
+        bad = bytearray(g)
+        bad[img_at + 9] |= bit
+        with pytest.raises(ValueError, match=msg):
+            _decode_gif(bytes(bad))
