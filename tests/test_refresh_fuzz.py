@@ -39,6 +39,10 @@ def _truth_topk(model: dict, q: list, k: int) -> set:
 @pytest.mark.parametrize("itype,params,sp", [
     ("HNSW", {"M": 4, "n_partitions": 3}, {"ef": 10**6}),
     ("IVF_FLAT", {"nlist": 4}, {"nprobe": 10**6}),
+    # r8: the shortlist family rides the same epoch/mask/fold machinery
+    # plus the shard-partitioned code-table layout; full shortlist makes
+    # the ADC pass exact so the model comparison is strict
+    ("IVF_PQ", {"m": 4}, {"shortlist": 10**6}),
 ])
 def test_refresh_lifecycle_fuzz(spark, tmp_path, itype, params, sp):
     from milvus_spark.client import MilvusSparkClient
