@@ -505,17 +505,25 @@ def _canonical_codes(symbols: list, length: int) -> dict:
     return {sym: (i, length) for i, sym in enumerate(symbols)}
 
 
-def _jpeg_huff_decoder(bits: list, vals: list) -> dict:
-    """DHT (BITS, HUFFVAL) → {(length, code): symbol} via the spec's
-    canonical code construction."""
-    out, code, k = {}, 0, 0
+def _jpeg_huff_decoder(bits: list, vals: list) -> tuple:
+    """DHT (BITS, HUFFVAL) → (lut, maxlen): the spec's canonical code
+    construction flattened into a 2^maxlen peek table — the decoder reads
+    maxlen bits and resolves any symbol with ONE probe (each code of
+    length L owns the 2^(maxlen−L) peek values it prefixes)."""
+    entries, code, k = [], 0, 0
     for ln in range(1, 17):
         for _ in range(bits[ln - 1]):
-            out[(ln, code)] = vals[k]
+            entries.append((ln, code, vals[k]))
             code += 1
             k += 1
         code <<= 1
-    return out
+    maxlen = max((ln for ln, _, _ in entries), default=1)
+    lut: list = [None] * (1 << maxlen)
+    for ln, c, sym in entries:
+        base = c << (maxlen - ln)
+        for suffix in range(1 << (maxlen - ln)):
+            lut[base + suffix] = (sym, ln)
+    return lut, maxlen
 
 
 class _BitWriter:
@@ -543,40 +551,60 @@ class _BitWriter:
 
 
 class _BitReader:
+    """MSB-first bit reader over a byte-stuffed JPEG entropy stream —
+    multi-bit extraction with a table-driven Huffman fast path (r8: the
+    bit-at-a-time reader dominated decode wall time; a (length, code)
+    walk is ~10× slower than one LUT probe per symbol)."""
+
     def __init__(self, data: bytes):
         self.d = data
         self.pos = 0
         self.acc = 0
         self.n = 0
 
-    def bit(self) -> int:
-        if self.n == 0:
-            if self.pos >= len(self.d):
-                raise ValueError("JPEG entropy stream truncated")
-            b = self.d[self.pos]
-            self.pos += 1
+    def _fill(self, need: int) -> None:
+        d, pos, acc, n = self.d, self.pos, self.acc, self.n
+        while n < need and pos < len(d):
+            b = d[pos]
+            pos += 1
             if b == 0xFF:
-                if self.pos >= len(self.d) or self.d[self.pos] != 0x00:
+                if pos >= len(d) or d[pos] != 0x00:
                     raise ValueError("JPEG marker inside entropy stream")
-                self.pos += 1  # unstuff
-            self.acc = b
-            self.n = 8
-        self.n -= 1
-        return (self.acc >> self.n) & 1
+                pos += 1  # unstuff
+            acc = (acc << 8) | b
+            n += 8
+        self.pos, self.acc, self.n = pos, acc, n
 
     def bits(self, k: int) -> int:
-        v = 0
-        for _ in range(k):
-            v = (v << 1) | self.bit()
+        if k == 0:
+            return 0
+        self._fill(k)
+        if self.n < k:
+            raise ValueError("JPEG entropy stream truncated")
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
         return v
 
-    def huff(self, table: dict) -> int:
-        code = 0
-        for ln in range(1, 17):
-            code = (code << 1) | self.bit()
-            if (ln, code) in table:
-                return table[(ln, code)]
-        raise ValueError("invalid JPEG Huffman code")
+    def huff(self, table: tuple) -> int:
+        """One lookup on the next ``maxlen`` bits (zero-padded near the
+        stream end — a valid code always completes within the remaining
+        bits, padding only disambiguates the peek width)."""
+        lut, maxlen = table
+        self._fill(maxlen)
+        avail = min(self.n, maxlen)
+        peek = ((self.acc >> (self.n - avail)) if avail else 0) << (
+            maxlen - avail
+        )
+        hit = lut[peek]
+        if hit is None:
+            raise ValueError("invalid JPEG Huffman code")
+        sym, ln = hit
+        if ln > avail:
+            raise ValueError("JPEG entropy stream truncated")
+        self.n -= ln
+        self.acc &= (1 << self.n) - 1
+        return sym
 
 
 def _jpeg_extend(v: int, t: int) -> int:
@@ -719,9 +747,9 @@ def _jpeg_encode_block(
     the new DC predictor."""
     M = _dct_matrix()
     coef = M @ (block - 128.0) @ M.T
-    zz = np.array([
-        int(np.round(coef[r, c] / q[i])) for i, (r, c) in enumerate(_ZIGZAG)
-    ])
+    zz_r = np.fromiter((r for r, _ in _ZIGZAG), dtype=np.int64, count=64)
+    zz_c = np.fromiter((c for _, c in _ZIGZAG), dtype=np.int64, count=64)
+    zz = np.round(coef[zz_r, zz_c] / q).astype(np.int64)
     diff = int(zz[0]) - pred
 
     def put_val(v: int, t: int) -> None:
