@@ -47,6 +47,7 @@ BENCH_QUERIES = [
     "vec_hnsw_prod_ef",       # production-ef graph serving path, recall-gated (r7)
     "mm_png_real_decode",     # real PNG decode via stdlib zlib, map-side (r8)
     "mm_jpeg_real_decode",    # real baseline-JPEG decode, numpy huffman+IDCT (r8)
+    "vec_hnsw_adaptive_ef",   # adaptive serving-ef on a near-seal-cap segment (r9)
 ]
 
 

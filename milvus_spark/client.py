@@ -3961,6 +3961,14 @@ class MilvusSparkClient:
             g = self._read_graph(os.path.join(idx["path"], "graph"))
             sp = search_params or {}
             ef = int(sp.get("ef", sp.get("search_list", 64)))
+            # adaptive serving ef (r9): with no EXPLICIT ef from the
+            # caller, each segment's beam widens with its own fill
+            # (operators/hnsw.adaptive_ef) so prod recall holds roughly
+            # flat as segments approach the seal cap instead of silently
+            # declining (measured 0.815 @ 96k rows at fixed ef=64). An
+            # explicit ef is the user's knob and is honored verbatim —
+            # the exhaustive-ef oracle gates ride that path unchanged.
+            ef_adaptive = "ef" not in sp and "search_list" not in sp
             qs = [list(map(float, v)) for v in data]
             qn2 = [float(np.dot(q, q)) for q in qs]
             if met == "COSINE":
@@ -3993,6 +4001,7 @@ class MilvusSparkClient:
                 epochs=idx.get("epochs"),
                 excluded=(list(idx.get("masked_pks") or []) + growing_mask)
                 or None,
+                adaptive=ef_adaptive,
             )
             rt = 12 if round_decimal == -1 else int(round_decimal)
             if met == "COSINE":

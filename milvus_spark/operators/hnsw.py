@@ -212,6 +212,29 @@ def search_graph_np(
 
 SEGMENT_ROWS_DEFAULT = 100_000
 
+# adaptive serving-ef schedule (r9): measured on the 16-cluster/32-d
+# geometry of tests/test_hnsw.py's curve test, fixed ef=64 recall DECLINES
+# with segment fill (0.98 @ 12k rows -> 0.88 @ 48k -> 0.815 @ 96k) while
+# the reference's multi-layer HNSW holds recall roughly flat
+# (query/SearchOnIndex.cpp; knowhere layer schedule). The single-layer
+# graph's recall lever is beam width, so serving derives ef from the
+# bucket's OWN row count: ef grows linearly with fill from the anchor
+# (64 @ 12k rows, the measured-good point), capped at 512. Measured with
+# this schedule: 0.98 @ 12k, 0.97 @ 24k (ef 128), 0.975 @ 48k (ef 256),
+# 0.955 @ 96k (ef 512) — flat, at a per-query latency cost linear in ef
+# (3.6 ms -> 12.9 ms per segment probe at 96k; scripts/ef_curve_probe.py).
+EF_BASE_ROWS = 12_000
+EF_CAP = 512
+
+
+def adaptive_ef(n_rows: int, ef_base: int = 64) -> int:
+    """Serving ef derived from segment fill — the hierarchy's
+    recall-vs-fill compensation without its upper layers. Linear in
+    rows-per-bucket from the (ef_base @ EF_BASE_ROWS) anchor, never below
+    ef_base, capped at EF_CAP (past the cap the marginal recall per unit
+    beam width is flat on the measured curve)."""
+    return max(int(ef_base), min(EF_CAP, -(-int(ef_base) * int(n_rows) // EF_BASE_ROWS)))
+
 
 def derive_n_partitions(
     n_rows: int, segment_rows: int = SEGMENT_ROWS_DEFAULT, floor: int = 8
@@ -297,6 +320,7 @@ def hnsw_search(
     n_partitions: int = 8,
     epochs: list | None = None,
     excluded: list | None = None,
+    adaptive: bool = False,
 ) -> DataFrame:
     """Search: per-bucket beam search (applyInPandas over the index rows),
     then the global nq×k merge with the same ranked-window shape as the
@@ -331,7 +355,15 @@ def hnsw_search(
     copy while the re-inserted row, indexed in a later epoch (part >=
     bound), stays visible. This is the reference's
     delete-bitset-plus-new-segment semantics exactly. The list is
-    closure-broadcast (delete sets are bounded by the refresh cap)."""
+    closure-broadcast (delete sets are bounded by the refresh cap).
+
+    ``adaptive`` (r9) turns on the serving-ef schedule: each bucket's
+    beam widens to :func:`adaptive_ef` of ITS OWN row count (never below
+    the passed ``ef``), so recall holds roughly flat as segments fill
+    instead of silently declining (the measured curve in
+    tests/test_hnsw.py). Explicit-ef callers (the exhaustive-ef oracle
+    gates, user-supplied search_params) leave it off and get the passed
+    ef verbatim."""
     spark = index_df.sparkSession
     qarr = [(int(i), [float(x) for x in q]) for i, q in enumerate(queries)]
     bq = spark.sparkContext.broadcast(qarr)
@@ -376,12 +408,14 @@ def hnsw_search(
         step = max(1, int(np.sqrt(len(X))))
         sample = np.arange(0, len(X), step)
         Xs = X[sample]
+        # serving-ef schedule: widen the beam with THIS bucket's fill
+        ef_eff = max(ef, adaptive_ef(len(X), ef)) if adaptive else ef
         out_q, out_i, out_d = [], [], []
         for qid, q in bq.value:
             qv = np.asarray(q, dtype=np.float64)
             entry = int(sample[((Xs - qv) ** 2).sum(axis=1).argmin()])
             for d, pos in _beam_search(
-                X, adj, qv, max(ef, k), entry=entry, allowed=allowed
+                X, adj, qv, max(ef_eff, k), entry=entry, allowed=allowed
             )[:k]:
                 out_q.append(qid)
                 out_i.append(int(ids[pos]))

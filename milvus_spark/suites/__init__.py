@@ -11,3 +11,4 @@ def load_all() -> None:
     from milvus_spark.suites import addons_r6  # noqa: F401
     from milvus_spark.suites import addons_r7  # noqa: F401
     from milvus_spark.suites import addons_r8  # noqa: F401
+    from milvus_spark.suites import addons_r9  # noqa: F401
