@@ -1687,10 +1687,12 @@ class MilvusSparkClient:
         # count the WRITTEN batch from its parquet footers (metadata-only
         # count) — re-counting df would execute its whole lineage a second
         # time and can even disagree with what was written
-        return (
+        n = (
             self.spark.read.option("mergeSchema", "true").parquet(coll.seg_dir)
             .filter(F.col(TS_COL) == ts).count()
         )
+        self._auto_refresh_check(name, n)
+        return n
 
     def upsert(
         self,
@@ -1805,10 +1807,43 @@ class MilvusSparkClient:
             ts = self._next_ts(name)
             coll.upsert(df, ts=ts)
         # written-batch count from footers, not a second lineage execution
-        return (
+        n = (
             self.spark.read.option("mergeSchema", "true").parquet(coll.seg_dir)
             .filter(F.col(TS_COL) == ts).count()
         )
+        self._auto_refresh_check(name, n)
+        return n
+
+    def _auto_refresh_check(self, name: str, n_rows: int) -> None:
+        """Auto-refresh policy — the seal-policy analog (the reference
+        seals AND indexes segments by a size policy, not by operator
+        request: dataCoord.segment.maxSize / sealProportion,
+        component_param.go:5605-5630). An index created with
+        ``params={"auto_refresh_rows": N}`` accumulates pending ingest
+        rows; once the growing delta reaches N, refresh_index fires
+        automatically and serving flips from the sealed+growing merge
+        (whose exact-scanned delta would otherwise grow unboundedly
+        between manual refreshes) back to pure epoch search. A refusal
+        (unsafe shape: folded compaction, oversized mask, live-pk
+        collision) leaves the pending counter in place — the stale
+        fallback stands, exactly the manual contract."""
+        meta = self._meta(name)
+        changed = False
+        for key, entry in (meta.get("indexes") or {}).items():
+            thr = (entry.get("params") or {}).get("auto_refresh_rows")
+            if not thr:
+                continue
+            entry["pending_rows"] = int(entry.get("pending_rows", 0)) + int(n_rows)
+            changed = True
+            if entry["pending_rows"] >= int(thr) and entry["built_ts"] >= 0:
+                field, itype = key.rsplit("__", 1)
+                try:
+                    self.refresh_index(name, field, itype)
+                except ValueError:
+                    continue  # refused shape: stale fallback until rebuild
+                self._meta(name)["indexes"][key]["pending_rows"] = 0
+        if changed:
+            self._save_catalog()
 
     def delete(
         self,
@@ -2194,6 +2229,31 @@ class MilvusSparkClient:
                 "overwrite"
             ).parquet(os.path.join(idx_dir, "posting"))
             entry["n"] = n
+        elif itype == "TEXT_MATCH":
+            # Persisted token posting-list index (TextMatchIndex.cpp /
+            # internal/util/textmatch/ — r9): (term, pk, positions, tf, dl)
+            # hive-partitioned by term-hash bucket so text_match /
+            # phrase_match queries read ONLY their terms' posting lists
+            # (operators/text_index.py). Rows carry _epoch like the trained
+            # vector family, so refresh_index appends new rows' postings as
+            # a new epoch and deletes/upserts fold into the same [pk, bound]
+            # version masks — base posting files never rewrite.
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.text_index import build_text_postings
+
+            dt = self._read(name).schema[field].dataType
+            if not isinstance(dt, T.StringType):
+                raise ValueError(f"TEXT_MATCH requires a varchar field, got {dt}")
+            postings, doclens = build_text_postings(self._read(name), field, meta["pk"])
+            os.makedirs(idx_dir, exist_ok=True)
+            postings.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).partitionBy("tbucket").parquet(os.path.join(idx_dir, "posting"))
+            doclens.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(idx_dir, "doclens"))
+            entry["cur_epoch"] = 0
         elif itype == "JSON_FLAT":
             # shredded JSON path index (JsonFlatIndex.cpp / json-stats):
             # parse the path once into a typed, sorted parquet column so a
@@ -2366,7 +2426,8 @@ class MilvusSparkClient:
         meta = self._meta(name)
         itype = index_type.upper()
         if itype not in (
-            "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH"
+            "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
+            "TEXT_MATCH",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2405,6 +2466,102 @@ class MilvusSparkClient:
         new = df.filter(F.col(TS_COL) > entry["built_ts"])
         n_new = new.count()
         n_old = df.filter(F.col(TS_COL) <= entry["built_ts"]).count()
+        if itype == "TEXT_MATCH":
+            # Posting-list index rides the same epoch/version-mask
+            # lifecycle as the trained vector family (the reference builds
+            # the tantivy text index per sealed segment and masks deletes
+            # at search): new rows' postings append as a new epoch — base
+            # posting files never rewrite — deletes of indexed docs become
+            # [pk, bound] mask entries, and an upserted pk is accepted iff
+            # it has no LIVE copy left (old postings mask below the new
+            # epoch while the re-tokenized row serves from it).
+            from milvus_spark.operators.bitset import epoch_col, normalize_mask
+            from milvus_spark.operators.text_index import build_text_postings
+
+            dlpath = os.path.join(entry["path"], "doclens")
+            dl = self.spark.read.parquet(dlpath)
+            new_epoch = int(entry.get("cur_epoch", 0)) + 1
+            masked_pairs: dict[int, int] = {
+                p: b for p, b in normalize_mask(entry.get("masked_pks"))
+            }
+            deleted_in_df = (
+                dl.select(F.col("id").alias("_del_pk"))
+                .join(deleted_df, "_del_pk", "left_semi")
+                .distinct()
+                if deleted_df is not None
+                else None
+            )
+            if (
+                deleted_in_df is not None
+                and len(masked_pairs) + deleted_in_df.count() > 100_000
+            ):
+                raise ValueError(
+                    "refresh_index: delete mask would exceed 100k pks — "
+                    "compact and rebuild with create_index"
+                )
+            for r in deleted_in_df.collect() if deleted_in_df is not None else []:
+                masked_pairs[int(r[0])] = max(
+                    masked_pairs.get(int(r[0]), 0), new_epoch
+                )
+            masked = sorted([p, b] for p, b in masked_pairs.items())
+            mdf = (
+                self.spark.createDataFrame(masked, "mid long, bound long")
+                if masked
+                else None
+            )
+            n_masked_in = (
+                dl.join(
+                    mdf,
+                    (F.col("id") == mdf["mid"]) & (epoch_col(dl) < mdf["bound"]),
+                    "left_semi",
+                ).count()
+                if mdf is not None
+                else 0
+            )
+            if n_old + n_masked_in != dl.count():
+                raise ValueError(
+                    "refresh_index: indexed docs no longer match the visible "
+                    "pre-build snapshot (compacted deletes?) — rebuild with "
+                    "create_index"
+                )
+            if n_new == 0:
+                if masked:
+                    entry["masked_pks"] = masked
+                entry["built_ts"] = cur
+                self._save_catalog()
+                return entry
+            live = dl
+            if mdf is not None:
+                live = dl.join(
+                    mdf,
+                    (F.col("id") == mdf["mid"]) & (epoch_col(dl) < mdf["bound"]),
+                    "left_anti",
+                )
+            n_collide = (
+                new.select(F.col(pk).cast("long").alias("id"))
+                .join(live.select("id"), "id", "left_semi")
+                .count()
+            )
+            if n_collide:
+                raise ValueError(
+                    f"refresh_index: {n_collide} new rows re-use live indexed "
+                    "pks without a delete — rebuild with create_index"
+                )
+            postings, doclens = build_text_postings(new, entry["field"], pk)
+            postings.withColumn(
+                "_epoch", F.lit(new_epoch).cast("long")
+            ).write.mode("append").partitionBy("tbucket").parquet(
+                os.path.join(entry["path"], "posting")
+            )
+            doclens.withColumn("_epoch", F.lit(new_epoch).cast("long")).write.mode(
+                "append"
+            ).parquet(dlpath)
+            entry["cur_epoch"] = new_epoch
+            if masked:
+                entry["masked_pks"] = masked
+            entry["built_ts"] = cur
+            self._save_catalog()
+            return entry
         if itype != "HNSW":
             # Trained-artifact family: the training (centroids / codebooks /
             # SQ bounds / hyperplanes) is KEPT — the reference also encodes
@@ -2998,6 +3155,29 @@ class MilvusSparkClient:
             return entry
         return None
 
+    def _text_index_candidates(self, entry: dict, kind: str, qs: list, opt):
+        """Candidate pk ids for a text_match / phrase_match filter from the
+        persisted posting index (TextMatchIndex.cpp analog): reads only the
+        query terms' posting lists (tbucket directory pruning + term
+        row-group pushdown) and applies the entry's [pk, bound] version
+        masks — postings of a masked epoch are dead, exactly the vector
+        zoo's delete-bitset semantics. Candidates then semi-join the
+        visible base frame, so tombstoned-but-unmasked rows drop there."""
+        from milvus_spark.operators.bitset import apply_delete_bitset
+        from milvus_spark.operators.text_index import (
+            phrase_match_postings,
+            text_match_postings,
+        )
+
+        postings = self.spark.read.parquet(os.path.join(entry["path"], "posting"))
+        postings = apply_delete_bitset(postings, "id", entry.get("masked_pks"))
+        if kind == "text_match":
+            msm = int(opt) if opt else 1
+            return text_match_postings(postings, qs, msm).select("id")
+        return phrase_match_postings(
+            postings, qs, slop=int(opt) if opt else 0
+        ).select("id")
+
     # per-query delete-mask budget for sealed+growing serving: the mask
     # collects to the driver and closure-broadcasts per search, so it stays
     # small; past this, serving falls back to the exact scan until refresh
@@ -3294,6 +3474,26 @@ class MilvusSparkClient:
                         base, posting, fld, self._meta(name)["pk"], pat,
                         n=int(entry.get("n", 3)),
                     )
+            # lexical dispatch through the persisted posting index (r9 —
+            # TextMatchIndex.cpp: text_match/phrase_match read posting
+            # lists, never tokenizing the corpus). Same contract as the
+            # NGRAM path: the index is an access path, results identical.
+            mt = _re.fullmatch(
+                r'\s*(text_match|phrase_match)\(\s*(\w+)\s*,\s*"([^"]*)"'
+                r"\s*(?:,\s*(?:minimum_should_match\s*=\s*)?(\d+)\s*)?\)\s*",
+                filter,
+            )
+            if df is None and mt:
+                kind, fld, qstr, opt = mt.groups()
+                entry = self._fresh_index(name, fld, "TEXT_MATCH")
+                qs = [t for t in _re.split(r"[^a-z0-9]+", qstr.lower()) if t]
+                if entry is not None and qs and (kind == "text_match" or len(qs) >= 2):
+                    cands = self._text_index_candidates(entry, kind, qs, opt)
+                    if cands is not None:
+                        pk = self._meta(name)["pk"]
+                        df = base.join(
+                            cands.select(F.col("id").alias(pk)), pk, "left_semi"
+                        )
             mj = _re.fullmatch(
                 r'\s*(\w+)\["(\w+)"\]\s*(==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*',
                 filter,
@@ -3397,6 +3597,38 @@ class MilvusSparkClient:
         self._deny("reading")
         self._set_rg_pool(name)
         meta = self._meta(name)
+        # BM25 from STORED term-frequency (r9 — bm25_function.go:103's
+        # actual ingest shape): with a fresh TEXT_MATCH posting index on
+        # the field and the default analyzer, the query terms' postings
+        # carry (id, tf, dl) and N/avgdl is one aggregate over the doclens
+        # table (the IDF oracle's collection-global stats) — no
+        # tokenization at query time. Version masks drop dead epochs.
+        # Declared analyzers / stopword resources / tenant scopes change
+        # what "a token" means or which docs are candidates, so those take
+        # the scan path unchanged.
+        if (
+            stopwords_resource is None and namespace is None
+            and meta.get("analyzer_params") is None
+            and not meta.get("external_path") and not self._expired_ts(meta)
+        ):
+            entry = self._fresh_index(name, field, "TEXT_MATCH")
+            if entry is not None:
+                from milvus_spark.operators.bitset import apply_delete_bitset
+                from milvus_spark.operators.text_index import bm25_topk_postings
+
+                terms = [w for w in query.lower().split() if w]
+                postings = self.spark.read.parquet(
+                    os.path.join(entry["path"], "posting")
+                )
+                doclens = self.spark.read.parquet(
+                    os.path.join(entry["path"], "doclens")
+                )
+                mask = entry.get("masked_pks")
+                postings = apply_delete_bitset(postings, "id", mask)
+                doclens = apply_delete_bitset(doclens, "id", mask)
+                return bm25_topk_postings(
+                    postings, doclens, terms, k=limit
+                ).select(F.col("id").alias(meta["pk"]), "score", "rank")
         base = self._scoped_base(name, meta, namespace, None)
         # BM25 stats are collection-global (idf_oracle.go:81) — the tenant
         # scope restricts candidates, never a document's score

@@ -26,7 +26,7 @@ The Spark-side contract IS the real design:
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Sequence
 
 import numpy as np
 import pandas as pd
@@ -106,16 +106,19 @@ def _decode_png(payload: bytes) -> list[float]:
     types 0-4: None/Sub/Up/Average/Paeth, the spec's §9 reconstruction
     functions), BT.601 luma, then the shared block-mean thumb.
 
-    Scope is the non-interlaced 8-bit truecolor/grayscale core (color
-    types 0/2/6 exactly as Pillow's "L" conversion treats them — alpha
-    ignored); Adam7 interlace, 16-bit depth and palette images REFUSE
-    with a clear error (refusal-tested) rather than decode approximately.
-    Oracle-gated end-to-end via mm_png_real_decode."""
+    Scope is the non-interlaced 8-bit core: truecolor/grayscale color
+    types 0/2/6 (exactly as Pillow's "L" conversion treats them — alpha
+    ignored) and, since r9, PALETTE images (color type 3, 8-bit indices
+    through the PLTE table — the shape most icon/sprite corpora ship).
+    Adam7 interlace and sub-8-bit depths (incl. packed palette indices)
+    REFUSE with a clear error (refusal-tested) rather than decode
+    approximately. Oracle-gated end-to-end via mm_png_real_decode +
+    mm_png_palette_decode."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
         raise ValueError("not a PNG payload")
-    pos, ihdr, idat = len(_PNG_SIG), None, b""
+    pos, ihdr, idat, plte = len(_PNG_SIG), None, b"", None
     while pos + 8 <= len(payload):
         sz = int.from_bytes(payload[pos : pos + 4], "big")
         ctype = payload[pos + 4 : pos + 8]
@@ -125,6 +128,8 @@ def _decode_png(payload: bytes) -> list[float]:
             raise ValueError(f"PNG chunk {ctype!r} fails CRC")
         if ctype == b"IHDR":
             ihdr = body
+        elif ctype == b"PLTE":
+            plte = body
         elif ctype == b"IDAT":
             idat += body
         elif ctype == b"IEND":
@@ -139,9 +144,13 @@ def _decode_png(payload: bytes) -> list[float]:
         raise ValueError("unsupported PNG (Adam7 interlaced)")
     if depth != 8:
         raise ValueError(f"unsupported PNG (bit depth {depth})")
-    channels = {0: 1, 2: 3, 6: 4}.get(color)
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if channels is None or w <= 0 or h <= 0:
         raise ValueError(f"unsupported PNG (color type {color})")
+    if color == 3:
+        if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
+            raise ValueError("palette PNG missing a valid PLTE chunk")
+        pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
     stride = w * channels
     raw = zlib.decompress(idat)
     if len(raw) != h * (1 + stride):
@@ -179,6 +188,12 @@ def _decode_png(payload: bytes) -> list[float]:
     img = px.reshape(h, w, channels).astype(np.float64)
     if color == 0:
         gray = img[..., 0]
+    elif color == 3:  # palette: indices -> PLTE RGB -> BT.601 luma
+        idx = px.reshape(h, w)
+        if int(idx.max(initial=0)) >= len(pal):
+            raise ValueError("palette PNG index out of PLTE range")
+        rgb = pal[idx]
+        gray = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     else:  # truecolor (alpha, if present, ignored — Pillow "L" on RGB)
         gray = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
     return _thumb_from_gray(gray)
@@ -462,10 +477,13 @@ def make_gif(
 # ---------------------------------------------------------------- JPEG (r8)
 # Baseline sequential DCT JPEG with stdlib + numpy only — the second
 # COMPRESSED format executing for real. Scope: 8-bit baseline (SOF0),
-# grayscale or 4:4:4 YCbCr (no chroma subsampling), custom-DHT Huffman
-# entropy coding, byte stuffing. Out of scope, REFUSED precisely:
-# progressive (SOF2) and every non-baseline frame type, 16-bit quant
-# tables, restart intervals (DRI), subsampled chroma, arithmetic coding.
+# grayscale or YCbCr with sampling factors 1-2 per axis — 4:4:4 and,
+# since r9, SUBSAMPLED chroma (4:2:0, the shape most real-world JPEGs
+# are, plus 4:2:2/4:4:0) via generic interleaved-MCU decode with
+# box-upsampled chroma — custom-DHT Huffman entropy coding, byte
+# stuffing. Out of scope, REFUSED precisely: progressive (SOF2) and
+# every non-baseline frame type, 16-bit quant tables, restart intervals
+# (DRI), sampling factors > 2, arithmetic coding.
 # The encoder emits a spec-conformant stream with a CONSTANT quant table
 # (all 16s) and flat canonical Huffman tables declared in DHT — chosen so
 # a solid color with EVEN gray level round-trips EXACTLY (constant block
@@ -664,9 +682,17 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             comps = []
             for ci in range(body[5]):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise ValueError("unsupported JPEG (subsampled chroma)")
-                comps.append((cid, tq))
+                hi, vi = samp >> 4, samp & 0xF
+                # r9: generic interleaved-MCU decode covers factors 1 and
+                # 2 per axis — 4:4:4, 4:2:0 (the shape most real-world
+                # JPEGs are), 4:2:2 and 4:4:0. Larger factors refuse.
+                if hi not in (1, 2) or vi not in (1, 2):
+                    raise ValueError(
+                        f"unsupported JPEG (sampling factor {hi}x{vi})"
+                    )
+                comps.append((cid, hi, vi, tq))
+            if len(comps) == 1 and comps[0][1:3] != (1, 1):
+                raise ValueError("unsupported JPEG (sampled single component)")
             frame = (w, h, comps)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -689,40 +715,63 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     end = payload.rfind(b"\xff\xd9")
     rd = _BitReader(payload[pos : end if end > pos else len(payload)])
     M = _dct_matrix()
-    bw, bh = -(-w // 8), -(-h // 8)
-    planes = [np.zeros((bh * 8, bw * 8)) for _ in comps]
+    # interleaved MCU geometry (spec A.2.3): an MCU spans 8·Hmax × 8·Vmax
+    # pixels and carries hi×vi blocks per component in raster order; each
+    # component's plane is ceil(dim·fi/Fmax) with MCU-aligned padding
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcuy * vi * 8, mcux * hi * 8)) for (_, hi, vi, _) in comps
+    ]
     pred = [0] * len(comps)
     zz_r = np.array([z[0] for z in _ZIGZAG])
     zz_c = np.array([z[1] for z in _ZIGZAG])
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, (cid, tq) in enumerate(comps):
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (cid, hi, vi, tq) in enumerate(comps):
                 td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
-                t = rd.huff(huff_dc[td])
-                diff = _jpeg_extend(rd.bits(t), t)
-                pred[ci] += diff
-                coef = np.zeros(64)
-                coef[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = rd.huff(huff_ac[ta])
-                    if rs == 0x00:  # EOB
-                        break
-                    run, size = rs >> 4, rs & 0xF
-                    if rs == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC coefficient overrun")
-                    coef[k] = _jpeg_extend(rd.bits(size), size)
-                    k += 1
-                dq = coef * qt[tq]
-                block = np.zeros((8, 8))
-                block[zz_r, zz_c] = dq
-                px = M.T @ block @ M + 128.0
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
-    planes = [np.clip(np.round(p[:h, :w]), 0, 255) for p in planes]
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        t = rd.huff(huff_dc[td])
+                        diff = _jpeg_extend(rd.bits(t), t)
+                        pred[ci] += diff
+                        coef = np.zeros(64)
+                        coef[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = rd.huff(huff_ac[ta])
+                            if rs == 0x00:  # EOB
+                                break
+                            run, size = rs >> 4, rs & 0xF
+                            if rs == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC coefficient overrun")
+                            coef[k] = _jpeg_extend(rd.bits(size), size)
+                            k += 1
+                        dq = coef * qt[tq]
+                        block = np.zeros((8, 8))
+                        block[zz_r, zz_c] = dq
+                        px = M.T @ block @ M + 128.0
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
+    # crop each plane to its TRUE component dims, then upsample subsampled
+    # chroma back to full resolution by sample replication (the standard
+    # box upsampling; the round-trip tests use the same reconstruction)
+    full = []
+    for p, (_, hi, vi, _) in zip(planes, comps):
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        p = np.clip(np.round(p[:ch, :cw]), 0, 255)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p[:h, :w])
+    planes = full
     if len(planes) == 1:
         gray = planes[0]
     elif len(planes) == 3:
@@ -787,14 +836,18 @@ def make_jpeg(
     gray: int | None = None,
     rgb: tuple | None = None,
     pixels: np.ndarray | None = None,
+    subsampling: str = "444",
 ) -> bytes:
     """A real, spec-conformant baseline JPEG encoder (numpy only) — the
     encoder side of _decode_jpeg. ``gray`` emits a solid single-component
     image (the closed-form oracle shape: EVEN gray levels round-trip the
-    16s quant table exactly); ``rgb`` a solid 4:4:4 color image;
-    ``pixels`` ((h, w) grayscale or (h, w, 3) RGB uint8) arbitrary
-    content for round-trip tests. Constant quant table (all 16s), flat
-    canonical Huffman tables declared in DHT."""
+    16s quant table exactly); ``rgb`` a solid color image; ``pixels``
+    ((h, w) grayscale or (h, w, 3) RGB uint8) arbitrary content for
+    round-trip tests. ``subsampling="420"`` (r9) emits the 2×2-sampled-Y
+    interleaved-MCU stream most real-world JPEGs use: chroma is 2×2
+    box-averaged before encoding (a solid color stays exactly solid, so
+    the closed-form oracle shape survives subsampling). Constant quant
+    table (all 16s), flat canonical Huffman tables declared in DHT."""
     if pixels is None:
         if gray is not None:
             pixels = np.full((h, w), gray, np.uint8)
@@ -811,25 +864,48 @@ def make_jpeg(
             np.round(128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B),
         ]
         planes = [np.clip(p, 0, 255) for p in planes]
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    if subsampling == "420" and len(planes) == 3:
+        factors = [(2, 2), (1, 1), (1, 1)]
+        # chroma: pad to even dims (edge) then 2×2 box mean
+        for ci in (1, 2):
+            p = planes[ci]
+            p = np.pad(p, ((0, h % 2), (0, w % 2)), mode="edge")
+            planes[ci] = np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                / 4.0
+            )
+    else:
+        factors = [(1, 1)] * len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
     q = np.full(64, 16.0)
-    bw, bh = -(-w // 8), -(-h // 8)
-    # edge-replicate to block boundaries
-    planes = [
-        np.pad(p, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge")
-        for p in planes
-    ]
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    # edge-replicate every plane to ITS MCU-aligned dims
+    padded = []
+    for p, (hi, vi) in zip(planes, factors):
+        th, tw = mcuy * vi * 8, mcux * hi * 8
+        padded.append(
+            np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+        )
+    planes = padded
     dc_codes = _canonical_codes(_DC_SYMS, 4)
     ac_codes = _canonical_codes(_AC_SYMS, 8)
     bwr = _BitWriter()
     pred = [0] * len(planes)
-    for by in range(bh):
-        for bx in range(bw):
-            for ci, p in enumerate(planes):
-                pred[ci] = _jpeg_encode_block(
-                    bwr,
-                    p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    q, pred[ci], dc_codes, ac_codes,
-                )
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, (p, (hi, vi)) in enumerate(zip(planes, factors)):
+                for byi in range(vi):
+                    for bxi in range(hi):
+                        y0 = (my * vi + byi) * 8
+                        x0 = (mx * hi + bxi) * 8
+                        pred[ci] = _jpeg_encode_block(
+                            bwr,
+                            p[y0 : y0 + 8, x0 : x0 + 8],
+                            q, pred[ci], dc_codes, ac_codes,
+                        )
     entropy = bwr.done()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -838,7 +914,8 @@ def make_jpeg(
     nf = len(planes)
     dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
     sof_comps = b"".join(
-        bytes([ci + 1, 0x11, 0]) for ci in range(nf)
+        bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0])
+        for ci in range(nf)
     )
     sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
               + bytes([nf]) + sof_comps)
@@ -1055,20 +1132,30 @@ def make_png(
     filter_type: int = 0,
     bit_depth: int = 8,
     interlace: int = 0,
+    palette: Sequence | None = None,
 ) -> bytes:
     """A real, spec-conformant PNG encoder (stdlib zlib) — the encoder
     side of _decode_png. ``rgb`` emits a solid color (the closed-form
     oracle shape, like make_bmp); ``pixels`` ((h, w, channels) uint8)
     lets tests round-trip arbitrary images through each scanline filter
     type (the encoder applies ``filter_type`` to every row, so filters
-    1-4 are exercised against known pixel data). ``bit_depth``/
-    ``interlace`` exist to emit the out-of-scope headers the refusal
-    tests need."""
+    1-4 are exercised against known pixel data). ``color_type=3`` with
+    ``palette`` ([(r,g,b), ...]) emits a PALETTE image: ``pixels`` then
+    holds (h, w) uint8 indices (``rgb`` emits a 1-entry palette, index
+    0 everywhere — the closed-form shape). ``bit_depth``/``interlace``
+    exist to emit the out-of-scope headers the refusal tests need."""
     import zlib
 
-    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
+    if color_type == 3 and palette is None:
+        palette = [tuple(rgb)] if rgb is not None else [(0, 0, 0)]
     if pixels is None:
-        base = {0: (rgb[0],), 2: tuple(rgb), 6: tuple(rgb) + (255,)}[color_type]
+        base = {
+            0: (rgb[0],) if rgb else (0,),
+            2: tuple(rgb or (0, 0, 0)),
+            3: (0,),  # index 0 -> the palette's first (solid) entry
+            6: tuple(rgb or (0, 0, 0)) + (255,),
+        }[color_type]
         pixels = np.tile(np.asarray(base, np.uint8), (h, w, 1))
     px = np.asarray(pixels, dtype=np.int64).reshape(h, w * channels)
     lines = b""
@@ -1110,9 +1197,15 @@ def make_png(
         + h.to_bytes(4, "big")
         + bytes([bit_depth, color_type, 0, 0, interlace])
     )
+    plte = (
+        chunk(b"PLTE", b"".join(bytes(map(int, p)) for p in palette))
+        if color_type == 3
+        else b""
+    )
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
+        + plte
         + chunk(b"IDAT", zlib.compress(lines))
         + chunk(b"IEND", b"")
     )

@@ -43,6 +43,39 @@ def _docs_tokens(spark: SparkSession, sf: str) -> DataFrame:
     return d.withColumn("toks", tokens(F.col("text")))
 
 
+# --- persisted posting-list index (r9: TextMatchIndex.cpp analog) -------------
+# Built ONCE per (session, sf) and written to parquet partitioned by tbucket
+# — the create_index lifecycle (the reference builds the tantivy text index
+# per segment at index time, then every lexical query reads postings, never
+# the corpus). Memoized per applicationId like the dedup band index.
+_POSTING_MEMO: dict = {}
+
+
+def _posting_index(spark: SparkSession, sf: str) -> tuple[DataFrame, DataFrame]:
+    import os
+
+    from milvus_spark.operators.text_index import build_text_postings
+    from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
+
+    key = (spark.sparkContext.applicationId, sf)
+    hit = _POSTING_MEMO.get(key)
+    if hit is not None:
+        return hit
+    d = load_table(spark, sf, "documents")
+    postings, doclens = build_text_postings(d, "text", "doc_id")
+    path = scratch_mkdtemp("fts_")
+    postings.write.mode("overwrite").partitionBy("tbucket").parquet(
+        os.path.join(path, "posting")
+    )
+    doclens.write.mode("overwrite").parquet(os.path.join(path, "doclens"))
+    hit = (
+        spark.read.parquet(os.path.join(path, "posting")),
+        spark.read.parquet(os.path.join(path, "doclens")),
+    )
+    _POSTING_MEMO[key] = hit
+    return hit
+
+
 # --- text match with minimum_should_match ------------------------------------
 @register(
     "fts_text_match",
@@ -55,10 +88,16 @@ def _docs_tokens(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fts_text_match(spark: SparkSession, sf: str) -> DataFrame:
-    t = _docs_tokens(spark, sf)
-    n_matched = F.size(F.array_intersect(F.array_distinct("toks"), F.array(*[F.lit(x) for x in QUERY_TERMS])))
-    return t.select("doc_id", n_matched.cast("long").alias("n_matched")).filter(
-        F.col("n_matched") >= 2
+    """TextMatch THROUGH the persisted posting index (r9 — the r8
+    verdict's #2 ask): the query reads only its three terms' posting
+    lists (tbucket directory pruning + term row-group pushdown,
+    operators/text_index.py), never tokenizing the corpus. Result is
+    hash-identical to the corpus-scan expression the oracle runs."""
+    from milvus_spark.operators.text_index import text_match_postings
+
+    postings, _ = _posting_index(spark, sf)
+    return text_match_postings(postings, QUERY_TERMS, min_should_match=2).select(
+        F.col("id").alias("doc_id"), "n_matched"
     )
 
 
@@ -87,19 +126,15 @@ _PHRASE_A, _PHRASE_B, _SLOP = "merge", "batch", 1
     """,
 )
 def fts_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
-    t = _docs_tokens(spark, sf)
-    idx = F.sequence(F.lit(1), F.size("toks"))
-    pa = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PHRASE_A)
-    pb = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PHRASE_B)
-    t = t.withColumn("pa", pa).withColumn("pb", pb)
-    starts = F.filter(
-        F.col("pa"),
-        lambda i: F.size(F.filter(F.col("pb"), lambda j: (j - i >= 1) & (j - i <= _SLOP + 1))) > 0,
-    )
-    return (
-        t.withColumn("n_starts", F.size(starts).cast("long"))
-        .filter(F.col("n_starts") > 0)
-        .select("doc_id", "n_starts")
+    """PhraseMatch through the positions index (r9): per-term position
+    arrays come from the pruned posting lists; the ordered-window check
+    (p2 > p1, span <= 1+slop) is the same nested-exists tree the
+    corpus-scan path compiled — identical output, O(postings) read."""
+    from milvus_spark.operators.text_index import phrase_match_postings
+
+    postings, _ = _posting_index(spark, sf)
+    return phrase_match_postings(postings, [_PHRASE_A, _PHRASE_B], slop=_SLOP).select(
+        F.col("id").alias("doc_id"), "n_starts"
     )
 
 
@@ -199,7 +234,18 @@ def fts_fuzzy_expr(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fts_bm25_topk(spark: SparkSession, sf: str) -> DataFrame:
-    return _bm25_topk(_docs_tokens(spark, sf))
+    """BM25 from STORED term-frequency (r9 — the r8 verdict's #5 ask,
+    bm25_function.go:103's actual ingest shape): the posting index
+    persists tf and dl at build; the query reads the three terms'
+    postings + one tiny stats aggregate over the doclens table
+    (idf_oracle.go's collection-global N/avgdl) — no tokenization at
+    query time. Hash-identical to the corpus-scan formula."""
+    from milvus_spark.operators.text_index import bm25_topk_postings
+
+    postings, doclens = _posting_index(spark, sf)
+    return bm25_topk_postings(postings, doclens, QUERY_TERMS, k=15).select(
+        F.col("id").alias("doc_id"), "score", "rank"
+    )
 
 
 def _bm25_topk(
@@ -381,14 +427,29 @@ def fts_bm25_incremental(spark: SparkSession, sf: str) -> DataFrame:
     (re-tagged copies of doc_id % 5 == 0) lands, N/avgdl/df are rebuilt over
     old ∪ new, and ranking uses the refreshed stats. Duplicated docs shift
     every df and avgdl, so serving with stale stats would mis-rank — the
-    oracle recomputes from scratch, pinning the refresh semantics."""
-    base = load_table(spark, sf, "documents")
-    fresh = base.filter(F.col("doc_id") % 5 == 0).withColumn(
-        "doc_id", F.col("doc_id") + 1000000
+    oracle recomputes from scratch, pinning the refresh semantics.
+
+    r9: the OLD corpus serves from the persisted posting index; the fresh
+    batch's postings are computed in-flight and UNIONED — exactly the
+    refresh_index lifecycle (new rows' postings append as a new epoch;
+    the base posting files never rewrite)."""
+    from milvus_spark.operators.text_index import (
+        bm25_topk_postings,
+        build_text_postings,
     )
-    corpus = base.select("doc_id", "text").unionByName(fresh.select("doc_id", "text"))
-    t = corpus.withColumn("toks", tokens(F.col("text")))
-    return _bm25_topk(t)
+
+    base_postings, base_doclens = _posting_index(spark, sf)
+    fresh = (
+        load_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    fp, fd = build_text_postings(fresh, "text", "doc_id")
+    postings = base_postings.unionByName(fp)
+    doclens = base_doclens.unionByName(fd)
+    return bm25_topk_postings(postings, doclens, QUERY_TERMS, k=15).select(
+        F.col("id").alias("doc_id"), "score", "rank"
+    )
 
 
 # --- model-based rerank slot (rerank/*_provider.go) ----------------------------
@@ -505,25 +566,15 @@ _P3 = ["stream", "table", "hash"]
     """,
 )
 def fts_phrase_match3(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact n-term phrase (slop 0, n=3): consecutive-position check over the
-    token array — the positions-index computation for phrases longer than a
-    bigram (PhraseMatch OpType 14; TextMatchIndex positions). Same
-    higher-order-function shape as the slop variant; per-row map work."""
-    t = _docs_tokens(spark, sf)
-    # guard: sequence(1, n) with n < 1 would DEScend ([1, 0]) and index 0
-    idx = F.when(
-        F.size("toks") >= 3, F.sequence(F.lit(1), F.size("toks") - 2)
-    ).otherwise(F.array().cast("array<int>"))
-    starts = F.filter(
-        idx,
-        lambda i: (F.element_at(F.col("toks"), i) == _P3[0])
-        & (F.element_at(F.col("toks"), i + 1) == _P3[1])
-        & (F.element_at(F.col("toks"), i + 2) == _P3[2]),
-    )
-    return (
-        t.withColumn("n_starts", F.size(starts).cast("long"))
-        .filter(F.col("n_starts") > 0)
-        .select("doc_id", "n_starts")
+    """Exact n-term phrase (slop 0, n=3) through the positions index (r9):
+    increasing positions with span <= 2 force consecutiveness, so the
+    generic posting-window kernel computes exactly the oracle's
+    toks[i..i+2] check — reading only three posting lists."""
+    from milvus_spark.operators.text_index import phrase_match_postings
+
+    postings, _ = _posting_index(spark, sf)
+    return phrase_match_postings(postings, list(_P3), slop=0).select(
+        F.col("id").alias("doc_id"), "n_starts"
     )
 
 
@@ -621,30 +672,15 @@ _PS3_SLOP = 2
     """,
 )
 def fts_phrase_match3_slop(spark: SparkSession, sf: str) -> DataFrame:
-    """3-term phrase with slop 2 (PhraseMatch OpType 14, tantivy positions):
-    ordered positions p1<p2<p3 with p3−p1 ≤ 2+slop — the ordered-window
-    semantics the 2-term path already implements, generalized. Counts valid
-    start positions per doc; the expr-language phrase_match() compiles the
-    identical nested-exists tree."""
-    t = _docs_tokens(spark, sf)
-    idx = F.sequence(F.lit(1), F.size("toks"))
-    pa = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PS3[0])
-    pb = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PS3[1])
-    pc = F.filter(idx, lambda i: F.element_at(F.col("toks"), i) == _PS3[2])
-    win = 2 + _PS3_SLOP
-    t = t.withColumn("pa", pa).withColumn("pb", pb).withColumn("pc", pc)
-    starts = F.filter(
-        F.col("pa"),
-        lambda s: F.exists(
-            F.col("pb"),
-            lambda j: (j > s) & (j - s <= win)
-            & F.exists(F.col("pc"), lambda k2: (k2 > j) & (k2 - s <= win)),
-        ),
-    )
-    return (
-        t.withColumn("n_starts", F.size(starts).cast("long"))
-        .filter(F.col("n_starts") > 0)
-        .select("doc_id", "n_starts")
+    """3-term phrase with slop 2 (PhraseMatch OpType 14, tantivy positions)
+    through the positions index (r9): ordered positions p1<p2<p3 with
+    span ≤ 2+slop — the identical nested-exists tree the corpus-scan
+    path compiled, evaluated over three pruned posting lists."""
+    from milvus_spark.operators.text_index import phrase_match_postings
+
+    postings, _ = _posting_index(spark, sf)
+    return phrase_match_postings(postings, list(_PS3), slop=_PS3_SLOP).select(
+        F.col("id").alias("doc_id"), "n_starts"
     )
 
 

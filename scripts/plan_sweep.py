@@ -56,6 +56,9 @@ BNLJ_ALLOWED = {
     "fts_bm25_topk": 1,
     "fts_bm25_incremental": 1,
     "fts_cjk_bm25": 1,
+    # same one-row N/avgdl stats cross as fts_bm25_topk, now read from the
+    # posting index's doclens table (r9 stored-tf BM25)
+    "cli_bm25_stored_tf": 1,
     "cur_source_mix": 1,
     "cur_lm_quality_score": 1,
     # K-centroid / stats broadcast printed on both pair-join sides pre-AQE;
@@ -133,6 +136,10 @@ HINT_ALLOWED: dict[str, int] = {
     # compaction-bounded frame as the dml_* rows above; the serving path's
     # OWN per-query mask is additionally capped (client.GROWING_MASK_LIMIT)
     "cli_growing_merge_ann": 1, "cli_growing_merge_ivf": 1,
+    # [life] the text_match dispatch semi-joins candidates onto
+    # Collection.read's visible frame, whose tombstone anti-join broadcast
+    # is the same compaction-bounded frame as the dml_* rows
+    "cli_text_match_index": 1,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

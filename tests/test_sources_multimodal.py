@@ -323,7 +323,23 @@ def test_real_png_codec_stdlib_zlib():
         for ft in range(5):
             got = _decode_png(make_png(5, 6, pixels=px, color_type=ct, filter_type=ft))
             assert got == want, (ct, ft)
-    # refusals: interlaced / 16-bit / palette / corrupt CRC
+    # palette images decode THROUGH the PLTE table since r9 (color type 3,
+    # 8-bit indices): solid == same-color truecolor; arbitrary indices ==
+    # the direct palette-lookup luma under every filter type
+    assert _decode_png(make_png(7, 5, (120, 30, 200), color_type=3)) == _decode_png(
+        make_png(7, 5, (120, 30, 200), color_type=2)
+    )
+    pal17 = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(17)]
+    idx = rng.integers(0, 17, (6, 9)).astype(np.uint8)
+    prgb = np.asarray(pal17, np.float64)[idx]
+    pwant = _thumb_from_gray(
+        0.299 * prgb[..., 0] + 0.587 * prgb[..., 1] + 0.114 * prgb[..., 2]
+    )
+    for ft in range(5):
+        assert _decode_png(
+            make_png(9, 6, color_type=3, palette=pal17, pixels=idx, filter_type=ft)
+        ) == pwant, ft
+    # refusals: interlaced / 16-bit / missing PLTE / bad index / corrupt CRC
     with pytest.raises(ValueError, match="interlaced"):
         _decode_png(make_png(4, 4, (1, 2, 3), interlace=1))
     with pytest.raises(ValueError, match="bit depth"):
@@ -340,8 +356,13 @@ def test_real_png_codec_stdlib_zlib():
         _PNG_SIG + chunk(b"IHDR", pal_ihdr)
         + chunk(b"IDAT", zlib.compress(b"\x00\x00\x00" * 2)) + chunk(b"IEND", b"")
     )
-    with pytest.raises(ValueError, match="color type 3"):
+    with pytest.raises(ValueError, match="PLTE"):
         _decode_png(pal)
+    with pytest.raises(ValueError, match="PLTE range"):
+        _decode_png(
+            make_png(4, 4, color_type=3, palette=[(1, 2, 3)],
+                     pixels=np.full((4, 4), 9, np.uint8))
+        )
     good = make_png(3, 3, (9, 9, 9))
     corrupt = bytearray(good)
     corrupt[-5] ^= 0xFF
@@ -408,6 +429,55 @@ def test_real_jpeg_codec_numpy_baseline():
     t = _decode_jpeg(make_jpeg(9, 7, rgb=rgbv))
     want = (0.299 * rgbv[0] + 0.587 * rgbv[1] + 0.114 * rgbv[2]) / 255
     assert max(abs(v - want) for v in t) < 0.02
+    # 4:2:0 SUBSAMPLED chroma (r9): a solid color is unchanged by the 2×2
+    # chroma box mean, so the subsampled stream decodes to EXACTLY the
+    # 4:4:4 result — the closed-form oracle shape survives subsampling
+    assert _decode_jpeg(make_jpeg(48, 32, rgb=rgbv, subsampling="420")) == (
+        _decode_jpeg(make_jpeg(48, 32, rgb=rgbv, subsampling="444"))
+    )
+    # arbitrary 4:2:0 pixels: decoder == a direct DCT/quant/IDCT + chroma
+    # box-mean/box-upsample reference that never touches Huffman — the
+    # full interleaved-MCU bitstream layer validated end to end on
+    # odd dims (MCU padding on both axes)
+    def ref_420(px, w, h):
+        R, G, B = (px[..., c].astype(np.float64) for c in range(3))
+        Y = np.clip(np.round(0.299 * R + 0.587 * G + 0.114 * B), 0, 255)
+        Cb = np.clip(np.round(128 - 0.168736 * R - 0.331264 * G + 0.5 * B), 0, 255)
+        Cr = np.clip(np.round(128 + 0.5 * R - 0.418688 * G - 0.081312 * B), 0, 255)
+        planes, factors = [Y, Cb, Cr], [(2, 2), (1, 1), (1, 1)]
+        for ci in (1, 2):
+            p = np.pad(planes[ci], ((0, h % 2), (0, w % 2)), mode="edge")
+            planes[ci] = np.round(
+                (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2]) / 4.0
+            )
+        mcux, mcuy = -(-w // 16), -(-h // 16)
+        out = []
+        for p, (hi, vi) in zip(planes, factors):
+            th, tw = mcuy * vi * 8, mcux * hi * 8
+            p = np.pad(p, ((0, th - p.shape[0]), (0, tw - p.shape[1])), mode="edge")
+            rec = np.zeros_like(p)
+            for by in range(p.shape[0] // 8):
+                for bx in range(p.shape[1] // 8):
+                    B8 = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                    Cq = np.round((M @ (B8 - 128.0) @ M.T) / 16.0) * 16.0
+                    rec[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = M.T @ Cq @ M + 128.0
+            cw, ch = -(-w * hi // 2), -(-h * vi // 2)
+            rec = np.clip(np.round(rec[:ch, :cw]), 0, 255)
+            rec = np.repeat(np.repeat(rec, 2 // vi, axis=0), 2 // hi, axis=1)
+            out.append(rec[:h, :w])
+        Yd, Cbd, Crd = out
+        Rr = np.clip(np.round(Yd + 1.402 * (Crd - 128.0)), 0, 255)
+        Gr = np.clip(
+            np.round(Yd - 0.344136 * (Cbd - 128.0) - 0.714136 * (Crd - 128.0)), 0, 255
+        )
+        Br = np.clip(np.round(Yd + 1.772 * (Cbd - 128.0)), 0, 255)
+        return _thumb_from_gray(0.299 * Rr + 0.587 * Gr + 0.114 * Br)
+
+    for (w, h) in ((16, 16), (45, 37), (21, 18)):
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        assert _decode_jpeg(make_jpeg(w, h, pixels=px, subsampling="420")) == (
+            ref_420(px, w, h)
+        ), (w, h)
     # refusals: patch the conformant stream into out-of-scope shapes
     good = make_jpeg(8, 8, gray=100)
     sof_at = good.find(b"\xff\xc0")
@@ -415,9 +485,13 @@ def test_real_jpeg_codec_numpy_baseline():
     with pytest.raises(ValueError, match="progressive"):
         _decode_jpeg(prog)
     sub = bytearray(good)
-    sub[sof_at + 11] = 0x22  # 4:2:0 sampling factors on component 1
-    with pytest.raises(ValueError, match="subsampled"):
+    sub[sof_at + 11] = 0x22  # sampling factors on a SINGLE-component frame
+    with pytest.raises(ValueError, match="sampled single component"):
         _decode_jpeg(bytes(sub))
+    big = bytearray(good)
+    big[sof_at + 11] = 0x33  # factors > 2 stay out of scope
+    with pytest.raises(ValueError, match="sampling factor"):
+        _decode_jpeg(bytes(big))
     dqt_at = good.find(b"\xff\xdb")
     q16 = bytearray(good)
     q16[dqt_at + 4] = 0x10  # 16-bit quant table precision
