@@ -481,9 +481,10 @@ def make_gif(
 # since r9, SUBSAMPLED chroma (4:2:0, the shape most real-world JPEGs
 # are, plus 4:2:2/4:4:0) via generic interleaved-MCU decode with
 # box-upsampled chroma — custom-DHT Huffman entropy coding, byte
-# stuffing. Out of scope, REFUSED precisely: progressive (SOF2) and
-# every non-baseline frame type, 16-bit quant tables, restart intervals
-# (DRI), sampling factors > 2, arithmetic coding.
+# stuffing, and (r9) DRI restart intervals (byte-aligned cycling RSTn
+# markers with DC-predictor resets, spec E.2.4). Out of scope, REFUSED
+# precisely: progressive (SOF2) and every non-baseline frame type,
+# 16-bit quant tables, sampling factors > 2, arithmetic coding.
 # The encoder emits a spec-conformant stream with a CONSTANT quant table
 # (all 16s) and flat canonical Huffman tables declared in DHT — chosen so
 # a solid color with EVEN gray level round-trips EXACTLY (constant block
@@ -516,6 +517,11 @@ def _dct_matrix() -> np.ndarray:
 _DC_SYMS = list(range(12))
 _AC_SYMS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
+] + [
+    # EOBn codes (r9, progressive): size-0 symbols carrying an EOBRUN of
+    # 2^r..2^(r+1)-1 blocks (spec G.1.2.2) — 176 total symbols at code
+    # length 8 stays Kraft-valid (< 256)
+    r << 4 for r in range(1, 15)
 ]
 
 
@@ -561,10 +567,17 @@ class _BitWriter:
             self.n -= 8
         self.acc &= (1 << self.n) - 1
 
-    def done(self) -> bytes:
+    def align(self) -> None:
         if self.n:
             pad = 8 - self.n
-            self.put((1 << pad) - 1, pad)  # pad the final byte with 1s
+            self.put((1 << pad) - 1, pad)  # 1-pad to the byte boundary
+
+    def raw(self, bts: bytes) -> None:
+        """Append marker bytes verbatim (markers are never byte-stuffed)."""
+        self.buf.extend(bts)
+
+    def done(self) -> bytes:
+        self.align()
         return bytes(self.buf)
 
 
@@ -587,11 +600,29 @@ class _BitReader:
             pos += 1
             if b == 0xFF:
                 if pos >= len(d) or d[pos] != 0x00:
+                    if pos < len(d) and 0xD0 <= d[pos] <= 0xD7:
+                        # RSTn ahead: stop filling at the marker — the
+                        # decode loop consumes it via restart() (r9 DRI)
+                        pos -= 1
+                        break
                     raise ValueError("JPEG marker inside entropy stream")
                 pos += 1  # unstuff
             acc = (acc << 8) | b
             n += 8
         self.pos, self.acc, self.n = pos, acc, n
+
+    def restart(self, idx: int) -> None:
+        """Consume an expected RSTn marker (spec E.2.4 — r9): discard the
+        current byte's 1-padding bits, verify the interleave-numbered
+        marker, and resume byte-aligned after it."""
+        if self.n >= 8:
+            raise ValueError("JPEG data before restart marker")
+        self.acc = 0
+        self.n = 0
+        d, pos = self.d, self.pos
+        if pos + 2 > len(d) or d[pos] != 0xFF or d[pos + 1] != 0xD0 + (idx & 7):
+            raise ValueError("JPEG restart marker missing or out of order")
+        self.pos = pos + 2
 
     def bits(self, k: int) -> int:
         if k == 0:
@@ -630,13 +661,169 @@ def _jpeg_extend(v: int, t: int) -> int:
     return v if t == 0 or v >= (1 << (t - 1)) else v - (1 << t) + 1
 
 
+def _entropy_end(payload: bytes, pos: int) -> int:
+    """Index of the first marker that ENDS an entropy-coded segment: a
+    0xFF followed by anything but 0x00 (stuffing) or RSTn (restarts stay
+    inside the segment)."""
+    i = pos
+    n = len(payload)
+    while True:
+        i = payload.find(b"\xff", i)
+        if i < 0 or i + 1 >= n:
+            return n
+        nxt = payload[i + 1]
+        if nxt == 0x00 or 0xD0 <= nxt <= 0xD7:
+            i += 2
+            continue
+        return i
+
+
+def _jpeg_process_scan(
+    coefs: list,
+    comps: list,
+    sel: list,
+    Ss: int,
+    Se: int,
+    Ah: int,
+    Al: int,
+    rd: "_BitReader",
+    dcs: dict,
+    acs: dict,
+    dri: int,
+    mcux: int,
+    mcuy: int,
+    dims: tuple,
+) -> None:
+    """One entropy-coded scan into the zigzag-order coefficient store —
+    the four progressive modes of spec G.2 (DC first / DC refine with the
+    successive-approximation point transform, AC first with EOBRUN, AC
+    refine with correction bits, G.1.2.3) PLUS baseline as the degenerate
+    single scan (Ss=0, Se=63, Ah=Al=0: DC and AC in one block visit).
+    Interleaved (multi-component) scans walk MCU order; single-component
+    scans walk the component's own block raster (spec A.2.2)."""
+    w, h, hmax, vmax = dims
+    cid_to_ci = {c[0]: i for i, c in enumerate(comps)}
+    info = []
+    for cid, tabs in sel:
+        if cid not in cid_to_ci:
+            raise ValueError("JPEG scan names an undeclared component")
+        info.append((cid_to_ci[cid], tabs >> 4, tabs & 0xF))
+    pred = [0] * len(comps)
+    state = {"eobrun": 0}
+
+    def block(ci: int, td: int, ta: int, yb: int, xb: int) -> None:
+        coef = coefs[ci][yb, xb]
+        if Ss == 0:
+            if Ah == 0:  # DC first (baseline rides this at Al=0)
+                t = rd.huff(dcs[td])
+                pred[ci] += _jpeg_extend(rd.bits(t), t)
+                coef[0] = pred[ci] << Al
+            else:  # DC refinement: one bit ORs into the approximation
+                if rd.bits(1):
+                    coef[0] |= 1 << Al
+            if Se == 0:
+                return
+            k = 1
+        else:
+            k = Ss
+        if Ah == 0:  # AC first (EOBRUN counts fully-skipped blocks)
+            if state["eobrun"] > 0:
+                state["eobrun"] -= 1
+                return
+            while k <= Se:
+                rs = rd.huff(acs[ta])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    state["eobrun"] = (1 << r) - 1
+                    if r:
+                        state["eobrun"] += rd.bits(r)
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("JPEG AC coefficient overrun")
+                coef[k] = _jpeg_extend(rd.bits(s), s) << Al
+                k += 1
+            return
+        # AC refinement (G.1.2.3): p1/m1 corrections on history
+        # coefficients, size-1 codes mark newly-significant ones
+        p1, m1 = 1 << Al, -(1 << Al)
+        if state["eobrun"] == 0:
+            while k <= Se:
+                rs = rd.huff(acs[ta])
+                r, s = rs >> 4, rs & 0xF
+                if s == 0:
+                    if r < 15:
+                        state["eobrun"] = 1 << r
+                        if r:
+                            state["eobrun"] += rd.bits(r)
+                        break
+                    val = 0  # ZRL: 16 zero-history positions
+                else:
+                    if s != 1:
+                        raise ValueError("JPEG AC refinement size != 1")
+                    val = p1 if rd.bits(1) else m1
+                while k <= Se:
+                    if coef[k] != 0:
+                        if rd.bits(1) and (int(coef[k]) & p1) == 0:
+                            coef[k] += p1 if coef[k] > 0 else m1
+                    else:
+                        if r == 0:
+                            break
+                        r -= 1
+                    k += 1
+                if val != 0 and k <= Se:
+                    coef[k] = val
+                k += 1
+        if state["eobrun"] > 0:
+            while k <= Se:
+                if coef[k] != 0 and rd.bits(1) and (int(coef[k]) & p1) == 0:
+                    coef[k] += p1 if coef[k] > 0 else m1
+                k += 1
+            state["eobrun"] -= 1
+
+    def maybe_restart(mcu_no: int) -> None:
+        if dri and mcu_no and mcu_no % dri == 0:
+            rd.restart(mcu_no // dri - 1)
+            pred[:] = [0] * len(comps)
+            state["eobrun"] = 0
+
+    if len(info) > 1:  # interleaved MCU order
+        mcu_no = 0
+        for my in range(mcuy):
+            for mx in range(mcux):
+                maybe_restart(mcu_no)
+                mcu_no += 1
+                for ci, td, ta in info:
+                    _, hi, vi, _ = comps[ci]
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            block(ci, td, ta, my * vi + byi, mx * hi + bxi)
+    else:  # non-interleaved: the component's own block raster
+        ci, td, ta = info[0]
+        _, hi, vi, _ = comps[ci]
+        cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
+        mcu_no = 0
+        for yb in range(-(-ch // 8)):
+            for xb in range(-(-cw // 8)):
+                maybe_restart(mcu_no)
+                mcu_no += 1
+                block(ci, td, ta, yb, xb)
+
+
 def _decode_jpeg(payload: bytes) -> list[float]:
-    """REAL baseline JPEG decode with numpy only: marker walk, DQT/DHT
-    parse, SOF0 frame header, Huffman entropy decode (DC diff categories,
-    AC run/size with ZRL/EOB, byte unstuffing), dequantize, un-zigzag,
-    float IDCT (8×8 DCT-II basis matmul), level shift + clamp, then for
-    color frames YCbCr→RGB→BT.601 luma into the shared block-mean thumb.
-    Non-baseline shapes refuse precisely (see the scope note above)."""
+    """REAL JPEG decode with numpy only: marker walk, DQT/DHT parse,
+    SOF0 (baseline) or SOF2 (progressive, r9) frame header, multi-scan
+    Huffman entropy decode into a zigzag coefficient store (DC diff
+    categories, AC run/size with ZRL/EOB(RUN), the four progressive
+    successive-approximation modes, byte unstuffing, DRI restarts), then
+    dequantize, un-zigzag, vectorized IDCT (8x8 DCT-II basis einsum over
+    all blocks), level shift + clamp, box-upsampled chroma, and for
+    color frames YCbCr->RGB->BT.601 luma into the shared block-mean
+    thumb. Non-supported shapes refuse precisely (see the scope note
+    above)."""
     if payload[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG payload")
     pos = 2
@@ -644,7 +831,8 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     huff_dc: dict = {}
     huff_ac: dict = {}
     frame = None
-    scan = None
+    dri = 0
+    scans: list = []
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
@@ -663,7 +851,7 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                     body, np.uint8, 64, b + 1
                 ).astype(np.float64)
                 b += 65
-        elif marker == 0xC4:  # DHT
+        elif marker == 0xC4:  # DHT (tables may redefine between scans)
             b = 0
             while b < len(body):
                 cls, tid = body[b] >> 4, body[b] & 0xF
@@ -674,7 +862,7 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                     bits, vals
                 )
                 b += 17 + nv
-        elif marker == 0xC0:  # SOF0 baseline
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive (r9)
             if body[0] != 8:
                 raise ValueError("unsupported JPEG (non-8-bit precision)")
             h = int.from_bytes(body[1:3], "big")
@@ -683,8 +871,8 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             for ci in range(body[5]):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
                 hi, vi = samp >> 4, samp & 0xF
-                # r9: generic interleaved-MCU decode covers factors 1 and
-                # 2 per axis — 4:4:4, 4:2:0 (the shape most real-world
+                # generic interleaved-MCU decode covers factors 1 and 2
+                # per axis — 4:4:4, 4:2:0 (the shape most real-world
                 # JPEGs are), 4:2:2 and 4:4:0. Larger factors refuse.
                 if hi not in (1, 2) or vi not in (1, 2):
                     raise ValueError(
@@ -693,84 +881,71 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                 comps.append((cid, hi, vi, tq))
             if len(comps) == 1 and comps[0][1:3] != (1, 1):
                 raise ValueError("unsupported JPEG (sampled single component)")
-            frame = (w, h, comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (w, h, comps, marker == 0xC2)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
-            kind = "progressive" if marker == 0xC2 else f"SOF{marker - 0xC0}"
-            raise ValueError(f"unsupported JPEG ({kind} frame)")
-        elif marker == 0xDD:  # DRI
-            raise ValueError("unsupported JPEG (restart intervals)")
-        elif marker == 0xDA:  # SOS
+            raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0} frame)")
+        elif marker == 0xDD:  # DRI: MCUs between RSTn markers
+            dri = int.from_bytes(body[0:2], "big")
+        elif marker == 0xDA:  # SOS: capture the scan + its entropy bytes
             ns = body[0]
-            scan = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
-            pos = pos + 2 + seg_len
-            break
+            sel = [(body[1 + 2 * i], body[2 + 2 * i]) for i in range(ns)]
+            Ss, Se, A = body[1 + 2 * ns], body[2 + 2 * ns], body[3 + 2 * ns]
+            data_start = pos + 2 + seg_len
+            data_end = _entropy_end(payload, data_start)
+            scans.append(
+                (sel, Ss, Se, A >> 4, A & 0xF,
+                 payload[data_start:data_end], dict(huff_dc), dict(huff_ac),
+                 dri)
+            )
+            pos = data_end
+            continue
         pos += 2 + seg_len
-    if frame is None or scan is None:
-        raise ValueError("JPEG missing SOF0/SOS")
-    w, h, comps = frame
-    if len(scan) != len(comps):
-        raise ValueError("JPEG scan/frame component mismatch")
-    # entropy-coded data runs to the EOI marker
-    end = payload.rfind(b"\xff\xd9")
-    rd = _BitReader(payload[pos : end if end > pos else len(payload)])
-    M = _dct_matrix()
-    # interleaved MCU geometry (spec A.2.3): an MCU spans 8·Hmax × 8·Vmax
-    # pixels and carries hi×vi blocks per component in raster order; each
-    # component's plane is ceil(dim·fi/Fmax) with MCU-aligned padding
+    if frame is None or not scans:
+        raise ValueError("JPEG missing SOF/SOS")
+    w, h, comps, progressive = frame
+    if not progressive:
+        if len(scans) != 1:
+            raise ValueError("baseline JPEG with multiple scans")
+        sel, Ss, Se, Ah, Al = scans[0][0], 0, 63, 0, 0
+        scans[0] = (sel, Ss, Se, Ah, Al) + scans[0][5:]
+        if len(sel) != len(comps):
+            raise ValueError("JPEG scan/frame component mismatch")
+    # interleaved MCU geometry (spec A.2.3): an MCU spans 8*Hmax x 8*Vmax
+    # pixels and carries hi x vi blocks per component in raster order
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcuy * vi * 8, mcux * hi * 8)) for (_, hi, vi, _) in comps
+    # zigzag-order coefficient store per component, MCU-aligned grid
+    coefs = [
+        np.zeros((mcuy * vi, mcux * hi, 64), dtype=np.int64)
+        for (_, hi, vi, _) in comps
     ]
-    pred = [0] * len(comps)
+    for sel, Ss, Se, Ah, Al, data, dcs, acs, sdri in scans:
+        _jpeg_process_scan(
+            coefs, comps, sel, Ss, Se, Ah, Al, _BitReader(data), dcs, acs,
+            sdri, mcux, mcuy, (w, h, hmax, vmax),
+        )
+    M = _dct_matrix()
     zz_r = np.array([z[0] for z in _ZIGZAG])
     zz_c = np.array([z[1] for z in _ZIGZAG])
-    for my in range(mcuy):
-        for mx in range(mcux):
-            for ci, (cid, hi, vi, tq) in enumerate(comps):
-                td, ta = scan[ci][1] >> 4, scan[ci][1] & 0xF
-                for byi in range(vi):
-                    for bxi in range(hi):
-                        t = rd.huff(huff_dc[td])
-                        diff = _jpeg_extend(rd.bits(t), t)
-                        pred[ci] += diff
-                        coef = np.zeros(64)
-                        coef[0] = pred[ci]
-                        k = 1
-                        while k < 64:
-                            rs = rd.huff(huff_ac[ta])
-                            if rs == 0x00:  # EOB
-                                break
-                            run, size = rs >> 4, rs & 0xF
-                            if rs == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC coefficient overrun")
-                            coef[k] = _jpeg_extend(rd.bits(size), size)
-                            k += 1
-                        dq = coef * qt[tq]
-                        block = np.zeros((8, 8))
-                        block[zz_r, zz_c] = dq
-                        px = M.T @ block @ M + 128.0
-                        y0 = (my * vi + byi) * 8
-                        x0 = (mx * hi + bxi) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = px
-    # crop each plane to its TRUE component dims, then upsample subsampled
-    # chroma back to full resolution by sample replication (the standard
-    # box upsampling; the round-trip tests use the same reconstruction)
     full = []
-    for p, (_, hi, vi, _) in zip(planes, comps):
+    for (cid, hi, vi, tq), cf in zip(comps, coefs):
+        dq = cf.astype(np.float64) * qt[tq]  # (by, bx, 64) dequantized
+        blocks = np.zeros(cf.shape[:2] + (8, 8))
+        blocks[:, :, zz_r, zz_c] = dq  # un-zigzag
+        # IDCT over every block at once: M.T @ B @ M
+        px = np.einsum("ij,abjk,kl->abil", M.T, blocks, M) + 128.0
+        by, bx = cf.shape[:2]
+        plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
+        # crop to TRUE component dims, then box-upsample subsampled chroma
         cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
-        p = np.clip(np.round(p[:ch, :cw]), 0, 255)
+        plane = np.clip(np.round(plane[:ch, :cw]), 0, 255)
         if vi < vmax:
-            p = np.repeat(p, vmax // vi, axis=0)
+            plane = np.repeat(plane, vmax // vi, axis=0)
         if hi < hmax:
-            p = np.repeat(p, hmax // hi, axis=1)
-        full.append(p[:h, :w])
+            plane = np.repeat(plane, hmax // hi, axis=1)
+        full.append(plane[:h, :w])
     planes = full
     if len(planes) == 1:
         gray = planes[0]
@@ -786,7 +961,6 @@ def _decode_jpeg(payload: bytes) -> list[float]:
     else:
         raise ValueError(f"unsupported JPEG ({len(planes)} components)")
     return _thumb_from_gray(gray)
-
 
 def _jpeg_encode_block(
     bwr: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
@@ -830,6 +1004,37 @@ def _jpeg_encode_block(
     return int(zz[0])
 
 
+def _jpeg_quant_all(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Quantized zigzag coefficients for every 8×8 block of an MCU-aligned
+    plane: (by, bx, 64) int64. Deliberately computes each block with the
+    SAME per-block `M @ (B - 128) @ M.T` expression _jpeg_encode_block
+    uses — a batched einsum associates the float sums differently, and a
+    coefficient landing exactly on a .5 quantization boundary can then
+    round one step apart between the baseline and progressive encoders."""
+    M = _dct_matrix()
+    by, bx = plane.shape[0] // 8, plane.shape[1] // 8
+    zz_r = np.fromiter((r for r, _ in _ZIGZAG), dtype=np.int64, count=64)
+    zz_c = np.fromiter((c for _, c in _ZIGZAG), dtype=np.int64, count=64)
+    out = np.zeros((by, bx, 64), dtype=np.int64)
+    for yb in range(by):
+        for xb in range(bx):
+            blk = plane[yb * 8 : yb * 8 + 8, xb * 8 : xb * 8 + 8]
+            coef = M @ (blk.astype(np.float64) - 128.0) @ M.T
+            out[yb, xb] = np.round(coef[zz_r, zz_c] / q).astype(np.int64)
+    return out
+
+
+def _put_val(bwr: "_BitWriter", v: int, t: int) -> None:
+    if t:
+        bwr.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform (spec G.1.2.1): magnitude shift, sign kept —
+    truncation toward zero, NOT an arithmetic shift."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
 def make_jpeg(
     w: int,
     h: int,
@@ -837,6 +1042,8 @@ def make_jpeg(
     rgb: tuple | None = None,
     pixels: np.ndarray | None = None,
     subsampling: str = "444",
+    restart_interval: int = 0,
+    progressive: bool = False,
 ) -> bytes:
     """A real, spec-conformant baseline JPEG encoder (numpy only) — the
     encoder side of _decode_jpeg. ``gray`` emits a solid single-component
@@ -846,8 +1053,18 @@ def make_jpeg(
     round-trip tests. ``subsampling="420"`` (r9) emits the 2×2-sampled-Y
     interleaved-MCU stream most real-world JPEGs use: chroma is 2×2
     box-averaged before encoding (a solid color stays exactly solid, so
-    the closed-form oracle shape survives subsampling). Constant quant
-    table (all 16s), flat canonical Huffman tables declared in DHT."""
+    the closed-form oracle shape survives subsampling).
+    ``restart_interval=R`` (r9) declares DRI and emits a cycling RSTn
+    marker (byte-aligned, DC predictors reset) every R MCUs — the
+    error-resilience shape camera JPEGs ship. ``progressive=True`` (r9)
+    emits a SOF2 stream with BOTH progressive dimensions exercised:
+    successive approximation (DC/AC first scans at Al=1 + refinement
+    scans at Al=0, so the correction-bit machinery genuinely executes)
+    and spectral selection (per-component AC band scans) — a solid even
+    gray still round-trips exactly (DC arithmetic-shift + OR-bit
+    reconstruction is lossless), keeping the closed-form oracle shape.
+    Constant quant table (all 16s), flat canonical Huffman tables
+    declared in DHT."""
     if pixels is None:
         if gray is not None:
             pixels = np.full((h, w), gray, np.uint8)
@@ -892,10 +1109,24 @@ def make_jpeg(
     planes = padded
     dc_codes = _canonical_codes(_DC_SYMS, 4)
     ac_codes = _canonical_codes(_AC_SYMS, 8)
+    if progressive:
+        if restart_interval:
+            raise ValueError("progressive encoder does not emit DRI")
+        return _make_jpeg_progressive(
+            w, h, planes, factors, q, dc_codes, ac_codes, hmax, vmax,
+            mcux, mcuy,
+        )
     bwr = _BitWriter()
     pred = [0] * len(planes)
+    mcu_no = 0
     for my in range(mcuy):
         for mx in range(mcux):
+            if restart_interval and mcu_no and mcu_no % restart_interval == 0:
+                bwr.align()
+                rst = 0xD0 + ((mcu_no // restart_interval - 1) & 7)
+                bwr.raw(bytes([0xFF, rst]))
+                pred = [0] * len(planes)
+            mcu_no += 1
             for ci, (p, (hi, vi)) in enumerate(zip(planes, factors)):
                 for byi in range(vi):
                     for bxi in range(hi):
@@ -934,9 +1165,216 @@ def make_jpeg(
     sos = seg(0xDA, bytes([nf]) + b"".join(
         bytes([ci + 1, 0x00]) for ci in range(nf)
     ) + bytes([0, 63, 0]))
-    return (
-        b"\xff\xd8" + dqt + sof + dht_dc + dht_ac + sos + entropy + b"\xff\xd9"
+    dri_seg = (
+        seg(0xDD, int(restart_interval).to_bytes(2, "big"))
+        if restart_interval
+        else b""
     )
+    return (
+        b"\xff\xd8" + dqt + sof + dri_seg + dht_dc + dht_ac + sos + entropy
+        + b"\xff\xd9"
+    )
+
+
+def _make_jpeg_progressive(
+    w: int, h: int, planes: list, factors: list, q: np.ndarray,
+    dc_codes: dict, ac_codes: dict, hmax: int, vmax: int,
+    mcux: int, mcuy: int,
+) -> bytes:
+    """Progressive (SOF2) scan emission — spec G.2's two dimensions both
+    exercised: successive approximation (Al=1 first scans + Al=0
+    refinement scans with correction-bit coding per G.1.2.3) and spectral
+    selection (per-component non-interleaved AC band scans). DC scans
+    interleave all components in MCU order; AC scans walk each
+    component's TRUE block raster (spec A.2.2 — smaller than the
+    MCU-aligned grid for subsampled frames)."""
+    nf = len(planes)
+    qzz = [_jpeg_quant_all(p, q) for p in planes]
+    grids = [
+        (-(-(-(-h * vi // vmax)) // 8), -(-(-(-w * hi // hmax)) // 8))
+        for hi, vi in factors
+    ]
+
+    def dc_scan(al: int, refine: bool) -> bytes:
+        bwr = _BitWriter()
+        pred = [0] * nf
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(factors):
+                    for byi in range(vi):
+                        for bxi in range(hi):
+                            v = int(qzz[ci][my * vi + byi, mx * hi + bxi, 0])
+                            if refine:
+                                bwr.put((v >> al) & 1, 1)
+                                continue
+                            d = (v >> al) - pred[ci]  # arithmetic shift
+                            pred[ci] = v >> al
+                            t = abs(d).bit_length()
+                            code, ln = dc_codes[t]
+                            bwr.put(code, ln)
+                            _put_val(bwr, d, t)
+        return bwr.done()
+
+    def ac_first_scan_band(ci: int, al: int, ss: int, se: int) -> bytes:
+        bwr = _BitWriter()
+        bh_c, bw_c = grids[ci]
+        eobrun = 0
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bwr.put(code, ln)
+            if r:
+                bwr.put(eobrun - (1 << r), r)
+            eobrun = 0
+
+        for yb in range(bh_c):
+            for xb in range(bw_c):
+                band = [_pt(int(v), al) for v in qzz[ci][yb, xb, ss : se + 1]]
+                if not any(band):  # whole band zero: extend the EOB run
+                    eobrun += 1
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                for pv in band:
+                    if pv == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        code, ln = ac_codes[0xF0]
+                        bwr.put(code, ln)
+                        r -= 16
+                    s = abs(pv).bit_length()
+                    code, ln = ac_codes[(r << 4) | s]
+                    bwr.put(code, ln)
+                    _put_val(bwr, pv, s)
+                    r = 0
+                if r:  # block ends early: starts a (possibly long) EOB run
+                    eobrun = 1
+        flush_eob()
+        return bwr.done()
+
+    def ac_refine_scan_band(ci: int, al: int, ss: int, se: int) -> bytes:
+        bwr = _BitWriter()
+        bh_c, bw_c = grids[ci]
+        eobrun = 0
+        ebits: list = []  # correction bits buffered across the EOB run
+
+        def flush_eob() -> None:
+            nonlocal eobrun
+            if not eobrun:
+                return
+            r = eobrun.bit_length() - 1
+            code, ln = ac_codes[r << 4]
+            bwr.put(code, ln)
+            if r:
+                bwr.put(eobrun - (1 << r), r)
+            for b in ebits:
+                bwr.put(b, 1)
+            ebits.clear()
+            eobrun = 0
+
+        for yb in range(bh_c):
+            for xb in range(bw_c):
+                band = [int(v) for v in qzz[ci][yb, xb, ss : se + 1]]
+                ts = [abs(v) >> al for v in band]
+                if not any(t == 1 for t in ts):
+                    # no newly-significant coefficient: the whole block
+                    # joins the EOB run; its history corrections buffer
+                    eobrun += 1
+                    ebits.extend(t & 1 for t in ts if t > 1)
+                    if eobrun == 32767:
+                        flush_eob()
+                    continue
+                flush_eob()
+                # ZRLs must be emitted when the zero run exceeds 15 at ANY
+                # nonzero position up to the LAST newly-significant one —
+                # flushing only the correction bits inside each ZRL's
+                # 16-zero span (a history coefficient beyond the span gets
+                # its bit with a LATER code; emitting it early desyncs the
+                # decoder's walk). Past last_new the tail folds into the
+                # EOB run instead. This is libjpeg encode_mcu_AC_refine's
+                # ordering exactly.
+                last_new = max(i for i, t in enumerate(ts) if t == 1)
+                r, br = 0, []
+                for i, (v, t) in enumerate(zip(band, ts)):
+                    if t == 0:
+                        r += 1
+                        continue
+                    if i <= last_new:
+                        while r > 15:
+                            code, ln = ac_codes[0xF0]
+                            bwr.put(code, ln)
+                            for b in br:
+                                bwr.put(b, 1)
+                            br.clear()
+                            r -= 16
+                    if t > 1:  # history coefficient: buffered correction bit
+                        br.append(t & 1)
+                        continue
+                    code, ln = ac_codes[(r << 4) | 1]
+                    bwr.put(code, ln)
+                    bwr.put(1 if v > 0 else 0, 1)  # sign of the new coef
+                    for b in br:
+                        bwr.put(b, 1)
+                    br.clear()
+                    r = 0
+                if r or br:  # the block's tail starts the next EOB run
+                    eobrun = 1
+                    ebits.extend(br)
+        flush_eob()
+        return bwr.done()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
+
+    def sos(sel: list, Ss: int, Se: int, Ah: int, Al: int) -> bytes:
+        body = bytes([len(sel)]) + b"".join(
+            bytes([cid, tabs]) for cid, tabs in sel
+        ) + bytes([Ss, Se, (Ah << 4) | Al])
+        return seg(0xDA, body)
+
+    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    sof = seg(
+        0xC2,
+        bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+        + bytes([nf])
+        + b"".join(
+            bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0])
+            for ci in range(nf)
+        ),
+    )
+    dht_dc = seg(
+        0xC4,
+        bytes([0x00]) + bytes([0, 0, 0, len(_DC_SYMS)] + [0] * 12)
+        + bytes(_DC_SYMS),
+    )
+    dht_ac = seg(
+        0xC4,
+        bytes([0x10]) + bytes([0, 0, 0, 0, 0, 0, 0, len(_AC_SYMS)] + [0] * 8)
+        + bytes(_AC_SYMS),
+    )
+    all_sel = [(ci + 1, 0x00) for ci in range(nf)]
+    out = b"\xff\xd8" + dqt + sof + dht_dc + dht_ac
+    out += sos(all_sel, 0, 0, 0, 1) + dc_scan(1, refine=False)
+    out += sos(all_sel, 0, 0, 1, 0) + dc_scan(0, refine=True)
+    for ci in range(nf):
+        # spectral selection: two AC bands per component, each at Al=1
+        for (ss, se) in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0x00)], ss, se, 0, 1) + ac_first_scan_band(
+                ci, 1, ss, se
+            )
+    for ci in range(nf):
+        for (ss, se) in ((1, 5), (6, 63)):
+            out += sos([(ci + 1, 0x00)], ss, se, 1, 0) + ac_refine_scan_band(
+                ci, 0, ss, se
+            )
+    return out + b"\xff\xd9"
 
 
 def decode_image(payload: bytes, fake: bool = False) -> list[float]:
@@ -961,8 +1399,9 @@ def decode_image(payload: bytes, fake: bool = False) -> list[float]:
         try:
             return _decode_jpeg(payload)
         except ValueError:
-            # out-of-scope JPEG (progressive/subsampled/DRI): Pillow if
-            # present, else surface the precise refusal
+            # out-of-scope JPEG (lossless/hierarchical SOFs, arithmetic
+            # coding, >2 sampling factors): Pillow if present, else
+            # surface the precise refusal
             if _try_import("PIL") is None:
                 raise
     if payload[:6] in (b"GIF87a", b"GIF89a"):

@@ -151,12 +151,32 @@ def fts_phrase_match(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def fts_fuzzy_match(spark: SparkSession, sf: str) -> DataFrame:
-    t = _docs_tokens(spark, sf)
-    fuzz = F.filter(F.array_distinct("toks"), lambda x: F.levenshtein(x, F.lit("sprk")) <= 1)
+    """Fuzzy match through the TERM DICTIONARY (r9): tantivy's fuzzy
+    automaton walks the index's term dictionary, not the corpus
+    (index_reader_text.rs:95-106) — here the posting table's distinct
+    terms (one dictionary-encoded column scan) filter by edit distance,
+    and ONLY the matched terms' posting lists are read (two-phase, so
+    the posting read keeps its tbucket/term pruning). n_fuzzy = distinct
+    matching terms per doc — identical to the corpus-scan HOF count."""
+    from milvus_spark.operators.text_index import read_term_postings
+
+    postings, _ = _posting_index(spark, sf)
+    matched = [
+        r.term
+        for r in postings.select("term")
+        .distinct()
+        .filter(F.levenshtein(F.col("term"), F.lit("sprk")) <= 1)
+        .collect()
+    ]
+    if not matched:
+        return postings.select(
+            F.col("id").alias("doc_id"), F.lit(0).cast("long").alias("n_fuzzy")
+        ).limit(0)
     return (
-        t.withColumn("n_fuzzy", F.size(fuzz).cast("long"))
-        .filter(F.col("n_fuzzy") > 0)
-        .select("doc_id", "n_fuzzy")
+        read_term_postings(postings, matched)
+        .groupBy("id")
+        .agg(F.count_distinct("term").cast("long").alias("n_fuzzy"))
+        .select(F.col("id").alias("doc_id"), "n_fuzzy")
     )
 
 

@@ -478,12 +478,31 @@ def test_real_jpeg_codec_numpy_baseline():
         assert _decode_jpeg(make_jpeg(w, h, pixels=px, subsampling="420")) == (
             ref_420(px, w, h)
         ), (w, h)
+    # PROGRESSIVE (SOF2) decodes since r9 — successive approximation
+    # (DC/AC first scans at Al=1 + refinement scans with correction-bit
+    # coding, G.1.2.3) and spectral selection (per-component AC bands),
+    # EOBRUN accumulation across blocks: bit-identical output to the
+    # baseline encoding of the same pixels (progressive only reorders
+    # coefficient transmission), across gray / 4:4:4 / 4:2:0 and
+    # EOBRUN-heavy flat+busy shapes
+    flat = np.full((24, 40), 90, np.uint8)
+    flat[8:16, 8:16] = rng.integers(0, 256, (8, 8))
+    for ppx, kw in (
+        (rng.integers(0, 256, (21, 26), dtype=np.uint8), {}),
+        (flat, {}),
+        (rng.integers(0, 256, (21, 26, 3), dtype=np.uint8), {}),
+        (rng.integers(0, 256, (37, 45, 3), dtype=np.uint8), {"subsampling": "420"}),
+    ):
+        ph, pw = ppx.shape[:2]
+        assert _decode_jpeg(make_jpeg(pw, ph, pixels=ppx, progressive=True, **kw)) == (
+            _decode_jpeg(make_jpeg(pw, ph, pixels=ppx, **kw))
+        ), (ppx.shape, kw)
     # refusals: patch the conformant stream into out-of-scope shapes
     good = make_jpeg(8, 8, gray=100)
     sof_at = good.find(b"\xff\xc0")
-    prog = good[:sof_at + 1] + b"\xc2" + good[sof_at + 2:]
-    with pytest.raises(ValueError, match="progressive"):
-        _decode_jpeg(prog)
+    lossless = good[:sof_at + 1] + b"\xc3" + good[sof_at + 2:]
+    with pytest.raises(ValueError, match="SOF3"):
+        _decode_jpeg(lossless)
     sub = bytearray(good)
     sub[sof_at + 11] = 0x22  # sampling factors on a SINGLE-component frame
     with pytest.raises(ValueError, match="sampled single component"):
@@ -497,14 +516,32 @@ def test_real_jpeg_codec_numpy_baseline():
     q16[dqt_at + 4] = 0x10  # 16-bit quant table precision
     with pytest.raises(ValueError, match="16-bit quant"):
         _decode_jpeg(bytes(q16))
-    dri = good[:sof_at] + b"\xff\xdd\x00\x04\x00\x08" + good[sof_at:]
-    with pytest.raises(ValueError, match="restart intervals"):
-        _decode_jpeg(dri)
+    # DRI restart intervals decode since r9 (byte-aligned cycling RSTn,
+    # DC predictors reset — spec E.2.4): identical output to the same
+    # pixels without restarts, across gray / 4:4:4 / 4:2:0
+    for dims, kw in (((24, 16), {}), ((45, 37), {"subsampling": "420"})):
+        dw, dh = dims
+        shape = (dh, dw) if not kw else (dh, dw, 3)
+        dpx = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        plain = _decode_jpeg(make_jpeg(dw, dh, pixels=dpx, **kw))
+        for ri in (1, 3, 7):
+            assert _decode_jpeg(
+                make_jpeg(dw, dh, pixels=dpx, restart_interval=ri, **kw)
+            ) == plain, (dims, kw, ri)
+    dj = bytearray(
+        make_jpeg(24, 16, pixels=rng.integers(0, 256, (16, 24), dtype=np.uint8),
+                  restart_interval=1)
+    )
+    dj[dj.find(b"\xff\xd0") + 1] = 0xD5  # out-of-order restart marker
+    with pytest.raises(ValueError, match="restart marker"):
+        _decode_jpeg(bytes(dj))
     with pytest.raises(ValueError, match="not a JPEG"):
         _decode_jpeg(b"nope")
     if not _has("PIL"):
-        with pytest.raises(ValueError, match="progressive"):
-            decode_image(prog, fake=False)
+        # decode_image surfaces the precise refusal for the still-refused
+        # SOF shapes (no silent fallback in a codec-less container)
+        with pytest.raises(ValueError, match="SOF3"):
+            decode_image(lossless, fake=False)
 
 
 def test_real_g711_codec_library_free():
