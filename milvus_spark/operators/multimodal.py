@@ -142,7 +142,10 @@ def _decode_png(payload: bytes) -> list[float]:
     depth, color, _comp, _filt, interlace = ihdr[8:13]
     if interlace != 0:
         raise ValueError("unsupported PNG (Adam7 interlaced)")
-    if depth != 8:
+    # sub-8-bit depths are in scope ONLY for palette images (r9: packed
+    # 1/2/4-bit indices — the common icon shape); filtering operates on
+    # bytes with bpp=1 either way (spec §9: filters use the byte stride)
+    if depth != 8 and not (color == 3 and depth in (1, 2, 4)):
         raise ValueError(f"unsupported PNG (bit depth {depth})")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if channels is None or w <= 0 or h <= 0:
@@ -151,7 +154,7 @@ def _decode_png(payload: bytes) -> list[float]:
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
             raise ValueError("palette PNG missing a valid PLTE chunk")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
-    stride = w * channels
+    stride = w * channels if depth == 8 else -(-w * depth // 8)
     raw = zlib.decompress(idat)
     if len(raw) != h * (1 + stride):
         raise ValueError("PNG pixel data size mismatch")
@@ -185,16 +188,25 @@ def _decode_png(payload: bytes) -> list[float]:
             raise ValueError(f"unsupported PNG filter type {ft}")
         px[y] = cur.astype(np.uint8)
         prev = cur
-    img = px.reshape(h, w, channels).astype(np.float64)
     if color == 0:
-        gray = img[..., 0]
+        gray = px.reshape(h, w).astype(np.float64)
     elif color == 3:  # palette: indices -> PLTE RGB -> BT.601 luma
-        idx = px.reshape(h, w)
+        if depth == 8:
+            idx = px.reshape(h, w)
+        else:
+            # unpack MSB-first bit fields: 8/depth indices per byte
+            per = 8 // depth
+            shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+            unpacked = (
+                px[:, :, None].astype(np.uint16) >> shifts
+            ) & ((1 << depth) - 1)
+            idx = unpacked.reshape(h, -1)[:, :w].astype(np.uint8)
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette PNG index out of PLTE range")
         rgb = pal[idx]
         gray = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     else:  # truecolor (alpha, if present, ignored — Pillow "L" on RGB)
+        img = px.reshape(h, w, channels).astype(np.float64)
         gray = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
     return _thumb_from_gray(gray)
 
@@ -1596,9 +1608,21 @@ def make_png(
             6: tuple(rgb or (0, 0, 0)) + (255,),
         }[color_type]
         pixels = np.tile(np.asarray(base, np.uint8), (h, w, 1))
-    px = np.asarray(pixels, dtype=np.int64).reshape(h, w * channels)
+    if color_type == 3 and bit_depth in (1, 2, 4):
+        # pack indices MSB-first, 8/depth per byte (r9 sub-8-bit palette)
+        per = 8 // bit_depth
+        idx = np.asarray(pixels, dtype=np.uint16).reshape(h, w)
+        padw = -(-w // per) * per
+        idx = np.pad(idx, ((0, 0), (0, padw - w)))
+        shifts = np.arange(per - 1, -1, -1, dtype=np.uint16) * bit_depth
+        px = (
+            (idx.reshape(h, -1, per) << shifts).sum(axis=2).astype(np.int64)
+        )
+    else:
+        px = np.asarray(pixels, dtype=np.int64).reshape(h, w * channels)
     lines = b""
-    prev = np.zeros(w * channels, dtype=np.int64)
+    stride = px.shape[1]
+    prev = np.zeros(stride, dtype=np.int64)
     for y in range(h):
         cur = px[y]
         if filter_type == 0:
@@ -1606,8 +1630,8 @@ def make_png(
         elif filter_type == 2:
             enc = (cur - prev) & 0xFF
         else:  # 1/3/4: left-dependent — encode with the inverse recon fn
-            enc = np.zeros(w * channels, dtype=np.int64)
-            for x in range(w * channels):
+            enc = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
                 a = int(cur[x - channels]) if x >= channels else 0
                 b = int(prev[x])
                 if filter_type == 1:

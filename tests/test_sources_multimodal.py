@@ -339,11 +339,29 @@ def test_real_png_codec_stdlib_zlib():
         assert _decode_png(
             make_png(9, 6, color_type=3, palette=pal17, pixels=idx, filter_type=ft)
         ) == pwant, ft
-    # refusals: interlaced / 16-bit / missing PLTE / bad index / corrupt CRC
+    # sub-8-bit PACKED palette indices (r9): 1/2/4-bit MSB-first fields,
+    # byte-granular filtering (spec §9 bpp=1) — every depth × filter type
+    for depth in (1, 2, 4):
+        npal = 1 << depth
+        dpal = [tuple(int(x) for x in rng.integers(0, 256, 3)) for _ in range(npal)]
+        didx = rng.integers(0, npal, (11, 13)).astype(np.uint8)
+        drgb = np.asarray(dpal, np.float64)[didx]
+        dwant = _thumb_from_gray(
+            0.299 * drgb[..., 0] + 0.587 * drgb[..., 1] + 0.114 * drgb[..., 2]
+        )
+        for ft in range(5):
+            assert _decode_png(
+                make_png(13, 11, color_type=3, palette=dpal, pixels=didx,
+                         bit_depth=depth, filter_type=ft)
+            ) == dwant, (depth, ft)
+    # refusals: interlaced / 16-bit / sub-8 truecolor / missing PLTE /
+    # bad index / corrupt CRC
     with pytest.raises(ValueError, match="interlaced"):
         _decode_png(make_png(4, 4, (1, 2, 3), interlace=1))
     with pytest.raises(ValueError, match="bit depth"):
         _decode_png(make_png(4, 4, (1, 2, 3), bit_depth=16))
+    with pytest.raises(ValueError, match="bit depth"):
+        _decode_png(make_png(4, 4, (1, 2, 3), color_type=2, bit_depth=4))
 
     def chunk(ct: bytes, body: bytes) -> bytes:
         return (
