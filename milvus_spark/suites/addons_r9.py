@@ -459,3 +459,57 @@ def mm_jpeg_prog_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("thumb", 1).alias("luma01"),
         F.size("thumb").cast("long").alias("n_px"),
     )
+
+
+@register(
+    "mm_flac_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((((doc_id*991)%15000)*2 + 1)/32768, 6) AS amp,
+           CAST(8 AS BIGINT) AS n_bins
+    FROM documents
+    """,
+)
+def mm_flac_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL FLAC decode end-to-end with pure Python (r9 — the last
+    library-gated audio format): each document gets a spec-conformant
+    MID-SIDE stereo FLAC (both channels at the id-derived constant, so
+    mid = v and side = 0 — the stereo decorrelation path executes while
+    the decoded amplitude keeps the closed form |v|/32768), audio
+    features decode it in mapInPandas, every energy bin equals the
+    oracle. FIXED/LPC subframes, Rice residuals and all four stereo
+    modes are round-trip-pinned in tests/test_sources_multimodal.py."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import audio_features, make_flac
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                # ODD amplitudes only: v/32768 lands exactly on a 6th-
+                # decimal .5 iff v % 512 == 256, where Python's banker's
+                # rounding and DuckDB's half-away rounding disagree
+                v = ((i * 991) % 15000) * 2 + 1
+                st = np.full((200 + i % 40, 2), v, dtype=np.int64)
+                payloads.append(
+                    make_flac(st, channels=2, stereo_mode="mid_side",
+                              block_size=128)
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": payloads})
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = audio_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("fbank", 1).alias("amp"),
+        F.size("fbank").cast("long").alias("n_bins"),
+    )

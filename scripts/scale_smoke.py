@@ -49,6 +49,10 @@ HEAVY = [
     "mm_bmp_real_decode",   # r7: real BMP decode, map-side only
     "mm_png_real_decode",   # r8: real PNG decode (zlib inflate), map-side only
     "mm_jpeg_real_decode",  # r8: real baseline-JPEG decode, map-side only
+    "fts_text_match",       # r9: posting-index text match (memoized build)
+    "fts_phrase_match3_slop",  # r9: positions-index phrase window
+    "fts_bm25_incremental",    # r9: stored-tf BM25 + in-flight batch union
+    "mm_jpeg_prog_real_decode",  # r9: progressive multi-scan decode
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds
