@@ -3155,7 +3155,9 @@ class MilvusSparkClient:
             return entry
         return None
 
-    def _text_index_candidates(self, entry: dict, kind: str, qs: list, opt):
+    def _text_index_candidates(
+        self, entry: dict, kind: str, qs: list, opt, extra_mask: list = ()
+    ):
         """Candidate pk ids for a text_match / phrase_match filter from the
         persisted posting index (TextMatchIndex.cpp analog): reads only the
         query terms' posting lists (tbucket directory pruning + term
@@ -3170,7 +3172,8 @@ class MilvusSparkClient:
         )
 
         postings = self.spark.read.parquet(os.path.join(entry["path"], "posting"))
-        postings = apply_delete_bitset(postings, "id", entry.get("masked_pks"))
+        mask = list(entry.get("masked_pks") or []) + list(extra_mask)
+        postings = apply_delete_bitset(postings, "id", mask)
         if kind == "text_match":
             msm = int(opt) if opt else 1
             return text_match_postings(postings, qs, msm).select("id")
@@ -3487,8 +3490,39 @@ class MilvusSparkClient:
                 kind, fld, qstr, opt = mt.groups()
                 entry = self._fresh_index(name, fld, "TEXT_MATCH")
                 qs = [t for t in _re.split(r"[^a-z0-9]+", qstr.lower()) if t]
+                growing_mask: list = []
+                delta = None
+                if entry is None and qs:
+                    # SEALED + GROWING for the lexical tier (r9): an index
+                    # stale ONLY by post-build writes keeps serving — the
+                    # posting lists as sealed segments, rows with
+                    # _ts > built_ts tokenized as the growing segment
+                    # (delta-pruned scan), post-build deletes as a
+                    # query-time mask over the postings. Same safety gate
+                    # as the vector zoo (_servable_delta: folded
+                    # tombstones / restore / oversized masks fall back).
+                    stale = self._meta(name).get("indexes", {}).get(
+                        f"{fld}__TEXT_MATCH"
+                    )
+                    served = self._servable_delta(name, stale)
+                    if served is not None and not partition_names:
+                        entry = stale
+                        delta, deleted = served
+                        growing_mask = [int(p) for p in deleted]
                 if entry is not None and qs and (kind == "text_match" or len(qs) >= 2):
-                    cands = self._text_index_candidates(entry, kind, qs, opt)
+                    cands = self._text_index_candidates(
+                        entry, kind, qs, opt, extra_mask=growing_mask
+                    )
+                    if cands is not None and delta is not None:
+                        gcond = compile_expr(
+                            filter, delta.schema, params,
+                            dynamic_field=self._dyn(self._meta(name)),
+                        )
+                        pk = self._meta(name)["pk"]
+                        gc = delta.filter(gcond).select(
+                            F.col(pk).cast("long").alias("id")
+                        )
+                        cands = cands.unionByName(gc)
                     if cands is not None:
                         pk = self._meta(name)["pk"]
                         df = base.join(

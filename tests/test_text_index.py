@@ -173,12 +173,16 @@ def test_client_text_match_index_lifecycle(spark, sf_dir, tmp_path):
     # pushdown + bucket partition filter only exist on the posting scan)
     plan = client.query("tm", filter=flt)._jdf.queryExecution().executedPlan().toString()
     assert "tbucket" in plan and "In(term" in plan
-    # stale: new rows -> scan fallback, still exact
+    # stale by post-build writes: SEALED + GROWING serving (r9) — the
+    # postings keep serving as sealed segments while ONLY the delta rows
+    # tokenize as the growing segment (delta-pruned scan), exactly the
+    # vector zoo's composition
     client.insert("tm", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 450)))
     stale_plan = (
         client.query("tm", filter=flt)._jdf.queryExecution().executedPlan().toString()
     )
-    assert "tbucket" not in stale_plan
+    assert "tbucket" in stale_plan, "stale index should serve sealed+growing"
+    assert "GreaterThan(_ts" in stale_plan, "growing scan should be delta-pruned"
     assert ids() == scan_ids()
     # refresh appends the new rows as a posting epoch; dispatch returns
     entry = client.refresh_index("tm", "text", "TEXT_MATCH")
@@ -279,3 +283,63 @@ def test_client_text_search_stored_tf(spark, sf_dir, tmp_path):
     assert got3 == want2
     client.drop_collection("ts1")
     client.drop_collection("ts2")
+
+
+def test_text_index_sealed_growing_serving(spark, sf_dir, tmp_path):
+    """SEALED + GROWING for the lexical tier (r9): with NO refresh after
+    post-build writes, text_match keeps serving from the posting lists
+    (sealed) plus a delta-pruned tokenize of only the new rows (growing);
+    post-build deletes mask the postings at query time, and an upserted
+    doc serves its NEW text (old postings masked, new text in the delta).
+    Exact vs the corpus-scan path at every step; unsafe compositions
+    (here: a compaction folding tombstones) fall back to the scan."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    client.create_collection("sgt", pk_field="doc_id")
+    client.insert("sgt", d.filter(F.col("doc_id") < 400))
+    client.create_index("sgt", "text", "TEXT_MATCH")
+    flt = 'text_match(text, "spark merge vector", minimum_should_match=2)'
+
+    def ids():
+        return {r.doc_id for r in client.query("sgt", filter=flt).collect()}
+
+    def scan_ids():
+        base = client._read("sgt")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+
+    def plan():
+        return client.query("sgt", filter=flt)._jdf.queryExecution().executedPlan().toString()
+
+    # growing inserts only — serving stays on postings + delta
+    client.insert("sgt", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)))
+    assert "tbucket" in plan() and "GreaterThan(_ts" in plan()
+    assert ids() == scan_ids()
+    # post-build delete of an INDEXED matching doc: query-time mask
+    victim = int(sorted(ids() & {r.doc_id for r in d.filter("doc_id < 400").collect()})[0])
+    client.delete("sgt", ids=[victim])
+    got = ids()
+    assert victim not in got and got == scan_ids()
+    assert "tbucket" in plan()  # still serving sealed+growing
+    # upsert an indexed doc into matching text: old postings masked, the
+    # delta carries the new text
+    other = int(sorted({r.doc_id for r in d.filter("doc_id < 400").collect()} - got)[0])
+    client.delete("sgt", ids=[other])
+    client.insert(
+        "sgt",
+        spark.createDataFrame(
+            [[other, "spark merge vector now present"]], "doc_id long, text string"
+        ),
+    )
+    got = ids()
+    assert other in got and got == scan_ids()
+    # unsafe composition: compaction folds the tombstones -> scan fallback
+    client.compact("sgt")
+    assert "tbucket" not in plan()
+    assert ids() == scan_ids()
+    client.drop_collection("sgt")
