@@ -2334,8 +2334,76 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "hyperplanes.json"), "w") as f:
                 json.dump(H.tolist(), f)
             entry["nbits"] = nbits
+        elif itype in ("INVERTED", "BITMAP"):
+            # Materialized scalar value index (r9 —
+            # InvertedIndexTantivy.cpp / BitmapIndex.cpp): (value -> pk)
+            # postings hash-partitioned by value bucket, so an equality /
+            # IN filter prunes whole directories at file listing and reads
+            # only the matching values' posting lists
+            # (operators/scalar_index.py). BITMAP packs one id list per
+            # distinct value and REFUSES past the cardinality limit
+            # (indexparamcheck's bitmap cap). Rows carry _epoch like every
+            # other artifact: refresh appends, deletes fold into the
+            # shared [pk, bound] version masks.
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.scalar_index import (
+                build_bitmap,
+                build_inverted,
+            )
+
+            dt = self._read(name).schema[field].dataType
+            scalar_ok = isinstance(dt, (T.StringType, T.IntegralType))
+            array_ok = isinstance(dt, T.ArrayType) and isinstance(
+                dt.elementType, (T.StringType, T.IntegralType)
+            )
+            if not (scalar_ok or array_ok):
+                raise ValueError(
+                    f"{itype} requires a varchar or integral field (or an "
+                    f"array of them), got {dt}"
+                )
+            df = self._read(name)
+            art = (
+                build_inverted(df, field, meta["pk"])
+                if itype == "INVERTED"
+                else build_bitmap(
+                    df, field, meta["pk"],
+                    int(params.get("bitmap_cardinality_limit", 1000)),
+                )
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).partitionBy("vbucket").parquet(os.path.join(idx_dir, "posting"))
+            entry["cur_epoch"] = 0
+        elif itype in ("SORT", "STL_SORT", "TRIE"):
+            # Sorted scalar index (r9 — ScalarIndexSort.cpp; TRIE =
+            # StringIndexMarisa.cpp, whose prefix walk a sorted term range
+            # serves): the column range-partitions into bucket directories
+            # recorded as BOUNDS in the catalog entry, rows sorted within
+            # buckets — a range / prefix query lists only overlapping
+            # bucket dirs (the binary-search analog) and pushes the value
+            # predicate into sorted row groups.
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.scalar_index import build_sorted
+
+            dt = self._read(name).schema[field].dataType
+            if itype == "TRIE" and not isinstance(dt, T.StringType):
+                raise ValueError(f"TRIE requires a varchar field, got {dt}")
+            if not isinstance(dt, (T.StringType, T.NumericType)):
+                raise ValueError(
+                    f"{itype} requires a varchar or numeric field, got {dt}"
+                )
+            art, bounds = build_sorted(self._read(name), field, meta["pk"])
+            os.makedirs(idx_dir, exist_ok=True)
+            art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).partitionBy("sbucket").parquet(os.path.join(idx_dir, "sorted"))
+            entry["bounds"] = bounds
+            entry["cur_epoch"] = 0
         elif itype in (
-            "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "AUTOINDEX",
+            "AUTOINDEX",
             # FLAT = exact scan: the engine's default brute-force path IS
             # the flat index, so nothing materializes (index_type.go:30)
             "FLAT", "BIN_FLAT",
@@ -2427,7 +2495,7 @@ class MilvusSparkClient:
         itype = index_type.upper()
         if itype not in (
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
-            "TEXT_MATCH",
+            "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2556,6 +2624,161 @@ class MilvusSparkClient:
             doclens.withColumn("_epoch", F.lit(new_epoch).cast("long")).write.mode(
                 "append"
             ).parquet(dlpath)
+            entry["cur_epoch"] = new_epoch
+            if masked:
+                entry["masked_pks"] = masked
+            entry["built_ts"] = cur
+            self._save_catalog()
+            return entry
+        if itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE"):
+            # Scalar index family rides the same epoch/version-mask
+            # lifecycle as the lexical tier (the reference rebuilds scalar
+            # indexes per sealed segment and masks deletes at search):
+            # new rows' postings append as a new epoch — base files never
+            # rewrite — deletes of indexed pks fold into [pk, bound] masks,
+            # upserts accepted iff no live copy remains. Null-valued rows
+            # are unindexed by design, so every count below is over the
+            # NON-NULL slice of the snapshot.
+            from milvus_spark.operators.bitset import epoch_col, normalize_mask
+            from milvus_spark.operators.scalar_index import (
+                assign_sort_bucket,
+                build_bitmap,
+                build_inverted,
+            )
+
+            fld = entry["field"]
+            packed = itype == "BITMAP"
+            art_name = "posting" if itype in ("INVERTED", "BITMAP") else "sorted"
+            apath = os.path.join(entry["path"], art_name)
+            c = self.spark.read.parquet(apath)
+            # one row per (doc, epoch-copy): array-valued fields post one
+            # row per distinct element, so dedup to the doc grain before
+            # any count compares against the row-count snapshot
+            ids_df = (
+                c.select(
+                    F.explode("ids").alias("id"), epoch_col(c).alias("_e")
+                )
+                if packed
+                else c.select("id", epoch_col(c).alias("_e"))
+            ).distinct()
+            new_epoch = int(entry.get("cur_epoch", 0)) + 1
+            masked_pairs: dict[int, int] = {
+                p: b for p, b in normalize_mask(entry.get("masked_pks"))
+            }
+            deleted_in_df = (
+                ids_df.select(F.col("id").alias("_del_pk"))
+                .join(deleted_df, "_del_pk", "left_semi")
+                .distinct()
+                if deleted_df is not None
+                else None
+            )
+            if (
+                deleted_in_df is not None
+                and len(masked_pairs) + deleted_in_df.count() > 100_000
+            ):
+                raise ValueError(
+                    "refresh_index: delete mask would exceed 100k pks — "
+                    "compact and rebuild with create_index"
+                )
+            for r in deleted_in_df.collect() if deleted_in_df is not None else []:
+                masked_pairs[int(r[0])] = max(
+                    masked_pairs.get(int(r[0]), 0), new_epoch
+                )
+            masked = sorted([p, b] for p, b in masked_pairs.items())
+            mdf = (
+                self.spark.createDataFrame(masked, "mid long, bound long")
+                if masked
+                else None
+            )
+            mcond = None if mdf is None else (
+                (F.col("id") == mdf["mid"]) & (F.col("_e") < mdf["bound"])
+            )
+            n_masked_in = (
+                ids_df.join(mdf, mcond, "left_semi").count()
+                if mdf is not None
+                else 0
+            )
+            from pyspark.sql import types as T
+
+            indexed_cond = (
+                # array fields index rows with >= 1 non-null element
+                F.col(fld).isNotNull()
+                & F.exists(F.col(fld), lambda x: x.isNotNull())
+                if isinstance(df.schema[fld].dataType, T.ArrayType)
+                else F.col(fld).isNotNull()
+            )
+            n_old_nn = df.filter(
+                (F.col(TS_COL) <= entry["built_ts"]) & indexed_cond
+            ).count()
+            if n_old_nn + n_masked_in != ids_df.count():
+                raise ValueError(
+                    "refresh_index: indexed rows no longer match the visible "
+                    "pre-build snapshot (compacted deletes?) — rebuild with "
+                    "create_index"
+                )
+            if n_new == 0:
+                if masked:
+                    entry["masked_pks"] = masked
+                entry["built_ts"] = cur
+                self._save_catalog()
+                return entry
+            live = (
+                ids_df.join(mdf, mcond, "left_anti") if mdf is not None else ids_df
+            )
+            n_collide = (
+                new.select(F.col(pk).cast("long").alias("id"))
+                .join(live.select("id"), "id", "left_semi")
+                .count()
+            )
+            if n_collide:
+                raise ValueError(
+                    f"refresh_index: {n_collide} new rows re-use live indexed "
+                    "pks without a delete — rebuild with create_index"
+                )
+            if itype == "INVERTED":
+                art = build_inverted(new, fld, pk)
+                part_col = "vbucket"
+            elif packed:
+                # the cardinality cap is a whole-index invariant, so the
+                # check spans base values plus the appending batch
+                limit = int(
+                    (entry.get("params") or {}).get(
+                        "bitmap_cardinality_limit", 1000
+                    )
+                )
+                n_vals = (
+                    c.select("value")
+                    .union(new.select(F.col(fld).cast("string").alias("value")))
+                    .filter(F.col("value").isNotNull())
+                    .distinct()
+                    .count()
+                )
+                if n_vals > limit:
+                    raise ValueError(
+                        f"BITMAP cardinality {n_vals} exceeds limit {limit} "
+                        f"on {fld!r} — rebuild as INVERTED"
+                    )
+                art = build_bitmap(new, fld, pk, limit)
+                part_col = "vbucket"
+            else:
+                art = (
+                    new.filter(F.col(fld).isNotNull())
+                    .select(
+                        F.col(fld).alias("value"),
+                        F.col(pk).cast("long").alias("id"),
+                    )
+                    .withColumn(
+                        "sbucket",
+                        assign_sort_bucket(F.col("value"), entry["bounds"]),
+                    )
+                    .repartition("sbucket")
+                    .sortWithinPartitions("value")
+                    .select("sbucket", "value", "id")
+                )
+                part_col = "sbucket"
+            art.withColumn("_epoch", F.lit(new_epoch).cast("long")).write.mode(
+                "append"
+            ).partitionBy(part_col).parquet(apath)
             entry["cur_epoch"] = new_epoch
             if masked:
                 entry["masked_pks"] = masked
@@ -3181,6 +3404,98 @@ class MilvusSparkClient:
             postings, qs, slop=int(opt) if opt else 0
         ).select("id")
 
+    # filter shapes the scalar index tier serves, mapped to the index
+    # types that serve them (the reference's ForIndex dispatch,
+    # UnaryExpr.h:1117-1121: term/IN -> inverted or bitmap, range ->
+    # sorted, prefix -> trie)
+    _SCALAR_KINDS = {
+        "eq": ("INVERTED", "BITMAP"),
+        "in": ("INVERTED", "BITMAP"),
+        "all": ("INVERTED", "BITMAP"),
+        "range": ("STL_SORT", "SORT"),
+        "prefix": ("TRIE",),
+    }
+
+    def _scalar_entry(
+        self, name: str, fld: str, kinds: tuple, partition_names
+    ) -> Optional[tuple]:
+        """(entry, extra_mask, delta_or_None) for the first servable
+        scalar index on ``fld`` among ``kinds``: fresh wins; an index
+        stale only by post-build writes serves SEALED + GROWING (postings
+        as sealed segments, a delta-pruned scan of the new rows as the
+        growing segment, post-build deletes as a query-time mask) under
+        the shared _servable_delta safety gate."""
+        for itype in kinds:
+            entry = self._fresh_index(name, fld, itype)
+            if entry is not None:
+                return entry, [], None
+        if partition_names:
+            return None
+        for itype in kinds:
+            stale = self._meta(name).get("indexes", {}).get(f"{fld}__{itype}")
+            if stale is None or not stale.get("materialized"):
+                continue
+            served = self._servable_delta(name, stale)
+            if served is not None:
+                delta, deleted = served
+                return stale, [int(p) for p in deleted], delta
+        return None
+
+    def _scalar_candidates(
+        self, entry: dict, shape: str, payload, extra_mask: list = ()
+    ) -> DataFrame:
+        """Candidate pk ids for a scalar filter from the index artifact:
+        equality/IN reads only the matching values' posting lists (vbucket
+        directory pruning + value row-group pushdown), range/prefix lists
+        only the overlapping sorted buckets (the binary-search analog).
+        [pk, bound] version masks drop dead epochs; candidates then
+        semi-join the visible base frame, so tombstoned-but-unmasked rows
+        drop there — the same contract as the lexical tier."""
+        from milvus_spark.operators.bitset import apply_delete_bitset
+        from milvus_spark.operators.scalar_index import (
+            prefix_upper,
+            read_sorted_range,
+            read_value_postings,
+        )
+
+        itype = entry["index_type"]
+        mask = list(entry.get("masked_pks") or []) + list(extra_mask)
+        if itype in ("INVERTED", "BITMAP"):
+            posting = self.spark.read.parquet(
+                os.path.join(entry["path"], "posting")
+            )
+            cand = read_value_postings(posting, list(payload))
+            if itype == "BITMAP":
+                cand = cand.select(
+                    "value", "_epoch", F.explode("ids").alias("id")
+                )
+            cand = apply_delete_bitset(cand, "id", mask)
+            if shape == "all":
+                # array_contains_all = posting-list intersection: a doc
+                # qualifies iff it posts under EVERY query value
+                return (
+                    cand.groupBy("id")
+                    .agg(F.count_distinct("value").alias("_nv"))
+                    .filter(F.col("_nv") >= len(set(map(str, payload))))
+                    .select("id")
+                )
+            return cand.select("id")
+        sorted_art = self.spark.read.parquet(
+            os.path.join(entry["path"], "sorted")
+        )
+        bounds = entry.get("bounds") or []
+        if shape == "prefix":
+            cand = read_sorted_range(
+                sorted_art, bounds,
+                lo=payload, hi=prefix_upper(payload), hi_incl=False,
+            ).filter(F.col("value").startswith(payload))
+        else:
+            lo, hi, lo_incl, hi_incl = payload
+            cand = read_sorted_range(
+                sorted_art, bounds, lo, hi, lo_incl, hi_incl
+            )
+        return apply_delete_bitset(cand, "id", mask).select("id")
+
     # per-query delete-mask budget for sealed+growing serving: the mask
     # collects to the driver and closure-broadcasts per search, so it stays
     # small; past this, serving falls back to the exact scan until refresh
@@ -3528,6 +3843,129 @@ class MilvusSparkClient:
                         df = base.join(
                             cands.select(F.col("id").alias(pk)), pk, "left_semi"
                         )
+            # scalar-index dispatch (r9 — ScalarIndexSort.cpp /
+            # BitmapIndex.cpp / InvertedIndexTantivy / StringIndexMarisa;
+            # ForIndex selection UnaryExpr.h:1117-1121): an equality / IN /
+            # range / prefix filter on a field with a servable scalar index
+            # reads the index's pruned postings instead of scanning the
+            # column. Same contract as the NGRAM/TEXT_MATCH paths: the
+            # index is an access path, results identical either way.
+            if df is None:
+                shape = payload = fld = None
+                me = _re.fullmatch(
+                    r'\s*(\w+)\s*==\s*(?:"([^"\\]*)"|(-?\d+))\s*', filter
+                )
+                mi = _re.fullmatch(
+                    r"\s*(\w+)\s+in\s+\[([^\]]*)\]\s*", filter
+                )
+                mrng = _re.fullmatch(
+                    r"\s*(\w+)\s*(>=|>)\s*(-?\d+(?:\.\d+)?)\s+(?:and|&&)\s+"
+                    r"(\w+)\s*(<=|<)\s*(-?\d+(?:\.\d+)?)\s*",
+                    filter,
+                )
+                mpre = _re.fullmatch(
+                    r'\s*(\w+)\s+like\s+"([^%_\\"]+)%"\s*', filter
+                )
+                mac = _re.fullmatch(
+                    r'\s*array_contains\(\s*(\w+)\s*,\s*'
+                    r'(?:"([^"\\]*)"|(-?\d+))\s*\)\s*',
+                    filter,
+                )
+                maca = _re.fullmatch(
+                    r"\s*array_contains_(any|all)\(\s*(\w+)\s*,\s*"
+                    r"\[([^\]]*)\]\s*\)\s*",
+                    filter,
+                )
+
+                def _lits(raw):
+                    out = []
+                    for tok in raw.split(","):
+                        lm = _re.fullmatch(r'"([^"\\]*)"|(-?\d+)', tok.strip())
+                        if not lm:
+                            return None
+                        out.append(
+                            lm.group(1) if lm.group(1) is not None else lm.group(2)
+                        )
+                    return out
+
+                if mac:
+                    # ARRAY_CONTAINS through the multi-valued inverted
+                    # index: one posting list
+                    fld, shape = mac.group(1), "eq"
+                    payload = [
+                        mac.group(2) if mac.group(2) is not None else mac.group(3)
+                    ]
+                elif maca:
+                    # _any = posting union, _all = posting intersection
+                    fld = maca.group(2)
+                    shape = "in" if maca.group(1) == "any" else "all"
+                    payload = _lits(maca.group(3))
+                elif me:
+                    fld, shape = me.group(1), "eq"
+                    payload = [me.group(2) if me.group(2) is not None else me.group(3)]
+                elif mi:
+                    fld, shape = mi.group(1), "in"
+                    payload = []
+                    for tok in mi.group(2).split(","):
+                        tok = tok.strip()
+                        lm = _re.fullmatch(r'"([^"\\]*)"|(-?\d+)', tok)
+                        if not lm:
+                            payload = None
+                            break
+                        payload.append(
+                            lm.group(1) if lm.group(1) is not None else lm.group(2)
+                        )
+                elif mrng and mrng.group(1) == mrng.group(4):
+                    fld, shape = mrng.group(1), "range"
+                    payload = (
+                        float(mrng.group(3)), float(mrng.group(6)),
+                        mrng.group(2) == ">=", mrng.group(5) == "<=",
+                    )
+                elif mpre:
+                    fld, shape = mpre.group(1), "prefix"
+                    payload = mpre.group(2)
+                if shape is not None:
+                    # a contains-shape filter must target an ARRAY column
+                    # and an eq/in/range/prefix shape a scalar one — the
+                    # posting semantics differ (element vs whole value)
+                    from pyspark.sql import types as T
+
+                    want_array = bool(mac or maca)
+                    if fld not in base.columns or want_array != isinstance(
+                        base.schema[fld].dataType, T.ArrayType
+                    ):
+                        shape = None
+                served = (
+                    self._scalar_entry(
+                        name, fld, self._SCALAR_KINDS[shape], partition_names
+                    )
+                    if shape is not None and payload is not None
+                    else None
+                )
+                if served is not None:
+                    entry, growing_mask, delta = served
+                    if shape == "range" and any(
+                        isinstance(b, str) for b in entry.get("bounds") or []
+                    ):
+                        served = None  # numeric range vs varchar-sorted index
+                if served is not None:
+                    cands = self._scalar_candidates(
+                        entry, shape, payload, extra_mask=growing_mask
+                    )
+                    pk = self._meta(name)["pk"]
+                    if delta is not None:
+                        gcond = compile_expr(
+                            filter, delta.schema, params,
+                            dynamic_field=self._dyn(self._meta(name)),
+                        )
+                        cands = cands.unionByName(
+                            delta.filter(gcond).select(
+                                F.col(pk).cast("long").alias("id")
+                            )
+                        )
+                    df = base.join(
+                        cands.select(F.col("id").alias(pk)), pk, "left_semi"
+                    )
             mj = _re.fullmatch(
                 r'\s*(\w+)\["(\w+)"\]\s*(==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*',
                 filter,

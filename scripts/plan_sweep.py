@@ -140,6 +140,14 @@ HINT_ALLOWED: dict[str, int] = {
     # Collection.read's visible frame, whose tombstone anti-join broadcast
     # is the same compaction-bounded frame as the dml_* rows
     "cli_text_match_index": 1,
+    # [life] the scalar-index dispatches (r9) semi-join candidates onto the
+    # same visible frame — the flagged hint is Collection.read's tombstone
+    # anti-join broadcast, compaction-bounded exactly as above (the index's
+    # own [pk, bound] mask broadcast is an in-memory LogicalRDD capped at
+    # 100k entries by refresh_index)
+    "cli_scalar_inverted": 1, "cli_scalar_bitmap_in": 1,
+    "cli_scalar_sort_range": 1, "cli_scalar_trie_prefix": 1,
+    "cli_scalar_array_contains": 1,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

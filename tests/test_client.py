@@ -180,7 +180,9 @@ def test_index_lifecycle(client, spark, sf_dir):
     assert entry["materialized"] and entry["nlist"] == 8
     client.create_index("vx", "vec_id", "INVERTED")
     assert client.list_indexes("vx") == ["embedding__IVF_FLAT", "vec_id__INVERTED"]
-    assert client.describe_index("vx", "vec_id", "INVERTED")["materialized"] is False
+    # scalar indexes materialize real posting tables as of r9
+    assert client.describe_index("vx", "vec_id", "INVERTED")["materialized"] is True
+    assert client.describe_index("vx", "vec_id", "INVERTED")["cur_epoch"] == 0
 
     q = [r.embedding for r in emb.filter(F.col("vec_id") < 2).collect()]
     # filtered searches ride the IVF layout too (r6): full probe + an

@@ -1,0 +1,381 @@
+"""Materialized scalar index tier (r9 — ScalarIndexSort.cpp /
+BitmapIndex.cpp / InvertedIndexTantivy / StringIndexMarisa analogs):
+kernel parity vs the column-scan path, pruned-read plan pins, the client
+index lifecycle (build → dispatch → sealed+growing → refresh → delete
+mask → upsert), and the refusal matrix."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.scalar_index import (
+    build_bitmap,
+    build_inverted,
+    build_sorted,
+    overlapping_sort_buckets,
+    prefix_upper,
+    py_vbucket,
+    read_sorted_range,
+    read_value_postings,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _orders(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+
+def test_inverted_and_bitmap_postings_equal_scan(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    inv = build_inverted(d, "source", "doc_id")
+    want = {r.doc_id for r in d.filter(F.col("source").isin("src3", "src7")).collect()}
+    got = {r.id for r in read_value_postings(inv, ["src3", "src7"]).collect()}
+    assert got == want and got
+    bm = build_bitmap(d, "lang", "doc_id", cardinality_limit=10)
+    want = {r.doc_id for r in d.filter(F.col("lang") == "fr").collect()}
+    got = {
+        i
+        for r in read_value_postings(bm, ["fr"]).collect()
+        for i in r.ids
+    }
+    assert got == want and got
+
+
+def test_bitmap_cardinality_refusal(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    with pytest.raises(ValueError, match="cardinality"):
+        build_bitmap(d, "doc_id", "doc_id", cardinality_limit=10)
+
+
+def test_prefix_upper_lemma():
+    assert prefix_upper("al") == "am"
+    assert prefix_upper("a" + chr(0x10FFFF)) == "b"
+    assert prefix_upper(chr(0x10FFFF)) is None
+    # the trie-range lemma: p <= s < upper(p)  <=>  s.startswith(p)
+    for s in ("al", "alpha", "am", "ak", "alz", "b", ""):
+        inside = "al" <= s < prefix_upper("al")
+        assert inside == s.startswith("al"), s
+
+
+def test_sorted_range_equal_scan(spark, sf_dir):
+    o = _orders(spark, sf_dir)
+    art, bounds = build_sorted(o, "o_totalprice", "o_orderkey")
+    art = art.cache()
+    for lo, hi, li, hi_i in [(1000, 5000, True, True), (None, 2000, True, False), (90000, None, False, True)]:
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col("o_totalprice") >= lo if li else F.col("o_totalprice") > lo)
+        if hi is not None:
+            cond = cond & (F.col("o_totalprice") <= hi if hi_i else F.col("o_totalprice") < hi)
+        want = {r.o_orderkey for r in o.filter(cond).collect()}
+        got = {r.id for r in read_sorted_range(art, bounds, lo, hi, li, hi_i).collect()}
+        assert got == want
+    art.unpersist()
+
+
+def test_overlapping_sort_buckets():
+    bounds = [10, 20, 30]  # buckets: (-inf,10], (10,20], (20,30], (30,inf)
+    assert overlapping_sort_buckets(bounds, 12, 18) == [1]
+    assert overlapping_sort_buckets(bounds, 10, 10) == [0]
+    assert overlapping_sort_buckets(bounds, 5, 25) == [0, 1, 2]
+    assert overlapping_sort_buckets(bounds, 35, None) == [3]
+    assert overlapping_sort_buckets(bounds, None, None) == [0, 1, 2, 3]
+
+
+def test_value_posting_read_prunes_partitions(spark, sf_dir, tmp_path):
+    """The 100 TB posture pin: equality/IN reads ONLY the matching values'
+    posting lists — vbucket prunes directories at file listing, the value
+    predicate reaches the row groups."""
+    import re
+
+    d = _docs(spark, sf_dir)
+    path = str(tmp_path / "posting")
+    build_inverted(d, "source", "doc_id").write.partitionBy("vbucket").parquet(path)
+    stored = spark.read.parquet(path)
+    q = read_value_postings(stored, ["src3", "src7"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "vbucket" in plan
+    assert "value" in plan.split("PushedFilters")[1][:400]
+    want = {py_vbucket("src3"), py_vbucket("src7")}
+    m = re.search(r"vbucket#\d+ IN \(([\d,\s]*)\)", plan)
+    got = {int(x) for x in m.group(1).split(",")}
+    assert got == want
+
+
+def test_sorted_read_prunes_buckets(spark, sf_dir, tmp_path):
+    """Range pin: only the overlapping sorted-bucket directories list."""
+    import re
+
+    o = _orders(spark, sf_dir)
+    art, bounds = build_sorted(o, "o_totalprice", "o_orderkey")
+    path = str(tmp_path / "sorted")
+    art.write.partitionBy("sbucket").parquet(path)
+    stored = spark.read.parquet(path)
+    lo, hi = float(bounds[1]), float(bounds[2])  # spans buckets 1..3
+    q = read_sorted_range(stored, bounds, lo, hi)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sbucket" in plan
+    m = re.search(r"sbucket#\d+ IN \(([\d,\s]*)\)", plan)
+    got = {int(x) for x in m.group(1).split(",")}
+    assert got == set(overlapping_sort_buckets(bounds, lo, hi))
+    assert len(got) < len(bounds) + 1  # genuinely pruned
+    # the value predicate reaches the (sorted) row groups
+    assert "value" in plan.split("PushedFilters")[1][:400]
+
+
+def test_client_scalar_inverted_lifecycle(spark, sf_dir, tmp_path):
+    """create_index(INVERTED) → dispatch equals the scan path; post-build
+    writes serve SEALED + GROWING (postings + delta-pruned scan); refresh
+    appends an epoch; a delete folds into the version mask; an upsert
+    serves the NEW value (old-epoch posting masked); duplicate inserts
+    refuse; a folded compaction falls back to the scan."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    client.create_collection("sc", pk_field="doc_id")
+    client.insert("sc", d.filter(F.col("doc_id") < 400))
+    client.create_index("sc", "source", "INVERTED")
+    flt = 'source == "src3"'
+
+    def ids():
+        return {r.doc_id for r in client.query("sc", filter=flt).collect()}
+
+    def scan_ids():
+        base = client._read("sc")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+
+    def plan():
+        return client.query("sc", filter=flt)._jdf.queryExecution().executedPlan().toString()
+
+    assert ids() == scan_ids() and ids()
+    assert "vbucket" in plan()  # dispatch actually reads the posting index
+    # sealed+growing: post-build insert, no refresh
+    client.insert("sc", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)))
+    p = plan()
+    assert "vbucket" in p and "GreaterThan(_ts" in p
+    assert ids() == scan_ids()
+    # refresh appends epoch 1
+    entry = client.refresh_index("sc", "source", "INVERTED")
+    assert entry["cur_epoch"] == 1
+    assert ids() == scan_ids()
+    # delete an indexed matching doc → version mask at next refresh
+    victim = int(sorted(ids())[0])
+    client.delete("sc", ids=[victim])
+    entry = client.refresh_index("sc", "source", "INVERTED")
+    assert [victim, 2] in [list(map(int, x)) for x in entry["masked_pks"]]
+    got = ids()
+    assert victim not in got and got == scan_ids()
+    # upsert OUT of the match: old posting masked, new value serves
+    other = int(sorted(got)[0])
+    client.delete("sc", ids=[other])
+    client.insert(
+        "sc",
+        spark.createDataFrame([[other, "srcX"]], "doc_id long, source string"),
+    )
+    client.refresh_index("sc", "source", "INVERTED")
+    got = ids()
+    assert other not in got and got == scan_ids()
+    # and back INTO the match
+    client.delete("sc", ids=[other])
+    client.insert(
+        "sc",
+        spark.createDataFrame([[other, "src3"]], "doc_id long, source string"),
+    )
+    client.refresh_index("sc", "source", "INVERTED")
+    got = ids()
+    assert other in got and got == scan_ids()
+    # duplicate insert WITHOUT a delete refuses
+    client.insert(
+        "sc",
+        spark.createDataFrame([[other, "src5"]], "doc_id long, source string"),
+    )
+    with pytest.raises(ValueError, match="live indexed"):
+        client.refresh_index("sc", "source", "INVERTED")
+    client.drop_collection("sc")
+
+
+def test_client_scalar_sealed_growing_delete_and_fallback(spark, sf_dir, tmp_path):
+    """Sealed+growing with a post-build DELETE (query-time mask over the
+    postings) and the shared safety gate: compaction folds tombstones →
+    scan fallback, results exact throughout."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    client.create_collection("sg", pk_field="doc_id")
+    client.insert("sg", d)
+    client.create_index("sg", "source", "INVERTED")
+    flt = 'source == "src3"'
+
+    def ids():
+        return {r.doc_id for r in client.query("sg", filter=flt).collect()}
+
+    def scan_ids():
+        base = client._read("sg")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+
+    def plan():
+        return client.query("sg", filter=flt)._jdf.queryExecution().executedPlan().toString()
+
+    victim = int(sorted(ids())[0])
+    client.delete("sg", ids=[victim])
+    got = ids()
+    assert victim not in got and got == scan_ids()
+    assert "vbucket" in plan()  # still serving from the index
+    client.compact("sg")
+    assert "vbucket" not in plan()  # folded tombstones → fallback
+    assert ids() == scan_ids()
+    client.drop_collection("sg")
+
+
+def test_client_bitmap_sort_trie_dispatch(spark, sf_dir, tmp_path):
+    """BITMAP IN-dispatch, STL_SORT range dispatch, TRIE prefix dispatch —
+    each equal to the scan path with the pruned plan pinned — plus the
+    refusal matrix (bitmap cardinality, TRIE on non-varchar, numeric range
+    on a varchar-sorted index falls through to the scan)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    o = _orders(spark, sf_dir)
+    client.create_collection("ob", pk_field="o_orderkey")
+    client.insert("ob", o)
+    client.create_index("ob", "o_orderstatus", "BITMAP")
+    q = client.query("ob", filter='o_orderstatus in ["F", "P"]', output_fields=["o_orderkey"])
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan
+    assert q.count() == o.filter(F.col("o_orderstatus").isin("F", "P")).count()
+    # eq through the same bitmap
+    q = client.query("ob", filter='o_orderstatus == "O"')
+    assert q.count() == o.filter(F.col("o_orderstatus") == "O").count()
+    with pytest.raises(ValueError, match="cardinality"):
+        client.create_index("ob", "o_orderkey", "BITMAP", {"bitmap_cardinality_limit": 100})
+    # STL_SORT range
+    client.create_index("ob", "o_totalprice", "STL_SORT")
+    q = client.query("ob", filter="o_totalprice >= 1000 and o_totalprice <= 5000")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "sbucket" in plan
+    assert q.count() == o.filter(
+        (F.col("o_totalprice") >= 1000) & (F.col("o_totalprice") <= 5000)
+    ).count()
+    # TRIE prefix
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    client.create_collection("pt", pk_field="p_partkey")
+    client.insert("pt", p)
+    client.create_index("pt", "p_name", "TRIE")
+    q = client.query("pt", filter='p_name like "co%"')
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "sbucket" in plan
+    assert q.count() == p.filter(F.col("p_name").startswith("co")).count()
+    with pytest.raises(ValueError, match="varchar"):
+        client.create_index("pt", "p_partkey", "TRIE")
+    # a numeric range on a varchar-sorted index cannot dispatch: TRIE on
+    # p_name exists, but the filter targets p_retailprice (no index) —
+    # and a range over p_name itself would hit the str-bounds guard
+    q = client.query("pt", filter="p_retailprice >= 100 and p_retailprice <= 200")
+    assert "sbucket" not in q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == p.filter(
+        (F.col("p_retailprice") >= 100) & (F.col("p_retailprice") <= 200)
+    ).count()
+    client.drop_collection("ob")
+    client.drop_collection("pt")
+
+
+def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
+    """Multi-valued INVERTED index on an ARRAY field (the reference's
+    inverted index with multi=true): array_contains reads one posting
+    list, contains_any unions, contains_all intersects — each equal to the
+    compile_expr scan path, with the pruned plan pinned, across the
+    epoch-append + delete-mask + upsert lifecycle."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.operators.text import tokens
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = (
+        _docs(spark, sf_dir)
+        .select("doc_id", tokens(F.col("text")).alias("toks"))
+    )
+    client.create_collection("av", pk_field="doc_id")
+    client.insert("av", d.filter(F.col("doc_id") < 400))
+    client.create_index("av", "toks", "INVERTED")
+
+    def ids(flt):
+        return {r.doc_id for r in client.query("av", filter=flt).collect()}
+
+    def scan_ids(flt):
+        base = client._read("av")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+
+    def plan(flt):
+        return client.query("av", filter=flt)._jdf.queryExecution().executedPlan().toString()
+
+    f_c = 'array_contains(toks, "spark")'
+    f_any = 'array_contains_any(toks, ["join", "merge"])'
+    f_all = 'array_contains_all(toks, ["table", "query"])'
+    for flt in (f_c, f_any, f_all):
+        assert ids(flt) == scan_ids(flt) and ids(flt), flt
+        assert "vbucket" in plan(flt), flt
+    # sealed + growing
+    client.insert("av", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)))
+    p = plan(f_all)
+    assert "vbucket" in p and "GreaterThan(_ts" in p
+    for flt in (f_c, f_any, f_all):
+        assert ids(flt) == scan_ids(flt), flt
+    # refresh epoch + delete mask + upsert out of the match
+    client.refresh_index("av", "toks", "INVERTED")
+    victim = int(sorted(ids(f_c))[0])
+    client.delete("av", ids=[victim])
+    client.insert(
+        "av",
+        spark.createDataFrame(
+            [[victim, ["nothing", "relevant"]]], "doc_id long, toks array<string>"
+        ),
+    )
+    client.refresh_index("av", "toks", "INVERTED")
+    got = ids(f_c)
+    assert victim not in got and got == scan_ids(f_c)
+    assert ids(f_all) == scan_ids(f_all)
+    # an eq-shape filter must NOT dispatch through the array index (whole-
+    # value vs element semantics) — compile_expr rejects it upstream, and
+    # the dispatch's type guard keeps it away from the posting path
+    client.drop_collection("av")
+
+
+def test_scalar_index_auto_refresh_and_type_refusals(spark, sf_dir, tmp_path):
+    """The auto-refresh seal policy is index-type-agnostic: an INVERTED
+    index with auto_refresh_rows fires inside insert(). Type refusals:
+    INVERTED/BITMAP on double, SORT on a non-orderable field."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "source", "n_chars")
+    client.create_collection("ar", pk_field="doc_id")
+    client.insert("ar", d.filter(F.col("doc_id") < 300))
+    client.create_index("ar", "source", "INVERTED", {"auto_refresh_rows": 50})
+    client.insert("ar", d.filter((F.col("doc_id") >= 300) & (F.col("doc_id") < 400)))
+    entry = client.describe_index("ar", "source", "INVERTED")
+    assert entry["built_ts"] == client._current_ts("ar"), "policy did not fire"
+    assert entry["pending_rows"] == 0
+    o = _orders(spark, sf_dir)
+    client.create_collection("tr", pk_field="o_orderkey")
+    client.insert("tr", o)
+    with pytest.raises(ValueError, match="varchar or integral"):
+        client.create_index("tr", "o_totalprice", "INVERTED")
+    client.drop_collection("ar")
+    client.drop_collection("tr")
