@@ -2334,6 +2334,44 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "hyperplanes.json"), "w") as f:
                 json.dump(H.tolist(), f)
             entry["nbits"] = nbits
+        elif itype == "HYBRID":
+            # Auto-selecting scalar index (HybridScalarIndex.cpp,
+            # SelectIndexTypeByCardinality): one distinct-count pass picks
+            # the internal layout — below the cardinality limit the packed
+            # BITMAP id-lists, at/above it per-value INVERTED postings.
+            # The selection persists in the entry; dispatch and refresh
+            # read it, so the artifact behaves exactly as the selected
+            # type thereafter (the reference also keeps the selection
+            # until a rebuild).
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.scalar_index import build_inverted
+
+            dt = self._read(name).schema[field].dataType
+            elem = dt.elementType if isinstance(dt, T.ArrayType) else dt
+            if not isinstance(elem, (T.StringType, T.IntegralType)):
+                raise ValueError(
+                    f"HYBRID requires a varchar or integral field (or an "
+                    f"array of them), got {dt}"
+                )
+            limit = int(params.get("bitmap_cardinality_limit", 100))
+            inv = build_inverted(self._read(name), field, meta["pk"])
+            n_card = inv.select("value").distinct().count()
+            selected = "BITMAP" if n_card < limit else "INVERTED"
+            art = (
+                inv.groupBy("vbucket", "value").agg(
+                    F.sort_array(F.collect_list("id")).alias("ids")
+                )
+                if selected == "BITMAP"
+                else inv
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).partitionBy("vbucket").parquet(os.path.join(idx_dir, "posting"))
+            entry["selected"] = selected
+            entry["cardinality"] = n_card
+            entry["cur_epoch"] = 0
         elif itype in ("INVERTED", "BITMAP"):
             # Materialized scalar value index (r9 —
             # InvertedIndexTantivy.cpp / BitmapIndex.cpp): (value -> pk)
@@ -2496,6 +2534,7 @@ class MilvusSparkClient:
         if itype not in (
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
+            "HYBRID",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2630,7 +2669,7 @@ class MilvusSparkClient:
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
-        if itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE"):
+        if itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "HYBRID"):
             # Scalar index family rides the same epoch/version-mask
             # lifecycle as the lexical tier (the reference rebuilds scalar
             # indexes per sealed segment and masks deletes at search):
@@ -2647,8 +2686,10 @@ class MilvusSparkClient:
             )
 
             fld = entry["field"]
-            packed = itype == "BITMAP"
-            art_name = "posting" if itype in ("INVERTED", "BITMAP") else "sorted"
+            # HYBRID behaves as whichever layout its build selected
+            eff = entry.get("selected") or itype
+            packed = eff == "BITMAP"
+            art_name = "posting" if eff in ("INVERTED", "BITMAP") else "sorted"
             apath = os.path.join(entry["path"], art_name)
             c = self.spark.read.parquet(apath)
             # one row per (doc, epoch-copy): array-valued fields post one
@@ -2735,7 +2776,7 @@ class MilvusSparkClient:
                     f"refresh_index: {n_collide} new rows re-use live indexed "
                     "pks without a delete — rebuild with create_index"
                 )
-            if itype == "INVERTED":
+            if eff == "INVERTED":
                 art = build_inverted(new, fld, pk)
                 part_col = "vbucket"
             elif packed:
@@ -2743,7 +2784,8 @@ class MilvusSparkClient:
                 # check spans base values plus the appending batch
                 limit = int(
                     (entry.get("params") or {}).get(
-                        "bitmap_cardinality_limit", 1000
+                        "bitmap_cardinality_limit",
+                        100 if itype == "HYBRID" else 1000,
                     )
                 )
                 n_vals = (
@@ -3409,9 +3451,9 @@ class MilvusSparkClient:
     # UnaryExpr.h:1117-1121: term/IN -> inverted or bitmap, range ->
     # sorted, prefix -> trie)
     _SCALAR_KINDS = {
-        "eq": ("INVERTED", "BITMAP"),
-        "in": ("INVERTED", "BITMAP"),
-        "all": ("INVERTED", "BITMAP"),
+        "eq": ("INVERTED", "BITMAP", "HYBRID"),
+        "in": ("INVERTED", "BITMAP", "HYBRID"),
+        "all": ("INVERTED", "BITMAP", "HYBRID"),
         "range": ("STL_SORT", "SORT"),
         "prefix": ("TRIE",),
     }
@@ -3458,7 +3500,8 @@ class MilvusSparkClient:
             read_value_postings,
         )
 
-        itype = entry["index_type"]
+        # HYBRID dispatches as the layout its build selected
+        itype = entry.get("selected") or entry["index_type"]
         mask = list(entry.get("masked_pks") or []) + list(extra_mask)
         if itype in ("INVERTED", "BITMAP"):
             posting = self.spark.read.parquet(

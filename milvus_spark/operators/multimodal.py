@@ -98,6 +98,79 @@ def _decode_bmp(payload: bytes) -> list[float]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+# Adam7 pass grid (PNG spec §8.2): (x0, y0, dx, dy) per pass — each pass
+# is an independently filtered sub-image scattered into the full grid
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: bytes, off: int, ph: int, stride: int, bpp: int) -> np.ndarray:
+    """Reverse the five scanline filters (spec §9 reconstruction
+    functions) over one filtered sub-image: ``bpp`` is the filter byte
+    distance (bytes per complete pixel — channels × bytes-per-sample,
+    min 1). Returns (ph, stride) uint8."""
+    px = np.empty((ph, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(ph):
+        ft = raw[off + y * (1 + stride)]
+        line = np.frombuffer(
+            raw, np.uint8, stride, off + y * (1 + stride) + 1
+        ).astype(np.int64)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            cur = np.zeros(stride, dtype=np.int64)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = int(prev[x])
+                if ft == 1:
+                    rec = a
+                elif ft == 3:
+                    rec = (a + b) >> 1
+                else:
+                    c = int(prev[x - bpp]) if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    rec = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                cur[x] = (int(line[x]) + rec) & 0xFF
+        else:
+            raise ValueError(f"unsupported PNG filter type {ft}")
+        px[y] = cur.astype(np.uint8)
+        prev = cur
+    return px
+
+
+def _png_samples(px: np.ndarray, pw: int, depth: int, channels: int) -> np.ndarray:
+    """Filtered bytes → per-pixel sample values: 16-bit recombines
+    big-endian pairs, sub-8 unpacks MSB-first bit fields (palette
+    indices, channels == 1). Returns (ph, pw*channels) int64."""
+    if depth == 8:
+        return px[:, : pw * channels].astype(np.int64)
+    if depth == 16:
+        b = px.astype(np.int64)
+        return ((b[:, 0::2] << 8) | b[:, 1::2])[:, : pw * channels]
+    per = 8 // depth
+    shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
+    unpacked = (px[:, :, None].astype(np.uint16) >> shifts) & ((1 << depth) - 1)
+    return unpacked.reshape(px.shape[0], -1)[:, :pw].astype(np.int64)
+
+
+def _png_passes(w: int, h: int, interlace: int) -> list:
+    """(x0, y0, dx, dy, pw, ph) for each non-empty pass."""
+    grid = [(0, 0, 1, 1)] if interlace == 0 else list(_ADAM7)
+    out = []
+    for x0, y0, dx, dy in grid:
+        pw = max(0, -(-(w - x0) // dx))
+        ph = max(0, -(-(h - y0) // dy))
+        if pw and ph:
+            out.append((x0, y0, dx, dy, pw, ph))
+    return out
+
+
 def _decode_png(payload: bytes) -> list[float]:
     """REAL PNG decode with stdlib ``zlib`` only (r8 — the first
     COMPRESSED format executing for real in this codec-less container):
@@ -106,14 +179,18 @@ def _decode_png(payload: bytes) -> list[float]:
     types 0-4: None/Sub/Up/Average/Paeth, the spec's §9 reconstruction
     functions), BT.601 luma, then the shared block-mean thumb.
 
-    Scope is the non-interlaced 8-bit core: truecolor/grayscale color
-    types 0/2/6 (exactly as Pillow's "L" conversion treats them — alpha
-    ignored) and, since r9, PALETTE images (color type 3, 8-bit indices
-    through the PLTE table — the shape most icon/sprite corpora ship).
-    Adam7 interlace and sub-8-bit depths (incl. packed palette indices)
-    REFUSE with a clear error (refusal-tested) rather than decode
-    approximately. Oracle-gated end-to-end via mm_png_real_decode +
-    mm_png_palette_decode."""
+    Scope (widened through r9): truecolor/grayscale color types 0/2/6 at
+    8 AND 16 bits per sample (16-bit maps through /257 — exactly the
+    v*257 16-bit expansion inverted; alpha ignored as Pillow's "L"
+    conversion does), PALETTE images (color type 3: 8-bit and packed
+    1/2/4-bit indices through the PLTE table), and ADAM7 INTERLACE for
+    every in-scope combination (spec §8.2: seven independently filtered
+    sub-images scattered into the grid; the sequential layout rides the
+    same path as the degenerate single pass). Remaining refusals are
+    spec-invalid or vanishing shapes: 16-bit palette (forbidden by the
+    spec), sub-8-bit truecolor, unknown interlace methods. Oracle-gated
+    end-to-end via mm_png_real_decode + mm_png_palette_decode +
+    mm_png_adam7_decode."""
     import zlib
 
     if payload[: len(_PNG_SIG)] != _PNG_SIG:
@@ -140,13 +217,17 @@ def _decode_png(payload: bytes) -> list[float]:
     w = int.from_bytes(ihdr[0:4], "big")
     h = int.from_bytes(ihdr[4:8], "big")
     depth, color, _comp, _filt, interlace = ihdr[8:13]
-    if interlace != 0:
-        raise ValueError("unsupported PNG (Adam7 interlaced)")
+    if interlace not in (0, 1):
+        raise ValueError(f"unsupported PNG (interlace method {interlace})")
     # sub-8-bit depths are in scope ONLY for palette images (r9: packed
-    # 1/2/4-bit indices — the common icon shape); filtering operates on
-    # bytes with bpp=1 either way (spec §9: filters use the byte stride)
-    if depth != 8 and not (color == 3 and depth in (1, 2, 4)):
+    # 1/2/4-bit indices — the common icon shape); 16-bit samples are in
+    # scope for gray/truecolor (r9b); the spec itself forbids 16-bit
+    # palette. Filtering always operates on bytes (spec §9: the filter
+    # distance is the byte stride of one pixel).
+    if depth not in (8, 16) and not (color == 3 and depth in (1, 2, 4)):
         raise ValueError(f"unsupported PNG (bit depth {depth})")
+    if depth == 16 and color == 3:
+        raise ValueError("unsupported PNG (bit depth 16 palette)")
     channels = {0: 1, 2: 3, 3: 1, 6: 4}.get(color)
     if channels is None or w <= 0 or h <= 0:
         raise ValueError(f"unsupported PNG (color type {color})")
@@ -154,59 +235,34 @@ def _decode_png(payload: bytes) -> list[float]:
         if plte is None or len(plte) == 0 or len(plte) % 3 != 0:
             raise ValueError("palette PNG missing a valid PLTE chunk")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3).astype(np.float64)
-    stride = w * channels if depth == 8 else -(-w * depth // 8)
     raw = zlib.decompress(idat)
-    if len(raw) != h * (1 + stride):
+    bpp = max(1, channels * (2 if depth == 16 else 1))
+    samples = np.zeros((h, w, channels), dtype=np.int64)
+    off = 0
+    # interlace == 0 degenerates to a single full-frame pass, so the
+    # Adam7 scatter path IS the sequential path
+    for x0, y0, dx, dy, pw, ph in _png_passes(w, h, interlace):
+        pstride = pw * bpp if depth >= 8 else -(-pw * depth // 8)
+        need = ph * (1 + pstride)
+        if off + need > len(raw):
+            raise ValueError("PNG pixel data size mismatch")
+        px = _png_unfilter(raw, off, ph, pstride, bpp)
+        off += need
+        s = _png_samples(px, pw, depth, channels)
+        samples[y0::dy, x0::dx, :] = s.reshape(ph, pw, channels)
+    if off != len(raw):
         raise ValueError("PNG pixel data size mismatch")
-    px = np.empty((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        ft = raw[y * (1 + stride)]
-        line = np.frombuffer(
-            raw, np.uint8, stride, y * (1 + stride) + 1
-        ).astype(np.int64)
-        if ft == 0:
-            cur = line
-        elif ft == 2:  # Up
-            cur = (line + prev) & 0xFF
-        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
-            cur = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = cur[x - channels] if x >= channels else 0
-                b = int(prev[x])
-                if ft == 1:
-                    rec = a
-                elif ft == 3:
-                    rec = (a + b) >> 1
-                else:
-                    c = int(prev[x - channels]) if x >= channels else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    rec = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                cur[x] = (int(line[x]) + rec) & 0xFF
-        else:
-            raise ValueError(f"unsupported PNG filter type {ft}")
-        px[y] = cur.astype(np.uint8)
-        prev = cur
+    scale = 257.0 if depth == 16 else 1.0
     if color == 0:
-        gray = px.reshape(h, w).astype(np.float64)
+        gray = samples[..., 0].astype(np.float64) / scale
     elif color == 3:  # palette: indices -> PLTE RGB -> BT.601 luma
-        if depth == 8:
-            idx = px.reshape(h, w)
-        else:
-            # unpack MSB-first bit fields: 8/depth indices per byte
-            per = 8 // depth
-            shifts = np.arange(per - 1, -1, -1, dtype=np.uint8) * depth
-            unpacked = (
-                px[:, :, None].astype(np.uint16) >> shifts
-            ) & ((1 << depth) - 1)
-            idx = unpacked.reshape(h, -1)[:, :w].astype(np.uint8)
+        idx = samples[..., 0]
         if int(idx.max(initial=0)) >= len(pal):
             raise ValueError("palette PNG index out of PLTE range")
         rgb = pal[idx]
         gray = 0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]
     else:  # truecolor (alpha, if present, ignored — Pillow "L" on RGB)
-        img = px.reshape(h, w, channels).astype(np.float64)
+        img = samples.astype(np.float64) / scale
         gray = 0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2]
     return _thumb_from_gray(gray)
 
@@ -232,6 +288,73 @@ def _g711_alaw_table() -> np.ndarray:
     m = c & 0xF
     mag = np.where(e == 0, (m << 4) + 8, ((m << 4) + 0x108) << np.maximum(e - 1, 0))
     return sign * mag
+
+
+# IMA/DVI ADPCM (WAV format 0x11) — the classic 4-bit compressed-WAV
+# shape (IMA ADPCM reference algorithm; spec in the Microsoft
+# multimedia registration / IMA Digital Audio Pack)
+_IMA_INDEX_TABLE = (-1, -1, -1, -1, 2, 4, 6, 8)
+_IMA_STEP_TABLE = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+
+
+def _ima_step(pred: int, index: int, nib: int) -> tuple:
+    """One IMA ADPCM quantizer step: reconstruct the next sample from a
+    4-bit code (the reference decoder's exact arithmetic — also used by
+    the encoder to track its own reconstruction)."""
+    step = _IMA_STEP_TABLE[index]
+    diff = step >> 3
+    if nib & 4:
+        diff += step
+    if nib & 2:
+        diff += step >> 1
+    if nib & 1:
+        diff += step >> 2
+    pred = pred - diff if nib & 8 else pred + diff
+    pred = max(-32768, min(32767, pred))
+    index = max(0, min(88, index + _IMA_INDEX_TABLE[nib & 7]))
+    return pred, index
+
+
+def _ima_decode(data: bytes, n_ch: int, block_align: int, spb: int) -> np.ndarray:
+    """IMA ADPCM data chunk → (n, n_ch) int16: per block, a 4-byte header
+    per channel (predictor int16 + step index), then channel-interleaved
+    4-byte groups of 8 nibbles (low nibble first)."""
+    chans: list[list[int]] = [[] for _ in range(n_ch)]
+    for boff in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[boff : boff + block_align]
+        pred, idx = [], []
+        for c in range(n_ch):
+            hd = block[c * 4 : c * 4 + 4]
+            p = int.from_bytes(hd[0:2], "little", signed=True)
+            i = hd[2]
+            if i > 88:
+                raise ValueError(f"ADPCM step index {i} out of range")
+            pred.append(p)
+            idx.append(i)
+            chans[c].append(p)  # the header carries the block's 1st sample
+        body = block[4 * n_ch :]
+        n_groups = len(body) // (4 * n_ch)
+        done = [1] * n_ch  # samples emitted this block, per channel
+        for g in range(n_groups):
+            for c in range(n_ch):
+                grp = body[(g * n_ch + c) * 4 : (g * n_ch + c) * 4 + 4]
+                for byte in grp:
+                    for nib in (byte & 0xF, byte >> 4):
+                        if done[c] >= spb:
+                            continue  # trailing pad nibbles
+                        pred[c], idx[c] = _ima_step(pred[c], idx[c], nib)
+                        chans[c].append(pred[c])
+                        done[c] += 1
+    n = min(len(ch) for ch in chans)
+    return np.stack([np.asarray(ch[:n], dtype=np.int64) for ch in chans], axis=1)
 
 
 def _decode_wav(payload: bytes) -> list[float]:
@@ -263,10 +386,23 @@ def _decode_wav(payload: bytes) -> list[float]:
         n_ch < 1
         or (audio_format == 1 and bits not in (8, 16))
         or (audio_format in (6, 7) and bits != 8)
-        or audio_format not in (1, 6, 7)
+        or (audio_format == 0x11 and bits != 4)
+        or audio_format not in (1, 6, 7, 0x11)
     ):
         raise ValueError(f"unsupported WAV (fmt={audio_format}, bits={bits})")
-    if audio_format in (6, 7):  # G.711 A-law / μ-law companded bytes
+    if audio_format == 0x11:  # IMA/DVI ADPCM (r9b): 4-bit block codec
+        block_align = int.from_bytes(fmt[12:14], "little")
+        if block_align < 4 * n_ch + 4:
+            raise ValueError(f"ADPCM block align {block_align} too small")
+        # the fmt extension carries samplesPerBlock; derive when absent
+        spb = (
+            int.from_bytes(fmt[18:20], "little")
+            if len(fmt) >= 20
+            else (block_align - 4 * n_ch) * 2 // n_ch + 1
+        )
+        s = _ima_decode(data, n_ch, block_align, spb).astype(np.float64) / 32768.0
+        s = s.reshape(-1)
+    elif audio_format in (6, 7):  # G.711 A-law / μ-law companded bytes
         table = _g711_alaw_table() if audio_format == 6 else _g711_ulaw_table()
         raw = np.frombuffer(data[: len(data) - len(data) % n_ch], np.uint8)
         s = table[raw].astype(np.float64) / 32768.0
@@ -2161,8 +2297,10 @@ def make_png(
     1-4 are exercised against known pixel data). ``color_type=3`` with
     ``palette`` ([(r,g,b), ...]) emits a PALETTE image: ``pixels`` then
     holds (h, w) uint8 indices (``rgb`` emits a 1-entry palette, index
-    0 everywhere — the closed-form shape). ``bit_depth``/``interlace``
-    exist to emit the out-of-scope headers the refusal tests need."""
+    0 everywhere — the closed-form shape). ``bit_depth=16`` emits real
+    16-bit samples for gray/truecolor (``pixels``/``rgb`` values then
+    span 0..65535); ``interlace=1`` emits REAL Adam7 passes (r9b) —
+    both decode-path counterparts now, no longer refusal-only headers."""
     import zlib
 
     channels = {0: 1, 2: 3, 3: 1, 6: 4}[color_type]
@@ -2175,45 +2313,60 @@ def make_png(
             3: (0,),  # index 0 -> the palette's first (solid) entry
             6: tuple(rgb or (0, 0, 0)) + (255,),
         }[color_type]
-        pixels = np.tile(np.asarray(base, np.uint8), (h, w, 1))
-    if color_type == 3 and bit_depth in (1, 2, 4):
-        # pack indices MSB-first, 8/depth per byte (r9 sub-8-bit palette)
-        per = 8 // bit_depth
-        idx = np.asarray(pixels, dtype=np.uint16).reshape(h, w)
-        padw = -(-w // per) * per
-        idx = np.pad(idx, ((0, 0), (0, padw - w)))
-        shifts = np.arange(per - 1, -1, -1, dtype=np.uint16) * bit_depth
-        px = (
-            (idx.reshape(h, -1, per) << shifts).sum(axis=2).astype(np.int64)
-        )
-    else:
-        px = np.asarray(pixels, dtype=np.int64).reshape(h, w * channels)
+        pixels = np.tile(np.asarray(base, np.int64), (h, w, 1))
+    grid = np.asarray(pixels, dtype=np.int64).reshape(h, w, channels)
+    bpp = max(1, channels * (2 if bit_depth == 16 else 1))
+
+    def _serialize(sub: np.ndarray) -> np.ndarray:
+        """(ph, pw, channels) samples -> (ph, bytes-per-line) filter input."""
+        ph, pw = sub.shape[:2]
+        if color_type == 3 and bit_depth in (1, 2, 4):
+            # pack indices MSB-first, 8/depth per byte (sub-8-bit palette)
+            per = 8 // bit_depth
+            idx = sub.reshape(ph, pw)
+            padw = -(-pw // per) * per
+            idx = np.pad(idx, ((0, 0), (0, padw - pw)))
+            shifts = np.arange(per - 1, -1, -1, dtype=np.int64) * bit_depth
+            return (idx.reshape(ph, -1, per) << shifts).sum(axis=2)
+        if bit_depth == 16 and color_type != 3:
+            v = sub.reshape(ph, pw * channels)
+            out = np.zeros((ph, pw * channels * 2), dtype=np.int64)
+            out[:, 0::2] = v >> 8
+            out[:, 1::2] = v & 0xFF
+            return out
+        return sub.reshape(ph, pw * channels)
+
     lines = b""
-    stride = px.shape[1]
-    prev = np.zeros(stride, dtype=np.int64)
-    for y in range(h):
-        cur = px[y]
-        if filter_type == 0:
-            enc = cur
-        elif filter_type == 2:
-            enc = (cur - prev) & 0xFF
-        else:  # 1/3/4: left-dependent — encode with the inverse recon fn
-            enc = np.zeros(stride, dtype=np.int64)
-            for x in range(stride):
-                a = int(cur[x - channels]) if x >= channels else 0
-                b = int(prev[x])
-                if filter_type == 1:
-                    rec = a
-                elif filter_type == 3:
-                    rec = (a + b) >> 1
-                else:
-                    c = int(prev[x - channels]) if x >= channels else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    rec = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                enc[x] = (int(cur[x]) - rec) & 0xFF
-        lines += bytes([filter_type]) + enc.astype(np.uint8).tobytes()
-        prev = cur
+    passes = (
+        _png_passes(w, h, 1) if interlace == 1 else [(0, 0, 1, 1, w, h)]
+    )
+    for x0, y0, dx, dy, _pw, _ph in passes:
+        px = _serialize(grid[y0::dy, x0::dx, :])
+        stride = px.shape[1]
+        prev = np.zeros(stride, dtype=np.int64)
+        for y in range(px.shape[0]):
+            cur = px[y]
+            if filter_type == 0:
+                enc = cur
+            elif filter_type == 2:
+                enc = (cur - prev) & 0xFF
+            else:  # 1/3/4: left-dependent — encode w/ the inverse recon fn
+                enc = np.zeros(stride, dtype=np.int64)
+                for x in range(stride):
+                    a = int(cur[x - bpp]) if x >= bpp else 0
+                    b = int(prev[x])
+                    if filter_type == 1:
+                        rec = a
+                    elif filter_type == 3:
+                        rec = (a + b) >> 1
+                    else:
+                        c = int(prev[x - bpp]) if x >= bpp else 0
+                        p = a + b - c
+                        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                        rec = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    enc[x] = (int(cur[x]) - rec) & 0xFF
+            lines += bytes([filter_type]) + enc.astype(np.uint8).tobytes()
+            prev = cur
 
     def chunk(ctype: bytes, body: bytes) -> bytes:
         return (
@@ -2273,6 +2426,83 @@ def make_wav(
     chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
     chunks += b"data" + len(data).to_bytes(4, "little") + data
     return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks
+
+
+def make_wav_adpcm(
+    st: np.ndarray, sr: int = 8000, block_samples: int = 65
+) -> tuple:
+    """A real IMA ADPCM WAV (format 0x11) encoder — the encoder side of
+    _ima_decode. ``st`` is (n, channels) int16; returns (payload,
+    reconstruction): ADPCM is lossy, so tests compare the decode against
+    the encoder's OWN tracked reconstruction (bit-exact by construction —
+    both sides run the same _ima_step quantizer). ``block_samples`` must
+    be 8k+1 so each block's nibbles fill whole 4-byte groups; input pads
+    to full blocks by repeating the last sample (a constant signal
+    therefore stays a closed form: index starts at 0 where step>>3 == 0,
+    so zero-delta nibbles reconstruct the constant exactly)."""
+    if (block_samples - 1) % 8:
+        raise ValueError("block_samples must be 8k+1")
+    st = np.asarray(st, dtype=np.int64)
+    if st.ndim == 1:
+        st = st[:, None]
+    n, n_ch = st.shape
+    if n == 0:
+        raise ValueError("ADPCM needs at least one sample")
+    pad = (-n) % block_samples
+    if pad:
+        st = np.concatenate([st, np.repeat(st[-1:], pad, axis=0)])
+    n_total = st.shape[0]
+    idx = [0] * n_ch
+    recon = np.zeros_like(st)
+    data = b""
+    for b0 in range(0, n_total, block_samples):
+        blk = b""
+        nibbles: list[list[int]] = []
+        for c in range(n_ch):
+            pred = int(st[b0, c])
+            blk += pred.to_bytes(2, "little", signed=True) + bytes([idx[c], 0])
+            recon[b0, c] = pred
+            nibs = []
+            for k in range(1, block_samples):
+                sample = int(st[b0 + k, c])
+                step = _IMA_STEP_TABLE[idx[c]]
+                diff = sample - pred
+                nib = 8 if diff < 0 else 0
+                diff = abs(diff)
+                if diff >= step:
+                    nib |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    nib |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    nib |= 1
+                pred, idx[c] = _ima_step(pred, idx[c], nib)
+                recon[b0 + k, c] = pred
+                nibs.append(nib)
+            nibbles.append(nibs)
+        # channel-interleaved 4-byte groups, low nibble first
+        for g in range((block_samples - 1) // 8):
+            for c in range(n_ch):
+                grp = nibbles[c][g * 8 : g * 8 + 8]
+                blk += bytes(
+                    grp[j] | (grp[j + 1] << 4) for j in (0, 2, 4, 6)
+                )
+        data += blk
+    block_align = 4 * n_ch + (block_samples - 1) // 2 * n_ch
+    fmt = (
+        (0x11).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sr.to_bytes(4, "little")
+        + (sr * block_align // block_samples).to_bytes(4, "little")
+        + block_align.to_bytes(2, "little")
+        + (4).to_bytes(2, "little")
+        + (2).to_bytes(2, "little")  # cbSize
+        + block_samples.to_bytes(2, "little")  # samplesPerBlock
+    )
+    chunks = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    chunks += b"data" + len(data).to_bytes(4, "little") + data
+    return b"RIFF" + len(chunks).to_bytes(4, "little") + chunks, recon
 
 
 def make_media_table(df: DataFrame, pk_col: str, text_col: str) -> DataFrame:

@@ -214,6 +214,149 @@ def cli_scalar_array_contains(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "cli_scalar_hybrid",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE lang IN ('fr', 'es') AND doc_id % 47 != 8
+    """,
+)
+def cli_scalar_hybrid(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID auto-selecting scalar index under the lifecycle (r9 —
+    HybridScalarIndex.cpp SelectIndexTypeByCardinality: low-cardinality
+    fields get the packed BITMAP, high-cardinality the per-value
+    INVERTED postings; the selection persists until rebuild): `lang`
+    (5 values) must select BITMAP and `source` (20 values, limit 10)
+    INVERTED — both asserted in-query — then the IN filter dispatches
+    through the bitmap across an epoch append and a delete mask."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    client.create_collection("sch", pk_field="doc_id")
+    client.insert("sch", d.filter(F.col("doc_id") % 3 != 0))
+    e1 = client.create_index("sch", "lang", "HYBRID")
+    assert e1["selected"] == "BITMAP", e1
+    e2 = client.create_index(
+        "sch", "source", "HYBRID", {"bitmap_cardinality_limit": 10}
+    )
+    assert e2["selected"] == "INVERTED", e2
+    client.insert("sch", d.filter(F.col("doc_id") % 3 == 0))
+    client.refresh_index("sch", "lang", "HYBRID")
+    client.delete("sch", filter="doc_id % 47 == 8")
+    entry = client.refresh_index("sch", "lang", "HYBRID")
+    assert entry["built_ts"] == client._current_ts("sch")
+    out = client.query(
+        "sch", filter='lang in ["fr", "es"]', output_fields=["doc_id", "n_chars"]
+    ).select("doc_id", "n_chars")
+    assert "vbucket" in _plan(out), "expected the pruned bitmap path"
+    return out
+
+
+@register(
+    "mm_adpcm_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((((doc_id*991)%15000)*2 + 1)/32768, 6) AS amp,
+           CAST(8 AS BIGINT) AS n_bins
+    FROM documents
+    """,
+)
+def mm_adpcm_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL IMA/DVI ADPCM WAV decode end-to-end (r9b — WAV format 0x11,
+    the classic 4-bit compressed-audio shape): each document gets a
+    spec-conformant block-coded stereo stream (per-channel block headers
+    carrying predictor + step index, channel-interleaved 4-byte nibble
+    groups); the constant signal is a closed form because the step index
+    starts at 0 where step>>3 == 0, so zero-delta nibbles reconstruct the
+    constant exactly. Arbitrary-signal decode == the encoder's tracked
+    reconstruction is pinned in tests/test_sources_multimodal.py. ODD
+    amplitudes only (the banker's-vs-half-away .5 edge, as mm_flac)."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import audio_features, make_wav_adpcm
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                v = ((i * 991) % 15000) * 2 + 1
+                st = np.full((130 + (i % 3) * 65, 2), v, dtype=np.int64)
+                payloads.append(make_wav_adpcm(st, block_samples=65)[0])
+            yield pd.DataFrame({"doc_id": ids, "media": payloads})
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = audio_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("fbank", 1).alias("amp"),
+        F.size("fbank").cast("long").alias("n_bins"),
+    )
+
+
+@register(
+    "mm_png_adam7_decode",
+    oracle="""
+    SELECT doc_id,
+           round(((doc_id*59)%256)/255, 6) AS luma01,
+           CAST(16 AS BIGINT) AS n_px
+    FROM documents
+    """,
+)
+def mm_png_adam7_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL Adam7-interlaced 16-BIT PNG decode end-to-end (r9b — the last
+    common PNG shapes that refused): each document gets a spec-conformant
+    interlaced 16-bit GRAYSCALE stream (seven independently filtered
+    passes scattered into the grid; samples at L*257 so the /257
+    inversion lands exactly on the 8-bit closed form), image_features
+    decodes it in mapInPandas, and the 4×4 thumb equals L/255 exactly.
+    Interlaced==sequential equivalence on random pixels across every
+    in-scope (color, depth, filter) combination is pinned in
+    tests/test_sources_multimodal.py."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import image_features, make_png
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                w, h = 9 + i % 4, 7 + i % 3
+                v = ((i * 59) % 256) * 257
+                px = np.full((h, w, 1), v, dtype=np.int64)
+                payloads.append(
+                    make_png(
+                        w, h, pixels=px, color_type=0, bit_depth=16,
+                        filter_type=(i % 5), interlace=1,
+                    )
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": payloads})
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = image_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("thumb", 1).alias("luma01"),
+        F.size("thumb").cast("long").alias("n_px"),
+    )
+
+
+@register(
     "mm_avi_frame_sample",
     oracle="""
     WITH fr AS (

@@ -293,6 +293,48 @@ def test_client_bitmap_sort_trie_dispatch(spark, sf_dir, tmp_path):
     client.drop_collection("pt")
 
 
+def test_hybrid_scalar_index_selection(spark, sf_dir, tmp_path):
+    """HYBRID auto-selection (HybridScalarIndex.cpp,
+    SelectIndexTypeByCardinality): a low-cardinality field selects the
+    packed BITMAP layout, a high-cardinality one the per-value INVERTED
+    postings; the selection persists across refresh and both dispatch
+    identically to the scan path."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source")
+    client.create_collection("hy", pk_field="doc_id")
+    client.insert("hy", d.filter(F.col("doc_id") < 400))
+    e1 = client.create_index("hy", "lang", "HYBRID")
+    assert e1["selected"] == "BITMAP" and e1["cardinality"] <= 5
+    e2 = client.create_index("hy", "source", "HYBRID", {"bitmap_cardinality_limit": 10})
+    assert e2["selected"] == "INVERTED" and e2["cardinality"] == 20
+
+    def check(flt):
+        base = client._read("hy")
+        want = {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+        q = client.query("hy", filter=flt)
+        assert "vbucket" in q._jdf.queryExecution().executedPlan().toString(), flt
+        assert {r.doc_id for r in q.collect()} == want and want, flt
+
+    check('lang in ["fr", "es"]')
+    check('source == "src3"')
+    # refresh keeps the selection; results track the scan
+    client.insert("hy", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)))
+    client.delete("hy", filter="doc_id % 31 == 4")
+    for fld in ("lang", "source"):
+        e = client.refresh_index("hy", fld, "HYBRID")
+        assert e["cur_epoch"] == 1
+    assert client.describe_index("hy", "lang", "HYBRID")["selected"] == "BITMAP"
+    check('lang in ["fr", "es"]')
+    check('source == "src3"')
+    client.drop_collection("hy")
+
+
 def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
     """Multi-valued INVERTED index on an ARRAY field (the reference's
     inverted index with multi=true): array_contains reads one posting

@@ -354,12 +354,19 @@ def test_real_png_codec_stdlib_zlib():
                 make_png(13, 11, color_type=3, palette=dpal, pixels=didx,
                          bit_depth=depth, filter_type=ft)
             ) == dwant, (depth, ft)
-    # refusals: interlaced / 16-bit / sub-8 truecolor / missing PLTE /
-    # bad index / corrupt CRC
-    with pytest.raises(ValueError, match="interlaced"):
-        _decode_png(make_png(4, 4, (1, 2, 3), interlace=1))
-    with pytest.raises(ValueError, match="bit depth"):
-        _decode_png(make_png(4, 4, (1, 2, 3), bit_depth=16))
+    # refusals: unknown interlace method / 16-bit palette (spec-invalid)
+    # / sub-8 truecolor / missing PLTE / bad index / corrupt CRC
+    # (Adam7 and 16-bit gray/truecolor DECODE as of r9b — see
+    # test_real_png_adam7_and_16bit)
+    bad_ilace = bytearray(make_png(4, 4, (1, 2, 3)))
+    ih = bad_ilace.find(b"IHDR")
+    bad_ilace[ih + 4 + 12] = 2  # interlace method byte
+    body = bytes(bad_ilace[ih + 4 : ih + 4 + 13])
+    bad_ilace[ih + 17 : ih + 21] = (zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="interlace method"):
+        _decode_png(bytes(bad_ilace))
+    with pytest.raises(ValueError, match="16 palette"):
+        _decode_png(make_png(4, 4, (1, 2, 3), color_type=3, bit_depth=16))
     with pytest.raises(ValueError, match="bit depth"):
         _decode_png(make_png(4, 4, (1, 2, 3), color_type=2, bit_depth=4))
 
@@ -389,8 +396,65 @@ def test_real_png_codec_stdlib_zlib():
     # a codec-less container surfaces the precise refusal through
     # decode_image (Pillow absent -> no silent fallback)
     if not _has("PIL"):
-        with pytest.raises(ValueError, match="interlaced"):
-            decode_image(make_png(4, 4, (1, 2, 3), interlace=1), fake=False)
+        with pytest.raises(ValueError, match="16 palette"):
+            decode_image(
+                make_png(4, 4, (1, 2, 3), color_type=3, bit_depth=16),
+                fake=False,
+            )
+
+
+def test_real_png_adam7_and_16bit():
+    """Adam7 interlace + 16-bit samples (r9b — the last common PNG
+    shapes that refused): every in-scope (color type, depth, filter)
+    combination decodes an interlaced stream IDENTICALLY to its
+    sequential twin on random pixels, and 16-bit samples at v*257 decode
+    exactly as their 8-bit equivalents (the /257 inversion)."""
+    import numpy as np
+
+    from milvus_spark.operators.multimodal import _decode_png, make_png
+
+    rng = np.random.default_rng(5)
+    for color, ch in ((0, 1), (2, 3), (6, 4)):
+        for ft in range(5):
+            for (w, h) in ((13, 11), (8, 8), (3, 2), (1, 1), (17, 5)):
+                px = rng.integers(0, 256, (h, w, ch)).astype(np.int64)
+                seq = _decode_png(
+                    make_png(w, h, pixels=px, color_type=color, filter_type=ft)
+                )
+                il = _decode_png(
+                    make_png(w, h, pixels=px, color_type=color,
+                             filter_type=ft, interlace=1)
+                )
+                assert seq == il, (color, ft, w, h)
+    pal = [(int(r), int(g), int(b)) for r, g, b in rng.integers(0, 256, (16, 3))]
+    for depth in (8, 4, 2, 1):
+        nidx = min(16, 1 << depth)
+        for ft in range(5):
+            idx = rng.integers(0, nidx, (11, 13)).astype(np.int64)
+            seq = _decode_png(
+                make_png(13, 11, color_type=3, palette=pal[:nidx],
+                         pixels=idx, bit_depth=depth, filter_type=ft)
+            )
+            il = _decode_png(
+                make_png(13, 11, color_type=3, palette=pal[:nidx], pixels=idx,
+                         bit_depth=depth, filter_type=ft, interlace=1)
+            )
+            assert seq == il, (depth, ft)
+    for color, ch in ((0, 1), (2, 3)):
+        for ft in range(5):
+            px8 = rng.integers(0, 256, (7, 9, ch)).astype(np.int64)
+            a = _decode_png(
+                make_png(9, 7, pixels=px8, color_type=color, filter_type=ft)
+            )
+            b = _decode_png(
+                make_png(9, 7, pixels=px8 * 257, color_type=color,
+                         bit_depth=16, filter_type=ft)
+            )
+            c = _decode_png(
+                make_png(9, 7, pixels=px8 * 257, color_type=color,
+                         bit_depth=16, filter_type=ft, interlace=1)
+            )
+            assert a == b == c, (color, ft)
 
 
 def test_real_jpeg_codec_numpy_baseline():
@@ -782,3 +846,50 @@ def test_video_frames_through_spark(spark):
         L = ((r.doc_id * 31 + r.frame_idx * 97) % 128) * 2
         assert abs(r.frame_vec[0] - round(L / 255, 6)) < 1e-9
         assert len(r.frame_vec) == 16
+
+
+def test_real_ima_adpcm_codec():
+    """IMA/DVI ADPCM WAV (format 0x11, r9b — the classic 4-bit
+    compressed-WAV shape): decode equals the encoder's own tracked
+    reconstruction bit-exactly (both sides run the same _ima_step
+    quantizer) on random mono/stereo signals across block boundaries;
+    a constant signal is a closed form (index 0 -> step>>3 == 0);
+    refusals precise (bad bits, undersized block align, step index)."""
+    import numpy as np
+    import pytest
+
+    from milvus_spark.operators.multimodal import (
+        AUDIO_FRAMES,
+        _decode_wav,
+        make_wav_adpcm,
+    )
+
+    rng = np.random.default_rng(3)
+
+    def bins_from(recon):
+        mono = np.abs(recon.astype(np.float64) / 32768.0).mean(axis=1)
+        bs = np.array_split(mono, AUDIO_FRAMES)
+        return [round(float(b.mean()) if len(b) else 0.0, 6) for b in bs]
+
+    for ch in (1, 2):
+        for n in (65, 130, 200, 517):
+            st = rng.integers(-30000, 30000, (n, ch)).astype(np.int64)
+            payload, recon = make_wav_adpcm(st, block_samples=65)
+            assert _decode_wav(payload) == bins_from(recon), (ch, n)
+    v = 12345
+    payload, recon = make_wav_adpcm(np.full((200, 2), v), block_samples=65)
+    assert (recon == v).all()
+    assert all(abs(x - round(v / 32768, 6)) < 1e-9 for x in _decode_wav(payload))
+    # refusals
+    with pytest.raises(ValueError, match="8k\\+1"):
+        make_wav_adpcm(np.zeros((10, 1)), block_samples=10)
+    bad = bytearray(payload)
+    fpos = payload.find(b"fmt ") + 8
+    bad[fpos + 14 : fpos + 16] = (8).to_bytes(2, "little")  # bits != 4
+    with pytest.raises(ValueError, match="unsupported WAV"):
+        _decode_wav(bytes(bad))
+    bad = bytearray(payload)
+    dpos = payload.find(b"data") + 8
+    bad[dpos + 2] = 99  # step index out of range in the first header
+    with pytest.raises(ValueError, match="step index"):
+        _decode_wav(bytes(bad))
