@@ -2334,6 +2334,32 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "hyperplanes.json"), "w") as f:
                 json.dump(H.tolist(), f)
             entry["nbits"] = nbits
+        elif itype == "RTREE":
+            # Spatial index over a GEOMETRY (WKT) column (RTreeIndex.cpp —
+            # per-segment R-tree over bounding boxes serving the GIS
+            # filter functions): grid-cell hive-partitioning is the
+            # columnar analog — a query geometry's bbox prunes whole cell
+            # directories at file listing, then the EXACT compiled GIS
+            # predicate re-runs on the pruned artifact (the geometry
+            # string persists verbatim), so results match the scan path
+            # by construction.
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.geo import build_rtree
+
+            dt = self._read(name).schema[field].dataType
+            if not isinstance(dt, T.StringType):
+                raise ValueError(f"RTREE requires a WKT varchar field, got {dt}")
+            cell_size = float(params.get("cell_size", 8.0))
+            if cell_size <= 0:
+                raise ValueError(f"cell_size must be positive, got {cell_size}")
+            art = build_rtree(self._read(name), field, meta["pk"], cell_size)
+            os.makedirs(idx_dir, exist_ok=True)
+            art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).partitionBy("cell").parquet(os.path.join(idx_dir, "cells"))
+            entry["cell_size"] = cell_size
+            entry["cur_epoch"] = 0
         elif itype == "HYBRID":
             # Auto-selecting scalar index (HybridScalarIndex.cpp,
             # SelectIndexTypeByCardinality): one distinct-count pass picks
@@ -2534,7 +2560,7 @@ class MilvusSparkClient:
         if itype not in (
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
-            "HYBRID",
+            "HYBRID", "RTREE",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2669,7 +2695,9 @@ class MilvusSparkClient:
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
-        if itype in ("INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "HYBRID"):
+        if itype in (
+            "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "HYBRID", "RTREE",
+        ):
             # Scalar index family rides the same epoch/version-mask
             # lifecycle as the lexical tier (the reference rebuilds scalar
             # indexes per sealed segment and masks deletes at search):
@@ -2689,7 +2717,9 @@ class MilvusSparkClient:
             # HYBRID behaves as whichever layout its build selected
             eff = entry.get("selected") or itype
             packed = eff == "BITMAP"
-            art_name = "posting" if eff in ("INVERTED", "BITMAP") else "sorted"
+            art_name = {
+                "INVERTED": "posting", "BITMAP": "posting", "RTREE": "cells",
+            }.get(eff, "sorted")
             apath = os.path.join(entry["path"], art_name)
             c = self.spark.read.parquet(apath)
             # one row per (doc, epoch-copy): array-valued fields post one
@@ -2741,13 +2771,20 @@ class MilvusSparkClient:
             )
             from pyspark.sql import types as T
 
-            indexed_cond = (
+            if eff == "RTREE":
+                # only rows whose WKT parses to a POINT were indexed
+                from milvus_spark.operators.geo import wkt_x, wkt_y
+
+                indexed_cond = (
+                    wkt_x(F.col(fld)).isNotNull() & wkt_y(F.col(fld)).isNotNull()
+                )
+            elif isinstance(df.schema[fld].dataType, T.ArrayType):
                 # array fields index rows with >= 1 non-null element
-                F.col(fld).isNotNull()
-                & F.exists(F.col(fld), lambda x: x.isNotNull())
-                if isinstance(df.schema[fld].dataType, T.ArrayType)
-                else F.col(fld).isNotNull()
-            )
+                indexed_cond = F.col(fld).isNotNull() & F.exists(
+                    F.col(fld), lambda x: x.isNotNull()
+                )
+            else:
+                indexed_cond = F.col(fld).isNotNull()
             n_old_nn = df.filter(
                 (F.col(TS_COL) <= entry["built_ts"]) & indexed_cond
             ).count()
@@ -2776,7 +2813,12 @@ class MilvusSparkClient:
                     f"refresh_index: {n_collide} new rows re-use live indexed "
                     "pks without a delete — rebuild with create_index"
                 )
-            if eff == "INVERTED":
+            if eff == "RTREE":
+                from milvus_spark.operators.geo import build_rtree
+
+                art = build_rtree(new, fld, pk, float(entry["cell_size"]))
+                part_col = "cell"
+            elif eff == "INVERTED":
                 art = build_inverted(new, fld, pk)
                 part_col = "vbucket"
             elif packed:
@@ -3456,6 +3498,7 @@ class MilvusSparkClient:
         "all": ("INVERTED", "BITMAP", "HYBRID"),
         "range": ("STL_SORT", "SORT"),
         "prefix": ("TRIE",),
+        "gis": ("RTREE",),
     }
 
     def _scalar_entry(
@@ -3503,6 +3546,31 @@ class MilvusSparkClient:
         # HYBRID dispatches as the layout its build selected
         itype = entry.get("selected") or entry["index_type"]
         mask = list(entry.get("masked_pks") or []) + list(extra_mask)
+        if itype == "RTREE":
+            # bbox -> cell-directory pruning, then the EXACT compiled GIS
+            # predicate re-runs on the pruned artifact (RTreeIndex.cpp's
+            # filter-then-verify, with the verify exact by construction
+            # because the geometry strings persist verbatim). Returns None
+            # when the bbox can't bound candidates (window covers too many
+            # cells) - the caller falls back to the scan.
+            from milvus_spark.operators.geo import (
+                parse_geom_literal,
+                rtree_cells_for_bbox,
+                rtree_query_bbox,
+            )
+
+            fn, wkt, radius, fstr, params = payload
+            kind, val = parse_geom_literal(wkt)
+            bbox = rtree_query_bbox(fn, kind, val, radius)
+            if bbox is None:
+                return None
+            cells = rtree_cells_for_bbox(bbox, float(entry["cell_size"]))
+            if cells is None:
+                return None
+            art = self.spark.read.parquet(os.path.join(entry["path"], "cells"))
+            pruned = art.filter(F.col("cell").isin(cells))
+            cand = pruned.filter(compile_expr(fstr, pruned.schema, params))
+            return apply_delete_bitset(cand, "id", mask).select("id")
         if itype in ("INVERTED", "BITMAP"):
             posting = self.spark.read.parquet(
                 os.path.join(entry["path"], "posting")
@@ -3909,9 +3977,19 @@ class MilvusSparkClient:
                 mpre = _re.fullmatch(
                     r'\s*(\w+)\s+like\s+"([^%_\\"]+)%"\s*', filter
                 )
+                mg = _re.fullmatch(
+                    r"\s*(st_within|st_intersects|st_contains|st_equals)"
+                    r"\(\s*(\w+)\s*,\s*(?:\"([^\"]+)\"|'([^']+)')\s*\)\s*",
+                    filter,
+                )
+                mgd = _re.fullmatch(
+                    r"\s*st_dwithin\(\s*(\w+)\s*,\s*(?:\"([^\"]+)\"|'([^']+)')"
+                    r"\s*,\s*(-?\d+(?:\.\d+)?)\s*\)\s*",
+                    filter,
+                )
                 mac = _re.fullmatch(
                     r'\s*array_contains\(\s*(\w+)\s*,\s*'
-                    r'(?:"([^"\\]*)"|(-?\d+))\s*\)\s*',
+                    r'(?:"([^\"\\]*)"|(-?\d+))\s*\)\s*',
                     filter,
                 )
                 maca = _re.fullmatch(
@@ -3931,7 +4009,20 @@ class MilvusSparkClient:
                         )
                     return out
 
-                if mac:
+                if mg:
+                    # GIS predicate through the RTREE grid index
+                    fld, shape = mg.group(2), "gis"
+                    payload = (
+                        mg.group(1), mg.group(3) or mg.group(4), None,
+                        filter, params,
+                    )
+                elif mgd:
+                    fld, shape = mgd.group(1), "gis"
+                    payload = (
+                        "st_dwithin", mgd.group(2) or mgd.group(3),
+                        float(mgd.group(4)), filter, params,
+                    )
+                elif mac:
                     # ARRAY_CONTAINS through the multi-valued inverted
                     # index: one posting list
                     fld, shape = mac.group(1), "eq"
@@ -3992,23 +4083,26 @@ class MilvusSparkClient:
                     ):
                         served = None  # numeric range vs varchar-sorted index
                 if served is not None:
+                    # None = the index can't bound this query (e.g. a GIS
+                    # window covering too many cells) — scan fallback
                     cands = self._scalar_candidates(
                         entry, shape, payload, extra_mask=growing_mask
                     )
-                    pk = self._meta(name)["pk"]
-                    if delta is not None:
-                        gcond = compile_expr(
-                            filter, delta.schema, params,
-                            dynamic_field=self._dyn(self._meta(name)),
-                        )
-                        cands = cands.unionByName(
-                            delta.filter(gcond).select(
-                                F.col(pk).cast("long").alias("id")
+                    if cands is not None:
+                        pk = self._meta(name)["pk"]
+                        if delta is not None:
+                            gcond = compile_expr(
+                                filter, delta.schema, params,
+                                dynamic_field=self._dyn(self._meta(name)),
                             )
+                            cands = cands.unionByName(
+                                delta.filter(gcond).select(
+                                    F.col(pk).cast("long").alias("id")
+                                )
+                            )
+                        df = base.join(
+                            cands.select(F.col("id").alias(pk)), pk, "left_semi"
                         )
-                    df = base.join(
-                        cands.select(F.col("id").alias(pk)), pk, "left_semi"
-                    )
             mj = _re.fullmatch(
                 r'\s*(\w+)\["(\w+)"\]\s*(==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*',
                 filter,

@@ -62,6 +62,75 @@ def parse_wkt(s: str) -> tuple[str, object]:
     raise ValueError(f"unsupported WKT literal: {s!r}")
 
 
+def rtree_cell(x: Column, y: Column, cell_size: float) -> Column:
+    """Grid-cell key for the RTREE index artifact: floor-quantized (x, y)
+    as a 'cx_cy' string — the same arithmetic the dispatch replays
+    driver-side, so a query bbox prunes whole cell DIRECTORIES at file
+    listing (the R-tree node-skip analog in a columnar layout)."""
+    return F.concat_ws(
+        "_",
+        F.floor(x / F.lit(cell_size)).cast("long"),
+        F.floor(y / F.lit(cell_size)).cast("long"),
+    )
+
+
+def build_rtree(
+    df, field: str, pk: str, cell_size: float = 8.0
+):
+    """(cell, <field>, id) — one row per row whose WKT parses to a POINT.
+    The geometry string persists VERBATIM under its own column name, so
+    dispatch re-runs the exact compiled GIS predicate on the pruned
+    artifact (no semantics re-derivation). Unparseable/NULL geometry is
+    unindexable by design: every GIS predicate is NULL on it."""
+    g = F.col(field)
+    x, y = wkt_x(g), wkt_y(g)
+    return (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .select(
+            rtree_cell(x, y, cell_size).alias("cell"),
+            g.alias(field),
+            F.col(pk).cast("long").alias("id"),
+        )
+    )
+
+
+def rtree_query_bbox(fn: str, kind: str, val, r=None):
+    """Query-geometry bounding box (x0, x1, y0, y1) for an indexable GIS
+    filter, or None when the shape can't bound candidates (e.g. a
+    negated/unbounded predicate)."""
+    if kind == "POINT":
+        lx, ly = val
+        pad = float(r) if r is not None else 0.0
+        return lx - pad, lx + pad, ly - pad, ly + pad
+    xs, ys = [p[0] for p in val], [p[1] for p in val]
+    if fn == "st_dwithin":
+        return None  # dwithin vs polygon literal is refused upstream
+    return min(xs), max(xs), min(ys), max(ys)
+
+
+def rtree_cells_for_bbox(
+    bbox, cell_size: float, cap: int = 1024
+):
+    """Cell keys overlapping the bbox — the driver-side twin of
+    rtree_cell. None when the bbox covers more than ``cap`` cells (the
+    prune would enumerate too many directories; dispatch falls back to
+    the scan, exactly an R-tree degenerating on a window covering the
+    whole space)."""
+    import math
+
+    x0, x1, y0, y1 = bbox
+    cx0, cx1 = math.floor(x0 / cell_size), math.floor(x1 / cell_size)
+    cy0, cy1 = math.floor(y0 / cell_size), math.floor(y1 / cell_size)
+    n = (cx1 - cx0 + 1) * (cy1 - cy0 + 1)
+    if n <= 0 or n > cap:
+        return None
+    return [
+        f"{cx}_{cy}"
+        for cx in range(cx0, cx1 + 1)
+        for cy in range(cy0, cy1 + 1)
+    ]
+
+
 def poly_edges_col(coords: list[tuple[float, float]]) -> Column:
     """Polygon ring as an array<struct> literal of edges."""
     edges = [(coords[i], coords[(i + 1) % len(coords)]) for i in range(len(coords))]

@@ -253,6 +253,64 @@ def cli_scalar_hybrid(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @register(
+    "cli_geo_rtree_within",
+    oracle="""
+    WITH pts AS (
+      SELECT event_id,
+             'POINT (' || round(value, 3)::VARCHAR || ' ' || (user_id % 100)::VARCHAR || ')' AS geom,
+             round(value, 3) AS x, CAST(user_id % 100 AS DOUBLE) AS y
+      FROM events
+    )
+    SELECT event_id, geom FROM pts
+    WHERE x > 10 AND x < 60 AND y > 20 AND y < 45
+      AND event_id % 53 != 9
+    """,
+)
+def cli_geo_rtree_within(spark: SparkSession, sf: str) -> DataFrame:
+    """st_within dispatched through the RTREE spatial index under the
+    lifecycle (r9 — RTreeIndex.cpp: a per-segment R-tree over geometry
+    bounding boxes serves the GIS filters; here grid-cell directories
+    prune at file listing and the EXACT compiled predicate re-runs on the
+    pruned artifact): build on a partial corpus, append via refresh (new
+    cell epoch), delete and refresh (version mask), then query a
+    rectangle window. st_within excludes the boundary (DE-9IM), matching
+    the oracle's interior test."""
+    from milvus_spark.operators.geo import wkt_x, wkt_y  # noqa: F401
+
+    client = _client(spark)
+    e = load_table(spark, sf, "events")
+    pts = e.select(
+        "event_id",
+        F.concat(
+            F.lit("POINT ("),
+            F.round(F.col("value"), 3).cast("string"),
+            F.lit(" "),
+            (F.col("user_id") % 100).cast("string"),
+            F.lit(")"),
+        ).alias("geom"),
+    )
+    client.create_collection("geo", pk_field="event_id")
+    client.insert("geo", pts.filter(F.col("event_id") % 4 != 0))
+    client.create_index("geo", "geom", "RTREE", {"cell_size": 8.0})
+    client.insert("geo", pts.filter(F.col("event_id") % 4 == 0))
+    client.refresh_index("geo", "geom", "RTREE")
+    client.delete("geo", filter="event_id % 53 == 9")
+    entry = client.refresh_index("geo", "geom", "RTREE")
+    assert entry["built_ts"] == client._current_ts("geo")
+    out = client.query(
+        "geo",
+        filter="st_within(geom, 'POLYGON((10 20, 60 20, 60 45, 10 45, 10 20))')",
+        output_fields=["event_id", "geom"],
+    ).select("event_id", "geom")
+    import re as _re
+
+    assert _re.search(
+        r"PartitionFilters: \[cell#\d+ IN", _plan(out)
+    ), "expected the cell-pruned RTREE path"
+    return out
+
+
+@register(
     "mm_adpcm_real_decode",
     oracle="""
     SELECT doc_id,

@@ -148,6 +148,7 @@ HINT_ALLOWED: dict[str, int] = {
     "cli_scalar_inverted": 1, "cli_scalar_bitmap_in": 1,
     "cli_scalar_sort_range": 1, "cli_scalar_trie_prefix": 1,
     "cli_scalar_array_contains": 1, "cli_scalar_hybrid": 1,
+    "cli_geo_rtree_within": 1,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)
