@@ -48,6 +48,8 @@ BENCH_QUERIES = [
     "mm_png_real_decode",     # real PNG decode via stdlib zlib, map-side (r8)
     "mm_jpeg_real_decode",    # real baseline-JPEG decode, numpy huffman+IDCT (r8)
     "vec_hnsw_adaptive_ef",   # adaptive serving-ef on a near-seal-cap segment (r9)
+    "cli_scalar_serving",     # steady-state scalar-index serving, memoized build (r9)
+    "mm_avi_frame_sample",    # MJPEG-AVI demux + per-frame JPEG decode (r9)
 ]
 
 

@@ -2256,18 +2256,28 @@ class MilvusSparkClient:
             entry["cur_epoch"] = 0
         elif itype == "JSON_FLAT":
             # shredded JSON path index (JsonFlatIndex.cpp / json-stats):
-            # parse the path once into a typed, sorted parquet column so a
+            # parse the path once into a TYPED, sorted parquet column so a
             # query-time predicate is a pushed scan filter with row-group
-            # stats, not a per-row parse. Values cast to double to mirror
-            # the filter language's numeric JSON compare semantics.
+            # stats, not a per-row parse. ``json_cast_type`` picks the
+            # shredded type — DOUBLE (default, the filter language's
+            # numeric JSON compare), VARCHAR, or BOOL — mirroring the
+            # reference's json_cast_type index param
+            # (indexparamcheck/{bitmap,stl_sort}_index_checker.go).
             jpath = params.get("json_path")
             if not jpath:
                 raise ValueError("JSON_FLAT needs params={'json_path': '$.key'}")
+            cast = str(params.get("json_cast_type", "DOUBLE")).upper()
+            spark_t = {"DOUBLE": "double", "VARCHAR": "string", "BOOL": "boolean"}.get(cast)
+            if spark_t is None:
+                raise ValueError(
+                    f"json_cast_type {cast!r} is not supported (DOUBLE/VARCHAR/BOOL)"
+                )
             self._read(name).select(
                 meta["pk"],
-                F.get_json_object(F.col(field), jpath).cast("double").alias("v"),
+                F.get_json_object(F.col(field), jpath).cast(spark_t).alias("v"),
             ).sort("v").write.mode("overwrite").parquet(os.path.join(idx_dir, "flat"))
             entry["json_path"] = jpath
+            entry["json_cast_type"] = cast
         elif itype == "SPARSE_INVERTED":
             # SPARSE_FLOAT_VECTOR posting-list index (Milvus
             # SPARSE_INVERTED_INDEX / SPARSE_WAND, index_type.go;
@@ -4110,12 +4120,40 @@ class MilvusSparkClient:
             if df is None and mj:
                 fld, key, op, num = mj.groups()
                 entry = self._fresh_index(name, fld, "JSON_FLAT")
-                if entry is not None and entry.get("json_path") == f"$.{key}":
+                if (
+                    entry is not None
+                    and entry.get("json_path") == f"$.{key}"
+                    and entry.get("json_cast_type", "DOUBLE") == "DOUBLE"
+                ):
                     pk = self._meta(name)["pk"]
                     flat = self.spark.read.parquet(os.path.join(entry["path"], "flat"))
                     ops = {"==": "=", "<=": "<=", ">=": ">=", "<": "<", ">": ">"}
+                    # no forced broadcast: a JSON-path predicate's match
+                    # set is not bounded by construction — AQE picks the
+                    # join strategy from the actual candidate size
                     cands = flat.filter(F.expr(f"v {ops[op]} {num}")).select(pk)
-                    df = base.join(F.broadcast(cands), pk, "left_semi")
+                    df = base.join(cands, pk, "left_semi")
+            # typed JSON-path equality through the VARCHAR / BOOL shredded
+            # index (json_cast_type — the reference's typed JSON path
+            # index params, indexparamcheck/*_index_checker.go)
+            mjt = _re.fullmatch(
+                r'\s*(\w+)\["(\w+)"\]\s*==\s*(?:"([^"\\]*)"|(true|false))\s*',
+                filter,
+            )
+            if df is None and mjt:
+                fld, key, sval, bval = mjt.groups()
+                entry = self._fresh_index(name, fld, "JSON_FLAT")
+                want_cast = "VARCHAR" if sval is not None else "BOOL"
+                if (
+                    entry is not None
+                    and entry.get("json_path") == f"$.{key}"
+                    and entry.get("json_cast_type") == want_cast
+                ):
+                    pk = self._meta(name)["pk"]
+                    flat = self.spark.read.parquet(os.path.join(entry["path"], "flat"))
+                    lit = sval if sval is not None else (bval == "true")
+                    cands = flat.filter(F.col("v") == F.lit(lit)).select(pk)
+                    df = base.join(cands, pk, "left_semi")
         if df is None:
             df = apply_filter(base, filter, params, dynamic_field=self._dyn(self._meta(name)))
         if output_fields:

@@ -473,3 +473,97 @@ def mm_avi_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("frame_vec", 1).alias("luma01"),
         F.size("frame_vec").cast("long").alias("n_px"),
     )
+
+
+# memoized per (applicationId, sf) — the same contract as the vector
+# suite's index-build memos: the reference is a long-running server that
+# builds indexes before serving, so the bench row times STEADY-STATE
+# index serving, not the build
+_SERVING_MEMO: dict = {}
+
+
+def _scalar_serving_client(spark: SparkSession, sf: str):
+    key = (spark.sparkContext.applicationId, sf)
+    if key in _SERVING_MEMO:
+        return _SERVING_MEMO[key]
+    client = _client(spark)
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    client.create_collection("svo", pk_field="o_orderkey")
+    client.insert("svo", o)
+    client.create_index("svo", "o_totalprice", "STL_SORT")
+    client.create_index("svo", "o_orderstatus", "BITMAP")
+    _SERVING_MEMO[key] = client
+    return client
+
+
+@register(
+    "cli_scalar_serving",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_totalprice >= 5000 AND o_totalprice <= 20000
+      AND o_orderstatus IN ('F', 'P')
+    """,
+)
+def cli_scalar_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """STEADY-STATE scalar-index serving (the bench row for the r9
+    scalar tier): a range filter through the sorted index's pruned
+    bucket directories, intersected with an IN filter through the packed
+    bitmap — both access paths asserted on the executed plan. The index
+    builds are memoized per (session, sf) so this row times SERVING, the
+    regime a long-running server is in."""
+    client = _scalar_serving_client(spark, sf)
+    rng = client.query(
+        "svo",
+        filter="o_totalprice >= 5000 and o_totalprice <= 20000",
+        output_fields=["o_orderkey", "o_totalprice"],
+    ).select("o_orderkey", "o_totalprice")
+    assert "sbucket" in _plan(rng), "expected the sorted-index path"
+    st = client.query(
+        "svo",
+        filter='o_orderstatus in ["F", "P"]',
+        output_fields=["o_orderkey"],
+    ).select("o_orderkey")
+    assert "vbucket" in _plan(st), "expected the bitmap path"
+    return rng.join(st, "o_orderkey", "left_semi")
+
+
+@register(
+    "cli_json_cast_index",
+    oracle="""
+    SELECT event_id FROM events WHERE 's' || (user_id % 5)::VARCHAR = 's2'
+    """,
+)
+def cli_json_cast_index(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed JSON-path index dispatch (r9 — the reference's
+    json_cast_type index param, indexparamcheck/*_index_checker.go):
+    the JSON column shreds ONCE into a VARCHAR-cast sorted column at
+    create_index, and a string equality on the path reads the shredded
+    column (LeftSemi against the flat artifact, asserted in-query)
+    instead of parsing JSON per row per query."""
+    client = _client(spark)
+    e = load_table(spark, sf, "events")
+    j = e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("s"), (F.col("user_id") % 5).cast("string")).alias(
+                    "status"
+                )
+            )
+        ).alias("props"),
+    )
+    client.create_collection("jci", pk_field="event_id")
+    client.insert("jci", j)
+    client.create_index(
+        "jci", "props", "JSON_FLAT",
+        {"json_path": "$.status", "json_cast_type": "VARCHAR"},
+    )
+    out = client.query(
+        "jci", filter='props["status"] == "s2"', output_fields=["event_id"]
+    ).select("event_id")
+    # (the artifact path string may truncate in plan output, so pin the
+    # join shape: the scan path is a plain Filter, never a LeftSemi)
+    assert "LeftSemi" in _plan(out), "expected the shredded path"
+    return out

@@ -421,6 +421,66 @@ def test_query_json_compare_uses_flat_index(client, spark, sf_dir):
         client.create_index("ej", "props", "JSON_FLAT")
 
 
+def test_query_json_typed_cast_index(client, spark, sf_dir):
+    """json_cast_type (r9 — the reference's typed JSON-path index params,
+    indexparamcheck/*_index_checker.go): VARCHAR and BOOL shredded
+    columns serve string/bool equality on the path; results identical to
+    the json-parse scan path; unsupported cast types refuse."""
+    from milvus_spark.session import load_table
+
+    events = load_table(spark, sf_dir, "events").drop("ts")
+    j = events.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.concat(F.lit("s"), (F.col("user_id") % 5).cast("string")).alias("status"),
+                (F.col("value") > 100).alias("flag"),
+            )
+        ).alias("props"),
+    )
+    client.create_collection("tj", pk_field="event_id")
+    client.insert("tj", j)
+    want_s = sorted(
+        r.event_id
+        for r in j.filter(F.get_json_object("props", "$.status") == "s2").collect()
+    )
+    scan = sorted(
+        r.event_id for r in client.query("tj", filter='props["status"] == "s2"').collect()
+    )
+    assert scan == want_s and want_s
+    client.create_index(
+        "tj", "props", "JSON_FLAT",
+        {"json_path": "$.status", "json_cast_type": "VARCHAR"},
+    )
+    idx_df = client.query("tj", filter='props["status"] == "s2"')
+    assert sorted(r.event_id for r in idx_df.collect()) == want_s
+    plan = idx_df._jdf.queryExecution().executedPlan().toString()
+    assert "flat" in plan and "LeftSemi" in plan
+    # BOOL cast on a second collection (one JSON_FLAT entry per field)
+    client.create_collection("tj2", pk_field="event_id")
+    client.insert("tj2", j)
+    want_b = sorted(
+        r.event_id
+        for r in j.filter(
+            F.get_json_object("props", "$.flag").cast("boolean") == True  # noqa: E712
+        ).collect()
+    )
+    client.create_index(
+        "tj2", "props", "JSON_FLAT",
+        {"json_path": "$.flag", "json_cast_type": "BOOL"},
+    )
+    idx_b = client.query("tj2", filter='props["flag"] == true')
+    assert sorted(r.event_id for r in idx_b.collect()) == want_b and want_b
+    assert "flat" in idx_b._jdf.queryExecution().executedPlan().toString()
+    with pytest.raises(ValueError, match="json_cast_type"):
+        client.create_index(
+            "tj2", "props", "JSON_FLAT",
+            {"json_path": "$.x", "json_cast_type": "ARRAY"},
+        )
+    client.drop_collection("tj")
+    client.drop_collection("tj2")
+
+
 def test_text_search_bm25(client, spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     client.create_collection("ft", pk_field="doc_id")
