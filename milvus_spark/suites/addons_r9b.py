@@ -419,7 +419,7 @@ def mm_png_adam7_decode(spark: SparkSession, sf: str) -> DataFrame:
     oracle="""
     WITH fr AS (
       SELECT doc_id, unnest(generate_series(0, (doc_id % 5) + 1, 2)) AS i
-      FROM documents
+      FROM documents WHERE doc_id % 5 = 0
     )
     SELECT doc_id, CAST(i AS INT) AS frame_idx,
            round((((doc_id*31 + i*97) % 128) * 2)/255, 6) AS luma01,
@@ -438,7 +438,10 @@ def mm_avi_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     Container round-trips + the refusal matrix (non-MJPG codec,
     frame-count mismatch, non-vids stream) are pinned in
     tests/test_sources_multimodal.py. Scale shape: media bytes never
-    leave their partition; only sampled frames pay the decode."""
+    leave their partition; only sampled frames pay the decode. The 1-in-5
+    doc sample bounds the per-round bench cost (the fixture ENCODES ~4
+    frames/doc in the same pass — at sf0.1 the full corpus would spend
+    ~20 s just manufacturing test videos)."""
     from typing import Iterator
 
     import pandas as pd
@@ -449,7 +452,9 @@ def mm_avi_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         video_frames,
     )
 
-    d = load_table(spark, sf, "documents").select("doc_id")
+    d = load_table(spark, sf, "documents").select("doc_id").filter(
+        F.col("doc_id") % 5 == 0
+    )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
