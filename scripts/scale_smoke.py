@@ -53,6 +53,10 @@ HEAVY = [
     "fts_phrase_match3_slop",  # r9: positions-index phrase window
     "fts_bm25_incremental",    # r9: stored-tf BM25 + in-flight batch union
     "mm_jpeg_prog_real_decode",  # r9: progressive multi-scan decode
+    "cli_scalar_serving",     # r9: steady-state scalar-index serving (memoized build)
+    "cli_scalar_sort_range",  # r9: full scalar-index lifecycle (build+refresh+serve)
+    "cli_geo_rtree_within",   # r9: full RTREE lifecycle (build+refresh+serve)
+    "mm_avi_frame_sample",    # r9: MJPEG-AVI demux + frame decode, map-side only
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds
