@@ -2385,10 +2385,10 @@ class MilvusSparkClient:
 
             dt = self._read(name).schema[field].dataType
             elem = dt.elementType if isinstance(dt, T.ArrayType) else dt
-            if not isinstance(elem, (T.StringType, T.IntegralType)):
+            if not isinstance(elem, (T.StringType, T.IntegralType, T.BooleanType)):
                 raise ValueError(
-                    f"HYBRID requires a varchar or integral field (or an "
-                    f"array of them), got {dt}"
+                    f"HYBRID requires a varchar, integral or bool field "
+                    f"(or an array of them), got {dt}"
                 )
             limit = int(params.get("bitmap_cardinality_limit", 100))
             inv = build_inverted(self._read(name), field, meta["pk"])
@@ -2426,15 +2426,19 @@ class MilvusSparkClient:
                 build_inverted,
             )
 
+            # bool fields ride the same posting/bitmap layouts (BoolIndex.h
+            # is a two-value bitmap in the reference); the canonical string
+            # cast is Spark's "true"/"false"
             dt = self._read(name).schema[field].dataType
-            scalar_ok = isinstance(dt, (T.StringType, T.IntegralType))
+            ok_elem = (T.StringType, T.IntegralType, T.BooleanType)
+            scalar_ok = isinstance(dt, ok_elem)
             array_ok = isinstance(dt, T.ArrayType) and isinstance(
-                dt.elementType, (T.StringType, T.IntegralType)
+                dt.elementType, ok_elem
             )
             if not (scalar_ok or array_ok):
                 raise ValueError(
-                    f"{itype} requires a varchar or integral field (or an "
-                    f"array of them), got {dt}"
+                    f"{itype} requires a varchar, integral or bool field "
+                    f"(or an array of them), got {dt}"
                 )
             df = self._read(name)
             art = (
@@ -3974,7 +3978,8 @@ class MilvusSparkClient:
             if df is None:
                 shape = payload = fld = None
                 me = _re.fullmatch(
-                    r'\s*(\w+)\s*==\s*(?:"([^"\\]*)"|(-?\d+))\s*', filter
+                    r'\s*(\w+)\s*==\s*(?:"([^"\\]*)"|(-?\d+)|(true|false))\s*',
+                    filter,
                 )
                 mi = _re.fullmatch(
                     r"\s*(\w+)\s+in\s+\[([^\]]*)\]\s*", filter
@@ -4046,7 +4051,10 @@ class MilvusSparkClient:
                     payload = _lits(maca.group(3))
                 elif me:
                     fld, shape = me.group(1), "eq"
-                    payload = [me.group(2) if me.group(2) is not None else me.group(3)]
+                    # bool literals canonicalize to Spark's string cast
+                    payload = [
+                        next(g for g in me.groups()[1:] if g is not None)
+                    ]
                 elif mi:
                     fld, shape = mi.group(1), "in"
                     payload = []
@@ -4078,6 +4086,18 @@ class MilvusSparkClient:
                     if fld not in base.columns or want_array != isinstance(
                         base.schema[fld].dataType, T.ArrayType
                     ):
+                        shape = None
+                if shape is not None and me and not (mac or maca):
+                    # literal kind must agree with the column type: a
+                    # varchar field holding the text "true" is NOT an eq
+                    # match for the bool literal true (the canonical-string
+                    # posting values would collide otherwise)
+                    want_t = (
+                        T.StringType
+                        if me.group(2) is not None
+                        else (T.IntegralType if me.group(3) is not None else T.BooleanType)
+                    )
+                    if not isinstance(base.schema[fld].dataType, want_t):
                         shape = None
                 served = (
                     self._scalar_entry(

@@ -291,7 +291,7 @@ def cli_geo_rtree_within(spark: SparkSession, sf: str) -> DataFrame:
     )
     client.create_collection("geo", pk_field="event_id")
     client.insert("geo", pts.filter(F.col("event_id") % 4 != 0))
-    client.create_index("geo", "geom", "RTREE", {"cell_size": 8.0})
+    client.create_index("geo", "geom", "RTREE", {"cell_size": 16.0})
     client.insert("geo", pts.filter(F.col("event_id") % 4 == 0))
     client.refresh_index("geo", "geom", "RTREE")
     client.delete("geo", filter="event_id % 53 == 9")

@@ -399,6 +399,39 @@ def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
     client.drop_collection("av")
 
 
+def test_bool_index_eq_dispatch(spark, sf_dir, tmp_path):
+    """Bool scalar index (BoolIndex.h — a two-value bitmap in the
+    reference): `flag == true` dispatches through the posting index; a
+    VARCHAR field holding the text 'true' does NOT serve a bool-literal
+    filter (literal-kind vs column-type guard)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    o = _orders(spark, sf_dir).select(
+        "o_orderkey", (F.col("o_totalprice") > 3000).alias("big")
+    )
+    client.create_collection("bl", pk_field="o_orderkey")
+    client.insert("bl", o)
+    client.create_index("bl", "big", "BITMAP")
+    q = client.query("bl", filter="big == true")
+    assert "vbucket" in q._jdf.queryExecution().executedPlan().toString()
+    assert q.count() == o.filter(F.col("big")).count() > 0
+    q2 = client.query("bl", filter="big == false")
+    assert q2.count() == o.filter(~F.col("big")).count() > 0
+    # a varchar column holding "true" must not dispatch for a bool literal
+    s = _docs(spark, sf_dir).select(
+        "doc_id", F.lit("true").alias("flagtxt")
+    )
+    client.create_collection("bl2", pk_field="doc_id")
+    client.insert("bl2", s)
+    client.create_index("bl2", "flagtxt", "INVERTED")
+    qt = client.query("bl2", filter='flagtxt == "true"')
+    assert "vbucket" in qt._jdf.queryExecution().executedPlan().toString()
+    assert qt.count() == s.count()
+    client.drop_collection("bl")
+    client.drop_collection("bl2")
+
+
 def test_scalar_index_auto_refresh_and_type_refusals(spark, sf_dir, tmp_path):
     """The auto-refresh seal policy is index-type-agnostic: an INVERTED
     index with auto_refresh_rows fires inside insert(). Type refusals:
@@ -417,7 +450,7 @@ def test_scalar_index_auto_refresh_and_type_refusals(spark, sf_dir, tmp_path):
     o = _orders(spark, sf_dir)
     client.create_collection("tr", pk_field="o_orderkey")
     client.insert("tr", o)
-    with pytest.raises(ValueError, match="varchar or integral"):
+    with pytest.raises(ValueError, match="varchar, integral or bool"):
         client.create_index("tr", "o_totalprice", "INVERTED")
     client.drop_collection("ar")
     client.drop_collection("tr")
