@@ -1935,6 +1935,7 @@ class MilvusSparkClient:
             # until the next DML (same staleness rule as the other indexes)
             meta["clustered"] = {"key": clustering_key, "ts": self._current_ts(name)}
             self._save_catalog()
+            self._auto_rebuild_check(name)
             return
         self._coll(name).compact(num_partitions, exclude_ts=expired)
         # any segment rewrite invalidates the clustering manifest: file
@@ -1953,6 +1954,38 @@ class MilvusSparkClient:
         if "collection.ttl.seconds" not in (meta.get("properties") or {}):
             meta.pop("ts_wall", None)  # TTL removed → drop the clock map
         self._save_catalog()
+        self._auto_rebuild_check(name)
+
+    def _auto_rebuild_check(self, name: str) -> None:
+        """Auto-rebuild policy — the compaction half of the reference's
+        index automation (compaction output segments are re-indexed
+        without operator action: the datacoord schedules index builds for
+        compacted segments). An index created with
+        ``params={"auto_rebuild": True}`` rebuilds via create_index right
+        after a compaction leaves it unservable (stale built_ts, folded
+        tombstones past the artifact's snapshot, or an invalidation
+        sentinel) — so serving returns to the index path instead of the
+        exact-scan fallback until someone remembers to rebuild."""
+        meta = self._meta(name)
+        cur = self._current_ts(name)
+        wm = self._coll(name)._cdc_watermark()
+        for key, entry in list((meta.get("indexes") or {}).items()):
+            if not (entry.get("params") or {}).get("auto_rebuild"):
+                continue
+            if (
+                entry["built_ts"] == cur
+                and entry["built_ts"] >= 0
+                and wm <= entry["built_ts"]
+            ):
+                continue  # still servable as-is
+            field, itype = key.rsplit("__", 1)
+            try:
+                self.create_index(
+                    name, field, itype, dict(entry.get("params") or {})
+                )
+            except ValueError:
+                continue  # refused shape (e.g. emptied collection): the
+                # stale fallback stands, exactly the auto-refresh contract
 
     def optimize(self, name: str, target_size_mb: float = 512.0) -> None:
         """Segment-count optimization toward a target segment size

@@ -572,3 +572,34 @@ def cli_json_cast_index(spark: SparkSession, sf: str) -> DataFrame:
     # join shape: the scan path is a plain Filter, never a LeftSemi)
     assert "LeftSemi" in _plan(out), "expected the shredded path"
     return out
+
+
+@register(
+    "cli_auto_rebuild_scalar",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE source = 'src5' AND doc_id % 31 != 4
+    """,
+)
+def cli_auto_rebuild_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    """Auto-rebuild policy end-to-end (r9 — the compaction half of the
+    reference's index automation: compacted segments are re-indexed
+    without operator action): an INVERTED index created with
+    auto_rebuild=True is left unservable by a tombstone-folding
+    compaction, and compact() rebuilds it in place — the assert pins that
+    the policy fired and the final filter reads the REBUILT posting index
+    (plan asserted), hash-matching the column-scan oracle."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select("doc_id", "source", "n_chars")
+    client.create_collection("arb", pk_field="doc_id")
+    client.insert("arb", d)
+    client.create_index("arb", "source", "INVERTED", {"auto_rebuild": True})
+    client.delete("arb", filter="doc_id % 31 == 4")
+    client.compact("arb")  # folds tombstones -> artifact unservable -> rebuild
+    entry = client.describe_index("arb", "source", "INVERTED")
+    assert entry["built_ts"] == client._current_ts("arb"), "rebuild did not fire"
+    out = client.query(
+        "arb", filter='source == "src5"', output_fields=["doc_id", "n_chars"]
+    ).select("doc_id", "n_chars")
+    assert "vbucket" in _plan(out), "expected the rebuilt posting-index path"
+    return out

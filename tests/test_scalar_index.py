@@ -399,6 +399,43 @@ def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
     client.drop_collection("av")
 
 
+def test_auto_rebuild_after_compaction(spark, sf_dir, tmp_path):
+    """Auto-rebuild policy (the compaction half of the reference's index
+    automation — compacted segments are re-indexed without operator
+    action): an index with auto_rebuild=True rebuilds inside compact()
+    when the compaction leaves it unservable, so dispatch returns to the
+    index path; without the flag the same compaction falls back to the
+    scan (the existing stale contract)."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "source")
+    client.create_collection("arb", pk_field="doc_id")
+    client.insert("arb", d)
+    client.create_index("arb", "source", "INVERTED", {"auto_rebuild": True})
+    flt = 'source == "src3"'
+    victim = int(
+        sorted(
+            r.doc_id for r in client.query("arb", filter=flt).collect()
+        )[0]
+    )
+    client.delete("arb", ids=[victim])
+    client.compact("arb")  # folds the tombstone -> artifact unservable
+    entry = client.describe_index("arb", "source", "INVERTED")
+    assert entry["built_ts"] == client._current_ts("arb"), "rebuild did not fire"
+    assert not entry.get("masked_pks")
+    q = client.query("arb", filter=flt)
+    assert "vbucket" in q._jdf.queryExecution().executedPlan().toString()
+    base = client._read("arb")
+    want = {
+        r.doc_id
+        for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in q.collect()} == want and victim not in want
+    client.drop_collection("arb")
+
+
 def test_bool_index_eq_dispatch(spark, sf_dir, tmp_path):
     """Bool scalar index (BoolIndex.h — a two-value bitmap in the
     reference): `flag == true` dispatches through the posting index; a
