@@ -2438,6 +2438,8 @@ class MilvusSparkClient:
             art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
                 "overwrite"
             ).partitionBy("vbucket").parquet(os.path.join(idx_dir, "posting"))
+            self._write_null_ids(name, field, idx_dir, meta["pk"])
+            entry["nulls"] = True
             entry["selected"] = selected
             entry["cardinality"] = n_card
             entry["cur_epoch"] = 0
@@ -2486,6 +2488,8 @@ class MilvusSparkClient:
             art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
                 "overwrite"
             ).partitionBy("vbucket").parquet(os.path.join(idx_dir, "posting"))
+            self._write_null_ids(name, field, idx_dir, meta["pk"])
+            entry["nulls"] = True
             entry["cur_epoch"] = 0
         elif itype in ("SORT", "STL_SORT", "TRIE"):
             # Sorted scalar index (r9 — ScalarIndexSort.cpp; TRIE =
@@ -2511,6 +2515,8 @@ class MilvusSparkClient:
             art.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
                 "overwrite"
             ).partitionBy("sbucket").parquet(os.path.join(idx_dir, "sorted"))
+            self._write_null_ids(name, field, idx_dir, meta["pk"])
+            entry["nulls"] = True
             entry["bounds"] = bounds
             entry["cur_epoch"] = 0
         elif itype in (
@@ -2525,6 +2531,25 @@ class MilvusSparkClient:
         meta.setdefault("indexes", {})[f"{field}__{itype}"] = entry
         self._save_catalog()
         return entry
+
+    def _write_null_ids(
+        self, name: str, field: str, idx_dir: str, pk: str,
+        epoch: int = 0, mode: str = "overwrite", src: Optional[DataFrame] = None,
+    ) -> None:
+        """NULL-id sidecar of a scalar index (the reference's scalar
+        indexes keep a null bitmap, so ``field is null`` is answered from
+        the index, never the column): (id, _epoch) rows for NULL values —
+        tiny for mostly-populated fields, and the ONLY thing an is-null
+        query reads. The refresh path passes its delta frame as ``src``
+        and appends at the new epoch."""
+        df = src if src is not None else self._read(name)
+        (
+            df.filter(F.col(field).isNull())
+            .select(F.col(pk).cast("long").alias("id"))
+            .withColumn("_epoch", F.lit(epoch).cast("long"))
+            .write.mode(mode)
+            .parquet(os.path.join(idx_dir, "nulls"))
+        )
 
     def list_indexes(self, name: str) -> list[str]:
         return sorted(self._meta(name).get("indexes", {}))
@@ -2779,12 +2804,23 @@ class MilvusSparkClient:
                 if packed
                 else c.select("id", epoch_col(c).alias("_e"))
             ).distinct()
+            # the null sidecar's pks participate in delete masking and
+            # live-collision checks (a null-valued doc is indexed too —
+            # just in the nulls list, not the value artifact)
+            ids_all = ids_df
+            if entry.get("nulls"):
+                ndf = self.spark.read.parquet(
+                    os.path.join(entry["path"], "nulls")
+                )
+                ids_all = ids_df.unionByName(
+                    ndf.select("id", epoch_col(ndf).alias("_e")).distinct()
+                )
             new_epoch = int(entry.get("cur_epoch", 0)) + 1
             masked_pairs: dict[int, int] = {
                 p: b for p, b in normalize_mask(entry.get("masked_pks"))
             }
             deleted_in_df = (
-                ids_df.select(F.col("id").alias("_del_pk"))
+                ids_all.select(F.col("id").alias("_del_pk"))
                 .join(deleted_df, "_del_pk", "left_semi")
                 .distinct()
                 if deleted_df is not None
@@ -2848,7 +2884,7 @@ class MilvusSparkClient:
                 self._save_catalog()
                 return entry
             live = (
-                ids_df.join(mdf, mcond, "left_anti") if mdf is not None else ids_df
+                ids_all.join(mdf, mcond, "left_anti") if mdf is not None else ids_all
             )
             n_collide = (
                 new.select(F.col(pk).cast("long").alias("id"))
@@ -2910,6 +2946,11 @@ class MilvusSparkClient:
             art.withColumn("_epoch", F.lit(new_epoch).cast("long")).write.mode(
                 "append"
             ).partitionBy(part_col).parquet(apath)
+            if entry.get("nulls"):
+                self._write_null_ids(
+                    name, fld, entry["path"], pk,
+                    epoch=new_epoch, mode="append", src=new,
+                )
             entry["cur_epoch"] = new_epoch
             if masked:
                 entry["masked_pks"] = masked
@@ -3546,6 +3587,7 @@ class MilvusSparkClient:
         "range": ("STL_SORT", "SORT"),
         "prefix": ("TRIE",),
         "gis": ("RTREE",),
+        "isnull": ("INVERTED", "BITMAP", "HYBRID", "STL_SORT", "SORT", "TRIE"),
     }
 
     def _scalar_entry(
@@ -3593,6 +3635,13 @@ class MilvusSparkClient:
         # HYBRID dispatches as the layout its build selected
         itype = entry.get("selected") or entry["index_type"]
         mask = list(entry.get("masked_pks") or []) + list(extra_mask)
+        if shape == "isnull":
+            # the null sidecar IS the answer (the reference's scalar-index
+            # null bitmap): read only (id, _epoch) of the null rows
+            if not entry.get("nulls"):
+                return None  # legacy artifact without the sidecar
+            nulls = self.spark.read.parquet(os.path.join(entry["path"], "nulls"))
+            return apply_delete_bitset(nulls, "id", mask).select("id")
         if itype == "RTREE":
             # bbox -> cell-directory pruning, then the EXACT compiled GIS
             # predicate re-runs on the pruned artifact (RTreeIndex.cpp's
@@ -4025,6 +4074,7 @@ class MilvusSparkClient:
                 mpre = _re.fullmatch(
                     r'\s*(\w+)\s+like\s+"([^%_\\"]+)%"\s*', filter
                 )
+                mnull = _re.fullmatch(r"\s*(\w+)\s+is\s+null\s*", filter)
                 mg = _re.fullmatch(
                     r"\s*(st_within|st_intersects|st_contains|st_equals)"
                     r"\(\s*(\w+)\s*,\s*(?:\"([^\"]+)\"|'([^']+)')\s*\)\s*",
@@ -4109,6 +4159,10 @@ class MilvusSparkClient:
                 elif mpre:
                     fld, shape = mpre.group(1), "prefix"
                     payload = mpre.group(2)
+                elif mnull:
+                    # is-null through ANY scalar index's null sidecar
+                    fld, shape = mnull.group(1), "isnull"
+                    payload = ()
                 if shape is not None:
                     # a contains-shape filter must target an ARRAY column
                     # and an eq/in/range/prefix shape a scalar one — the
@@ -4116,8 +4170,11 @@ class MilvusSparkClient:
                     from pyspark.sql import types as T
 
                     want_array = bool(mac or maca)
-                    if fld not in base.columns or want_array != isinstance(
-                        base.schema[fld].dataType, T.ArrayType
+                    if fld not in base.columns or (
+                        shape != "isnull"  # null applies to any column type
+                        and want_array != isinstance(
+                            base.schema[fld].dataType, T.ArrayType
+                        )
                     ):
                         shape = None
                 if shape is not None and me and not (mac or maca):

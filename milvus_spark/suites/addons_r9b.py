@@ -603,3 +603,41 @@ def cli_auto_rebuild_scalar(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "n_chars")
     assert "vbucket" in _plan(out), "expected the rebuilt posting-index path"
     return out
+
+
+@register(
+    "cli_scalar_isnull",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE doc_id % 7 = 0 AND doc_id % 59 != 3
+    """,
+)
+def cli_scalar_isnull(spark: SparkSession, sf: str) -> DataFrame:
+    """`field is null` answered from the scalar index's NULL sidecar under
+    the lifecycle (r9 — the reference's scalar indexes keep a null bitmap
+    so IsNull is a ForIndex expr, never a column scan): rows with
+    doc_id % 7 == 0 carry NULL, the sidecar persists their ids at build,
+    a refresh appends the delta's null rows as a new epoch, a delete
+    folds into the shared version mask — and the final query reads ONLY
+    the (id, _epoch) sidecar."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ).alias("src"),
+        "n_chars",
+    )
+    client.create_collection("nsi", pk_field="doc_id")
+    client.insert("nsi", d.filter(F.col("doc_id") % 3 != 0))
+    client.create_index("nsi", "src", "INVERTED")
+    client.insert("nsi", d.filter(F.col("doc_id") % 3 == 0))
+    client.refresh_index("nsi", "src", "INVERTED")
+    client.delete("nsi", filter="doc_id % 59 == 3")
+    entry = client.refresh_index("nsi", "src", "INVERTED")
+    assert entry["built_ts"] == client._current_ts("nsi")
+    out = client.query(
+        "nsi", filter="src is null", output_fields=["doc_id", "n_chars"]
+    ).select("doc_id", "n_chars")
+    assert "LeftSemi" in _plan(out), "expected the null-sidecar path"
+    return out

@@ -399,6 +399,83 @@ def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
     client.drop_collection("av")
 
 
+def test_is_null_through_null_sidecar(spark, sf_dir, tmp_path):
+    """`field is null` answered from the scalar index's NULL sidecar (the
+    reference's scalar-index null bitmap): dispatch equals the scan path
+    across build → epoch append → delete mask → null<->value upserts;
+    the is-null plan is a LeftSemi against the sidecar ids, never a
+    column scan."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None)).otherwise(
+            F.col("source")
+        ).alias("src"),
+    )
+    client.create_collection("nl", pk_field="doc_id")
+    client.insert("nl", d.filter(F.col("doc_id") < 400))
+    client.create_index("nl", "src", "INVERTED")
+    flt = "src is null"
+
+    def ids():
+        return {r.doc_id for r in client.query("nl", filter=flt).collect()}
+
+    def scan_ids():
+        base = client._read("nl")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+
+    def plan():
+        return client.query("nl", filter=flt)._jdf.queryExecution().executedPlan().toString()
+
+    assert ids() == scan_ids() and ids()
+    assert "LeftSemi" in plan()
+    # epoch append brings new null rows
+    client.insert("nl", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)))
+    client.refresh_index("nl", "src", "INVERTED")
+    assert ids() == scan_ids()
+    # delete a null doc -> mask covers the sidecar
+    victim = int(sorted(ids())[0])
+    client.delete("nl", ids=[victim])
+    client.refresh_index("nl", "src", "INVERTED")
+    got = ids()
+    assert victim not in got and got == scan_ids()
+    # upsert null -> value: sidecar row masks, value row serves eq
+    flip = int(sorted(got)[0])
+    client.delete("nl", ids=[flip])
+    client.insert(
+        "nl", spark.createDataFrame([[flip, "src3"]], "doc_id long, src string")
+    )
+    client.refresh_index("nl", "src", "INVERTED")
+    got = ids()
+    assert flip not in got and got == scan_ids()
+    assert flip in {
+        r.doc_id for r in client.query("nl", filter='src == "src3"').collect()
+    }
+    # upsert value -> null: main row masks, sidecar serves
+    back = int(
+        sorted(
+            {r.doc_id for r in client.query("nl", filter='src == "src3"').collect()}
+        )[0]
+    )
+    client.delete("nl", ids=[back])
+    client.insert(
+        "nl", spark.createDataFrame([[back, None]], "doc_id long, src string")
+    )
+    client.refresh_index("nl", "src", "INVERTED")
+    got = ids()
+    assert back in got and got == scan_ids()
+    assert back not in {
+        r.doc_id for r in client.query("nl", filter='src == "src3"').collect()
+    }
+    client.drop_collection("nl")
+
+
 def test_auto_rebuild_after_compaction(spark, sf_dir, tmp_path):
     """Auto-rebuild policy (the compaction half of the reference's index
     automation — compacted segments are re-indexed without operator
