@@ -3703,6 +3703,155 @@ class MilvusSparkClient:
             )
         return apply_delete_bitset(cand, "id", mask).select("id")
 
+    def _parse_scalar_clause(self, text: str, base: DataFrame):
+        """One conjunction leg → (fld, shape, payload) or None. Covers the
+        indexable scalar shapes (eq / IN / contains family / prefix /
+        is-null / half- and full-range) with the same literal-kind and
+        array-vs-scalar type guards as the single-shape dispatch; GIS legs
+        are excluded (their growing/bbox handling is the single path's)."""
+        import re as _re
+
+        from pyspark.sql import types as T
+
+        def _guard(fld, want_array, lit_kind=None):
+            if fld not in base.columns:
+                return False
+            is_arr = isinstance(base.schema[fld].dataType, T.ArrayType)
+            if want_array != is_arr:
+                return False
+            if lit_kind is not None:
+                want_t = {
+                    "str": T.StringType, "int": T.IntegralType,
+                    "bool": T.BooleanType,
+                }[lit_kind]
+                elem = (
+                    base.schema[fld].dataType.elementType
+                    if is_arr
+                    else base.schema[fld].dataType
+                )
+                if not isinstance(elem, want_t):
+                    return False
+            return True
+
+        m = _re.fullmatch(
+            r'\s*(\w+)\s*==\s*(?:"([^"\\]*)"|(-?\d+)|(true|false))\s*', text
+        )
+        if m:
+            kind = "str" if m.group(2) is not None else (
+                "int" if m.group(3) is not None else "bool"
+            )
+            lit = next(g for g in m.groups()[1:] if g is not None)
+            if _guard(m.group(1), False, kind):
+                return m.group(1), "eq", [lit]
+            return None
+        m = _re.fullmatch(r"\s*(\w+)\s+in\s+\[([^\]]*)\]\s*", text)
+        if m and _guard(m.group(1), False):
+            vals = []
+            for tok in m.group(2).split(","):
+                lm = _re.fullmatch(r'"([^"\\]*)"|(-?\d+)', tok.strip())
+                if not lm:
+                    return None
+                vals.append(lm.group(1) if lm.group(1) is not None else lm.group(2))
+            return m.group(1), "in", vals
+        m = _re.fullmatch(
+            r'\s*array_contains\(\s*(\w+)\s*,\s*(?:"([^"\\]*)"|(-?\d+))\s*\)\s*',
+            text,
+        )
+        if m:
+            if _guard(m.group(1), True):
+                return m.group(1), "eq", [
+                    m.group(2) if m.group(2) is not None else m.group(3)
+                ]
+            return None
+        m = _re.fullmatch(
+            r"\s*array_contains_(any|all)\(\s*(\w+)\s*,\s*\[([^\]]*)\]\s*\)\s*",
+            text,
+        )
+        if m and _guard(m.group(2), True):
+            vals = []
+            for tok in m.group(3).split(","):
+                lm = _re.fullmatch(r'"([^"\\]*)"|(-?\d+)', tok.strip())
+                if not lm:
+                    return None
+                vals.append(lm.group(1) if lm.group(1) is not None else lm.group(2))
+            return m.group(2), "in" if m.group(1) == "any" else "all", vals
+        m = _re.fullmatch(r'\s*(\w+)\s+like\s+"([^%_\\"]+)%"\s*', text)
+        if m and _guard(m.group(1), False):
+            return m.group(1), "prefix", m.group(2)
+        m = _re.fullmatch(r"\s*(\w+)\s+is\s+null\s*", text)
+        if m and m.group(1) in base.columns:
+            return m.group(1), "isnull", ()
+        m = _re.fullmatch(
+            r"\s*(\w+)\s*(>=|>|<=|<)\s*(-?\d+(?:\.\d+)?)\s*", text
+        )
+        if m and _guard(m.group(1), False):
+            op, v = m.group(2), float(m.group(3))
+            lo, hi = (v, None) if op in (">=", ">") else (None, v)
+            return m.group(1), "range", (lo, hi, op == ">=", op == "<=")
+        return None
+
+    def _scalar_conjunction(
+        self, name: str, filter: str, base: DataFrame
+    ) -> Optional[DataFrame]:
+        """Conjunctive ForIndex dispatch: a top-level AND of indexable
+        scalar legs intersects each leg's index candidates (the
+        reference evaluates conjunction legs ForIndex and ANDs the
+        bitsets). Dispatches only when EVERY leg parses, has a FRESH
+        index, and candidates are boundable — partial coverage, growing
+        deltas, OR/NOT, or a quoted literal containing ' and ' (which
+        makes some split part unparseable) all fall back to the scan.
+        Half-ranges on one field fold into a single range leg so bucket
+        pruning sees both bounds."""
+        import re as _re
+
+        if _re.search(r"\bor\b|\bnot\b|\|\||!", filter, _re.I):
+            return None
+        parts = _re.split(r"\s+(?:and|&&)\s+", filter.strip())
+        if len(parts) < 2:
+            return None
+        halves: dict = {}
+        legs: list = []
+        for p in parts:
+            parsed = self._parse_scalar_clause(p, base)
+            if parsed is None:
+                return None
+            fld, shape, payload = parsed
+            if shape == "range":
+                lo, hi, li, hi_i = payload
+                cur = halves.setdefault(fld, [None, None, True, True])
+                if lo is not None:
+                    if cur[0] is not None:
+                        return None  # duplicate bound: not a simple range
+                    cur[0], cur[2] = lo, li
+                if hi is not None:
+                    if cur[1] is not None:
+                        return None
+                    cur[1], cur[3] = hi, hi_i
+            else:
+                legs.append((fld, shape, payload))
+        for fld, bounds in halves.items():
+            legs.append((fld, "range", tuple(bounds)))
+        if len(legs) < 2:
+            return None
+        cands = None
+        for fld, shape, payload in legs:
+            entry = None
+            for itype in self._SCALAR_KINDS[shape]:
+                entry = self._fresh_index(name, fld, itype)
+                if entry is not None:
+                    break
+            if entry is None:
+                return None
+            if shape == "range" and any(
+                isinstance(b, str) for b in entry.get("bounds") or []
+            ):
+                return None
+            c = self._scalar_candidates(entry, shape, payload)
+            if c is None:
+                return None
+            cands = c if cands is None else cands.join(c, "id", "left_semi")
+        return cands
+
     # per-query delete-mask budget for sealed+growing serving: the mask
     # collects to the driver and closure-broadcasts per search, so it stays
     # small; past this, serving falls back to the exact scan until refresh
@@ -4223,6 +4372,15 @@ class MilvusSparkClient:
                         df = base.join(
                             cands.select(F.col("id").alias(pk)), pk, "left_semi"
                         )
+            # conjunctive ForIndex (r9): a top-level AND whose legs are
+            # all indexable intersects the legs' index candidates
+            if df is None:
+                cj = self._scalar_conjunction(name, filter, base)
+                if cj is not None:
+                    pk = self._meta(name)["pk"]
+                    df = base.join(
+                        cj.select(F.col("id").alias(pk)), pk, "left_semi"
+                    )
             mj = _re.fullmatch(
                 r'\s*(\w+)\["(\w+)"\]\s*(==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*',
                 filter,

@@ -641,3 +641,45 @@ def cli_scalar_isnull(spark: SparkSession, sf: str) -> DataFrame:
     ).select("doc_id", "n_chars")
     assert "LeftSemi" in _plan(out), "expected the null-sidecar path"
     return out
+
+
+@register(
+    "cli_scalar_conjunction",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE o_orderstatus = 'F'
+      AND o_totalprice >= 1000 AND o_totalprice <= 9000
+      AND o_orderkey % 43 != 6
+    """,
+)
+def cli_scalar_conjunction(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive ForIndex dispatch under the lifecycle (r9 — the
+    reference ANDs per-leg ForIndex bitsets): `status == 'F' AND lo <=
+    price <= hi` intersects the BITMAP equality leg with the sorted-range
+    leg (the two half-ranges fold into one bucket-pruned read); both
+    access paths asserted on the executed plan. Epoch appends + a delete
+    mask precede the query, so the intersection runs over masked
+    postings."""
+    client = _client(spark)
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    client.create_collection("scj", pk_field="o_orderkey")
+    client.insert("scj", o.filter(F.col("o_orderkey") % 4 != 0))
+    client.create_index("scj", "o_orderstatus", "BITMAP")
+    client.create_index("scj", "o_totalprice", "STL_SORT")
+    client.insert("scj", o.filter(F.col("o_orderkey") % 4 == 0))
+    client.refresh_index("scj", "o_orderstatus", "BITMAP")
+    client.refresh_index("scj", "o_totalprice", "STL_SORT")
+    client.delete("scj", filter="o_orderkey % 43 == 6")
+    client.refresh_index("scj", "o_orderstatus", "BITMAP")
+    entry = client.refresh_index("scj", "o_totalprice", "STL_SORT")
+    assert entry["built_ts"] == client._current_ts("scj")
+    out = client.query(
+        "scj",
+        filter='o_orderstatus == "F" and o_totalprice >= 1000 and o_totalprice <= 9000',
+        output_fields=["o_orderkey", "o_totalprice"],
+    ).select("o_orderkey", "o_totalprice")
+    plan = _plan(out)
+    assert "vbucket" in plan and "sbucket" in plan, "both index legs expected"
+    return out

@@ -149,9 +149,10 @@ HINT_ALLOWED: dict[str, int] = {
     "cli_scalar_sort_range": 1, "cli_scalar_trie_prefix": 1,
     "cli_scalar_array_contains": 1, "cli_scalar_hybrid": 1,
     "cli_geo_rtree_within": 1,
-    # [life] is-null sidecar dispatch: the flagged hint is the visible
-    # frame's tombstone anti-join broadcast, as the other cli_scalar rows
-    "cli_scalar_isnull": 1,
+    # [life] is-null sidecar / conjunction dispatch: the flagged hint is
+    # the visible frame's tombstone anti-join broadcast, as the other
+    # cli_scalar rows
+    "cli_scalar_isnull": 1, "cli_scalar_conjunction": 1,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

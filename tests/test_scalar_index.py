@@ -399,6 +399,60 @@ def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
     client.drop_collection("av")
 
 
+def test_conjunctive_forindex_dispatch(spark, sf_dir, tmp_path):
+    """Top-level AND of indexable legs intersects each leg's index
+    candidates (the reference ANDs per-leg ForIndex bitsets): equality
+    through the bitmap × half-range pair folded into one sorted-range
+    leg — results equal the scan path, every leg's pruned access path in
+    the plan. Partial index coverage, OR, and quoted literals containing
+    ' and ' all fall back to the scan."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    client.create_collection("cj", pk_field="o_orderkey")
+    client.insert("cj", o)
+    client.create_index("cj", "o_orderstatus", "BITMAP")
+    client.create_index("cj", "o_totalprice", "STL_SORT")
+    flt = 'o_orderstatus == "F" and o_totalprice >= 1000 and o_totalprice <= 9000'
+
+    def scan_ids(f):
+        base = client._read("cj")
+        return {
+            r.o_orderkey
+            for r in base.filter(compile_expr(f, base.schema)).select("o_orderkey").collect()
+        }
+
+    q = client.query("cj", filter=flt)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan and "sbucket" in plan, "both index legs expected"
+    got = {r.o_orderkey for r in q.collect()}
+    assert got == scan_ids(flt) and got
+    # half-range on one side only
+    flt2 = 'o_orderstatus == "P" and o_totalprice < 2000'
+    q2 = client.query("cj", filter=flt2)
+    assert "vbucket" in q2._jdf.queryExecution().executedPlan().toString()
+    assert {r.o_orderkey for r in q2.collect()} == scan_ids(flt2)
+    # partial coverage (one leg unindexed) falls back to the scan
+    flt3 = 'o_orderstatus == "F" and o_orderkey % 2 == 0'
+    q3 = client.query("cj", filter=flt3)
+    assert "vbucket" not in q3._jdf.queryExecution().executedPlan().toString()
+    assert {r.o_orderkey for r in q3.collect()} == scan_ids(flt3)
+    # a stale leg (post-build write, no refresh) falls back too
+    client.insert(
+        "cj",
+        spark.createDataFrame(
+            [[9_000_001, "F", 1500.0]],
+            "o_orderkey long, o_orderstatus string, o_totalprice double",
+        ),
+    )
+    q4 = client.query("cj", filter=flt)
+    assert "vbucket" not in q4._jdf.queryExecution().executedPlan().toString()
+    assert {r.o_orderkey for r in q4.collect()} == scan_ids(flt)
+    client.drop_collection("cj")
+
+
 def test_is_null_through_null_sidecar(spark, sf_dir, tmp_path):
     """`field is null` answered from the scalar index's NULL sidecar (the
     reference's scalar-index null bitmap): dispatch equals the scan path
