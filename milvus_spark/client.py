@@ -3790,6 +3790,46 @@ class MilvusSparkClient:
             return m.group(1), "range", (lo, hi, op == ">=", op == "<=")
         return None
 
+    def _scalar_disjunction(
+        self, name: str, filter: str, base: DataFrame
+    ) -> Optional[DataFrame]:
+        """Disjunctive ForIndex dispatch — the OR twin of
+        _scalar_conjunction: a top-level OR of indexable legs UNIONS each
+        leg's index candidates (the reference ORs per-leg bitsets).
+        Exactness argument: each leg's candidates are that leg's exact
+        true-set, and OR's 3VL true-set is the union of the legs'
+        true-sets (nulls are in neither). Mixed AND, NOT, or any
+        unparseable leg falls back to the scan."""
+        import re as _re
+
+        if _re.search(r"\band\b|\bnot\b|&&|!", filter, _re.I):
+            return None
+        parts = _re.split(r"\s+(?:or|\|\|)\s+", filter.strip())
+        if len(parts) < 2:
+            return None
+        cands = None
+        for p in parts:
+            parsed = self._parse_scalar_clause(p, base)
+            if parsed is None:
+                return None
+            fld, shape, payload = parsed
+            entry = None
+            for itype in self._SCALAR_KINDS[shape]:
+                entry = self._fresh_index(name, fld, itype)
+                if entry is not None:
+                    break
+            if entry is None:
+                return None
+            if shape == "range" and any(
+                isinstance(b, str) for b in entry.get("bounds") or []
+            ):
+                return None
+            c = self._scalar_candidates(entry, shape, payload)
+            if c is None:
+                return None
+            cands = c if cands is None else cands.unionByName(c)
+        return cands
+
     def _scalar_conjunction(
         self, name: str, filter: str, base: DataFrame
     ) -> Optional[DataFrame]:
@@ -4372,10 +4412,13 @@ class MilvusSparkClient:
                         df = base.join(
                             cands.select(F.col("id").alias(pk)), pk, "left_semi"
                         )
-            # conjunctive ForIndex (r9): a top-level AND whose legs are
-            # all indexable intersects the legs' index candidates
+            # conjunctive / disjunctive ForIndex (r9): a top-level AND/OR
+            # whose legs are all indexable intersects/unions the legs'
+            # index candidates
             if df is None:
                 cj = self._scalar_conjunction(name, filter, base)
+                if cj is None:
+                    cj = self._scalar_disjunction(name, filter, base)
                 if cj is not None:
                     pk = self._meta(name)["pk"]
                     df = base.join(

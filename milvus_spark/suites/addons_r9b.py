@@ -683,3 +683,42 @@ def cli_scalar_conjunction(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "vbucket" in plan and "sbucket" in plan, "both index legs expected"
     return out
+
+
+@register(
+    "cli_scalar_disjunction",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders
+    WHERE (o_orderstatus = 'P' OR o_totalprice >= 95000)
+      AND o_orderkey % 41 != 5
+    """,
+)
+def cli_scalar_disjunction(spark: SparkSession, sf: str) -> DataFrame:
+    """Disjunctive ForIndex dispatch under the lifecycle (r9 — the OR
+    twin: the reference ORs per-leg ForIndex bitsets): `status == 'P' OR
+    price >= hi` unions the BITMAP equality candidates with the
+    sorted-range candidates; both access paths asserted on the executed
+    plan, over epoch appends + a delete mask."""
+    client = _client(spark)
+    o = load_table(spark, sf, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    client.create_collection("sdj", pk_field="o_orderkey")
+    client.insert("sdj", o.filter(F.col("o_orderkey") % 4 != 0))
+    client.create_index("sdj", "o_orderstatus", "BITMAP")
+    client.create_index("sdj", "o_totalprice", "STL_SORT")
+    client.insert("sdj", o.filter(F.col("o_orderkey") % 4 == 0))
+    client.refresh_index("sdj", "o_orderstatus", "BITMAP")
+    client.refresh_index("sdj", "o_totalprice", "STL_SORT")
+    client.delete("sdj", filter="o_orderkey % 41 == 5")
+    client.refresh_index("sdj", "o_orderstatus", "BITMAP")
+    entry = client.refresh_index("sdj", "o_totalprice", "STL_SORT")
+    assert entry["built_ts"] == client._current_ts("sdj")
+    out = client.query(
+        "sdj",
+        filter='o_orderstatus == "P" or o_totalprice >= 95000',
+        output_fields=["o_orderkey", "o_totalprice"],
+    ).select("o_orderkey", "o_totalprice")
+    plan = _plan(out)
+    assert "vbucket" in plan and "sbucket" in plan, "both index legs expected"
+    return out

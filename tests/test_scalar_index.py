@@ -439,6 +439,17 @@ def test_conjunctive_forindex_dispatch(spark, sf_dir, tmp_path):
     q3 = client.query("cj", filter=flt3)
     assert "vbucket" not in q3._jdf.queryExecution().executedPlan().toString()
     assert {r.o_orderkey for r in q3.collect()} == scan_ids(flt3)
+    # disjunction: OR unions the legs' candidates (both access paths in
+    # the plan); mixed legs with an unindexed field fall back
+    flt_or = 'o_orderstatus == "P" or o_totalprice >= 95000'
+    qo = client.query("cj", filter=flt_or)
+    plan_o = qo._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan_o and "sbucket" in plan_o
+    assert {r.o_orderkey for r in qo.collect()} == scan_ids(flt_or)
+    flt_or2 = 'o_orderstatus == "P" or o_orderkey % 2 == 0'
+    qo2 = client.query("cj", filter=flt_or2)
+    assert "vbucket" not in qo2._jdf.queryExecution().executedPlan().toString()
+    assert {r.o_orderkey for r in qo2.collect()} == scan_ids(flt_or2)
     # a stale leg (post-build write, no refresh) falls back too
     client.insert(
         "cj",
