@@ -2255,13 +2255,19 @@ class MilvusSparkClient:
             with open(os.path.join(idx_dir, "bounds.json"), "w") as f:
                 json.dump(bounds.tolist(), f)
         elif itype == "NGRAM":
+            # char-n-gram posting table (NgramInvertedIndex.cpp), since r9
+            # hive-partitioned by gram-hash bucket and riding the shared
+            # epoch/version-mask lifecycle like the rest of the zoo
             from milvus_spark.operators.ngram import build_ngram_index
 
             n = int(params.get("n", 3))
-            build_ngram_index(self._read(name), field, meta["pk"], n).write.mode(
-                "overwrite"
-            ).parquet(os.path.join(idx_dir, "posting"))
+            build_ngram_index(self._read(name), field, meta["pk"], n).withColumn(
+                "_epoch", F.lit(0).cast("long")
+            ).write.mode("overwrite").partitionBy("gbucket").parquet(
+                os.path.join(idx_dir, "posting")
+            )
             entry["n"] = n
+            entry["cur_epoch"] = 0
         elif itype == "TEXT_MATCH":
             # Persisted token posting-list index (TextMatchIndex.cpp /
             # internal/util/textmatch/ — r9): (term, pk, positions, tf, dl)
@@ -2632,7 +2638,7 @@ class MilvusSparkClient:
         if itype not in (
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
-            "HYBRID", "RTREE",
+            "HYBRID", "RTREE", "NGRAM",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2769,6 +2775,7 @@ class MilvusSparkClient:
             return entry
         if itype in (
             "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "HYBRID", "RTREE",
+            "NGRAM",
         ):
             # Scalar index family rides the same epoch/version-mask
             # lifecycle as the lexical tier (the reference rebuilds scalar
@@ -2791,6 +2798,7 @@ class MilvusSparkClient:
             packed = eff == "BITMAP"
             art_name = {
                 "INVERTED": "posting", "BITMAP": "posting", "RTREE": "cells",
+                "NGRAM": "posting",
             }.get(eff, "sorted")
             apath = os.path.join(entry["path"], art_name)
             c = self.spark.read.parquet(apath)
@@ -2861,6 +2869,11 @@ class MilvusSparkClient:
                 indexed_cond = (
                     wkt_x(F.col(fld)).isNotNull() & wkt_y(F.col(fld)).isNotNull()
                 )
+            elif eff == "NGRAM":
+                # only rows long enough to yield an n-gram were indexed
+                indexed_cond = F.col(fld).isNotNull() & (
+                    F.length(F.col(fld)) >= int(entry.get("n", 3))
+                )
             elif isinstance(df.schema[fld].dataType, T.ArrayType):
                 # array fields index rows with >= 1 non-null element
                 indexed_cond = F.col(fld).isNotNull() & F.exists(
@@ -2901,6 +2914,11 @@ class MilvusSparkClient:
 
                 art = build_rtree(new, fld, pk, float(entry["cell_size"]))
                 part_col = "cell"
+            elif eff == "NGRAM":
+                from milvus_spark.operators.ngram import build_ngram_index
+
+                art = build_ngram_index(new, fld, pk, int(entry.get("n", 3)))
+                part_col = "gbucket"
             elif eff == "INVERTED":
                 art = build_inverted(new, fld, pk)
                 part_col = "vbucket"
@@ -4175,19 +4193,51 @@ class MilvusSparkClient:
             m = _re.fullmatch(
                 r'\s*(\w+)\s+like\s+"%([^%_\\"]+)%"\s*', filter
             )
-            if m:
+            if m and df is None:
                 fld, pat = m.group(1), m.group(2)
                 entry = self._fresh_index(name, fld, "NGRAM")
-                if entry is not None:
+                growing_mask: list = []
+                delta = None
+                if entry is None and not partition_names:
+                    # SEALED + GROWING for the ngram tier (r9): postings
+                    # keep serving as sealed segments, post-build rows
+                    # verify by a delta-pruned contains scan, post-build
+                    # deletes mask the postings at query time — the shared
+                    # _servable_delta safety gate
+                    stale = self._meta(name).get("indexes", {}).get(
+                        f"{fld}__NGRAM"
+                    )
+                    if stale is not None:
+                        served = self._servable_delta(name, stale)
+                        if served is not None:
+                            entry = stale
+                            delta, deleted = served
+                            growing_mask = [int(p) for p in deleted]
+                if entry is not None and len(pat) >= int(entry.get("n", 3)):
+                    from milvus_spark.operators.bitset import apply_delete_bitset
                     from milvus_spark.operators.ngram import inner_match
 
+                    pk = self._meta(name)["pk"]
                     posting = self.spark.read.parquet(
                         os.path.join(entry["path"], "posting")
                     )
-                    df = inner_match(
-                        base, posting, fld, self._meta(name)["pk"], pat,
-                        n=int(entry.get("n", 3)),
+                    posting = apply_delete_bitset(
+                        posting, "id",
+                        list(entry.get("masked_pks") or []) + growing_mask,
                     )
+                    df = inner_match(
+                        base, posting, fld, pk, pat, n=int(entry.get("n", 3)),
+                    )
+                    if delta is not None:
+                        # growing rows never posted; verify them directly
+                        # (disjoint from the sealed side: a delta pk's old
+                        # copy, if any, is masked above)
+                        df = df.unionByName(
+                            base.join(
+                                delta.filter(F.col(fld).contains(pat)).select(pk),
+                                pk, "left_semi",
+                            )
+                        )
             # lexical dispatch through the persisted posting index (r9 —
             # TextMatchIndex.cpp: text_match/phrase_match read posting
             # lists, never tokenizing the corpus). Same contract as the

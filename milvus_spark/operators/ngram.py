@@ -24,8 +24,20 @@ shuffle-hash otherwise. Shuffle volume is O(candidate ids), not O(rows).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from milvus_spark.operators.text import token_hash
+
+N_GRAM_BUCKETS = 32
+
+
+def py_gbucket(gram: str) -> int:
+    """Driver-side twin of the gbucket partition column (md5-prefix hash,
+    the repo's portable hash convention — same as text_index.py)."""
+    return int(hashlib.md5(gram.encode()).hexdigest()[:8], 16) % N_GRAM_BUCKETS
 
 
 def char_ngrams(col, n: int = 3):
@@ -43,14 +55,23 @@ def char_ngrams(col, n: int = 3):
 
 
 def build_ngram_index(corpus: DataFrame, text_col: str, id_col: str, n: int = 3) -> DataFrame:
-    """Posting table (gram, id). Write ``partitionBy('gram')`` bucketed at
-    scale; callers cache for repeated probes within a session."""
-    return (
+    """Posting table (gbucket, gram, id) — hive-partition by ``gbucket``
+    (gram-hash bucket) so a pattern's grams prune whole directories at
+    file listing, the same layout as the TEXT_MATCH term postings;
+    callers cache for repeated probes within a session."""
+    flat = (
         corpus.select(
             F.col(id_col).alias("id"),
             F.explode(char_ngrams(text_col, n)).alias("gram"),
         )
         .distinct()
+    )
+    return flat.select(
+        F.pmod(token_hash(F.col("gram")), F.lit(N_GRAM_BUCKETS))
+        .cast("int")
+        .alias("gbucket"),
+        "gram",
+        "id",
     )
 
 
@@ -67,9 +88,16 @@ def inner_match(
     if len(pattern) < n:
         return corpus.filter(F.col(text_col).contains(pattern))
     grams = sorted({pattern[i : i + n] for i in range(len(pattern) - n + 1)})
-    # docs whose posting lists cover ALL pattern grams (necessary condition)
+    # docs whose posting lists cover ALL pattern grams (necessary condition);
+    # the gbucket filter prunes posting DIRECTORIES at file listing when the
+    # index carries the partition column (legacy flat artifacts lack it)
+    pruned = index
+    if "gbucket" in index.columns:
+        pruned = pruned.filter(
+            F.col("gbucket").isin(sorted({py_gbucket(g) for g in grams}))
+        )
     cands = (
-        index.filter(F.col("gram").isin(grams))
+        pruned.filter(F.col("gram").isin(grams))
         .groupBy("id")
         .agg(F.count_distinct("gram").alias("_hits"))
         .filter(F.col("_hits") == len(grams))

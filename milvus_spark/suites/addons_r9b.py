@@ -722,3 +722,37 @@ def cli_scalar_disjunction(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "vbucket" in plan and "sbucket" in plan, "both index legs expected"
     return out
+
+
+@register(
+    "cli_ngram_lifecycle",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE text LIKE '%hash join%' AND doc_id % 37 != 8
+    """,
+)
+def cli_ngram_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """InnerMatch dispatched through the NGRAM posting index across the
+    full lifecycle (r9 — NgramInvertedIndex.cpp is a per-segment index
+    like the rest of the zoo, so it now rides the shared epoch +
+    version-mask machinery): build on a partial corpus, append via
+    refresh (a new posting epoch), delete and refresh (version mask),
+    then query `%pattern%` — the final filter reads ONLY the pattern's
+    grams' posting directories (gbucket pruning, asserted in-query),
+    intersects, and verifies survivors against the text."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select("doc_id", "text", "n_chars")
+    client.create_collection("ngl", pk_field="doc_id")
+    client.insert("ngl", d.filter(F.col("doc_id") % 3 != 0))
+    client.create_index("ngl", "text", "NGRAM", {"n": 3})
+    client.insert("ngl", d.filter(F.col("doc_id") % 3 == 0))
+    client.refresh_index("ngl", "text", "NGRAM")
+    client.delete("ngl", filter="doc_id % 37 == 8")
+    entry = client.refresh_index("ngl", "text", "NGRAM")
+    assert entry["built_ts"] == client._current_ts("ngl")
+    out = client.query(
+        "ngl", filter='text like "%hash join%"',
+        output_fields=["doc_id", "n_chars"],
+    ).select("doc_id", "n_chars")
+    assert "gbucket" in _plan(out), "expected the pruned gram-posting path"
+    return out

@@ -153,7 +153,7 @@ HINT_ALLOWED: dict[str, int] = {
     # the visible frame's tombstone anti-join broadcast, as the other
     # cli_scalar rows
     "cli_scalar_isnull": 1, "cli_scalar_conjunction": 1,
-    "cli_scalar_disjunction": 1,
+    "cli_scalar_disjunction": 1, "cli_ngram_lifecycle": 1,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

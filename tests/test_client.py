@@ -287,8 +287,9 @@ def test_ngram_index_build(client, spark, sf_dir):
     client.insert("dx", docs)
     entry = client.create_index("dx", "text", "NGRAM", {"n": 3})
     posting = spark.read.parquet(entry["path"] + "/posting")
-    assert set(posting.columns) == {"id", "gram"}
-    assert posting.count() > 0
+    # r9: gram-hash bucket partitioning + epoch lifecycle, like the zoo
+    assert set(posting.columns) == {"id", "gram", "gbucket", "_epoch"}
+    assert posting.count() > 0 and entry["cur_epoch"] == 0
 
 
 def test_search_topk_quota(client, spark, sf_dir):

@@ -399,6 +399,67 @@ def test_array_inverted_contains_family(spark, sf_dir, tmp_path):
     client.drop_collection("av")
 
 
+def test_ngram_index_full_lifecycle(spark, sf_dir, tmp_path):
+    """NGRAM rides the shared lifecycle as of r9 (NgramInvertedIndex.cpp
+    is a per-segment index like the rest): gram-bucket directory pruning
+    at dispatch, sealed+growing on post-build writes (delta rows verify
+    by a pruned contains scan, post-build deletes mask the postings),
+    refresh epochs, delete masks, upserts — results equal the scan path
+    at every step."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    client.create_collection("ng", pk_field="doc_id")
+    client.insert("ng", d.filter(F.col("doc_id") < 400))
+    client.create_index("ng", "text", "NGRAM", {"n": 3})
+    flt = 'text like "%hash join%"'
+
+    def ids():
+        return {r.doc_id for r in client.query("ng", filter=flt).collect()}
+
+    def scan_ids():
+        base = client._read("ng")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(flt, base.schema)).select("doc_id").collect()
+        }
+
+    def plan():
+        return client.query("ng", filter=flt)._jdf.queryExecution().executedPlan().toString()
+
+    assert ids() == scan_ids() and ids()
+    assert "gbucket" in plan()  # pruned posting read
+    # sealed + growing
+    client.insert("ng", d.filter((F.col("doc_id") >= 400) & (F.col("doc_id") < 460)))
+    p = plan()
+    assert "gbucket" in p and "GreaterThan(_ts" in p
+    assert ids() == scan_ids()
+    # refresh appends epoch 1; delete folds into the mask
+    entry = client.refresh_index("ng", "text", "NGRAM")
+    assert entry["cur_epoch"] == 1
+    assert ids() == scan_ids()
+    victim = int(sorted(ids())[0])
+    client.delete("ng", ids=[victim])
+    entry = client.refresh_index("ng", "text", "NGRAM")
+    assert [victim, 2] in [list(map(int, x)) for x in entry["masked_pks"]]
+    got = ids()
+    assert victim not in got and got == scan_ids()
+    # upsert INTO the match: old grams masked, new text's grams serve
+    other = int(victim)
+    client.insert(
+        "ng",
+        spark.createDataFrame(
+            [[other, "revisit the hash join plan"]], "doc_id long, text string"
+        ),
+    )
+    client.refresh_index("ng", "text", "NGRAM")
+    got = ids()
+    assert other in got and got == scan_ids()
+    client.drop_collection("ng")
+
+
 def test_conjunctive_forindex_dispatch(spark, sf_dir, tmp_path):
     """Top-level AND of indexable legs intersects each leg's index
     candidates (the reference ANDs per-leg ForIndex bitsets): equality
