@@ -4190,11 +4190,15 @@ class MilvusSparkClient:
             ):
                 lo, hi = float(mr.group(2)), float(mr.group(4))
                 df = self._coll(name).read_pruned(lo, hi).drop(TS_COL)
+            # InnerMatch %pat% and suffix %pat (pattern_match.go:89,137 —
+            # the ngram candidates are the same; suffix adds an endswith
+            # verify on the contains-verified survivors)
             m = _re.fullmatch(
-                r'\s*(\w+)\s+like\s+"%([^%_\\"]+)%"\s*', filter
+                r'\s*(\w+)\s+like\s+"%([^%_\\"]+)(%?)"\s*', filter
             )
             if m and df is None:
                 fld, pat = m.group(1), m.group(2)
+                suffix_only = m.group(3) == ""
                 entry = self._fresh_index(name, fld, "NGRAM")
                 growing_mask: list = []
                 delta = None
@@ -4228,13 +4232,21 @@ class MilvusSparkClient:
                     df = inner_match(
                         base, posting, fld, pk, pat, n=int(entry.get("n", 3)),
                     )
+                    if suffix_only:
+                        # endswith ⊂ contains: re-verify the survivors
+                        df = df.filter(F.col(fld).endswith(pat))
                     if delta is not None:
                         # growing rows never posted; verify them directly
                         # (disjoint from the sealed side: a delta pk's old
                         # copy, if any, is masked above)
+                        gcond = (
+                            F.col(fld).endswith(pat)
+                            if suffix_only
+                            else F.col(fld).contains(pat)
+                        )
                         df = df.unionByName(
                             base.join(
-                                delta.filter(F.col(fld).contains(pat)).select(pk),
+                                delta.filter(gcond).select(pk),
                                 pk, "left_semi",
                             )
                         )

@@ -457,6 +457,16 @@ def test_ngram_index_full_lifecycle(spark, sf_dir, tmp_path):
     client.refresh_index("ng", "text", "NGRAM")
     got = ids()
     assert other in got and got == scan_ids()
+    # suffix match (%pat) rides the same gram candidates + endswith verify
+    sfx = 'text like "%join plan"'
+    qs = client.query("ng", filter=sfx)
+    assert "gbucket" in qs._jdf.queryExecution().executedPlan().toString()
+    base = client._read("ng")
+    want = {
+        r.doc_id
+        for r in base.filter(compile_expr(sfx, base.schema)).select("doc_id").collect()
+    }
+    assert {r.doc_id for r in qs.collect()} == want and other in want
     client.drop_collection("ng")
 
 
