@@ -262,56 +262,96 @@ def grouping_search(
     gsize = int(group_size)
 
     def score_batches(batches: Iterable[pd.DataFrame]):
+        nq = len(qids)
+        sign = 1.0 if asc else -1.0
         for pdf in batches:
-            if len(pdf) == 0:
+            if len(pdf) == 0 or nq == 0:
                 continue
             ids = pdf[pk].to_numpy()
             grp = pdf[gc].to_numpy()
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
             S = np.round(_score_block(V, Q, met), rt)
-            frames = []
-            for qi, qid in enumerate(qids):
-                f = pd.DataFrame({pk: ids, gc: grp, "score": S[qi]})
-                f["qid"] = qid
-                # per-batch partial: keep top group_size per group
-                f = f.sort_values(
-                    ["score", pk], ascending=[asc, True], kind="mergesort"
-                ).groupby(gc, sort=False).head(gsize)
-                frames.append(f)
-            if frames:  # zero queries → nothing to emit (concat would raise)
-                yield pd.concat(frames)[["qid", pk, gc, "score"]]
+            n = len(ids)
+            # per-batch partial: top group_size rows of every (query, group)
+            # in ONE numpy pass across all queries (r10 — replaces a
+            # per-qid Python loop of pandas sort_values().groupby().head()
+            # that kept this kernel ~2x its baseline): lexsort the
+            # flattened (nq, n) score block by (qid, group, directed score,
+            # pk), then a run-start cumcount mask keeps the first gsize
+            # rows of each (qid, group) run. Row set is IDENTICAL to the
+            # old partial — same keys, same tie-break — and downstream
+            # windows re-rank, so emit order is immaterial.
+            _, gcodes = np.unique(grp, return_inverse=True)
+            q_rep = np.repeat(np.arange(nq, dtype=np.int64), n)
+            g_tile = np.tile(gcodes, nq)
+            order = np.lexsort(
+                (np.tile(ids, nq), (sign * S).ravel(), g_tile, q_rep)
+            )
+            # (qid, group) runs are contiguous after the sort; rank within
+            # each run = index - run_start
+            run_key = q_rep[order] * (int(gcodes.max()) + 1) + g_tile[order]
+            pos = np.arange(len(run_key), dtype=np.int64)
+            new_run = np.empty(len(run_key), dtype=bool)
+            new_run[0] = True
+            new_run[1:] = run_key[1:] != run_key[:-1]
+            run_start = np.maximum.accumulate(np.where(new_run, pos, 0))
+            keep = order[pos - run_start < gsize]
+            ridx = keep % n
+            yield pd.DataFrame(
+                {
+                    "qid": qids[keep // n],
+                    pk: ids[ridx].astype(np.int64),
+                    gc: grp[ridx],
+                    "score": S.ravel()[keep],
+                }
+            )
 
     gtype = dict(df.dtypes)[group_col]
     partial = df.select(pk_col, vec_col, group_col).mapInPandas(
         score_batches, schema=f"qid long, {pk_col} long, {group_col} {gtype}, score double"
     )
 
-    sc = F.col("score").asc() if asc else F.col("score").desc()
-    w_in = W.partitionBy("qid", group_col).orderBy(sc, F.col(pk_col).asc())
-    kept = (
-        partial.withColumn("rn", F.row_number().over(w_in))
-        .filter(F.col("rn") <= group_size)
-        .drop("rn")
+    # Final merge in ONE applyInPandas over qid (r10 — replaces a
+    # 4-exchange window→groupBy→window→broadcast-join chain that dominated
+    # wall time): the reference reduces exactly this way too — per-segment
+    # partial group top-k, then ONE delegator merge per query
+    # (SearchGroupByOperator.cpp; result reduce in
+    # internal/querynodev2/segments/result.go). Input per qid is bounded
+    # by num_batches × groups_per_batch × group_size — the same merge
+    # fan-in the reference's proxy holds — so the single-task finalize is
+    # scale-safe wherever the reference's merge is. Semantics identical to
+    # the window chain: within-group order (score directed, pk asc), group
+    # rank by (best hit's score directed, group asc), strict mode drops
+    # groups that can't fill group_size slots.
+    lim = int(limit)
+    strict = bool(strict_group_size)
+
+    def finalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["score", pk], ascending=[asc, True], kind="mergesort"
+        )
+        kept = pdf.groupby(gc, sort=False).head(gsize)
+        # first kept row per group is its best (the frame is globally
+        # sorted in the metric's direction)
+        firsts = kept.drop_duplicates(subset=[gc])[[gc, "score"]]
+        if strict:
+            nh = kept.groupby(gc, sort=False).size()
+            firsts = firsts[
+                firsts[gc].map(nh).to_numpy() >= gsize
+            ]
+        top = firsts.sort_values(
+            ["score", gc], ascending=[asc, True], kind="mergesort"
+        ).head(lim)
+        top = top.assign(
+            grank=np.arange(1, len(top) + 1, dtype=np.int64)
+        ).drop(columns=["score"])
+        out = kept.merge(top, on=gc, how="inner")
+        return out[["qid", gc, pk, "score", "grank"]]
+
+    return partial.groupBy("qid").applyInPandas(
+        finalize,
+        schema=f"qid long, {group_col} {gtype}, {pk_col} long, score double, grank long",
     )
-    best = kept.groupBy("qid", group_col).agg(
-        (F.min("score") if asc else F.max("score")).alias("best_score"),
-        F.count(F.lit(1)).alias("n_hits"),
-    )
-    if strict_group_size:
-        best = best.filter(F.col("n_hits") >= group_size)
-    best = best.drop("n_hits")
-    w_g = W.partitionBy("qid").orderBy(
-        F.col("best_score").asc() if asc else F.col("best_score").desc(),
-        F.col(group_col).asc(),
-    )
-    top_groups = (
-        best.withColumn("grank", F.row_number().over(w_g).cast("long"))
-        .filter(F.col("grank") <= limit)
-    )
-    return kept.join(
-        F.broadcast(top_groups.select("qid", group_col, "grank")),
-        ["qid", group_col],
-    ).select("qid", group_col, pk_col, "score", "grank")
 
 
 def queries_from_table(
