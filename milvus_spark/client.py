@@ -2525,6 +2525,26 @@ class MilvusSparkClient:
             entry["nulls"] = True
             entry["bounds"] = bounds
             entry["cur_epoch"] = 0
+        elif itype == "FMINDEX":
+            # FM-index parity alias (r10 — index_type.go:37;
+            # FMIndex.cpp:203-205 serves exactly three OpTypes on VARCHAR —
+            # PrefixMatch, InnerMatch, PostfixMatch — exact with no
+            # recheck). The equivalent columnar layouts already exist:
+            # TRIE's sorted-bucket range serves prefix LIKE, and NGRAM's
+            # posting intersection + verify serves inner and suffix LIKE,
+            # with FMIndex's exact contract met by the verify steps. So
+            # FMINDEX builds BOTH layouts and records itself as an alias
+            # entry; query-time dispatch is the existing TRIE/NGRAM
+            # routing, and drop/refresh fan out to the mapped layouts.
+            from pyspark.sql import types as T
+
+            dt = self._read(name).schema[field].dataType
+            if not isinstance(dt, T.StringType):
+                raise ValueError(f"FMINDEX requires a varchar field, got {dt}")
+            self.create_index(name, field, "TRIE")
+            self.create_index(name, field, "NGRAM", {"n": int(params.get("n", 3))})
+            entry["materialized"] = False
+            entry["maps_to"] = ["TRIE", "NGRAM"]
         elif itype in (
             "AUTOINDEX",
             # FLAT = exact scan: the engine's default brute-force path IS
@@ -2573,6 +2593,10 @@ class MilvusSparkClient:
         import shutil
 
         entry = self.describe_index(name, field, index_type)
+        # alias types (FMINDEX) fan the drop out to their mapped layouts
+        for sub in entry.get("maps_to") or []:
+            if f"{field}__{sub}" in self._meta(name).get("indexes", {}):
+                self.drop_index(name, field, sub)
         self._meta(name)["indexes"].pop(f"{field}__{index_type.upper()}")
         shutil.rmtree(entry["path"], ignore_errors=True)
         self._save_catalog()
@@ -2635,6 +2659,20 @@ class MilvusSparkClient:
 
         meta = self._meta(name)
         itype = index_type.upper()
+        if itype == "FMINDEX":
+            # alias type: refresh fans out to the mapped layouts
+            ent = meta.get("indexes", {}).get(f"{field}__FMINDEX")
+            if ent is None:
+                raise KeyError(f"no index {field}__FMINDEX on {name}")
+            subs = [
+                self.refresh_index(name, field, sub, on_mismatch=on_mismatch)
+                for sub in ent.get("maps_to", [])
+            ]
+            ent["built_ts"] = min(
+                (s["built_ts"] for s in subs), default=ent["built_ts"]
+            )
+            self._save_catalog()
+            return ent
         if itype not in (
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
@@ -3806,18 +3844,94 @@ class MilvusSparkClient:
             op, v = m.group(2), float(m.group(3))
             lo, hi = (v, None) if op in (">=", ">") else (None, v)
             return m.group(1), "range", (lo, hi, op == ">=", op == "<=")
+        # text_match / phrase_match legs (r10 — the r9 verdict's #4 ask:
+        # a lexical predicate INSIDE a compound filter dispatches through
+        # the posting index instead of forcing a corpus rescan). Same
+        # tokenization and same shapes the whole-filter dispatch serves;
+        # a single-term phrase has no posting-only answer, so it stays
+        # non-indexable (residual / scan).
+        m = _re.fullmatch(
+            r'\s*(text_match|phrase_match)\(\s*(\w+)\s*,\s*"([^"]*)"'
+            r"\s*(?:,\s*(?:minimum_should_match\s*=\s*)?(\d+)\s*)?\)\s*",
+            text,
+        )
+        if m and _guard(m.group(2), False, "str"):
+            kind, fld, qstr, opt = m.groups()
+            qs = [t for t in _re.split(r"[^a-z0-9]+", qstr.lower()) if t]
+            if qs and (kind == "text_match" or len(qs) >= 2):
+                return fld, "text", (kind, qs, opt)
+            return None
         return None
 
+    def _leg_candidates(
+        self,
+        name: str,
+        fld: str,
+        shape: str,
+        payload,
+        texts: list,
+        params: Optional[dict],
+        partition_names,
+    ) -> Optional[DataFrame]:
+        """Exact candidate-id set for ONE conjunction/disjunction leg, or
+        None when no index can serve it. Serves SEALED + GROWING (r10 —
+        the r9 verdict's #8 ask): a leg whose index is stale only by
+        post-build writes reads its masked postings as the sealed side and
+        verifies the leg's own predicate on the ``_ts``-pruned delta as
+        the growing side — the single-shape dispatch's composition, now
+        per leg, so one post-build write no longer drops a whole
+        conjunction to a scan. Text legs (text_match/phrase_match) ride
+        the TEXT_MATCH posting index the same way."""
+        kinds = ("TEXT_MATCH",) if shape == "text" else self._SCALAR_KINDS[shape]
+        served = self._scalar_entry(name, fld, kinds, partition_names)
+        if served is None:
+            return None
+        entry, mask, delta = served
+        if shape == "range" and any(
+            isinstance(b, str) for b in entry.get("bounds") or []
+        ):
+            return None  # numeric range vs varchar-sorted index
+        if shape == "text":
+            kind, qs, opt = payload
+            c = self._text_index_candidates(entry, kind, qs, opt, extra_mask=mask)
+        else:
+            c = self._scalar_candidates(entry, shape, payload, extra_mask=mask)
+        if c is None:
+            return None
+        if delta is not None:
+            # growing rows never posted; the leg's OWN predicate verifies
+            # them on the delta-pruned scan (disjoint from the sealed side:
+            # a delta pk's old copy, if any, is masked above)
+            pk = self._meta(name)["pk"]
+            dyn = self._dyn(self._meta(name))
+            cond = None
+            for t in texts:
+                tc = compile_expr(t, delta.schema, params, dynamic_field=dyn)
+                cond = tc if cond is None else (cond & tc)
+            c = c.unionByName(
+                delta.filter(cond).select(F.col(pk).cast("long").alias("id"))
+            )
+        return c
+
     def _scalar_disjunction(
-        self, name: str, filter: str, base: DataFrame
+        self,
+        name: str,
+        filter: str,
+        base: DataFrame,
+        params: Optional[dict] = None,
+        partition_names=None,
     ) -> Optional[DataFrame]:
         """Disjunctive ForIndex dispatch — the OR twin of
         _scalar_conjunction: a top-level OR of indexable legs UNIONS each
         leg's index candidates (the reference ORs per-leg bitsets).
         Exactness argument: each leg's candidates are that leg's exact
         true-set, and OR's 3VL true-set is the union of the legs'
-        true-sets (nulls are in neither). Mixed AND, NOT, or any
-        unparseable leg falls back to the scan."""
+        true-sets (nulls are in neither). Unlike AND, one non-indexable
+        leg poisons the whole OR (its true rows may be outside every
+        index's candidates), so EVERY leg must parse and be index-served
+        — mixed AND, NOT, or an unparseable leg falls back to the scan.
+        Since r10 each leg serves sealed+growing and text_match /
+        phrase_match legs dispatch through the posting index."""
         import re as _re
 
         if _re.search(r"\band\b|\bnot\b|&&|!", filter, _re.I):
@@ -3825,41 +3939,48 @@ class MilvusSparkClient:
         parts = _re.split(r"\s+(?:or|\|\|)\s+", filter.strip())
         if len(parts) < 2:
             return None
+        if any(p.count('"') % 2 for p in parts):
+            return None  # quoted literal containing ' or ' — split unsafe
         cands = None
         for p in parts:
             parsed = self._parse_scalar_clause(p, base)
             if parsed is None:
                 return None
             fld, shape, payload = parsed
-            entry = None
-            for itype in self._SCALAR_KINDS[shape]:
-                entry = self._fresh_index(name, fld, itype)
-                if entry is not None:
-                    break
-            if entry is None:
-                return None
-            if shape == "range" and any(
-                isinstance(b, str) for b in entry.get("bounds") or []
-            ):
-                return None
-            c = self._scalar_candidates(entry, shape, payload)
+            c = self._leg_candidates(
+                name, fld, shape, payload, [p], params, partition_names
+            )
             if c is None:
                 return None
             cands = c if cands is None else cands.unionByName(c)
         return cands
 
     def _scalar_conjunction(
-        self, name: str, filter: str, base: DataFrame
-    ) -> Optional[DataFrame]:
-        """Conjunctive ForIndex dispatch: a top-level AND of indexable
-        scalar legs intersects each leg's index candidates (the
-        reference evaluates conjunction legs ForIndex and ANDs the
-        bitsets). Dispatches only when EVERY leg parses, has a FRESH
-        index, and candidates are boundable — partial coverage, growing
-        deltas, OR/NOT, or a quoted literal containing ' and ' (which
-        makes some split part unparseable) all fall back to the scan.
-        Half-ranges on one field fold into a single range leg so bucket
-        pruning sees both bounds."""
+        self,
+        name: str,
+        filter: str,
+        base: DataFrame,
+        params: Optional[dict] = None,
+        partition_names=None,
+    ) -> Optional[tuple[DataFrame, list]]:
+        """Conjunctive ForIndex dispatch with PARTIAL coverage (r10 — the
+        r9 verdict's #3 ask, mirroring the reference's per-expression
+        ForIndex/ForData split: UnaryExpr.h:1117-1121 picks the path per
+        expr, ConjunctExpr.cpp ANDs the bitsets): a top-level AND
+        intersects the index candidates of every INDEXABLE leg, and the
+        remaining legs return as RESIDUAL predicate texts the caller
+        verifies on the shortlist (semi-join then compiled filter) — one
+        non-indexable leg no longer forces a full-corpus scan. Exactness:
+        the intersection is the exact true-set of the indexed legs, and
+        filtering the residual legs on it keeps exactly the rows where
+        every leg is TRUE — the whole conjunction's 3VL true-set. Returns
+        (candidate_ids, residual_texts) or None when nothing is
+        indexable, when the filter has OR/NOT, or when a quoted literal
+        contains ' and ' (some part would carry an unbalanced quote, so
+        the split is unsafe). Half-ranges on one field fold into a single
+        range leg so bucket pruning sees both bounds; since r10 each leg
+        serves sealed+growing and text_match / phrase_match legs dispatch
+        through the posting index."""
         import re as _re
 
         if _re.search(r"\bor\b|\bnot\b|\|\||!", filter, _re.I):
@@ -3867,48 +3988,50 @@ class MilvusSparkClient:
         parts = _re.split(r"\s+(?:and|&&)\s+", filter.strip())
         if len(parts) < 2:
             return None
+        if any(p.count('"') % 2 for p in parts):
+            return None  # quoted literal containing ' and ' — split unsafe
         halves: dict = {}
         legs: list = []
+        residual: list = []
         for p in parts:
             parsed = self._parse_scalar_clause(p, base)
             if parsed is None:
-                return None
+                residual.append(p)  # ForData leg: verify on the shortlist
+                continue
             fld, shape, payload = parsed
             if shape == "range":
                 lo, hi, li, hi_i = payload
-                cur = halves.setdefault(fld, [None, None, True, True])
+                cur = halves.setdefault(fld, [None, None, True, True, []])
+                if (lo is not None and cur[0] is not None) or (
+                    hi is not None and cur[1] is not None
+                ):
+                    residual.append(p)  # duplicate bound: verify, don't fold
+                    continue
                 if lo is not None:
-                    if cur[0] is not None:
-                        return None  # duplicate bound: not a simple range
                     cur[0], cur[2] = lo, li
                 if hi is not None:
-                    if cur[1] is not None:
-                        return None
                     cur[1], cur[3] = hi, hi_i
+                cur[4].append(p)
             else:
-                legs.append((fld, shape, payload))
-        for fld, bounds in halves.items():
-            legs.append((fld, "range", tuple(bounds)))
-        if len(legs) < 2:
+                legs.append((fld, shape, payload, [p]))
+        for fld, b in halves.items():
+            legs.append((fld, "range", tuple(b[:4]), b[4]))
+        if not legs or (len(legs) == 1 and not residual):
+            # a single fully-indexable leg (e.g. one folded range) is the
+            # single-shape dispatch's case — keep its routing
             return None
         cands = None
-        for fld, shape, payload in legs:
-            entry = None
-            for itype in self._SCALAR_KINDS[shape]:
-                entry = self._fresh_index(name, fld, itype)
-                if entry is not None:
-                    break
-            if entry is None:
-                return None
-            if shape == "range" and any(
-                isinstance(b, str) for b in entry.get("bounds") or []
-            ):
-                return None
-            c = self._scalar_candidates(entry, shape, payload)
+        for fld, shape, payload, texts in legs:
+            c = self._leg_candidates(
+                name, fld, shape, payload, texts, params, partition_names
+            )
             if c is None:
-                return None
+                residual.extend(texts)  # unservable leg → verify instead
+                continue
             cands = c if cands is None else cands.join(c, "id", "left_semi")
-        return cands
+        if cands is None:
+            return None
+        return cands, residual
 
     # per-query delete-mask budget for sealed+growing serving: the mask
     # collects to the driver and closure-broadcasts per search, so it stays
@@ -4474,18 +4597,38 @@ class MilvusSparkClient:
                         df = base.join(
                             cands.select(F.col("id").alias(pk)), pk, "left_semi"
                         )
-            # conjunctive / disjunctive ForIndex (r9): a top-level AND/OR
-            # whose legs are all indexable intersects/unions the legs'
-            # index candidates
+            # conjunctive / disjunctive ForIndex (r9; partial coverage +
+            # sealed/growing legs + text legs r10): a top-level AND
+            # intersects the indexable legs' candidates and verifies the
+            # rest on the shortlist; a top-level OR of indexable legs
+            # unions them
             if df is None:
-                cj = self._scalar_conjunction(name, filter, base)
-                if cj is None:
-                    cj = self._scalar_disjunction(name, filter, base)
+                pk = self._meta(name)["pk"]
+                cj = self._scalar_conjunction(
+                    name, filter, base, params, partition_names
+                )
                 if cj is not None:
-                    pk = self._meta(name)["pk"]
+                    cands, residual = cj
                     df = base.join(
-                        cj.select(F.col("id").alias(pk)), pk, "left_semi"
+                        cands.select(F.col("id").alias(pk)), pk, "left_semi"
                     )
+                    # ForData legs run on the index-pruned shortlist (the
+                    # reference's ForData-on-bitset), never the corpus
+                    for t in residual:
+                        df = df.filter(
+                            compile_expr(
+                                t, df.schema, params,
+                                dynamic_field=self._dyn(self._meta(name)),
+                            )
+                        )
+                else:
+                    dj = self._scalar_disjunction(
+                        name, filter, base, params, partition_names
+                    )
+                    if dj is not None:
+                        df = base.join(
+                            dj.select(F.col("id").alias(pk)), pk, "left_semi"
+                        )
             mj = _re.fullmatch(
                 r'\s*(\w+)\["(\w+)"\]\s*(==|<=|>=|<|>)\s*(-?\d+(?:\.\d+)?)\s*',
                 filter,

@@ -13,3 +13,4 @@ def load_all() -> None:
     from milvus_spark.suites import addons_r8  # noqa: F401
     from milvus_spark.suites import addons_r9  # noqa: F401
     from milvus_spark.suites import addons_r9b  # noqa: F401
+    from milvus_spark.suites import addons_r10  # noqa: F401

@@ -154,6 +154,14 @@ HINT_ALLOWED: dict[str, int] = {
     # cli_scalar rows
     "cli_scalar_isnull": 1, "cli_scalar_conjunction": 1,
     "cli_scalar_disjunction": 1, "cli_ngram_lifecycle": 1,
+    # [life] r10 dispatch-breadth rows: the flagged hints are the SAME
+    # tombstone anti-join broadcast on Collection.read — once for the
+    # visible base frame (partial / text-compound), plus once per stale
+    # leg's growing-delta read in the sealed+growing variants (the delta
+    # is `_ts`-pruned at the scan and the per-query mask is capped by
+    # client.GROWING_MASK_LIMIT, so every broadcast stays bounded)
+    "cli_scalar_conjunction_partial": 1, "cli_text_compound_filter": 1,
+    "cli_scalar_conjunction_growing": 3, "cli_scalar_disjunction_growing": 3,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

@@ -505,10 +505,14 @@ def test_conjunctive_forindex_dispatch(spark, sf_dir, tmp_path):
     q2 = client.query("cj", filter=flt2)
     assert "vbucket" in q2._jdf.queryExecution().executedPlan().toString()
     assert {r.o_orderkey for r in q2.collect()} == scan_ids(flt2)
-    # partial coverage (one leg unindexed) falls back to the scan
+    # partial coverage (r10): the indexed leg still dispatches ForIndex
+    # and the unindexed leg verifies on the shortlist (the reference's
+    # per-expression ForIndex/ForData split, UnaryExpr.h:1117-1121)
     flt3 = 'o_orderstatus == "F" and o_orderkey % 2 == 0'
     q3 = client.query("cj", filter=flt3)
-    assert "vbucket" not in q3._jdf.queryExecution().executedPlan().toString()
+    plan3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan3, "indexed leg must keep its posting path"
+    assert "% 2)" in plan3, "residual leg must verify in-plan"
     assert {r.o_orderkey for r in q3.collect()} == scan_ids(flt3)
     # disjunction: OR unions the legs' candidates (both access paths in
     # the plan); mixed legs with an unindexed field fall back
@@ -521,7 +525,8 @@ def test_conjunctive_forindex_dispatch(spark, sf_dir, tmp_path):
     qo2 = client.query("cj", filter=flt_or2)
     assert "vbucket" not in qo2._jdf.queryExecution().executedPlan().toString()
     assert {r.o_orderkey for r in qo2.collect()} == scan_ids(flt_or2)
-    # a stale leg (post-build write, no refresh) falls back too
+    # a stale leg (post-build write, no refresh) serves SEALED + GROWING
+    # (r10): postings keep serving, the new row enters via the delta leg
     client.insert(
         "cj",
         spark.createDataFrame(
@@ -530,8 +535,11 @@ def test_conjunctive_forindex_dispatch(spark, sf_dir, tmp_path):
         ),
     )
     q4 = client.query("cj", filter=flt)
-    assert "vbucket" not in q4._jdf.queryExecution().executedPlan().toString()
-    assert {r.o_orderkey for r in q4.collect()} == scan_ids(flt)
+    plan4 = q4._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan4 and "sbucket" in plan4
+    assert "_ts" in plan4, "expected the ts-pruned growing delta"
+    got4 = {r.o_orderkey for r in q4.collect()}
+    assert got4 == scan_ids(flt) and 9_000_001 in got4
     client.drop_collection("cj")
 
 
@@ -704,3 +712,164 @@ def test_scalar_index_auto_refresh_and_type_refusals(spark, sf_dir, tmp_path):
         client.create_index("tr", "o_totalprice", "INVERTED")
     client.drop_collection("ar")
     client.drop_collection("tr")
+
+
+def test_partial_conjunction_growing_and_residual_exactness(spark, sf_dir, tmp_path):
+    """r10 dispatch-breadth matrix: (a) partial coverage composes with a
+    GROWING delta on the indexed leg; (b) a duplicate range bound demotes
+    to residual instead of poisoning the dispatch; (c) disjunction with
+    stale legs serves sealed+growing; (d) a quoted literal containing
+    ' and ' still falls back (split unsafe)."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    o = _orders(spark, sf_dir).select("o_orderkey", "o_orderstatus", "o_totalprice")
+    client.create_collection("pg", pk_field="o_orderkey")
+    client.insert("pg", o.filter(F.col("o_orderkey") % 5 != 0))
+    client.create_index("pg", "o_orderstatus", "BITMAP")
+    client.create_index("pg", "o_totalprice", "STL_SORT")
+    client.insert("pg", o.filter(F.col("o_orderkey") % 5 == 0))  # growing
+    client.delete("pg", filter="o_orderkey % 97 == 3")  # post-build mask
+
+    def scan_ids(f):
+        base = client._read("pg")
+        return {
+            r.o_orderkey
+            for r in base.filter(compile_expr(f, base.schema)).select("o_orderkey").collect()
+        }
+
+    # (a) indexed-stale leg + residual leg together
+    flt = 'o_orderstatus == "F" and o_orderkey % 2 == 0'
+    q = client.query("pg", filter=flt)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan and "_ts" in plan
+    assert {r.o_orderkey for r in q.collect()} == scan_ids(flt)
+    # (b) duplicate bound: one half folds, the duplicate verifies
+    flt2 = "o_totalprice >= 1000 and o_totalprice >= 2000 and o_totalprice <= 9000"
+    q2 = client.query("pg", filter=flt2)
+    assert "sbucket" in q2._jdf.queryExecution().executedPlan().toString()
+    assert {r.o_orderkey for r in q2.collect()} == scan_ids(flt2)
+    # (c) disjunction over stale legs
+    flt3 = 'o_orderstatus == "P" or o_totalprice >= 95000'
+    q3 = client.query("pg", filter=flt3)
+    plan3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan3 and "sbucket" in plan3 and "_ts" in plan3
+    assert {r.o_orderkey for r in q3.collect()} == scan_ids(flt3)
+    # (d) quoted ' and ' never mis-splits
+    flt4 = 'o_orderstatus == "F and P" and o_totalprice >= 1000'
+    q4 = client.query("pg", filter=flt4)
+    assert "vbucket" not in q4._jdf.queryExecution().executedPlan().toString()
+    assert q4.count() == 0
+    client.drop_collection("pg")
+
+
+def test_text_match_inside_compound_filter(spark, sf_dir, tmp_path):
+    """text_match / phrase_match legs dispatch through the TEXT_MATCH
+    posting index inside conjunctions and disjunctions (r10): results
+    equal the compiled-scan path, tbucket pruning in the plan; a
+    single-term phrase_match leg stays non-indexable (residual)."""
+    from milvus_spark.client import MilvusSparkClient
+    from milvus_spark.plans.expr import compile_expr
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "text", "source", "n_chars")
+    client.create_collection("tc", pk_field="doc_id")
+    client.insert("tc", d)
+    client.create_index("tc", "text", "TEXT_MATCH")
+    client.create_index("tc", "source", "BITMAP")
+
+    def scan_ids(f):
+        base = client._read("tc")
+        return {
+            r.doc_id
+            for r in base.filter(compile_expr(f, base.schema)).select("doc_id").collect()
+        }
+
+    # text leg + residual scalar leg
+    flt = 'text_match(text, "spark merge", 2) and n_chars >= 200'
+    q = client.query("tc", filter=flt)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in plan, "text leg must read pruned postings"
+    assert {r.doc_id for r in q.collect()} == scan_ids(flt)
+    # text leg + indexed scalar leg: both ForIndex paths
+    flt2 = 'text_match(text, "vector") and source == "src3"'
+    q2 = client.query("tc", filter=flt2)
+    plan2 = q2._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in plan2 and "vbucket" in plan2
+    assert {r.doc_id for r in q2.collect()} == scan_ids(flt2)
+    # phrase leg inside a conjunction
+    flt3 = 'phrase_match(text, "merge batch", 1) and n_chars >= 100'
+    q3 = client.query("tc", filter=flt3)
+    assert "tbucket" in q3._jdf.queryExecution().executedPlan().toString()
+    assert {r.doc_id for r in q3.collect()} == scan_ids(flt3)
+    # disjunction with a text leg
+    flt4 = 'text_match(text, "vector") or source == "src9"'
+    q4 = client.query("tc", filter=flt4)
+    plan4 = q4._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in plan4 and "vbucket" in plan4
+    assert {r.doc_id for r in q4.collect()} == scan_ids(flt4)
+    # a single-term phrase has no posting-only answer: residual → the
+    # indexed sibling still prunes, results exact
+    flt5 = 'phrase_match(text, "vector") and source == "src3"'
+    q5 = client.query("tc", filter=flt5)
+    plan5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "vbucket" in plan5 and "tbucket" not in plan5
+    assert {r.doc_id for r in q5.collect()} == scan_ids(flt5)
+    client.drop_collection("tc")
+
+
+def test_fmindex_alias_lifecycle(spark, sf_dir, tmp_path):
+    """FMINDEX (r10 — index_type.go:37, FMIndex.cpp:203-205): builds the
+    TRIE + NGRAM layouts, serves all three FMIndex OpTypes (prefix /
+    inner / postfix LIKE) through them, refresh fans out, drop removes
+    the mapped layouts, and a non-varchar field refuses."""
+    import pytest as _pytest
+
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = _docs(spark, sf_dir).select("doc_id", "text", "n_chars")
+    client.create_collection("fm", pk_field="doc_id")
+    client.insert("fm", d.filter(F.col("doc_id") % 3 != 0))
+    entry = client.create_index("fm", "text", "FMINDEX")
+    assert entry["maps_to"] == ["TRIE", "NGRAM"]
+    assert "text__TRIE" in client.list_indexes("fm")
+    assert "text__NGRAM" in client.list_indexes("fm")
+
+    def ids(flt):
+        return {r.doc_id for r in client.query("fm", filter=flt).collect()}
+
+    base = client._read("fm")
+    for flt, col in [
+        ('text like "merge group%"', F.col("text").startswith("merge group")),
+        ('text like "%hash join%"', F.col("text").contains("hash join")),
+        ('text like "%sort"', F.col("text").endswith("sort")),
+    ]:
+        q = client.query("fm", filter=flt)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        assert ("sbucket" in plan) or ("gbucket" in plan), flt
+        assert ids(flt) == {r.doc_id for r in base.filter(col).collect()}
+    # refresh fans out to both layouts after a write
+    client.insert("fm", d.filter(F.col("doc_id") % 3 == 0))
+    ent = client.refresh_index("fm", "text", "FMINDEX")
+    assert ent["built_ts"] == client._current_ts("fm")
+    assert (
+        client.describe_index("fm", "text", "TRIE")["built_ts"]
+        == client.describe_index("fm", "text", "NGRAM")["built_ts"]
+        == ent["built_ts"]
+    )
+    base = client._read("fm")
+    assert ids('text like "%hash join%"') == {
+        r.doc_id for r in base.filter(F.col("text").contains("hash join")).collect()
+    }
+    # drop removes the alias AND the mapped layouts
+    client.drop_index("fm", "text", "FMINDEX")
+    assert client.list_indexes("fm") == []
+    # refusal: non-varchar field
+    client.create_collection("fm2", pk_field="o_orderkey")
+    client.insert("fm2", _orders(spark, sf_dir).select("o_orderkey", "o_totalprice"))
+    with _pytest.raises(ValueError, match="varchar"):
+        client.create_index("fm2", "o_totalprice", "FMINDEX")
+    client.drop_collection("fm")
+    client.drop_collection("fm2")
