@@ -85,6 +85,15 @@ def main() -> None:
     # measures steady-state query latency, the number Milvus benchmarks
     # report. Cold-start cost is visible as the difference in total wall
     # time and is dominated by one-time index build, not per-query work.
+    # Two alternate regimes were MEASURED AND REJECTED in r10
+    # (BASELINE.md): (a) per-query warm-then-time — isolating rows from
+    # later fixture builds made early rows pay cold-session JIT
+    # (rel_agg_group 0.29->0.66s); (b) a forced System.gc() before each
+    # row's timed passes — total wall degraded 31.0->43.2s. The global-
+    # warmup regime shows no intra-session contamination on an idle
+    # machine (all 34 rows at/near their baselines with the same fixtures
+    # warm) — the r9 flagship-row elevation was machine-level concurrency
+    # during that bench session, not fixture pollution.
     from milvus_spark.session import load_table
 
     for t in ("lineitem", "orders", "embeddings", "documents", "events"):

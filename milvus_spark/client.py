@@ -2340,6 +2340,32 @@ class MilvusSparkClient:
                 .write.mode("overwrite")
                 .parquet(os.path.join(idx_dir, "posting"))
             )
+        elif itype == "SPARSE_WAND":
+            # same posting family served with max-score early termination
+            # (knowhere SPARSE_WAND, common/Types.h:690-693;
+            # operators/sparse_wand.py): postings shard by pk hash into
+            # segment buckets — partitionBy directories, dim-sorted within
+            # — so a query reads only its dims' row groups per live
+            # segment and each segment kernel can stop accumulating
+            # provably-beaten documents
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.sparse_wand import wand_postings
+
+            df = self._read(name)
+            dt = df.schema[field].dataType
+            if not isinstance(dt, T.MapType):
+                raise ValueError(f"SPARSE_WAND needs a map column, got {dt}")
+            n_buckets = int(params.get("n_buckets", 8))
+            (
+                wand_postings(df, field, meta["pk"], n_buckets)
+                .withColumn("_epoch", F.lit(0).cast("long"))
+                .write.mode("overwrite")
+                .partitionBy("sbucket")
+                .parquet(os.path.join(idx_dir, "posting"))
+            )
+            entry["n_buckets"] = n_buckets
+            entry["cur_epoch"] = 0
         elif itype == "LSH":
             # random-hyperplane LSH (the MinHash-LSH / binary-hash index
             # family, index_type.go; operators/lsh.py): sign-bucket the
@@ -2676,7 +2702,7 @@ class MilvusSparkClient:
         if itype not in (
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
-            "HYBRID", "RTREE", "NGRAM",
+            "HYBRID", "RTREE", "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2813,7 +2839,7 @@ class MilvusSparkClient:
             return entry
         if itype in (
             "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "HYBRID", "RTREE",
-            "NGRAM",
+            "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED",
         ):
             # Scalar index family rides the same epoch/version-mask
             # lifecycle as the lexical tier (the reference rebuilds scalar
@@ -2836,7 +2862,8 @@ class MilvusSparkClient:
             packed = eff == "BITMAP"
             art_name = {
                 "INVERTED": "posting", "BITMAP": "posting", "RTREE": "cells",
-                "NGRAM": "posting",
+                "NGRAM": "posting", "SPARSE_WAND": "posting",
+                "SPARSE_INVERTED": "posting",
             }.get(eff, "sorted")
             apath = os.path.join(entry["path"], art_name)
             c = self.spark.read.parquet(apath)
@@ -2912,6 +2939,9 @@ class MilvusSparkClient:
                 indexed_cond = F.col(fld).isNotNull() & (
                     F.length(F.col(fld)) >= int(entry.get("n", 3))
                 )
+            elif eff in ("SPARSE_WAND", "SPARSE_INVERTED"):
+                # only rows with >= 1 non-zero entry produce postings
+                indexed_cond = F.col(fld).isNotNull() & (F.size(F.col(fld)) > 0)
             elif isinstance(df.schema[fld].dataType, T.ArrayType):
                 # array fields index rows with >= 1 non-null element
                 indexed_cond = F.col(fld).isNotNull() & F.exists(
@@ -2957,6 +2987,21 @@ class MilvusSparkClient:
 
                 art = build_ngram_index(new, fld, pk, int(entry.get("n", 3)))
                 part_col = "gbucket"
+            elif eff == "SPARSE_WAND":
+                from milvus_spark.operators.sparse_wand import wand_postings
+
+                art = wand_postings(new, fld, pk, int(entry.get("n_buckets", 8)))
+                part_col = "sbucket"
+            elif eff == "SPARSE_INVERTED":
+                art = (
+                    new.select(
+                        F.col(pk).cast("long").alias("id"),
+                        F.explode(F.col(fld)).alias("dim", "val"),
+                    )
+                    .repartitionByRange(4, "dim")
+                    .sortWithinPartitions("dim")
+                )
+                part_col = None  # the base layout is range-sharded, not hive-partitioned
             elif eff == "INVERTED":
                 art = build_inverted(new, fld, pk)
                 part_col = "vbucket"
@@ -2999,9 +3044,12 @@ class MilvusSparkClient:
                     .select("sbucket", "value", "id")
                 )
                 part_col = "sbucket"
-            art.withColumn("_epoch", F.lit(new_epoch).cast("long")).write.mode(
+            art_w = art.withColumn("_epoch", F.lit(new_epoch).cast("long")).write.mode(
                 "append"
-            ).partitionBy(part_col).parquet(apath)
+            )
+            if part_col is not None:
+                art_w = art_w.partitionBy(part_col)
+            art_w.parquet(apath)
             if entry.get("nulls"):
                 self._write_null_ids(
                     name, fld, entry["path"], pk,
@@ -5868,20 +5916,71 @@ class MilvusSparkClient:
         ``data`` is a list of {dim: weight} query vectors. Scoring is the
         dim-keyed posting join (never densifies): with a fresh
         SPARSE_INVERTED index the posting table is read pre-exploded and
-        dim-sorted (row-group pruning on the query's dims); otherwise the
-        map column is exploded inline — identical results either way, the
-        sealed-index vs brute-force dispatch. ``filter``/``partition_names``
-        pre-filter in search (same contract as dense search): qualifying pks
-        left-semi join the posting scan before scoring."""
+        dim-sorted (row-group pruning on the query's dims); with a fresh
+        SPARSE_WAND index the segment-sharded postings serve through the
+        exact max-score kernel (operators/sparse_wand.py — knowhere's WAND
+        path, common/Types.h:690-693); otherwise the map column is
+        exploded inline — identical results every way, the sealed-index vs
+        brute-force dispatch. An index stale ONLY by post-build writes
+        serves SEALED + GROWING under the shared _servable_delta gate:
+        masked sealed postings plus the ts-pruned delta's exploded rows,
+        the same delegator split every other index family uses.
+        ``filter``/``partition_names`` pre-filter in search (same contract
+        as dense search): qualifying pks left-semi join the posting scan
+        before scoring."""
         meta = self._meta(name)
         pk = meta["pk"]
         partition_names, ns_cond = self._namespace_resolve(
             name, meta, namespace, partition_names
         )
         filter = self._merge_ns_filter(ns_cond, filter)
-        idx = self._fresh_index(name, field, "SPARSE_INVERTED")
-        if idx is not None and not self._expired_ts(meta):
-            posting = self.spark.read.parquet(os.path.join(idx["path"], "posting"))
+        wand_mode = False
+        entry = None
+        delta_df, delta_mask = None, []
+        if not self._expired_ts(meta):
+            entry = self._fresh_index(name, field, "SPARSE_WAND")
+            if entry is not None:
+                wand_mode = True
+            else:
+                entry = self._fresh_index(name, field, "SPARSE_INVERTED")
+            if entry is None:
+                for it in ("SPARSE_WAND", "SPARSE_INVERTED"):
+                    e = meta.get("indexes", {}).get(f"{field}__{it}")
+                    sg = self._servable_delta(name, e)
+                    if sg is not None:
+                        entry, (delta_df, delta_mask) = e, sg
+                        wand_mode = it == "SPARSE_WAND"
+                        break
+        if entry is not None:
+            from milvus_spark.operators.bitset import apply_delete_bitset
+
+            posting = self.spark.read.parquet(os.path.join(entry["path"], "posting"))
+            mask = list(entry.get("masked_pks") or []) + list(delta_mask)
+            posting = apply_delete_bitset(posting, "id", mask)
+            cols = [
+                F.col("id").cast("long").alias("id"),
+                F.col("dim").cast("long").alias("dim"),
+                F.col("val").cast("double").alias("val"),
+            ] + ([F.col("sbucket").cast("int").alias("sbucket")] if wand_mode else [])
+            posting = posting.select(*cols)
+            if delta_df is not None:
+                grow = delta_df.select(
+                    F.col(pk).cast("long").alias("id"),
+                    F.explode(F.col(field)).alias("dim", "val"),
+                ).select(
+                    "id",
+                    F.col("dim").cast("long").alias("dim"),
+                    F.col("val").cast("double").alias("val"),
+                )
+                if wand_mode:
+                    grow = grow.withColumn(
+                        "sbucket",
+                        F.pmod(
+                            F.xxhash64(F.col("id")),
+                            F.lit(int(entry.get("n_buckets", 8))),
+                        ).cast("int"),
+                    )
+                posting = posting.unionByName(grow)
         else:
             posting = self._read(name).select(
                 F.col(pk).alias("id"), F.explode(F.col(field)).alias("dim", "val")
@@ -5894,6 +5993,22 @@ class MilvusSparkClient:
                 )
             keep = base.select(F.col(pk).alias("id"))
             posting = posting.join(keep, "id", "left_semi")
+        if wand_mode:
+            from milvus_spark.operators.sparse_wand import wand_search
+
+            hits = wand_search(
+                posting,
+                [
+                    (int(i), {int(d): float(v) for d, v in qv.items()})
+                    for i, qv in enumerate(data)
+                ],
+                k=int(limit),
+                round_to=4,
+            ).select("qid", F.col("id").alias(pk), "score", "rank")
+            return self._requery(
+                name, hits, meta, output_fields,
+                base=self._scoped_base(name, meta, namespace, partition_names),
+            )
         qrows = [
             (int(qid), int(d), float(v))
             for qid, qv in enumerate(data)

@@ -248,3 +248,167 @@ def cli_fmindex_match(spark: SparkSession, sf: str) -> DataFrame:
     assert "gbucket" in _plan(q_in), "inner must ride the NGRAM postings"
     assert "gbucket" in _plan(q_suf), "suffix must ride the NGRAM postings"
     return q_pre.unionByName(q_in).unionByName(q_suf)
+
+
+# ---------- sparse index tier: SPARSE_WAND + sealed+growing ------------------
+
+_SPARSE_T = 0.15  # same non-zero threshold as vec_sparse_ip's construction
+_SPARSE_NQ = 4
+
+
+def _sparse_map_frame(spark: SparkSession, sf: str) -> DataFrame:
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.map_filter(
+            F.map_from_arrays(F.sequence(F.lit(1), F.size(v)), v),
+            lambda k, x: x > _SPARSE_T,
+        ).alias("sv"),
+    )
+
+
+def _sparse_queries(sv: DataFrame) -> list:
+    return [
+        {int(d): float(x) for d, x in (r["sv"] or {}).items()}
+        for r in sv.filter(F.col("vec_id") < _SPARSE_NQ)
+        .orderBy("vec_id")
+        .collect()
+    ]
+
+
+_SPARSE_ORACLE_NZ = f"""
+    WITH nz AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      WHERE embedding[i] > {_SPARSE_T}
+    ),
+    qnz AS (SELECT vec_id AS qid, dim, val AS qval FROM nz WHERE vec_id < {_SPARSE_NQ})
+"""
+
+
+@register(
+    "cli_sparse_wand_topk",
+    oracle=_SPARSE_ORACLE_NZ
+    + """
+    , scored AS (
+      SELECT q.qid, nz.vec_id, round(sum(nz.val * q.qval), 4) AS score
+      FROM nz JOIN qnz q ON nz.dim = q.dim
+      GROUP BY q.qid, nz.vec_id
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_sparse_wand_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARSE_WAND steady-state serving (r10 — common/Types.h:690-693:
+    SPARSE_WAND is the sparse posting layout served with max-score
+    skipping; operators/sparse_wand.py): the index shards postings by pk
+    hash into segment-bucket directories, dim-sorted within, and the
+    search reads ONLY the query dims' postings per segment — each segment
+    kernel runs exact term-at-a-time max-score with early termination and
+    the partials merge through one ranked window. WAND is EXACT for IP
+    top-k, so the hash must match the brute-force oracle."""
+    client = _client(spark)
+    sv = _sparse_map_frame(spark, sf)
+    client.create_collection("swt", pk_field="vec_id")
+    client.insert("swt", sv)
+    client.create_index("swt", "sv", "SPARSE_WAND", {"n_buckets": 8})
+    out = client.sparse_search(
+        "swt", _sparse_queries(sv), "sv", limit=10
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "In(dim" in plan, "expected the dim-pruned posting artifact scan"
+    assert "sbucket" in plan, "expected the segment-bucket layout"
+    return out
+
+
+@register(
+    "cli_sparse_wand_lifecycle",
+    oracle=_SPARSE_ORACLE_NZ
+    + """
+    , live AS (SELECT * FROM nz WHERE vec_id % 37 != 5),
+    scored AS (
+      SELECT q.qid, l.vec_id, round(sum(l.val * q.qval), 4) AS score
+      FROM live l JOIN qnz q ON l.dim = q.dim
+      GROUP BY q.qid, l.vec_id
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_sparse_wand_lifecycle(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARSE_WAND full lifecycle (r10): build on 2/3 of the corpus, a
+    post-build insert serves SEALED + GROWING (masked postings + the
+    ``_ts``-pruned delta exploded as growing rows, no refresh needed),
+    refresh_index folds the delta into epoch 1, and post-refresh deletes
+    mask at query time — the same epoch/version-mask lifecycle every
+    other index family here rides (refresh_index, client.py). The final
+    search runs with a delete mask over a two-epoch artifact and must
+    hash-match the brute-force oracle over the live corpus."""
+    client = _client(spark)
+    sv = _sparse_map_frame(spark, sf)
+    client.create_collection("swl", pk_field="vec_id")
+    client.insert("swl", sv.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("swl", "sv", "SPARSE_WAND", {"n_buckets": 8})
+    queries = _sparse_queries(sv)
+    # growing delta: served sealed+growing without a refresh
+    client.insert("swl", sv.filter(F.col("vec_id") % 3 == 0))
+    mid = client.sparse_search("swl", queries, "sv", limit=10)
+    plan = _plan(mid)
+    assert "In(dim" in plan, "growing delta dropped the index path"
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
+    # fold into epoch 1, then mask post-refresh deletes at query time
+    entry = client.refresh_index("swl", "sv", "SPARSE_WAND")
+    assert entry["cur_epoch"] == 1
+    client.delete("swl", filter="vec_id % 37 == 5")
+    out = client.sparse_search("swl", queries, "sv", limit=10).select(
+        "qid", "vec_id", "score", "rank"
+    )
+    plan = _plan(out)
+    assert "In(dim" in plan and "sbucket" in plan, "expected the two-epoch WAND artifact"
+    return out
+
+
+@register(
+    "cli_sparse_growing_merge",
+    oracle=_SPARSE_ORACLE_NZ
+    + """
+    , scored AS (
+      SELECT q.qid, nz.vec_id, round(sum(nz.val * q.qval), 4) AS score
+      FROM nz JOIN qnz q ON nz.dim = q.dim
+      GROUP BY q.qid, nz.vec_id
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_sparse_growing_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARSE_INVERTED sealed+growing (r10): a post-build insert no longer
+    drops the dim-keyed posting join back to a full map explode — the
+    sealed posting table (dim-sorted, row-group-pruned on the query dims)
+    unions with the exploded ``_ts``-pruned delta, exactly the delegator's
+    SearchOnSealed + SearchOnGrowing split. Asserted on the plan: the
+    posting artifact AND the delta's _ts prune both present."""
+    client = _client(spark)
+    sv = _sparse_map_frame(spark, sf)
+    client.create_collection("sgm", pk_field="vec_id")
+    client.insert("sgm", sv.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("sgm", "sv", "SPARSE_INVERTED")
+    client.insert("sgm", sv.filter(F.col("vec_id") % 3 == 0))
+    out = client.sparse_search(
+        "sgm", _sparse_queries(sv), "sv", limit=10
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "In(dim" in plan, "growing delta dropped the index path"
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
+    return out

@@ -162,6 +162,11 @@ HINT_ALLOWED: dict[str, int] = {
     # client.GROWING_MASK_LIMIT, so every broadcast stays bounded)
     "cli_scalar_conjunction_partial": 1, "cli_text_compound_filter": 1,
     "cli_scalar_conjunction_growing": 3, "cli_scalar_disjunction_growing": 3,
+    # [life] sparse sealed+growing (r10): the flagged hint is the growing
+    # delta's tombstone anti-join broadcast on Collection.read (verified in
+    # the analyzed plan: Relation[vec_id,_del_ts] — compaction-bounded);
+    # the index's own [pk,bound] mask broadcast is a capped LogicalRDD
+    "cli_sparse_wand_lifecycle": 1,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

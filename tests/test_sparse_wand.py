@@ -1,0 +1,216 @@
+"""SPARSE_WAND (common/Types.h:690-693 — knowhere's WAND search over the
+sparse inverted layout; indexparamcheck sparse_float_vector_base_checker):
+kernel exactness vs brute force, max-score early-termination engagement,
+the distributed segment-partial merge, and the client index lifecycle
+(build → dispatch → sealed+growing → refresh epoch → delete mask)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.sparse_wand import (
+    _segment_topk,
+    wand_postings,
+    wand_search,
+)
+
+
+def _brute(rows, qv, k):
+    sc = {}
+    for i, d, v in rows:
+        if d in qv:
+            sc[i] = sc.get(i, 0.0) + v * qv[d]
+    return sorted(((round(s, 4), i) for i, s in sc.items()), key=lambda t: (-t[0], t[1]))[:k]
+
+
+def test_wand_kernel_exact_fuzz():
+    rng = np.random.default_rng(11)
+    for trial in range(20):
+        ndoc, ndim = int(rng.integers(20, 300)), int(rng.integers(5, 30))
+        rows = []
+        for i in range(ndoc):
+            for d in rng.choice(ndim, int(rng.integers(1, min(ndim, 8) + 1)), replace=False):
+                rows.append((i, int(d), float(rng.random())))
+        pdf = pd.DataFrame(rows, columns=["id", "dim", "val"])
+        qmap = {}
+        for q in range(int(rng.integers(1, 4))):
+            ds = rng.choice(ndim, int(rng.integers(1, min(ndim, 6) + 1)), replace=False)
+            qmap[q] = {int(d): float(rng.random()) for d in ds}
+        k = int(rng.integers(1, 12))
+        got = _segment_topk(pdf, qmap, k, 4)
+        for q, qv in qmap.items():
+            exp = _brute(rows, qv, k)
+            g = got[got.qid == q].sort_values(["score", "id"], ascending=[False, True])
+            assert list(zip(g.score.round(4), g.id)) == exp, (trial, q)
+
+
+def test_wand_early_termination_engages_and_stays_exact():
+    """A skewed query over a dense segment must actually take the
+    candidate-narrowing branch (the point of WAND) AND still return the
+    exact brute-force top-k — pruned postings only ever belong to docs
+    provably outside the rounded top-k."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(4000):
+        for d in range(12):
+            rows.append((i, d, float(rng.random())))
+    pdf = pd.DataFrame(rows, columns=["id", "dim", "val"])
+    qv = {d: float(2.0 ** -d) for d in range(12)}  # steeply skewed impacts
+    stats: dict = {}
+    got = _segment_topk(pdf, {0: qv}, 10, 4, stats=stats)
+    assert stats.get("engaged", 0) >= 1, "early termination never engaged"
+    assert stats.get("rows_skipped", 0) > 0, "no postings were skipped"
+    exp = _brute(rows, qv, 10)
+    g = got.sort_values(["score", "id"], ascending=[False, True])
+    assert list(zip(g.score.round(4), g.id)) == exp
+
+
+def test_wand_search_distributed_merge(spark):
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), int(d), float(rng.random()))
+        for i in range(500)
+        for d in rng.choice(40, 5, replace=False)
+    ]
+    df = spark.createDataFrame(rows, "id long, dim long, val double")
+    post = df.withColumn(
+        "sbucket", F.pmod(F.xxhash64("id"), F.lit(4)).cast("int")
+    )
+    queries = [(0, {1: 0.9, 5: 0.5, 17: 0.2}), (1, {3: 1.0, 4: 0.1})]
+    got = wand_search(post, queries, k=7).orderBy("qid", "rank").collect()
+    for qid, qv in queries:
+        exp = _brute(rows, qv, 7)
+        g = [(round(r.score, 4), r.id) for r in got if r.qid == qid]
+        assert g == exp
+
+
+def test_wand_postings_layout(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(50)
+    v = F.col("embedding").cast("array<double>")
+    sv = e.select(
+        "vec_id",
+        F.map_filter(
+            F.map_from_arrays(F.sequence(F.lit(1), F.size(v)), v),
+            lambda k, x: x > 0.15,
+        ).alias("sv"),
+    )
+    post = wand_postings(sv, "sv", "vec_id", n_buckets=4)
+    assert set(post.columns) == {"id", "dim", "val", "sbucket"}
+    assert post.select("sbucket").distinct().count() <= 4
+    # every (id, dim, val) matches the map content
+    n_map = sv.select(F.sum(F.size("sv"))).first()[0]
+    assert post.count() == n_map
+
+
+def _sparse_frame(spark, sf_dir, n=300):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(
+        F.col("vec_id") < n
+    )
+    v = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        F.map_filter(
+            F.map_from_arrays(F.sequence(F.lit(1), F.size(v)), v),
+            lambda k, x: x > 0.15,
+        ).alias("sv"),
+    )
+
+
+def _expected(client, name, queries, k, exclude=()):
+    rows = [
+        (int(r["vec_id"]), {int(d): float(x) for d, x in (r["sv"] or {}).items()})
+        for r in client._read(name).select("vec_id", "sv").collect()
+        if r["vec_id"] not in exclude
+    ]
+    out = {}
+    for qid, qv in queries:
+        sc = [
+            (round(sum(w * dv.get(d, 0.0) for d, w in qv.items()), 4), i)
+            for i, dv in rows
+            if any(d in dv for d in qv)
+        ]
+        out[qid] = sorted(sc, key=lambda t: (-t[0], t[1]))[:k]
+    return out
+
+
+def test_sparse_wand_client_lifecycle(spark, sf_dir, tmp_path):
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir)
+    client.create_collection("sw", pk_field="vec_id")
+    client.insert("sw", sv)
+    client.create_index("sw", "sv", "SPARSE_WAND", {"n_buckets": 4})
+    queries = [{1: 0.8, 3: 0.4, 7: 0.3}, {2: 1.0}]
+    qlist = list(enumerate(queries))
+
+    def _got():
+        df = client.sparse_search("sw", queries, "sv", limit=5)
+        return df, {
+            qid: [(round(r.score, 4), r.vec_id) for r in df.collect() if r.qid == qid]
+            for qid in (0, 1)
+        }
+
+    df, got = _got()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(dim" in plan and "sbucket" in plan, "search did not read the WAND artifact"
+    exp = _expected(client, "sw", qlist, 5)
+    assert got == exp
+
+    # sealed+growing: post-build insert serves without refresh
+    delta = _sparse_frame(spark, sf_dir, n=340).filter(F.col("vec_id") >= 300)
+    client.insert("sw", delta)
+    df, got = _got()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(dim" in plan and "sbucket" in plan, "growing delta dropped the index path"
+    assert got == _expected(client, "sw", qlist, 5)
+
+    # post-build delete masks at query time
+    victim = got[0][0][1]
+    client.delete("sw", ids=[int(victim)])
+    df, got = _got()
+    assert got == _expected(client, "sw", qlist, 5)
+    assert victim not in [i for _, i in got[0]]
+
+    # refresh folds the delta into a new epoch; still exact, still indexed
+    client.refresh_index("sw", "sv", "SPARSE_WAND")
+    ent = client.describe_index("sw", "sv", "SPARSE_WAND")
+    assert ent["cur_epoch"] == 1 and ent["built_ts"] == client._current_ts("sw")
+    df, got = _got()
+    assert "sbucket" in df._jdf.queryExecution().executedPlan().toString()
+    assert got == _expected(client, "sw", qlist, 5)
+    client.drop_collection("sw")
+
+
+def test_sparse_inverted_growing_merge(spark, sf_dir, tmp_path):
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir)
+    client.create_collection("si", pk_field="vec_id")
+    client.insert("si", sv)
+    client.create_index("si", "sv", "SPARSE_INVERTED")
+    queries = [{1: 0.8, 3: 0.4}]
+    delta = _sparse_frame(spark, sf_dir, n=340).filter(F.col("vec_id") >= 300)
+    client.insert("si", delta)
+    df = client.sparse_search("si", queries, "sv", limit=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "In(dim" in plan, "growing delta dropped the index path"
+    got = [(round(r.score, 4), r.vec_id) for r in df.collect()]
+    assert got == _expected(client, "si", list(enumerate(queries)), 5)[0]
+    client.drop_collection("si")
+
+
+def test_sparse_wand_requires_map(spark, sf_dir, tmp_path):
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(10)
+    client.create_collection("nm", pk_field="vec_id")
+    client.insert("nm", e.select("vec_id", "embedding"))
+    with pytest.raises(ValueError, match="map column"):
+        client.create_index("nm", "embedding", "SPARSE_WAND")
+    client.drop_collection("nm")
