@@ -2330,12 +2330,14 @@ class MilvusSparkClient:
             dt = df.schema[field].dataType
             if not isinstance(dt, T.MapType):
                 raise ValueError(f"SPARSE_INVERTED needs a map column, got {dt}")
+            self._sparse_params(entry, params)
+            post = df.select(
+                F.col(meta["pk"]).alias("id"),
+                F.explode(F.col(field)).alias("dim", "val"),
+            )
+            post = self._sparse_drop_build(entry, post)
             (
-                df.select(
-                    F.col(meta["pk"]).alias("id"),
-                    F.explode(F.col(field)).alias("dim", "val"),
-                )
-                .repartitionByRange(4, "dim")
+                post.repartitionByRange(4, "dim")
                 .sortWithinPartitions("dim")
                 .write.mode("overwrite")
                 .parquet(os.path.join(idx_dir, "posting"))
@@ -2356,10 +2358,13 @@ class MilvusSparkClient:
             dt = df.schema[field].dataType
             if not isinstance(dt, T.MapType):
                 raise ValueError(f"SPARSE_WAND needs a map column, got {dt}")
+            self._sparse_params(entry, params)
             n_buckets = int(params.get("n_buckets", 8))
+            post = self._sparse_drop_build(
+                entry, wand_postings(df, field, meta["pk"], n_buckets)
+            )
             (
-                wand_postings(df, field, meta["pk"], n_buckets)
-                .withColumn("_epoch", F.lit(0).cast("long"))
+                post.withColumn("_epoch", F.lit(0).cast("long"))
                 .write.mode("overwrite")
                 .partitionBy("sbucket")
                 .parquet(os.path.join(idx_dir, "posting"))
@@ -2612,6 +2617,50 @@ class MilvusSparkClient:
         if key not in idx:
             raise KeyError(f"no index {key} on {name}")
         return idx[key]
+
+    # knowhere's sparse-index knobs (indexparamcheck/constraints.go:46-47,82)
+    _SPARSE_ALGOS = (
+        "TAAT_NAIVE", "DAAT_WAND", "DAAT_MAXSCORE",
+        "BLOCK_MAX_MAXSCORE", "BLOCK_MAX_WAND", "SINDI",
+    )
+
+    def _sparse_params(self, entry: dict, params: dict) -> None:
+        """Validate + record the sparse-index build knobs:
+        ``inverted_index_algo`` (constraints.go:82 — the six knowhere
+        scorers; TAAT_NAIVE keeps the dim-keyed posting join, the DAAT /
+        BLOCK_MAX / SINDI family serves through the max-score kernel) and
+        ``drop_ratio_build`` (constraints.go:46 — the smallest fraction of
+        posting VALUES is dropped at build; serving on the slimmed index
+        is deliberately approximate, knowhere's own contract)."""
+        algo = params.get("inverted_index_algo")
+        if algo is not None:
+            if str(algo) not in self._SPARSE_ALGOS:
+                raise ValueError(
+                    f"sparse inverted index algo {algo} not found or not supported"
+                )
+            entry["inverted_index_algo"] = str(algo)
+        ratio = float(params.get("drop_ratio_build", 0) or 0)
+        if not (0.0 <= ratio < 1.0):
+            raise ValueError(
+                f"drop_ratio_build must be in [0, 1), got {ratio}"
+            )
+        if ratio:
+            entry["drop_ratio_build"] = ratio
+
+    def _sparse_drop_build(self, entry: dict, post: DataFrame) -> DataFrame:
+        """Apply drop_ratio_build to a (id, dim, val, ...) posting frame:
+        one exact-percentile aggregate finds the value threshold (knowhere
+        computes the same global quantile over all values at build), the
+        threshold persists in the entry so refresh epochs slim identically."""
+        ratio = entry.get("drop_ratio_build")
+        if not ratio:
+            return post
+        if "drop_threshold" not in entry:
+            thr = post.select(
+                F.expr(f"percentile(val, {float(ratio)})").alias("t")
+            ).first()["t"]
+            entry["drop_threshold"] = float(thr if thr is not None else 0.0)
+        return post.filter(F.col("val") > F.lit(entry["drop_threshold"]))
 
     def drop_index(self, name: str, field: str, index_type: str) -> None:
         self._priv("DropIndex", name)
@@ -2940,8 +2989,16 @@ class MilvusSparkClient:
                     F.length(F.col(fld)) >= int(entry.get("n", 3))
                 )
             elif eff in ("SPARSE_WAND", "SPARSE_INVERTED"):
-                # only rows with >= 1 non-zero entry produce postings
-                indexed_cond = F.col(fld).isNotNull() & (F.size(F.col(fld)) > 0)
+                # only rows with >= 1 surviving entry produce postings
+                # (drop_ratio_build slims values below the build threshold)
+                thr = entry.get("drop_threshold")
+                indexed_cond = F.col(fld).isNotNull() & (
+                    F.size(
+                        F.map_filter(F.col(fld), lambda k, v: v > F.lit(float(thr)))
+                    ) > 0
+                    if thr is not None
+                    else F.size(F.col(fld)) > 0
+                )
             elif isinstance(df.schema[fld].dataType, T.ArrayType):
                 # array fields index rows with >= 1 non-null element
                 indexed_cond = F.col(fld).isNotNull() & F.exists(
@@ -2990,17 +3047,18 @@ class MilvusSparkClient:
             elif eff == "SPARSE_WAND":
                 from milvus_spark.operators.sparse_wand import wand_postings
 
-                art = wand_postings(new, fld, pk, int(entry.get("n_buckets", 8)))
+                art = self._sparse_drop_build(
+                    entry, wand_postings(new, fld, pk, int(entry.get("n_buckets", 8)))
+                )
                 part_col = "sbucket"
             elif eff == "SPARSE_INVERTED":
-                art = (
+                art = self._sparse_drop_build(
+                    entry,
                     new.select(
                         F.col(pk).cast("long").alias("id"),
                         F.explode(F.col(fld)).alias("dim", "val"),
-                    )
-                    .repartitionByRange(4, "dim")
-                    .sortWithinPartitions("dim")
-                )
+                    ),
+                ).repartitionByRange(4, "dim").sortWithinPartitions("dim")
                 part_col = None  # the base layout is range-sharded, not hive-partitioned
             elif eff == "INVERTED":
                 art = build_inverted(new, fld, pk)
@@ -5934,14 +5992,11 @@ class MilvusSparkClient:
             name, meta, namespace, partition_names
         )
         filter = self._merge_ns_filter(ns_cond, filter)
-        wand_mode = False
         entry = None
         delta_df, delta_mask = None, []
         if not self._expired_ts(meta):
             entry = self._fresh_index(name, field, "SPARSE_WAND")
-            if entry is not None:
-                wand_mode = True
-            else:
+            if entry is None:
                 entry = self._fresh_index(name, field, "SPARSE_INVERTED")
             if entry is None:
                 for it in ("SPARSE_WAND", "SPARSE_INVERTED"):
@@ -5949,11 +6004,21 @@ class MilvusSparkClient:
                     sg = self._servable_delta(name, e)
                     if sg is not None:
                         entry, (delta_df, delta_mask) = e, sg
-                        wand_mode = it == "SPARSE_WAND"
                         break
+        wand_mode, has_bucket = False, False
         if entry is not None:
             from milvus_spark.operators.bitset import apply_delete_bitset
 
+            # the scorer follows inverted_index_algo (constraints.go:82):
+            # TAAT_NAIVE keeps the dim-keyed posting join; the DAAT /
+            # BLOCK_MAX / SINDI family serves through the max-score kernel
+            # (each is a max-score variant — this engine's per-segment
+            # early-termination kernel is the shared exact implementation)
+            has_bucket = entry["index_type"] == "SPARSE_WAND"
+            algo = entry.get("inverted_index_algo") or (
+                "DAAT_MAXSCORE" if has_bucket else "TAAT_NAIVE"
+            )
+            wand_mode = algo != "TAAT_NAIVE"
             posting = self.spark.read.parquet(os.path.join(entry["path"], "posting"))
             mask = list(entry.get("masked_pks") or []) + list(delta_mask)
             posting = apply_delete_bitset(posting, "id", mask)
@@ -5961,8 +6026,14 @@ class MilvusSparkClient:
                 F.col("id").cast("long").alias("id"),
                 F.col("dim").cast("long").alias("dim"),
                 F.col("val").cast("double").alias("val"),
-            ] + ([F.col("sbucket").cast("int").alias("sbucket")] if wand_mode else [])
+            ] + ([F.col("sbucket").cast("int").alias("sbucket")] if has_bucket else [])
             posting = posting.select(*cols)
+            if wand_mode and not has_bucket:
+                # inverted layout served by a DAAT scorer: synthesize the
+                # segment sharding the kernel groups on
+                posting = posting.withColumn(
+                    "sbucket", F.pmod(F.xxhash64(F.col("id")), F.lit(8)).cast("int")
+                )
             if delta_df is not None:
                 grow = delta_df.select(
                     F.col(pk).cast("long").alias("id"),
@@ -5977,7 +6048,7 @@ class MilvusSparkClient:
                         "sbucket",
                         F.pmod(
                             F.xxhash64(F.col("id")),
-                            F.lit(int(entry.get("n_buckets", 8))),
+                            F.lit(int(entry.get("n_buckets", 8)) if has_bucket else 8),
                         ).cast("int"),
                     )
                 posting = posting.unionByName(grow)

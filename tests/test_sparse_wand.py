@@ -214,3 +214,81 @@ def test_sparse_wand_requires_map(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="map column"):
         client.create_index("nm", "embedding", "SPARSE_WAND")
     client.drop_collection("nm")
+
+
+def test_sparse_algo_param_dispatch(spark, sf_dir, tmp_path):
+    """inverted_index_algo (constraints.go:82): TAAT_NAIVE on a WAND
+    layout keeps the dim-keyed posting join; DAAT_MAXSCORE on an INVERTED
+    layout serves through the max-score kernel (synthetic segment
+    sharding) — all four combinations exact, invalid algo refuses with
+    the reference's message."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir, n=200)
+    queries = [{1: 0.8, 3: 0.4}]
+    exp = None
+    for cname, itype, algo, kernel in [
+        ("a1", "SPARSE_WAND", "TAAT_NAIVE", False),
+        ("a2", "SPARSE_INVERTED", "DAAT_MAXSCORE", True),
+        ("a3", "SPARSE_INVERTED", "BLOCK_MAX_WAND", True),
+    ]:
+        client.create_collection(cname, pk_field="vec_id")
+        client.insert(cname, sv)
+        client.create_index(cname, "sv", itype, {"inverted_index_algo": algo})
+        df = client.sparse_search(cname, queries, "sv", limit=5)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert ("FlatMapGroupsInPandas" in plan) == kernel, (cname, algo)
+        got = [(round(r.score, 4), r.vec_id) for r in df.collect()]
+        if exp is None:
+            exp = _expected(client, cname, list(enumerate(queries)), 5)[0]
+        assert got == exp, (cname, algo)
+        client.drop_collection(cname)
+    client.create_collection("bad", pk_field="vec_id")
+    client.insert("bad", sv)
+    with pytest.raises(ValueError, match="not found or not supported"):
+        client.create_index("bad", "sv", "SPARSE_WAND", {"inverted_index_algo": "X"})
+    client.drop_collection("bad")
+
+
+def test_sparse_drop_ratio_build(spark, sf_dir, tmp_path):
+    """drop_ratio_build (constraints.go:46): the smallest fraction of
+    posting VALUES drops at build — the artifact slims by ~the ratio,
+    serving returns exactly the top-k over the SLIMMED postings (the
+    knowhere contract: approximation enters via the slimming, the scorer
+    stays exact), and refresh epochs slim at the SAME threshold."""
+    import os
+
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir, n=200)
+    client.create_collection("dr", pk_field="vec_id")
+    client.insert("dr", sv.filter(F.col("vec_id") % 2 == 0))
+    ent = client.create_index("dr", "sv", "SPARSE_WAND", {"drop_ratio_build": 0.5})
+    thr = ent["drop_threshold"]
+    assert thr > 0.15  # above the map's own non-zero floor
+    post = spark.read.parquet(os.path.join(ent["path"], "posting"))
+    full = sv.filter(F.col("vec_id") % 2 == 0).select(F.sum(F.size("sv"))).first()[0]
+    kept = post.count()
+    assert 0.3 * full < kept < 0.7 * full, (kept, full)
+    assert post.select(F.min("val")).first()[0] > thr
+    # refresh epoch slims at the same threshold
+    client.insert("dr", sv.filter(F.col("vec_id") % 2 == 1))
+    client.refresh_index("dr", "sv", "SPARSE_WAND")
+    post = spark.read.parquet(os.path.join(ent["path"], "posting"))
+    assert post.select(F.min("val")).first()[0] > thr
+    # serving = exact top-k over the slimmed postings
+    queries = [{1: 0.8, 3: 0.4, 7: 0.3}]
+    got = [
+        (round(r.score, 4), r.vec_id)
+        for r in client.sparse_search("dr", queries, "sv", limit=5).collect()
+    ]
+    rows = [
+        (int(r["id"]), int(r["dim"]), float(r["val"]))
+        for r in post.select("id", "dim", "val").collect()
+    ]
+    assert got == _brute(rows, queries[0], 5)
+    with pytest.raises(ValueError, match="drop_ratio_build"):
+        client.create_index("dr", "sv", "SPARSE_INVERTED", {"drop_ratio_build": 1.0})
+    client.drop_collection("dr")
