@@ -4883,7 +4883,7 @@ class MilvusSparkClient:
             entry = self._fresh_index(name, field, "TEXT_MATCH")
             if entry is not None:
                 from milvus_spark.operators.bitset import apply_delete_bitset
-                from milvus_spark.operators.text_index import bm25_topk_postings
+                from milvus_spark.operators.text_index import bm25_topk_wand
 
                 terms = [w for w in query.lower().split() if w]
                 postings = self.spark.read.parquet(
@@ -4895,7 +4895,11 @@ class MilvusSparkClient:
                 mask = entry.get("masked_pks")
                 postings = apply_delete_bitset(postings, "id", mask)
                 doclens = apply_delete_bitset(doclens, "id", mask)
-                return bm25_topk_postings(
+                # served through the max-score kernel — the reference's
+                # shape (BM25 is a sparse metric riding the WAND index
+                # family); results hash-identical to the groupBy plan,
+                # but only n_segments x k rows ever shuffle
+                return bm25_topk_wand(
                     postings, doclens, terms, k=limit
                 ).select(F.col("id").alias(meta["pk"]), "score", "rank")
         base = self._scoped_base(name, meta, namespace, None)

@@ -186,3 +186,61 @@ def bm25_topk_postings(
     )
     w = W.partitionBy(F.lit(0)).orderBy(F.col("score").desc(), F.col("id").asc())
     return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def bm25_topk_wand(
+    postings: DataFrame,
+    doclens: DataFrame,
+    terms: list[str],
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """BM25 top-k through the max-score kernel — the reference's actual
+    serving shape (BM25 is a sparse-vector metric served by the
+    SPARSE_INVERTED/WAND index family: common/Types.h:699 lists BM25
+    among the float metrics, bm25_function.go produces the tf vectors the
+    index ingests). Each posting's full BM25 contribution
+    ``idf(term) * tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))`` is a pure COLUMN
+    over the stored (tf, dl) plus two broadcast stats, so BM25 reduces to
+    an exact IP top-k with unit query weights over term dims — served by
+    the same per-segment early-termination kernel as SPARSE_WAND
+    (operators/sparse_wand.py). vs the groupBy(id) plan: nothing but
+    n_segments x k rows ever shuffle, and within a segment the kernel
+    stops accumulating documents that provably cannot reach the top-k
+    (idf skew makes rare terms high-impact, the classic WAND win).
+    Same rounding/tie-break contract as bm25_topk_postings — results are
+    hash-identical."""
+    from milvus_spark.operators.sparse_wand import wand_search
+
+    stats = doclens.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    )
+    p = read_term_postings(postings, terms).select("term", "id", "tf", "dl")
+    dfreq = p.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1 + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    tf_norm = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    dim_of = {t: i for i, t in enumerate(sorted(set(terms)))}
+    dim_map = F.create_map(
+        *[x for t, i in dim_of.items() for x in (F.lit(t), F.lit(i))]
+    )
+    contrib = (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            F.col("id").cast("long").alias("id"),
+            dim_map[F.col("term")].cast("long").alias("dim"),
+            (idf * tf_norm).cast("double").alias("val"),
+        )
+        .withColumn(
+            "sbucket",
+            F.pmod(F.xxhash64(F.col("id")), F.lit(int(n_buckets))).cast("int"),
+        )
+    )
+    hits = wand_search(
+        contrib, [(0, {i: 1.0 for i in dim_of.values()})], k=int(k)
+    )
+    return hits.select("id", "score", "rank")

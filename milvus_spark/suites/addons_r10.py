@@ -412,3 +412,66 @@ def cli_sparse_growing_merge(spark: SparkSession, sf: str) -> DataFrame:
     assert "In(dim" in plan, "growing delta dropped the index path"
     assert "_ts" in plan, "expected the ts-pruned growing delta"
     return out
+
+
+# ---------- BM25 through the max-score kernel --------------------------------
+
+from milvus_spark.operators.text import TOKENS_SQL  # noqa: E402
+
+_TOKS = TOKENS_SQL.format(col="text")
+_BM25_TERMS = ["spark", "merge", "vector", "group"]
+_BM25_TERMS_SQL = "[" + ", ".join(f"'{t}'" for t in _BM25_TERMS) + "]"
+
+
+@register(
+    "cli_bm25_maxscore",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE list_contains({_BM25_TERMS_SQL}, tok)
+      GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+    scored AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * p.tf * (1.2 + 1)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS bm25
+      FROM posting p
+      JOIN dfq ON p.tok = dfq.tok
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(bm25, 4) AS score,
+           CAST(row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 12
+    """,
+)
+def cli_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 served through the max-score kernel (r10 — the reference's
+    actual shape: BM25 is a sparse-vector metric riding the
+    SPARSE_INVERTED/WAND index family, common/Types.h:699 +
+    bm25_function.go). Each stored posting's full BM25 contribution is a
+    pure column (tf, dl + two broadcast stats), so scoring reduces to an
+    exact IP top-k over term dims — the same per-segment
+    early-termination kernel as SPARSE_WAND, shuffling only
+    n_segments x k rows instead of grouping every matching document.
+    `client.text_search` dispatches through it whenever the stored-tf
+    posting index is fresh; hash must match the from-scratch BM25 oracle
+    (WAND/max-score is EXACT)."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    client.create_collection("bmx", pk_field="doc_id")
+    client.insert("bmx", d)
+    client.create_index("bmx", "text", "TEXT_MATCH")
+    out = client.text_search("bmx", "text", "spark merge vector group", limit=12)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, "expected the max-score kernel"
+    assert "In(term" in plan, "expected the term-pruned posting read"
+    return out

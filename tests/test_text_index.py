@@ -343,3 +343,31 @@ def test_text_index_sealed_growing_serving(spark, sf_dir, tmp_path):
     assert "tbucket" not in plan()
     assert ids() == scan_ids()
     client.drop_collection("sgt")
+
+
+def test_bm25_wand_equals_groupby_plan(spark, sf_dir):
+    """bm25_topk_wand (the max-score kernel path the client serves) must
+    be row-identical to bm25_topk_postings (the groupBy plan) — WAND is
+    exact; only the shuffle topology differs."""
+    from milvus_spark.operators.text_index import (
+        bm25_topk_postings,
+        bm25_topk_wand,
+        build_text_postings,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    postings, doclens = build_text_postings(d, "text", "doc_id")
+    for terms in (["spark", "merge", "vector"], ["group"], ["spark", "zzz_absent"]):
+        a = [
+            (r.id, r.score, r.rank)
+            for r in bm25_topk_postings(postings, doclens, terms, k=12)
+            .orderBy("rank")
+            .collect()
+        ]
+        b = [
+            (r.id, r.score, r.rank)
+            for r in bm25_topk_wand(postings, doclens, terms, k=12)
+            .orderBy("rank")
+            .collect()
+        ]
+        assert a == b and a, terms
