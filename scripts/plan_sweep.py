@@ -59,6 +59,8 @@ BNLJ_ALLOWED = {
     # same one-row N/avgdl stats cross as fts_bm25_topk, now read from the
     # posting index's doclens table (r9 stored-tf BM25)
     "cli_bm25_stored_tf": 1,
+    # same one-row stats cross feeding the max-score kernel (r10)
+    "cli_bm25_maxscore": 1,
     "cur_source_mix": 1,
     "cur_lm_quality_score": 1,
     # K-centroid / stats broadcast printed on both pair-join sides pre-AQE;
