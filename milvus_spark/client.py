@@ -4881,9 +4881,22 @@ class MilvusSparkClient:
             and not meta.get("external_path") and not self._expired_ts(meta)
         ):
             entry = self._fresh_index(name, field, "TEXT_MATCH")
+            delta_df, delta_mask = None, []
+            if entry is None:
+                # stale ONLY by post-build writes: serve SEALED + GROWING —
+                # masked stored-tf postings plus the ts-pruned delta
+                # tokenized inline (ingest-batch-sized work), the same
+                # delegator split text_match candidates already ride
+                e = meta.get("indexes", {}).get(f"{field}__TEXT_MATCH")
+                sg = self._servable_delta(name, e)
+                if sg is not None:
+                    entry, (delta_df, delta_mask) = e, sg
             if entry is not None:
                 from milvus_spark.operators.bitset import apply_delete_bitset
-                from milvus_spark.operators.text_index import bm25_topk_wand
+                from milvus_spark.operators.text_index import (
+                    bm25_topk_wand,
+                    build_text_postings,
+                )
 
                 terms = [w for w in query.lower().split() if w]
                 postings = self.spark.read.parquet(
@@ -4892,9 +4905,19 @@ class MilvusSparkClient:
                 doclens = self.spark.read.parquet(
                     os.path.join(entry["path"], "doclens")
                 )
-                mask = entry.get("masked_pks")
+                mask = list(entry.get("masked_pks") or []) + list(delta_mask)
                 postings = apply_delete_bitset(postings, "id", mask)
                 doclens = apply_delete_bitset(doclens, "id", mask)
+                if delta_df is not None:
+                    gp, gdl = build_text_postings(delta_df, field, meta["pk"])
+                    postings = postings.select(
+                        "term", "id", "positions", "tf", "dl", "tbucket"
+                    ).unionByName(
+                        gp.select("term", "id", "positions", "tf", "dl", "tbucket")
+                    )
+                    doclens = doclens.select("id", "dl").unionByName(
+                        gdl.select("id", "dl")
+                    )
                 # served through the max-score kernel — the reference's
                 # shape (BM25 is a sparse metric riding the WAND index
                 # family); results hash-identical to the groupBy plan,

@@ -475,3 +475,58 @@ def cli_bm25_maxscore(spark: SparkSession, sf: str) -> DataFrame:
     assert "FlatMapGroupsInPandas" in plan, "expected the max-score kernel"
     assert "In(term" in plan, "expected the term-pruned posting read"
     return out
+
+
+@register(
+    "cli_bm25_growing",
+    oracle=f"""
+    WITH vis AS (SELECT doc_id, text FROM documents WHERE doc_id % 41 != 7),
+    t AS (SELECT doc_id, {_TOKS} AS toks FROM vis),
+    dl AS (SELECT doc_id, len(toks) AS dl FROM t),
+    stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM dl),
+    posting AS (
+      SELECT doc_id, tok, count(*) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t)
+      WHERE list_contains(['spark', 'merge', 'vector'], tok)
+      GROUP BY doc_id, tok
+    ),
+    dfq AS (SELECT tok, count(*) AS df FROM posting GROUP BY tok),
+    scored AS (
+      SELECT p.doc_id,
+             sum(ln(1 + (s.n - dfq.df + 0.5) / (dfq.df + 0.5))
+                 * p.tf * (1.2 + 1)
+                 / (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / s.avgdl))) AS bm25
+      FROM posting p
+      JOIN dfq ON p.tok = dfq.tok
+      JOIN dl d ON p.doc_id = d.doc_id
+      CROSS JOIN stats s
+      GROUP BY p.doc_id
+    )
+    SELECT doc_id, round(bm25, 4) AS score,
+           CAST(row_number() OVER (ORDER BY round(bm25, 4) DESC, doc_id) AS BIGINT) AS rank
+    FROM scored
+    QUALIFY rank <= 10
+    """,
+)
+def cli_bm25_growing(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 SEALED + GROWING (r10): a post-build insert no longer drops
+    text_search to the corpus scan — the masked stored-tf postings union
+    the ts-pruned delta's inline-tokenized postings (ingest-batch-sized
+    work; BM25 stats stay collection-global over the live doclens), all
+    served through the max-score kernel; a post-build delete masks at
+    query time. Hash must match the from-scratch BM25 oracle over the
+    final visible corpus."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    client.create_collection("bgr", pk_field="doc_id")
+    client.insert("bgr", d.filter(F.col("doc_id") % 3 != 0))
+    client.create_index("bgr", "text", "TEXT_MATCH")
+    client.insert("bgr", d.filter(F.col("doc_id") % 3 == 0))
+    client.delete("bgr", filter="doc_id % 41 == 7")
+    stale = client.describe_index("bgr", "text", "TEXT_MATCH")
+    assert stale["built_ts"] < client._current_ts("bgr"), "index must be stale"
+    out = client.text_search("bgr", "text", "spark merge vector", limit=10)
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, "expected the max-score kernel"
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
+    return out

@@ -59,8 +59,10 @@ BNLJ_ALLOWED = {
     # same one-row N/avgdl stats cross as fts_bm25_topk, now read from the
     # posting index's doclens table (r9 stored-tf BM25)
     "cli_bm25_stored_tf": 1,
-    # same one-row stats cross feeding the max-score kernel (r10)
-    "cli_bm25_maxscore": 1,
+    # same one-row stats cross feeding the max-score kernel (r10); the
+    # growing variant's extra broadcast is the [life] tombstone anti-join
+    # on the delta read, audited under HINT_ALLOWED below
+    "cli_bm25_maxscore": 1, "cli_bm25_growing": 1,
     "cur_source_mix": 1,
     "cur_lm_quality_score": 1,
     # K-centroid / stats broadcast printed on both pair-join sides pre-AQE;
@@ -169,6 +171,11 @@ HINT_ALLOWED: dict[str, int] = {
     # the analyzed plan: Relation[vec_id,_del_ts] — compaction-bounded);
     # the index's own [pk,bound] mask broadcast is a capped LogicalRDD
     "cli_sparse_wand_lifecycle": 1,
+    # [life] BM25 sealed+growing (r10): the SAME tombstone anti-join
+    # broadcast appears three times because the delta frame feeds the
+    # growing postings, the growing doclens, and the visible base — one
+    # bounded frame, three analyzed-plan subtrees
+    "cli_bm25_growing": 3,
     # PQ variant adds the [idx] shortlist requery broadcast (same bounded
     # shape vec_pq_refine is allowed) on top of two [life] tombstone
     # anti-joins (delta read + requery base read)

@@ -371,3 +371,43 @@ def test_bm25_wand_equals_groupby_plan(spark, sf_dir):
             .collect()
         ]
         assert a == b and a, terms
+
+
+def test_text_search_sealed_growing(spark, sf_dir, tmp_path):
+    """BM25 text_search with an index stale only by post-build writes
+    serves SEALED + GROWING (masked stored-tf postings + the ts-pruned
+    delta tokenized inline) instead of dropping to the corpus scan; a
+    post-build delete masks at query time."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    client.create_collection("tsg", pk_field="doc_id")
+    client.insert("tsg", d.filter(F.col("doc_id") % 3 != 0))
+    client.create_index("tsg", "text", "TEXT_MATCH")
+    client.insert("tsg", d.filter(F.col("doc_id") % 3 == 0))
+    df = client.text_search("tsg", "text", "spark merge vector", limit=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, "growing delta dropped the kernel path"
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
+    got = [(r.doc_id, r.score, r.rank) for r in df.orderBy("rank").collect()]
+    # scan-path recompute over the full visible corpus is the truth
+    from milvus_spark.operators.text_index import bm25_topk_postings, build_text_postings
+
+    p, dl = build_text_postings(client._read("tsg"), "text", "doc_id")
+    want = [
+        (r.id, r.score, r.rank)
+        for r in bm25_topk_postings(p, dl, ["spark", "merge", "vector"], k=10)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == want and got
+    # post-build delete of the top hit masks at query time
+    victim = got[0][0]
+    client.delete("tsg", ids=[int(victim)])
+    got2 = [
+        r.doc_id
+        for r in client.text_search("tsg", "text", "spark merge vector", limit=10).collect()
+    ]
+    assert victim not in got2 and got2
+    client.drop_collection("tsg")
