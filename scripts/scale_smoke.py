@@ -57,6 +57,8 @@ HEAVY = [
     "cli_scalar_sort_range",  # r9: full scalar-index lifecycle (build+refresh+serve)
     "cli_geo_rtree_within",   # r9: full RTREE lifecycle (build+refresh+serve)
     "mm_avi_frame_sample",    # r9: MJPEG-AVI demux + frame decode, map-side only
+    "cli_sparse_wand_topk",   # r10: SPARSE_WAND max-score serving (full lifecycle)
+    "cli_bm25_maxscore",      # r10: BM25 through the max-score kernel
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds
