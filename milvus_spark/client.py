@@ -5089,6 +5089,121 @@ class MilvusSparkClient:
         ).count()
 
     # -------------------------------------------------------------- search
+    def _hnsw_grouping(
+        self,
+        name: str,
+        meta: dict,
+        vfield: str,
+        data,
+        metric_type,
+        limit: int,
+        group_size: int,
+        strict_group_size: bool,
+        group_col: str,
+        filter,
+        params,
+        partition_names,
+        search_params,
+        radius,
+        range_filter,
+        as_of,
+        round_decimal: int,
+    ) -> Optional[DataFrame]:
+        """Grouping search THROUGH the graph (SearchGroupByOperator.cpp
+        runs GroupBy over the INDEX's candidate iterator, not a brute
+        scan): the per-segment beams oversample to 4x the group budget
+        (limit x group_size), the bounded candidate set broadcasts onto
+        the collection to fetch the group column, and the shared
+        delegator-side grouping merge ranks groups exactly as the
+        brute-force kernel does. Approximate with production beams (the
+        ANN contract); EXACT with an explicit exhaustive ef — the same
+        regime every other graph-served oracle rides. Returns None when
+        the graph can't serve (no fresh index, range/as-of/external,
+        metric mismatch) — the caller falls back to the exact scan."""
+        idx = self._fresh_index(name, vfield, "HNSW")
+        if (
+            idx is None or radius is not None or range_filter is not None
+            or as_of is not None or meta.get("external_path")
+            or self._expired_ts(meta)
+            or meta["metric"] not in ("COSINE", "L2", "IP")
+            or (metric_type is not None and metric_type != meta["metric"])
+            or (meta["metric"] == "IP" and "mips_m2" not in idx)
+        ):
+            return None
+        import numpy as np
+
+        from milvus_spark.operators.hnsw import hnsw_search
+        from milvus_spark.operators.knn import grouping_merge, metric_ascending
+
+        met = metric_type or meta["metric"]
+        g = self._read_graph(os.path.join(idx["path"], "graph"))
+        sp = search_params or {}
+        ef = int(sp.get("ef", sp.get("search_list", 64)))
+        ef_adaptive = "ef" not in sp and "search_list" not in sp
+        budget = int(limit) * int(group_size)
+        cand_k = max(ef, budget * 4)
+        qs = [list(map(float, v)) for v in data]
+        qn2 = [float(np.dot(q, q)) for q in qs]
+        if met == "COSINE":
+            qs = [
+                (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist() for q in qs
+            ]
+        elif met == "IP":
+            qs = [q + [0.0] for q in qs]
+        matches = None
+        if filter or partition_names:
+            base_f = self._partition_filter(self._read(name), partition_names)
+            if filter:
+                base_f = base_f.filter(
+                    compile_expr(
+                        filter, base_f.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                )
+            matches = base_f.select(meta["pk"])
+        raw = hnsw_search(
+            g,
+            qs,
+            ef=max(ef, cand_k),
+            k=cand_k,
+            matches=matches,
+            n_partitions=int(idx.get("n_partitions", 8)),
+            epochs=idx.get("epochs"),
+            excluded=list(idx.get("masked_pks") or []) or None,
+            adaptive=ef_adaptive,
+        )
+        rt = 12 if round_decimal == -1 else int(round_decimal)
+        if met == "COSINE":
+            score = F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
+        elif met == "IP":
+            m2 = float(idx.get("mips_m2", 0.0))
+            qmap = F.create_map(
+                *[x for i, n2v in enumerate(qn2) for x in (F.lit(i), F.lit(n2v))]
+            )
+            score = (
+                F.round(
+                    (F.lit(m2) + qmap[F.col("qid")] - F.col("sqdist")) / 2.0, rt
+                )
+                + F.lit(0.0)
+            )
+        else:
+            score = F.round(F.col("sqdist"), rt) + F.lit(0.0)
+        pk = meta["pk"]
+        cands = raw.select("qid", F.col("id").alias(pk), score.alias("score"))
+        base = self._partition_filter(self._read(name), partition_names)
+        # no forced broadcast: production candidates are nq x (4 x limit x
+        # group_size) rows, but the exhaustive-ef oracle regime makes this
+        # nq x corpus — AQE sizes the join per regime
+        partial = (
+            base.select(pk, group_col)
+            .join(cands, pk)
+            .select("qid", pk, group_col, "score")
+        )
+        gtype = dict(base.select(group_col).dtypes)[group_col]
+        return grouping_merge(
+            partial, pk, group_col, gtype, metric_ascending(met),
+            int(limit), int(group_size), bool(strict_group_size),
+        )
+
     def search(
         self,
         name: str,
@@ -5394,31 +5509,41 @@ class MilvusSparkClient:
                 "on struct array vector sub-fields"
             )
         if group_by_field is not None:
-            from milvus_spark.operators.knn import grouping_search
-
-            gdf = self._partition_filter(
-                self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
-                partition_names,
-            )
-            if filter:
-                gdf = gdf.filter(
-                    compile_expr(filter, gdf.schema, params, dynamic_field=self._dyn(meta))
-                )
-            hits = grouping_search(
-                gdf,
-                [(i, list(map(float, v))) for i, v in enumerate(data)],
-                vec_col=vfield,
-                pk_col=meta["pk"],
-                group_col=group_by_field,
-                metric=metric_type or meta["metric"],
-                limit=limit,
-                group_size=int(group_size),
-                round_to=12 if round_decimal == -1 else int(round_decimal),
-                strict_group_size=bool(strict_group_size),
-            )
             if ranker:
                 # a flat rerank would break the per-group quota structure
                 raise ValueError("ranker cannot be combined with group_by_field")
+            # GroupBy rides the graph when one can serve exactly the
+            # regimes the plain top-k graph path serves; otherwise the
+            # exact brute-force grouping kernel
+            hits = self._hnsw_grouping(
+                name, meta, vfield, data, metric_type, limit, group_size,
+                strict_group_size, group_by_field, filter, params,
+                partition_names, search_params, radius, range_filter,
+                as_of, round_decimal,
+            )
+            if hits is None:
+                from milvus_spark.operators.knn import grouping_search
+
+                gdf = self._partition_filter(
+                    self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+                    partition_names,
+                )
+                if filter:
+                    gdf = gdf.filter(
+                        compile_expr(filter, gdf.schema, params, dynamic_field=self._dyn(meta))
+                    )
+                hits = grouping_search(
+                    gdf,
+                    [(i, list(map(float, v))) for i, v in enumerate(data)],
+                    vec_col=vfield,
+                    pk_col=meta["pk"],
+                    group_col=group_by_field,
+                    metric=metric_type or meta["metric"],
+                    limit=limit,
+                    group_size=int(group_size),
+                    round_to=12 if round_decimal == -1 else int(round_decimal),
+                    strict_group_size=bool(strict_group_size),
+                )
             return self._requery(name, hits, meta, output_fields, base=req_base)
         idx = next(
             (

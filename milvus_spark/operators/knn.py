@@ -319,11 +319,31 @@ def grouping_search(
     # internal/querynodev2/segments/result.go). Input per qid is bounded
     # by num_batches × groups_per_batch × group_size — the same merge
     # fan-in the reference's proxy holds — so the single-task finalize is
-    # scale-safe wherever the reference's merge is. Semantics identical to
-    # the window chain: within-group order (score directed, pk asc), group
-    # rank by (best hit's score directed, group asc), strict mode drops
-    # groups that can't fill group_size slots.
-    lim = int(limit)
+    # scale-safe wherever the reference's merge is.
+    return grouping_merge(
+        partial, pk_col, group_col, gtype, asc, limit, group_size,
+        strict_group_size,
+    )
+
+
+def grouping_merge(
+    partial: DataFrame,
+    pk_col: str,
+    group_col: str,
+    gtype: str,
+    asc: bool,
+    limit: int,
+    group_size: int,
+    strict_group_size: bool = False,
+) -> DataFrame:
+    """The delegator-side grouping merge, shared by the brute-force kernel
+    and the graph-served path: ``partial`` is any bounded candidate frame
+    (qid, pk, group, score). Semantics identical to the reference's reduce
+    (SearchGroupByOperator.cpp): within-group order (score directed, pk
+    asc), group rank by (best hit's score directed, group asc), strict
+    mode drops groups that can't fill group_size slots."""
+    pk, gc = pk_col, group_col
+    gsize, lim = int(group_size), int(limit)
     strict = bool(strict_group_size)
 
     def finalize(pdf: pd.DataFrame) -> pd.DataFrame:

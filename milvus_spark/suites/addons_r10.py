@@ -530,3 +530,60 @@ def cli_bm25_growing(spark: SparkSession, sf: str) -> DataFrame:
     assert "FlatMapGroupsInPandas" in plan, "expected the max-score kernel"
     assert "_ts" in plan, "expected the ts-pruned growing delta"
     return out
+
+
+@register(
+    "cli_hnsw_grouping",
+    oracle="""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM embeddings e, q
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, label, score,
+               row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2
+    ),
+    best AS (SELECT qid, label, max(score) AS best_score FROM kept GROUP BY qid, label),
+    topg AS (
+      SELECT * FROM (
+        SELECT qid, label,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY best_score DESC, label) AS BIGINT) AS grank
+        FROM best
+      ) WHERE grank <= 3
+    )
+    SELECT k.qid, k.label, k.vec_id, k.score, g.grank
+    FROM kept k JOIN topg g ON k.qid = g.qid AND k.label = g.label
+    """,
+)
+def cli_hnsw_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping search THROUGH the graph (r10 — SearchGroupByOperator.cpp
+    runs GroupBy over the INDEX's candidate iterator, never a brute
+    scan): with a fresh HNSW index, group_by_field dispatches to
+    per-segment beams whose bounded candidates fetch the group column and
+    reduce through the same delegator-side grouping merge as the
+    brute-force kernel. Exhaustive ef makes the beam exact (the regime
+    every graph-served oracle here rides), so the hash must match the
+    brute grouping oracle; production beams are the approximate ANN
+    contract, recall-exercised in tests/test_hnsw_grouping.py."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection("hgr", pk_field="vec_id", vector_field="embedding")
+    client.insert("hgr", e.select("vec_id", "embedding", "label"))
+    client.create_index("hgr", "embedding", "HNSW")
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "hgr", data=qs, limit=3, group_by_field="label", group_size=2,
+        search_params={"ef": 10**6},
+    ).select("qid", "label", "vec_id", "score", "grank")
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, "expected the graph-served grouping"
+    return out
