@@ -5089,7 +5089,7 @@ class MilvusSparkClient:
         ).count()
 
     # -------------------------------------------------------------- search
-    def _hnsw_grouping(
+    def _index_grouping(
         self,
         name: str,
         meta: dict,
@@ -5109,47 +5109,35 @@ class MilvusSparkClient:
         as_of,
         round_decimal: int,
     ) -> Optional[DataFrame]:
-        """Grouping search THROUGH the graph (SearchGroupByOperator.cpp
+        """Grouping search THROUGH an index (SearchGroupByOperator.cpp
         runs GroupBy over the INDEX's candidate iterator, not a brute
-        scan): the per-segment beams oversample to 4x the group budget
-        (limit x group_size), the bounded candidate set broadcasts onto
-        the collection to fetch the group column, and the shared
+        scan): the per-segment beams / probed clusters oversample to 4x
+        the group budget (limit x group_size), the bounded candidate set
+        fetches the group column (AQE-sized join), and the shared
         delegator-side grouping merge ranks groups exactly as the
-        brute-force kernel does. Approximate with production beams (the
-        ANN contract); EXACT with an explicit exhaustive ef — the same
-        regime every other graph-served oracle rides. Returns None when
-        the graph can't serve (no fresh index, range/as-of/external,
-        metric mismatch) — the caller falls back to the exact scan."""
-        idx = self._fresh_index(name, vfield, "HNSW")
+        brute-force kernel does. Approximate with production beams/probes
+        (the ANN contract); EXACT with an explicit exhaustive ef /
+        all-cluster nprobe — the same regime every other index-served
+        oracle rides. Returns None when no index can serve (stale, range/
+        as-of/external, metric mismatch) — the caller falls back to the
+        exact scan."""
         if (
-            idx is None or radius is not None or range_filter is not None
+            radius is not None or range_filter is not None
             or as_of is not None or meta.get("external_path")
             or self._expired_ts(meta)
             or meta["metric"] not in ("COSINE", "L2", "IP")
             or (metric_type is not None and metric_type != meta["metric"])
-            or (meta["metric"] == "IP" and "mips_m2" not in idx)
         ):
             return None
         import numpy as np
 
-        from milvus_spark.operators.hnsw import hnsw_search
         from milvus_spark.operators.knn import grouping_merge, metric_ascending
 
         met = metric_type or meta["metric"]
-        g = self._read_graph(os.path.join(idx["path"], "graph"))
         sp = search_params or {}
-        ef = int(sp.get("ef", sp.get("search_list", 64)))
-        ef_adaptive = "ef" not in sp and "search_list" not in sp
         budget = int(limit) * int(group_size)
-        cand_k = max(ef, budget * 4)
-        qs = [list(map(float, v)) for v in data]
-        qn2 = [float(np.dot(q, q)) for q in qs]
-        if met == "COSINE":
-            qs = [
-                (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist() for q in qs
-            ]
-        elif met == "IP":
-            qs = [q + [0.0] for q in qs]
+        pk = meta["pk"]
+        rt = 12 if round_decimal == -1 else int(round_decimal)
         matches = None
         if filter or partition_names:
             base_f = self._partition_filter(self._read(name), partition_names)
@@ -5159,36 +5147,92 @@ class MilvusSparkClient:
                         filter, base_f.schema, params, dynamic_field=self._dyn(meta)
                     )
                 )
-            matches = base_f.select(meta["pk"])
-        raw = hnsw_search(
-            g,
-            qs,
-            ef=max(ef, cand_k),
-            k=cand_k,
-            matches=matches,
-            n_partitions=int(idx.get("n_partitions", 8)),
-            epochs=idx.get("epochs"),
-            excluded=list(idx.get("masked_pks") or []) or None,
-            adaptive=ef_adaptive,
-        )
-        rt = 12 if round_decimal == -1 else int(round_decimal)
-        if met == "COSINE":
-            score = F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
-        elif met == "IP":
-            m2 = float(idx.get("mips_m2", 0.0))
-            qmap = F.create_map(
-                *[x for i, n2v in enumerate(qn2) for x in (F.lit(i), F.lit(n2v))]
+            matches = base_f.select(pk)
+        cands = None
+        idx = self._fresh_index(name, vfield, "HNSW")
+        if idx is not None and (meta["metric"] != "IP" or "mips_m2" in idx):
+            from milvus_spark.operators.hnsw import hnsw_search
+
+            g = self._read_graph(os.path.join(idx["path"], "graph"))
+            ef = int(sp.get("ef", sp.get("search_list", 64)))
+            ef_adaptive = "ef" not in sp and "search_list" not in sp
+            cand_k = max(ef, budget * 4)
+            qs = [list(map(float, v)) for v in data]
+            qn2 = [float(np.dot(q, q)) for q in qs]
+            if met == "COSINE":
+                qs = [
+                    (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist()
+                    for q in qs
+                ]
+            elif met == "IP":
+                qs = [q + [0.0] for q in qs]
+            raw = hnsw_search(
+                g,
+                qs,
+                ef=max(ef, cand_k),
+                k=cand_k,
+                matches=matches,
+                n_partitions=int(idx.get("n_partitions", 8)),
+                epochs=idx.get("epochs"),
+                excluded=list(idx.get("masked_pks") or []) or None,
+                adaptive=ef_adaptive,
             )
-            score = (
-                F.round(
-                    (F.lit(m2) + qmap[F.col("qid")] - F.col("sqdist")) / 2.0, rt
+            if met == "COSINE":
+                score = F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
+            elif met == "IP":
+                m2 = float(idx.get("mips_m2", 0.0))
+                qmap = F.create_map(
+                    *[x for i, n2v in enumerate(qn2) for x in (F.lit(i), F.lit(n2v))]
                 )
-                + F.lit(0.0)
+                score = (
+                    F.round(
+                        (F.lit(m2) + qmap[F.col("qid")] - F.col("sqdist")) / 2.0,
+                        rt,
+                    )
+                    + F.lit(0.0)
+                )
+            else:
+                score = F.round(F.col("sqdist"), rt) + F.lit(0.0)
+            cands = raw.select("qid", F.col("id").alias(pk), score.alias("score"))
+        if cands is None and rt == 4:
+            # cluster-pruned candidates (the IVF family shares the
+            # clustered layout); ivf_search scores exactly at 4 decimals,
+            # so grouping requires the default rounding
+            ivf = next(
+                (
+                    e
+                    for t in ("IVF_FLAT", "DISKANN", "SCANN")
+                    if (e := self._fresh_index(name, vfield, t)) is not None
+                ),
+                None,
             )
-        else:
-            score = F.round(F.col("sqdist"), rt) + F.lit(0.0)
-        pk = meta["pk"]
-        cands = raw.select("qid", F.col("id").alias(pk), score.alias("score"))
+            if ivf is not None:
+                from milvus_spark.operators.ivf import ivf_search
+
+                with open(os.path.join(ivf["path"], "centroids.json")) as f:
+                    cents = np.asarray(json.load(f), dtype=np.float64)
+                ef = sp.get("ef") or sp.get("search_list")
+                default_np = (
+                    max(1, min(ivf["nlist"], int(ef) // 4))
+                    if ef
+                    else max(1, ivf["nlist"] // 2)
+                )
+                raw = ivf_search(
+                    self.spark,
+                    os.path.join(ivf["path"], "clustered"),
+                    cents,
+                    [(i, list(map(float, v))) for i, v in enumerate(data)],
+                    vec_col=vfield,
+                    pk_col=pk,
+                    metric=met,
+                    k=max(int(sp.get("ef", 0) or 0), budget * 4),
+                    nprobe=int(sp.get("nprobe", default_np)),
+                    matches=matches,
+                    excluded=list(ivf.get("masked_pks") or []) or None,
+                )
+                cands = raw.select("qid", pk, "score")
+        if cands is None:
+            return None
         base = self._partition_filter(self._read(name), partition_names)
         # no forced broadcast: production candidates are nq x (4 x limit x
         # group_size) rows, but the exhaustive-ef oracle regime makes this
@@ -5515,7 +5559,7 @@ class MilvusSparkClient:
             # GroupBy rides the graph when one can serve exactly the
             # regimes the plain top-k graph path serves; otherwise the
             # exact brute-force grouping kernel
-            hits = self._hnsw_grouping(
+            hits = self._index_grouping(
                 name, meta, vfield, data, metric_type, limit, group_size,
                 strict_group_size, group_by_field, filter, params,
                 partition_names, search_params, radius, range_filter,

@@ -122,3 +122,31 @@ def test_hnsw_grouping_filter_rides_graph(spark, sf_dir, tmp_path):
     assert _rows(got) == _rows(want)
     assert all(r.vec_id % 2 == 0 for r in got.collect())
     client.drop_collection("hw")
+
+
+def test_ivf_grouping_exhaustive_exact(spark, sf_dir, tmp_path):
+    """The IVF family serves group_by too (cluster-pruned candidates into
+    the shared grouping merge); probing every cluster with an exhaustive
+    candidate pool is exact vs the brute kernel."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection("ig", pk_field="vec_id", vector_field="embedding")
+    client.insert("ig", e.select("vec_id", "embedding", "label"))
+    client.create_index("ig", "embedding", "IVF_FLAT", {"nlist": 4})
+    qs = [list(map(float, r.embedding)) for r in e.orderBy("vec_id").limit(2).collect()]
+    got = client.search(
+        "ig", data=qs, limit=3, group_by_field="label", group_size=2,
+        search_params={"nprobe": 4, "ef": 10**6},
+    )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan, "expected the index-served grouping"
+    assert _rows(got) == _rows(_brute(client, "ig", qs))
+    # production probes keep the quota structure
+    got_p = client.search("ig", data=qs[:1], limit=3, group_by_field="label", group_size=2)
+    by_group = {}
+    for r in got_p.collect():
+        by_group.setdefault(r.label, []).append(r)
+    assert len(by_group) <= 3 and all(len(v) <= 2 for v in by_group.values())
+    client.drop_collection("ig")
