@@ -6163,6 +6163,9 @@ class MilvusSparkClient:
         filter: Optional[str] = None,
         partition_names: Optional[Sequence[str]] = None,
         namespace: Optional[str] = None,
+        group_by_field: Optional[str] = None,
+        group_size: int = 2,
+        strict_group_size: bool = False,
     ) -> DataFrame:
         """Sparse-vector top-k (SPARSE_FLOAT_VECTOR, metric IP — sparse wire
         type plan.proto:44-56; SPARSE_INVERTED_INDEX/WAND index family).
@@ -6260,7 +6263,7 @@ class MilvusSparkClient:
                 )
             keep = base.select(F.col(pk).alias("id"))
             posting = posting.join(keep, "id", "left_semi")
-        if wand_mode:
+        if wand_mode and group_by_field is None:
             from milvus_spark.operators.sparse_wand import wand_search
 
             hits = wand_search(
@@ -6289,6 +6292,31 @@ class MilvusSparkClient:
             .groupBy("qid", "id")
             .agg(F.round(F.sum(F.col("val") * F.col("qval")), 4).alias("score"))
         )
+        if group_by_field is not None:
+            # grouping over sparse hits (group_by applies to every vector
+            # type): the dim-keyed join scores EVERY matching doc, so the
+            # shared delegator-side grouping merge over the full scored
+            # frame is EXACT — no candidate-pool approximation, unlike the
+            # beam-served dense paths
+            from milvus_spark.operators.knn import grouping_merge
+
+            base_g = self._scoped_base(name, meta, namespace, partition_names)
+            if base_g is None:
+                base_g = self._read(name)
+            partial = (
+                base_g.select(F.col(pk).alias("id"), group_by_field)
+                .join(scored, "id")
+                .select("qid", F.col("id").alias(pk), group_by_field, "score")
+            )
+            gtype = dict(base_g.select(group_by_field).dtypes)[group_by_field]
+            hits = grouping_merge(
+                partial, pk, group_by_field, gtype, False,
+                int(limit), int(group_size), bool(strict_group_size),
+            )
+            return self._requery(
+                name, hits, meta, output_fields,
+                base=self._scoped_base(name, meta, namespace, partition_names),
+            )
         from pyspark.sql import Window as W
 
         w = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("id").asc())

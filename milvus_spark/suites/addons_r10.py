@@ -587,3 +587,63 @@ def cli_hnsw_grouping(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "FlatMapGroupsInPandas" in plan, "expected the graph-served grouping"
     return out
+
+
+@register(
+    "cli_sparse_grouping",
+    oracle=_SPARSE_ORACLE_NZ
+    + """
+    , scored AS (
+      SELECT q.qid, nz.vec_id, round(sum(nz.val * q.qval), 4) AS score
+      FROM nz JOIN qnz q ON nz.dim = q.dim
+      GROUP BY q.qid, nz.vec_id
+    ),
+    lab AS (SELECT s.qid, s.vec_id, e.label, s.score
+            FROM scored s JOIN embeddings e USING (vec_id)),
+    kept AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, label, score,
+               row_number() OVER (PARTITION BY qid, label ORDER BY score DESC, vec_id) AS rn
+        FROM lab
+      ) WHERE rn <= 2
+    ),
+    best AS (SELECT qid, label, max(score) AS best_score FROM kept GROUP BY qid, label),
+    topg AS (
+      SELECT * FROM (
+        SELECT qid, label,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY best_score DESC, label) AS BIGINT) AS grank
+        FROM best
+      ) WHERE grank <= 3
+    )
+    SELECT k.qid, k.label, k.vec_id, k.score, g.grank
+    FROM kept k JOIN topg g ON k.qid = g.qid AND k.label = g.label
+    """,
+)
+def cli_sparse_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping search over SPARSE vectors (r10 — group_by applies to
+    every vector type in the reference): the dim-keyed posting join
+    scores EVERY matching doc, so the shared delegator-side grouping
+    merge over the full scored frame is EXACT — no candidate-pool
+    approximation — and the hash must match the from-scratch grouping
+    oracle."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    v = F.col("embedding").cast("array<double>")
+    sv = e.select(
+        "vec_id",
+        "label",
+        F.map_filter(
+            F.map_from_arrays(F.sequence(F.lit(1), F.size(v)), v),
+            lambda k, x: x > _SPARSE_T,
+        ).alias("sv"),
+    )
+    client.create_collection("spg", pk_field="vec_id")
+    client.insert("spg", sv)
+    client.create_index("spg", "sv", "SPARSE_INVERTED")
+    out = client.sparse_search(
+        "spg", _sparse_queries(sv.select("vec_id", "sv")), "sv",
+        limit=3, group_by_field="label", group_size=2,
+    ).select("qid", "label", "vec_id", "score", "grank")
+    plan = _plan(out)
+    assert "In(dim" in plan, "expected the dim-pruned posting artifact scan"
+    return out

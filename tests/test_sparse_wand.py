@@ -292,3 +292,44 @@ def test_sparse_drop_ratio_build(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="drop_ratio_build"):
         client.create_index("dr", "sv", "SPARSE_INVERTED", {"drop_ratio_build": 1.0})
     client.drop_collection("dr")
+
+
+def test_sparse_grouping_search(spark, sf_dir, tmp_path):
+    """group_by_field over sparse search: the dim-keyed join scores every
+    matching doc, so the shared grouping merge is EXACT — verified against
+    a from-scratch recompute; quota structure holds."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").filter(F.col("vec_id") < 300)
+    v = F.col("embedding").cast("array<double>")
+    sv = e.select(
+        "vec_id",
+        "label",
+        F.map_filter(
+            F.map_from_arrays(F.sequence(F.lit(1), F.size(v)), v),
+            lambda k, x: x > 0.15,
+        ).alias("sv"),
+    )
+    client.create_collection("sg", pk_field="vec_id")
+    client.insert("sg", sv)
+    client.create_index("sg", "sv", "SPARSE_WAND")
+    queries = [{1: 0.8, 3: 0.4, 7: 0.3}]
+    got = client.sparse_search(
+        "sg", queries, "sv", limit=3, group_by_field="label", group_size=2
+    )
+    rows = got.collect()
+    labels = {r["vec_id"]: r["label"] for r in sv.select("vec_id", "label").collect()}
+    exp = _expected(client, "sg", [(0, queries[0])], 10**9)[0]  # all scored docs
+    by_group: dict = {}
+    for s, i in exp:
+        by_group.setdefault(labels[i], []).append((s, i))
+    kept = {g: sorted(v, key=lambda t: (-t[0], t[1]))[:2] for g, v in by_group.items()}
+    top_groups = sorted(kept, key=lambda g: (-kept[g][0][0], g))[:3]
+    want = sorted(
+        (0, g, i, s, gr + 1)
+        for gr, g in enumerate(top_groups)
+        for s, i in kept[g]
+    )
+    assert sorted((r.qid, r.label, r.vec_id, round(r.score, 4), r.grank) for r in rows) == want
+    client.drop_collection("sg")
