@@ -263,11 +263,13 @@ def test_client_text_search_stored_tf(spark, sf_dir, tmp_path):
     ]
     got = [(r.doc_id, r.score, r.rank) for r in via_index.orderBy("rank").collect()]
     assert got == want
-    # post-build DML makes the index stale -> scan path, still identical
+    # post-build DML leaves the index stale -> SEALED+GROWING serving
+    # (r10): the masked postings keep serving, the delete masks at query
+    # time — results still identical to the scan-path twin
     client.delete("ts1", ids=[int(want[0][0])])
     client.delete("ts2", ids=[int(want[0][0])])
     stale = client.text_search("ts1", "text", q, limit=10)
-    assert "tbucket" not in stale._jdf.queryExecution().executedPlan().toString()
+    assert "tbucket" in stale._jdf.queryExecution().executedPlan().toString()
     want2 = [
         (r.doc_id, r.score, r.rank)
         for r in client.text_search("ts2", "text", q, limit=10).orderBy("rank").collect()
