@@ -6166,6 +6166,9 @@ class MilvusSparkClient:
         group_by_field: Optional[str] = None,
         group_size: int = 2,
         strict_group_size: bool = False,
+        radius: Optional[float] = None,
+        range_filter: Optional[float] = None,
+        drop_ratio_search: float = 0.0,
     ) -> DataFrame:
         """Sparse-vector top-k (SPARSE_FLOAT_VECTOR, metric IP — sparse wire
         type plan.proto:44-56; SPARSE_INVERTED_INDEX/WAND index family).
@@ -6184,13 +6187,32 @@ class MilvusSparkClient:
         the same delegator split every other index family uses.
         ``filter``/``partition_names`` pre-filter in search (same contract
         as dense search): qualifying pks left-semi join the posting scan
-        before scoring."""
+        before scoring. ``radius``/``range_filter`` implement range search
+        (dense contract: score > radius, score <= range_filter for the
+        descending IP metric) — served on the full-scoring join path, since
+        an inner range_filter excludes hits the max-score kernel would
+        prune. ``drop_ratio_search`` (knowhere's sparse search knob) drops
+        the smallest fraction of the QUERY's values before scoring —
+        deliberately approximate, like the reference."""
         meta = self._meta(name)
         pk = meta["pk"]
         partition_names, ns_cond = self._namespace_resolve(
             name, meta, namespace, partition_names
         )
         filter = self._merge_ns_filter(ns_cond, filter)
+        if not (0.0 <= float(drop_ratio_search) < 1.0):
+            raise ValueError(
+                f"drop_ratio_search must be in [0, 1), got {drop_ratio_search}"
+            )
+        if drop_ratio_search:
+            data = [
+                dict(
+                    sorted(qv.items(), key=lambda t: (t[1], t[0]))[
+                        int(float(drop_ratio_search) * len(qv)):
+                    ]
+                )
+                for qv in data
+            ]
         entry = None
         delta_df, delta_mask = None, []
         if not self._expired_ts(meta):
@@ -6263,7 +6285,10 @@ class MilvusSparkClient:
                 )
             keep = base.select(F.col(pk).alias("id"))
             posting = posting.join(keep, "id", "left_semi")
-        if wand_mode and group_by_field is None:
+        if (
+            wand_mode and group_by_field is None
+            and radius is None and range_filter is None
+        ):
             from milvus_spark.operators.sparse_wand import wand_search
 
             hits = wand_search(
@@ -6292,6 +6317,12 @@ class MilvusSparkClient:
             .groupBy("qid", "id")
             .agg(F.round(F.sum(F.col("val") * F.col("qval")), 4).alias("score"))
         )
+        if radius is not None:
+            # IP is a descending (similarity) metric: radius is the outer
+            # bound, range_filter the inner — the dense range contract
+            scored = scored.filter(F.col("score") > float(radius))
+        if range_filter is not None:
+            scored = scored.filter(F.col("score") <= float(range_filter))
         if group_by_field is not None:
             # grouping over sparse hits (group_by applies to every vector
             # type): the dim-keyed join scores EVERY matching doc, so the

@@ -647,3 +647,40 @@ def cli_sparse_grouping(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "In(dim" in plan, "expected the dim-pruned posting artifact scan"
     return out
+
+
+@register(
+    "cli_sparse_range",
+    oracle=_SPARSE_ORACLE_NZ
+    + """
+    , scored AS (
+      SELECT q.qid, nz.vec_id, round(sum(nz.val * q.qval), 4) AS score
+      FROM nz JOIN qnz q ON nz.dim = q.dim
+      GROUP BY q.qid, nz.vec_id
+    ),
+    bounded AS (SELECT * FROM scored WHERE score > 0.05 AND score <= 0.2)
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM bounded
+    ) WHERE rank <= 10
+    """,
+)
+def cli_sparse_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse RANGE search (r10 — the dense range contract on the sparse
+    metric: IP descending, radius outer / range_filter inner): bounds
+    apply BEFORE the top-k cut on the full-scoring posting join — served
+    there even when a WAND index exists, because an inner range_filter
+    excludes exactly the hits the max-score kernel is allowed to prune.
+    The posting artifact still prunes the scan (asserted)."""
+    client = _client(spark)
+    sv = _sparse_map_frame(spark, sf)
+    client.create_collection("srr", pk_field="vec_id")
+    client.insert("srr", sv)
+    client.create_index("srr", "sv", "SPARSE_INVERTED")
+    out = client.sparse_search(
+        "srr", _sparse_queries(sv), "sv", limit=10, radius=0.05, range_filter=0.2
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "In(dim" in plan, "expected the dim-pruned posting artifact scan"
+    return out

@@ -333,3 +333,45 @@ def test_sparse_grouping_search(spark, sf_dir, tmp_path):
     )
     assert sorted((r.qid, r.label, r.vec_id, round(r.score, 4), r.grank) for r in rows) == want
     client.drop_collection("sg")
+
+
+def test_sparse_range_search_and_drop_ratio(spark, sf_dir, tmp_path):
+    """radius/range_filter on sparse search follow the dense range
+    contract (IP descending: score > radius, score <= range_filter) and
+    serve on the full-scoring path even when a WAND index exists — an
+    inner range_filter excludes hits the kernel would prune.
+    drop_ratio_search drops the smallest fraction of QUERY values before
+    scoring (knowhere's knob; deliberately approximate)."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir)
+    client.create_collection("sr", pk_field="vec_id")
+    client.insert("sr", sv)
+    client.create_index("sr", "sv", "SPARSE_WAND")
+    queries = [{1: 0.8, 3: 0.4, 7: 0.3}]
+    full = _expected(client, "sr", [(0, queries[0])], 10**9)[0]
+    lo = full[min(5, len(full) - 1)][0]  # inner bound excludes the best hits
+    got = [
+        (round(r.score, 4), r.vec_id)
+        for r in client.sparse_search(
+            "sr", queries, "sv", limit=10, radius=0.1, range_filter=lo
+        ).collect()
+    ]
+    want = [(s, i) for s, i in full if 0.1 < s <= lo][:10]
+    assert got == want and got, (got[:3], want[:3])
+    # drop_ratio_search: the two heaviest of three query dims survive
+    got_d = [
+        r.vec_id
+        for r in client.sparse_search(
+            "sr", queries, "sv", limit=5, drop_ratio_search=0.34
+        ).collect()
+    ]
+    kept = {k: v for k, v in list(sorted(queries[0].items(), key=lambda t: (t[1], t[0])))[1:]}
+    want_d = [i for _, i in _expected(client, "sr", [(0, kept)], 5)[0]]
+    assert got_d == want_d
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="drop_ratio_search"):
+        client.sparse_search("sr", queries, "sv", drop_ratio_search=1.0)
+    client.drop_collection("sr")
