@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "vec_hnsw_adaptive_ef",   # adaptive serving-ef on a near-seal-cap segment (r9)
     "cli_scalar_serving",     # steady-state scalar-index serving, memoized build (r9)
     "mm_avi_frame_sample",    # MJPEG-AVI demux + per-frame JPEG decode (r9)
+    "cli_sparse_serving",     # steady-state sparse-WAND max-score serving (r10)
 ]
 
 

@@ -684,3 +684,56 @@ def cli_sparse_range(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "In(dim" in plan, "expected the dim-pruned posting artifact scan"
     return out
+
+
+# memoized per (applicationId, sf) — the same contract as the scalar
+# serving row: the reference is a long-running server that builds indexes
+# before serving, so the bench row times STEADY-STATE sparse serving
+_SPARSE_SERVING_MEMO: dict = {}
+
+
+def _sparse_serving_client(spark: SparkSession, sf: str):
+    key = (spark.sparkContext.applicationId, sf)
+    if key in _SPARSE_SERVING_MEMO:
+        return _SPARSE_SERVING_MEMO[key]
+    client = _client(spark)
+    sv = _sparse_map_frame(spark, sf)
+    client.create_collection("svw", pk_field="vec_id")
+    client.insert("svw", sv)
+    client.create_index("svw", "sv", "SPARSE_WAND", {"n_buckets": 8})
+    _SPARSE_SERVING_MEMO[key] = client
+    return client
+
+
+@register(
+    "cli_sparse_serving",
+    oracle=_SPARSE_ORACLE_NZ
+    + """
+    , scored AS (
+      SELECT q.qid, nz.vec_id, round(sum(nz.val * q.qval), 4) AS score
+      FROM nz JOIN qnz q ON nz.dim = q.dim
+      GROUP BY q.qid, nz.vec_id
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_sparse_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """STEADY-STATE sparse-WAND serving (the bench row for the r10 sparse
+    tier): the segment-sharded posting index is memoized per (session,
+    sf) — the reference is a long-running server that builds before
+    serving — so this row times the max-score kernel search alone: a
+    dim-pruned posting read per segment, per-segment exact early
+    termination, one nq x k x n_segments merge. WAND is exact, so the
+    hash matches the brute-force oracle."""
+    client = _sparse_serving_client(spark, sf)
+    sv = _sparse_map_frame(spark, sf)
+    out = client.sparse_search(
+        "svw", _sparse_queries(sv), "sv", limit=10
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "In(dim" in plan and "sbucket" in plan, "expected the WAND artifact"
+    return out
