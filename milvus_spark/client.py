@@ -4921,7 +4921,8 @@ class MilvusSparkClient:
                 # served through the max-score kernel — the reference's
                 # shape (BM25 is a sparse metric riding the WAND index
                 # family); results hash-identical to the groupBy plan,
-                # but only n_segments x k rows ever shuffle
+                # and the post-kernel merge is n_segments x k rows
+                # instead of every matching document
                 return bm25_topk_wand(
                     postings, doclens, terms, k=limit
                 ).select(F.col("id").alias(meta["pk"]), "score", "rank")

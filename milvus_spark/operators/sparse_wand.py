@@ -19,9 +19,14 @@ segment partials merge through one ranked window — the same
 partial-then-delegator-merge topology every other index family here uses.
 
 At 100 TB the posting artifact is the scan bound: a query touches only
-(its dims' postings) x (live segments), the kernel's early termination
-bounds per-segment CPU, and nothing but nq x k x n_segments rows ever
-shuffle.
+(its dims' postings) x (live segments), and the kernel's early
+termination bounds per-segment CPU. One shuffle is REQUIRED and bounded:
+the dim-sorted layout scatters a document's postings within each segment
+file (that's what buys the dim row-group pruning), so the QUERY-DIM
+postings — already pruned, never the corpus — regroup once into
+doc-complete segment kernels; only nq x k x n_segments rows leave them.
+A doc-sorted layout would kill the dim pruning to save that bounded
+shuffle — the wrong trade at scale.
 """
 
 from __future__ import annotations

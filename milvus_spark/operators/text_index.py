@@ -206,10 +206,13 @@ def bm25_topk_wand(
     over the stored (tf, dl) plus two broadcast stats, so BM25 reduces to
     an exact IP top-k with unit query weights over term dims — served by
     the same per-segment early-termination kernel as SPARSE_WAND
-    (operators/sparse_wand.py). vs the groupBy(id) plan: nothing but
-    n_segments x k rows ever shuffle, and within a segment the kernel
-    stops accumulating documents that provably cannot reach the top-k
-    (idf skew makes rare terms high-impact, the classic WAND win).
+    (operators/sparse_wand.py). vs the groupBy(id) plan: the one shuffle
+    regroups only the QUERY TERMS' postings into doc-complete segments
+    (same bounded volume the groupBy keys on id) but the merge after the
+    kernels is n_segments x k rows instead of every matching document,
+    and within a segment the kernel stops accumulating documents that
+    provably cannot reach the top-k (idf skew makes rare terms
+    high-impact, the classic WAND win).
     Same rounding/tie-break contract as bm25_topk_postings — results are
     hash-identical."""
     from milvus_spark.operators.sparse_wand import wand_search
