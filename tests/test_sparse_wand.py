@@ -375,3 +375,65 @@ def test_sparse_range_search_and_drop_ratio(spark, sf_dir, tmp_path):
     with _pt.raises(ValueError, match="drop_ratio_search"):
         client.sparse_search("sr", queries, "sv", drop_ratio_search=1.0)
     client.drop_collection("sr")
+
+
+# --- property-based exactness: the kernel IS brute force, always ------------
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @st.composite
+    def _sparse_case(draw):
+        ndoc = draw(st.integers(5, 120))
+        ndim = draw(st.integers(2, 24))
+        rows = []
+        for i in range(ndoc):
+            nnz = draw(st.integers(1, min(ndim, 6)))
+            dims = draw(
+                st.lists(
+                    st.integers(0, ndim - 1), min_size=nnz, max_size=nnz, unique=True
+                )
+            )
+            for d in dims:
+                # adversarial values: ties, zeros, tiny gaps near the
+                # rounded-domain margin, and large magnitudes
+                v = draw(
+                    st.one_of(
+                        st.floats(0.0001, 3.0, allow_nan=False),
+                        st.sampled_from([0.5, 0.5, 0.25, 1.0, 0.0001, 0.00015]),
+                    )
+                )
+                rows.append((i, int(d), float(v)))
+        nq = draw(st.integers(1, 3))
+        qmap = {}
+        for q in range(nq):
+            nnz = draw(st.integers(1, min(ndim, 5)))
+            dims = draw(
+                st.lists(
+                    st.integers(0, ndim - 1), min_size=nnz, max_size=nnz, unique=True
+                )
+            )
+            qmap[q] = {
+                int(d): float(
+                    draw(st.floats(0.001, 2.0, allow_nan=False))
+                )
+                for d in dims
+            }
+        k = draw(st.integers(1, 15))
+        return rows, qmap, k
+
+    @given(_sparse_case())
+    @settings(max_examples=40, deadline=None)
+    def test_wand_kernel_hypothesis_exact(case):
+        rows, qmap, k = case
+        pdf = pd.DataFrame(rows, columns=["id", "dim", "val"])
+        got = _segment_topk(pdf, qmap, k, 4)
+        for q, qv in qmap.items():
+            exp = _brute(rows, qv, k)
+            g = got[got.qid == q].sort_values(
+                ["score", "id"], ascending=[False, True]
+            )
+            assert list(zip(g.score.round(4), g.id)) == exp
+
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass
