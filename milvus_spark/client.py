@@ -676,6 +676,42 @@ class MilvusSparkClient:
             added[field] = default
         self._save_catalog()
 
+    def add_struct_field(
+        self, name: str, field: str, element_fields: dict, default: Any = None
+    ) -> None:
+        """Schema evolution for STRUCT ARRAY fields (AddCollectionStructField,
+        client/milvusclient/collection.go:273-282): adds an
+        ``array<struct<...>>`` column to an existing collection.
+        ``element_fields`` maps sub-field name -> Spark type string (e.g.
+        ``{"emb": "array<double>", "tag": "string"}``). Pre-evolution rows
+        read a TYPED null (a bare ``lit(None)`` would be VOID and poison
+        downstream casts); inserts after the add may carry the column.
+        Only a null default is supported — a non-null struct-array default
+        has no analog in the reference either."""
+        self._deny_ddl("collectionDDL")
+        if default is not None:
+            raise ValueError("add_struct_field supports only a null default")
+        if not element_fields:
+            raise ValueError("element_fields must declare at least one sub-field")
+        from pyspark.sql import types as T
+
+        dtype = (
+            "array<struct<"
+            + ",".join(f"{k}:{v}" for k, v in element_fields.items())
+            + ">>"
+        )
+        try:
+            T._parse_datatype_string(dtype)
+        except Exception as e:
+            raise ValueError(f"invalid element_fields: {e}") from e
+        meta = self._meta(name)
+        added = meta.setdefault("added_fields", {})
+        if field in added:
+            raise ValueError(f"field {field} already evolved")
+        added[field] = {"default": None, "dtype": dtype}
+        meta.setdefault("struct_fields", {})[field] = dict(element_fields)
+        self._save_catalog()
+
     def drop_field(self, name: str, field: str) -> None:
         """Schema evolution: hide a field from all reads without rewriting
         (test_drop_field_feature.py). Data is dropped lazily at compaction."""
@@ -4335,19 +4371,24 @@ class MilvusSparkClient:
         # to the default — old data never resurrects
         # (test_drop_then_add_same_name_field_does_not_reuse_old_data).
         for field, spec in meta.get("added_fields", {}).items():
-            since = None
+            since, dtype = None, None
             default = spec
             if isinstance(spec, dict):
                 default, since = spec.get("default"), spec.get("since_ts")
+                dtype = spec.get("dtype")
+            # struct-array adds carry a declared type so the null is TYPED
+            null_col = (
+                F.lit(default).cast(dtype) if dtype else F.lit(default)
+            )
             if field in df.columns:
                 col = F.col(field)
                 if since is not None and TS_COL in df.columns:
-                    col = F.when(F.col(TS_COL) > since, col).otherwise(F.lit(default))
+                    col = F.when(F.col(TS_COL) > since, col).otherwise(null_col)
                 if default is not None:
                     col = F.coalesce(col, F.lit(default))
                 df = df.withColumn(field, col)
             else:
-                df = df.withColumn(field, F.lit(default))
+                df = df.withColumn(field, null_col)
         for field in meta.get("dropped_fields", []):
             if field in df.columns:
                 df = df.drop(field)

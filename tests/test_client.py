@@ -2678,3 +2678,41 @@ def test_progress_utility_apis(spark, tmp_path, sf_dir):
     assert p["total_rows"] == 27 and p["pending_index_rows"] == 27
     with pytest.raises(KeyError, match="no index"):
         c.index_building_progress("nat", "n_name", "NOPE")
+
+
+def test_add_struct_field(client, spark, sf_dir):
+    """Struct-array schema evolution (AddCollectionStructField,
+    client/milvusclient/collection.go:273-282): the added column reads a
+    TYPED null on pre-evolution rows, later inserts carry real struct
+    arrays, element access works, and the refusal matrix holds."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("asf", pk_field="n_nationkey")
+    client.insert("asf", n.select("n_nationkey", "n_name").filter(F.col("n_nationkey") < 10))
+    client.add_struct_field("asf", "clips", {"emb": "array<double>", "tag": "string"})
+    out = client.query("asf", output_fields=["n_nationkey", "clips"])
+    assert dict(out.dtypes)["clips"] == "array<struct<emb:array<double>,tag:string>>"
+    assert all(r.clips is None for r in out.collect())
+    # post-evolution insert carries the column
+    rows = spark.createDataFrame(
+        [[90, "x", [([0.1, 0.2], "a"), ([0.3, 0.4], "b")]]],
+        "n_nationkey int, n_name string, clips array<struct<emb:array<double>,tag:string>>",
+    )
+    client.insert("asf", rows)
+    got = client.query("asf", filter="n_nationkey == 90", output_fields=["clips"]).collect()
+    assert [c.tag for c in got[0].clips] == ["a", "b"]
+    assert (
+        client.query("asf", output_fields=["n_nationkey", "clips"])
+        .filter(F.size("clips") == 2)
+        .count()
+        == 1
+    )
+    with _pt.raises(ValueError, match="already evolved"):
+        client.add_struct_field("asf", "clips", {"emb": "array<double>"})
+    with _pt.raises(ValueError, match="null default"):
+        client.add_struct_field("asf", "c2", {"emb": "array<double>"}, default=[])
+    with _pt.raises(ValueError, match="invalid element_fields"):
+        client.add_struct_field("asf", "c3", {"emb": "not_a_type"})
+    client.drop_collection("asf")
