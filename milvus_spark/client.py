@@ -199,6 +199,22 @@ class MilvusSparkClient:
         self._priv("OperatePrivilegeGroup")
         self._rbac.remove_privileges_from_group(group_name, privileges)
 
+    def operate_privilege_group(
+        self, group_name: str, privileges: list, operate_type: str
+    ) -> None:
+        """The raw privilege-group op (OperatePrivilegeGroupRequest —
+        client/milvusclient RBAC surface): ``operate_type`` selects add vs
+        remove, the two named wrappers' shared proto shape."""
+        op = str(operate_type).lower()
+        if op in ("add", "addprivilegestogroup"):
+            self.add_privileges_to_group(group_name, privileges)
+        elif op in ("remove", "removeprivilegesfromgroup"):
+            self.remove_privileges_from_group(group_name, privileges)
+        else:
+            raise ValueError(
+                f"operate_type must be add|remove, got {operate_type!r}"
+            )
+
     def backup_rbac(self) -> dict:
         self._priv("BackupRBAC")
         return self._rbac.backup()
@@ -915,6 +931,31 @@ class MilvusSparkClient:
         if not st:
             raise ValueError(f"no restore job for {name!r}")
         return dict(st)
+
+    def list_restore_snapshot_jobs(self) -> list[dict]:
+        """Every collection's restore job (ListRestoreSnapshotJobs,
+        client/milvusclient snapshot surface): the per-collection
+        get_restore_snapshot_state entries, collection name attached."""
+        out = []
+        for cname, meta in self._catalog.items():
+            st = (meta or {}).get("restore_state")
+            if st:
+                out.append({"collection": cname, **st})
+        return out
+
+    def dump_messages(self, name: str, since: int = 0, until: Optional[int] = None):
+        """WAL message dump (DumpMessages,
+        client/milvusclient/replicate.go:74-84 — the replication/debug
+        stream of raw change messages): returns the pk-level change log
+        (op, pk, change_ts) for the ts window (since, until], ordered by
+        change timestamp — an upsert appears as delete+insert at one ts,
+        and a window predating the compaction watermark refuses, exactly
+        the changefeed contract the replicate data plane rides."""
+        self._priv("Query", name)
+        until = self._current_ts(name) if until is None else int(until)
+        return self._coll(name).changes(since=int(since), until=until).orderBy(
+            "change_ts", "op"
+        )
 
     def pin_snapshot_data(self, name: str, snapshot_name: str) -> None:
         """Pin a snapshot's data (PinSnapshotData): a pinned snapshot

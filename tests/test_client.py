@@ -2716,3 +2716,39 @@ def test_add_struct_field(client, spark, sf_dir):
     with _pt.raises(ValueError, match="invalid element_fields"):
         client.add_struct_field("asf", "c3", {"emb": "not_a_type"})
     client.drop_collection("asf")
+
+
+def test_surface_parity_batch(client, spark, sf_dir):
+    """Round-10 client-surface parity batch: operate_privilege_group (the
+    raw add/remove proto op), list_restore_snapshot_jobs, and
+    dump_messages (the WAL change-message dump riding the changefeed)."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    # operate_privilege_group dispatches to the named wrappers
+    client.create_privilege_group("pg_op")
+    client.operate_privilege_group("pg_op", ["Query"], "add")
+    assert "Query" in client.list_privilege_groups()["pg_op"]
+    client.operate_privilege_group("pg_op", ["Query"], "remove")
+    assert "Query" not in client.list_privilege_groups()["pg_op"]
+    with _pt.raises(ValueError, match="operate_type"):
+        client.operate_privilege_group("pg_op", ["Query"], "toggle")
+    client.drop_privilege_group("pg_op")
+
+    # dump_messages: insert + delete appear as ordered change messages
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey", "n_name")
+    client.create_collection("dmp", pk_field="n_nationkey")
+    client.insert("dmp", n.filter(F.col("n_nationkey") < 5))
+    client.delete("dmp", ids=[2])
+    msgs = client.dump_messages("dmp").collect()
+    assert [(m.op, m.n_nationkey) for m in msgs if m.n_nationkey == 2] == [
+        ("insert", 2), ("delete", 2),
+    ]
+    assert sum(1 for m in msgs if m.op == "insert") == 5
+
+    # restore-job listing surfaces per-collection restore state
+    client.create_snapshot("dmp", "s1")
+    client.restore_snapshot("dmp", "s1")
+    jobs = client.list_restore_snapshot_jobs()
+    assert any(j["collection"] == "dmp" for j in jobs)
+    client.drop_collection("dmp")
