@@ -5201,9 +5201,11 @@ class MilvusSparkClient:
         brute-force kernel does. Approximate with production beams/probes
         (the ANN contract); EXACT with an explicit exhaustive ef /
         all-cluster nprobe — the same regime every other index-served
-        oracle rides. Returns None when no index can serve (stale, range/
-        as-of/external, metric mismatch) — the caller falls back to the
-        exact scan."""
+        oracle rides. An HNSW index stale ONLY by post-build writes serves
+        SEALED + GROWING (beam candidates + the exact-scored ts-pruned
+        delta, post-build deletes masked). Returns None when no index can
+        serve (range/as-of/external, metric mismatch, unsafe staleness) —
+        the caller falls back to the exact scan."""
         if (
             radius is not None or range_filter is not None
             or as_of is not None or meta.get("external_path")
@@ -5233,6 +5235,14 @@ class MilvusSparkClient:
             matches = base_f.select(pk)
         cands = None
         idx = self._fresh_index(name, vfield, "HNSW")
+        growing, growing_mask = None, []
+        if idx is None:
+            # stale ONLY by post-build writes: the graph serves the sealed
+            # side and the ts-pruned delta contributes exact candidates —
+            # grouping no longer drops to the brute scan on one write
+            served = self._servable_graph(name, vfield)
+            if served is not None:
+                idx, growing, growing_mask = served
         if idx is not None and (meta["metric"] != "IP" or "mips_m2" in idx):
             from milvus_spark.operators.hnsw import hnsw_search
 
@@ -5257,7 +5267,8 @@ class MilvusSparkClient:
                 matches=matches,
                 n_partitions=int(idx.get("n_partitions", 8)),
                 epochs=idx.get("epochs"),
-                excluded=list(idx.get("masked_pks") or []) or None,
+                excluded=(list(idx.get("masked_pks") or []) + growing_mask)
+                or None,
                 adaptive=ef_adaptive,
             )
             if met == "COSINE":
@@ -5277,6 +5288,28 @@ class MilvusSparkClient:
             else:
                 score = F.round(F.col("sqdist"), rt) + F.lit(0.0)
             cands = raw.select("qid", F.col("id").alias(pk), score.alias("score"))
+            if growing is not None:
+                # growing side: exact-score the ts-pruned delta with the
+                # same metric/filter/round domain, union into the
+                # candidate pool before the shared grouping merge
+                gdf = self._partition_filter(growing, partition_names)
+                if filter:
+                    gdf = gdf.filter(
+                        compile_expr(
+                            filter, gdf.schema, params,
+                            dynamic_field=self._dyn(meta),
+                        )
+                    )
+                gh = brute_force_search(
+                    gdf,
+                    [(i, list(map(float, v))) for i, v in enumerate(data)],
+                    vec_col=vfield,
+                    pk_col=pk,
+                    metric=met,
+                    k=cand_k,
+                    round_to=rt,
+                )
+                cands = cands.unionByName(gh.select("qid", pk, "score"))
         if cands is None and rt == 4:
             # cluster-pruned candidates (the IVF family shares the
             # clustered layout); ivf_search scores exactly at 4 decimals,

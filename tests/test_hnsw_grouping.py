@@ -78,7 +78,11 @@ def test_hnsw_grouping_production_beam_quota_and_recall(spark, sf_dir, tmp_path)
     client.drop_collection("hp")
 
 
-def test_hnsw_grouping_fallback_matrix(spark, sf_dir, tmp_path):
+def test_hnsw_grouping_sealed_growing(spark, sf_dir, tmp_path):
+    """An index stale ONLY by post-build writes serves grouping
+    SEALED+GROWING: beam candidates union the exact-scored delta, a
+    post-build delete masks at query time, and exhaustive ef keeps the
+    whole composition exact vs the brute kernel."""
     from milvus_spark.client import MilvusSparkClient
 
     client = MilvusSparkClient(spark, root=str(tmp_path))
@@ -87,13 +91,23 @@ def test_hnsw_grouping_fallback_matrix(spark, sf_dir, tmp_path):
     client.insert("hf", e.select("vec_id", "embedding", "label").filter(F.col("vec_id") % 2 == 0))
     client.create_index("hf", "embedding", "HNSW")
     qs = [list(map(float, e.first().embedding))]
-    # stale index (post-build write) -> brute path, results exact
     client.insert("hf", e.select("vec_id", "embedding", "label").filter(F.col("vec_id") % 2 == 1))
     got = client.search(
         "hf", data=qs, limit=3, group_by_field="label", group_size=2,
         search_params={"ef": 10**6},
     )
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
     assert _rows(got) == _rows(_brute(client, "hf", qs))
+    # post-build delete masks at query time; still exact
+    victim = got.collect()[0].vec_id
+    client.delete("hf", ids=[int(victim)])
+    got2 = client.search(
+        "hf", data=qs, limit=3, group_by_field="label", group_size=2,
+        search_params={"ef": 10**6},
+    )
+    assert _rows(got2) == _rows(_brute(client, "hf", qs))
+    assert victim not in [r.vec_id for r in got2.collect()]
     client.drop_collection("hf")
 
 
