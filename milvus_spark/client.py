@@ -724,7 +724,14 @@ class MilvusSparkClient:
         added = meta.setdefault("added_fields", {})
         if field in added:
             raise ValueError(f"field {field} already evolved")
-        added[field] = {"default": None, "dtype": dtype}
+        spec = {"default": None, "dtype": dtype}
+        if field in meta.get("dropped_fields", []):
+            # re-add after drop (mirrors add_field): unhide the name and
+            # mask everything stored before the re-add behind the typed
+            # null via a ts cutoff so old struct data never resurrects
+            meta["dropped_fields"].remove(field)
+            spec["since_ts"] = self._current_ts(name)
+        added[field] = spec
         meta.setdefault("struct_fields", {})[field] = dict(element_fields)
         self._save_catalog()
 
@@ -2416,9 +2423,15 @@ class MilvusSparkClient:
             (
                 post.repartitionByRange(4, "dim")
                 .sortWithinPartitions("dim")
+                # base rows carry epoch 0 like every sibling family —
+                # refresh appends higher-epoch files into the same dir and
+                # the delete-mask condition (operators/bitset.py epoch_col)
+                # needs a non-null epoch on base rows after that append
+                .withColumn("_epoch", F.lit(0).cast("long"))
                 .write.mode("overwrite")
                 .parquet(os.path.join(idx_dir, "posting"))
             )
+            entry["cur_epoch"] = 0
         elif itype == "SPARSE_WAND":
             # same posting family served with max-score early termination
             # (knowhere SPARSE_WAND, common/Types.h:690-693;
@@ -6380,7 +6393,10 @@ class MilvusSparkClient:
                     F.col("dim").cast("long").alias("dim"),
                     F.col("val").cast("double").alias("val"),
                 )
-                if wand_mode:
+                if wand_mode or has_bucket:
+                    # sealed rows carry sbucket whenever the artifact has
+                    # one (SPARSE_WAND), even under TAAT_NAIVE — the
+                    # growing delta must match or unionByName raises
                     grow = grow.withColumn(
                         "sbucket",
                         F.pmod(

@@ -32,6 +32,8 @@ from typing import Iterable, Optional, Sequence
 
 import numpy as np
 import pandas as pd
+
+from milvus_spark.operators.rounding import round_half_up
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -122,7 +124,7 @@ def brute_force_search(
                 continue
             ids = pdf[pk].to_numpy()
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
-            S = np.round(_score_block(V, Q, met), rt)  # (nq, n), rounded
+            S = round_half_up(_score_block(V, Q, met), rt)  # (nq, n), rounded
             # Partial top-k per query under the SAME total order as the final
             # window — (rounded score, pk) — so merging per-batch top-k is an
             # exact global top-k. Range bounds are applied BEFORE selection
@@ -199,7 +201,7 @@ def multi_metric_search(
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
             frames = []
             for sid, met in enumerate(mets):
-                S = np.round(_score_block(V, Q, met), rt)
+                S = round_half_up(_score_block(V, Q, met), rt)
                 sign = signs[sid]
                 for qi, qid in enumerate(qids):
                     row = S[qi]
@@ -270,7 +272,7 @@ def grouping_search(
             ids = pdf[pk].to_numpy()
             grp = pdf[gc].to_numpy()
             V = np.asarray([np.asarray(v, dtype=np.float64) for v in pdf[vc]])
-            S = np.round(_score_block(V, Q, met), rt)
+            S = round_half_up(_score_block(V, Q, met), rt)
             n = len(ids)
             # per-batch partial: top group_size rows of every (query, group)
             # in ONE numpy pass across all queries (r10 — replaces a

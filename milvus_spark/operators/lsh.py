@@ -101,9 +101,11 @@ def lsh_search(
     the bucketed layout — surviving pk ids semi-join the probed rows
     before scoring; bucket pruning stays first."""
     import pandas as pd
+
     from pyspark.sql import Window as W
 
     from milvus_spark.operators.knn import _score_block, metric_ascending
+    from milvus_spark.operators.rounding import round_half_up
 
     if metric.upper() == "IP":
         # sign-hyperplane buckets are angle-only (norm-blind): a huge-norm
@@ -152,7 +154,7 @@ def lsh_search(
             for qid, grp in pdf.groupby("qid"):
                 qi = int(np.where(qids == qid)[0][0])
                 V = np.asarray([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
-                s = np.round(_score_block(V, Q[qi : qi + 1], met)[0], rt)
+                s = round_half_up(_score_block(V, Q[qi : qi + 1], met)[0], rt)
                 ids = grp[pk_col].to_numpy()
                 idx = np.lexsort((ids, sign * s))[: min(kk, len(ids))]
                 frames.append(pd.DataFrame({"qid": qid, pk_col: ids[idx], "score": s[idx]}))

@@ -30,6 +30,8 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
+
+from milvus_spark.operators.rounding import round_half_up
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -224,7 +226,7 @@ def pq_search(
             for qid, grp in pdf.groupby("qid"):
                 qi = int(np.where(qids == qid)[0][0])
                 V = np.asarray([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
-                s = np.round(_score_block(V, Q[qi : qi + 1], met)[0], rt)
+                s = round_half_up(_score_block(V, Q[qi : qi + 1], met)[0], rt)
                 ids = grp[pk_col].to_numpy()
                 idx = np.lexsort((ids, sign * s))[: min(kk, len(ids))]
                 frames.append(

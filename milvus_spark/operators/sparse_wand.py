@@ -35,6 +35,8 @@ from typing import Dict, Sequence, Tuple
 
 import numpy as np
 import pandas as pd
+
+from milvus_spark.operators.rounding import round_half_up
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -152,12 +154,12 @@ def _segment_topk(
                         (~keep).sum()
                     )
         pool = np.flatnonzero(cand if cand is not None else touched)
-        sc = np.round(acc[pool], round_to)
+        sc = round_half_up(acc[pool], round_to)
         top = np.lexsort((uids[pool], -sc))[:k]
         sel = pool[top]
         out_q.extend([int(qid)] * len(sel))
         out_i.extend(uids[sel].tolist())
-        out_s.extend(np.round(acc[sel], round_to).tolist())
+        out_s.extend(round_half_up(acc[sel], round_to).tolist())
     return pd.DataFrame(
         {
             "qid": np.asarray(out_q, dtype=np.int64),

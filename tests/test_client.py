@@ -2718,6 +2718,51 @@ def test_add_struct_field(client, spark, sf_dir):
     client.drop_collection("asf")
 
 
+def test_add_struct_field_readd_after_drop(client, spark, sf_dir):
+    """r11 regression (ADVICE): re-adding a struct field after drop_field
+    must unhide the name and mask pre-re-add stored values behind the typed
+    null (mirrors add_field's since_ts handling) — before the fix the
+    dropped_fields loop silently dropped the freshly evolved column."""
+    from pyspark.sql import functions as F
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    client.create_collection("asfr", pk_field="n_nationkey")
+    client.insert(
+        "asfr", n.select("n_nationkey", "n_name").filter(F.col("n_nationkey") < 5)
+    )
+    client.add_struct_field("asfr", "clips", {"emb": "array<double>", "tag": "string"})
+    rows = spark.createDataFrame(
+        [[91, "x", [([0.1], "old")]]],
+        "n_nationkey int, n_name string, "
+        "clips array<struct<emb:array<double>,tag:string>>",
+    )
+    client.insert("asfr", rows)
+    client.drop_field("asfr", "clips")
+    assert "clips" not in client.query("asfr", output_fields=["*"]).columns
+    # re-add: column visible again, typed, and the OLD stored struct data
+    # must NOT resurrect
+    client.add_struct_field("asfr", "clips", {"emb": "array<double>", "tag": "string"})
+    out = client.query("asfr", output_fields=["n_nationkey", "clips"])
+    assert dict(out.dtypes)["clips"] == "array<struct<emb:array<double>,tag:string>>"
+    assert all(r.clips is None for r in out.collect()), "old struct data resurrected"
+    # inserts after the re-add carry real values
+    rows2 = spark.createDataFrame(
+        [[92, "y", [([0.5], "new")]]],
+        "n_nationkey int, n_name string, "
+        "clips array<struct<emb:array<double>,tag:string>>",
+    )
+    client.insert("asfr", rows2)
+    got = client.query("asfr", filter="n_nationkey == 92", output_fields=["clips"])
+    assert [c.tag for c in got.collect()[0].clips] == ["new"]
+    assert (
+        client.query("asfr", filter="n_nationkey == 91", output_fields=["clips"])
+        .collect()[0]
+        .clips
+        is None
+    )
+    client.drop_collection("asfr")
+
+
 def test_surface_parity_batch(client, spark, sf_dir):
     """Round-10 client-surface parity batch: operate_privilege_group (the
     raw add/remove proto op), list_restore_snapshot_jobs, and

@@ -15,6 +15,8 @@ Reference contracts (file:line into /root/reference):
 from __future__ import annotations
 
 import numpy as np
+
+from milvus_spark.operators.rounding import round_half_up
 import pytest
 from pyspark.sql import functions as F
 
@@ -197,7 +199,7 @@ def test_emb_list_l2_negated(struct_df):
     for d, vs in DOCS.items():
         V = np.asarray(vs, dtype=float)
         dist = ((V - QS[0]) ** 2).sum(axis=1)
-        want.append((r4(-float(np.round(dist, 4).min())), d))
+        want.append((r4(-float(round_half_up(dist, 4).min())), d))
     want.sort(key=lambda h: (-h[0], h[1]))
     assert [(r.doc_id, round(r.score, 4)) for r in
             sorted(got, key=lambda r: r.rank)] == [(d, s) for s, d in want[:3]]

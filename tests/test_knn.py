@@ -4,6 +4,8 @@ methodology — SearchBruteForce.cpp is the semantic all Milvus paths reduce to)
 from __future__ import annotations
 
 import numpy as np
+
+from milvus_spark.operators.rounding import round_half_up
 import pytest
 from pyspark.sql import functions as F
 
@@ -27,13 +29,13 @@ def emb_np(emb):
 def _ground_truth_topk(ids, V, q, metric, k):
     if metric == "COSINE":
         s = (V @ q) / (np.linalg.norm(V, axis=1) * np.linalg.norm(q))
-        s = np.round(s, 4)
+        s = round_half_up(s, 4)
         order = np.lexsort((ids, -s))
     elif metric == "IP":
-        s = np.round(V @ q, 4)
+        s = round_half_up(V @ q, 4)
         order = np.lexsort((ids, -s))
     elif metric == "L2":
-        s = np.round(((V - q) ** 2).sum(axis=1), 4)
+        s = round_half_up(((V - q) ** 2).sum(axis=1), 4)
         order = np.lexsort((ids, s))
     return ids[order[:k]].tolist()
 

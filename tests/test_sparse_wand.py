@@ -11,6 +11,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from milvus_spark.operators.rounding import round_half_up
 from milvus_spark.operators.sparse_wand import (
     _segment_topk,
     wand_postings,
@@ -23,7 +24,7 @@ def _brute(rows, qv, k):
     for i, d, v in rows:
         if d in qv:
             sc[i] = sc.get(i, 0.0) + v * qv[d]
-    return sorted(((round(s, 4), i) for i, s in sc.items()), key=lambda t: (-t[0], t[1]))[:k]
+    return sorted(((round_half_up(s, 4), i) for i, s in sc.items()), key=lambda t: (-t[0], t[1]))[:k]
 
 
 def test_wand_kernel_exact_fuzz():
@@ -437,3 +438,120 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_rounding_convention_r10_falsifier_pinned():
+    """The exact case Hypothesis found in round 10: query weight 0.001 over
+    a doc value 0.25 — the product 0.000250000000000000005… must round to
+    0.0003 (the engine's half-away-from-zero convention, matching DuckDB
+    ROUND / Spark F.round / Python round), NOT np.round's 0.0002. Pinned
+    deterministically so the convention can never silently regress."""
+    assert round_half_up(0.25 * 0.001, 4) == 0.0003
+    assert float(np.round(0.25 * 0.001, 4)) == 0.0002  # why np.round is banned
+    # two docs straddle the k=1 boundary on exactly this midpoint: doc 1
+    # scores 0.00025000000000000001 (rounds UP to 0.0003) and doc 0 scores
+    # a flat 0.00026 — under np.round doc 1 would lose (0.0002 < 0.00026
+    # rounds 0.0003... no: 0.00026 -> 0.0003 tie, id-break doc 0); under
+    # the pinned convention both round to 0.0003 and doc 0 wins the id tie
+    rows = [(0, 7, 0.26), (1, 7, 0.25)]
+    pdf = pd.DataFrame(rows, columns=["id", "dim", "val"])
+    got = _segment_topk(pdf, {0: {7: 0.001}}, 2, 4)
+    g = got.sort_values(["score", "id"], ascending=[False, True])
+    assert list(zip(g.score, g.id)) == [(0.0003, 0), (0.0003, 1)]
+    assert _brute(rows, {7: 0.001}, 2) == [(0.0003, 0), (0.0003, 1)]
+
+
+def test_rounding_convention_matches_duckdb():
+    """round_half_up must stay bit-identical to DuckDB ROUND(DOUBLE, 4) —
+    the oracle the correctness gate hash-compares every score against.
+    Fuzz includes an adversarial band of near-midpoint products (odd
+    multiples of 0.5e-4 plus ±1e-12 jitter), the class np.round gets wrong."""
+    import duckdb
+
+    rng = np.random.default_rng(42)
+    vals = np.concatenate(
+        [
+            rng.random(50_000),
+            rng.random(50_000) * 1e-3,
+            (rng.integers(0, 20_000, 100_000).astype(np.float64) * 2 + 1) / 2e4
+            + rng.normal(0, 1e-12, 100_000),
+            -rng.random(25_000),
+        ]
+    )
+    hu = round_half_up(vals, 4)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"x": vals}))
+    dk = con.sql("select round(x, 4) from t").fetchnumpy()["round(x, 4)"]
+    assert int((hu != dk).sum()) == 0
+
+
+def test_sparse_inverted_refresh_delete_lifecycle(spark, sf_dir, tmp_path):
+    """r11 regression (ADVICE): SPARSE_INVERTED base postings must carry
+    _epoch=0 like every sibling family — refresh appends _epoch-stamped
+    files into the same dir, and a null base epoch makes the delete-mask
+    condition (epoch_col < bound) evaluate NULL, resurrecting deleted docs
+    in sparse_search after a refresh."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir)
+    client.create_collection("sir", pk_field="vec_id")
+    client.insert("sir", sv)
+    client.create_index("sir", "sv", "SPARSE_INVERTED")
+    ent = client.describe_index("sir", "sv", "SPARSE_INVERTED")
+    assert ent.get("cur_epoch") == 0
+    queries = [{1: 0.8, 3: 0.4, 7: 0.3}]
+    qlist = list(enumerate(queries))
+
+    def _got():
+        df = client.sparse_search("sir", queries, "sv", limit=5)
+        return [(round(r.score, 4), r.vec_id) for r in df.collect()]
+
+    assert _got() == _expected(client, "sir", qlist, 5)[0]
+    # fold a growing delta into a new epoch
+    delta = _sparse_frame(spark, sf_dir, n=340).filter(F.col("vec_id") >= 300)
+    client.insert("sir", delta)
+    client.refresh_index("sir", "sv", "SPARSE_INVERTED")
+    ent = client.describe_index("sir", "sv", "SPARSE_INVERTED")
+    assert ent["cur_epoch"] == 1
+    got = _got()
+    assert got == _expected(client, "sir", qlist, 5)[0]
+    # delete a top hit AFTER the refresh: the mask bound must beat the
+    # base rows' epoch (0) — with a null base epoch the victim resurrects
+    victim = got[0][1]
+    client.delete("sir", ids=[int(victim)])
+    got = _got()
+    assert victim not in [i for _, i in got]
+    assert got == _expected(client, "sir", qlist, 5, exclude={victim})[0]
+    # second refresh keeps accounting consistent (epoch 2, still exact)
+    delta2 = _sparse_frame(spark, sf_dir, n=380).filter(F.col("vec_id") >= 340)
+    client.insert("sir", delta2)
+    client.refresh_index("sir", "sv", "SPARSE_INVERTED")
+    assert client.describe_index("sir", "sv", "SPARSE_INVERTED")["cur_epoch"] == 2
+    got = _got()
+    assert victim not in [i for _, i in got]
+    assert got == _expected(client, "sir", qlist, 5, exclude={victim})[0]
+    client.drop_collection("sir")
+
+
+def test_sparse_wand_taat_sealed_growing(spark, sf_dir, tmp_path):
+    """r11 regression (ADVICE): a SPARSE_WAND index served with
+    inverted_index_algo=TAAT_NAIVE selects sbucket from the sealed
+    artifact, so the growing delta must also carry sbucket or the
+    unionByName crashes on the first post-build insert."""
+    from milvus_spark.client import MilvusSparkClient
+
+    client = MilvusSparkClient(spark, root=str(tmp_path))
+    sv = _sparse_frame(spark, sf_dir, n=200)
+    client.create_collection("swt", pk_field="vec_id")
+    client.insert("swt", sv)
+    client.create_index(
+        "swt", "sv", "SPARSE_WAND", {"inverted_index_algo": "TAAT_NAIVE"}
+    )
+    queries = [{1: 0.8, 3: 0.4}]
+    delta = _sparse_frame(spark, sf_dir, n=340).filter(F.col("vec_id") >= 200)
+    client.insert("swt", delta)  # post-build insert -> sealed+growing union
+    df = client.sparse_search("swt", queries, "sv", limit=5)
+    got = [(round(r.score, 4), r.vec_id) for r in df.collect()]
+    assert got == _expected(client, "swt", list(enumerate(queries)), 5)[0]
+    client.drop_collection("swt")
