@@ -2461,6 +2461,58 @@ class MilvusSparkClient:
             )
             entry["n_buckets"] = n_buckets
             entry["cur_epoch"] = 0
+        elif itype == "MINHASH_LSH":
+            # MinHash band index over signature vectors (MINHASH_LSH /
+            # MHJACCARD, indexparamcheck/index_params_validation.go:247,
+            # minhash_function.go:51,72; operators/minhash_lsh.py): one
+            # (id, band, bh, sig) row per doc per band, hive-partitioned
+            # by band and bh-sorted within — a query reads ONLY its band
+            # buckets, then exact-verifies candidates on the inline
+            # signatures (with_raw_data).
+            from pyspark.sql import types as T
+
+            from milvus_spark.operators.minhash_lsh import build_minhash_bands
+
+            mtype = str(params.get("metric_type", "MHJACCARD")).upper()
+            if mtype != "MHJACCARD":
+                raise ValueError(
+                    "index metric type of MinHash function output field "
+                    f"must be MHJACCARD, got {mtype}"
+                )
+            df = self._read(name)
+            dt = df.schema[field].dataType
+            if not isinstance(dt, T.ArrayType):
+                raise ValueError(
+                    f"MINHASH_LSH needs a signature array column, got {dt}"
+                )
+            row0 = df.select(field).filter(F.col(field).isNotNull()).first()
+            if row0 is None or not row0[0]:
+                raise ValueError(
+                    f"cannot build MINHASH_LSH on empty collection {name!r}"
+                )
+            num_hashes = len(row0[0])
+            if "dim" in params and int(params["dim"]) != num_hashes:
+                raise ValueError(
+                    f"dimension mismatch: dim={params['dim']} but the "
+                    f"signature field {field!r} has {num_hashes} slots"
+                )
+            bands = int(params.get("mh_lsh_band", 4))
+            if bands <= 0 or num_hashes % bands != 0:
+                raise ValueError(
+                    f"mh_lsh_band={bands} must divide num_hashes={num_hashes}"
+                )
+            (
+                build_minhash_bands(df, field, meta["pk"], num_hashes, bands)
+                .withColumn("_epoch", F.lit(0).cast("long"))
+                .repartition("band")
+                .sortWithinPartitions("bh")
+                .write.mode("overwrite")
+                .partitionBy("band")
+                .parquet(os.path.join(idx_dir, "bands"))
+            )
+            entry["num_hashes"] = num_hashes
+            entry["bands"] = bands
+            entry["cur_epoch"] = 0
         elif itype == "LSH":
             # random-hyperplane LSH (the MinHash-LSH / binary-hash index
             # family, index_type.go; operators/lsh.py): sign-bucket the
@@ -2842,6 +2894,7 @@ class MilvusSparkClient:
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
             "HYBRID", "RTREE", "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED",
+            "MINHASH_LSH",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -2978,7 +3031,7 @@ class MilvusSparkClient:
             return entry
         if itype in (
             "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE", "HYBRID", "RTREE",
-            "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED",
+            "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED", "MINHASH_LSH",
         ):
             # Scalar index family rides the same epoch/version-mask
             # lifecycle as the lexical tier (the reference rebuilds scalar
@@ -3002,7 +3055,7 @@ class MilvusSparkClient:
             art_name = {
                 "INVERTED": "posting", "BITMAP": "posting", "RTREE": "cells",
                 "NGRAM": "posting", "SPARSE_WAND": "posting",
-                "SPARSE_INVERTED": "posting",
+                "SPARSE_INVERTED": "posting", "MINHASH_LSH": "bands",
             }.get(eff, "sorted")
             apath = os.path.join(entry["path"], art_name)
             c = self.spark.read.parquet(apath)
@@ -3089,6 +3142,9 @@ class MilvusSparkClient:
                     if thr is not None
                     else F.size(F.col(fld)) > 0
                 )
+            elif eff == "MINHASH_LSH":
+                # every non-empty signature posts exactly `bands` rows
+                indexed_cond = F.col(fld).isNotNull() & (F.size(F.col(fld)) > 0)
             elif isinstance(df.schema[fld].dataType, T.ArrayType):
                 # array fields index rows with >= 1 non-null element
                 indexed_cond = F.col(fld).isNotNull() & F.exists(
@@ -3150,6 +3206,13 @@ class MilvusSparkClient:
                     ),
                 ).repartitionByRange(4, "dim").sortWithinPartitions("dim")
                 part_col = None  # the base layout is range-sharded, not hive-partitioned
+            elif eff == "MINHASH_LSH":
+                from milvus_spark.operators.minhash_lsh import build_minhash_bands
+
+                art = build_minhash_bands(
+                    new, fld, pk, int(entry["num_hashes"]), int(entry["bands"])
+                )
+                part_col = "band"
             elif eff == "INVERTED":
                 art = build_inverted(new, fld, pk)
                 part_col = "vbucket"
@@ -5360,6 +5423,82 @@ class MilvusSparkClient:
                     excluded=list(ivf.get("masked_pks") or []) or None,
                 )
                 cands = raw.select("qid", pk, "score")
+        if cands is None and rt == 4 and not partition_names:
+            # remaining families (r11 — SearchGroupByOperator.cpp rides ANY
+            # index's candidate iterator): PQ/SQ8 shortlist from the code
+            # table oversampled 4x the group budget then exact-refine; LSH
+            # probes the hamming ball. Same serve regimes as the plain
+            # top-k dispatch (fresh index, no partitions — the code/bucket
+            # layouts are not partition-scoped; filters ride as a pk
+            # semi-join). Full-shortlist / full-probe params make each
+            # exact, the oracle regime.
+            cand_k = max(int(sp.get("ef", 0) or 0), budget * 4)
+            qlist = [(i, list(map(float, v))) for i, v in enumerate(data)]
+            pq_idx = self._fresh_index(name, vfield, "IVF_PQ")
+            if pq_idx is not None:
+                from milvus_spark.operators.pq import pq_search
+
+                with open(os.path.join(pq_idx["path"], "codebooks.json")) as f:
+                    books = np.asarray(json.load(f), dtype=np.float64)
+                raw = pq_search(
+                    self.spark.read.parquet(os.path.join(pq_idx["path"], "codes")),
+                    self._read(name),
+                    books,
+                    qlist,
+                    vec_col=vfield,
+                    pk_col=pk,
+                    metric=met,
+                    k=cand_k,
+                    shortlist=int(sp.get("shortlist", 20 * cand_k)),
+                    matches=matches,
+                    excluded=list(pq_idx.get("masked_pks") or []) or None,
+                )
+                cands = raw.select("qid", pk, "score")
+        if cands is None and rt == 4 and not partition_names:
+            sq_idx = self._fresh_index(name, vfield, "IVF_SQ8")
+            if sq_idx is not None:
+                from milvus_spark.operators.sq import sq8_search
+
+                with open(os.path.join(sq_idx["path"], "bounds.json")) as f:
+                    bounds = np.asarray(json.load(f), dtype=np.float64)
+                raw = sq8_search(
+                    self.spark.read.parquet(os.path.join(sq_idx["path"], "codes")),
+                    self._read(name),
+                    bounds,
+                    qlist,
+                    vec_col=vfield,
+                    pk_col=pk,
+                    metric=met,
+                    k=cand_k,
+                    shortlist=int(sp.get("shortlist", 10 * cand_k)),
+                    matches=matches,
+                    excluded=list(sq_idx.get("masked_pks") or []) or None,
+                )
+                cands = raw.select("qid", pk, "score")
+        if (
+            cands is None and rt == 4 and not partition_names
+            and met in ("COSINE", "L2")  # lsh_search refuses norm-blind IP
+        ):
+            lsh_idx = self._fresh_index(name, vfield, "LSH")
+            if lsh_idx is not None:
+                from milvus_spark.operators.lsh import lsh_search
+
+                with open(os.path.join(lsh_idx["path"], "hyperplanes.json")) as f:
+                    H = np.asarray(json.load(f), dtype=np.float64)
+                raw = lsh_search(
+                    self.spark,
+                    os.path.join(lsh_idx["path"], "bucketed"),
+                    H,
+                    qlist,
+                    vec_col=vfield,
+                    pk_col=pk,
+                    metric=met,
+                    k=cand_k,
+                    probe_radius=int(sp.get("probe_radius", 1)),
+                    matches=matches,
+                    excluded=list(lsh_idx.get("masked_pks") or []) or None,
+                )
+                cands = raw.select("qid", pk, "score")
         if cands is None:
             return None
         base = self._partition_filter(self._read(name), partition_names)
@@ -5681,6 +5820,28 @@ class MilvusSparkClient:
                 "element_scope is only supported for element-level search "
                 "on struct array vector sub-fields"
             )
+        if (metric_type or meta.get("metric") or "COSINE").upper() == "MHJACCARD":
+            # MinHash signature search (MHJACCARD, metric_type.go:49-53):
+            # served through a MINHASH_LSH band index when one exists —
+            # band-bucket candidates, exact signature verify — else the
+            # exact full-corpus signature compare. See _minhash_search.
+            if group_by_field is not None or ranker is not None:
+                raise ValueError(
+                    "group_by/ranker are not supported for MHJACCARD search"
+                )
+            if radius is not None or range_filter is not None:
+                raise ValueError("range search is not supported for MHJACCARD")
+            if not (search_params or {}).get("mh_search_with_jaccard", True):
+                raise ValueError(
+                    "mh_search_with_jaccard=false is not supported — banded "
+                    "candidates are always exact-verified here"
+                )
+            hits = self._minhash_search(
+                name, meta, vfield, data, limit, filter, params,
+                partition_names, as_of, consistency_level,
+                12 if round_decimal == -1 else int(round_decimal),
+            )
+            return self._requery(name, hits, meta, output_fields, base=req_base)
         if group_by_field is not None:
             if ranker:
                 # a flat rerank would break the per-group quota structure
@@ -6281,6 +6442,116 @@ class MilvusSparkClient:
             scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= limit)
         )
+
+    def _minhash_search(
+        self,
+        name: str,
+        meta: dict,
+        field: str,
+        data,
+        limit: int,
+        filter: Optional[str],
+        params: Optional[dict],
+        partition_names,
+        as_of,
+        consistency_level,
+        round_to: int,
+    ) -> DataFrame:
+        """MHJACCARD top-k (qid, pk, score, rank; score = estimated Jaccard
+        distance, ascending). With a servable MINHASH_LSH index the banded
+        path reads ONLY the query's band buckets (band directory pruning +
+        bh row-group pruning) and exact-verifies candidates on the inline
+        signatures — candidate-limited by LSH design, exact distances on
+        every returned hit (minhash_function.go / MinHashComputer.cpp).
+        Sealed+growing: post-build inserts band on the fly and union; post-
+        build deletes mask at query time. Snapshot reads (as_of) and
+        absent/unservable indexes fall back to the exact full-corpus
+        signature compare — the FLAT analog."""
+        from milvus_spark.operators.minhash_lsh import (
+            build_minhash_bands,
+            mhjaccard_dist,
+            minhash_lsh_search,
+        )
+
+        pk = meta["pk"]
+        queries = [(i, [int(s) for s in sig]) for i, sig in enumerate(data)]
+        entry, delta_df, delta_mask = None, None, []
+        if as_of is None and not self._expired_ts(meta):
+            entry = self._fresh_index(name, field, "MINHASH_LSH")
+            if entry is None:
+                e = meta.get("indexes", {}).get(f"{field}__MINHASH_LSH")
+                sg = self._servable_delta(name, e)
+                if sg is not None:
+                    entry, (delta_df, delta_mask) = e, sg
+        if entry is not None:
+            from milvus_spark.operators.bitset import apply_delete_bitset
+
+            nh, nb = int(entry["num_hashes"]), int(entry["bands"])
+            bands = self.spark.read.parquet(os.path.join(entry["path"], "bands"))
+            mask = list(entry.get("masked_pks") or []) + list(delta_mask)
+            bands = apply_delete_bitset(bands, "id", mask).select(
+                F.col("id").cast("long").alias("id"),
+                F.col("band").cast("int").alias("band"),
+                F.col("bh").cast("string").alias("bh"),
+                F.col("sig").cast("array<long>").alias("sig"),
+            )
+            if delta_df is not None:
+                grow = build_minhash_bands(delta_df, field, pk, nh, nb).select(
+                    "id",
+                    F.col("band").cast("int").alias("band"),
+                    "bh",
+                    F.col("sig").cast("array<long>").alias("sig"),
+                )
+                bands = bands.unionByName(grow)
+            if filter or partition_names:
+                base = self._partition_filter(self._read(name), partition_names)
+                if filter:
+                    base = base.filter(
+                        compile_expr(
+                            filter, base.schema, params, dynamic_field=self._dyn(meta)
+                        )
+                    )
+                keep = base.select(F.col(pk).cast("long").alias("id"))
+                bands = bands.join(keep, "id", "left_semi")
+            hits = minhash_lsh_search(bands, queries, nh, nb, int(limit), round_to)
+            return hits.select(
+                "qid", F.col("id").alias(pk), "score", "rank"
+            )
+        # FLAT path: exact estimated-Jaccard over the visible corpus
+        df = self._partition_filter(
+            self._read(name, self._resolve_as_of(name, as_of, consistency_level)),
+            partition_names,
+        )
+        if filter:
+            df = df.filter(
+                compile_expr(filter, df.schema, params, dynamic_field=self._dyn(meta))
+            )
+        nh = len(queries[0][1]) if queries else 0
+        qdf = self.spark.createDataFrame(
+            [(q, s) for q, s in queries], "qid long, qsig array<long>"
+        )
+        scored = (
+            df.select(
+                F.col(pk).cast("long").alias("id"),
+                F.col(field).cast("array<long>").alias("sig"),
+            )
+            .crossJoin(F.broadcast(qdf))
+            .select(
+                "qid",
+                "id",
+                F.round(
+                    mhjaccard_dist(F.col("sig"), F.col("qsig"), nh), round_to
+                ).alias("score"),
+            )
+        )
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("qid").orderBy(F.col("score").asc(), F.col("id").asc())
+        hits = (
+            scored.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= int(limit))
+        )
+        return hits.select("qid", F.col("id").alias(pk), "score", "rank")
 
     def sparse_search(
         self,

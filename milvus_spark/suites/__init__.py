@@ -20,8 +20,6 @@ ROTATION_HEAD: list[str] = [
     "dedup_minhash_lsh",
     "cur_pipeline_e2e",
     "arr_contains_family",
-    "dml_upsert_read",
-    "stream_window_agg",
     # never-driver-verified: ANN index lifecycle (r5-r7)
     "cli_index_refresh_ann",
     "cli_delete_masked_ann",
@@ -46,9 +44,6 @@ ROTATION_HEAD: list[str] = [
     "cli_scalar_conjunction",
     "cli_scalar_disjunction",
     "cli_scalar_conjunction_partial",
-    "cli_scalar_conjunction_growing",
-    "cli_scalar_disjunction_growing",
-    "cli_json_cast_index",
     "cli_auto_rebuild_scalar",
     # never-driver-verified: sparse tier (r10)
     "cli_sparse_wand_topk",
@@ -67,6 +62,12 @@ ROTATION_HEAD: list[str] = [
     "cli_ngram_lifecycle",
     # never-driver-verified: grouping through indexes (r10)
     "cli_hnsw_grouping",
+    # r11 additions
+    "cli_minhash_lsh_search",
+    "cli_sparse_inverted_refresh",
+    "cli_pq_grouping",
+    "cli_sq8_grouping",
+    "cli_lsh_grouping",
 ]
 
 

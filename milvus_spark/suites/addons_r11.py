@@ -1,6 +1,302 @@
-"""Round-11 suite: MINHASH_LSH index lifecycle, grouping search through
+"""Round-11 suite: the MINHASH_LSH index lifecycle, grouping search through
 the PQ/SQ8/LSH families, and the SPARSE_INVERTED refresh+delete lifecycle
-(the r11 epoch-stamp fix). Registered via milvus_spark.registry like every
-other suite; oracle SQL uses the same fixtures the queries build."""
+(the r11 epoch-stamp fix) — appended AFTER addons_r10 so pre-existing
+registration positions never shift; the driver-facing order is then set by
+suites.ROTATION_HEAD.
+
+Reference parity (file:line into /root/reference):
+  - internal/util/indexparamcheck/index_params_validation.go:247 +
+    index_params_validation_test.go:199-215 — MINHASH_LSH is a first-class
+    vector index type; its metric must be MHJACCARD; dim comes from the
+    signature field.
+  - internal/util/function/minhash_function.go:51,72 — MinHash signatures
+    are the indexed field; MHJACCARD distance is 1 − matches/num_hashes
+    (internal/core/src/minhash/MinHashComputer.cpp).
+  - internal/core/src/exec/operator/search-groupby/SearchGroupByOperator.cpp
+    — grouping search rides ANY index's candidate iterator; r11 extends
+    the engine's _index_grouping to the PQ/SQ8/LSH families.
+
+Every query drives the full index lifecycle and asserts IN-QUERY that the
+executed plan reads the pruned index artifact, so a driver row proves both
+the result AND the access path.
+"""
 
 from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from milvus_spark.operators.text import (
+    SHINGLES_SQL,
+    TOKENS_SQL,
+    minhash_signature,
+    seeded_hash_sql,
+    shingles,
+    tokens,
+)
+from milvus_spark.registry import register
+from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
+from milvus_spark.session import load_table
+
+_H = 8  # minhash signature slots (matches the dedup suite)
+_BANDS = 4  # 4 bands x 2 rows
+
+
+def _client(spark):
+    from milvus_spark.client import MilvusSparkClient
+
+    return MilvusSparkClient(spark, root=scratch_mkdtemp("r11_"))
+
+
+def _plan(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
+    d = load_table(spark, sf, "documents")
+    sh = F.array_distinct(shingles(tokens(F.col("text"))))
+    return d.select(
+        "doc_id",
+        F.array(*minhash_signature(sh, _H)).cast("array<long>").alias("sig"),
+    )
+
+
+_TOKS = TOKENS_SQL.format(col="text")
+_SIG_COLS = ", ".join(
+    f"list_min(list_transform(sh, g -> {seeded_hash_sql('g', i)})) AS s{i}"
+    for i in range(_H)
+)
+_MH_EQ = " + ".join(f"(CASE WHEN q.s{i} = v.s{i} THEN 1 ELSE 0 END)" for i in range(_H))
+
+
+def _band_sql(j: int) -> str:
+    return f"md5(s{2 * j} || '_' || s{2 * j + 1})"
+
+
+_MINHASH_ORACLE_SIG = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    sig AS (SELECT doc_id, {_SIG_COLS} FROM s)
+"""
+
+
+@register(
+    "cli_minhash_lsh_search",
+    oracle=_MINHASH_ORACLE_SIG
+    + f"""
+    , live AS (SELECT * FROM sig WHERE doc_id % 41 != 3),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, {_band_sql(j)} AS bh FROM live" for j in range(_BANDS))}
+    ),
+    qsig AS (SELECT * FROM sig WHERE doc_id < 8),
+    qbands AS (
+      {" UNION ALL ".join(f"SELECT doc_id AS qid, {j} AS band, {_band_sql(j)} AS bh FROM qsig" for j in range(_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qid, b.doc_id
+      FROM bands b JOIN qbands q ON b.band = q.band AND b.bh = q.bh
+    ),
+    scored AS (
+      SELECT c.qid, c.doc_id, round(1.0 - ({_MH_EQ}) * 1.0 / {_H}, 4) AS score
+      FROM cand c JOIN live v ON c.doc_id = v.doc_id
+                  JOIN (SELECT doc_id AS qid, * EXCLUDE (doc_id) FROM qsig) q
+                    ON c.qid = q.qid
+    )
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_minhash_lsh_search(spark: SparkSession, sf: str) -> DataFrame:
+    """MINHASH_LSH full lifecycle (r11 — the r10 verdict's #4 ask;
+    index_params_validation.go:247, minhash_function.go:51,72): build the
+    band index on 2/3 of the corpus, a post-build insert serves
+    SEALED + GROWING (persisted band rows plus on-the-fly band rows for
+    the ``_ts``-pruned delta), refresh_index folds the delta into epoch 1,
+    and a post-refresh delete masks at query time. Search dispatches
+    through the banded access path — band-bucket candidates (bh IN-filter
+    row-group pruning, asserted in-plan) exact-verified on the inline
+    signatures (MHJACCARD distance = 1 − matches/H, MinHashComputer.cpp).
+    The oracle replicates the banding bit-identically in DuckDB (same
+    seeded md5 signature family as the dedup suite), so candidate sets —
+    not just distances — must match."""
+    client = _client(spark)
+    sig = _doc_signatures(spark, sf)
+    client.create_collection(
+        "mhl", pk_field="doc_id", vector_field="sig", metric_type="MHJACCARD"
+    )
+    client.insert("mhl", sig.filter(F.col("doc_id") % 3 != 0))
+    client.create_index("mhl", "sig", "MINHASH_LSH", {"mh_lsh_band": _BANDS})
+    qs = [r.sig for r in sig.filter(F.col("doc_id") < 8).orderBy("doc_id").collect()]
+    # growing delta: served sealed+growing without a refresh
+    client.insert("mhl", sig.filter(F.col("doc_id") % 3 == 0))
+    mid = client.search("mhl", qs, limit=10)
+    plan = _plan(mid)
+    assert "In(bh" in plan, "growing delta dropped the banded index path"
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
+    # fold into epoch 1, then mask post-refresh deletes at query time
+    entry = client.refresh_index("mhl", "sig", "MINHASH_LSH")
+    assert entry["cur_epoch"] == 1
+    client.delete("mhl", filter="doc_id % 41 == 3")
+    out = client.search("mhl", qs, limit=10).select("qid", "doc_id", "score", "rank")
+    plan = _plan(out)
+    assert "In(bh" in plan, "expected the bh-pruned band artifact scan"
+    return out
+
+
+# ---------- grouping search through the PQ / SQ8 / LSH families ---------------
+def _grouping_oracle(metric: str) -> str:
+    """Brute grouping oracle over ``embeddings`` (the shared grouping
+    semantics: top-2 rows per (query, label), labels ranked by their best
+    hit, top-3 labels per query) for the 4 gate queries."""
+    score = {
+        "COSINE": "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)",
+        "L2": "round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv)^2, 4)",
+    }[metric]
+    d = "ASC" if metric == "L2" else "DESC"
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.qid, e.vec_id, e.label, {score} AS score FROM embeddings e, q
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT qid, vec_id, label, score,
+               row_number() OVER (PARTITION BY qid, label ORDER BY score {d}, vec_id) AS rn
+        FROM scored
+      ) WHERE rn <= 2
+    ),
+    best AS (SELECT qid, label,
+                    {"min" if d == "ASC" else "max"}(score) AS best_score
+             FROM kept GROUP BY qid, label),
+    topg AS (
+      SELECT * FROM (
+        SELECT qid, label,
+               CAST(row_number() OVER (PARTITION BY qid ORDER BY best_score {d}, label) AS BIGINT) AS grank
+        FROM best
+      ) WHERE grank <= 3
+    )
+    SELECT k.qid, k.label, k.vec_id, k.score, g.grank
+    FROM kept k JOIN topg g ON k.qid = g.qid AND k.label = g.label
+    """
+
+
+def _grouped_through_index(
+    spark: SparkSession, sf: str, cname: str, itype: str, metric: str,
+    build_params: dict, sp: dict, plan_marker: str,
+) -> DataFrame:
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        cname, pk_field="vec_id", vector_field="embedding", metric_type=metric
+    )
+    client.insert(cname, e.select("vec_id", "embedding", "label"))
+    client.create_index(cname, "embedding", itype, build_params)
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        cname, data=qs, limit=3, group_by_field="label", group_size=2,
+        search_params=sp,
+    ).select("qid", "label", "vec_id", "score", "grank")
+    plan = _plan(out)
+    assert plan_marker in plan, f"expected the {itype}-served grouping path"
+    return out
+
+
+@register("cli_pq_grouping", oracle=_grouping_oracle("L2"))
+def cli_pq_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping search THROUGH the PQ code table (r11 — the r10 verdict's
+    #5 ask; SearchGroupByOperator.cpp rides ANY index's candidate
+    iterator): with a fresh IVF_PQ index, group_by_field shortlists from
+    the m-byte ADC scan oversampled 4x the group budget, exact-refines,
+    and reduces through the shared delegator-side grouping merge. The
+    full-shortlist regime (ef/shortlist >= corpus) makes the candidate
+    pool the whole corpus — exact by construction, so the hash must match
+    the brute grouping oracle; production shortlists are the ANN
+    contract, recall-exercised in tests/test_index_grouping.py."""
+    return _grouped_through_index(
+        spark, sf, "pqg", "IVF_PQ", "L2", {"m": 16},
+        {"ef": 10**6, "shortlist": 10**6}, "_shard",
+    )
+
+
+@register("cli_sq8_grouping", oracle=_grouping_oracle("L2"))
+def cli_sq8_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping search THROUGH the SQ8 code table (r11): the 1-byte/dim
+    quantized scan shortlists candidates, exact refine + shared grouping
+    merge — full-shortlist regime, exact vs the brute grouping oracle."""
+    return _grouped_through_index(
+        spark, sf, "sqg", "IVF_SQ8", "L2", {},
+        {"ef": 10**6, "shortlist": 10**6}, "_shard",
+    )
+
+
+@register("cli_lsh_grouping", oracle=_grouping_oracle("COSINE"))
+def cli_lsh_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping search THROUGH the LSH bucket layout (r11): candidates
+    from the hamming-ball probe around each query's sign bucket, exact
+    scoring within, shared grouping merge. Probing the full ball
+    (probe_radius = nbits) covers every bucket — exact by construction,
+    matching the brute grouping oracle; tighter probes are the ANN
+    contract."""
+    return _grouped_through_index(
+        spark, sf, "lshg", "LSH", "COSINE", {"nbits": 8},
+        {"ef": 10**6, "probe_radius": 8}, "bucket",
+    )
+
+
+# ---------- SPARSE_INVERTED refresh + post-refresh delete ----------------------
+@register(
+    "cli_sparse_inverted_refresh",
+    oracle="""
+    WITH nz AS (
+      SELECT vec_id, i AS dim, CAST(embedding[i] AS DOUBLE) AS val
+      FROM embeddings, unnest(range(1, 65)) AS t(i)
+      WHERE embedding[i] > 0.15
+    ),
+    qnz AS (SELECT vec_id AS qid, dim, val AS qval FROM nz WHERE vec_id < 4),
+    live AS (SELECT * FROM nz WHERE vec_id % 37 != 5),
+    scored AS (
+      SELECT q.qid, l.vec_id, round(sum(l.val * q.qval), 4) AS score
+      FROM live l JOIN qnz q ON l.dim = q.dim
+      GROUP BY q.qid, l.vec_id
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_sparse_inverted_refresh(spark: SparkSession, sf: str) -> DataFrame:
+    """SPARSE_INVERTED refresh + post-refresh delete (r11 — the ADVICE
+    epoch-stamp fix): base postings carry _epoch=0, refresh_index appends
+    the growing delta as epoch 1 into the same posting dir, and a delete
+    AFTER the refresh masks via the (pk, epoch < bound) condition — with a
+    null base epoch the masked doc would resurrect in sparse_search. The
+    final search runs over the two-epoch artifact with a live delete mask
+    and must hash-match the brute oracle over the live corpus."""
+    from milvus_spark.suites.addons_r10 import _sparse_map_frame, _sparse_queries
+
+    client = _client(spark)
+    sv = _sparse_map_frame(spark, sf)
+    client.create_collection("sir", pk_field="vec_id")
+    client.insert("sir", sv.filter(F.col("vec_id") % 3 != 0))
+    client.create_index("sir", "sv", "SPARSE_INVERTED")
+    assert client.describe_index("sir", "sv", "SPARSE_INVERTED")["cur_epoch"] == 0
+    queries = _sparse_queries(sv)
+    client.insert("sir", sv.filter(F.col("vec_id") % 3 == 0))
+    entry = client.refresh_index("sir", "sv", "SPARSE_INVERTED")
+    assert entry["cur_epoch"] == 1
+    client.delete("sir", filter="vec_id % 37 == 5")
+    out = client.sparse_search("sir", queries, "sv", limit=10).select(
+        "qid", "vec_id", "score", "rank"
+    )
+    plan = _plan(out)
+    assert "In(dim" in plan, "expected the dim-pruned two-epoch posting scan"
+    return out

@@ -448,11 +448,12 @@ def test_rounding_convention_r10_falsifier_pinned():
     deterministically so the convention can never silently regress."""
     assert round_half_up(0.25 * 0.001, 4) == 0.0003
     assert float(np.round(0.25 * 0.001, 4)) == 0.0002  # why np.round is banned
-    # two docs straddle the k=1 boundary on exactly this midpoint: doc 1
-    # scores 0.00025000000000000001 (rounds UP to 0.0003) and doc 0 scores
-    # a flat 0.00026 — under np.round doc 1 would lose (0.0002 < 0.00026
-    # rounds 0.0003... no: 0.00026 -> 0.0003 tie, id-break doc 0); under
-    # the pinned convention both round to 0.0003 and doc 0 wins the id tie
+    # two docs meet at the k boundary on exactly this midpoint: doc 1
+    # scores 0.000250000000000000005… (rounds UP to 0.0003) and doc 0
+    # scores 0.00026 (0.0003 under any convention). Under the pinned
+    # convention they TIE at 0.0003 and doc 0 wins the id tie-break;
+    # under np.round doc 1 would fall to 0.0002 and lose outright — the
+    # ordering the falsified r10 test caught.
     rows = [(0, 7, 0.26), (1, 7, 0.25)]
     pdf = pd.DataFrame(rows, columns=["id", "dim", "val"])
     got = _segment_topk(pdf, {0: {7: 0.001}}, 2, 4)
