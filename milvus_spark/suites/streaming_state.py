@@ -163,21 +163,29 @@ def stream_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     os.makedirs(_SCRATCH, exist_ok=True)
     root = scratch_mkdtemp("streamwin_")
     # staged WAL is immutable per SF — stage once, reuse across calls
-    # (checkpoint + sink stay fresh per run)
+    # (checkpoint + sink stay fresh per run). The batch frame and the
+    # sentinel plans are built ONLY when staging actually runs: their
+    # analysis alone costs ~0.5s/call, pure overhead on a memoized-WAL
+    # re-run (the r11 stream_session_agg profile decomposition)
     stage = os.path.join(_SCRATCH, "streamwin_store", os.path.basename(sf.rstrip("/")))
-    e = load_table(spark, sf, "events").select("ts", "event_type", "value")
-    sentinels = [
-        e.agg(F.max("ts").alias("m")).select(
-            (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
-            F.lit("_sentinel").alias("event_type"),
-            F.lit(0.0).alias("value"),
+    src = os.path.join(stage, "src")
+    if not os.path.exists(os.path.join(stage, "_STAGED_V3")):
+        e = load_table(spark, sf, "events").select("ts", "event_type", "value")
+        sentinels = [
+            e.agg(F.max("ts").alias("m")).select(
+                (F.col("m") + F.expr(f"INTERVAL {days} DAYS")).alias("ts"),
+                F.lit("_sentinel").alias("event_type"),
+                F.lit(0.0).alias("value"),
+            )
+            for days in (10,)
+        ]
+        src = _stage_time_ordered(
+            stage, e.withColumn("_us", F.unix_micros("ts")), sentinels
         )
-        for days in (10,)
-    ]
-    src = _stage_time_ordered(stage, e.withColumn("_us", F.unix_micros("ts")), sentinels)
 
     stream = (
-        spark.readStream.schema(e.schema)
+        # the staged layout's data contract (stable under _STAGED_V3)
+        spark.readStream.schema("ts timestamp, event_type string, value double")
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
@@ -245,19 +253,27 @@ def stream_session_agg(spark: SparkSession, sf: str) -> DataFrame:
     # the staged WAL (time-ordered chunks + sentinels) is immutable per SF —
     # stage it once and reuse across calls; only the checkpoint + memory
     # sink must be fresh per run (a reused checkpoint would resume a
-    # finished query and emit nothing)
+    # finished query and emit nothing). Batch frame + sentinel plans build
+    # ONLY when staging runs: their analysis costs ~0.5s/call (measured
+    # r11: load_table 0.14s + sentinel plan 0.40s), pure overhead on a
+    # memoized-WAL re-run of a ~2.2s query
     stage = os.path.join(_SCRATCH, "streamsess_store", os.path.basename(sf.rstrip("/")))
-    e = load_table(spark, sf, "events").select("ts", "user_id")
-    sentinels = [
-        e.agg(F.max("ts").alias("m"))
-        .select(F.col("m") + F.expr(f"INTERVAL {days} DAYS"), F.lit(uid).cast("long"))
-        .toDF("ts", "user_id")
-        for days, uid in ((10, -1),)
-    ]
-    src = _stage_time_ordered(stage, e.withColumn("_us", F.unix_micros("ts")), sentinels)
+    src = os.path.join(stage, "src")
+    if not os.path.exists(os.path.join(stage, "_STAGED_V3")):
+        e = load_table(spark, sf, "events").select("ts", "user_id")
+        sentinels = [
+            e.agg(F.max("ts").alias("m"))
+            .select(F.col("m") + F.expr(f"INTERVAL {days} DAYS"), F.lit(uid).cast("long"))
+            .toDF("ts", "user_id")
+            for days, uid in ((10, -1),)
+        ]
+        src = _stage_time_ordered(
+            stage, e.withColumn("_us", F.unix_micros("ts")), sentinels
+        )
 
     stream = (
-        spark.readStream.schema(e.schema)
+        # the staged layout's data contract (stable under _STAGED_V3)
+        spark.readStream.schema("ts timestamp, user_id long")
         .option("maxFilesPerTrigger", 1)
         .parquet(src + "/*")
     )
