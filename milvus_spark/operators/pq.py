@@ -214,7 +214,14 @@ def pq_search(
     )
 
     # exact refine: full vectors only for shortlist rows (broadcast requery)
-    cand = F.broadcast(short).join(corpus.select(pk_col, vec_col), pk_col)
+    # force the broadcast only when the shortlist is production-bounded
+    # (nq x shortlist rows, a few MB); the exhaustive oracle regime
+    # (shortlist >= corpus) must NOT override AQE's size check — at scale
+    # that hint would broadcast the whole scored corpus
+    short_side = (
+        F.broadcast(short) if sl * len(queries) <= 200_000 else short
+    )
+    cand = short_side.join(corpus.select(pk_col, vec_col), pk_col)
     sign = 1.0 if asc else -1.0
     met, rt, kk = metric, round_to, int(k)
 

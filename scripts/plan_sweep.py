@@ -115,6 +115,9 @@ HINT_ALLOWED: dict[str, int] = {
     # broadcasts its nq*10 hit list (rank<=10 window filter — bounded, but
     # not an Aggregate/Limit node)
     "vec_knn_classify": 1,
+    # [life] tombstone anti-join broadcast on the growing-delta /
+    # post-refresh read (same compaction-bounded frame as the dml_* rows)
+    "cli_minhash_lsh_search": 1, "cli_sparse_inverted_refresh": 1,
     "vec_binary_substructure": 1, "vec_binary_superstructure": 1,
     "vec_binary_hamming": 1, "vec_binary_jaccard": 1, "vec_sparse_ip": 1,
     "vec_maxsim_ip": 1, "vec_maxsim_cosine": 1, "vec_maxsim_l2": 1,
