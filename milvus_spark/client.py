@@ -2217,6 +2217,212 @@ class MilvusSparkClient:
                 for k in ("M", "efConstruction", "search_list_size", "max_degree")
                 if k in params
             }
+        elif itype in ("HNSW_SQ", "HNSW_PQ", "HNSW_PRQ"):
+            # Quantized graph family (knowhere HNSW_SQ/PQ/PRQ;
+            # tests/python_client/testcases/indexes/idx_hnsw_{sq,pq,prq}.py):
+            # the per-segment graph stores vectors in the QUANTIZED domain
+            # (operators/quantizers.py — reconstructions are information-
+            # equivalent to packed codes given the persisted bounds/
+            # codebooks), beams rank by quantized distances, and an
+            # optional refine step re-scores refine_k x k candidates at
+            # refine_type precision (FP32 = the raw corpus).
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"{itype} requires a vector field, got {field!r}")
+            from milvus_spark.operators.hnsw import (
+                SEGMENT_ROWS_DEFAULT, build_hnsw, derive_n_partitions,
+            )
+            from milvus_spark.operators.ivf import l2_normalize
+            from milvus_spark.operators.quantizers import (
+                check_bool, check_int, check_refine_type, check_sq_type,
+                quantize_frame, train_qspec,
+            )
+
+            mm = check_int(params, "M", 2, 2048, 8)
+            efc = check_int(params, "efConstruction", 1, 2**31 - 1, 64)
+            df = self._read(name)
+            met = meta.get("metric", "COSINE")
+            if met == "COSINE":
+                corpus = l2_normalize(df, field)
+            elif met == "IP":
+                v = F.col(field).cast("array<double>")
+                n2 = F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)
+                m2 = float(df.select(F.max(n2).alias("m2")).first()["m2"] or 0.0)
+                entry["mips_m2"] = m2
+                corpus = df.withColumn(
+                    field,
+                    F.concat(
+                        v, F.array(F.sqrt(F.greatest(F.lit(m2) - n2, F.lit(0.0))))
+                    ),
+                )
+            else:
+                corpus = df.withColumn(field, F.col(field).cast("array<double>"))
+            row0 = corpus.select(field).first()
+            if row0 is None or row0[0] is None:
+                raise ValueError(f"cannot build {itype} on empty collection {name!r}")
+            dim = len(row0[0])
+            if itype == "HNSW_SQ":
+                qkind = check_sq_type(params)
+                qspec = train_qspec(corpus, field, qkind, dim)
+            else:
+                pm = check_int(params, "m", 1, dim, 16)
+                if dim % pm != 0:
+                    raise ValueError(
+                        f"dimension must be able to be divided by m: "
+                        f"dim={dim}, m={pm}: invalid parameter"
+                    )
+                nbits = check_int(params, "nbits", 1, 24, 8)
+                nrq = (
+                    check_int(params, "nrq", 1, 16, 2)
+                    if itype == "HNSW_PRQ"
+                    else None
+                )
+                qspec = train_qspec(
+                    corpus, field, "PRQ" if itype == "HNSW_PRQ" else "PQ",
+                    dim, m=pm, nbits=nbits, nrq=nrq or 2,
+                )
+            refine = check_bool(params, "refine", False)
+            # refine_type validates whenever supplied, even without refine
+            # (idx_ivf_rabitq.py's standalone refine_type rows)
+            refine_type = (
+                check_refine_type(params)
+                if (refine or "refine_type" in params)
+                else "FP32"
+            )
+            refine_spec = (
+                train_qspec(corpus, field, refine_type, dim) if refine else None
+            )
+            qcorpus = quantize_frame(corpus.select(meta["pk"], field), field, qspec)
+            if "n_partitions" in params:
+                nparts = int(params["n_partitions"])
+            else:
+                nparts = derive_n_partitions(
+                    corpus.count(),
+                    int(params.get("segment_rows", SEGMENT_ROWS_DEFAULT)),
+                )
+            g = build_hnsw(
+                qcorpus, field, meta["pk"],
+                n_partitions=nparts, m=mm, ef_construction=efc,
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            g.write.mode("overwrite").partitionBy("part").parquet(
+                os.path.join(idx_dir, "graph")
+            )
+            with open(os.path.join(idx_dir, "quantizer.json"), "w") as f:
+                json.dump(
+                    {
+                        "quantizer": qspec,
+                        "refine": {
+                            "enabled": refine,
+                            "type": refine_type,
+                            "spec": refine_spec,
+                        },
+                    },
+                    f,
+                )
+            entry["n_partitions"] = nparts
+            entry["epochs"] = [{"base": 0, "n": nparts}]
+            entry["refine"] = refine
+        elif itype == "IVF_RABITQ":
+            # RaBitQ cluster index (idx_ivf_rabitq.py; Gao & Long,
+            # SIGMOD'24): per-cluster 1-bit codes of the ROTATED residual
+            # + residual norms — a 32x smaller scan than fp32 — with an
+            # unbiased-style inner-product estimate at query time and
+            # optional refine at refine_type precision. Codes lay out
+            # hive-partitioned by cluster_id, so nprobe prunes whole
+            # directories exactly like IVF_FLAT.
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"IVF_RABITQ requires a vector field, got {field!r}")
+            import numpy as np
+
+            from milvus_spark.operators.ivf import (
+                assign_clusters, build_centroids, l2_normalize,
+            )
+            from milvus_spark.operators.quantizers import (
+                check_bool, check_int, check_refine_type, rabitq_encode_np,
+                rotation_matrix, train_qspec,
+            )
+
+            nlist = check_int(params, "nlist", 1, 65536, 16)
+            refine = check_bool(params, "refine", False)
+            refine_type = (
+                check_refine_type(params)
+                if (refine or "refine_type" in params)
+                else "FP32"
+            )
+            df = self._read(name)
+            met = meta.get("metric", "COSINE")
+            corpus = (
+                l2_normalize(df, field)
+                if met == "COSINE"
+                else df.withColumn(field, F.col(field).cast("array<double>"))
+            )
+            row0 = corpus.select(field).first()
+            if row0 is None or row0[0] is None:
+                raise ValueError(
+                    f"cannot build IVF_RABITQ on empty collection {name!r}"
+                )
+            dim = len(row0[0])
+            seed = int(params.get("seed", 7))
+            R = rotation_matrix(dim, seed)
+            cents = build_centroids(corpus, field, nlist)
+            assigned = assign_clusters(corpus.select(meta["pk"], field), field, cents)
+            pk_name = meta["pk"]
+            fld = field
+
+            def enc(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    frames = []
+                    for cid, grp in pdf.groupby("cluster_id"):
+                        V = np.asarray(
+                            [np.asarray(v, dtype=np.float64) for v in grp[fld]]
+                        )
+                        bits, norms = rabitq_encode_np(R, V, cents[int(cid)])
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    pk_name: grp[pk_name],
+                                    "cluster_id": int(cid),
+                                    "bits": [b.tobytes() for b in bits],
+                                    "rnorm": norms,
+                                }
+                            )
+                        )
+                    yield pd.concat(frames)
+
+            codes = assigned.mapInPandas(
+                enc, schema=f"{pk_name} long, cluster_id int, bits binary, rnorm double"
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            codes.withColumn("_epoch", F.lit(0).cast("long")).write.mode(
+                "overwrite"
+            ).partitionBy("cluster_id").parquet(os.path.join(idx_dir, "codes"))
+            with open(os.path.join(idx_dir, "centroids.json"), "w") as f:
+                json.dump(cents.tolist(), f)
+            refine_spec = (
+                train_qspec(corpus, field, refine_type, dim) if refine else None
+            )
+            with open(os.path.join(idx_dir, "quantizer.json"), "w") as f:
+                json.dump(
+                    {
+                        "seed": seed,
+                        "dim": dim,
+                        "refine": {
+                            "enabled": refine,
+                            "type": refine_type,
+                            "spec": refine_spec,
+                        },
+                    },
+                    f,
+                )
+            entry["nlist"] = nlist
+            entry["refine"] = refine
+            entry["cur_epoch"] = 0
         elif itype in ("IVF_FLAT", "DISKANN", "SCANN"):
             # IVF_FLAT builds the centroid table + cluster-partitioned
             # rewrite. The DISK/quantized-graph families (DISKANN, SCANN)
@@ -5879,6 +6085,39 @@ class MilvusSparkClient:
                     strict_group_size=bool(strict_group_size),
                 )
             return self._requery(name, hits, meta, output_fields, base=req_base)
+        qidx = next(
+            (
+                e
+                for t in ("HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "IVF_RABITQ")
+                if (e := self._fresh_index(name, vfield, t)) is not None
+            ),
+            None,
+        )
+        if (
+            qidx is not None
+            and radius is None and range_filter is None
+            and as_of is None and not meta.get("external_path")
+            and not self._expired_ts(meta)
+            and meta["metric"] in ("COSINE", "L2", "IP")
+            and (metric_type is None or metric_type == meta["metric"])
+            # quantized graph over MIPS-augmented vectors needs the stored
+            # augmentation bound, same guard as the plain HNSW branch
+            and (
+                meta["metric"] != "IP"
+                or qidx["index_type"] == "IVF_RABITQ"
+                or "mips_m2" in qidx
+            )
+        ):
+            # quantized families (r11): graph beams over quantized-domain
+            # vectors / RaBitQ cluster estimates, + refine_k re-score at
+            # refine_type precision — see _quantized_search
+            hits = self._quantized_search(
+                name, meta, qidx, vfield, data, limit, filter, params,
+                partition_names, search_params, round_decimal,
+            )
+            if ranker:
+                hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
+            return self._requery(name, hits, meta, output_fields, base=req_base)
         idx = next(
             (
                 e
@@ -6441,6 +6680,251 @@ class MilvusSparkClient:
         return (
             scored.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= limit)
+        )
+
+    def _quantized_search(
+        self,
+        name: str,
+        meta: dict,
+        entry: dict,
+        vfield: str,
+        data,
+        limit: int,
+        filter: Optional[str],
+        params: Optional[dict],
+        partition_names,
+        search_params: Optional[dict],
+        round_decimal: int,
+    ) -> DataFrame:
+        """Serving for the quantized families (HNSW_SQ/PQ/PRQ graph beams
+        over quantized-domain vectors; IVF_RABITQ 1-bit residual estimate
+        over nprobe-pruned cluster directories), with knowhere's refine
+        contract: when the index was built with refine=true, the top
+        refine_k x limit candidates re-score at refine_type precision
+        (FP32 = exact corpus scores) before the final top-k. Exhaustive
+        regimes (ef/nprobe covering everything + FP32 refine with a
+        corpus-sized refine_k) are EXACT — the oracle regime; production
+        regimes are the ANN contract, recall-gated in tests."""
+        import numpy as np
+
+        from milvus_spark.operators.knn import _score_block, metric_ascending
+        from milvus_spark.operators.quantizers import (
+            rabitq_estimate_np, reconstruct_np, rotation_matrix,
+        )
+        from milvus_spark.operators.rounding import round_half_up
+
+        sp = dict(search_params or {})
+        met = meta["metric"]
+        pk = meta["pk"]
+        rt = 12 if round_decimal == -1 else int(round_decimal)
+        rk = sp.get("refine_k", 1)
+        try:
+            rk = float(rk)
+        except (TypeError, ValueError):
+            raise ValueError(
+                f"Type conflict in json: param 'refine_k' ({rk!r}) should be a number"
+            )
+        if rk < 1:
+            raise ValueError(f"param 'refine_k' ({rk}) should be in range [1, inf)")
+        with open(os.path.join(entry["path"], "quantizer.json")) as f:
+            qmeta = json.load(f)
+        refine_on = bool(qmeta["refine"]["enabled"])
+        cand_k = int(np.ceil(rk * limit)) if refine_on else int(limit)
+        matches = None
+        if filter or partition_names:
+            base_f = self._partition_filter(self._read(name), partition_names)
+            if filter:
+                base_f = base_f.filter(
+                    compile_expr(
+                        filter, base_f.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                )
+            matches = base_f.select(pk)
+        qs = [list(map(float, v)) for v in data]
+        qn2 = [float(np.dot(q, q)) for q in qs]
+        if entry["index_type"].startswith("HNSW"):
+            from milvus_spark.operators.hnsw import hnsw_search
+
+            g = self._read_graph(os.path.join(entry["path"], "graph"))
+            ef = int(sp.get("ef", sp.get("search_list", 64)))
+            ef_adaptive = "ef" not in sp and "search_list" not in sp
+            if met == "COSINE":
+                qs = [
+                    (np.asarray(q) / (np.linalg.norm(q) or 1.0)).tolist() for q in qs
+                ]
+            elif met == "IP":
+                qs = [q + [0.0] for q in qs]
+            raw = hnsw_search(
+                g,
+                qs,
+                ef=max(ef, cand_k),
+                k=cand_k,
+                matches=matches,
+                n_partitions=int(entry.get("n_partitions", 8)),
+                epochs=entry.get("epochs"),
+                excluded=list(entry.get("masked_pks") or []) or None,
+                adaptive=ef_adaptive,
+            )
+            if met == "COSINE":
+                score = F.round(1.0 - F.col("sqdist") / 2.0, rt) + F.lit(0.0)
+            elif met == "IP":
+                m2 = float(entry.get("mips_m2", 0.0))
+                qmap = F.create_map(
+                    *[x for i, v in enumerate(qn2) for x in (F.lit(i), F.lit(v))]
+                )
+                score = (
+                    F.round((F.lit(m2) + qmap[F.col("qid")] - F.col("sqdist")) / 2.0, rt)
+                    + F.lit(0.0)
+                )
+            else:
+                score = F.round(F.col("sqdist"), rt) + F.lit(0.0)
+            cands = raw.select("qid", F.col("id").alias(pk), score.alias("score"))
+        else:  # IVF_RABITQ
+            with open(os.path.join(entry["path"], "centroids.json")) as f:
+                cents = np.asarray(json.load(f), dtype=np.float64)
+            R = rotation_matrix(int(qmeta["dim"]), int(qmeta["seed"]))
+            nlist = int(entry["nlist"])
+            nprobe = int(sp.get("nprobe", max(1, nlist // 2)))
+            bq = int(sp.get("rbq_bits_query", 0))
+            if not 0 <= bq <= 8:
+                raise ValueError(
+                    f"param 'rbq_bits_query' ({bq}) should be in range [0, 8]"
+                )
+            Q = np.asarray(qs, dtype=np.float64)
+            if met == "COSINE":
+                Q = Q / np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+            # probe list per query: nearest centroids (L2 domain; for IP
+            # the residual split <x,q> = <c,q> + <r,q> holds for ANY c,
+            # so probing by centroid score is the standard heuristic)
+            if met == "IP":
+                cd = -(Q @ cents.T)
+            else:
+                cd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            probes = np.argsort(cd, axis=1)[:, : min(nprobe, nlist)]
+            probe_set = sorted({int(c) for row in probes for c in row})
+            codes = self.spark.read.parquet(os.path.join(entry["path"], "codes"))
+            codes = codes.filter(F.col("cluster_id").isin(probe_set))
+            if matches is not None:
+                mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk))
+                codes = codes.join(mt, pk, "left_semi")
+            probe_lists = {int(c): [] for c in probe_set}
+            for qi, row in enumerate(probes):
+                for c in row:
+                    probe_lists[int(c)].append(qi)
+            asc = met == "L2"
+            kk, pkn, metq = cand_k, pk, met
+
+            def est(batches):
+                import pandas as pd
+
+                for pdf in batches:
+                    if len(pdf) == 0:
+                        continue
+                    frames = []
+                    for cid, grp in pdf.groupby("cluster_id"):
+                        qids = probe_lists.get(int(cid), [])
+                        if not qids:
+                            continue
+                        bits = np.asarray(
+                            [np.frombuffer(b, dtype=np.int8) for b in grp["bits"]]
+                        )
+                        norms = grp["rnorm"].to_numpy(dtype=np.float64)
+                        ids = grp[pkn].to_numpy(dtype=np.int64)
+                        c = cents[int(cid)]
+                        for qi in qids:
+                            q = Q[qi]
+                            if metq == "L2":
+                                qr = (q - c) @ R
+                                e = rabitq_estimate_np(bits, norms, qr, bq)
+                                s = float((q - c) @ (q - c)) + norms**2 - 2.0 * e
+                            else:  # IP / COSINE
+                                qr = q @ R
+                                e = rabitq_estimate_np(bits, norms, qr, bq)
+                                s = float(c @ q) + e
+                            order = np.lexsort((ids, s if asc else -s))[:kk]
+                            frames.append(
+                                pd.DataFrame(
+                                    {
+                                        "qid": np.int64(qi),
+                                        pkn: ids[order],
+                                        "score": s[order],
+                                    }
+                                )
+                            )
+                    if frames:
+                        yield pd.concat(frames)
+
+            partial = codes.mapInPandas(
+                est, schema=f"qid long, {pk} long, score double"
+            )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("qid").orderBy(
+                F.col("score").asc() if asc else F.col("score").desc(),
+                F.col(pk).asc(),
+            )
+            cands = (
+                partial.withColumn("crank", F.row_number().over(w))
+                .filter(F.col("crank") <= cand_k)
+                .select("qid", pk, "score")
+            )
+        if not refine_on:
+            from pyspark.sql import Window as _W
+
+            asc_m = metric_ascending(met)
+            w = _W.partitionBy("qid").orderBy(
+                F.col("score").asc() if asc_m else F.col("score").desc(),
+                F.col(pk).asc(),
+            )
+            return (
+                cands.withColumn("rank", F.row_number().over(w).cast("long"))
+                .filter(F.col("rank") <= int(limit))
+                .select("qid", pk, F.round("score", rt).alias("score"), "rank")
+            )
+        # refine: re-score the bounded candidate set at refine_type
+        # precision (requery shape; broadcast only when production-bounded
+        # — an exhaustive refine_k must not override AQE's size check)
+        rspec = qmeta["refine"]["spec"] or {"kind": "FP32"}
+        short = cands.select("qid", pk)
+        short_side = (
+            F.broadcast(short) if cand_k * max(len(qs), 1) <= 200_000 else short
+        )
+        corpus = self._read(name).select(pk, vfield)
+        joined = short_side.join(corpus, pk)
+        Qr = np.asarray([list(map(float, v)) for v in data], dtype=np.float64)
+        metr, pkn, vf, rtr = met, pk, vfield, rt
+
+        def refine(batches):
+            import pandas as pd
+
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                V = np.asarray(
+                    [np.asarray(v, dtype=np.float64) for v in pdf[vf]]
+                )
+                V = reconstruct_np(V, rspec)
+                S = round_half_up(_score_block(V, Qr, metr), rtr)
+                qi = pdf["qid"].to_numpy(dtype=np.int64)
+                yield pd.DataFrame(
+                    {
+                        "qid": qi,
+                        pkn: pdf[pkn].to_numpy(dtype=np.int64),
+                        "score": S[qi, np.arange(len(qi))],
+                    }
+                )
+
+        refined = joined.mapInPandas(refine, schema=f"qid long, {pk} long, score double")
+        from pyspark.sql import Window as _W
+
+        asc_m = metric_ascending(met)
+        w = _W.partitionBy("qid").orderBy(
+            F.col("score").asc() if asc_m else F.col("score").desc(), F.col(pk).asc()
+        )
+        return (
+            refined.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= int(limit))
+            .select("qid", pk, "score", "rank")
         )
 
     def _minhash_search(

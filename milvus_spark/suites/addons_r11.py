@@ -300,3 +300,104 @@ def cli_sparse_inverted_refresh(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "In(dim" in plan, "expected the dim-pruned two-epoch posting scan"
     return out
+
+
+# ---------- quantized index families: HNSW_SQ / HNSW_PQ / HNSW_PRQ / IVF_RABITQ
+def _bf_vec_oracle(metric: str) -> str:
+    score = {
+        "COSINE": "round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4)",
+        "L2": "round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qv)^2, 4)",
+    }[metric]
+    d = "ASC" if metric == "L2" else "DESC"
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+               FROM embeddings WHERE vec_id < 3),
+    scored AS (
+      SELECT q.qid, e.vec_id, {score} AS score FROM embeddings e, q
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score {d}, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """
+
+
+def _quantized_exact(
+    spark: SparkSession, sf: str, cname: str, itype: str, metric: str,
+    build: dict, sp: dict, marker: str,
+) -> DataFrame:
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        cname, pk_field="vec_id", vector_field="embedding", metric_type=metric
+    )
+    client.insert(cname, e.select("vec_id", "embedding"))
+    client.create_index(cname, "embedding", itype, build)
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    out = client.search(cname, qs, limit=10, search_params=sp).select(
+        "qid", "vec_id", "score", "rank"
+    )
+    plan = _plan(out)
+    assert marker in plan, f"expected the {itype} artifact in the plan"
+    return out
+
+
+@register("cli_hnsw_sq_search", oracle=_bf_vec_oracle("COSINE"))
+def cli_hnsw_sq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """HNSW_SQ (r11 — idx_hnsw_sq.py; knowhere's scalar-quantized graph):
+    the per-segment graph stores SQ8 reconstructions (information-
+    equivalent to the packed codes given the persisted bounds), beams rank
+    by quantized distances, and refine re-scores refine_k x k candidates
+    at FP32. The exhaustive regime (ef and refine_k covering the corpus,
+    FP32 refine) is EXACT by construction — hash must match the brute
+    oracle; production regimes are the ANN contract, recall-gated in
+    tests/test_quantized_indexes.py."""
+    return _quantized_exact(
+        spark, sf, "hsq", "HNSW_SQ", "COSINE",
+        {"sq_type": "SQ8", "refine": True, "refine_type": "FP32"},
+        {"ef": 10**6, "refine_k": 10**6}, "FlatMapGroupsInPandas",
+    )
+
+
+@register("cli_hnsw_pq_search", oracle=_bf_vec_oracle("L2"))
+def cli_hnsw_pq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """HNSW_PQ (r11 — idx_hnsw_pq.py): graph over PQ reconstructions
+    (m sub-codebooks, nbits each) + FP32 refine — exhaustive regime exact."""
+    return _quantized_exact(
+        spark, sf, "hpq", "HNSW_PQ", "L2",
+        {"m": 16, "refine": True, "refine_type": "FP32"},
+        {"ef": 10**6, "refine_k": 10**6}, "FlatMapGroupsInPandas",
+    )
+
+
+@register("cli_hnsw_prq_search", oracle=_bf_vec_oracle("COSINE"))
+def cli_hnsw_prq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """HNSW_PRQ (r11 — idx_hnsw_prq.py): product RESIDUAL quantization —
+    nrq stacked PQ layers, each encoding what the previous layers left
+    behind — under the same graph + refine serving; exhaustive regime
+    exact."""
+    return _quantized_exact(
+        spark, sf, "hprq", "HNSW_PRQ", "COSINE",
+        {"m": 16, "nrq": 2, "refine": True, "refine_type": "FP32"},
+        {"ef": 10**6, "refine_k": 10**6}, "FlatMapGroupsInPandas",
+    )
+
+
+@register("cli_ivf_rabitq_search", oracle=_bf_vec_oracle("L2"))
+def cli_ivf_rabitq_search(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF_RABITQ (r11 — idx_ivf_rabitq.py; Gao & Long SIGMOD'24): 1-bit
+    codes of the rotated cluster residual + residual norms, hive-
+    partitioned by cluster_id (nprobe prunes directories like IVF_FLAT);
+    candidates rank by the sign-code inner-product estimate and refine at
+    refine_type precision. All-cluster probe + corpus-sized FP32 refine is
+    exact — the oracle regime; rbq_bits_query additionally quantizes the
+    QUERY (deliberately approximate, recall-exercised in tests)."""
+    return _quantized_exact(
+        spark, sf, "hrbq", "IVF_RABITQ", "L2",
+        {"nlist": 8, "refine": True, "refine_type": "FP32"},
+        {"nprobe": 8, "refine_k": 10**6}, "cluster_id",
+    )
