@@ -2924,6 +2924,27 @@ class MilvusSparkClient:
             self.create_index(name, field, "NGRAM", {"n": int(params.get("n", 3))})
             entry["materialized"] = False
             entry["maps_to"] = ["TRIE", "NGRAM"]
+        elif itype == "FAISS":
+            # faiss index-factory alias (r11 —
+            # tests/python_client/testcases/indexes/idx_faiss.py): the
+            # factory string maps onto the engine's equivalent layouts and
+            # the FAISS entry records itself as an alias (the FMINDEX
+            # pattern); query-time dispatch is the mapped index's own
+            # routing, drop fans out. Code-only "PQmxb" is marked
+            # unsearchable like the reference (searches fall back to the
+            # exact scan — FLAT semantics, never the bare codes).
+            spec = params.get("faiss_index_name")
+            if not isinstance(spec, str) or not spec.strip():
+                raise ValueError(
+                    "FAISS requires a non-empty faiss_index_name build param"
+                )
+            maps_to, searchable = self._build_faiss_factory(
+                name, field, spec.strip(), params
+            )
+            entry["materialized"] = False
+            entry["maps_to"] = maps_to
+            entry["faiss_index_name"] = spec.strip()
+            entry["searchable"] = searchable
         elif itype in (
             "AUTOINDEX",
             # FLAT = exact scan: the engine's default brute-force path IS
@@ -2936,6 +2957,69 @@ class MilvusSparkClient:
         meta.setdefault("indexes", {})[f"{field}__{itype}"] = entry
         self._save_catalog()
         return entry
+
+    def _build_faiss_factory(
+        self, name: str, field: str, spec: str, params: dict
+    ) -> tuple[list, bool]:
+        """Parse a faiss index-factory string (idx_faiss.py's accepted
+        grammar) and build the mapped layouts. Returns (maps_to,
+        searchable)."""
+        parts = [p.strip() for p in spec.split(",") if p.strip()]
+
+        def _pq(tok: str):
+            m = re.fullmatch(r"PQ(\d+)x(\d+)", tok) or re.fullmatch(r"PQ(\d+)", tok)
+            return (int(m.group(1)), int(m.group(2)) if m.lastindex == 2 else 8) if m else None
+
+        def _pre(tok: str, prefix: str):
+            m = re.fullmatch(re.escape(prefix) + r"(\d+)", tok)
+            return int(m.group(1)) if m else None
+
+        if parts == ["Flat"]:
+            self.create_index(name, field, "FLAT")
+            return ["FLAT"], True
+        if parts == ["BFlat"]:
+            self.create_index(name, field, "BIN_FLAT")
+            return ["BIN_FLAT"], True
+        if len(parts) == 1 and _pq(parts[0]):
+            # code-only PQ: codes exist but are not a searchable index in
+            # the reference either — train + encode for parity, serve FLAT
+            pm, nbits = _pq(parts[0])
+            self.create_index(
+                name, field, "IVF_PQ", {"m": pm, "nbits_k": min(2**nbits, 256)}
+            )
+            # the codes are not a serving path: hide the sub-entry from
+            # the fresh-index dispatch by invalidating its built_ts
+            self._meta(name)["indexes"][f"{field}__IVF_PQ"]["built_ts"] = -1
+            return ["IVF_PQ"], False
+        if len(parts) == 2 and _pre(parts[0], "IVF") and parts[1] == "Flat":
+            self.create_index(name, field, "IVF_FLAT", {"nlist": _pre(parts[0], "IVF")})
+            return ["IVF_FLAT"], True
+        if len(parts) == 2 and _pre(parts[0], "HNSW") and parts[1] == "Flat":
+            self.create_index(name, field, "HNSW", {"M": _pre(parts[0], "HNSW")})
+            return ["HNSW"], True
+        if (
+            len(parts) == 3
+            and _pre(parts[0], "OPQ")
+            and _pre(parts[1], "IVF")
+            and _pq(parts[2])
+        ):
+            pm, nbits = _pq(parts[2])
+            self.create_index(
+                name, field, "IVF_PQ", {"m": pm, "nbits_k": min(2**nbits, 256)}
+            )
+            return ["IVF_PQ"], True
+        if (
+            len(parts) == 3
+            and _pre(parts[0], "IVF")
+            and _pq(parts[1])
+            and parts[2] == "RFlat"
+        ) or (len(parts) == 2 and _pre(parts[0], "IVF") and _pq(parts[1])):
+            pm, nbits = _pq(parts[1])
+            self.create_index(
+                name, field, "IVF_PQ", {"m": pm, "nbits_k": min(2**nbits, 256)}
+            )
+            return ["IVF_PQ"], True
+        raise ValueError(f"invalid faiss_index_name {spec!r}")
 
     def _write_null_ids(
         self, name: str, field: str, idx_dir: str, pk: str,
@@ -5767,6 +5851,30 @@ class MilvusSparkClient:
             # hint value is validated for EVERY search, whichever execution
             # path serves it (ParseSearchInfo, query/PlanProto.cpp:103-112)
             raise ValueError(f"unknown hints {hints!r}")
+        if search_params:
+            # numeric search params coerce from numeric strings and refuse
+            # anything else ("expects a number", idx_faiss.py's search
+            # rows); faiss-factory spellings normalize onto the engine's
+            # knobs (efSearch -> ef, k_factor -> refine shortlist)
+            sp_n = dict(search_params)
+            for key in (
+                "nprobe", "ef", "efSearch", "search_list", "k_factor",
+                "refine_k", "shortlist", "probe_radius", "rbq_bits_query",
+            ):
+                v = sp_n.get(key)
+                if v is None or key not in sp_n:
+                    continue
+                try:
+                    sp_n[key] = float(v) if key in ("refine_k", "k_factor") else int(float(v))
+                except (TypeError, ValueError):
+                    raise ValueError(
+                        f"search param '{key}' ({v!r}) expects a number"
+                    )
+            if "efSearch" in sp_n and "ef" not in sp_n:
+                sp_n["ef"] = int(sp_n.pop("efSearch"))
+            if "k_factor" in sp_n and "shortlist" not in sp_n:
+                sp_n["shortlist"] = max(int(sp_n.pop("k_factor") * limit), int(limit))
+            search_params = sp_n
         if order_by_fields is not None:
             # order_by_fields (test_milvus_client_search_order.py): retrieve
             # the distance top-k first, then REORDER that page by scalar

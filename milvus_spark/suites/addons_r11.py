@@ -401,3 +401,35 @@ def cli_ivf_rabitq_search(spark: SparkSession, sf: str) -> DataFrame:
         {"nlist": 8, "refine": True, "refine_type": "FP32"},
         {"nprobe": 8, "refine_k": 10**6}, "cluster_id",
     )
+
+
+@register("cli_faiss_factory", oracle=_bf_vec_oracle("COSINE"))
+def cli_faiss_factory(spark: SparkSession, sf: str) -> DataFrame:
+    """FAISS index-factory alias (r11 — idx_faiss.py): a factory string
+    like "IVF8,Flat" builds the engine's equivalent layout through one
+    alias entry (the FMINDEX pattern — drop fans out, dispatch is the
+    mapped index's own routing), and faiss search-param spellings
+    (stringified nprobe, efSearch, k_factor) normalize onto the engine
+    knobs. All-cluster probe is exact — hash must match the brute oracle;
+    the plan must read the cluster-partitioned layout, proving dispatch
+    went through the mapped index rather than a scan."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "ffa", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("ffa", e.select("vec_id", "embedding"))
+    ent = client.create_index(
+        "ffa", "embedding", "FAISS", {"faiss_index_name": "IVF8,Flat"}
+    )
+    assert ent["maps_to"] == ["IVF_FLAT"]
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "ffa", qs, limit=10, search_params={"nprobe": "8"}
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "cluster_id" in plan, "expected the mapped IVF layout in the plan"
+    return out
