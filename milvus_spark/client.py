@@ -5435,8 +5435,26 @@ class MilvusSparkClient:
         are rejected at insert/upsert (reject_manual_output_writes)."""
         meta = self._meta(name)
         ftype = str(function.get("type", "BM25")).upper()
-        if ftype not in ("BM25", "TEXTEMBEDDING"):
+        if ftype not in ("BM25", "TEXTEMBEDDING", "MINHASH"):
             raise ValueError(f"unsupported function type {ftype!r}")
+        if ftype == "MINHASH":
+            # minhash_function.go:109-155 param validation shapes
+            p = dict(function.get("params") or {})
+            for key, dflt in (("num_hashes", 8), ("shingle_size", 3), ("seed", 1234)):
+                v = p.get(key, dflt)
+                try:
+                    p[key] = int(v)
+                except (TypeError, ValueError):
+                    raise ValueError(f"param {key}:{v} is not a number")
+                if key != "seed" and p[key] <= 0:
+                    raise ValueError(f"param {key}:{p[key]} must be positive")
+            tl = str(p.get("token_level", "word"))
+            if tl not in ("word", "char"):
+                raise ValueError(
+                    f"unknown token_level: {tl} (expected 'char' or 'word')"
+                )
+            p["token_level"] = tl
+            function = dict(function, params=p)
         inp = function.get("input_field")
         out = function.get("output_field")
         if not inp or not out:
@@ -5478,11 +5496,30 @@ class MilvusSparkClient:
         )
 
         for fn in meta.get("functions") or []:
-            if fn.get("type", "").upper() != "TEXTEMBEDDING":
+            ft = fn.get("type", "").upper()
+            if ft not in ("TEXTEMBEDDING", "MINHASH"):
                 continue
             if fn["output_field"] in df.columns or fn["input_field"] not in df.columns:
                 continue
-            dim = int((fn.get("params") or {}).get("dim", MD5_DIM))
+            p = fn.get("params") or {}
+            if ft == "MINHASH":
+                # MINHASH ingest function (minhash_function.go:29-39):
+                # signature computed from the input text at insert — pure
+                # JVM column expressions, no Python in the ingest row path
+                from milvus_spark.operators.text import minhash_signature_col
+
+                df = df.withColumn(
+                    fn["output_field"],
+                    minhash_signature_col(
+                        F.col(fn["input_field"]),
+                        num_hashes=int(p.get("num_hashes", 8)),
+                        shingle_size=int(p.get("shingle_size", 3)),
+                        token_level=str(p.get("token_level", "word")),
+                        seed=int(p.get("seed", 1234)),
+                    ),
+                )
+                continue
+            dim = int(p.get("dim", MD5_DIM))
             df = with_text_embedding(
                 df, fn["input_field"], out_col=fn["output_field"],
                 dim=dim, provider=md5_embed_batch,
@@ -5989,6 +6026,43 @@ class MilvusSparkClient:
                 raise ValueError(
                     "group_by is not supported for function-output fields"
                 )
+            if fnf.get("type", "").upper() == "MINHASH":
+                # MINHASH function field (test_milvus_client_minhash.py):
+                # query TEXT transforms through the declared function into
+                # a signature (precomputed signature arrays also accepted),
+                # then the MHJACCARD dispatch serves it — banded
+                # MINHASH_LSH when one is fresh, exact FLAT otherwise
+                if radius is not None or range_filter is not None:
+                    raise ValueError("range search is not supported for MHJACCARD")
+                p = fnf.get("params") or {}
+                if data and isinstance(data[0], str):
+                    from milvus_spark.operators.text import minhash_signature_col
+
+                    qdf = self.spark.createDataFrame(
+                        [(i, str(q)) for i, q in enumerate(data)], "qid long, t string"
+                    ).withColumn(
+                        "sig",
+                        minhash_signature_col(
+                            F.col("t"),
+                            num_hashes=int(p.get("num_hashes", 8)),
+                            shingle_size=int(p.get("shingle_size", 3)),
+                            token_level=str(p.get("token_level", "word")),
+                            seed=int(p.get("seed", 1234)),
+                        ),
+                    )
+                    sigs = [list(r.sig) for r in qdf.orderBy("qid").collect()]
+                else:
+                    sigs = [list(map(int, v)) for v in data]
+                hits = self._minhash_search(
+                    name, meta, fnf["output_field"], sigs, limit, filter,
+                    params, partition_names, as_of, consistency_level,
+                    12 if round_decimal == -1 else int(round_decimal),
+                )
+                if ranker:
+                    hits = self._apply_ranker(
+                        name, hits, meta, ranker, limit, base=req_base
+                    )
+                return self._requery(name, hits, meta, output_fields, base=req_base)
             from functools import reduce as _reduce
 
             vis = self._read(name, self._resolve_as_of(name, as_of, consistency_level))

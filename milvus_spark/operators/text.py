@@ -155,3 +155,32 @@ def simhash_bits_sql(h: str) -> str:
         )
         bits.append(f"(CASE WHEN {vote} > 0 THEN {1 << b} ELSE 0 END)")
     return "(" + " + ".join(bits) + ")::BIGINT"
+
+
+def minhash_signature_col(
+    col: Column, num_hashes: int, shingle_size: int = 3, token_level: str = "word",
+    seed: int = 1234,
+) -> Column:
+    """MinHash signature of a text column as array<long> — the MINHASH
+    ingest FunctionSchema's kernel (minhash_function.go:29-39: num_hashes
+    permutations over word shingles or char n-grams; the reference's
+    universal-hash family is an implementation detail of the signature
+    values — this engine pins the seeded md5-prefix family its dedup suite
+    and DuckDB oracles share, so signatures are replicable in SQL).
+    ``seed`` offsets the per-permutation seeds, matching the reference's
+    seeded permutation init (go:153-155,495)."""
+    if token_level == "word":
+        sh = F.array_distinct(shingles(tokens(col), shingle_size))
+    else:  # "char"
+        low = F.lower(col)
+        idx = F.sequence(F.lit(1), F.length(low) - F.lit(shingle_size - 1))
+        grams = F.when(
+            F.length(low) >= shingle_size,
+            F.transform(idx, lambda i: low.substr(i, F.lit(shingle_size))),
+        ).otherwise(F.array().cast("array<string>"))
+        sh = F.array_distinct(grams)
+    sig = [
+        F.array_min(F.transform(sh, lambda s: seeded_hash(s, seed + i)))
+        for i in range(num_hashes)
+    ]
+    return F.array(*sig).cast("array<long>")

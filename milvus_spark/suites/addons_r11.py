@@ -433,3 +433,74 @@ def cli_faiss_factory(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "cluster_id" in plan, "expected the mapped IVF layout in the plan"
     return out
+
+
+# ---------- MINHASH ingest FunctionSchema e2e ----------------------------------
+_FSIG_COLS = ", ".join(
+    f"list_min(list_transform(sh, g -> {seeded_hash_sql('g', 1234 + i)})) AS s{i}"
+    for i in range(_H)
+)
+
+
+@register(
+    "cli_minhash_function_ingest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, list_distinct({SHINGLES_SQL.format(t='toks')}) AS sh FROM t),
+    sig AS (SELECT doc_id, {_FSIG_COLS} FROM s),
+    bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, {_band_sql(j)} AS bh FROM sig" for j in range(_BANDS))}
+    ),
+    qsig AS (SELECT * FROM sig WHERE doc_id < 4),
+    qbands AS (
+      {" UNION ALL ".join(f"SELECT doc_id AS qid, {j} AS band, {_band_sql(j)} AS bh FROM qsig" for j in range(_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qid, b.doc_id
+      FROM bands b JOIN qbands q ON b.band = q.band AND b.bh = q.bh
+    ),
+    scored AS (
+      SELECT c.qid, c.doc_id, round(1.0 - ({_MH_EQ}) * 1.0 / {_H}, 4) AS score
+      FROM cand c JOIN sig v ON c.doc_id = v.doc_id
+                  JOIN (SELECT doc_id AS qid, * EXCLUDE (doc_id) FROM qsig) q
+                    ON c.qid = q.qid
+    )
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_minhash_function_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """MINHASH ingest FunctionSchema end-to-end (r11 —
+    minhash_function.go:29-39; test_milvus_client_minhash.py): the
+    collection declares text → signature (num_hashes permutations with the
+    reference's seeded-permutation init, seed 1234), INSERT computes the
+    signature column from the text with pure JVM expressions, MINHASH_LSH
+    indexes the function output, and SEARCH passes query TEXT through the
+    same function before the banded MHJACCARD dispatch. The oracle
+    recomputes the signatures from the raw text in DuckDB (same seeded md5
+    family) and replicates the banding — ingest, function kernel, band
+    index, and verify must all agree for the hash to match."""
+    client = _client(spark)
+    d = load_table(spark, sf, "documents").select("doc_id", "text")
+    client.create_collection("mfi", pk_field="doc_id", fields=["doc_id", "text"])
+    client.add_function_field(
+        "mfi",
+        {
+            "type": "MINHASH", "input_field": "text", "output_field": "sig",
+            "params": {"num_hashes": _H, "shingle_size": 3, "seed": 1234},
+        },
+    )
+    client.insert("mfi", d)
+    client.create_index("mfi", "sig", "MINHASH_LSH", {"mh_lsh_band": _BANDS})
+    qtexts = [
+        r.text for r in d.filter(F.col("doc_id") < 4).orderBy("doc_id").collect()
+    ]
+    out = client.search("mfi", qtexts, limit=10, anns_field="sig").select(
+        "qid", "doc_id", "score", "rank"
+    )
+    plan = _plan(out)
+    assert "In(bh" in plan, "expected the bh-pruned band artifact scan"
+    return out

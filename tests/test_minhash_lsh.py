@@ -190,3 +190,75 @@ def test_minhash_lsh_refusal_matrix(spark, sf_dir, tmp_path):
     with pytest.raises(ValueError, match="range search"):
         client.search("mhr", [list(range(_H))], limit=5, radius=0.5)
     client.drop_collection("mhr")
+
+
+def test_minhash_function_ingest_and_text_search(spark, sf_dir, tmp_path):
+    """MINHASH ingest FunctionSchema (r11 — minhash_function.go:29-39;
+    test_milvus_client_minhash.py): the signature output computes from the
+    input text at insert (JVM column expressions, no Python row path);
+    searches pass query TEXT through the same function (precomputed
+    signature arrays also accepted); param validation matches the
+    reference's messages."""
+    import pytest as _pt
+
+    from milvus_spark.operators.text import minhash_signature_col
+
+    client = _client(spark, tmp_path)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    client.create_collection("mfn", pk_field="doc_id", fields=["doc_id", "text"])
+    client.add_function_field(
+        "mfn",
+        {
+            "type": "MINHASH",
+            "input_field": "text",
+            "output_field": "sig",
+            "params": {"num_hashes": _H, "shingle_size": 3},
+        },
+    )
+    client.insert("mfn", d)
+    # ingest computed the signature; it matches the declared kernel
+    want = d.select(
+        "doc_id", minhash_signature_col(F.col("text"), _H, 3).alias("sig")
+    )
+    got = client.query("mfn", output_fields=["doc_id", "sig"])
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+    client.create_index("mfn", "sig", "MINHASH_LSH", {"mh_lsh_band": _B})
+    qtext = d.filter(F.col("doc_id") == 0).collect()[0].text
+    hits = client.search("mfn", [qtext], limit=5, anns_field="sig")
+    rows = sorted(hits.collect(), key=lambda r: r.rank)
+    assert rows[0].doc_id == 0 and rows[0].score == 0.0
+    # precomputed signature arrays take the same dispatch
+    sig0 = client.query("mfn", filter="doc_id == 0", output_fields=["sig"]).collect()[0].sig
+    arr_rows = sorted(
+        client.search("mfn", [list(sig0)], limit=5, anns_field="sig").collect(),
+        key=lambda r: r.rank,
+    )
+    assert [(r.doc_id, r.score) for r in arr_rows] == [
+        (r.doc_id, r.score) for r in rows
+    ]
+    # char-level token_level and the refusal matrix
+    with _pt.raises(ValueError, match="not a number"):
+        client.add_function_field(
+            "mfn", {"type": "MINHASH", "input_field": "text",
+                    "output_field": "s2", "params": {"num_hashes": "x"}},
+        )
+    with _pt.raises(ValueError, match="must be positive"):
+        client.add_function_field(
+            "mfn", {"type": "MINHASH", "input_field": "text",
+                    "output_field": "s2", "params": {"shingle_size": 0}},
+        )
+    with _pt.raises(ValueError, match="unknown token_level"):
+        client.add_function_field(
+            "mfn", {"type": "MINHASH", "input_field": "text",
+                    "output_field": "s2", "params": {"token_level": "byte"}},
+        )
+    client.add_function_field(
+        "mfn", {"type": "MINHASH", "input_field": "text", "output_field": "csig",
+                "params": {"num_hashes": 4, "token_level": "char", "shingle_size": 4}},
+    )
+    client.insert("mfn", d.withColumn("doc_id", F.col("doc_id") + 10**6))
+    crow = client.query(
+        "mfn", filter="doc_id == 1000000", output_fields=["csig"]
+    ).collect()[0]
+    assert crow.csig is not None and len(crow.csig) == 4
+    client.drop_collection("mfn")
