@@ -51,6 +51,8 @@ BENCH_QUERIES = [
     "cli_scalar_serving",     # steady-state scalar-index serving, memoized build (r9)
     "mm_avi_frame_sample",    # MJPEG-AVI demux + per-frame JPEG decode (r9)
     "cli_sparse_serving",     # steady-state sparse-WAND max-score serving (r10)
+    "cli_rabitq_serving",     # steady-state RaBitQ estimator + FP32 refine (r11)
+    "cli_minhash_serving",    # steady-state MINHASH_LSH banded near-dup lookup (r11)
 ]
 
 

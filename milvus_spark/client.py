@@ -5448,12 +5448,21 @@ class MilvusSparkClient:
                     raise ValueError(f"param {key}:{v} is not a number")
                 if key != "seed" and p[key] <= 0:
                     raise ValueError(f"param {key}:{p[key]} must be positive")
-            tl = str(p.get("token_level", "word"))
-            if tl not in ("word", "char"):
+            tl = str(p.get("token_level", "word")).lower()
+            if tl in ("char", "character"):
+                tl = "char"
+            elif tl != "word":
                 raise ValueError(
                     f"unknown token_level: {tl} (expected 'char' or 'word')"
                 )
             p["token_level"] = tl
+            hf = str(p.get("hash_function", "xxhash64")).lower()
+            # the hash family is an implementation detail of signature
+            # VALUES (go:132-140 accepts sha1/xxhash[64]); this engine pins
+            # one family engine-wide so signatures replicate in SQL —
+            # unknown names still refuse like the reference
+            if hf not in ("sha1", "xxhash", "xxhash64"):
+                raise ValueError(f"unknown hash function: {p['hash_function']}")
             function = dict(function, params=p)
         inp = function.get("input_field")
         out = function.get("output_field")

@@ -504,3 +504,105 @@ def cli_minhash_function_ingest(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "In(bh" in plan, "expected the bh-pruned band artifact scan"
     return out
+
+
+# ---------- steady-state serving rows for the r11 families ---------------------
+_R11_SERVING_MEMO: dict = {}
+
+
+def _rabitq_serving_client(spark: SparkSession, sf: str):
+    key = ("rabitq", spark.sparkContext.applicationId, sf)
+    if key in _R11_SERVING_MEMO:
+        return _R11_SERVING_MEMO[key]
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "rbs", pk_field="vec_id", vector_field="embedding", metric_type="L2"
+    )
+    client.insert("rbs", e.select("vec_id", "embedding"))
+    client.create_index(
+        "rbs", "embedding", "IVF_RABITQ",
+        {"nlist": 8, "refine": True, "refine_type": "FP32"},
+    )
+    _R11_SERVING_MEMO[key] = client
+    return client
+
+
+@register("cli_rabitq_serving", oracle=_bf_vec_oracle("L2"))
+def cli_rabitq_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """STEADY-STATE IVF_RABITQ serving (r11 — the cli_sparse_serving
+    contract: the build is memoized per (applicationId, sf), the reference
+    is a long-running server that builds before serving): the row times
+    the 1-bit estimator scan over all probed cluster directories plus the
+    FP32 refine. All-cluster probe + corpus-sized refine_k = exact, so the
+    hash matches the brute oracle while the TIMED work is the production
+    serving shape (estimator kernel + bounded re-score)."""
+    client = _rabitq_serving_client(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "rbs", qs, limit=10, search_params={"nprobe": 8, "refine_k": 10**6}
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "cluster_id" in plan, "expected the cluster-pruned codes scan"
+    return out
+
+
+def _minhash_serving_client(spark: SparkSession, sf: str):
+    key = ("minhash", spark.sparkContext.applicationId, sf)
+    if key in _R11_SERVING_MEMO:
+        return _R11_SERVING_MEMO[key]
+    client = _client(spark)
+    sig = _doc_signatures(spark, sf)
+    client.create_collection(
+        "mhs", pk_field="doc_id", vector_field="sig", metric_type="MHJACCARD"
+    )
+    client.insert("mhs", sig)
+    client.create_index("mhs", "sig", "MINHASH_LSH", {"mh_lsh_band": _BANDS})
+    _R11_SERVING_MEMO[key] = client
+    return client
+
+
+@register(
+    "cli_minhash_serving",
+    oracle=_MINHASH_ORACLE_SIG
+    + f"""
+    , bands AS (
+      {" UNION ALL ".join(f"SELECT doc_id, {j} AS band, {_band_sql(j)} AS bh FROM sig" for j in range(_BANDS))}
+    ),
+    qsig AS (SELECT * FROM sig WHERE doc_id < 8),
+    qbands AS (
+      {" UNION ALL ".join(f"SELECT doc_id AS qid, {j} AS band, {_band_sql(j)} AS bh FROM qsig" for j in range(_BANDS))}
+    ),
+    cand AS (
+      SELECT DISTINCT q.qid, b.doc_id
+      FROM bands b JOIN qbands q ON b.band = q.band AND b.bh = q.bh
+    ),
+    scored AS (
+      SELECT c.qid, c.doc_id, round(1.0 - ({_MH_EQ}) * 1.0 / {_H}, 4) AS score
+      FROM cand c JOIN sig v ON c.doc_id = v.doc_id
+                  JOIN (SELECT doc_id AS qid, * EXCLUDE (doc_id) FROM qsig) q
+                    ON c.qid = q.qid
+    )
+    SELECT qid, doc_id, score, rank FROM (
+      SELECT qid, doc_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score, doc_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_minhash_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """STEADY-STATE MINHASH_LSH serving (r11): memoized band-index build;
+    the row times the banded candidate retrieval (band directory + bh
+    row-group pruning) and the inline-signature exact verify alone — the
+    long-running-server shape for near-dup lookups at ingest rates."""
+    client = _minhash_serving_client(spark, sf)
+    sig = _doc_signatures(spark, sf)
+    qs = [r.sig for r in sig.filter(F.col("doc_id") < 8).orderBy("doc_id").collect()]
+    out = client.search("mhs", qs, limit=10).select("qid", "doc_id", "score", "rank")
+    plan = _plan(out)
+    assert "In(bh" in plan, "expected the bh-pruned band artifact scan"
+    return out
