@@ -3184,7 +3184,7 @@ class MilvusSparkClient:
             "HNSW", "IVF_FLAT", "DISKANN", "SCANN", "IVF_PQ", "IVF_SQ8", "LSH",
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
             "HYBRID", "RTREE", "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED",
-            "MINHASH_LSH",
+            "MINHASH_LSH", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "IVF_RABITQ",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -3562,7 +3562,7 @@ class MilvusSparkClient:
             entry["built_ts"] = cur
             self._save_catalog()
             return entry
-        if itype != "HNSW":
+        if itype not in ("HNSW", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ"):
             # Trained-artifact family: the training (centroids / codebooks /
             # SQ bounds / hyperplanes) is KEPT — the reference also encodes
             # new segments with the existing training; drift is accepted
@@ -3579,7 +3579,7 @@ class MilvusSparkClient:
 
             artifact = "clustered" if itype in ("IVF_FLAT", "DISKANN", "SCANN") else (
                 "bucketed" if itype == "LSH" else "codes"
-            )
+            )  # IVF_RABITQ's codes are hive-partitioned by cluster_id
             apath = os.path.join(entry["path"], artifact)
             c = self.spark.read.parquet(apath)
             # rows carry _epoch since r7 (create_index stamps 0; each
@@ -3726,6 +3726,51 @@ class MilvusSparkClient:
                 if epochal:
                     enc = enc.withColumn("_epoch", F.lit(new_epoch).cast("long"))
                 self._append_codes(enc, c, pk, apath)
+            elif itype == "IVF_RABITQ":
+                # re-encode with the TRAINED rotation + centroids (the
+                # trained-artifact contract); new-epoch codes append into
+                # the cluster_id directories like the clustered layout
+                import pandas as _pd
+
+                from milvus_spark.operators.quantizers import (
+                    rabitq_encode_np, rotation_matrix,
+                )
+
+                with open(os.path.join(entry["path"], "quantizer.json")) as f:
+                    qmeta = json.load(f)
+                with open(os.path.join(entry["path"], "centroids.json")) as f:
+                    cents = np.asarray(json.load(f), dtype=np.float64)
+                R = rotation_matrix(int(qmeta["dim"]), int(qmeta["seed"]))
+                assigned = assign_clusters(corpus.select(pk, field), field, cents)
+                fldr, pkr = field, pk
+
+                def enc_r(batches):
+                    for pdf in batches:
+                        if len(pdf) == 0:
+                            continue
+                        frames = []
+                        for cid, grp in pdf.groupby("cluster_id"):
+                            V = np.asarray(
+                                [np.asarray(v, dtype=np.float64) for v in grp[fldr]]
+                            )
+                            bits, norms = rabitq_encode_np(R, V, cents[int(cid)])
+                            frames.append(
+                                _pd.DataFrame(
+                                    {
+                                        pkr: grp[pkr],
+                                        "cluster_id": int(cid),
+                                        "bits": [b.tobytes() for b in bits],
+                                        "rnorm": norms,
+                                    }
+                                )
+                            )
+                        yield _pd.concat(frames)
+
+                enc = assigned.mapInPandas(
+                    enc_r,
+                    schema=f"{pk} long, cluster_id int, bits binary, rnorm double",
+                ).withColumn("_epoch", F.lit(new_epoch).cast("long"))
+                enc.write.mode("append").partitionBy("cluster_id").parquet(apath)
             else:  # LSH
                 from milvus_spark.operators.lsh import assign_buckets
 
@@ -3748,7 +3793,7 @@ class MilvusSparkClient:
             # code table for any mask.
             fold_col = (
                 "bucket" if itype == "LSH"
-                else "cluster_id" if itype in ("IVF_FLAT", "DISKANN", "SCANN")
+                else "cluster_id" if itype in ("IVF_FLAT", "DISKANN", "SCANN", "IVF_RABITQ")
                 # PQ/SQ8 fold on the pk-shard layout (r8); a legacy flat
                 # code table (no _shard partition) stays mask-based
                 else ("_shard" if "_shard" in c.columns else None)
@@ -3895,6 +3940,15 @@ class MilvusSparkClient:
             )
         else:
             corpus = new.withColumn(field, F.col(field).cast("array<double>"))
+        if itype != "HNSW":
+            # quantized graph family: new rows store QUANTIZED-DOMAIN
+            # vectors under the base build's trained quantizer (bounds /
+            # codebooks are kept — the trained-artifact contract)
+            from milvus_spark.operators.quantizers import quantize_frame
+
+            with open(os.path.join(entry["path"], "quantizer.json")) as f:
+                qspec_r = json.load(f)["quantizer"]
+            corpus = quantize_frame(corpus.select(pk, field), field, qspec_r)
         rows_per = max(1, n_old // max(1, sum(e["n"] for e in epochs)))
         seg_rows = int(
             (entry.get("params") or {}).get("segment_rows", SEGMENT_ROWS_DEFAULT)
@@ -3903,7 +3957,7 @@ class MilvusSparkClient:
         # rows-per-bucket, but never letting one bucket exceed the seal
         # size (the same cap create_index derives its count from)
         k = max(1, min(64, -(-n_new // rows_per)), -(-n_new // seg_rows))
-        gp = entry.get("graph_params", {})
+        gp = entry.get("graph_params") or (entry.get("params") or {})
         g_new = build_hnsw(
             corpus.select(pk, field),
             field,
@@ -6284,6 +6338,18 @@ class MilvusSparkClient:
             ),
             None,
         )
+        growing_q, growing_q_mask = None, []
+        if qidx is None and as_of is None and not self._expired_ts(meta):
+            # stale ONLY by post-build writes: sealed candidates from the
+            # quantized artifact, the ts-pruned delta exact-scans as the
+            # growing segment, post-build deletes mask at query time —
+            # the same delegator split the HNSW/trained families ride
+            for t in ("HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "IVF_RABITQ"):
+                e = meta.get("indexes", {}).get(f"{vfield}__{t}")
+                sg = self._servable_delta(name, e)
+                if sg is not None:
+                    qidx, (growing_q, growing_q_mask) = e, sg
+                    break
         if (
             qidx is not None
             and radius is None and range_filter is None
@@ -6305,6 +6371,7 @@ class MilvusSparkClient:
             hits = self._quantized_search(
                 name, meta, qidx, vfield, data, limit, filter, params,
                 partition_names, search_params, round_decimal,
+                growing=growing_q, growing_mask=growing_q_mask,
             )
             if ranker:
                 hits = self._apply_ranker(name, hits, meta, ranker, limit, base=req_base)
@@ -6886,6 +6953,8 @@ class MilvusSparkClient:
         partition_names,
         search_params: Optional[dict],
         round_decimal: int,
+        growing: Optional[DataFrame] = None,
+        growing_mask: Optional[list] = None,
     ) -> DataFrame:
         """Serving for the quantized families (HNSW_SQ/PQ/PRQ graph beams
         over quantized-domain vectors; IVF_RABITQ 1-bit residual estimate
@@ -6945,6 +7014,11 @@ class MilvusSparkClient:
                 ]
             elif met == "IP":
                 qs = [q + [0.0] for q in qs]
+            epochs_e = entry.get("epochs") or [
+                {"base": 0, "n": int(entry.get("n_partitions", 8))}
+            ]
+            bound = max(int(e["base"]) + int(e["n"]) for e in epochs_e)
+            grow_pairs = [[int(p), bound] for p in (growing_mask or [])]
             raw = hnsw_search(
                 g,
                 qs,
@@ -6953,7 +7027,8 @@ class MilvusSparkClient:
                 matches=matches,
                 n_partitions=int(entry.get("n_partitions", 8)),
                 epochs=entry.get("epochs"),
-                excluded=list(entry.get("masked_pks") or []) or None,
+                excluded=(list(entry.get("masked_pks") or []) + grow_pairs)
+                or None,
                 adaptive=ef_adaptive,
             )
             if met == "COSINE":
@@ -6993,8 +7068,15 @@ class MilvusSparkClient:
                 cd = ((Q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             probes = np.argsort(cd, axis=1)[:, : min(nprobe, nlist)]
             probe_set = sorted({int(c) for row in probes for c in row})
+            from milvus_spark.operators.bitset import apply_delete_bitset
+
             codes = self.spark.read.parquet(os.path.join(entry["path"], "codes"))
             codes = codes.filter(F.col("cluster_id").isin(probe_set))
+            bound = int(entry.get("cur_epoch", 0)) + 1
+            mask = list(entry.get("masked_pks") or []) + [
+                [int(p), bound] for p in (growing_mask or [])
+            ]
+            codes = apply_delete_bitset(codes, pk, mask)
             if matches is not None:
                 mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk))
                 codes = codes.join(mt, pk, "left_semi")
@@ -7059,6 +7141,30 @@ class MilvusSparkClient:
                 .filter(F.col("crank") <= cand_k)
                 .select("qid", pk, "score")
             )
+        if growing is not None:
+            # growing side: the ts-pruned delta exact-scans with the same
+            # metric (SearchOnGrowing's brute pass) and unions into the
+            # candidate pool; with refine on, the shared re-score puts
+            # sealed and growing candidates in one score domain
+            from milvus_spark.operators.knn import brute_force_search
+
+            gdf = self._partition_filter(growing, partition_names)
+            if filter:
+                gdf = gdf.filter(
+                    compile_expr(
+                        filter, gdf.schema, params, dynamic_field=self._dyn(meta)
+                    )
+                )
+            gh = brute_force_search(
+                gdf,
+                [(i, list(map(float, v))) for i, v in enumerate(data)],
+                vec_col=vfield,
+                pk_col=pk,
+                metric=met,
+                k=cand_k,
+                round_to=rt,
+            )
+            cands = cands.unionByName(gh.select("qid", pk, "score"))
         if not refine_on:
             from pyspark.sql import Window as _W
 
@@ -7076,7 +7182,7 @@ class MilvusSparkClient:
         # precision (requery shape; broadcast only when production-bounded
         # — an exhaustive refine_k must not override AQE's size check)
         rspec = qmeta["refine"]["spec"] or {"kind": "FP32"}
-        short = cands.select("qid", pk)
+        short = cands.select("qid", pk).dropDuplicates(["qid", pk])
         short_side = (
             F.broadcast(short) if cand_k * max(len(qs), 1) <= 200_000 else short
         )

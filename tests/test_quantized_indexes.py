@@ -179,3 +179,44 @@ def test_quantizer_kernels_roundtrip():
     # query quantization (rbq_bits_query) degrades gracefully
     est4 = rabitq_estimate_np(bits, norms, qr, 4)
     assert np.corrcoef(est4, true)[0, 1] > 0.6
+
+
+def test_quantized_sealed_growing_and_refresh(spark, sf_dir, tmp_path):
+    """r11 lifecycle closure: a quantized index stale ONLY by post-build
+    writes serves SEALED + GROWING (graph/code candidates + the exact-
+    scanned delta, post-build deletes masked), and refresh_index folds the
+    delta into a new epoch ENCODED WITH THE TRAINED QUANTIZER — exact
+    regimes stay bit-equal to brute through the whole lifecycle."""
+    from pyspark.sql import functions as F
+
+    for itype, params, sp in (
+        ("HNSW_SQ", {"sq_type": "SQ8", "refine": True, "refine_type": "FP32"},
+         {"ef": 10**6, "refine_k": 10**6}),
+        ("IVF_RABITQ", {"nlist": 4, "refine": True, "refine_type": "FP32"},
+         {"nprobe": 4, "refine_k": 10**6}),
+    ):
+        cname = ("sg_" + itype).lower()
+        c = _client(spark, tmp_path)
+        e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        c.create_collection(
+            cname, pk_field="vec_id", vector_field="embedding", metric_type="L2"
+        )
+        c.insert(cname, e.select("vec_id", "embedding").filter(F.col("vec_id") % 3 != 0))
+        c.create_index(cname, "embedding", itype, params)
+        qs = [list(map(float, r.embedding)) for r in e.orderBy("vec_id").limit(3).collect()]
+        # growing: post-build insert serves without refresh, still exact
+        c.insert(cname, e.select("vec_id", "embedding").filter(F.col("vec_id") % 3 == 0))
+        got = c.search(cname, qs, limit=5, search_params=sp)
+        assert _rows(got) == _rows(_brute(c, cname, qs, "L2")), (itype, "growing")
+        # post-build delete masks at query time
+        victim = sorted(got.collect(), key=lambda r: (r.qid, r.rank))[0].vec_id
+        c.delete(cname, ids=[int(victim)])
+        got = c.search(cname, qs, limit=5, search_params=sp)
+        assert victim not in {r.vec_id for r in got.collect()}, (itype, "mask")
+        assert _rows(got) == _rows(_brute(c, cname, qs, "L2")), (itype, "masked")
+        # refresh folds the delta into epoch 1 under the trained quantizer
+        ent = c.refresh_index(cname, "embedding", itype)
+        assert ent["built_ts"] == c._current_ts(cname)
+        got = c.search(cname, qs, limit=5, search_params=sp)
+        assert _rows(got) == _rows(_brute(c, cname, qs, "L2")), (itype, "refreshed")
+        c.drop_collection(cname)
