@@ -59,6 +59,10 @@ HEAVY = [
     "mm_avi_frame_sample",    # r9: MJPEG-AVI demux + frame decode, map-side only
     "cli_sparse_wand_topk",   # r10: SPARSE_WAND max-score serving (full lifecycle)
     "cli_bm25_maxscore",      # r10: BM25 through the max-score kernel
+    "cli_minhash_serving",    # r11: steady-state banded MHJACCARD lookup (memoized build)
+    "cli_rabitq_serving",     # r11: steady-state RaBitQ estimator + refine (memoized build)
+    "cli_hnsw_sq_search",     # r11: quantized-graph lifecycle (build+serve)
+    "cli_sparse_inverted_refresh",  # r11: two-epoch sparse refresh + delete mask
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds
