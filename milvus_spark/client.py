@@ -5865,6 +5865,30 @@ class MilvusSparkClient:
                     excluded=list(sq_idx.get("masked_pks") or []) or None,
                 )
                 cands = raw.select("qid", pk, "score")
+        if cands is None and rt == 4:
+            # quantized families (r11): the refine-capable candidate path
+            # (graph beams over quantized vectors / RaBitQ estimates +
+            # refine_k re-score) feeds the shared grouping merge — with
+            # refine enabled and exhaustive knobs the candidates carry
+            # EXACT scores, the oracle regime
+            qidx = next(
+                (
+                    e
+                    for t in ("HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "IVF_RABITQ")
+                    if (e := self._fresh_index(name, vfield, t)) is not None
+                ),
+                None,
+            )
+            if qidx is not None and (
+                meta["metric"] != "IP"
+                or qidx["index_type"] == "IVF_RABITQ"
+                or "mips_m2" in qidx
+            ):
+                budget4 = max(int(sp.get("ef", 0) or 0), budget * 4)
+                cands = self._quantized_search(
+                    name, meta, qidx, vfield, data, budget4, filter, params,
+                    partition_names, sp, 4,
+                ).select("qid", pk, "score")
         if (
             cands is None and rt == 4 and not partition_names
             and met in ("COSINE", "L2")  # lsh_search refuses norm-blind IP

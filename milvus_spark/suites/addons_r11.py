@@ -606,3 +606,34 @@ def cli_minhash_serving(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "In(bh" in plan, "expected the bh-pruned band artifact scan"
     return out
+
+
+@register("cli_hnsw_sq_grouping", oracle=_grouping_oracle("L2"))
+def cli_hnsw_sq_grouping(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouping search THROUGH a quantized graph (r11 closure of the
+    SearchGroupByOperator contract across the whole index zoo): with a
+    fresh HNSW_SQ index, group_by_field shortlists through the quantized
+    beams + FP32 refine, and the shared delegator-side grouping merge
+    ranks groups exactly as the brute kernel in the exhaustive regime —
+    hash must match the brute grouping oracle."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "hsqg", pk_field="vec_id", vector_field="embedding", metric_type="L2"
+    )
+    client.insert("hsqg", e.select("vec_id", "embedding", "label"))
+    client.create_index(
+        "hsqg", "embedding", "HNSW_SQ",
+        {"sq_type": "SQ8", "refine": True, "refine_type": "FP32"},
+    )
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "hsqg", data=qs, limit=3, group_by_field="label", group_size=2,
+        search_params={"ef": 10**6, "refine_k": 10**4},
+    ).select("qid", "label", "vec_id", "score", "grank")
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, "expected the graph-served grouping"
+    return out

@@ -129,3 +129,25 @@ def test_grouping_fallback_matrix(spark, sf_dir, tmp_path):
     assert "_shard" not in p
     assert _rows(df) == _rows(_brute(client, "fb", qs, metric="L2"))
     client.drop_collection("fb")
+
+def test_quantized_grouping_exhaustive_exact(spark, sf_dir, tmp_path):
+    """Grouping through the quantized families (r11): exhaustive beams +
+    FP32 refine feed the shared grouping merge — exact vs brute; and the
+    RaBitQ cluster path serves grouping too."""
+    for itype, params, sp in (
+        ("HNSW_SQ", {"sq_type": "SQ8", "refine": True, "refine_type": "FP32"},
+         {"ef": 10**6, "refine_k": 10**4}),
+        # ef is the shared candidate-budget knob across families: the
+        # exhaustive grouping regime needs the candidate pool to cover
+        # the corpus, exactly like the IVF/PQ/LSH oracle regimes
+        ("IVF_RABITQ", {"nlist": 4, "refine": True, "refine_type": "FP32"},
+         {"nprobe": 4, "ef": 10**6, "refine_k": 10**4}),
+    ):
+        cname = ("qg_" + itype).lower()
+        client, qs = _setup(spark, sf_dir, tmp_path, cname, itype, "L2", params)
+        got = client.search(
+            cname, data=qs, limit=3, group_by_field="label", group_size=2,
+            search_params=sp,
+        )
+        assert _rows(got) == _rows(_brute(client, cname, qs, metric="L2")), itype
+        client.drop_collection(cname)
