@@ -40,11 +40,14 @@ ROTATION_HEAD: list[str] = [
     "cli_scalar_array_contains",
     "cli_scalar_hybrid",
     "cli_scalar_serving",
-    "cli_scalar_isnull",
-    "cli_scalar_conjunction",
-    "cli_scalar_disjunction",
     "cli_scalar_conjunction_partial",
-    "cli_auto_rebuild_scalar",
+    # stale r1 driver FAILS, fixed long ago and local-green ever since
+    # (README documents each fix commit): re-sample to supersede the old
+    # fail records with green rows
+    "mm_image_features",
+    "embed_ingest",
+    "mm_frame_sample",
+    "rel_json_path",
     # never-driver-verified: sparse tier (r10)
     "cli_sparse_wand_topk",
     "cli_sparse_wand_lifecycle",
