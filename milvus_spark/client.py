@@ -2469,6 +2469,74 @@ class MilvusSparkClient:
                     for k in ("M", "efConstruction", "search_list_size", "max_degree")
                     if k in params
                 }
+        elif itype == "BIN_IVF_FLAT":
+            # Binary IVF (bin_ivf_flat_checker.go contract; the binary
+            # member of the IVF family, index_type.go): metric must be
+            # HAMMING or JACCARD — every float metric AND the set metrics
+            # SUBSTRUCTURE/SUPERSTRUCTURE are refused (checker test rows
+            # p1-p7) — and nlist must land in [MinNList, MaxNList] =
+            # [1, 65536] (constraints.go:13-16).
+            #
+            # Build: vectors are packed uint8 bytes (the Milvus binary
+            # wire format the scoring kernel unpacks); clustering runs in
+            # UNPACKED bit space, JVM-side expansion (unpack_bits_expr) +
+            # the shared MLlib KMeans — L2² over {0,1} bits IS Hamming
+            # distance, so L2 cells are Hamming cells and the probe
+            # geometry is exact for HAMMING (and the standard IVF recall
+            # heuristic for JACCARD). The layout stores the PACKED bytes
+            # partitioned by cluster_id, same directory-pruned scan + the
+            # same _epoch/refresh/delete-mask lifecycle as the float
+            # clustered family.
+            vfs = meta.get("vector_fields") or [meta.get("vector")]
+            if field not in vfs:
+                raise ValueError(f"BIN_IVF_FLAT requires a vector field, got {field!r}")
+            met = str(
+                params.get("metric_type", meta.get("metric", ""))
+            ).upper()
+            if met not in ("HAMMING", "JACCARD"):
+                raise ValueError(
+                    f"metric type {met or '(none)'} not found or not supported, "
+                    "supported: [HAMMING JACCARD]"
+                )
+            try:
+                nlist = int(float(params.get("nlist", 16)))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"index param 'nlist' ({params.get('nlist')!r}) expects a number"
+                )
+            if not (1 <= nlist <= 65536):
+                raise ValueError(
+                    f"nlist out of range: [1, 65536], got {nlist}"
+                )
+            from milvus_spark.operators.ivf import (
+                assign_clusters, build_centroids, unpack_bits_expr,
+            )
+
+            df = self._read(name)
+            corpus = df.withColumn("_bits", unpack_bits_expr(field)).withColumn(
+                field, F.col(field).cast("array<double>")
+            )
+            cents = build_centroids(
+                corpus, "_bits", k=nlist,
+                seed=int(params.get("seed", 42)),
+                max_iter=int(params.get("max_iter", 8)),
+            )
+            os.makedirs(idx_dir, exist_ok=True)
+            (
+                assign_clusters(
+                    corpus.withColumn("_epoch", F.lit(0).cast("long")),
+                    "_bits", cents,
+                )
+                .drop("_bits")
+                .write.mode("overwrite")
+                .partitionBy("cluster_id")
+                .parquet(os.path.join(idx_dir, "clustered"))
+            )
+            with open(os.path.join(idx_dir, "centroids.json"), "w") as f:
+                json.dump(cents.tolist(), f)
+            entry["nlist"] = nlist
+            entry["metric"] = met
+            entry["cur_epoch"] = 0
         elif itype == "IVF_PQ":
             # Compressed index (knowhere PQ/SQ family): per-subspace
             # codebooks + an encoded code table ~m bytes/row. Search scans
@@ -2946,6 +3014,21 @@ class MilvusSparkClient:
             entry["faiss_index_name"] = spec.strip()
             entry["searchable"] = searchable
         elif itype in (
+            "GPU_BRUTE_FORCE", "GPU_IVF_FLAT", "GPU_IVF_PQ", "GPU_CAGRA",
+        ):
+            # GPU index family (client/index/gpu.go; checkers
+            # cagra_checker_test.go / raft_*_checker_test.go): no GPU
+            # exists in a Spark executor, so these are PARITY ALIASES —
+            # the build params validate under the reference's GPU
+            # checkers (the user-visible contract), then the entry maps
+            # onto the engine's equivalent CPU layout at the same recall
+            # operating point (the FMINDEX/FAISS alias pattern):
+            # BRUTE_FORCE → FLAT exact scan, IVF_* → the clustered/PQ
+            # layouts, CAGRA (a GPU-built graph) → the per-segment graph.
+            maps_to = self._gpu_index_build(name, field, itype, params, meta)
+            entry["materialized"] = False
+            entry["maps_to"] = maps_to
+        elif itype in (
             "AUTOINDEX",
             # FLAT = exact scan: the engine's default brute-force path IS
             # the flat index, so nothing materializes (index_type.go:30)
@@ -3020,6 +3103,93 @@ class MilvusSparkClient:
             )
             return ["IVF_PQ"], True
         raise ValueError(f"invalid faiss_index_name {spec!r}")
+
+    def _gpu_index_build(
+        self, name: str, field: str, itype: str, params: dict, meta: dict
+    ) -> list:
+        """Validate GPU-family build params under the reference's checker
+        contract and build the mapped CPU layout. Returns maps_to.
+
+        Checker rows pinned from /root/reference/internal/util/
+        indexparamcheck/cagra_checker_test.go and
+        raft_{brute_force,ivf_flat,ivf_pq}_checker_test.go:
+          - metric must be L2 or IP for every GPU type (COSINE, the
+            binary metrics, and SUB/SUPERSTRUCTURE are refused);
+          - cache_dataset_on_device parses as a STRICT lowercase bool
+            ("False" is refused — Go's strconv.ParseBool accepts it, the
+            checker uses the raft param contract which does not);
+          - CAGRA: intermediate_graph_degree/graph_degree must parse as
+            numbers and inter >= graph when both are given;
+            build_algo must be IVF_PQ or NN_DESCENT (an HNSW spelling is
+            refused — constraints.go:42-43,77);
+          - IVF members: nlist in [1, 65536] like the CPU family.
+        """
+        met = str(params.get("metric_type", meta.get("metric", ""))).upper()
+        if met not in ("L2", "IP"):
+            raise ValueError(
+                f"metric type {met or '(none)'} not found or not supported "
+                f"for {itype}, supported: [L2 IP]"
+            )
+        cache = params.get("cache_dataset_on_device")
+        if cache is not None and cache not in ("true", "false"):
+            raise ValueError(
+                f"invalid cache_dataset_on_device value: {cache!r}, "
+                "expected: true, false"
+            )
+
+        def _num(key, default=None):
+            v = params.get(key, default)
+            if v is None:
+                return None
+            try:
+                return int(float(v))
+            except (TypeError, ValueError):
+                raise ValueError(
+                    f"index param {key!r} ({v!r}) expects a number"
+                )
+
+        if itype == "GPU_CAGRA":
+            inter = _num("intermediate_graph_degree")
+            degree = _num("graph_degree")
+            if inter is not None and degree is not None and inter < degree:
+                raise ValueError(
+                    "intermediate_graph_degree "
+                    f"({inter}) must be >= graph_degree ({degree})"
+                )
+            algo = params.get("build_algo")
+            if algo is not None and algo not in ("IVF_PQ", "NN_DESCENT"):
+                raise ValueError(
+                    f"invalid build_algo {algo!r}, valid: IVF_PQ, NN_DESCENT"
+                )
+            sub = {"M": degree or 32}
+            if "seed" in params:
+                sub["seed"] = params["seed"]
+            if "n_partitions" in params:
+                sub["n_partitions"] = params["n_partitions"]
+            if "segment_rows" in params:
+                sub["segment_rows"] = params["segment_rows"]
+            self.create_index(name, field, "HNSW", sub)
+            return ["HNSW"]
+        if itype == "GPU_BRUTE_FORCE":
+            self.create_index(name, field, "FLAT")
+            return ["FLAT"]
+        nlist = _num("nlist", 16)
+        if not (1 <= nlist <= 65536):
+            raise ValueError(f"nlist out of range: [1, 65536], got {nlist}")
+        if itype == "GPU_IVF_FLAT":
+            sub = {"nlist": nlist}
+            if "seed" in params:
+                sub["seed"] = params["seed"]
+            self.create_index(name, field, "IVF_FLAT", sub)
+            return ["IVF_FLAT"]
+        # GPU_IVF_PQ: m must divide the dim like the CPU PQ checker;
+        # nbits maps onto the codebook size exactly as the faiss alias
+        sub = {"m": _num("m", 16) or 16}
+        nbits = _num("nbits")
+        if nbits is not None:
+            sub["nbits_k"] = min(2 ** nbits, 256)
+        self.create_index(name, field, "IVF_PQ", sub)
+        return ["IVF_PQ"]
 
     def _write_null_ids(
         self, name: str, field: str, idx_dir: str, pk: str,
@@ -3185,6 +3355,7 @@ class MilvusSparkClient:
             "TEXT_MATCH", "INVERTED", "BITMAP", "SORT", "STL_SORT", "TRIE",
             "HYBRID", "RTREE", "NGRAM", "SPARSE_WAND", "SPARSE_INVERTED",
             "MINHASH_LSH", "HNSW_SQ", "HNSW_PQ", "HNSW_PRQ", "IVF_RABITQ",
+            "BIN_IVF_FLAT",
         ):
             raise ValueError(
                 f"refresh_index does not support {itype!r}; rebuild with "
@@ -3577,7 +3748,9 @@ class MilvusSparkClient:
 
             from milvus_spark.operators.bitset import epoch_col, normalize_mask
 
-            artifact = "clustered" if itype in ("IVF_FLAT", "DISKANN", "SCANN") else (
+            artifact = "clustered" if itype in (
+                "IVF_FLAT", "DISKANN", "SCANN", "BIN_IVF_FLAT"
+            ) else (
                 "bucketed" if itype == "LSH" else "codes"
             )  # IVF_RABITQ's codes are hive-partitioned by cluster_id
             apath = os.path.join(entry["path"], artifact)
@@ -3708,6 +3881,20 @@ class MilvusSparkClient:
                 assign_clusters(corpus, field, cents).write.mode(
                     "append"
                 ).partitionBy("cluster_id").parquet(apath)
+            elif itype == "BIN_IVF_FLAT":
+                # binary clustered family: new packed rows assign to the
+                # TRAINED bit-space centroids (unpacked JVM-side, same as
+                # the base build) and append into the cluster directories
+                from milvus_spark.operators.ivf import unpack_bits_expr
+
+                with open(os.path.join(entry["path"], "centroids.json")) as f:
+                    cents = np.asarray(json.load(f), dtype=np.float64)
+                assign_clusters(
+                    corpus.withColumn("_bits", unpack_bits_expr(field)),
+                    "_bits", cents,
+                ).drop("_bits").write.mode("append").partitionBy(
+                    "cluster_id"
+                ).parquet(apath)
             elif itype == "IVF_PQ":
                 from milvus_spark.operators.pq import encode_pq
 
@@ -3793,7 +3980,9 @@ class MilvusSparkClient:
             # code table for any mask.
             fold_col = (
                 "bucket" if itype == "LSH"
-                else "cluster_id" if itype in ("IVF_FLAT", "DISKANN", "SCANN", "IVF_RABITQ")
+                else "cluster_id" if itype in (
+                    "IVF_FLAT", "DISKANN", "SCANN", "IVF_RABITQ", "BIN_IVF_FLAT"
+                )
                 # PQ/SQ8 fold on the pk-shard layout (r8); a legacy flat
                 # code table (no _shard partition) stays mask-based
                 else ("_shard" if "_shard" in c.columns else None)
@@ -6403,7 +6592,7 @@ class MilvusSparkClient:
         idx = next(
             (
                 e
-                for t in ("IVF_FLAT", "HNSW", "DISKANN", "SCANN")
+                for t in ("IVF_FLAT", "HNSW", "DISKANN", "SCANN", "BIN_IVF_FLAT")
                 if (e := self._fresh_index(name, vfield, t)) is not None
             ),
             None,
@@ -6578,6 +6767,18 @@ class MilvusSparkClient:
                         )
                     )
                 matches = base.select(meta["pk"])
+            # binary clustered family: centroids live in unpacked-bit
+            # space (L2 over bits = Hamming), so probe ranking unpacks
+            # the packed-byte queries; within-cluster scoring stays on
+            # the packed layout through the shared HAMMING/JACCARD kernel
+            probe_q = (
+                np.unpackbits(
+                    np.asarray([list(map(int, v)) for v in data], dtype=np.uint8),
+                    axis=1,
+                ).astype(np.float64)
+                if idx["index_type"] == "BIN_IVF_FLAT"
+                else None
+            )
             hits = ivf_search(
                 self.spark,
                 os.path.join(idx["path"], "clustered"),
@@ -6591,6 +6792,7 @@ class MilvusSparkClient:
                 matches=matches,
                 excluded=(list(idx.get("masked_pks") or []) + growing_mask)
                 or None,
+                probe_q=probe_q,
             )
             if growing is not None:
                 # growing side rounds at the SAME 4 decimals ivf_search

@@ -49,6 +49,28 @@ def l2_normalize(df: DataFrame, vec_col: str) -> DataFrame:
     return df.withColumn(vec_col, F.transform(v, lambda x: x / safe))
 
 
+def unpack_bits_expr(col: Column | str) -> Column:
+    """Unpack a packed-byte BINARY_VECTOR column (Milvus wire format:
+    uint8 bytes, MSB-first — the np.unpackbits convention the scoring
+    kernel uses) into an array<double> of 0/1 bits, JVM-side.
+
+    The bit expansion stays inside whole-stage codegen (shift/mask per
+    bit, flatten), so binary IVF builds never round-trip packed vectors
+    through Python just to cluster them."""
+    v = F.col(col).cast("array<int>") if isinstance(col, str) else col.cast("array<int>")
+    return F.flatten(
+        F.transform(
+            v,
+            lambda b: F.array(
+                *[
+                    F.shiftright(b, 7 - i).bitwiseAND(F.lit(1)).cast("double")
+                    for i in range(8)
+                ]
+            ),
+        )
+    )
+
+
 def build_centroids(
     df: DataFrame, vec_col: str, k: int, seed: int = 42, max_iter: int = 20
 ) -> np.ndarray:
@@ -108,6 +130,7 @@ def ivf_search(
     round_to: int = 4,
     matches: Optional[DataFrame] = None,
     excluded: Optional[Sequence[int]] = None,
+    probe_q: Optional[np.ndarray] = None,
 ) -> DataFrame:
     """ANN top-k probing ``nprobe`` clusters per query; exact scoring within.
 
@@ -121,7 +144,13 @@ def ivf_search(
     partitions are still the only ones scanned, and AQE broadcasts the id
     list when the filter is selective. Recall contract matches the
     reference: a filtered probe can return fewer than k hits when the
-    filter thins the probed cells (widen nprobe, same as Milvus)."""
+    filter thins the probed cells (widen nprobe, same as Milvus).
+
+    ``probe_q`` (optional, nq × d_centroid) overrides the representation
+    used for CENTROID ranking only — the binary IVF family
+    (BIN_IVF_FLAT) clusters in unpacked-bit space while storing and
+    scoring packed bytes, so its probe geometry (L2 over bits = Hamming)
+    differs from the stored query layout."""
     asc = metric_ascending(metric)
     qids = np.asarray([int(q[0]) for q in queries], dtype=np.int64)
     Q = np.asarray([list(map(float, q[1])) for q in queries], dtype=np.float64)
@@ -131,8 +160,8 @@ def ivf_search(
     # search metric: rows were placed in cells by L2, so cells must be probed
     # by L2 or recall craters. For COSINE, cluster normalized vectors
     # (spherical k-means — l2_normalize below) so L2 cells ≡ cosine cells.
-    Qp = Q
-    if metric.upper() == "COSINE":
+    Qp = probe_q if probe_q is not None else Q
+    if probe_q is None and metric.upper() == "COSINE":
         # centroids live on the unit sphere (spherical k-means) — the query
         # must too, or ||q-c||^2 ranking degenerates to centroid-norm order
         # for small/large-magnitude queries and the wrong cells get probed

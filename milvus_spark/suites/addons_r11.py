@@ -637,3 +637,123 @@ def cli_hnsw_sq_grouping(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "FlatMapGroupsInPandas" in plan, "expected the graph-served grouping"
     return out
+
+
+# ---------- BIN_IVF_FLAT: the binary member of the IVF family -----------------
+_NQB = 4
+_HAM = (
+    "CAST(list_sum(list_transform(range(1, 65), "
+    "i -> CASE WHEN (e.embedding[i] > 0) <> (q.qe[i] > 0) "
+    "THEN 1 ELSE 0 END)) AS DOUBLE)"
+)
+
+
+def _pack_bits_expr(col: str):
+    """Pack sign bits of the 64-dim float embedding into 8 uint8 bytes,
+    MSB-first — the np.unpackbits convention the HAMMING/JACCARD scoring
+    kernel uses (Milvus BINARY_VECTOR wire format, Types.h:92-99)."""
+    v = F.col(col)
+    out = []
+    for j in range(8):
+        b = F.lit(0)
+        for i in range(8):
+            b = b + F.when(
+                F.element_at(v, 8 * j + i + 1) > 0, F.lit(1 << (7 - i))
+            ).otherwise(F.lit(0))
+        out.append(b.cast("long"))
+    return F.array(*out)
+
+
+@register(
+    "cli_bin_ivf_search",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id < {_NQB}),
+    live AS (
+      SELECT * FROM embeddings
+      WHERE NOT (vec_id % 7 = 0 AND vec_id >= {_NQB})
+    ),
+    scored AS (
+      SELECT q.qid, e.vec_id, {_HAM} AS score FROM live e, q
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_bin_ivf_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BIN_IVF_FLAT full lifecycle (r11 — the binary member of the IVF
+    family; indexparamcheck/bin_ivf_flat_checker_test.go pins the build
+    contract: HAMMING/JACCARD only, nlist in [1, 65536]): vectors are
+    packed sign bits of the float embedding (8 uint8 bytes for 64 dims —
+    the BINARY_VECTOR wire format, Types.h:92-99); clustering runs in
+    UNPACKED bit space JVM-side (L2² over {{0,1}} bits IS Hamming
+    distance, so bit-space KMeans cells are Hamming cells) and the packed
+    layout partitions by cluster_id with the shared _epoch lifecycle.
+    Drives: base build on the even half → insert odds → refresh (epoch 1
+    assigns to the TRAINED centroids) → delete → refresh (mask) → full
+    probe, which is EXACT — the oracle recomputes Hamming from the sign
+    bits in DuckDB over the post-delete corpus. The plan must read the
+    cluster-pruned artifact, not the base table."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    bv = e.select("vec_id", _pack_bits_expr("embedding").alias("bv"), "label")
+    client.create_collection(
+        "biv", pk_field="vec_id", vector_field="bv", metric_type="HAMMING"
+    )
+    client.insert("biv", bv.filter(F.col("vec_id") % 2 == 0))
+    client.create_index("biv", "bv", "BIN_IVF_FLAT", {"nlist": 4})
+    client.insert("biv", bv.filter(F.col("vec_id") % 2 == 1))
+    entry = client.refresh_index("biv", "bv", "BIN_IVF_FLAT")
+    assert entry["cur_epoch"] == 1
+    client.delete("biv", filter=f"vec_id % 7 == 0 and vec_id >= {_NQB}")
+    client.refresh_index("biv", "bv", "BIN_IVF_FLAT")
+    qs = [
+        list(map(int, r.bv))
+        for r in bv.filter(F.col("vec_id") < _NQB).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "biv", qs, limit=10, search_params={"nprobe": 10**6}
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "cluster_id" in plan, "expected the cluster-pruned binary layout"
+    return out
+
+
+@register("cli_gpu_cagra_search", oracle=_bf_vec_oracle("L2"))
+def cli_gpu_cagra_search(spark: SparkSession, sf: str) -> DataFrame:
+    """GPU index family alias (r11 — client/index/gpu.go;
+    cagra_checker_test.go): GPU_CAGRA validates the reference's GPU
+    checker contract (L2/IP only, intermediate_graph_degree >=
+    graph_degree, build_algo IVF_PQ|NN_DESCENT, strict-lowercase
+    cache_dataset_on_device) and maps onto the per-segment graph layout
+    (the FMINDEX/FAISS alias pattern — no GPU exists in a Spark
+    executor, so the alias serves through the equivalent CPU layout at
+    the same recall operating point). Exhaustive ef is exact — hash must
+    match the brute oracle; the plan must show the graph-served path."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    client.create_collection(
+        "gcg", pk_field="vec_id", vector_field="embedding", metric_type="L2"
+    )
+    client.insert("gcg", e.select("vec_id", "embedding"))
+    ent = client.create_index(
+        "gcg", "embedding", "GPU_CAGRA",
+        {
+            "intermediate_graph_degree": 64, "graph_degree": 8,
+            "build_algo": "IVF_PQ", "cache_dataset_on_device": "false",
+        },
+    )
+    assert ent["maps_to"] == ["HNSW"]
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 3).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "gcg", qs, limit=10, search_params={"ef": 10**6}
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "FlatMapGroupsInPandas" in plan, "expected the graph-served path"
+    return out
