@@ -526,24 +526,37 @@ def _lzw_encode(indices: list[int], min_code: int) -> bytes:
     return bytes(out)
 
 
+def _gif_interlace_rows(h: int) -> list[int]:
+    """GIF 4-pass interlace row order (spec appendix E): the stream
+    carries rows 0,8,16.. then 4,12.. then 2,6,10.. then 1,3,5.. —
+    stream row k displays at row order[k]."""
+    return (
+        list(range(0, h, 8)) + list(range(4, h, 8))
+        + list(range(2, h, 4)) + list(range(1, h, 2))
+    )
+
+
 def _decode_gif(payload: bytes) -> list[float]:
     """REAL GIF decode with numpy + the LZW codec above: header + logical
     screen descriptor, global color table, extension skipping, the FIRST
     image descriptor's LZW data (sub-block concatenation), palette
-    lookup, BT.601 luma, shared block-mean thumb. Interlaced images and
-    local color tables refuse precisely. Oracle-gated end-to-end via
-    mm_gif_real_decode."""
+    lookup, BT.601 luma, shared block-mean thumb. Since r11 the decoder
+    also handles INTERLACED images (the 4-pass row reorder, spec
+    appendix E) and LOCAL color tables (an image-descriptor palette
+    overriding the global one — a global table is only required when no
+    local table is present). Oracle-gated end-to-end via
+    mm_gif_real_decode / mm_gif_interlaced_decode."""
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     flags = payload[10]
-    if not flags & 0x80:
-        raise ValueError("unsupported GIF (no global color table)")
-    gct_n = 2 << (flags & 0x7)
     pos = 13
-    palette = np.frombuffer(
-        payload, np.uint8, gct_n * 3, pos
-    ).reshape(gct_n, 3).astype(np.float64)
-    pos += gct_n * 3
+    palette = None
+    if flags & 0x80:
+        gct_n = 2 << (flags & 0x7)
+        palette = np.frombuffer(
+            payload, np.uint8, gct_n * 3, pos
+        ).reshape(gct_n, 3).astype(np.float64)
+        pos += gct_n * 3
     while pos < len(payload):
         b0 = payload[pos]
         if b0 == 0x21:  # extension: skip sub-blocks
@@ -555,11 +568,16 @@ def _decode_gif(payload: bytes) -> list[float]:
             w = int.from_bytes(payload[pos + 5 : pos + 7], "little")
             h = int.from_bytes(payload[pos + 7 : pos + 9], "little")
             iflags = payload[pos + 9]
-            if iflags & 0x40:
-                raise ValueError("unsupported GIF (interlaced)")
-            if iflags & 0x80:
-                raise ValueError("unsupported GIF (local color table)")
             pos += 10
+            pal = palette
+            if iflags & 0x80:  # local color table wins over the global
+                lct_n = 2 << (iflags & 0x7)
+                pal = np.frombuffer(
+                    payload, np.uint8, lct_n * 3, pos
+                ).reshape(lct_n, 3).astype(np.float64)
+                pos += lct_n * 3
+            if pal is None:
+                raise ValueError("unsupported GIF (no color table)")
             min_code = payload[pos]
             pos += 1
             data = bytearray()
@@ -570,7 +588,12 @@ def _decode_gif(payload: bytes) -> list[float]:
             idx = _lzw_decode(bytes(data), min_code)
             if len(idx) < w * h:
                 raise ValueError("GIF pixel data short")
-            px = palette[np.asarray(idx[: w * h]).reshape(h, w)]
+            grid = np.asarray(idx[: w * h]).reshape(h, w)
+            if iflags & 0x40:  # interlaced: de-permute the pass rows
+                de = np.empty_like(grid)
+                de[_gif_interlace_rows(h)] = grid
+                grid = de
+            px = pal[grid]
             gray = (
                 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
             )
@@ -588,13 +611,18 @@ def make_gif(
     rgb: tuple | None = None,
     pixels: np.ndarray | None = None,
     palette: list | None = None,
+    interlaced: bool = False,
+    local_palette: bool = False,
 ) -> bytes:
-    """A real GIF89a encoder (the encoder side of _decode_gif): global
-    color table + LZW-compressed first frame. ``rgb`` emits a solid color
+    """A real GIF89a encoder (the encoder side of _decode_gif): color
+    table + LZW-compressed first frame. ``rgb`` emits a solid color
     with a deterministic 4-entry palette (the closed-form oracle shape);
     ``pixels`` ((h, w) palette indices) + ``palette`` ([(r,g,b), ...])
     encode arbitrary indexed content for round-trip tests — long streams
-    cross LZW width boundaries and the 4096 dictionary reset."""
+    cross LZW width boundaries and the 4096 dictionary reset.
+    ``interlaced`` writes the rows in the 4-pass interlace order with the
+    interlace flag set; ``local_palette`` moves the color table into the
+    image descriptor (no global table at all)."""
     if pixels is None:
         palette = [tuple(rgb), (0, 0, 0), (255, 255, 255), (1, 2, 3)]
         pixels = np.zeros((h, w), np.int64)
@@ -602,35 +630,48 @@ def make_gif(
     gct_n = 1 << pal_bits
     pal = list(palette) + [(0, 0, 0)] * (gct_n - len(palette))
     min_code = max(2, pal_bits)
-    lzw = _lzw_encode([int(v) for v in np.asarray(pixels).ravel()], min_code)
+    grid = np.asarray(pixels).reshape(h, w)
+    if interlaced:
+        grid = grid[_gif_interlace_rows(h)]
+    lzw = _lzw_encode([int(v) for v in grid.ravel()], min_code)
     sub = bytearray()
     for i in range(0, len(lzw), 255):
         chunk = lzw[i : i + 255]
         sub += bytes([len(chunk)]) + chunk
     sub += b"\x00"
+    pal_bytes = b"".join(bytes(p) for p in pal)
     head = (
         b"GIF89a"
         + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-        + bytes([0x80 | (pal_bits - 1), 0, 0])
-        + b"".join(bytes(p) for p in pal)
+        + (
+            bytes([0, 0, 0])
+            if local_palette
+            else bytes([0x80 | (pal_bits - 1), 0, 0]) + pal_bytes
+        )
+    )
+    iflags = (0x40 if interlaced else 0) | (
+        0x80 | (pal_bits - 1) if local_palette else 0
     )
     img = (
         b"\x2c" + b"\x00" * 4
         + w.to_bytes(2, "little") + h.to_bytes(2, "little")
-        + b"\x00" + bytes([min_code]) + bytes(sub)
+        + bytes([iflags])
+        + (pal_bytes if local_palette else b"")
+        + bytes([min_code]) + bytes(sub)
     )
     return head + img + b"\x3b"
 
 
 # ---------------------------------------------------------------- FLAC (r9)
 # Free Lossless Audio Codec with pure numpy/stdlib — the FOURTH compressed
-# format executing for real. Scope: 16-bit mono/stereo, CONSTANT /
+# format executing for real. Scope: 8/16/24-bit (24 since r11 — the
+# dominant hi-res shape), up to the spec's 8 channels, CONSTANT /
 # VERBATIM / FIXED (orders 0-4) / LPC subframes, all four stereo modes
 # (independent, left-side, right-side, mid-side — the side channel at
 # bps+1), partitioned Rice residuals (4- and 5-bit parameter widths,
 # escape partitions), wasted-bits shifts, UTF-8 frame numbers, CRC-8
 # header + CRC-16 frame verification. Out of scope, REFUSED precisely:
-# bit depths other than 16, > 2 channels, reserved residual methods.
+# 12/20/32-bit depths, reserved residual methods.
 
 
 class _FlacBits:
@@ -829,10 +870,11 @@ def _decode_flac(payload: bytes) -> list[float]:
     n_ch = rd0.bits(3) + 1
     bps = rd0.bits(5) + 1
     total = rd0.bits(36)
-    if bps != 16:
+    # r11: 8/24-bit streams and up to the spec's 8 channels decode for
+    # real (24-bit is the dominant real-world hi-res shape); 12/20/32-bit
+    # remain refused precisely
+    if bps not in (8, 16, 24):
         raise ValueError(f"unsupported FLAC (bit depth {bps})")
-    if n_ch > 2:
-        raise ValueError(f"unsupported FLAC ({n_ch} channels)")
     chans: list = [[] for _ in range(n_ch)]
     got = 0
     while pos + 4 <= len(payload) and got < total:
@@ -862,30 +904,37 @@ def _decode_flac(payload: bytes) -> list[float]:
             rd.bits(8)
         elif sr_code in (13, 14):
             rd.bits(16)
-        if ss_code not in (0, 4):
-            raise ValueError("unsupported FLAC (frame sample size != 16)")
+        fbps = {0: bps, 1: 8, 4: 16, 6: 24}.get(ss_code)
+        if fbps is None:
+            raise ValueError(
+                f"unsupported FLAC (frame sample size code {ss_code})"
+            )
+        if fbps != bps:
+            raise ValueError(
+                "FLAC frame sample size disagrees with STREAMINFO"
+            )
         hdr_end = rd.p >> 3
         if _flac_crc8(payload[pos:hdr_end]) != rd.bits(8):
             raise ValueError("FLAC frame header fails CRC-8")
         if ch_code < 8:
             if ch_code + 1 != n_ch:
                 raise ValueError("FLAC frame channel count mismatch")
-            subs = [_flac_subframe(rd, bs, 16) for _ in range(n_ch)]
+            subs = [_flac_subframe(rd, bs, fbps) for _ in range(n_ch)]
         elif ch_code in (8, 9, 10):
             if n_ch != 2:
                 raise ValueError("FLAC stereo frame in non-stereo stream")
             # side channel carries one extra bit (spec: difference range)
             if ch_code == 8:  # left-side
-                left = _flac_subframe(rd, bs, 16)
-                side = _flac_subframe(rd, bs, 17)
+                left = _flac_subframe(rd, bs, fbps)
+                side = _flac_subframe(rd, bs, fbps + 1)
                 subs = [left, [l - s for l, s in zip(left, side)]]
             elif ch_code == 9:  # right-side (side first)
-                side = _flac_subframe(rd, bs, 17)
-                right = _flac_subframe(rd, bs, 16)
+                side = _flac_subframe(rd, bs, fbps + 1)
+                right = _flac_subframe(rd, bs, fbps)
                 subs = [[s + r for s, r in zip(side, right)], right]
             else:  # mid-side
-                mid = _flac_subframe(rd, bs, 16)
-                side = _flac_subframe(rd, bs, 17)
+                mid = _flac_subframe(rd, bs, fbps)
+                side = _flac_subframe(rd, bs, fbps + 1)
                 subs = [[], []]
                 for m, s in zip(mid, side):
                     mm = (m << 1) | (s & 1)
@@ -904,7 +953,9 @@ def _decode_flac(payload: bytes) -> list[float]:
         pos = frame_end + 2
     if got < total:
         raise ValueError("FLAC stream truncated")
-    s = np.asarray(chans, dtype=np.float64).T[: int(total)] / 32768.0
+    s = np.asarray(chans, dtype=np.float64).T[: int(total)] / float(
+        1 << (bps - 1)
+    )
     mono = np.abs(s).mean(axis=1)
     if len(mono) == 0:
         return [0.0] * AUDIO_FRAMES
@@ -973,13 +1024,17 @@ def make_flac(
     fixed_order: int = 2,
     stereo_mode: str = "independent",
     sample_rate: int = 8000,
+    bps: int = 16,
 ) -> bytes:
     """A real, spec-conformant FLAC encoder (pure Python) — the encoder
-    side of _decode_flac. ``samples``: int16 values, shape (n,) mono or
-    (n, 2) stereo. CONSTANT subframes for solid runs (the closed-form
-    oracle shape), FIXED order 0-4 otherwise; ``stereo_mode`` in
-    independent / left_side / right_side / mid_side exercises every
-    decorrelation path the decoder supports."""
+    side of _decode_flac. ``samples``: integer values at ``bps`` bits
+    (8/16/24), shape (n,) mono or (n, n_ch) multi-channel (up to the
+    spec's 8; stereo decorrelation only applies at n_ch == 2). CONSTANT
+    subframes for solid runs (the closed-form oracle shape), FIXED order
+    0-4 otherwise; ``stereo_mode`` in independent / left_side /
+    right_side / mid_side exercises every decorrelation path the decoder
+    supports."""
+    assert bps in (8, 16, 24)
     x = np.asarray(samples, dtype=np.int64)
     if x.ndim == 1:
         x = x[:, None]
@@ -988,7 +1043,7 @@ def make_flac(
     info = _FlacWriter()
     info.bits(block_size, 16); info.bits(block_size, 16)
     info.bits(0, 24); info.bits(0, 24)
-    info.bits(sample_rate, 20); info.bits(n_ch - 1, 3); info.bits(15, 5)
+    info.bits(sample_rate, 20); info.bits(n_ch - 1, 3); info.bits(bps - 1, 5)
     info.bits(n, 36)
     streaminfo = info.done() + bytes(16)
     out = bytearray(b"fLaC")
@@ -1006,7 +1061,7 @@ def make_flac(
             "right_side": 9, "mid_side": 10,
         }[stereo_mode if n_ch == 2 else "independent"]
         h.bits(ch_code, 4)
-        h.bits(4, 3)      # 16 bits per sample
+        h.bits({8: 1, 16: 4, 24: 6}[bps], 3)  # sample size code
         h.bits(0, 1)
         hdr = bytearray(h.done())
         hdr += _flac_utf8(fno)
@@ -1015,21 +1070,21 @@ def make_flac(
         body = _FlacWriter()
         if n_ch == 1 or ch_code < 8:
             for c in range(n_ch):
-                _flac_encode_subframe(body, [int(v) for v in blk[:, c]], 16, fixed_order)
+                _flac_encode_subframe(body, [int(v) for v in blk[:, c]], bps, fixed_order)
         else:
             l = [int(v) for v in blk[:, 0]]
             r = [int(v) for v in blk[:, 1]]
             side = [a - b for a, b in zip(l, r)]
             if ch_code == 8:
-                _flac_encode_subframe(body, l, 16, fixed_order)
-                _flac_encode_subframe(body, side, 17, fixed_order)
+                _flac_encode_subframe(body, l, bps, fixed_order)
+                _flac_encode_subframe(body, side, bps + 1, fixed_order)
             elif ch_code == 9:
-                _flac_encode_subframe(body, side, 17, fixed_order)
-                _flac_encode_subframe(body, r, 16, fixed_order)
+                _flac_encode_subframe(body, side, bps + 1, fixed_order)
+                _flac_encode_subframe(body, r, bps, fixed_order)
             else:
                 mid = [(a + b) >> 1 for a, b in zip(l, r)]
-                _flac_encode_subframe(body, mid, 16, fixed_order)
-                _flac_encode_subframe(body, side, 17, fixed_order)
+                _flac_encode_subframe(body, mid, bps, fixed_order)
+                _flac_encode_subframe(body, side, bps + 1, fixed_order)
         frame = bytes(hdr) + body.done()
         out += frame + _flac_crc16(frame).to_bytes(2, "big")
         fno += 1
@@ -2004,7 +2059,7 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
         try:
             return _decode_flac(payload)
         except ValueError:
-            # out-of-scope FLAC (non-16-bit, >2 channels): soundfile if
+            # out-of-scope FLAC (12/20/32-bit depths): soundfile if
             # present, else surface the precise refusal
             if _try_import("soundfile") is None:
                 raise

@@ -757,3 +757,108 @@ def cli_gpu_cagra_search(spark: SparkSession, sf: str) -> DataFrame:
     plan = _plan(out)
     assert "FlatMapGroupsInPandas" in plan, "expected the graph-served path"
     return out
+
+
+# ---------- r11 codec widening: interlaced GIF + 24-bit FLAC ------------------
+
+
+@register(
+    "mm_gif_interlaced_decode",
+    oracle="""
+    SELECT doc_id,
+           round((0.299*((doc_id*37)%256) + 0.587*((doc_id*59)%256)
+                  + 0.114*((doc_id*83)%256))/255, 6) AS luma01,
+           CAST(16 AS BIGINT) AS n_px
+    FROM documents
+    """,
+)
+def mm_gif_interlaced_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """INTERLACED GIF with a LOCAL color table decodes for real (r11 —
+    the two GIF shapes the r8 decoder refused): rows arrive in the
+    4-pass interlace order and de-permute, the palette lives in the
+    image descriptor with NO global table at all, and the decoded thumb
+    still equals the closed-form BT.601 luma. Heights cycle 5-8 so every
+    interlace pass is non-empty. Same zero-shuffle map-side shape as
+    mm_gif_real_decode."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import image_features, make_gif
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "media": [
+                    make_gif(
+                        4 + i % 3, 5 + i % 4,
+                        rgb=((i * 37) % 256, (i * 59) % 256, (i * 83) % 256),
+                        interlaced=True, local_palette=True,
+                    )
+                    for i in ids
+                ],
+            })
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = image_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("thumb", 1).alias("luma01"),
+        F.size("thumb").cast("long").alias("n_px"),
+    )
+
+
+@register(
+    "mm_flac24_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((((doc_id*1013)%4000000)*2 + 1)/8388608, 6) AS amp,
+           CAST(8 AS BIGINT) AS n_bins
+    FROM documents
+    """,
+)
+def mm_flac24_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """24-BIT MULTI-CHANNEL FLAC decodes for real (r11 — the dominant
+    hi-res audio shape, previously refused at the STREAMINFO check):
+    each document gets a 4-channel 24-bit stream at an id-derived
+    constant (independent subframes — the >2-channel path has no stereo
+    decorrelation per spec), and every energy bin equals |v|/2^23. ODD
+    amplitudes only: v odd means v/2^23 can never land on a 6th-decimal
+    rounding midpoint (v·15625 is odd, a power-of-two multiple is not),
+    so DuckDB and numpy rounding agree bit-exactly."""
+    from typing import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import audio_features, make_flac
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            payloads = []
+            for i in ids:
+                v = ((i * 1013) % 4000000) * 2 + 1
+                x = np.full((160 + i % 50, 4), v, dtype=np.int64)
+                payloads.append(
+                    make_flac(x, channels=4, bps=24, block_size=128)
+                )
+            yield pd.DataFrame({"doc_id": ids, "media": payloads})
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = audio_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("fbank", 1).alias("amp"),
+        F.size("fbank").cast("long").alias("n_bins"),
+    )

@@ -706,12 +706,22 @@ def test_real_gif_codec_lzw():
     # decode_image routes by signature
     g = make_gif(4, 4, rgb=(1, 2, 3))
     assert decode_image(g, fake=False) == _decode_gif(g)
-    img_at = g.find(b"\x2c")
-    for bit, msg in ((0x40, "interlaced"), (0x80, "local color")):
-        bad = bytearray(g)
-        bad[img_at + 9] |= bit
-        with pytest.raises(ValueError, match=msg):
-            _decode_gif(bytes(bad))
+    # r11: interlaced rows de-permute and local color tables override the
+    # global — every variant decodes identically to the plain stream
+    for kw in (
+        {"interlaced": True},
+        {"local_palette": True},
+        {"interlaced": True, "local_palette": True},
+    ):
+        assert _decode_gif(make_gif(14, 9, pixels=px, palette=pal, **kw)) == want
+    # no color table ANYWHERE still refuses precisely
+    plain = make_gif(4, 4, rgb=(1, 2, 3))
+    no_gct = bytearray(plain)
+    gct_n = 2 << (no_gct[10] & 0x7)
+    del no_gct[13 : 13 + gct_n * 3]
+    no_gct[10] &= 0x7F
+    with pytest.raises(ValueError, match="no color table"):
+        _decode_gif(bytes(no_gct))
 
 
 def test_real_flac_codec_pure_python():
@@ -893,3 +903,79 @@ def test_real_ima_adpcm_codec():
     bad[dpos + 2] = 99  # step index out of range in the first header
     with pytest.raises(ValueError, match="step index"):
         _decode_wav(bytes(bad))
+
+
+def test_real_flac_8_24bit_multichannel():
+    """r11: FLAC 8- and 24-bit streams and up to the spec's 8 channels
+    decode for real (24-bit is the dominant hi-res shape); energy bins
+    match a direct per-sample computation at every depth, stereo
+    decorrelation still applies at every depth (side channel at bps+1),
+    and the 12/20/32-bit depths refuse precisely."""
+    import numpy as np
+    import pytest
+
+    from milvus_spark.operators.multimodal import _decode_flac, make_flac
+
+    rng = np.random.default_rng(23)
+    AUDIO = 8
+
+    def manual(x, bps):
+        s = x.astype(np.float64) / (1 << (bps - 1))
+        mono = np.abs(s).mean(axis=1)
+        return [
+            round(float(b.mean()) if len(b) else 0.0, 6)
+            for b in np.array_split(mono, AUDIO)
+        ]
+
+    for bps in (8, 16, 24):
+        lim = 1 << (bps - 1)
+        for ch, mode in (
+            (1, "independent"), (2, "mid_side"), (2, "left_side"),
+            (2, "right_side"), (4, "independent"), (8, "independent"),
+        ):
+            x = rng.integers(-lim, lim, size=(rng.integers(60, 300), ch))
+            got = _decode_flac(
+                make_flac(x, channels=ch, bps=bps, block_size=64,
+                          stereo_mode=mode, fixed_order=2)
+            )
+            assert got == manual(x, bps), (bps, ch, mode)
+    # out-of-scope depths refuse with the precise message: patch the
+    # STREAMINFO bps field (bits 103..108 of the info block) to 12-bit
+    f = bytearray(make_flac(np.zeros(80, np.int64), bps=16))
+    info_at = 8  # fLaC + block header
+    # bps-1 straddles bytes 12-13 of STREAMINFO (20 sr + 3 ch + 5 bps)
+    b12 = f[info_at + 12]
+    f[info_at + 12] = (b12 & 0xF0) | ((12 - 1) >> 1)
+    f[info_at + 13] = (f[info_at + 13] & 0x7F) | (((12 - 1) & 1) << 7)
+    with pytest.raises(ValueError, match="bit depth"):
+        _decode_flac(bytes(f))
+
+
+def test_real_gif_interlaced_and_local_palette():
+    """r11: interlaced GIFs (4-pass row reorder) and local color tables
+    decode for real — every variant matches the plain stream exactly, at
+    heights that leave passes empty (h < 5) and across the sub-block
+    boundary; a stream with NO color table anywhere still refuses."""
+    import numpy as np
+    import pytest
+
+    from milvus_spark.operators.multimodal import _decode_gif, make_gif
+
+    rng = np.random.default_rng(31)
+    pal = [(int(i * 5) % 256, int(i * 11) % 256, int(i * 17) % 256) for i in range(8)]
+    for h in (1, 2, 3, 4, 5, 8, 9, 33):
+        w = int(rng.integers(1, 50))
+        px = rng.integers(0, 8, size=(h, w))
+        base = _decode_gif(make_gif(w, h, pixels=px, palette=pal))
+        for kw in (
+            {"interlaced": True},
+            {"local_palette": True},
+            {"interlaced": True, "local_palette": True},
+        ):
+            assert _decode_gif(make_gif(w, h, pixels=px, palette=pal, **kw)) == base, (h, kw)
+    with pytest.raises(ValueError, match="no color table"):
+        plain = bytearray(make_gif(3, 3, rgb=(9, 9, 9)))
+        n = 2 << (plain[10] & 0x7)
+        del plain[13 : 13 + n * 3]
+        plain[10] &= 0x7F
+        _decode_gif(bytes(plain))
