@@ -1093,15 +1093,17 @@ def make_flac(
 
 # ---------------------------------------------------------------- JPEG (r8)
 # Baseline sequential DCT JPEG with stdlib + numpy only — the second
-# COMPRESSED format executing for real. Scope: 8-bit baseline (SOF0),
+# COMPRESSED format executing for real. Scope: 8-bit baseline (SOF0)
+# and, since r11, 12-BIT EXTENDED SEQUENTIAL (SOF1, level shift 2048 —
+# the DICOM/medical shape) with 8- OR 16-bit (Pq=1) quant tables,
 # grayscale or YCbCr with sampling factors 1-2 per axis — 4:4:4 and,
 # since r9, SUBSAMPLED chroma (4:2:0, the shape most real-world JPEGs
 # are, plus 4:2:2/4:4:0) via generic interleaved-MCU decode with
 # box-upsampled chroma — custom-DHT Huffman entropy coding, byte
 # stuffing, and (r9) DRI restart intervals (byte-aligned cycling RSTn
 # markers with DC-predictor resets, spec E.2.4). Out of scope, REFUSED
-# precisely: progressive (SOF2) and every non-baseline frame type,
-# 16-bit quant tables, sampling factors > 2, arithmetic coding.
+# precisely: lossless/hierarchical frame types, sampling factors > 2,
+# arithmetic coding.
 # The encoder emits a spec-conformant stream with a CONSTANT quant table
 # (all 16s) and flat canonical Huffman tables declared in DHT — chosen so
 # a solid color with EVEN gray level round-trips EXACTLY (constant block
@@ -1131,7 +1133,10 @@ def _dct_matrix() -> np.ndarray:
 # decoder reads them): 12 DC category symbols at code length 4, the 162
 # standard AC run/size symbols at code length 8 — Kraft-valid, trivially
 # canonical, and symbol order == value order keeps both sides simple
-_DC_SYMS = list(range(12))
+# 13 categories: 12-bit sequential DC diffs reach category 12 at the
+# constant-quant encoder's coefficient bound (8·2047/16 → ±1024 → diff
+# range ±2048); 13 symbols at length 4 stay Kraft-valid
+_DC_SYMS = list(range(13))
 _AC_SYMS = [0x00, 0xF0] + [
     (run << 4) | size for run in range(16) for size in range(1, 11)
 ] + [
@@ -1458,16 +1463,24 @@ def _decode_jpeg(payload: bytes) -> list[float]:
             break
         seg_len = int.from_bytes(payload[pos + 2 : pos + 4], "big")
         body = payload[pos + 4 : pos + 2 + seg_len]
-        if marker == 0xDB:  # DQT
+        if marker == 0xDB:  # DQT (Pq=0: 8-bit entries; Pq=1: 16-bit, r11)
             b = 0
             while b < len(body):
                 prec, tid = body[b] >> 4, body[b] & 0xF
-                if prec != 0:
-                    raise ValueError("unsupported JPEG (16-bit quant table)")
-                qt[tid] = np.frombuffer(
-                    body, np.uint8, 64, b + 1
-                ).astype(np.float64)
-                b += 65
+                if prec == 1:
+                    qt[tid] = np.frombuffer(
+                        body, ">u2", 64, b + 1
+                    ).astype(np.float64)
+                    b += 129
+                elif prec == 0:
+                    qt[tid] = np.frombuffer(
+                        body, np.uint8, 64, b + 1
+                    ).astype(np.float64)
+                    b += 65
+                else:
+                    raise ValueError(
+                        f"unsupported JPEG (quant table precision {prec})"
+                    )
         elif marker == 0xC4:  # DHT (tables may redefine between scans)
             b = 0
             while b < len(body):
@@ -1479,9 +1492,14 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                     bits, vals
                 )
                 b += 17 + nv
-        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive (r9)
-            if body[0] != 8:
-                raise ValueError("unsupported JPEG (non-8-bit precision)")
+        elif marker in (0xC0, 0xC1, 0xC2):
+            # SOF0 baseline / SOF1 extended sequential (r11 — the 12-bit
+            # Huffman shape DICOM/medical JPEGs ship) / SOF2 progressive
+            if body[0] not in (8, 12):
+                raise ValueError(
+                    f"unsupported JPEG (precision {body[0]})"
+                )
+            prec_bits = body[0]
             h = int.from_bytes(body[1:3], "big")
             w = int.from_bytes(body[3:5], "big")
             comps = []
@@ -1498,8 +1516,8 @@ def _decode_jpeg(payload: bytes) -> list[float]:
                 comps.append((cid, hi, vi, tq))
             if len(comps) == 1 and comps[0][1:3] != (1, 1):
                 raise ValueError("unsupported JPEG (sampled single component)")
-            frame = (w, h, comps, marker == 0xC2)
-        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            frame = (w, h, comps, marker == 0xC2, prec_bits)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(f"unsupported JPEG (SOF{marker - 0xC0} frame)")
         elif marker == 0xDD:  # DRI: MCUs between RSTn markers
@@ -1520,7 +1538,9 @@ def _decode_jpeg(payload: bytes) -> list[float]:
         pos += 2 + seg_len
     if frame is None or not scans:
         raise ValueError("JPEG missing SOF/SOS")
-    w, h, comps, progressive = frame
+    w, h, comps, progressive, prec_bits = frame
+    center = float(1 << (prec_bits - 1))
+    maxval = float((1 << prec_bits) - 1)
     if not progressive:
         if len(scans) != 1:
             raise ValueError("baseline JPEG with multiple scans")
@@ -1551,13 +1571,14 @@ def _decode_jpeg(payload: bytes) -> list[float]:
         dq = cf.astype(np.float64) * qt[tq]  # (by, bx, 64) dequantized
         blocks = np.zeros(cf.shape[:2] + (8, 8))
         blocks[:, :, zz_r, zz_c] = dq  # un-zigzag
-        # IDCT over every block at once: M.T @ B @ M
-        px = np.einsum("ij,abjk,kl->abil", M.T, blocks, M) + 128.0
+        # IDCT over every block at once: M.T @ B @ M; level shift at
+        # 2^(P-1) and clamp at 2^P - 1 (P = 8 or, since r11, 12)
+        px = np.einsum("ij,abjk,kl->abil", M.T, blocks, M) + center
         by, bx = cf.shape[:2]
         plane = px.transpose(0, 2, 1, 3).reshape(by * 8, bx * 8)
         # crop to TRUE component dims, then box-upsample subsampled chroma
         cw, ch = -(-w * hi // hmax), -(-h * vi // vmax)
-        plane = np.clip(np.round(plane[:ch, :cw]), 0, 255)
+        plane = np.clip(np.round(plane[:ch, :cw]), 0, maxval)
         if vi < vmax:
             plane = np.repeat(plane, vmax // vi, axis=0)
         if hi < hmax:
@@ -1568,25 +1589,28 @@ def _decode_jpeg(payload: bytes) -> list[float]:
         gray = planes[0]
     elif len(planes) == 3:
         Y, Cb, Cr = planes
-        R = np.clip(np.round(Y + 1.402 * (Cr - 128.0)), 0, 255)
+        R = np.clip(np.round(Y + 1.402 * (Cr - center)), 0, maxval)
         G = np.clip(
-            np.round(Y - 0.344136 * (Cb - 128.0) - 0.714136 * (Cr - 128.0)),
-            0, 255,
+            np.round(Y - 0.344136 * (Cb - center) - 0.714136 * (Cr - center)),
+            0, maxval,
         )
-        B = np.clip(np.round(Y + 1.772 * (Cb - 128.0)), 0, 255)
+        B = np.clip(np.round(Y + 1.772 * (Cb - center)), 0, maxval)
         gray = 0.299 * R + 0.587 * G + 0.114 * B
     else:
         raise ValueError(f"unsupported JPEG ({len(planes)} components)")
+    # the shared thumb normalizes at /255 — rescale deeper precisions
+    if maxval != 255.0:
+        gray = gray * (255.0 / maxval)
     return _thumb_from_gray(gray)
 
 def _jpeg_encode_block(
     bwr: _BitWriter, block: np.ndarray, q: np.ndarray, pred: int,
-    dc_codes: dict, ac_codes: dict,
+    dc_codes: dict, ac_codes: dict, center: float = 128.0,
 ) -> int:
     """DCT → quantize → zigzag → Huffman-encode one 8×8 block; returns
     the new DC predictor."""
     M = _dct_matrix()
-    coef = M @ (block - 128.0) @ M.T
+    coef = M @ (block - center) @ M.T
     zz_r = np.fromiter((r for r, _ in _ZIGZAG), dtype=np.int64, count=64)
     zz_c = np.fromiter((c for _, c in _ZIGZAG), dtype=np.int64, count=64)
     zz = np.round(coef[zz_r, zz_c] / q).astype(np.int64)
@@ -1661,6 +1685,8 @@ def make_jpeg(
     subsampling: str = "444",
     restart_interval: int = 0,
     progressive: bool = False,
+    precision: int = 8,
+    quant_16bit: bool = False,
 ) -> bytes:
     """A real, spec-conformant baseline JPEG encoder (numpy only) — the
     encoder side of _decode_jpeg. ``gray`` emits a solid single-component
@@ -1681,12 +1707,18 @@ def make_jpeg(
     gray still round-trips exactly (DC arithmetic-shift + OR-bit
     reconstruction is lossless), keeping the closed-form oracle shape.
     Constant quant table (all 16s), flat canonical Huffman tables
-    declared in DHT."""
+    declared in DHT. ``precision=12`` (r11) emits SOF1 extended
+    sequential at 12-bit sample depth (pixel values 0..4095, level shift
+    2048 — the DICOM/medical shape); ``quant_16bit`` declares the quant
+    table with Pq=1 16-bit entries."""
+    assert precision in (8, 12)
+    center = float(1 << (precision - 1))
+    maxval = float((1 << precision) - 1)
     if pixels is None:
         if gray is not None:
-            pixels = np.full((h, w), gray, np.uint8)
+            pixels = np.full((h, w), gray, np.int64)
         else:
-            pixels = np.tile(np.asarray(rgb, np.uint8), (h, w, 1))
+            pixels = np.tile(np.asarray(rgb, np.int64), (h, w, 1))
     px = np.asarray(pixels, dtype=np.float64)
     if px.ndim == 2:
         planes = [px]
@@ -1694,10 +1726,10 @@ def make_jpeg(
         R, G, B = px[..., 0], px[..., 1], px[..., 2]
         planes = [
             np.round(0.299 * R + 0.587 * G + 0.114 * B),
-            np.round(128.0 - 0.168736 * R - 0.331264 * G + 0.5 * B),
-            np.round(128.0 + 0.5 * R - 0.418688 * G - 0.081312 * B),
+            np.round(center - 0.168736 * R - 0.331264 * G + 0.5 * B),
+            np.round(center + 0.5 * R - 0.418688 * G - 0.081312 * B),
         ]
-        planes = [np.clip(p, 0, 255) for p in planes]
+        planes = [np.clip(p, 0, maxval) for p in planes]
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
     if subsampling == "420" and len(planes) == 3:
@@ -1729,6 +1761,8 @@ def make_jpeg(
     if progressive:
         if restart_interval:
             raise ValueError("progressive encoder does not emit DRI")
+        if precision != 8:
+            raise ValueError("progressive encoder is 8-bit only")
         return _make_jpeg_progressive(
             w, h, planes, factors, q, dc_codes, ac_codes, hmax, vmax,
             mcux, mcuy,
@@ -1752,7 +1786,7 @@ def make_jpeg(
                         pred[ci] = _jpeg_encode_block(
                             bwr,
                             p[y0 : y0 + 8, x0 : x0 + 8],
-                            q, pred[ci], dc_codes, ac_codes,
+                            q, pred[ci], dc_codes, ac_codes, center,
                         )
     entropy = bwr.done()
 
@@ -1760,12 +1794,19 @@ def make_jpeg(
         return bytes([0xFF, marker]) + (len(body) + 2).to_bytes(2, "big") + body
 
     nf = len(planes)
-    dqt = seg(0xDB, bytes([0x00]) + bytes(int(v) for v in q))
+    dqt = seg(
+        0xDB,
+        bytes([0x10]) + b"".join(int(v).to_bytes(2, "big") for v in q)
+        if quant_16bit
+        else bytes([0x00]) + bytes(int(v) for v in q),
+    )
     sof_comps = b"".join(
         bytes([ci + 1, (factors[ci][0] << 4) | factors[ci][1], 0])
         for ci in range(nf)
     )
-    sof = seg(0xC0, bytes([8]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
+    # 12-bit sample depth is an EXTENDED-sequential feature → SOF1
+    sof = seg(0xC0 if precision == 8 else 0xC1,
+              bytes([precision]) + h.to_bytes(2, "big") + w.to_bytes(2, "big")
               + bytes([nf]) + sof_comps)
     dht_dc = seg(
         0xC4,

@@ -862,3 +862,55 @@ def mm_flac24_real_decode(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("fbank", 1).alias("amp"),
         F.size("fbank").cast("long").alias("n_bins"),
     )
+
+
+@register(
+    "mm_jpeg12_real_decode",
+    oracle="""
+    SELECT doc_id,
+           round((((doc_id*357)%2048)*2) / 4095, 6) AS luma01,
+           CAST(16 AS BIGINT) AS n_px
+    FROM documents
+    """,
+)
+def mm_jpeg12_real_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """12-BIT EXTENDED-SEQUENTIAL JPEG decodes for real (r11 — SOF1 at
+    level shift 2048 with a Pq=1 16-BIT quant table, the DICOM/medical
+    shape the r8-r10 decoder refused): each document gets a solid EVEN
+    12-bit gray, which round-trips the all-16s quant table exactly (the
+    same closed-form algebra as the 8-bit oracle at center 2048:
+    round(8·(L−2048)/16)·16/8 + 2048 = L for even L), so luma01 =
+    L/4095 exactly. Midpoint-free: 2·L·10⁶ is even while any half-odd
+    multiple of 4095 is odd, so DuckDB and Python rounding agree."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    from milvus_spark.operators.multimodal import image_features, make_jpeg
+
+    d = load_table(spark, sf, "documents").select("doc_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            ids = [int(i) for i in pdf["doc_id"]]
+            yield pd.DataFrame({
+                "doc_id": ids,
+                "media": [
+                    make_jpeg(
+                        9 + i % 4, 7 + i % 3,
+                        gray=((i * 357) % 2048) * 2,
+                        precision=12, quant_16bit=True,
+                    )
+                    for i in ids
+                ],
+            })
+
+    media = d.mapInPandas(gen, "doc_id long, media binary")
+    feats = image_features(media, "media", "doc_id", fake=False)
+    return feats.select(
+        "doc_id",
+        F.element_at("thumb", 1).alias("luma01"),
+        F.size("thumb").cast("long").alias("n_px"),
+    )

@@ -593,11 +593,15 @@ def test_real_jpeg_codec_numpy_baseline():
     big[sof_at + 11] = 0x33  # factors > 2 stay out of scope
     with pytest.raises(ValueError, match="sampling factor"):
         _decode_jpeg(bytes(big))
+    # r11: Pq=1 16-bit quant tables DECODE (identical output for the same
+    # values); reserved quant precisions still refuse
+    assert _decode_jpeg(make_jpeg(9, 7, gray=100, quant_16bit=True)) == \
+        _decode_jpeg(make_jpeg(9, 7, gray=100))
     dqt_at = good.find(b"\xff\xdb")
-    q16 = bytearray(good)
-    q16[dqt_at + 4] = 0x10  # 16-bit quant table precision
-    with pytest.raises(ValueError, match="16-bit quant"):
-        _decode_jpeg(bytes(q16))
+    qbad = bytearray(good)
+    qbad[dqt_at + 4] = 0x20
+    with pytest.raises(ValueError, match="quant table precision"):
+        _decode_jpeg(bytes(qbad))
     # DRI restart intervals decode since r9 (byte-aligned cycling RSTn,
     # DC predictors reset — spec E.2.4): identical output to the same
     # pixels without restarts, across gray / 4:4:4 / 4:2:0
@@ -979,3 +983,40 @@ def test_real_gif_interlaced_and_local_palette():
         del plain[13 : 13 + n * 3]
         plain[10] &= 0x7F
         _decode_gif(bytes(plain))
+
+
+def test_real_jpeg_12bit_extended_sequential():
+    """r11: 12-bit extended sequential JPEG (SOF1, level shift 2048 — the
+    DICOM/medical shape) decodes for real, with 8- or 16-bit quant
+    tables. EVEN 12-bit gray levels round-trip the all-16s table exactly
+    (the same closed-form algebra as 8-bit at center 2048); arbitrary
+    12-bit content decodes within quantization error of the source
+    block means; reserved precisions still refuse."""
+    import numpy as np
+    import pytest
+
+    from milvus_spark.operators.multimodal import (
+        _decode_jpeg, _thumb_from_gray, make_jpeg,
+    )
+
+    rng = np.random.default_rng(41)
+    for L in (0, 2, 1000, 2048, 3000, 4094):
+        for q16 in (False, True):
+            t = _decode_jpeg(make_jpeg(13, 9, gray=L, precision=12, quant_16bit=q16))
+            want = round(L * (255.0 / 4095) / 255.0, 6)
+            assert len(t) == 16 and all(abs(v - want) < 1e-9 for v in t), (L, q16)
+    px = rng.integers(0, 4096, size=(24, 31))
+    got = _decode_jpeg(make_jpeg(31, 24, pixels=px, precision=12, quant_16bit=True))
+    want = _thumb_from_gray(px * (255.0 / 4095))
+    assert max(abs(a - b) for a, b in zip(got, want)) < 0.02
+    # 12-bit color goes through the generalized-center YCbCr path
+    t = _decode_jpeg(make_jpeg(10, 10, rgb=(4000, 100, 2048), precision=12))
+    want = (0.299 * 4000 + 0.587 * 100 + 0.114 * 2048) / 4095
+    assert max(abs(v - want) for v in t) < 0.02
+    # precision byte outside {8, 12} refuses
+    good = make_jpeg(8, 8, gray=100)
+    sof_at = good.find(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 4] = 10
+    with pytest.raises(ValueError, match="precision"):
+        _decode_jpeg(bytes(bad))
