@@ -2211,19 +2211,17 @@ def _riff_walk(data: bytes, pos: int, end: int):
         pos += 8 + size + (size & 1)
 
 
-def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
-    """REAL AVI demux for MJPEG video: parse the RIFF 'AVI ' container —
-    hdrl (avih main header, strl/strh/strf stream headers) and the movi
-    LIST — and return the '##dc'/'##db' video chunks, each a baseline
-    JPEG stream for the existing from-scratch decoder. Refusals are
-    precise: non-AVI RIFF, a non-'vids' first stream, a compression
-    other than MJPG, a frame-count mismatch vs the avih header, or a
-    chunk that is not a JPEG stream."""
+def _demux_avi(payload: bytes) -> tuple:
+    """Generic RIFF 'AVI ' walk shared by the MJPG and DIB paths: hdrl
+    (avih main header, strl/strh/strf stream headers) and the movi LIST.
+    Returns (frames, compression, w, h, bitcount). Refusals: non-AVI
+    RIFF, a non-'vids' first stream, a frame-count mismatch vs avih."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
         raise ValueError("not an AVI file")
     total_frames = None
     compression = None
     fcc_type = None
+    w = h = bitcount = 0
     frames: list[bytes] = []
     for fourcc, body, is_list in _riff_walk(payload, 12, 8 + int.from_bytes(payload[4:8], "little")):
         if not is_list:
@@ -2238,6 +2236,10 @@ def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
                         if f3 == b"strh":
                             fcc_type = b3[:4]
                         elif f3 == b"strf":
+                            # BITMAPINFOHEADER: biWidth/biHeight/biBitCount
+                            w = int.from_bytes(b3[4:8], "little", signed=True)
+                            h = int.from_bytes(b3[8:12], "little", signed=True)
+                            bitcount = int.from_bytes(b3[14:16], "little")
                             compression = b3[16:20]
         elif kind == b"movi":
             for f2, b2, _ in _riff_walk(body, 4, len(body)):
@@ -2245,16 +2247,58 @@ def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
                     frames.append(b2)
     if fcc_type != b"vids":
         raise ValueError(f"AVI: first stream is not video ({fcc_type!r})")
-    if compression != b"MJPG":
-        raise ValueError(f"AVI: unsupported codec {compression!r} (MJPG only)")
     if total_frames is None or total_frames != len(frames):
         raise ValueError(
             f"AVI: header declares {total_frames} frames, movi has {len(frames)}"
         )
+    return frames, compression, w, h, bitcount
+
+
+def demux_avi_mjpeg(payload: bytes) -> list[bytes]:
+    """REAL AVI demux for MJPEG video: the generic RIFF walk above, then
+    the MJPG contract — each '##dc'/'##db' chunk must be a baseline JPEG
+    stream for the existing from-scratch decoder. Refusals are precise:
+    a compression other than MJPG, or a chunk that is not a JPEG
+    stream."""
+    frames, compression, _w, _h, _bc = _demux_avi(payload)
+    if compression != b"MJPG":
+        raise ValueError(f"AVI: unsupported codec {compression!r} (MJPG only)")
     for fr in frames:
         if fr[:2] != b"\xff\xd8":
             raise ValueError("AVI: MJPG chunk is not a JPEG stream")
     return frames
+
+
+def demux_avi_dib(payload: bytes) -> tuple:
+    """REAL AVI demux for UNCOMPRESSED video (r11 — the first non-MJPEG
+    codec): biCompression == BI_RGB (0) at biBitCount 24, each movi
+    chunk a raw bottom-up BGR DIB with 4-byte-aligned rows (the same
+    pixel layout _decode_bmp parses, headerless). Returns
+    (frames, w, h); other bit depths refuse precisely."""
+    frames, compression, w, h, bitcount = _demux_avi(payload)
+    if compression != b"\x00\x00\x00\x00":
+        raise ValueError(
+            f"AVI: compression {compression!r} is not BI_RGB (uncompressed)"
+        )
+    if bitcount != 24:
+        raise ValueError(f"AVI: unsupported DIB bit count {bitcount} (24 only)")
+    rowsize = ((24 * w + 31) // 32) * 4
+    for fr in frames:
+        if len(fr) != rowsize * abs(h):
+            raise ValueError("AVI: DIB chunk size mismatch")
+    return frames, w, h
+
+
+def _dib_frame_gray(frame: bytes, w: int, h: int) -> np.ndarray:
+    """Headerless 24-bit DIB frame → float gray plane: bottom-up BGR rows
+    padded to 4 bytes (negative height = top-down, like BMP)."""
+    rowsize = ((24 * w + 31) // 32) * 4
+    rows = np.frombuffer(frame, np.uint8).reshape(abs(h), rowsize)
+    px = rows[:, : w * 3].reshape(abs(h), w, 3).astype(np.float64)
+    if h > 0:
+        px = px[::-1]
+    # BGR order
+    return 0.299 * px[..., 2] + 0.587 * px[..., 1] + 0.114 * px[..., 0]
 
 
 def make_avi_mjpeg(frames: list, w: int, h: int, fps: int = 10) -> bytes:
@@ -2316,13 +2360,79 @@ def make_avi_mjpeg(frames: list, w: int, h: int, fps: int = 10) -> bytes:
     return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
+def make_avi_dib(
+    frames_rgb: list, w: int, h: int, fps: int = 10
+) -> bytes:
+    """A real uncompressed-video AVI (r11 — the encoder side of
+    demux_avi_dib): same RIFF skeleton as make_avi_mjpeg but
+    biCompression = BI_RGB (0), '00db' chunks of raw bottom-up BGR DIB
+    rows padded to 4 bytes. ``frames_rgb``: list of (h, w, 3) RGB uint8
+    arrays."""
+    rowsize = ((24 * w + 31) // 32) * 4
+    dib_frames = []
+    for fr in frames_rgb:
+        px = np.asarray(fr, np.uint8).reshape(h, w, 3)
+        bgr = px[::-1, :, ::-1]  # bottom-up, BGR
+        rows = np.zeros((h, rowsize), np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        dib_frames.append(rows.tobytes())
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        return fourcc + len(body).to_bytes(4, "little") + body + (
+            b"\x00" if len(body) & 1 else b""
+        )
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    n = len(dib_frames)
+    maxsz = rowsize * h
+    avih = b"".join(
+        v.to_bytes(4, "little")
+        for v in (
+            1_000_000 // fps, 0, 0, 0x10, n, 0, 1, maxsz, w, h, 0, 0, 0, 0,
+        )
+    )
+    strh = (
+        b"vidsDIB "
+        + b"".join(
+            v.to_bytes(4, "little")
+            for v in (0, 0, 0, 1, fps, 0, n, maxsz, 0, 0)
+        )
+        + b"\x00" * 8
+    )
+    strf = (
+        (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + b"\x00\x00\x00\x00"  # BI_RGB
+        + (rowsize * h).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in dib_frames))
+    idx_entries, off = [], 4
+    for f in dib_frames:
+        idx_entries.append(
+            b"00db" + (0x10).to_bytes(4, "little")
+            + off.to_bytes(4, "little") + len(f).to_bytes(4, "little")
+        )
+        off += 8 + len(f) + (len(f) & 1)
+    idx1 = chunk(b"idx1", b"".join(idx_entries))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
 def video_frames(
     df: DataFrame, payload_col: str, pk_col: str, every_n: int = 2,
     fake: bool = False,
 ) -> DataFrame:
     """REAL video frame sampling: demux each row's AVI container, decode
-    every ``every_n``-th MJPEG frame through the from-scratch JPEG
-    decoder, and emit one row per sampled frame — the row-EXPANDING
+    every ``every_n``-th frame — MJPEG through the from-scratch JPEG
+    decoder, or (r11) uncompressed BI_RGB DIB frames through the BMP
+    pixel path — and emit one row per sampled frame, the row-EXPANDING
     mapInPandas shape (pk, frame_idx, frame_vec). Scale shape: one
     map-side Arrow-batched pass, zero shuffles, media bytes never leave
     their partition; only sampled frames pay the decode."""
@@ -2331,11 +2441,22 @@ def video_frames(
         for pdf in batches:
             rows = []
             for pk, b in zip(pdf[pk_col], pdf[payload_col]):
-                frames = demux_avi_mjpeg(bytes(b))
-                for i in range(0, len(frames), every_n):
-                    rows.append(
-                        (int(pk), i, decode_image(frames[i], fake=fake))
-                    )
+                payload = bytes(b)
+                _frames, comp, fw, fh, _bc = _demux_avi(payload)
+                if comp == b"\x00\x00\x00\x00":
+                    frames, fw, fh = demux_avi_dib(payload)
+                    decoded = {
+                        i: _thumb_from_gray(_dib_frame_gray(frames[i], fw, fh))
+                        for i in range(0, len(frames), every_n)
+                    }
+                else:
+                    frames = demux_avi_mjpeg(payload)
+                    decoded = {
+                        i: decode_image(frames[i], fake=fake)
+                        for i in range(0, len(frames), every_n)
+                    }
+                for i in sorted(decoded):
+                    rows.append((int(pk), i, decoded[i]))
             if rows:
                 yield pd.DataFrame(rows, columns=[pk_col, "frame_idx", "frame_vec"])
 

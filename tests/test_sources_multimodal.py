@@ -1020,3 +1020,61 @@ def test_real_jpeg_12bit_extended_sequential():
     bad[sof_at + 4] = 10
     with pytest.raises(ValueError, match="precision"):
         _decode_jpeg(bytes(bad))
+
+
+def test_real_avi_dib_uncompressed():
+    """r11: uncompressed BI_RGB AVI (the first non-MJPEG video codec) —
+    raw bottom-up BGR DIB frames with 4-byte row padding round-trip the
+    container bit-exactly, video_frames routes by biCompression and
+    samples DIB frames through the BMP pixel path, and cross-codec
+    demux refusals stay precise."""
+    import numpy as np
+    import pytest
+
+    from milvus_spark.operators.multimodal import (
+        _dib_frame_gray,
+        _thumb_from_gray,
+        demux_avi_dib,
+        demux_avi_mjpeg,
+        make_avi_dib,
+        make_avi_mjpeg,
+        make_jpeg,
+    )
+
+    rng = np.random.default_rng(47)
+    for _ in range(5):
+        h, w = int(rng.integers(1, 25)), int(rng.integers(1, 25))
+        fr = [rng.integers(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(3)]
+        frames, dw, dh = demux_avi_dib(make_avi_dib(fr, w, h))
+        assert (dw, dh) == (w, h) and len(frames) == 3
+        for orig, raw in zip(fr, frames):
+            px = orig.astype(np.float64)
+            want = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+            assert np.allclose(_dib_frame_gray(raw, dw, dh), want)
+    with pytest.raises(ValueError, match="BI_RGB"):
+        demux_avi_dib(make_avi_mjpeg([make_jpeg(8, 8, gray=100)], 8, 8))
+    with pytest.raises(ValueError, match="MJPG only"):
+        demux_avi_mjpeg(make_avi_dib([np.zeros((4, 4, 3), np.uint8)], 4, 4))
+    # corrupt chunk size refuses
+    avi = bytearray(make_avi_dib([np.zeros((4, 4, 3), np.uint8)], 4, 4))
+    at = bytes(avi).find(b"00db")
+    avi[at + 4] -= 1
+    with pytest.raises(ValueError, match="size mismatch"):
+        demux_avi_dib(bytes(avi))
+
+
+def test_video_frames_routes_dib(spark):
+    """video_frames emits DIB-frame thumbs through the same row-expanding
+    schema the MJPEG path uses."""
+    import numpy as np
+
+    from milvus_spark.operators.multimodal import make_avi_dib, video_frames
+
+    fr = [np.full((6, 8, 3), 40 * (k + 1), np.uint8) for k in range(4)]
+    avi = make_avi_dib(fr, 8, 6)
+    df = spark.createDataFrame([(7, bytearray(avi))], "doc_id long, media binary")
+    rows = video_frames(df, "media", "doc_id", every_n=2).orderBy("frame_idx").collect()
+    assert [r.frame_idx for r in rows] == [0, 2]
+    for r, k in zip(rows, (0, 2)):
+        assert len(r.frame_vec) == 16
+        assert abs(r.frame_vec[0] - round(40 * (k + 1) / 255, 6)) < 1e-9
