@@ -6608,7 +6608,7 @@ class MilvusSparkClient:
             radius is None and range_filter is None
             and as_of is None and not meta.get("external_path")
             and not self._expired_ts(meta)
-            and meta["metric"] in ("COSINE", "L2", "IP")
+            and meta["metric"] in ("COSINE", "L2", "IP", "HAMMING", "JACCARD")
             and (metric_type is None or metric_type == meta["metric"])
             and not any(
                 self._fresh_index(name, vfield, t) is not None
@@ -6617,9 +6617,15 @@ class MilvusSparkClient:
         )
         growing, growing_mask = None, []
         if idx is None and stale_ok:
-            served = self._servable_graph(name, vfield) or self._servable_trained(
-                name, vfield
-            )
+            if meta["metric"] in ("HAMMING", "JACCARD"):
+                # binary collections: only the binary clustered family can
+                # serve sealed+growing (r11); the delta exact-scans through
+                # the same HAMMING/JACCARD kernel the sealed side scores
+                served = self._servable_trained(name, vfield, ("BIN_IVF_FLAT",))
+            else:
+                served = self._servable_graph(name, vfield) or self._servable_trained(
+                    name, vfield
+                )
             if served is not None:
                 idx, growing, growing_mask = served
         if (

@@ -214,3 +214,37 @@ def test_refresh_and_delete_lifecycle(spark, sf_dir, tmp_path):
         for r in _brute(c, "bl", qs, "HAMMING").collect()
     ]
     assert g == b
+
+
+def test_sealed_growing_serving_bin_ivf(spark, sf_dir, tmp_path):
+    """r11: a BIN_IVF_FLAT index stale ONLY by post-build writes serves
+    sealed+growing — the clustered artifact as the sealed side, the
+    _ts-pruned delta exact-scanned through the same HAMMING kernel, a
+    post-build delete masked at query time — and the merged result is
+    exact vs brute force over the visible corpus (full probe)."""
+    from pyspark.sql import functions as F
+
+    c = _client(spark, tmp_path)
+    bv = _binary_corpus(spark, sf_dir)
+    c.create_collection(
+        "bg", pk_field="vec_id", vector_field="bv", metric_type="HAMMING"
+    )
+    c.insert("bg", bv.filter(F.col("vec_id") % 2 == 0))
+    c.create_index("bg", "bv", "BIN_IVF_FLAT", {"nlist": 4})
+    # post-build writes, NO refresh: delta insert + a delete
+    c.insert("bg", bv.filter(F.col("vec_id") % 2 == 1))
+    c.delete("bg", filter=f"vec_id % 9 == 0 and vec_id >= {NQ}")
+    qs = [
+        list(map(int, r.bv))
+        for r in bv.filter(F.col("vec_id") < NQ).orderBy("vec_id").collect()
+    ]
+    out = c.search("bg", qs, limit=10, search_params={"nprobe": 10**6})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "cluster_id" in plan, "expected the sealed clustered artifact"
+    assert "_ts" in plan, "expected the ts-pruned growing delta"
+    g = [(r.qid, r.vec_id, round(r.score, 4)) for r in out.collect()]
+    b = [
+        (r.qid, r.vec_id, round(r.score, 4))
+        for r in _brute(c, "bg", qs, "HAMMING").collect()
+    ]
+    assert g == b
