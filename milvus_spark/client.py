@@ -2126,6 +2126,13 @@ class MilvusSparkClient:
         params = dict(params or {})
         meta = self._meta(name)
         itype = index_type.upper()
+        # the reference's checker registry accepts legacy scalar-index
+        # alias spellings, including ITS OWN typo, and routes them to the
+        # same checkers (conf_adapter_mgr.go:52-59: "Asceneding" →
+        # STL_SORT, "marisa-trie"/"Trie" → TRIE)
+        itype = {"ASCENEDING": "STL_SORT", "MARISA-TRIE": "TRIE"}.get(
+            itype, itype
+        )
         # resolve aliases for the artifact path — _meta already resolved the
         # catalog entry, and artifacts must live INSIDE the collection tree
         # (an alias-named dir would be orphaned by drop_collection)

@@ -873,3 +873,22 @@ def test_fmindex_alias_lifecycle(spark, sf_dir, tmp_path):
         client.create_index("fm2", "o_totalprice", "FMINDEX")
     client.drop_collection("fm")
     client.drop_collection("fm2")
+
+
+def test_legacy_scalar_index_alias_spellings(spark, sf_dir, tmp_path):
+    """The reference's checker registry routes legacy alias spellings —
+    including its own 'Asceneding' typo — to the same checkers
+    (conf_adapter_mgr.go:52-59): 'Asceneding' builds STL_SORT,
+    'marisa-trie' and 'Trie' build TRIE."""
+    from milvus_spark.client import MilvusSparkClient
+
+    c = MilvusSparkClient(spark, root=str(tmp_path))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c.create_collection("als", pk_field="c_custkey")
+    c.insert("als", cust.select("c_custkey", "c_acctbal", "c_name"))
+    e1 = c.create_index("als", "c_acctbal", "Asceneding")
+    assert e1["index_type"] == "STL_SORT"
+    e2 = c.create_index("als", "c_name", "marisa-trie")
+    assert e2["index_type"] == "TRIE"
+    e3 = c.create_index("als", "c_name", "Trie")
+    assert e3["index_type"] == "TRIE"
