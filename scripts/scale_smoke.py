@@ -63,6 +63,8 @@ HEAVY = [
     "cli_rabitq_serving",     # r11: steady-state RaBitQ estimator + refine (memoized build)
     "cli_hnsw_sq_search",     # r11: quantized-graph lifecycle (build+serve)
     "cli_sparse_inverted_refresh",  # r11: two-epoch sparse refresh + delete mask
+    "cli_bin_ivf_search",     # r11: binary IVF lifecycle (build+refresh+serve)
+    "mm_avi_dib_frame_sample",  # r11: uncompressed-AVI demux, map-side only
 ]
 # dedup_semantic is measured separately (see main): the registered query
 # pins K=8 for its all-pairs oracle, but the SemDeDup scale contract holds
