@@ -2144,6 +2144,17 @@ class MilvusSparkClient:
             "built_ts": self._current_ts(name), "path": idx_dir,
             "materialized": True,
         }
+        if itype not in ("AUTOINDEX", "FLAT", "BIN_FLAT"):
+            # materialized artifacts version-mask rows as [pk, epoch-bound]
+            # pairs over INT64 ids; a VARCHAR primary-key collection (r11:
+            # fully served on the exact-scan paths — search/query/DML/
+            # grouping/hybrid) refuses the build precisely instead of
+            # corrupting ids through a silent long cast
+            if dict(self._read(name).dtypes).get(meta["pk"]) == "string":
+                raise ValueError(
+                    f"cannot build {itype} on a VARCHAR primary-key "
+                    "collection — the exact scan serves VARCHAR-pk search"
+                )
         if itype == "HNSW":
             # REAL per-segment graph (knowhere's workhorse,
             # SearchOnIndex.cpp): the corpus buckets deterministically by

@@ -146,7 +146,12 @@ def brute_force_search(
                     pd.DataFrame(
                         {
                             "qid": qid,
-                            pk: mids[idx].astype(np.int64),
+                            # pk keeps its collection dtype: VARCHAR
+                            # primary keys (the reference's other pk
+                            # type) flow through untouched, and the
+                            # lexsort tie-break above sorts unicode
+                            # arrays exactly as the SQL ORDER BY does
+                            pk: mids[idx] if pk_str else mids[idx].astype(np.int64),
                             "score": mrow[idx],
                         }
                     )
@@ -154,8 +159,11 @@ def brute_force_search(
             if frames:
                 yield pd.concat(frames)
 
+    pk_dt = dict(df.dtypes).get(pk_col, "bigint")
+    pk_str = pk_dt in ("string", "varchar")
     partial = df.select(pk_col, vec_col).mapInPandas(
-        score_batches, schema=f"qid long, {pk_col} long, score double"
+        score_batches,
+        schema=f"qid long, {pk_col} {'string' if pk_str else 'long'}, score double",
     )
 
     order = [F.col("score").asc() if asc else F.col("score").desc(), F.col(pk_col).asc()]
@@ -211,7 +219,7 @@ def multi_metric_search(
                             {
                                 "sid": sid,
                                 "qid": qid,
-                                pk: ids[idx].astype(np.int64),
+                                pk: ids[idx] if pk_str else ids[idx].astype(np.int64),
                                 "score": row[idx],
                             }
                         )
@@ -219,8 +227,10 @@ def multi_metric_search(
             if frames:
                 yield pd.concat(frames)
 
+    pk_str = dict(df.dtypes).get(pk_col, "bigint") in ("string", "varchar")
     partial = df.select(pk_col, vec_col).mapInPandas(
-        score_batches, schema=f"sid int, qid long, {pk_col} long, score double"
+        score_batches,
+        schema=f"sid int, qid long, {pk_col} {'string' if pk_str else 'long'}, score double",
     )
     # one window over ALL sub-searches: the per-sid order direction folds
     # into a sign key (ties at equal score are unaffected — ±0.0 compare
@@ -302,15 +312,17 @@ def grouping_search(
             yield pd.DataFrame(
                 {
                     "qid": qids[keep // n],
-                    pk: ids[ridx].astype(np.int64),
+                    pk: ids[ridx] if pk_str else ids[ridx].astype(np.int64),
                     gc: grp[ridx],
                     "score": S.ravel()[keep],
                 }
             )
 
     gtype = dict(df.dtypes)[group_col]
+    pk_str = dict(df.dtypes).get(pk_col, "bigint") in ("string", "varchar")
+    pk_dt = "string" if pk_str else "long"
     partial = df.select(pk_col, vec_col, group_col).mapInPandas(
-        score_batches, schema=f"qid long, {pk_col} long, {group_col} {gtype}, score double"
+        score_batches, schema=f"qid long, {pk_col} {pk_dt}, {group_col} {gtype}, score double"
     )
 
     # Final merge in ONE applyInPandas over qid (r10 — replaces a
@@ -324,7 +336,7 @@ def grouping_search(
     # scale-safe wherever the reference's merge is.
     return grouping_merge(
         partial, pk_col, group_col, gtype, asc, limit, group_size,
-        strict_group_size,
+        strict_group_size, pk_dt=pk_dt,
     )
 
 
@@ -337,6 +349,7 @@ def grouping_merge(
     limit: int,
     group_size: int,
     strict_group_size: bool = False,
+    pk_dt: str = "long",
 ) -> DataFrame:
     """The delegator-side grouping merge, shared by the brute-force kernel
     and the graph-served path: ``partial`` is any bounded candidate frame
@@ -372,7 +385,7 @@ def grouping_merge(
 
     return partial.groupBy("qid").applyInPandas(
         finalize,
-        schema=f"qid long, {group_col} {gtype}, {pk_col} long, score double, grank long",
+        schema=f"qid long, {group_col} {gtype}, {pk_col} {pk_dt}, score double, grank long",
     )
 
 

@@ -984,3 +984,64 @@ def mm_avi_dib_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
         F.element_at("frame_vec", 1).alias("luma01"),
         F.size("frame_vec").cast("long").alias("n_px"),
     )
+
+
+@register(
+    "cli_varchar_pk_search",
+    oracle="""
+    WITH eff AS (
+      SELECT 'doc_' || CAST(vec_id AS VARCHAR) AS pk, embedding,
+             CASE WHEN vec_id % 9 = 0 THEN label + 100 ELSE label END AS label
+      FROM embeddings
+      WHERE (label % 5 != 3) OR (vec_id % 9 = 0)
+    ),
+    q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+          FROM embeddings WHERE vec_id < 4),
+    scored AS (
+      SELECT q.qid, e.pk, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv), 4) AS score
+      FROM eff e, q
+    )
+    SELECT qid, pk, score, rank, CAST(label AS BIGINT) AS label FROM (
+      SELECT qid, pk, label, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, pk) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_varchar_pk_search(spark: SparkSession, sf: str) -> DataFrame:
+    """VARCHAR primary keys end-to-end (r11 — the reference's second pk
+    type, schema.proto Int64|VarChar primary fields): a string-pk
+    collection inserts, deletes by expression, upserts (delete+insert
+    semantics revive a deleted pk with its new row), and serves exact
+    search with requeried output fields — pks flow through the Arrow
+    kernel untouched (no long cast) and score ties break on the STRING
+    key exactly as the SQL ORDER BY does. Materialized index builds on
+    string-pk collections refuse precisely (tests/test_varchar_pk.py);
+    the exact scan is the serving path, matching FLAT semantics."""
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    d = e.select(
+        F.concat(F.lit("doc_"), F.col("vec_id")).alias("pk"),
+        "embedding", "label",
+    )
+    client.create_collection(
+        "vpk", pk_field="pk", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("vpk", d)
+    client.delete("vpk", filter="label % 5 == 3")
+    up = d.filter(
+        F.expr("CAST(substring(pk, 5) AS BIGINT) % 9 = 0")
+    ).withColumn("label", F.col("label") + 100)
+    client.upsert("vpk", up)
+    qs = [
+        list(map(float, r.embedding))
+        for r in e.filter(F.col("vec_id") < 4).orderBy("vec_id").collect()
+    ]
+    out = client.search("vpk", qs, limit=10, output_fields=["label"])
+    return out.select(
+        "qid", "pk",
+        (F.col("score") + F.lit(0.0)).alias("score"),
+        F.col("rank").cast("long").alias("rank"),
+        F.col("label").cast("long").alias("label"),
+    )

@@ -161,6 +161,12 @@ HINT_ALLOWED: dict[str, int] = {
     # cli_scalar rows
     "cli_scalar_isnull": 1, "cli_scalar_conjunction": 1,
     "cli_scalar_disjunction": 1, "cli_ngram_lifecycle": 1,
+    # [life]+[q] varchar-pk lifecycle (r11): two tombstone/upsert-batch
+    # anti-join broadcasts on Collection.read's visible frame (delete +
+    # upsert, compaction-bounded as the dml_* rows) plus the requery's
+    # broadcast of the nq×10 hit set (rank<=10 window filter — bounded,
+    # but not an Aggregate/Limit node; the vec_knn_classify class)
+    "cli_varchar_pk_search": 3,
     # [life] r10 dispatch-breadth rows: the flagged hints are the SAME
     # tombstone anti-join broadcast on Collection.read — once for the
     # visible base frame (partial / text-compound), plus once per stale
