@@ -6178,6 +6178,19 @@ class MilvusSparkClient:
         self._deny("reading")
         self._set_rg_pool(name)
         meta = self._meta(name)
+        # request-shape quotas (proxy validation, util.go): nq in
+        # [1, 16384] and round_decimal -1 or in [0, 6] — refused at the
+        # proxy for EVERY search, whichever path serves it
+        if not (1 <= len(data) <= 16384):
+            raise ValueError(
+                f"nq (number of search vectors) must be in [1, 16384], got {len(data)}"
+            )
+        if round_decimal != -1 and not (
+            isinstance(round_decimal, int) and 0 <= round_decimal <= 6
+        ):
+            raise ValueError(
+                f"round_decimal must be -1 or an integer in [0, 6], got {round_decimal}"
+            )
         if hints is not None and hints not in ("iterative_filter", "disable"):
             # hint value is validated for EVERY search, whichever execution
             # path serves it (ParseSearchInfo, query/PlanProto.cpp:103-112)
@@ -7812,7 +7825,18 @@ class MilvusSparkClient:
         if not output_fields:
             return hits
         pk = meta["pk"]
-        fields = [f for f in output_fields if f != pk and f not in hits.columns]
+        if "*" in output_fields:
+            # wildcard expands to the collection's fields (proxy
+            # translateOutputFields, util.go): every base column not
+            # already in the hit page, keeping declared order
+            base_cols = (base if base is not None else self._read(name)).columns
+            output_fields = [
+                f for f in output_fields if f != "*"
+            ] + [f for f in base_cols if f not in output_fields]
+        fields = []
+        for f in output_fields:
+            if f != pk and f not in hits.columns and f not in fields:
+                fields.append(f)
         base = base if base is not None else self._read(name)
         dyn = self._dyn(meta)
         cols = [F.col(pk)]

@@ -2797,3 +2797,42 @@ def test_surface_parity_batch(client, spark, sf_dir):
     jobs = client.list_restore_snapshot_jobs()
     assert any(j["collection"] == "dmp" for j in jobs)
     client.drop_collection("dmp")
+
+
+def test_search_request_shape_quotas(client, spark, sf_dir):
+    """Proxy request validation (util.go): nq in [1, 16384], round_decimal
+    -1 or in [0, 6] — refused for every search before any path serves it."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection(
+        "quo", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("quo", emb.select("vec_id", "embedding"))
+    q = [list(map(float, emb.limit(1).collect()[0].embedding))]
+    with pytest.raises(ValueError, match="nq"):
+        client.search("quo", [], limit=3)
+    for bad in (7, -2, 3.5):
+        with pytest.raises(ValueError, match="round_decimal"):
+            client.search("quo", q, limit=3, round_decimal=bad)
+    assert client.search("quo", q, limit=3, round_decimal=-1).count() == 3
+
+
+def test_search_wildcard_output_fields(client, spark, sf_dir):
+    """output_fields=["*"] expands to the collection's fields once —
+    never duplicate columns (translateOutputFields) — and composes with
+    explicitly named fields."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection(
+        "wld", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("wld", emb.select("vec_id", "embedding", "label"))
+    q = [list(map(float, emb.limit(1).collect()[0].embedding))]
+    cols = client.search("wld", q, limit=3, output_fields=["*"]).columns
+    assert len(cols) == len(set(cols)), cols
+    assert {"embedding", "label", "vec_id", "score"} <= set(cols)
+    cols2 = client.search("wld", q, limit=3, output_fields=["label", "*"]).columns
+    assert len(cols2) == len(set(cols2)), cols2
