@@ -1237,6 +1237,18 @@ class MilvusSparkClient:
         parts.remove(partition)
         self._save_catalog()
 
+    def _check_partitions(self, name: str, partition_names) -> None:
+        """Caller-named partitions must exist (ErrPartitionNotFound — the
+        reference refuses a search/query naming an unknown partition;
+        namespace-DERIVED partition scopes bypass this, an un-inserted
+        namespace is a valid empty read)."""
+        if not partition_names:
+            return
+        known = set(self._meta(name).get("partitions", []) or []) | {"_default"}
+        unknown = [p for p in partition_names if p not in known]
+        if unknown:
+            raise ValueError(f"partition name {unknown[0]!r} not found")
+
     def _partition_filter(self, df: DataFrame, partition_names) -> DataFrame:
         if not partition_names:
             return df
@@ -1757,6 +1769,18 @@ class MilvusSparkClient:
                     f"cannot be inserted"
                 )
         df = self._apply_embedding_functions(meta, df)
+        # declared vector fields must arrive in the batch (or be produced
+        # by an ingest function just above) — the reference refuses a
+        # fieldSchema/data mismatch at the proxy; silently inserting
+        # vector-less rows would crash every later search instead
+        missing_vf = [
+            vf for vf in (meta.get("vector_fields") or [])
+            if vf and vf not in df.columns
+        ]
+        if missing_vf:
+            raise ValueError(
+                f"insert batch is missing declared vector field(s) {missing_vf}"
+            )
         df = self._apply_defaults(meta, df)
         df = self._pack_dynamic(meta, df)
         if partition_name is not None:
@@ -2149,8 +2173,14 @@ class MilvusSparkClient:
             # pairs over INT64 ids; a VARCHAR primary-key collection (r11:
             # fully served on the exact-scan paths — search/query/DML/
             # grouping/hybrid) refuses the build precisely instead of
-            # corrupting ids through a silent long cast
-            if dict(self._read(name).dtypes).get(meta["pk"]) == "string":
+            # corrupting ids through a silent long cast. An EMPTY
+            # collection has no readable schema yet — each build branch
+            # raises its own empty-collection error.
+            try:
+                pk_dtype = dict(self._read(name).dtypes).get(meta["pk"])
+            except Exception:
+                pk_dtype = None
+            if pk_dtype == "string":
                 raise ValueError(
                     f"cannot build {itype} on a VARCHAR primary-key "
                     "collection — the exact scan serves VARCHAR-pk search"
@@ -5095,6 +5125,22 @@ class MilvusSparkClient:
         self._priv("Query", name)
         self._deny("reading")
         self._set_rg_pool(name)
+        # max result window (validateMaxQueryResultWindow, proxy/util.go:
+        # 182-194; test rows util_test.go:2425-2429): offset >= 0, limit
+        # > 0 when given, offset + limit <= 16384
+        if offset < 0:
+            raise ValueError(f"offset [{offset}] is invalid, should be gte than 0")
+        if limit is not None:
+            if limit <= 0:
+                raise ValueError(
+                    f"limit [{limit}] is invalid, should be greater than 0"
+                )
+            if offset + limit > 16384:
+                raise ValueError(
+                    "invalid max query result window, "
+                    f"(offset+limit) should be in range [1, 16384], but got {offset + limit}"
+                )
+        self._check_partitions(name, partition_names)
         partition_names, ns_cond = self._namespace_resolve(
             name, self._meta(name), namespace, partition_names
         )
@@ -6185,6 +6231,16 @@ class MilvusSparkClient:
             raise ValueError(
                 f"nq (number of search vectors) must be in [1, 16384], got {len(data)}"
             )
+        # ragged query batches can only mis-score: every vector in one
+        # request must share a dimension (the stored-dim check runs in
+        # the kernel, where the corpus dim is known)
+        if data and hasattr(data[0], "__len__"):
+            dims = {len(v) for v in data if hasattr(v, "__len__")}
+            if len(dims) > 1:
+                raise ValueError(
+                    f"search vectors have inconsistent dimensions {sorted(dims)}"
+                )
+        self._check_partitions(name, partition_names)
         if round_decimal != -1 and not (
             isinstance(round_decimal, int) and 0 <= round_decimal <= 6
         ):
@@ -7983,6 +8039,9 @@ class MilvusSparkClient:
         """
         self._priv("Search", name)
         self._deny("reading")
+        if len(reqs) > 1024:
+            # defaultMaxSearchRequest (proxy/util.go:79, task_search.go:240)
+            raise ValueError("maximum of ann search requests is 1024")
         from milvus_spark.operators.hybrid import rrf_fusion, weighted_fusion
 
         meta = self._meta(name)

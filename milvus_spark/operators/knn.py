@@ -58,6 +58,16 @@ def _score_block(V: np.ndarray, Q: np.ndarray, metric: str) -> np.ndarray:
     Returns (nq, n) float64. One BLAS matmul per call — this is the hot path.
     """
     m = metric.upper()
+    if (
+        Q.ndim == 2 and V.ndim == 2 and Q.shape[1] != V.shape[1]
+        and m not in ("HAMMING", "JACCARD")
+    ):
+        # surfaced through the Python-worker traceback with the
+        # reference's message instead of an opaque matmul shape error
+        raise ValueError(
+            f"vector dimension mismatch: query dim {Q.shape[1]}, "
+            f"stored dim {V.shape[1]}"
+        )
     if m == "IP":
         return Q @ V.T
     if m == "COSINE":

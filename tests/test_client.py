@@ -2836,3 +2836,34 @@ def test_search_wildcard_output_fields(client, spark, sf_dir):
     assert {"embedding", "label", "vec_id", "score"} <= set(cols)
     cols2 = client.search("wld", q, limit=3, output_fields=["label", "*"]).columns
     assert len(cols2) == len(set(cols2)), cols2
+
+
+def test_query_result_window_and_hybrid_caps(client, spark, sf_dir):
+    """Proxy quotas (util.go:79,182-194; util_test.go:2425-2429): query
+    offset/limit window bounded at 16384, hybrid sub-requests at 1024,
+    caller-named partitions must exist, ragged query batches refuse."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    client.create_collection(
+        "qw", pk_field="vec_id", vector_field="embedding", metric_type="COSINE"
+    )
+    client.insert("qw", emb.select("vec_id", "embedding"))
+    q = [list(map(float, emb.limit(1).collect()[0].embedding))]
+    with pytest.raises(ValueError, match="result window"):
+        client.query("qw", filter="true", output_fields=["vec_id"], limit=16000, offset=1000)
+    with pytest.raises(ValueError, match="gte than 0"):
+        client.query("qw", filter="true", output_fields=["vec_id"], offset=-1)
+    with pytest.raises(ValueError, match="greater than 0"):
+        client.query("qw", filter="true", output_fields=["vec_id"], limit=0)
+    with pytest.raises(ValueError, match="maximum of ann search requests"):
+        client.hybrid_search("qw", [{"data": q, "limit": 1}] * 1025, limit=1)
+    with pytest.raises(ValueError, match="partition name"):
+        client.search("qw", q, limit=3, partition_names=["nope"])
+    with pytest.raises(ValueError, match="partition name"):
+        client.query("qw", filter="true", output_fields=["vec_id"], partition_names=["nope"])
+    with pytest.raises(ValueError, match="inconsistent dimensions"):
+        client.search("qw", [q[0], [1.0, 2.0]], limit=3)
+    with pytest.raises(ValueError, match="missing declared vector"):
+        client.insert("qw", emb.select("vec_id"))
