@@ -6233,9 +6233,15 @@ class MilvusSparkClient:
             )
         # ragged query batches can only mis-score: every vector in one
         # request must share a dimension (the stored-dim check runs in
-        # the kernel, where the corpus dim is known)
-        if data and hasattr(data[0], "__len__"):
-            dims = {len(v) for v in data if hasattr(v, "__len__")}
+        # the kernel, where the corpus dim is known). Applies ONLY to
+        # numeric sequences — text queries (MINHASH/TEXTEMBEDDING ingest
+        # functions transform strings) and sparse dicts are variable-size
+        # by nature.
+        if data and all(
+            isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray"
+            for v in data
+        ):
+            dims = {len(v) for v in data}
             if len(dims) > 1:
                 raise ValueError(
                     f"search vectors have inconsistent dimensions {sorted(dims)}"
