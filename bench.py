@@ -53,7 +53,7 @@ BENCH_QUERIES = [
     "cli_sparse_serving",     # steady-state sparse-WAND max-score serving (r10)
     "cli_rabitq_serving",     # steady-state RaBitQ estimator + FP32 refine (r11)
     "cli_minhash_serving",    # steady-state MINHASH_LSH banded near-dup lookup (r11)
-    "cli_bin_ivf_search",     # binary IVF full lifecycle: build+refresh+serve (r11)
+    "cli_bin_ivf_serving",    # steady-state binary-IVF serving, memoized build (r11)
 ]
 
 

@@ -1045,3 +1045,57 @@ def cli_varchar_pk_search(spark: SparkSession, sf: str) -> DataFrame:
         F.col("rank").cast("long").alias("rank"),
         F.col("label").cast("long").alias("label"),
     )
+
+
+def _bin_ivf_serving_client(spark: SparkSession, sf: str):
+    key = ("binivf", spark.sparkContext.applicationId, sf)
+    if key in _R11_SERVING_MEMO:
+        return _R11_SERVING_MEMO[key]
+    client = _client(spark)
+    e = load_table(spark, sf, "embeddings")
+    bv = e.select("vec_id", _pack_bits_expr("embedding").alias("bv"))
+    client.create_collection(
+        "bis", pk_field="vec_id", vector_field="bv", metric_type="HAMMING"
+    )
+    client.insert("bis", bv)
+    client.create_index("bis", "bv", "BIN_IVF_FLAT", {"nlist": 8})
+    _R11_SERVING_MEMO[key] = client
+    return client
+
+
+@register(
+    "cli_bin_ivf_serving",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qe
+               FROM embeddings WHERE vec_id < {_NQB}),
+    scored AS (
+      SELECT q.qid, e.vec_id, {_HAM} AS score FROM embeddings e, q
+    )
+    SELECT qid, vec_id, score, rank FROM (
+      SELECT qid, vec_id, score,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY score ASC, vec_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+)
+def cli_bin_ivf_serving(spark: SparkSession, sf: str) -> DataFrame:
+    """STEADY-STATE BIN_IVF_FLAT serving (r11 — the cli_sparse_serving
+    contract: the build is memoized per (applicationId, sf)): the row
+    times the binary IVF search alone — bit-space centroid ranking,
+    cluster-directory-pruned packed scan, HAMMING kernel scoring, top-k
+    merge. Full probe = exact, so the hash matches the sign-bit Hamming
+    oracle while the timed work is the production serving shape; the
+    lifecycle (build/refresh/delete) is gated by cli_bin_ivf_search."""
+    client = _bin_ivf_serving_client(spark, sf)
+    e = load_table(spark, sf, "embeddings")
+    bv = e.select("vec_id", _pack_bits_expr("embedding").alias("bv"))
+    qs = [
+        list(map(int, r.bv))
+        for r in bv.filter(F.col("vec_id") < _NQB).orderBy("vec_id").collect()
+    ]
+    out = client.search(
+        "bis", qs, limit=10, search_params={"nprobe": 10**6}
+    ).select("qid", "vec_id", "score", "rank")
+    plan = _plan(out)
+    assert "cluster_id" in plan, "expected the cluster-pruned binary layout"
+    return out
