@@ -1244,7 +1244,13 @@ class MilvusSparkClient:
         namespace is a valid empty read)."""
         if not partition_names:
             return
-        known = set(self._meta(name).get("partitions", []) or []) | {"_default"}
+        meta = self._meta(name)
+        if meta.get("partition_key"):
+            # partition-key mode: "partitions" are the key's VALUES (hive
+            # directories) — any value is a valid scope (an unseen value
+            # is an empty read), there is no created-partition registry
+            return
+        known = set(meta.get("partitions", []) or []) | {"_default"}
         unknown = [p for p in partition_names if p not in known]
         if unknown:
             raise ValueError(f"partition name {unknown[0]!r} not found")
@@ -1775,7 +1781,9 @@ class MilvusSparkClient:
         # vector-less rows would crash every later search instead
         missing_vf = [
             vf for vf in (meta.get("vector_fields") or [])
-            if vf and vf not in df.columns
+            # a struct-array vector sub-field ("items[vec]") arrives inside
+            # its BASE struct column — require that column, not the path
+            if vf and vf.split("[", 1)[0] not in df.columns
         ]
         if missing_vf:
             raise ValueError(
