@@ -125,17 +125,23 @@ def minhash_lsh_search(
     )
     all_bh = sorted({r[2] for r in qrows})
     pruned = bands_df.filter(F.col("bh").isin(all_bh))
-    cand = (
+    # Score every band hit BEFORE collapsing duplicates: all hits of one
+    # (qid, id) pair carry the same (sig, qsig), so min(score) == the score
+    # and the dedup becomes a hash aggregate over an 8-byte double instead
+    # of a sort aggregate whose first(sig)/first(qsig) buffers drag both
+    # signature arrays through the shuffle (measured plan: 2 SortAggregate
+    # + array-carrying Exchange -> partial/final HashAggregate on doubles).
+    scored = (
         pruned.join(F.broadcast(qdf), ["band", "bh"])
-        .select("qid", "id", "sig", "qsig")
-        .dropDuplicates(["qid", "id"])
-    )
-    scored = cand.select(
-        "qid",
-        "id",
-        F.round(mhjaccard_dist(F.col("sig"), F.col("qsig"), num_hashes), round_to).alias(
-            "score"
-        ),
+        .select(
+            "qid",
+            "id",
+            F.round(
+                mhjaccard_dist(F.col("sig"), F.col("qsig"), num_hashes), round_to
+            ).alias("score"),
+        )
+        .groupBy("qid", "id")
+        .agg(F.min("score").alias("score"))
     )
     w = Window.partitionBy("qid").orderBy(F.col("score").asc(), F.col("id").asc())
     return (

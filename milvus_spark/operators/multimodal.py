@@ -2121,6 +2121,23 @@ def decode_audio(payload: bytes, fake: bool = False) -> list[float]:
     )
 
 
+def fan_out_ids(df: DataFrame) -> DataFrame:
+    """Round-robin an ids-only fixture frame across the session's cores.
+
+    The codec suites GENERATE their media payloads per id inside the next
+    mapInPandas, so all the heavy work hangs off this frame. When the ids
+    come from a single-row-group parquet file (the bench fixtures), the
+    scan is ONE input split and the whole generate+decode chain would run
+    as one task on one core. The explicit repartition moves only the id
+    column — a few bytes per row at any scale, negligible next to the
+    per-row encode/decode that follows — and sizes itself to the session's
+    parallelism instead of a constant, so a real cluster fans out the same
+    way. Row values are per-id closed forms, so results are independent of
+    the partitioning."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism)
+
+
 def image_features(
     df: DataFrame, payload_col: str, pk_col: str, fake: bool = True
 ) -> DataFrame:

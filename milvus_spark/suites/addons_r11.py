@@ -34,6 +34,7 @@ from milvus_spark.operators.text import (
     shingles,
     tokens,
 )
+from milvus_spark.operators.multimodal import fan_out_ids
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
@@ -805,7 +806,7 @@ def mm_gif_interlaced_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -855,7 +856,7 @@ def mm_flac24_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "media": payloads})
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = audio_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -907,7 +908,7 @@ def mm_jpeg12_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -976,7 +977,7 @@ def mm_avi_dib_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(make_avi_dib(frames, 11, 9))
             yield pd.DataFrame({"doc_id": ids, "media": payloads})
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     out = video_frames(media, "media", "doc_id", every_n=2)
     return out.select(
         "doc_id",

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from milvus_spark.operators.multimodal import fan_out_ids
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
@@ -358,7 +359,7 @@ def mm_bmp_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -410,7 +411,7 @@ def mm_wav_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = audio_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from milvus_spark.operators.multimodal import fan_out_ids
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
@@ -220,7 +221,7 @@ def mm_png_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -376,7 +377,7 @@ def mm_jpeg_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -431,7 +432,7 @@ def mm_ulaw_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = audio_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -483,7 +484,7 @@ def mm_gif_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_spark.operators.text import TOKENS_SQL
+from milvus_spark.operators.multimodal import fan_out_ids
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
@@ -344,7 +345,7 @@ def mm_jpeg420_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -396,7 +397,7 @@ def mm_png_palette_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -452,7 +453,7 @@ def mm_jpeg_prog_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 ],
             })
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -506,7 +507,7 @@ def mm_flac_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "media": payloads})
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = audio_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from milvus_spark.operators.text import TOKENS_SQL
+from milvus_spark.operators.multimodal import fan_out_ids
 from milvus_spark.registry import register
 from milvus_spark.scratch import mkdtemp as scratch_mkdtemp
 from milvus_spark.session import load_table
@@ -350,7 +351,7 @@ def mm_adpcm_real_decode(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(make_wav_adpcm(st, block_samples=65)[0])
             yield pd.DataFrame({"doc_id": ids, "media": payloads})
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = audio_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -405,7 +406,7 @@ def mm_png_adam7_decode(spark: SparkSession, sf: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "media": payloads})
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     feats = image_features(media, "media", "doc_id", fake=False)
     return feats.select(
         "doc_id",
@@ -470,7 +471,7 @@ def mm_avi_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
                 payloads.append(make_avi_mjpeg(frames, 17, 9))
             yield pd.DataFrame({"doc_id": ids, "media": payloads})
 
-    media = d.mapInPandas(gen, "doc_id long, media binary")
+    media = fan_out_ids(d).mapInPandas(gen, "doc_id long, media binary")
     out = video_frames(media, "media", "doc_id", every_n=2)
     return out.select(
         "doc_id",
