@@ -262,3 +262,22 @@ def test_minhash_function_ingest_and_text_search(spark, sf_dir, tmp_path):
     ).collect()[0]
     assert crow.csig is not None and len(crow.csig) == 4
     client.drop_collection("mfn")
+
+
+def test_minhash_lsh_dedup_is_hash_aggregated(spark, sf_dir):
+    """r11 optimization pin: the candidate dedup must compile to a hash
+    aggregate over the scored double — NOT the old dropDuplicates shape
+    whose first(sig)/first(qsig) array buffers forced two SortAggregates
+    and dragged both signature arrays through the exchange. Scores are
+    identical across a pair's duplicate band hits, so min(score) == score
+    and results are pinned unchanged by the kernel reference test above."""
+    sig = _sig_frame(spark, sf_dir, hi=60)
+    bands = build_minhash_bands(sig, "sig", "doc_id", _H, _B)
+    queries = [(0, list(sig.filter(F.col("doc_id") == 0).collect()[0].sig))]
+    got = minhash_lsh_search(bands, queries, _H, _B, 5)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "formatted"
+    )
+    assert "SortAggregate" not in plan
+    assert "first(sig" not in plan and "first(qsig" not in plan
+    assert "HashAggregate" in plan and "min(score" in plan

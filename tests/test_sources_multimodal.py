@@ -1078,3 +1078,26 @@ def test_video_frames_routes_dib(spark):
     for r, k in zip(rows, (0, 2)):
         assert len(r.frame_vec) == 16
         assert abs(r.frame_vec[0] - round(40 * (k + 1) / 255, 6)) < 1e-9
+
+
+def test_fan_out_ids_parallelizes_single_split_scan(spark, sf_dir):
+    """r11 optimization pin: the codec fixture rows hang all their
+    generate+decode work off an ids-only frame that scans ONE input split
+    at bench scale; fan_out_ids must spread it across the session's
+    parallelism (so the per-row codec work runs on every core) while
+    moving only the id column and preserving the exact row set."""
+    from milvus_spark.operators.multimodal import fan_out_ids
+    from milvus_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    assert d.rdd.getNumPartitions() == 1  # the single-row-group fixture scan
+    f = fan_out_ids(d)
+    n = f.rdd.getNumPartitions()
+    assert n == spark.sparkContext.defaultParallelism and n > 1
+    assert sorted(r.doc_id for r in f.collect()) == sorted(
+        r.doc_id for r in d.collect()
+    )
+    plan = f._sc._jvm.PythonSQLUtils.explainString(
+        f._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" in plan and "RoundRobinPartitioning" in plan
