@@ -2772,14 +2772,19 @@ class MilvusSparkClient:
             # provably-beaten documents
             from pyspark.sql import types as T
 
-            from milvus_spark.operators.sparse_wand import wand_postings
+            from milvus_spark.operators.sparse_wand import (
+                default_n_buckets, wand_postings,
+            )
 
             df = self._read(name)
             dt = df.schema[field].dataType
             if not isinstance(dt, T.MapType):
                 raise ValueError(f"SPARSE_WAND needs a map column, got {dt}")
             self._sparse_params(entry, params)
-            n_buckets = int(params.get("n_buckets", 8))
+            # segment count: explicit build param, else sized to the input
+            # (~256 MB/segment; the local floor of 8 keeps test artifacts
+            # byte-identical — see default_n_buckets)
+            n_buckets = int(params.get("n_buckets") or default_n_buckets(df))
             post = self._sparse_drop_build(
                 entry, wand_postings(df, field, meta["pk"], n_buckets)
             )

@@ -47,6 +47,35 @@ from pyspark.sql import functions as F
 _MARGIN_ULPS = 2.0
 
 
+def default_n_buckets(
+    df: DataFrame = None,
+    *,
+    est_bytes: int = None,
+    target_bytes: int = 256 << 20,
+    floor: int = 8,
+    cap: int = 4096,
+) -> int:
+    """Scale-adaptive default for the sealed-segment bucket count.
+
+    A constant 8 buckets is right for the local fixtures but at warehouse
+    scale it would make each segment's posting shard enormous (one task
+    per segment kernel). Derive the default from the optimizer's size
+    estimate of the input frame instead — the same ~256 MB-per-partition
+    arithmetic the bench uses for shuffle partitions: local fixtures
+    estimate far below one target's worth so the default stays at the
+    floor (artifacts, oracle plans and bench rows unchanged at test
+    scale), while a 100 TB collection lands in the thousands. An explicit
+    ``n_buckets`` build param always wins."""
+    if est_bytes is None:
+        try:
+            est_bytes = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().longValue()
+            )
+        except Exception:
+            return floor
+    return int(max(floor, min(est_bytes // target_bytes + 1, cap)))
+
+
 def wand_postings(
     df: DataFrame, field: str, pk_col: str, n_buckets: int = 8
 ) -> DataFrame:

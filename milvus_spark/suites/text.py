@@ -1118,6 +1118,20 @@ def dedup_span_fraction(spark: SparkSession, sf: str) -> DataFrame:
     shuffle of the big side) → per-doc agg. Spans are counted with
     multiplicity per doc (a doc repeating its own 3-gram counts each
     occurrence), df counts DISTINCT docs — both sides of the oracle agree."""
+    # r11 optimization audit: this double-subtree shape (the corpus
+    # tokenizes+explodes once under the df aggregate and once under the
+    # join probe) was deliberately KEPT. A restructure that pre-collapses
+    # (g, doc_id) multiplicity so both branches could share one exchange
+    # does NOT get exchange reuse in practice — the column pruner rewrites
+    # the df branch's count(c) over the non-nullable count to count(1) and
+    # drops c from its partial aggregate, so the two exchanges canonicalize
+    # differently and the probe side just gains an extra shuffle. The
+    # single-pass window alternative (count over Window.partitionBy(g))
+    # loses partial aggregation: a hot gram's pairs all land in ONE window
+    # task, and AQE skew-splitting applies to joins only — a 100 TB
+    # regression. Here the df aggregate is partial/final (skew-safe) and
+    # the probe side feeds the join unshuffled (broadcast at small gdf;
+    # SMJ + AQE skew split when gdf outgrows the threshold).
     t = _docs_tokens(spark, sf).filter(F.size("toks") >= 3)
     e = t.select("doc_id", F.explode(shingles(F.col("toks"))).alias("g"))
     gdf = e.groupBy("g").agg(F.count_distinct("doc_id").alias("df"))

@@ -556,3 +556,17 @@ def test_sparse_wand_taat_sealed_growing(spark, sf_dir, tmp_path):
     got = [(round(r.score, 4), r.vec_id) for r in df.collect()]
     assert got == _expected(client, "swt", list(enumerate(queries)), 5)[0]
     client.drop_collection("swt")
+
+
+def test_default_n_buckets_scales_with_input(spark, sf_dir):
+    """r11: the SPARSE_WAND segment-bucket default derives from the input
+    size estimate (~256 MB/segment, floor 8 so local artifacts stay
+    byte-identical, cap 4096) instead of a constant tuned for local mode;
+    an explicit n_buckets build param still wins (pinned elsewhere)."""
+    from milvus_spark.operators.sparse_wand import default_n_buckets
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert default_n_buckets(d) == 8  # tiny fixture estimates below one target
+    assert default_n_buckets(est_bytes=0) == 8
+    assert default_n_buckets(est_bytes=100 << 30) == (100 << 30) // (256 << 20) + 1
+    assert default_n_buckets(est_bytes=1 << 50) == 4096
