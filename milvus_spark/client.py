@@ -7278,6 +7278,21 @@ class MilvusSparkClient:
             .filter(F.col("rank") <= limit)
         )
 
+    def _codes_num_rows(self, entry: dict) -> int:
+        """Total sealed rows in an index's codes directory, summed from the
+        parquet footers (metadata only, no Spark job). Counts every epoch
+        file, so it upper-bounds live rows under deletes/refresh."""
+        import glob
+
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in glob.glob(
+            os.path.join(entry["path"], "codes", "**", "*.parquet"), recursive=True
+        ):
+            total += pq.ParquetFile(f).metadata.num_rows
+        return total
+
     def _quantized_search(
         self,
         name: str,
@@ -7468,17 +7483,27 @@ class MilvusSparkClient:
             partial = codes.mapInPandas(
                 est, schema=f"qid long, {pk} long, score double"
             )
-            from pyspark.sql import Window
+            # exhaustive-regime guard (the oracle / corpus-sized-refine_k
+            # shape): the per-(cluster, query) estimator emits each probed
+            # row at most once, so the sealed footer row count upper-bounds
+            # the candidate rows per query. When cand_k is at least that
+            # bound the crank window is a provable pass-through — skip its
+            # corpus-sized exchange+sort. Production cand_k keeps the
+            # window.
+            if cand_k >= self._codes_num_rows(entry):
+                cands = partial.select("qid", pk, "score")
+            else:
+                from pyspark.sql import Window
 
-            w = Window.partitionBy("qid").orderBy(
-                F.col("score").asc() if asc else F.col("score").desc(),
-                F.col(pk).asc(),
-            )
-            cands = (
-                partial.withColumn("crank", F.row_number().over(w))
-                .filter(F.col("crank") <= cand_k)
-                .select("qid", pk, "score")
-            )
+                w = Window.partitionBy("qid").orderBy(
+                    F.col("score").asc() if asc else F.col("score").desc(),
+                    F.col(pk).asc(),
+                )
+                cands = (
+                    partial.withColumn("crank", F.row_number().over(w))
+                    .filter(F.col("crank") <= cand_k)
+                    .select("qid", pk, "score")
+                )
         if growing is not None:
             # growing side: the ts-pruned delta exact-scans with the same
             # metric (SearchOnGrowing's brute pass) and unions into the

@@ -220,3 +220,37 @@ def test_quantized_sealed_growing_and_refresh(spark, sf_dir, tmp_path):
         got = c.search(cname, qs, limit=5, search_params=sp)
         assert _rows(got) == _rows(_brute(c, cname, qs, "L2")), (itype, "refreshed")
         c.drop_collection(cname)
+
+
+def test_rabitq_exact_regime_skips_candidate_window(spark, sf_dir, tmp_path):
+    """r11 optimization pin: when cand_k (= refine_k x limit) is at least
+    the sealed codes row count, the crank candidate window is a provable
+    pass-through (the estimator emits each probed pk at most once per
+    query), so the serve plan must NOT pay its corpus-sized exchange+sort;
+    a production-sized refine_k keeps the window. Both regimes stay exact
+    here because nprobe covers every cluster and the kept window's cand_k
+    still exceeds k."""
+    cname = "rbq_winskip"
+    c, qs = _setup(spark, sf_dir, tmp_path, cname, "L2")
+    c.create_index(
+        cname, "embedding", "IVF_RABITQ",
+        {"nlist": 4, "refine": True, "refine_type": "FP32"},
+    )
+    n = c._read(cname).count()
+    exact = c.search(
+        cname, qs, limit=5, search_params={"refine_k": 10**6, "nprobe": 4}
+    )
+    plan = exact._sc._jvm.PythonSQLUtils.explainString(
+        exact._jdf.queryExecution(), "formatted"
+    )
+    assert "crank" not in plan, "exact regime must skip the candidate window"
+    # production regime: cand_k = ceil((n/2)/5)*5 < n keeps the window
+    prod = c.search(
+        cname, qs, limit=5, search_params={"refine_k": n // 10, "nprobe": 4}
+    )
+    pplan = prod._sc._jvm.PythonSQLUtils.explainString(
+        prod._jdf.queryExecution(), "formatted"
+    )
+    assert "crank" in pplan, "bounded refine_k must keep the candidate window"
+    assert _rows(exact) == _rows(_brute(c, cname, qs, "L2"))
+    c.drop_collection(cname)
