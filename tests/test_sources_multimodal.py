@@ -1081,19 +1081,32 @@ def test_video_frames_routes_dib(spark):
 
 
 def test_fan_out_ids_parallelizes_single_split_scan(spark, sf_dir):
-    """r11 optimization pin: the codec fixture rows hang all their
+    """r11/r12 optimization pin: the codec fixture rows hang all their
     generate+decode work off an ids-only frame that scans ONE input split
-    at bench scale; fan_out_ids must spread it across the session's
-    parallelism (so the per-row codec work runs on every core) while
+    at bench scale; fan_out_ids spreads it WORK-AWARE (r12): width =
+    clamp(est_rows / rows_per_task, 1, defaultParallelism), so a tiny
+    frame keeps the exchange-free pre-r11 plan, a bench-scale frame fans
+    just wide enough, and a large frame reaches full parallelism — while
     moving only the id column and preserving the exact row set."""
     from milvus_spark.operators.multimodal import fan_out_ids
     from milvus_spark.session import load_table
 
     d = load_table(spark, sf_dir, "documents").select("doc_id")
     assert d.rdd.getNumPartitions() == 1  # the single-row-group fixture scan
-    f = fan_out_ids(d)
+
+    # tiny frame at the default hint: width 1 -> NO exchange (pass-through)
+    f1 = fan_out_ids(d)
+    plan1 = f1._sc._jvm.PythonSQLUtils.explainString(
+        f1._jdf.queryExecution(), "formatted"
+    )
+    assert "Exchange" not in plan1
+
+    # the same frame with per-row work worth ~2 ids/task fans out, capped
+    # at the session's parallelism
+    f = fan_out_ids(d, rows_per_task=2)
     n = f.rdd.getNumPartitions()
-    assert n == spark.sparkContext.defaultParallelism and n > 1
+    par = spark.sparkContext.defaultParallelism
+    assert 1 < n <= par
     assert sorted(r.doc_id for r in f.collect()) == sorted(
         r.doc_id for r in d.collect()
     )
