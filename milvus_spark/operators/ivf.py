@@ -172,16 +172,21 @@ def ivf_search(
     order = np.argsort(D, axis=1)
     probes = order[:, :nprobe]  # (nq, nprobe)
 
-    probe_rows = [(int(qids[i]), int(c)) for i in range(len(qids)) for c in probes[i]]
-    probe_df = spark.createDataFrame(probe_rows, "qid long, cluster_id int")
+    # closure-mask probe dispatch (r12 — the RaBitQ estimator's shape): a
+    # tiny cluster_id -> [query index] map rides the task closure instead
+    # of a broadcast (qid, cluster_id) join. The join duplicated every
+    # candidate row once per query probing its cluster — x(nq*nprobe/nlist)
+    # shuffle/scan bytes at scale — and scored each (batch, qid) group with
+    # a 1-row matmul; the closure map reads each corpus row ONCE and scores
+    # all probing queries of a cluster batch in one BLAS call.
+    probe_lists: dict[int, list[int]] = {}
+    for i in range(len(qids)):
+        for c in probes[i]:
+            probe_lists.setdefault(int(c), []).append(i)
 
     corpus = spark.read.parquet(clustered_path)
-    # prune scan to the union of probed clusters (partition filter), then
-    # narrow to per-query clusters with the broadcast probe join
-    probed_ids = sorted({c for _, c in probe_rows})
-    cand = corpus.filter(F.col("cluster_id").isin(probed_ids)).join(
-        F.broadcast(probe_df), "cluster_id"
-    )
+    # prune scan to the union of probed clusters (partition filter)
+    cand = corpus.filter(F.col("cluster_id").isin(sorted(probe_lists)))
     if matches is not None:
         mt = matches.select(F.col(matches.columns[0]).cast("long").alias(pk_col))
         cand = cand.join(mt, pk_col, "left_semi")
@@ -201,17 +206,25 @@ def ivf_search(
             if len(pdf) == 0:
                 continue
             frames = []
-            for qid, grp in pdf.groupby("qid"):
-                qi = int(np.where(qids == qid)[0][0])
+            for cid, grp in pdf.groupby("cluster_id"):
+                qis = probe_lists.get(int(cid))
+                if not qis:
+                    continue
                 V = np.asarray([np.asarray(v, dtype=np.float64) for v in grp[vec_col]])
-                s = round_half_up(_score_block(V, Q[qi : qi + 1], met)[0], rt)
                 ids = grp[pk_col].to_numpy()
-                idx = np.lexsort((ids, sign * s))[: min(kk, len(ids))]
-                frames.append(pd.DataFrame({"qid": qid, pk_col: ids[idx], "score": s[idx]}))
+                S = _score_block(V, Q[qis], met)  # (len(qis), n)
+                for row, qi in enumerate(qis):
+                    s = round_half_up(S[row], rt)
+                    idx = np.lexsort((ids, sign * s))[: min(kk, len(ids))]
+                    frames.append(
+                        pd.DataFrame(
+                            {"qid": int(qids[qi]), pk_col: ids[idx], "score": s[idx]}
+                        )
+                    )
             if frames:
                 yield pd.concat(frames)
 
-    partial = cand.select("qid", pk_col, vec_col).mapInPandas(
+    partial = cand.select("cluster_id", pk_col, vec_col).mapInPandas(
         score, schema=f"qid long, {pk_col} long, score double"
     )
     orderby = [F.col("score").asc() if asc else F.col("score").desc(), F.col(pk_col).asc()]

@@ -306,3 +306,22 @@ def test_sealed_growing_serving_ivf(spark, sf_dir, tmp_path):
     assert "GreaterThan(_ts" not in plan_of(fresh)
     assert {r.vec_id for r in fresh.collect()} == truth
     client.drop_collection("sgi")
+
+
+def test_ivf_probe_dispatch_is_closure_mask_not_join(spark, clustered):
+    """r12 pin: the probe dispatch must NOT join a (qid, cluster_id) probe
+    list against the corpus — that join duplicated every candidate row once
+    per query probing its cluster (x nq*nprobe/nlist scan/shuffle bytes at
+    scale). The cluster->queries map rides the task closure instead, so the
+    plan between the scan and the scoring MapInPandas is join-free, and the
+    scan still partition-prunes to the probed clusters."""
+    emb, norm, cents, path = clustered
+    qrows = norm.filter(F.col("vec_id") < 8).collect()
+    queries = [(r.vec_id, list(r.embedding)) for r in qrows]
+    approx = ivf_search(
+        spark, path, cents, queries, "embedding", "vec_id",
+        metric="COSINE", k=10, nprobe=12,
+    )
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan  # no probe join (this query has no filter)
+    assert "PartitionFilters" in plan and "cluster_id" in plan
