@@ -35,6 +35,10 @@ MAX_TOPK = 16384
 
 WARMUP_VALUES = ("sync", "async", "disable")
 
+# parquet-footer row counts memoized per (path, size, mtime_ns) — see
+# _codes_num_rows; stat-validated, so rewrites invalidate naturally
+_PARQUET_ROWS_MEMO: dict = {}
+
 
 def _validate_warmup(v) -> None:
     if v not in WARMUP_VALUES:
@@ -2783,8 +2787,15 @@ class MilvusSparkClient:
             self._sparse_params(entry, params)
             # segment count: explicit build param, else sized to the input
             # (~256 MB/segment; the local floor of 8 keeps test artifacts
-            # byte-identical — see default_n_buckets)
-            n_buckets = int(params.get("n_buckets") or default_n_buckets(df))
+            # byte-identical — see default_n_buckets). Presence check, not
+            # truthiness: an explicit n_buckets=0 must error, not silently
+            # fall back to the derived default
+            if "n_buckets" in params:
+                n_buckets = int(params["n_buckets"])
+                if n_buckets < 1:
+                    raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+            else:
+                n_buckets = default_n_buckets(df)
             post = self._sparse_drop_build(
                 entry, wand_postings(df, field, meta["pk"], n_buckets)
             )
@@ -7281,16 +7292,27 @@ class MilvusSparkClient:
     def _codes_num_rows(self, entry: dict) -> int:
         """Total sealed rows in an index's codes directory, summed from the
         parquet footers (metadata only, no Spark job). Counts every epoch
-        file, so it upper-bounds live rows under deletes/refresh."""
+        file, so it upper-bounds live rows under deletes/refresh. Footer
+        counts memoize per (path, size, mtime) — a stat per file instead of
+        a footer open on every serving call; refresh/compaction rewrites
+        change the stat and re-read naturally."""
         import glob
-
-        import pyarrow.parquet as pq
 
         total = 0
         for f in glob.glob(
             os.path.join(entry["path"], "codes", "**", "*.parquet"), recursive=True
         ):
-            total += pq.ParquetFile(f).metadata.num_rows
+            st = os.stat(f)
+            key = (f, st.st_size, st.st_mtime_ns)
+            n = _PARQUET_ROWS_MEMO.get(key)
+            if n is None:
+                import pyarrow.parquet as pq
+
+                if len(_PARQUET_ROWS_MEMO) > 65536:  # bound stale growth
+                    _PARQUET_ROWS_MEMO.clear()
+                n = pq.ParquetFile(f).metadata.num_rows
+                _PARQUET_ROWS_MEMO[key] = n
+            total += n
         return total
 
     def _quantized_search(
@@ -7443,6 +7465,19 @@ class MilvusSparkClient:
             def est(batches):
                 import pandas as pd
 
+                # per-TASK top-k fold (r12, the §4.2 knn-kernel shape): a
+                # task spans many cluster/epoch files, and per-(cluster,
+                # query) partial top-k alone still emits
+                # (files-in-task x cand_k) rows per query into the crank
+                # window's exchange+sort. At production-bounded cand_k,
+                # fold batches into one running top-cand_k per query and
+                # emit once per task — same candidate set (any row in the
+                # global top-cand_k by (score, pk) survives every fold it
+                # is part of), bounded memory (nq x cand_k rows). The
+                # exhaustive regime (corpus-sized cand_k) keeps the
+                # streaming per-batch emit: folding there would hold the
+                # whole corpus per task.
+                fold = {} if kk <= 20_000 else None
                 for pdf in batches:
                     if len(pdf) == 0:
                         continue
@@ -7468,17 +7503,34 @@ class MilvusSparkClient:
                                 e = rabitq_estimate_np(bits, norms, qr, bq)
                                 s = float(c @ q) + e
                             order = np.lexsort((ids, s if asc else -s))[:kk]
-                            frames.append(
-                                pd.DataFrame(
-                                    {
-                                        "qid": np.int64(qi),
-                                        pkn: ids[order],
-                                        "score": s[order],
-                                    }
+                            if fold is not None:
+                                prev = fold.get(qi)
+                                mi, ms = ids[order], s[order]
+                                if prev is not None:
+                                    mi = np.concatenate([prev[0], mi])
+                                    ms = np.concatenate([prev[1], ms])
+                                    o2 = np.lexsort((mi, ms if asc else -ms))[:kk]
+                                    mi, ms = mi[o2], ms[o2]
+                                fold[qi] = (mi, ms)
+                            else:
+                                frames.append(
+                                    pd.DataFrame(
+                                        {
+                                            "qid": np.int64(qi),
+                                            pkn: ids[order],
+                                            "score": s[order],
+                                        }
+                                    )
                                 )
-                            )
                     if frames:
                         yield pd.concat(frames)
+                if fold:
+                    yield pd.concat(
+                        [
+                            pd.DataFrame({"qid": np.int64(qi), pkn: mi, "score": ms})
+                            for qi, (mi, ms) in fold.items()
+                        ]
+                    )
 
             partial = codes.mapInPandas(
                 est, schema=f"qid long, {pk} long, score double"
@@ -7489,8 +7541,11 @@ class MilvusSparkClient:
             # the candidate rows per query. When cand_k is at least that
             # bound the crank window is a provable pass-through — skip its
             # corpus-sized exchange+sort. Production cand_k keeps the
-            # window.
-            if cand_k >= self._codes_num_rows(entry):
+            # window. A zero footer count means the glob found nothing
+            # (layout change / non-local storage) — treat as UNKNOWN and
+            # keep the window rather than silently disabling it.
+            sealed_rows = self._codes_num_rows(entry)
+            if sealed_rows and cand_k >= sealed_rows:
                 cands = partial.select("qid", pk, "score")
             else:
                 from pyspark.sql import Window

@@ -68,11 +68,18 @@ def default_n_buckets(
     ``n_buckets`` build param always wins."""
     if est_bytes is None:
         try:
-            est_bytes = int(
-                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes().longValue()
-            )
+            raw = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            # py4j maps java.math.BigInteger to a Python int directly —
+            # r12 fix: the r11 `.longValue()` call raised on every runtime
+            # read, silently pinning the default at the floor at any scale
+            est_bytes = int(raw.longValue()) if hasattr(raw, "longValue") else int(raw)
         except Exception:
             return floor
+    if est_bytes >= 1 << 60:
+        # Catalyst's "unknown size" fallback is Long.MaxValue
+        # (defaultSizeInBytes); trusting it would build `cap` near-empty
+        # posting segments. Treat it as unknown and keep the floor.
+        return floor
     return int(max(floor, min(est_bytes // target_bytes + 1, cap)))
 
 
