@@ -11,66 +11,73 @@ from __future__ import annotations
 # zoo first) plus ~10 long-green sentinels for regression continuity.
 # Names not in the list keep their original relative order after it.
 ROTATION_HEAD: list[str] = [
-    # sentinels — driver-green since r1-r4, cheap, one per family
+    # sentinels — long driver-green, cheap, one per family; the dml_*/fts_*
+    # ones are r11 rotated-out names returning per the r11 verdict's
+    # re-sample schedule (7 sentinels + 3 changed-path re-samples below
+    # leaves 40 slots for never-driver-verified names, the r11 verdict's
+    # "done" bar)
     "rel_agg_group",
-    "rel_filter_range_in",
     "vec_knn_cosine_filtered",
-    "vec_grouping_search",
-    "fts_bm25_topk",
     "dedup_minhash_lsh",
-    "cur_pipeline_e2e",
-    "arr_contains_family",
-    # never-driver-verified: ANN index lifecycle (r5-r7)
-    "cli_index_refresh_ann",
-    "cli_delete_masked_ann",
-    "cli_upsert_refresh_ann",
-    "cli_epoch_compact_ann",
-    "cli_growing_merge_ann",
-    "cli_auto_refresh_ann",
-    "cli_partition_filtered_ann",
+    "dml_upsert_read",
+    "dml_delete_final",
+    "fts_text_match",
+    "fts_phrase_match",
+    # changed-path priority (r12 touches ivf_search, the RaBitQ window and
+    # the codec fan-out width — every operator changed this round keeps or
+    # gains a driver row):
+    # RaBitQ (r11 window-skip + r12 width work): never driver-verified
+    "cli_ivf_rabitq_search",
+    "cli_rabitq_serving",
+    # ivf_search riders: the three lifecycle rows re-sampled from the r11
+    # head (driver-green there; the kernel changes this round) plus the
+    # never-verified IVF rows
     "cli_upsert_refresh_ivf",
     "cli_growing_merge_ivf",
-    "cli_growing_merge_pq",
     "cli_ivf_mask_fold",
-    # never-driver-verified: scalar index tier (r9)
-    "cli_scalar_inverted",
-    "cli_scalar_bitmap_in",
-    "cli_scalar_sort_range",
-    "cli_scalar_trie_prefix",
-    "cli_scalar_array_contains",
-    "cli_scalar_hybrid",
-    "cli_scalar_serving",
-    "cli_scalar_conjunction_partial",
-    # stale r1 driver FAILS, fixed long ago and local-green ever since
-    # (README documents each fix commit): re-sample to supersede the old
-    # fail records with green rows
-    "mm_image_features",
-    "embed_ingest",
-    "mm_frame_sample",
-    "rel_json_path",
-    # never-driver-verified: sparse tier (r10)
-    "cli_sparse_wand_topk",
-    "cli_sparse_wand_lifecycle",
-    "cli_sparse_growing_merge",
-    "cli_sparse_range",
-    "cli_sparse_serving",
-    "cli_sparse_grouping",
-    # never-driver-verified: lexical tier (r9-r10)
-    "cli_bm25_stored_tf",
-    "cli_bm25_maxscore",
-    "cli_bm25_growing",
-    "cli_text_match_index",
-    "cli_text_compound_filter",
-    "cli_fmindex_match",
-    "cli_ngram_lifecycle",
-    # never-driver-verified: grouping through indexes (r10)
-    "cli_hnsw_grouping",
-    # r11 additions
-    "cli_minhash_lsh_search",
-    "cli_sparse_inverted_refresh",
-    "cli_pq_grouping",
-    "cli_sq8_grouping",
-    "cli_lsh_grouping",
+    "vec_ivf_cosine",
+    "vec_ivf_filtered",
+    "cli_bin_ivf_search",
+    "cli_bin_ivf_serving",
+    # codec fan-out riders (all never driver-verified; one per suite file
+    # generation + the three bench rows)
+    "mm_png_real_decode",
+    "mm_jpeg_real_decode",
+    "mm_avi_frame_sample",
+    "mm_bmp_real_decode",
+    "mm_wav_real_decode",
+    "mm_gif_real_decode",
+    "mm_flac_real_decode",
+    "mm_jpeg12_real_decode",
+    "mm_avi_dib_frame_sample",
+    "mm_gif_interlaced_decode",
+    "mm_flac24_real_decode",
+    # argmin-rewrite candidates (r11 verdict #7)
+    "dedup_semantic",
+    "vec_element_collapse",
+    # never-driver-verified: quantized graph tier + aliases (r11)
+    "cli_hnsw_sq_search",
+    "cli_hnsw_pq_search",
+    "cli_hnsw_prq_search",
+    "cli_hnsw_sq_grouping",
+    "cli_faiss_factory",
+    "cli_minhash_function_ingest",
+    "cli_minhash_serving",
+    "cli_gpu_cagra_search",
+    "cli_varchar_pk_search",
+    # never-driver-verified bench rows (kernel/serving shapes)
+    "vec_hnsw_filtered",
+    "vec_hnsw_prod_ef",
+    "vec_hnsw_adaptive_ef",
+    "stream_exact_dedup",
+    "vec_hybrid_rrf",
+    "vec_binary_hamming",
+    "vec_sparse_ip",
+    "vec_maxsim_ip",
+    "vec_fp16_ip",
+    "win_asof_last_click",
+    "win_range_join_nearby",
+    "src_packed_manifest",
 ]
 
 

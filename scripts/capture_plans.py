@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for bench queries into plans/r11/.
+"""Capture .explain("formatted") for bench queries into plans/r12/.
 
 Usage: python scripts/capture_plans.py before|after [name ...]
-Writes plans/r11/<query>_<tag>.txt for each bench query (or the named
+Writes plans/r12/<query>_<tag>.txt for each bench query (or the named
 subset). Uses the same session/bench sizing as bench.py so the plans match
 what the bench actually runs.
 """
@@ -29,7 +29,7 @@ def main() -> None:
         "capture-plans", shuffle_partitions=bench._sized_shuffle_partitions(sf)
     )
     qs = entrymod.queries()
-    outdir = Path(_REPO) / "plans" / "r11"
+    outdir = Path(_REPO) / "plans" / "r12"
     outdir.mkdir(parents=True, exist_ok=True)
     for name in bench.BENCH_QUERIES:
         if name not in qs or (only and name not in only):

@@ -112,19 +112,46 @@ def test_filtered_matches_unfiltered_when_filter_is_everything():
 
 def test_vectorized_build_throughput():
     """The chunked-matmul build must beat a per-node Python beam-insert
-    reference implementation by >=5x on a few-thousand-row segment (the
-    r5 finding: pure-Python insertion was hours per multi-100k segment)."""
+    reference implementation by >=5x on the SAME input, both timed in this
+    process (the r5 finding: pure-Python insertion was hours per multi-100k
+    segment). The bound is a ratio, not a wall-clock constant: the previous
+    `dt < 4.0s` assert failed twice under heavy external host load while
+    passing idle — it measured the hypervisor, not the code. Timing both
+    implementations back-to-back in one process makes host slowness cancel."""
     import time
 
+    from milvus_spark.operators.hnsw import _beam_search
+
     rng = np.random.default_rng(3)
-    X = rng.normal(size=(3000, 32))
-    t0 = time.time()
-    adj = build_graph_np(X, m=8)
-    dt = time.time() - t0
+    X = rng.normal(size=(1200, 32))
+
+    # min-of-2: the vectorized build is matmul-bound, so a transient BLAS
+    # thread-contention spike on one pass must not fail the ratio
+    dt_vec = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        adj = build_graph_np(X, m=8)
+        dt = time.perf_counter() - t0
+        dt_vec = dt if dt_vec is None else min(dt_vec, dt)
     assert all(len(a) <= 18 for a in adj)  # 2m + 2 protected edges
-    # the old per-node beam build measured ~20s+ on this input; the
-    # vectorized build should be well under a tenth of that
-    assert dt < 4.0, f"vectorized build took {dt:.1f}s"
+
+    # per-node reference (the shape the vectorized build replaced): insert
+    # each node by beam-searching the graph built so far
+    t0 = time.perf_counter()
+    ref_adj: list = [[] for _ in range(len(X))]
+    for i in range(1, len(X)):
+        near = _beam_search(X, ref_adj, X[i], ef=64)
+        nbrs = [v for _, v in near[: min(8, i)] if v != i]
+        ref_adj[i] = nbrs
+        for v in nbrs:
+            if i not in ref_adj[v]:
+                ref_adj[v].append(i)
+    dt_ref = time.perf_counter() - t0
+
+    assert dt_vec * 5 <= dt_ref, (
+        f"vectorized build {dt_vec:.2f}s not >=5x faster than "
+        f"per-node reference {dt_ref:.2f}s"
+    )
 
 
 def test_bounded_insertion_regime():
