@@ -41,6 +41,14 @@ def get_spark(app: str = "milvus-spark", shuffle_partitions: int | None = None) 
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "20000")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # preferSortMergeJoin=false was BUILT, MEASURED and REJECTED in r12:
+        # no bench-row plan contains a join the flag would flip (verified by
+        # capturing all 38 plans under both settings — byte-identical after
+        # id normalization; the self-joins fail Spark's muchSmaller guard,
+        # everything else already broadcasts), and the interleaved A/B that
+        # initially read 1.24-1.49x "wins" inverted when the variant order
+        # was reversed — paired back-to-back alternation gives the SECOND
+        # pass a systematic advantage. See OPTIMIZATION_r12.md.
         # events.parquet stores TIMESTAMP(NANOS); Spark reads them as long
         # (legacy flag) and load_table normalizes back to TimestampType.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -3,6 +3,19 @@ the join-heavy bench rows — the config-tier change r11 deferred as
 unmeasurable on its degraded host. Runtime-settable conf, so variants
 alternate passes inside ONE session; min per variant.
 
+RESULT (r12): REJECTED, and the experiment exposed a measurement trap.
+The first run read shj 1.24-1.49x faster on ALL six rows — but capturing
+every bench plan under both settings showed the flag flips NO join
+anywhere (self-joins fail the planner's muchSmaller guard; every other
+join already broadcasts), and re-running with the variant order REVERSED
+inverted the "win" (smj then "won" by the same margins, e.g.
+geo_grid_join_dwithin 0.569 s second-position vs 0.827 s first-position).
+Back-to-back paired alternation gives the SECOND pass of each pair a
+systematic ~1.2-1.45x advantage at sub-second row cost. PROTOCOL: a
+paired A/B on this host must be run in BOTH orders (or with randomized
+order) before a sub-1.5x margin is believed; a plan diff must confirm
+the knob changes anything at all.
+
 Usage: python scripts/ab_prefer_shj.py [rounds] [row ...]
 """
 
