@@ -53,13 +53,29 @@ def _plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# analyzed signature-frame memo per (applicationId, sf) — PLAN reuse, not
+# result caching: the DataFrame object is immutable and every action on it
+# still executes from the parquet inputs. Fresh construction costs ~0.85 s
+# per call on this host (measured r12: hundreds of py4j round trips building
+# the tokens->shingles->minhash expression tree + Catalyst analysis of the
+# lambda-heavy plan) vs ~0.08 s reusing the analyzed frame — the same
+# driver-side overhead class as the r11 streaming re-analysis short-circuit
+# (guide §5: the driver should do almost no work per query).
+_SIG_FRAME_MEMO: dict = {}
+
+
 def _doc_signatures(spark: SparkSession, sf: str) -> DataFrame:
-    d = load_table(spark, sf, "documents")
-    sh = F.array_distinct(shingles(tokens(F.col("text"))))
-    return d.select(
-        "doc_id",
-        F.array(*minhash_signature(sh, _H)).cast("array<long>").alias("sig"),
-    )
+    key = (spark.sparkContext.applicationId, sf)
+    df = _SIG_FRAME_MEMO.get(key)
+    if df is None:
+        d = load_table(spark, sf, "documents")
+        sh = F.array_distinct(shingles(tokens(F.col("text"))))
+        df = d.select(
+            "doc_id",
+            F.array(*minhash_signature(sh, _H)).cast("array<long>").alias("sig"),
+        )
+        _SIG_FRAME_MEMO[key] = df
+    return df
 
 
 _TOKS = TOKENS_SQL.format(col="text")

@@ -281,3 +281,20 @@ def test_minhash_lsh_dedup_is_hash_aggregated(spark, sf_dir):
     assert "SortAggregate" not in plan
     assert "first(sig" not in plan and "first(qsig" not in plan
     assert "HashAggregate" in plan and "min(score" in plan
+
+
+def test_doc_signature_frame_memoized_per_session(spark, sf_dir):
+    """r12 optimization pin: the corpus signature frame behind the
+    cli_minhash_* serving rows is an analyzed-PLAN memo per
+    (applicationId, sf) — fresh construction measured ~0.85 s/call of
+    py4j expression building + Catalyst analysis vs ~0.08 s reusing the
+    analyzed frame. The memo returns the SAME DataFrame object within a
+    session (plan reuse; every action still executes from parquet) and
+    its contents stay correct."""
+    from milvus_spark.suites.addons_r11 import _doc_signatures, _H
+
+    a = _doc_signatures(spark, sf_dir)
+    b = _doc_signatures(spark, sf_dir)
+    assert a is b  # plan-object reuse, keyed by (applicationId, sf)
+    row = a.filter(F.col("doc_id") == 0).collect()[0]
+    assert len(row.sig) == _H and all(isinstance(v, int) for v in row.sig)
