@@ -190,12 +190,33 @@ def _segment_topk(
                         (~keep).sum()
                     )
         pool = np.flatnonzero(cand if cand is not None else touched)
-        sc = round_half_up(acc[pool], round_to)
+        # canonical rescore (r12, Hypothesis-found): the max-score pass
+        # accumulates legs in impact order, which is DATA-dependent — at
+        # an exact half-decimal boundary a 1-ulp summation-order
+        # difference flips round_half_up (e.g. 0.825+2.475+0.00015 vs
+        # 0.825+0.00015+2.475 straddling 3.30015). Reported scores must
+        # not depend on leg processing order, so the surviving pool is
+        # re-accumulated in ASCENDING dim order — the engine's canonical
+        # summation — before rounding and the top-k cut. Pool size is
+        # bounded by the candidate band, so this pass is cheap.
+        pmask = np.zeros(n, dtype=bool)
+        pmask[pool] = True
+        acc2 = np.zeros(n)
+        for d, w in sorted((int(d), float(w)) for d, w in qv.items()):
+            sl = dim_slice.get(d)
+            if sl is None:
+                continue
+            a, b = sl
+            seg_iv, seg_v = iv[a:b], vs[a:b]
+            keep = pmask[seg_iv]
+            if keep.any():
+                np.add.at(acc2, seg_iv[keep], float(w) * seg_v[keep])
+        sc = round_half_up(acc2[pool], round_to)
         top = np.lexsort((uids[pool], -sc))[:k]
         sel = pool[top]
         out_q.extend([int(qid)] * len(sel))
         out_i.extend(uids[sel].tolist())
-        out_s.extend(round_half_up(acc[sel], round_to).tolist())
+        out_s.extend(round_half_up(acc2[sel], round_to).tolist())
     return pd.DataFrame(
         {
             "qid": np.asarray(out_q, dtype=np.int64),

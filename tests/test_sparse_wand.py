@@ -20,8 +20,13 @@ from milvus_spark.operators.sparse_wand import (
 
 
 def _brute(rows, qv, k):
+    # canonical summation order (ascending dim per doc) — the engine's
+    # convention since r12: at an exact half-decimal boundary the 4-decimal
+    # rounding depends on the 1-ulp summation order, so "exact brute force"
+    # is only well-defined with the order pinned (Hypothesis found the
+    # 3.30015 knife edge; see test_summation_order_r12_falsifier_pinned)
     sc = {}
-    for i, d, v in rows:
+    for i, d, v in sorted(rows, key=lambda t: t[1]):
         if d in qv:
             sc[i] = sc.get(i, 0.0) + v * qv[d]
     return sorted(((round_half_up(s, 4), i) for i, s in sc.items()), key=lambda t: (-t[0], t[1]))[:k]
@@ -438,6 +443,31 @@ try:
 
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+def test_summation_order_r12_falsifier_pinned():
+    """The exact case Hypothesis found in round 12: doc {0: 0.5,
+    1: 0.00015, 2: 1.5} against query {0: 1.65, 1: 1.0, 2: 1.65} scores
+    exactly 3.30015 in decimal — a half-decimal tie whose 4-decimal
+    rounding flips with the 1-ulp float summation order
+    ((0.825+2.475)+0.00015 = 3.30015 rounds up to 3.3002, but
+    (0.825+0.00015)+2.475 = 3.3001499999999995 rounds down to 3.3001).
+    The kernel's max-score pass
+    accumulates legs in DATA-dependent impact order, so reported scores
+    must come from the canonical ascending-dim rescore of the surviving
+    pool — pinned here deterministically."""
+    rows = [
+        (0, 0, 0.5), (0, 1, 0.00015), (0, 2, 1.5),   # the knife-edge doc
+        (1, 0, 1.5),                                   # makes dim0 the top leg
+        (2, 2, 0.5),
+    ]
+    qv = {0: 1.65, 1: 1.0, 2: 1.65}
+    pdf = pd.DataFrame(rows, columns=["id", "dim", "val"])
+    got = _segment_topk(pdf, {0: qv}, 3, 4)
+    g = got[got.qid == 0].sort_values(["score", "id"], ascending=[False, True])
+    assert list(zip(g.score.round(4), g.id)) == _brute(rows, qv, 3)
+    # the canonical ascending-dim sum lands just BELOW the boundary here
+    assert _brute(rows, qv, 3)[0] == (3.3001, 0)
 
 
 def test_rounding_convention_r10_falsifier_pinned():
