@@ -204,7 +204,13 @@ def test_bounded_build_throughput_large_segment():
     dt = time.time() - t0
     assert all(len(a) <= 18 for a in adj)
     if os.environ.get("MILVUS_SPARK_TIMING_ASSERTS", "1") != "0":
-        assert dt < 30.0, f"bounded build took {dt:.1f}s"
+        # guard target is the QUADRATIC exact-phase blow-up (minutes to
+        # hours at this n), so the bound can carry hypervisor headroom:
+        # 5.3 s idle on this host, and r11/r12 documented co-tenancy
+        # windows where fixed numpy workloads ran up to 20x slower —
+        # 30 s failed that arithmetic the same way the old 4 s
+        # vectorized-build assert reddened the r11 driver VERIFY
+        assert dt < 120.0, f"bounded build took {dt:.1f}s"
 
 
 def test_bounded_regime_exhaustive_fuzz():
