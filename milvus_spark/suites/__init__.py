@@ -65,10 +65,15 @@ ROTATION_HEAD: list[str] = [
     "cli_minhash_serving",
     "cli_gpu_cagra_search",
     "cli_varchar_pk_search",
-    # never-driver-verified bench rows (kernel/serving shapes)
+    # never-driver-verified bench rows (kernel/serving shapes).
+    # vec_hnsw_prod_ef / vec_hnsw_adaptive_ef were drafted here but are
+    # the registry's only two ORACLE-LESS queries (approximate-by-design,
+    # rows-only in the local gate) — a head slot the driver cannot
+    # oracle-verify is wasted at best, so the two slots go to the two
+    # oracle-backed never-verified bench rows instead
     "vec_hnsw_filtered",
-    "vec_hnsw_prod_ef",
-    "vec_hnsw_adaptive_ef",
+    "dedup_span_fraction",
+    "vec_kmeans_step",
     "stream_exact_dedup",
     "vec_hybrid_rrf",
     "vec_binary_hamming",
